@@ -1,0 +1,64 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from shadems_spark.queries import load_registry  # noqa: E402
+from shadems_spark.session import get_spark  # noqa: E402
+
+#: headline set — the queries whose wall time we publish.  Kept to the
+#: representative heavy hitters per family; extended as families land.
+HEADLINE = [
+    "q_raster_count",
+    "q_minmax",
+    "q_bin2d",
+    "q_scan",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry = load_registry()
+    spark = get_spark("shadems-bench")
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once so timings reflect the query,
+    # not session bootstrap.
+    registry["q_scan"][0](spark, sf_dir).count()
+    t_all = time.time()
+    for name in HEADLINE:
+        if name not in registry:
+            continue
+        fn, _sql = registry[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # full execution; result sizes are small by design
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+    total = round(time.time() - t_all, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

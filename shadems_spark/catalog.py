@@ -1,0 +1,78 @@
+"""Table catalog: the engine's scan layer (SURVEY.md §2 A1-A3).
+
+The reference reads CASA Measurement Sets lazily via dask-ms
+([R] shade_ms/data_plots.py::get_plot_data -> daskms.xds_from_ms,
+columns=..., group_cols=..., chunks={'row': N}).  The Spark-native
+equivalent is a Parquet DataSource V2 scan: column pruning, row-group
+pruning and predicate pushdown are supplied by Catalyst, partition
+discovery replaces dask-ms TAQL group discovery (SURVEY.md §3.2).
+
+The driver fixtures stand in for MS tables (FIXTURES.md): ``lineitem``
+plays the MAIN visibility table, small TPC-H dims play the subtables
+(ANTENNA/FIELD/SPW/...), ``events`` plays a stream, ``documents`` /
+``embeddings`` carry the text / vector extension operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shadems_spark.session import tune
+
+#: All driver fixture tables, dims first (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (A1/A2: lazy columnar read).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's reader
+    rejects; with ``nanosAsLong`` it arrives as epoch-nanos.  We expose
+    both ``ts_ns`` (long, full precision) and ``ts`` (TIMESTAMP_NTZ,
+    µs — integer-truncated exactly like DuckDB truncates the same
+    column, keeping oracle parity).
+    """
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            # `div` is integer division (a double `/` would round the
+            # ~1.7e18 nanos value: double ulp there is 256ns).
+            # timestamp_micros yields TimestampType; cast to NTZ so
+            # Arrow output is tz-naive like DuckDB's TIMESTAMP.
+            .withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz"),
+            )
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register each table as a temp view so plans can also be
+    expressed via ``spark.sql`` (SURVEY.md §5.2 item 4)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,79 @@
+"""SparkSession factory + tuning for the shadems_spark engine.
+
+Replaces the reference's dask threaded-scheduler setup
+([R] shade_ms/main.py dask config, SURVEY.md §3.1 step 2) with a
+SparkSession.  Everything here is sized so the same logical plans run
+unchanged on a 1000-executor cluster: AQE handles runtime partition
+coalescing and skew, shuffle partition count comes from the
+environment, and all confs are runtime (SQL) confs so an
+externally-created session (the driver's) can be tuned after the fact
+via :func:`tune`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime SQL confs applied to every session the engine touches.
+#: All of these are settable on a live session (verified on 4.1.2).
+RUNTIME_CONFS: dict[str, str] = {
+    # Let AQE re-plan at runtime: coalesce small shuffle partitions,
+    # split skewed ones, convert to broadcast when a side turns out
+    # small.  Essential at the 100 TB target, harmless at sf0.01.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamp semantics across engines (oracle parity).
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    # reader rejects; read as epoch-nanos long and convert explicitly
+    # (catalog.load_table).  DuckDB truncates the same column to µs.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow transfer for toPandas / pandas UDFs (vectorized exchange).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 8)
+    except ValueError:
+        return os.cpu_count() or 8
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session.
+
+    Called by every catalog load so driver-created sessions get the
+    same semantics (UTC, AQE, nanos handling) as our own.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked by a driver
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "shadems-spark", master: str | None = None) -> SparkSession:
+    """Create (or fetch) a tuned SparkSession.
+
+    local[N] in tests; on a real cluster the builder master/deploy-mode
+    comes from spark-submit and this function only layers confs.
+    """
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Shuffle partitions ~= cores locally.  On a cluster this is
+        # overridden upward (2-3x total cores); AQE coalesces down.
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    return tune(b.getOrCreate())

@@ -1,0 +1,81 @@
+"""Core-slice unit tests: complex ops, bin semantics, raster counts."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from shadems_spark.functions import complexops as C
+from shadems_spark.operators import raster as R
+from shadems_spark.plans.shadeplot import ShadePlot
+from shadems_spark.vis import vis_view
+from shadems_spark.catalog import load_table
+
+
+def test_complex_ops(spark):
+    df = spark.createDataFrame(
+        [Row(re1=3.0, im1=4.0, re2=1.0, im2=-2.0)]
+    ).select(C.cpx("re1", "im1").alias("a"), C.cpx("re2", "im2").alias("b"))
+    row = df.select(
+        C.c_amp(F.col("a")).alias("amp"),
+        C.c_phase_deg(F.col("a")).alias("ph"),
+        C.c_sub(F.col("a"), F.col("b")).alias("sub"),
+        C.c_mul(F.col("a"), F.col("b")).alias("mul"),
+        C.c_div(F.col("a"), F.col("b")).alias("div"),
+    ).first()
+    assert row["amp"] == 5.0
+    assert abs(row["ph"] - math.degrees(math.atan2(4.0, 3.0))) < 1e-12
+    assert (row["sub"]["re"], row["sub"]["im"]) == (2.0, 6.0)
+    # (3+4i)(1-2i) = 3-6i+4i+8 = 11-2i
+    assert (row["mul"]["re"], row["mul"]["im"]) == (11.0, -2.0)
+    # (3+4i)/(1-2i) = (3+4i)(1+2i)/5 = (-5+10i)/5 = -1+2i
+    assert (pytest.approx(row["div"]["re"]), pytest.approx(row["div"]["im"])) == (-1.0, 2.0)
+
+
+def test_phase_edges(spark):
+    df = spark.createDataFrame(
+        [Row(re=-1.0, im=0.0), Row(re=0.0, im=0.0), Row(re=0.0, im=-1.0)]
+    ).select(C.cpx("re", "im").alias("c"))
+    vals = [r[0] for r in df.select(C.c_phase_deg(F.col("c"))).collect()]
+    assert vals[0] == 180.0  # atan2(+0, -1)
+    assert vals[1] == 0.0
+    assert vals[2] == -90.0
+
+
+def test_bin_edges(spark):
+    # half-open bins over [0,10) x 10 bins; max value clamps into last
+    df = spark.createDataFrame([Row(x=0.0), Row(x=0.999), Row(x=5.0), Row(x=10.0)])
+    out = [r[0] for r in df.select(R.bin_axis(F.col("x"), 0.0, 10.0, 10)).collect()]
+    assert out == [0, 0, 5, 9]
+
+
+def test_raster_count_conservation(spark, sf_dir):
+    """bin counts sum to the clipped input count (SURVEY §5.2 prop 3)."""
+    v = vis_view(load_table(spark, sf_dir, "lineitem"))
+    x, y = F.col("time_day").cast("double"), F.col("vis.re")
+    clipped = R.clip(R.clip(v, x, 0.0, 2500.0), y, 0.0, 120000.0)
+    n_in = clipped.count()
+    binned = R.raster(v, x, y, (0.0, 2500.0), (0.0, 120000.0), 64, 64)
+    agg = binned.agg(F.sum("val").alias("s"), F.max("bx"), F.max("by")).first()
+    assert agg["s"] == n_in
+    assert agg["max(bx)"] <= 63 and agg["max(by)"] <= 63
+
+
+def test_shadeplot_autobounds(spark, sf_dir):
+    v = vis_view(load_table(spark, sf_dir, "lineitem"))
+    plot = ShadePlot(x=F.col("time_day").cast("double"), y=C.c_amp(F.col("vis")), width=32, height=32)
+    out = plot.run(v)
+    assert out.columns == ["by", "bx", "val"]
+    assert out.count() > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
