@@ -1,0 +1,130 @@
+"""Window-function queries (SURVEY.md §2 W): raster normalization
+(eq_hist / log / cbrt / linear) + the full ranking/lag surface on the
+events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from shadems_spark.catalog import load_table
+from shadems_spark.operators import normalize as N
+from shadems_spark.operators import raster as R
+from shadems_spark.queries import register
+from shadems_spark.queries.core import PRICE_RANGE, TIME_RANGE
+from shadems_spark.vis import vis_sql_from, vis_view
+
+_VIS = vis_sql_from("lineitem")
+_BX = R.bin_axis_sql("time_day", *TIME_RANGE, 32)
+_BY = R.bin_axis_sql("re", *PRICE_RANGE, 32)
+_CLIP = (
+    f"time_day BETWEEN {TIME_RANGE[0]!r} AND {TIME_RANGE[1]!r} "
+    f"AND re BETWEEN {PRICE_RANGE[0]!r} AND {PRICE_RANGE[1]!r}"
+)
+_BINNED = f"""
+    (SELECT {_BY} AS by, {_BX} AS bx, count(*) AS val
+     FROM {_VIS} v WHERE {_CLIP} GROUP BY 1, 2)
+"""
+
+
+def _binned(spark, sf_dir):
+    return R.raster(
+        vis_view(load_table(spark, sf_dir, "lineitem")),
+        F.col("time_day").cast("double"),
+        F.col("vis.re"),
+        TIME_RANGE,
+        PRICE_RANGE,
+        32,
+        32,
+    )
+
+
+@register(
+    "q_eq_hist",
+    sql=f"""
+    SELECT by, bx, val, round(cume_dist() OVER (ORDER BY val), 6) AS shade
+    FROM {_BINNED} b
+    """,
+)
+def q_eq_hist(spark, sf_dir):
+    """W1: eq_hist normalization over the binned raster."""
+    out = N.eq_hist(_binned(spark, sf_dir))
+    return out.withColumn("shade", F.round("shade", 6))
+
+
+@register(
+    "q_norms",
+    sql=f"""
+    SELECT by, bx, val,
+           round((ln(1.0 + CAST(val AS DOUBLE)) - min(ln(1.0 + CAST(val AS DOUBLE))) OVER ())
+                 / (max(ln(1.0 + CAST(val AS DOUBLE))) OVER () - min(ln(1.0 + CAST(val AS DOUBLE))) OVER ()), 6) AS shade_log,
+           round((cbrt(CAST(val AS DOUBLE)) - min(cbrt(CAST(val AS DOUBLE))) OVER ())
+                 / (max(cbrt(CAST(val AS DOUBLE))) OVER () - min(cbrt(CAST(val AS DOUBLE))) OVER ()), 6) AS shade_cbrt,
+           round((CAST(val AS DOUBLE) - min(CAST(val AS DOUBLE)) OVER ())
+                 / (max(CAST(val AS DOUBLE)) OVER () - min(CAST(val AS DOUBLE)) OVER ()), 6) AS shade_linear
+    FROM {_BINNED} b
+    """,
+)
+def q_norms(spark, sf_dir):
+    """W2: log / cbrt / linear normalizations rescaled to [0,1]."""
+    out = _binned(spark, sf_dir)
+    out = N.norm(out, "log", out="shade_log")
+    out = N.norm(out, "cbrt", out="shade_cbrt")
+    out = N.norm(out, "linear", out="shade_linear")
+    return out.select(
+        "by",
+        "bx",
+        "val",
+        F.round("shade_log", 6).alias("shade_log"),
+        F.round("shade_cbrt", 6).alias("shade_cbrt"),
+        F.round("shade_linear", 6).alias("shade_linear"),
+    )
+
+
+@register(
+    "q_rank",
+    sql="""
+    SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+           rank() OVER (PARTITION BY user_id ORDER BY event_type) AS rk,
+           dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS drk
+    FROM events WHERE user_id % 7 = 0
+    """,
+)
+def q_rank(spark, sf_dir):
+    """W4: ranking family over event streams per user."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    wt = Window.partitionBy("user_id").orderBy(F.expr("ts_ns div 1000"), "event_id")
+    we = Window.partitionBy("user_id").orderBy("event_type")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(wt).alias("rn"),
+        F.rank().over(we).alias("rk"),
+        F.dense_rank().over(we).alias("drk"),
+    )
+
+
+@register(
+    "q_lag",
+    sql="""
+    SELECT event_id, user_id,
+           lag(value)  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_value,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS roll3
+    FROM events WHERE user_id % 7 = 0
+    """,
+)
+def q_lag(spark, sf_dir):
+    """W4: lag/lead + a bounded rows-frame rolling sum."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    w = Window.partitionBy("user_id").orderBy(F.expr("ts_ns div 1000"), "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.sum("value").over(w.rowsBetween(-2, 0)), 2).alias("roll3"),
+    )
