@@ -21,9 +21,15 @@ from shadems_spark.session import get_spark  # noqa: E402
 #: representative heavy hitters per family; extended as families land.
 HEADLINE = [
     "q_raster_count",
+    "q_raster_count_cat",
     "q_minmax",
-    "q_bin2d",
-    "q_scan",
+    "q_join_fact",
+    "q_eq_hist",
+    "q_tumbling",
+    "q_session",
+    "q_dedup_minhash",
+    "q_cosine_topk",
+    "q_ngram_jaccard",
 ]
 
 

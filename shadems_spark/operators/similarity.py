@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (SURVEY.md §2 M3):
+brute-force cosine top-k as the exact baseline, and a random-
+hyperplane LSH-bucketed variant as the 100 TB scale path.
+
+Dot products are `zip_with` + `aggregate` — JVM higher-order
+functions, sequential fold, deterministic; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(arr: Column | str) -> Column:
+    c = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast the (small) query set against the full
+    collection — one scan of the big side, per-partition partial
+    top-k via the rank window on (q_id)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double(vec).alias("q_vec")
+    )
+    c = emb.select(F.col(id_col).alias("cand_id"), as_double(vec).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("q_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "cand_id", "cos", "rank")
+    )
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of dot(v, plane_j),
+    with plane components derived deterministically from xxhash64 so
+    every executor computes identical planes without broadcast state."""
+    def plane_component(j: int, i: int) -> Column:
+        h = F.xxhash64(F.lit(f"plane:{j}:{i}"))
+        return (F.pmod(h, F.lit(2001)).cast("double") - F.lit(1000.0)) / F.lit(1000.0)
+
+    bucket = None
+    for j in range(n_planes):
+        plane = F.array(*[plane_component(j, i) for i in range(dim)])
+        d = dot(vec, plane)
+        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2**j).cast("long")
+        bucket = bit if bucket is None else (bucket + bit)
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec: str = "embedding", n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket — the scale path (bucket join instead of full cross join;
+    recall traded via n_planes)."""
+    dim = 64
+    c = emb.select(
+        F.col(id_col).alias("cand_id"),
+        as_double(vec).alias("c_vec"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("c_vec"), n_planes, dim))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double(vec).alias("q_vec")
+    ).withColumn("bucket", hyperplane_bucket(F.col("q_vec"), n_planes, dim))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("q_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "bucket", "cand_id", "cos", "rank")
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame, id_col: str = "vec_id", vec: str = "embedding",
+    bucket_col: str = "label", threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking bucket
+    (coarse cluster / label) — the IVF-style "only compare within the
+    cell" pattern."""
+    side = lambda tag: emb.select(
+        F.col(bucket_col).alias("bkt"),
+        F.col(id_col).alias(f"id{tag}"),
+        as_double(vec).alias(f"v{tag}"),
+    )
+    pairs = side(1).join(side(2), "bkt").filter(F.col("id1") < F.col("id2"))
+    return (
+        pairs.withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("bkt", "id1", "id2", "cos")
+    )

@@ -1,0 +1,322 @@
+"""LLM-training-data pipeline queries (SURVEY.md §2 M + north-star
+suite): dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search (brute-force + LSH-bucketed),
+text analysis (stats / tokens / quality / fingerprint / lang), and
+the multimodal binary + pandas-UDF surface.
+
+Hash-dependent pipelines (xxhash64 banding, LSH planes, lang-ID
+profiles) have no DuckDB equivalent -> rows-only checks; everything
+else carries an exact oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from shadems_spark.catalog import load_table
+from shadems_spark.operators import dedup as D
+from shadems_spark.operators import multimodal as MM
+from shadems_spark.operators import similarity as SIM
+from shadems_spark.operators import text as T
+from shadems_spark.queries import register
+
+# ---------------------------------------------------------------- dedup
+
+@register(
+    "q_dedup_exact",
+    sql="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """M1: exact dedup via content-hash groupBy."""
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register("q_dedup_minhash", sql=None)  # xxhash64 banding: rows-only
+def q_dedup_minhash(spark, sf_dir):
+    """M2: MinHash+LSH fuzzy dedup (shingle -> minhash -> band ->
+    bucket-join -> exact-Jaccard verify).  Candidate generation is
+    bucket-bounded — never all-pairs."""
+    return D.minhash_dedup(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@register("q_dedup_simhash", sql=None)  # xxhash64 bits: rows-only
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 64-bit sign-sum signatures, 16-bit-block
+    bucketed candidates, hamming distance <= 6 kept."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.simhash_signatures(docs)
+    return D.simhash_candidates(sigs).filter(F.col("hamming") <= 6).select(
+        "id1", "id2", "hamming"
+    )
+
+
+@register(
+    "q_ngram_jaccard",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                                       for i in range(len(ws) - 2)])) AS ng
+          FROM w),
+    s AS (SELECT doc_id, count(*) sz FROM g GROUP BY doc_id),
+    inter AS (SELECT a.doc_id id1, b.doc_id id2, count(*) c
+              FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id1, id2,
+           round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM inter
+    JOIN s sa ON id1 = sa.doc_id
+    JOIN s sb ON id2 = sb.doc_id
+    WHERE c / (sa.sz + sb.sz - c) >= 0.2
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard similarity join (the verification
+    metric of M2, run exactly): explode distinct shingles, equi-join
+    on shingle, group to intersection counts, threshold 0.2."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id", T.word_ngrams(T.words("text"), 3).alias("ngs")
+    )
+    sizes = shingled.select("doc_id", F.size("ngs").alias("sz"))
+    g = shingled.select("doc_id", F.explode("ngs").alias("ng"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    jac = F.col("c") / (F.col("sz1") + F.col("sz2") - F.col("c"))
+    return (
+        inter.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .filter(jac >= 0.2)
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "q_dedup_embedding",
+    sql="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings)
+    SELECT a.label AS bkt, a.vec_id AS id1, b.vec_id AS id2,
+           round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+                 / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                    * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+                / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                   * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4) >= 0.4
+    """,
+)
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup within label blocks (IVF-style
+    "compare only within the cell")."""
+    return SIM.embedding_near_dup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# ------------------------------------------------------- similarity search
+
+@register(
+    "q_cosine_topk",
+    sql="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS cand_id,
+               round(list_sum(list_transform(list_zip(q.qv, e.v), z -> z[1] * z[2]))
+                     / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+                        * sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6) AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id != q.q_id
+    )
+    SELECT q_id, cand_id, cos, rank FROM (
+        SELECT q_id, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id)
+                    AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    """M3: brute-force cosine top-k — broadcast queries, one scan of
+    the collection, per-query rank window.  Ranking is on the rounded
+    cosine so ordering is engine-independent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return SIM.brute_topk(emb, queries, k=5)
+
+
+@register("q_ann_lsh", sql=None)  # hash-derived planes: rows-only
+def q_ann_lsh(spark, sf_dir):
+    """M3 scale path: random-hyperplane LSH bucketing — candidates
+    restricted to the query's bucket (join on bucket id, not a full
+    cross join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return SIM.lsh_topk(emb, queries, k=5)
+
+
+# ------------------------------------------------------------ text analysis
+
+@register(
+    "q_text_stats",
+    sql="""
+    SELECT doc_id,
+           length(text) AS n_chars_c,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq,
+           round(list_sum(list_transform(string_split(text, ' '),
+                                         w -> CAST(length(w) AS DOUBLE)))
+                 / len(string_split(text, ' ')), 4) AS mean_word_len
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """M4: per-document text statistics."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    return T.text_stats(docs).select(
+        "doc_id", "n_chars_c", "n_words", "n_uniq", "mean_word_len"
+    )
+
+
+@register(
+    "q_token_count",
+    sql="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish chars/4 estimate."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    return T.token_count(docs).select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+@register(
+    "q_quality_score",
+    sql="""
+    SELECT doc_id,
+           round((least(1.0, length(text) / 400.0)
+                  + len(list_distinct(string_split(text, ' ')))
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 2.0, 6) AS quality
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Quality score: bounded length + lexical-diversity components."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    return T.quality_score(docs).select("doc_id", "quality")
+
+
+@register(
+    "q_fingerprint",
+    sql=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                       w -> CAST(length(w) * 7 + ascii(substring(w, 1, 1)) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % {T.FP_MOD}) AS fp
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint: order-sensitive rolling hash fold."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    return T.fingerprint(docs).select("doc_id", "fp")
+
+
+@register(
+    "q_lang",
+    sql="""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           round(sum(len(string_split(text, ' '))), 2) AS total_words
+    FROM documents GROUP BY lang
+    """,
+)
+def q_lang(spark, sf_dir):
+    """M5: language filter/partition aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.sum(F.size(F.split("text", " ")).cast("double")), 2).alias("total_words"),
+    )
+
+
+@register("q_lang_id", sql=None)  # corpus-derived profiles: rows-only
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: top-words profile per labeled language
+    (train pass), argmax profile overlap per doc (score pass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    profiles = T.lang_profiles(docs)
+    pred = T.lang_id(docs, profiles)
+    truth = docs.select("doc_id", "lang")
+    return pred.join(truth, "doc_id").select(
+        "doc_id", "pred_lang", "score", (F.col("pred_lang") == F.col("lang")).alias("correct")
+    )
+
+
+# -------------------------------------------------- multimodal + pandas UDF
+
+@register(
+    "q_multimodal",
+    sql="""
+    SELECT doc_id, 'text/plain' AS kind,
+           length(text) AS n_bytes,
+           ascii(substring(text, 1, 1)) AS first_byte,
+           list_sum(list_transform(string_split(text, ''), x -> ascii(x)))
+               % 2147483647 AS checksum
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+)
+def q_multimodal(spark, sf_dir):
+    """M6: multimodal binary-column pipeline — blob + typed metadata
+    through an Arrow-batched mapInPandas feature extractor (decode
+    stubbed; plumbing real)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    return MM.decode_features(MM.blob_table(docs))
+
+
+@register(
+    "q_pandas_udf",
+    sql="""
+    SELECT l_orderkey AS row_key, l_linenumber AS line_no,
+           sqrt(l_extendedprice * l_extendedprice
+                + (l_extendedprice * l_discount) * (l_extendedprice * l_discount)) AS amp
+    FROM lineitem WHERE l_orderkey % 20 = 0
+    """,
+)
+def q_pandas_udf(spark, sf_dir):
+    """L: vectorized Arrow pandas UDF (amp over the complex pair) —
+    the sanctioned slow path, checked against the native formula."""
+
+    @pandas_udf("double")
+    def amp_udf(re: pd.Series, im: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return np.sqrt(re * re + im * im)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    return li.select(
+        F.col("l_orderkey").alias("row_key"),
+        F.col("l_linenumber").alias("line_no"),
+        amp_udf(
+            F.col("l_extendedprice"), F.col("l_extendedprice") * F.col("l_discount")
+        ).alias("amp"),
+    )

@@ -1,0 +1,173 @@
+"""Scalar-function battery (SURVEY.md §2 SF) + sinks (A4/A5):
+string / date / JSON / array functions on the driver tables, the
+filename-templating sink and the parquet write→read-back roundtrip.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from shadems_spark.catalog import load_table
+from shadems_spark.operators import raster as R
+from shadems_spark.queries import register
+from shadems_spark.queries.core import PRICE_RANGE, TIME_RANGE
+from shadems_spark.vis import vis_sql_from, vis_view
+
+_VIS = vis_sql_from("lineitem")
+
+
+@register(
+    "q_string_funcs",
+    sql="""
+    SELECT doc_id,
+           lower(lang) AS lang_lc,
+           upper(source) AS source_uc,
+           substring(text, 1, 12) AS head,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           regexp_extract(text, '^[a-z]+') AS first_word,
+           trim(concat('  ', lang, '  ')) AS trimmed
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    """SF: lower/upper/trim/substring/split/regexp_extract/length."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return d.select(
+        "doc_id",
+        F.lower("lang").alias("lang_lc"),
+        F.upper("source").alias("source_uc"),
+        F.substring("text", 1, 12).alias("head"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.regexp_extract("text", "^[a-z]+", 0).alias("first_word"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    sql="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mon,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           CAST(o_orderdate AS DATE) + 90 AS due_date
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def q_date_funcs(spark, sf_dir):
+    """SF: year/month/day/date_trunc/datediff/date_add."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    od = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(od).cast("long").alias("yr"),
+        F.month(od).cast("long").alias("mon"),
+        F.dayofmonth(od).cast("long").alias("dom"),
+        F.date_trunc("month", od).cast("date").alias("month_start"),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
+        F.date_add(od, 90).alias("due_date"),
+    )
+
+
+@register(
+    "q_json_funcs",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events WHERE event_id % 7 = 0
+    """,
+)
+def q_json_funcs(spark, sf_dir):
+    """SF: JSON scalar extraction over events.props."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k"), (k % 10).alias("k_bucket"))
+
+
+@register(
+    "q_array_funcs",
+    sql="""
+    SELECT vec_id,
+           len(embedding) AS n_dim,
+           embedding[1] AS first_elem,
+           embedding[len(embedding)] AS last_elem,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+           round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS vec_norm
+    FROM embeddings WHERE vec_id % 7 = 0
+    """,
+)
+def q_array_funcs(spark, sf_dir):
+    """SF: size/element_at/transform/aggregate over the embedding
+    array column — all JVM-side higher-order functions, no UDFs."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    vec_sum = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x)
+    vec_norm = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.element_at("embedding", -1).alias("last_elem"),
+        F.round(vec_sum, 4).alias("vec_sum"),
+        F.round(vec_norm, 4).alias("vec_norm"),
+    )
+
+
+@register(
+    "q_name_template",
+    sql=f"""
+    SELECT DISTINCT field_label, corr_label,
+           concat('plot-F', field_label, '-C', corr_label, '.png') AS png_name
+    FROM {_VIS} v
+    """,
+)
+def q_name_template(spark, sf_dir):
+    """A5: deterministic output-filename templating with {field}/{corr}
+    tokens ([R] shade_ms/main.py --png template expansion ≈L500-560)."""
+    v = vis_view(load_table(spark, sf_dir, "lineitem"))
+    return v.select("field_label", "corr_label").distinct().select(
+        "field_label",
+        "corr_label",
+        F.format_string("plot-F%s-C%s.png", "field_label", "corr_label").alias("png_name"),
+    )
+
+
+@register(
+    "q_sink_roundtrip",
+    sql=f"""
+    SELECT {R.bin_axis_sql('re', *PRICE_RANGE, 32)} AS by,
+           {R.bin_axis_sql('time_day', *TIME_RANGE, 32)} AS bx,
+           count(*) AS val
+    FROM {_VIS} v
+    WHERE time_day BETWEEN {TIME_RANGE[0]!r} AND {TIME_RANGE[1]!r}
+      AND re BETWEEN {PRICE_RANGE[0]!r} AND {PRICE_RANGE[1]!r}
+    GROUP BY 1, 2
+    """,
+)
+def q_sink_roundtrip(spark, sf_dir):
+    """A4: sink — binned raster written to parquet and read back
+    (the engine-side output is the binned table; PNG rendering is a
+    driver-side consumer, SURVEY.md §1.2)."""
+    out = R.raster(
+        vis_view(load_table(spark, sf_dir, "lineitem")),
+        F.col("time_day").cast("double"),
+        F.col("vis.re"),
+        TIME_RANGE,
+        PRICE_RANGE,
+        32,
+        32,
+    )
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "sink_roundtrip",
+    )
+    out.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

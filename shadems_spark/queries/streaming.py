@@ -1,0 +1,123 @@
+"""Streaming-analogue queries in batch-checkable form (SURVEY.md §2
+S1-S5).  The same builders run under readStream (see
+streaming/windows.py + tests/test_streaming.py); here they run on the
+batch events frame against gaps-and-islands / time-bucket oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shadems_spark.catalog import load_table
+from shadems_spark.queries import register
+from shadems_spark.streaming import windows as SW
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _ev(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "q_tumbling",
+    sql="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling(spark, sf_dir):
+    """S1: tumbling 1-hour event-time windows (same builder runs under
+    readStream with a watermark)."""
+    out = SW.tumbling(_ev(spark, sf_dir))
+    return out.select(
+        F.date_format(F.col("win.start"), _FMT).alias("win_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "q_sliding",
+    sql="""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                    - k.k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n
+    FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+    GROUP BY 1
+    """,
+)
+def q_sliding(spark, sf_dir):
+    """S2: sliding 1h/15min windows — every event lands in 4 windows;
+    the oracle reconstructs the hop arithmetic explicitly."""
+    out = SW.sliding(_ev(spark, sf_dir))
+    return out.select(
+        F.date_format(F.col("win.start"), _FMT).alias("win_start"), "n"
+    )
+
+
+@register(
+    "q_session",
+    sql="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    m AS (SELECT user_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+    s AS (SELECT user_id, us,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+    SELECT user_id, min(us) AS session_start_us, count(*) AS n
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session(spark, sf_dir):
+    """S3: 30-minute-gap session windows per user via
+    F.session_window; oracle is the gaps-and-islands equivalent
+    (sessions split when the µs gap >= 30 min, matching Spark's
+    half-open merge semantics)."""
+    out = SW.session(_ev(spark, sf_dir))
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("win.start").cast("timestamp")).alias("session_start_us"),
+        "n",
+    )
+
+
+@register(
+    "q_watermark",
+    sql="""
+    SELECT event_type, count(*) AS n FROM events
+    WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events) - 86400000000
+    GROUP BY event_type
+    """,
+)
+def q_watermark(spark, sf_dir):
+    """S4 (weak batch form): watermark horizon — keep events within
+    24h of max event time; streaming drops older late arrivals."""
+    ev = _ev(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    kept = SW.horizon_filter(ev, "ts_us", 86_400_000_000)
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_stream_dedup",
+    sql="""
+    SELECT event_id, user_id, event_type FROM (
+        SELECT event_id, user_id, event_type,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """S5: stream dedup — deterministic first event per
+    (user, event_type) in event-time order (dropDuplicates+watermark
+    semantics on an ordered replay)."""
+    ev = _ev(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    out = SW.first_per_key(ev, ["user_id", "event_type"], ["ts_us", "event_id"])
+    return out.select("event_id", "user_id", "event_type")

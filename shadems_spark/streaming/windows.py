@@ -1,0 +1,104 @@
+"""Event-time windowed operators, batch-first (SURVEY.md §2 S1-S5).
+
+Each builder takes a DataFrame with an event-time column and works
+identically on a batch frame or a ``readStream`` frame; the streaming
+entry points add the watermark.  Used by queries/streaming.py (batch,
+oracle-checked) and by stream_from_parquet()/run_stream_smoke()
+(actual Structured Streaming, exercised in tests with availableNow
+trigger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shadems_spark.catalog import load_table
+
+
+def tumbling(df: DataFrame, ts: str = "ts", length: str = "1 hour") -> DataFrame:
+    """S1: tumbling event-time window aggregation."""
+    return (
+        df.groupBy(F.window(F.col(ts), length).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def sliding(df: DataFrame, ts: str = "ts", length: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    """S2: sliding (hopping) windows — each event lands in
+    length/slide windows."""
+    return df.groupBy(F.window(F.col(ts), length, slide).alias("win")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def session(df: DataFrame, ts: str = "ts", gap: str = "30 minutes", key: str = "user_id") -> DataFrame:
+    """S3: session windows — events within ``gap`` of each other merge
+    into one session per key."""
+    return df.groupBy(F.session_window(F.col(ts), gap).alias("win"), F.col(key)).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def horizon_filter(df: DataFrame, ts_us: str, horizon_us: int) -> DataFrame:
+    """S4 batch analogue of a watermark: keep rows within ``horizon``
+    of the frame's max event time (streaming drops older late rows)."""
+    mx = df.agg(F.max(F.col(ts_us)).alias("__mx"))
+    return df.crossJoin(F.broadcast(mx)).filter(
+        F.col(ts_us) >= F.col("__mx") - F.lit(horizon_us)
+    ).drop("__mx")
+
+
+def first_per_key(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
+    """S5: deterministic dedup — first event per key in event-time
+    order (what dropDuplicates-with-watermark converges to on an
+    ordered replay)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def stream_from_parquet(spark: SparkSession, sf_dir: str, watermark: str = "1 hour") -> DataFrame:
+    """readStream over the events fixture (schema from the batch read;
+    ts normalized exactly like catalog.load_table)."""
+    load_table(spark, sf_dir, "events")  # applies session tuning (nanosAsLong)
+    # on-disk schema: ts is TIMESTAMP(NANOS) -> long under nanosAsLong
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        # file streaming sources take a directory; glob-filter to the
+        # events table only (the dir holds all ten fixture tables).
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    # watermarks require TimestampType (not NTZ); session tz is UTC so
+    # the window boundaries match the batch/oracle NTZ arithmetic.
+    ev = raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+    return ev.withWatermark("ts", watermark)
+
+
+def run_stream_smoke(spark: SparkSession, sf_dir: str, out_table: str = "stream_tumbling") -> int:
+    """End-to-end Structured Streaming check: events parquet ->
+    watermark -> tumbling agg -> memory sink, availableNow trigger.
+    Returns the number of result rows."""
+    ev = stream_from_parquet(spark, sf_dir)
+    q = (
+        tumbling(ev)
+        .writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(out_table).count()

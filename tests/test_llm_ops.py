@@ -1,0 +1,94 @@
+"""LLM-pipeline operator tests: dedup recall, simhash sanity,
+similarity ranking, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from shadems_spark.catalog import load_table
+from shadems_spark.operators import dedup as D
+from shadems_spark.operators import multimodal as MM
+from shadems_spark.operators import similarity as SIM
+from shadems_spark.operators import text as T
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog tonight"),
+            Row(doc_id=3, text="completely different words about spark engines and scale"),
+            Row(doc_id=4, text="the quick brown fox jumps over the lazy dog today"),
+        ]
+    )
+
+
+def test_exact_dedup(spark):
+    out = D.exact_dedup(_docs(spark)).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in out}
+    assert by_keep[1] == 2  # docs 1 and 4 identical
+    assert by_keep[2] == 1 and by_keep[3] == 1
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = D.minhash_dedup(_docs(spark), threshold=0.5).collect()
+    found = {(r["id1"], r["id2"]) for r in pairs}
+    assert (1, 4) in found  # identical docs always collide
+    assert (1, 2) in found or (2, 4) in found  # one-word-off near-dup
+    assert all(3 not in p for p in found)
+
+
+def test_simhash_near_dup_ordering(spark):
+    sigs = D.simhash_signatures(_docs(spark))
+    cands = {(r["id1"], r["id2"]): r["hamming"] for r in D.simhash_candidates(sigs).collect()}
+    assert cands[(1, 4)] == 0  # identical -> identical signature
+    near = cands.get((1, 2), 64)
+    assert near < 20  # near-dup much closer than unrelated doc
+
+
+def test_cosine_topk_self_similarity(spark):
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+            Row(vec_id=3, embedding=[-1.0, 0.0, 0.0]),
+        ]
+    )
+    out = SIM.brute_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    order = [r["cand_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]  # by decreasing cosine
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="gamma beta alpha")]
+    )
+    fps = {r["doc_id"]: r["fp"] for r in T.fingerprint(df).collect()}
+    assert fps[1] != fps[2]  # rolling hash is order-sensitive
+
+
+def test_lang_id_completeness(spark, sf_dir):
+    """The synthetic corpus shares one 31-word vocabulary across all
+    five langs (verified: no n-gram signal exists — even a full NB
+    unigram classifier scores 0.33), so this asserts the pipeline
+    contract, not accuracy: exactly one prediction per doc, from the
+    label set, with a positive overlap score."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = T.lang_id(docs, T.lang_profiles(docs))
+    assert pred.count() == docs.count()
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    rows = pred.collect()
+    assert all(r["pred_lang"] in langs and r["score"] > 0 for r in rows)
+
+
+def test_multimodal_stub_gate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    blobs = MM.blob_table(docs)
+    feats = MM.decode_features(blobs).collect()
+    assert len(feats) == 10
+    assert all(r["n_bytes"] > 0 and r["kind"] == "text/plain" for r in feats)
+    with pytest.raises(NotImplementedError):
+        MM.decode_features(blobs, real_decode=True)

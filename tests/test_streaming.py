@@ -1,0 +1,29 @@
+"""Structured Streaming end-to-end: the batch-first builders under a
+real readStream with availableNow trigger (SURVEY.md §2 S)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shadems_spark.catalog import load_table
+from shadems_spark.streaming import windows as SW
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir):
+    n_stream = SW.run_stream_smoke(spark, sf_dir, out_table="t_stream_smoke")
+    n_batch = SW.tumbling(load_table(spark, sf_dir, "events")).count()
+    assert n_stream == n_batch > 0
+
+
+def test_session_windows_merge(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sessions = SW.session(ev)
+    agg = sessions.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_sessions")).first()
+    assert agg["total"] == ev.count()  # every event in exactly one session
+    assert 0 < agg["n_sessions"] < ev.count()
+
+
+def test_horizon_filter(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts_ns div 1000"))
+    kept = SW.horizon_filter(ev, "ts_us", 86_400_000_000)
+    assert 0 < kept.count() < ev.count()
