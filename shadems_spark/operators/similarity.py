@@ -53,20 +53,31 @@ def brute_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
-    """Random-hyperplane LSH bucket id: sign bits of dot(v, plane_j),
-    with plane components derived deterministically from xxhash64 so
-    every executor computes identical planes without broadcast state."""
-    def plane_component(j: int, i: int) -> Column:
-        h = F.xxhash64(F.lit(f"plane:{j}:{i}"))
-        return (F.pmod(h, F.lit(2001)).cast("double") - F.lit(1000.0)) / F.lit(1000.0)
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mixer (public SplitMix64 constants) — used
+    to derive hyperplane components driver-side so the plan carries
+    small literal arrays instead of per-row hash expression trees."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
 
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of dot(v, plane_j).
+    Planes are fixed literals (seeded SplitMix64 -> [-1, 1]) — every
+    executor sees identical planes with no broadcast state and the
+    expression tree stays small (n_planes literal arrays)."""
     bucket = None
     for j in range(n_planes):
-        plane = F.array(*[plane_component(j, i) for i in range(dim)])
+        comps = [
+            (_splitmix64(j * 1024 + i) % 2001) / 1000.0 - 1.0 for i in range(dim)
+        ]
+        plane = F.array(*[F.lit(c) for c in comps])
         d = dot(vec, plane)
-        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2**j).cast("long")
-        bucket = bit if bucket is None else (bucket + bit)
+        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        bucket = term if bucket is None else bucket.bitwiseOR(term)
     return bucket
 
 
