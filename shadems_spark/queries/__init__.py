@@ -40,6 +40,7 @@ _MODULES = [
     "shadems_spark.queries.aggregates",
     "shadems_spark.queries.windows",
     "shadems_spark.queries.scalars",
+    "shadems_spark.queries.analytics",
     "shadems_spark.queries.streaming",
     "shadems_spark.queries.llm_ops",
 ]

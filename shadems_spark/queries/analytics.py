@@ -1,0 +1,201 @@
+"""Analytical benchmark-shaped queries + facet engine + format
+roundtrips: the rebuild's TPC-H-style checks over the star schema
+(SURVEY.md §2 J5 context), exact percentiles, and the --iter-*
+faceted-write pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from shadems_spark.catalog import load_table
+from shadems_spark.operators import raster as R
+from shadems_spark.queries import register
+from shadems_spark.queries.core import PRICE_RANGE, TIME_RANGE
+from shadems_spark.sources import read_csv, write_partitioned
+from shadems_spark.vis import vis_sql_from, vis_view
+
+_VIS = vis_sql_from("lineitem")
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+
+@register(
+    "q_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical streaming-aggregate over the main
+    fact — one pruned scan, partial/final hash agg on a 6-key space."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_top_orders",
+    sql="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, revenue, rk FROM (
+        SELECT o_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(row_number() OVER (
+                   ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC,
+                            o_orderkey) AS INTEGER) AS rk
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+        GROUP BY o_orderkey, o_orderdate
+    ) WHERE rk <= 10
+    """,
+)
+def q_top_orders(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> fact x fact join ->
+    grouped revenue -> deterministic top-k (rank on the rounded value
+    with key tiebreak)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "revenue",
+            "rk",
+        )
+    )
+
+
+@register(
+    "q_percentile",
+    sql="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile(spark, sf_dir):
+    """Exact interpolated percentiles per group (robust axis limits —
+    the percentile-based --xmin/--xmax mode the reference approximates
+    with min/max)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("qty_p50"),
+    )
+
+
+@register("q_approx_distinct", sql=None)  # HLL sketch: engine-specific
+def q_approx_distinct(spark, sf_dir):
+    """G11 approximate variant: HLL sketch distinct counts (rows-only:
+    sketch estimates are engine-specific by nature)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    )
+
+
+@register(
+    "q_facet",
+    sql=f"""
+    SELECT field_label, {R.bin_axis_sql('re', *PRICE_RANGE, 16)} AS by,
+           {R.bin_axis_sql('time_day', *TIME_RANGE, 16)} AS bx,
+           count(*) AS val
+    FROM {_VIS} v
+    WHERE time_day BETWEEN {TIME_RANGE[0]!r} AND {TIME_RANGE[1]!r}
+      AND re BETWEEN {PRICE_RANGE[0]!r} AND {PRICE_RANGE[1]!r}
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_facet(spark, sf_dir):
+    """A5/§7-step-7 facet engine: the --iter-field loop as ONE plan —
+    facet key joins the groupBy, result written partitionBy(facet) and
+    read back.  One shuffle for any number of facets (the reference
+    loops plots; here Catalyst sees a single job)."""
+    from shadems_spark.plans.shadeplot import ShadePlot
+
+    v = vis_view(load_table(spark, sf_dir, "lineitem"))
+    plot = ShadePlot(
+        x=F.col("time_day").cast("double"),
+        y=F.col("vis.re"),
+        width=16,
+        height=16,
+        x_range=TIME_RANGE,
+        y_range=PRICE_RANGE,
+    )
+    out_path = os.path.join(_SCRATCH, "facet_raster")
+    plot.run_faceted(v, ["field_label"], out_path)
+    back = spark.read.parquet(out_path)
+    return back.select(
+        "field_label", "by", "bx", "val"
+    )
+
+
+@register(
+    "q_csv_roundtrip",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem WHERE l_orderkey % 200 = 0
+    """,
+)
+def q_csv_roundtrip(spark, sf_dir):
+    """Source adapter check: subset -> CSV (header, full-precision
+    doubles) -> read back with explicit schema."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 200 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    )
+    path = os.path.join(_SCRATCH, "csv_roundtrip")
+    li.write.mode("overwrite").option("header", "true").csv(path)
+    return read_csv(
+        spark,
+        path,
+        schema="l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_returnflag string",
+    )

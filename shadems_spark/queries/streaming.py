@@ -121,3 +121,19 @@ def q_stream_dedup(spark, sf_dir):
     ev = _ev(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
     out = SW.first_per_key(ev, ["user_id", "event_type"], ["ts_us", "event_id"])
     return out.select("event_id", "user_id", "event_type")
+
+
+@register(
+    "q_stateful_totals",
+    sql="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stateful_totals(spark, sf_dir):
+    """S/L: per-user running totals — the batch form of the
+    applyInPandasWithState operator (streaming/stateful.py); the
+    streaming GroupState path is exercised in tests."""
+    from shadems_spark.streaming.stateful import running_totals_batch
+
+    return running_totals_batch(_ev(spark, sf_dir))

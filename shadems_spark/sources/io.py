@@ -1,0 +1,39 @@
+"""Format adapters.  Thin by design: `spark.read` IS the scan layer
+(column pruning, predicate pushdown, partition pruning are Catalyst's
+job, SURVEY.md §4) — these wrappers only pin the options that matter
+for correctness parity across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from shadems_spark.session import tune
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return tune(spark).read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """CSV with explicit schema (inference is a full extra pass and
+    non-deterministic across samples — never at 100 TB)."""
+    r = tune(spark).read.option("header", "true")
+    if schema:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    r = tune(spark).read
+    if schema:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_by: list[str], fmt: str = "parquet") -> None:
+    """The facet sink: one directory per group key — the engine-side
+    analogue of one-PNG-per-group ([R] shade_ms/main.py --iter-*)."""
+    df.write.mode("overwrite").format(fmt).partitionBy(*partition_by).save(path)

@@ -27,3 +27,30 @@ def test_horizon_filter(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts_ns div 1000"))
     kept = SW.horizon_filter(ev, "ts_us", 86_400_000_000)
     assert 0 < kept.count() < ev.count()
+
+
+def test_stateful_stream_matches_batch(spark, sf_dir):
+    """applyInPandasWithState end-to-end: drain the events source with
+    availableNow, compare final per-user state against the batch agg."""
+    from shadems_spark.streaming import stateful as ST
+
+    ev_stream = SW.stream_from_parquet(spark, sf_dir).select("user_id", "value")
+    q = (
+        ST.running_totals_stream(ev_stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table("t_stateful").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in ST.running_totals_batch(ev).collect()
+    }
+    assert got == want
