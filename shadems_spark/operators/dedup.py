@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from shadems_spark.operators.text import word_ngrams, words
+from shadems_spark.operators.text import ngram_hashes, words
 
 
 def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -46,11 +46,16 @@ def minhash_signatures(
     ~20x slower at sf0.1.  Here map-side combine reduces each
     partition to one partial signature per doc before the shuffle,
     and collect_list carries the (distinct) shingle set through the
-    same single shuffle for the verify stage."""
-    shingled = df.select(id_col, word_ngrams(words(text), ngram).alias("shingles"))
+    same single shuffle for the verify stage.
+
+    Shingles are 64-bit gram hashes (text.ngram_hashes), so the
+    n_hashes min-hash family is xxhash64(h, j) over two longs — far
+    cheaper than re-hashing the gram string per hash function, and the
+    carried shingle sets are fixed-width longs, not strings."""
+    shingled = df.select(id_col, ngram_hashes(words(text), ngram).alias("shingles"))
     ex = shingled.select(id_col, F.explode("shingles").alias("s"))
     mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
+        F.min(F.xxhash64(F.col("s"), F.lit(j))).alias(f"h{j}")
         for j in range(n_hashes)
     ]
     agg = ex.groupBy(id_col).agg(*mins, F.collect_list("s").alias("shingles"))
@@ -72,7 +77,7 @@ def lsh_candidate_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]))
+                    F.xxhash64(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
                     for b in range(bands)
                 ]
             )
@@ -114,8 +119,13 @@ def minhash_dedup(
     df: DataFrame, id_col: str = "doc_id", text: str = "text", threshold: float = 0.2
 ) -> DataFrame:
     """M2 end-to-end: shingle -> minhash -> band -> bucket-join ->
-    exact-Jaccard verify."""
-    sigs = minhash_signatures(df, id_col, text)
+    exact-Jaccard verify.
+
+    The signature table feeds three operators (banding + both sides of
+    the verify join); persisting it trades one small materialization
+    (one row per doc, ~narrow) for recomputing the shingle scan three
+    times — the right trade at any scale since sigs ≪ corpus."""
+    sigs = minhash_signatures(df, id_col, text).persist()
     cands = lsh_candidate_pairs(sigs, id_col)
     return jaccard_verify(cands, sigs, id_col, threshold)
 

@@ -78,10 +78,14 @@ def q_dedup_simhash(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard similarity join (the verification
     metric of M2, run exactly): explode distinct shingles, equi-join
-    on shingle, group to intersection counts, threshold 0.2."""
+    on shingle, group to intersection counts, threshold 0.2.
+
+    Grams are joined by 64-bit hash (text.ngram_hashes) — an 8-byte
+    join key instead of a variable-width string; identical counts
+    absent xxhash64 collisions, which the oracle run confirms."""
     docs = load_table(spark, sf_dir, "documents")
     shingled = docs.select(
-        "doc_id", T.word_ngrams(T.words("text"), 3).alias("ngs")
+        "doc_id", T.ngram_hashes(T.words("text"), 3).alias("ngs")
     )
     sizes = shingled.select("doc_id", F.size("ngs").alias("sz"))
     g = shingled.select("doc_id", F.explode("ngs").alias("ng"))
