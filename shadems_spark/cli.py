@@ -1,0 +1,194 @@
+"""The ``shadems`` CLI surface, Spark-backed (SURVEY.md §3.1).
+
+Mirrors the reference's argparse surface ([R] shade_ms/main.py::main
+≈L60-400: axes, column arithmetic, selections, aggregation,
+normalization, canvas, iteration, PNG templating) against the driver
+fixtures: the positional ``ms`` argument is a directory of parquet
+tables whose ``lineitem`` plays the MS MAIN table (vis.py mapping).
+
+Lifecycle (two Spark jobs, [R] data_plots.py): selection + derived
+axes as one declarative plan -> batched bounds job when limits are
+unset -> binned canvas aggregation -> engine-side shading -> PNG(s)
+via the stdlib renderer.  ``--iter-field`` facets through ONE raster
+plan whose groupBy carries the facet key — never a per-facet job.
+
+    python -m shadems_spark /root/testdata/sf0.001 \
+        -x time -y DATA:amp --field O --norm eq_hist --png out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from pyspark.sql import functions as F
+
+from shadems_spark.catalog import load_table
+from shadems_spark.operators import mappers as M
+from shadems_spark.operators import raster as R
+from shadems_spark.operators import selection as S
+from shadems_spark.plans.shadeplot import ShadePlot
+from shadems_spark.render import _CMAPS, render_png
+from shadems_spark.session import get_spark
+from shadems_spark.vis import vis_view
+
+#: mapper names that consume the --col complex column (vs standalone
+#: axes like time/uvdist/u/v/w/baseline).
+_COL_FUNCS = {"amp", "phase", "real", "imag", "_"}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="shadems-spark",
+        description="Rasterized scatter plots of visibility-shaped data, on Spark.",
+    )
+    p.add_argument("ms", help="dataset directory (parquet tables; lineitem = MAIN)")
+    ax = p.add_argument_group("axes")
+    ax.add_argument("-x", "--xaxis", default="time", help="x axis spec ([COL[op COL2]:]func)")
+    ax.add_argument("-y", "--yaxis", default="amp", help="y axis spec")
+    ax.add_argument("--col", default="DATA", help="complex column for amp/phase/real/imag axes")
+    ax.add_argument("-a", "--aaxis", default=None, help="aggregation axis (--ared input)")
+    ax.add_argument("--ared", default=None, choices=sorted(R.REDUCTIONS), help="reduction over --aaxis")
+    ax.add_argument("-C", "--colour-by", dest="colour_by", default=None, help="categorical colour axis (column name)")
+    sel = p.add_argument_group("selection")
+    sel.add_argument("--field", action="append", default=None, help="field selection (repeatable)")
+    sel.add_argument("--corr", default=None, help="comma-separated correlation labels")
+    sel.add_argument("--ant", action="append", type=int, default=None, help="antenna selection (repeatable)")
+    sel.add_argument("--baseline", action="append", default=None, help='baseline pairs "a1-a2" (repeatable)')
+    sel.add_argument("--noflags", action="store_true", help="plot flagged data too")
+    sel.add_argument("--noconj", action="store_true", help="no conjugate mirroring for u/v axes")
+    lim = p.add_argument_group("limits")
+    for name in ("xmin", "xmax", "ymin", "ymax"):
+        lim.add_argument(f"--{name}", type=float, default=None)
+    canvas = p.add_argument_group("canvas / shading")
+    canvas.add_argument("--xcanvas", type=int, default=1280)
+    canvas.add_argument("--ycanvas", type=int, default=900)
+    canvas.add_argument("--norm", default="eq_hist", choices=["eq_hist", "log", "cbrt", "linear"])
+    canvas.add_argument("--cmap", default="viridis", choices=sorted(_CMAPS))
+    canvas.add_argument("--cnum", type=int, default=16, help="max categories before 'other'")
+    out = p.add_argument_group("output")
+    out.add_argument("--png", default="{ms}_{xname}_{yname}{field}.png", help="output name template")
+    out.add_argument("--dir", default=".", help="output directory")
+    out.add_argument("--iter-field", action="store_true", help="one PNG per field")
+    run = p.add_argument_group("execution")
+    run.add_argument("-z", "--row-chunk-size", type=int, default=0, help="repartition hint (0 = leave to Spark)")
+    run.add_argument("-j", "--num-parallel", type=int, default=1, help="accepted for parity; Spark schedules jobs itself")
+    return p
+
+
+def _axis(spec: str, default_col: str):
+    """CLI axis spec -> (Column, name). Bare amp/phase/real/imag pick
+    up --col, matching the reference's -x amp + --col DATA pairing."""
+    name = spec.replace(":", "_").replace("/", "over").replace("-", "minus")
+    func = spec.rsplit(":", 1)[-1].lower()
+    if ":" not in spec and func in _COL_FUNCS:
+        spec = f"{default_col}:{func}"
+    elif ":" in spec:
+        col_part, _, f = spec.rpartition(":")
+        spec = f"{col_part}:{f.lower()}"
+    else:
+        spec = spec.lower()
+    return M.parse_axis(spec), name
+
+
+def _template(tpl: str, **tokens: str) -> str:
+    class _Default(dict):
+        def __missing__(self, k):
+            return ""
+
+    return tpl.format_map(_Default(**tokens))
+
+
+def run(argv: list[str] | None = None, spark=None) -> list[str]:
+    """Parse, plan, execute; returns the list of PNG paths written."""
+    args = build_parser().parse_args(argv)
+    spark = spark or get_spark("shadems-cli")
+    df = vis_view(load_table(spark, args.ms, "lineitem"))
+    if args.row_chunk_size:
+        df = df.repartition(max(1, args.row_chunk_size))
+
+    # --- selection (F1/F2/F3/F4/F6), conjunctive like the reference
+    if args.field:
+        df = S.select_groups(df, "field_label", args.field)
+    if args.corr:
+        df = S.select_groups(df, "corr_label", args.corr.split(","))
+    if args.ant:
+        df = S.select_antennas(df, args.ant)
+    if args.baseline:
+        pairs = [tuple(int(v) for v in b.split("-", 1)) for b in args.baseline]
+        df = S.select_baselines(df, pairs)
+    df = S.apply_flags(df, noflags=args.noflags)
+
+    # --- axes (B mappers) + hygiene (F8)
+    x, xname = _axis(args.xaxis, args.col)
+    y, yname = _axis(args.yaxis, args.col)
+    df = S.drop_nonfinite(df, x.cast("double"), y.cast("double"))
+
+    # --- conjugate mirror (U2): uv-coverage symmetry unless --noconj
+    if {args.xaxis.lower(), args.yaxis.lower()} == {"u", "v"} and not args.noconj:
+        df = df.select(F.col("u"), F.col("v")).unionAll(
+            df.select((-F.col("u")).alias("u"), (-F.col("v")).alias("v"))
+        )
+        x, y = F.col("u"), F.col("v")
+
+    reduction = args.ared or "count"
+    value = M.parse_axis(args.aaxis) if args.aaxis else None
+    category = None
+    categories = None
+    if args.colour_by:
+        # G7: discover + cap categories, overflow -> 'other'
+        cat_col = F.col(args.colour_by).cast("string")
+        top = [
+            r[0]
+            for r in df.groupBy(cat_col.alias("c"))
+            .count()
+            .orderBy(F.desc("count"), "c")
+            .limit(args.cnum)
+            .collect()
+        ]
+        category = F.when(cat_col.isin(top), cat_col).otherwise(F.lit("other"))
+        categories = sorted(top) + (["other"] if len(top) >= args.cnum else [])
+
+    plot = ShadePlot(
+        x=x.cast("double"),
+        y=y.cast("double"),
+        width=args.xcanvas,
+        height=args.ycanvas,
+        x_range=(args.xmin, args.xmax) if args.xmin is not None and args.xmax is not None else None,
+        y_range=(args.ymin, args.ymax) if args.ymin is not None and args.ymax is not None else None,
+        reduction=reduction,
+        value=value,
+        category=category,
+    )
+
+    ms_name = os.path.basename(os.path.normpath(args.ms))
+    os.makedirs(args.dir, exist_ok=True)
+    written: list[str] = []
+
+    if args.iter_field:
+        # one plan: facet key rides the raster groupBy; split driver-side
+        xr, yr = plot.bounds(df)
+        binned = R.raster(
+            df.withColumn("__facet", F.col("field_label")),
+            plot.x, plot.y, xr, yr, plot.width, plot.height,
+            reduction=reduction, value=value,
+            category=F.col("__facet"),
+        )
+        fields = sorted(r["cat"] for r in binned.select("cat").distinct().collect())
+        for fld in fields:
+            one = binned.filter(F.col("cat") == fld).drop("cat")
+            name = _template(args.png, ms=ms_name, xname=xname, yname=yname, field=f"_{fld}")
+            path = os.path.join(args.dir, name)
+            render_png(one, path, plot.width, plot.height, how=args.norm, cmap=args.cmap)
+            written.append(path)
+        return written
+
+    binned = plot.run(df)
+    name = _template(args.png, ms=ms_name, xname=xname, yname=yname, field="")
+    path = os.path.join(args.dir, name)
+    render_png(
+        binned, path, plot.width, plot.height,
+        how=args.norm, cmap=args.cmap, categories=categories,
+    )
+    written.append(path)
+    return written

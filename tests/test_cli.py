@@ -1,0 +1,102 @@
+"""CLI + PNG-sink tests (SURVEY.md §2 A4/A5, §3.1 lifecycle): the
+shadems-equivalent surface must go axis-spec -> selection -> two-job
+raster -> shaded PNG, deterministically."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from shadems_spark import cli
+from shadems_spark.render import lut, raster_to_rgba, write_png
+
+
+def _png_size(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert data[12:16] == b"IHDR"
+    w, h = struct.unpack(">II", data[16:24])
+    return w, h, data
+
+
+def test_write_png_roundtrip(tmp_path):
+    rgba = np.zeros((4, 3, 4), dtype=np.uint8)
+    rgba[1, 2] = (10, 20, 30, 255)
+    p = str(tmp_path / "t.png")
+    write_png(p, rgba)
+    w, h, data = _png_size(p)
+    assert (w, h) == (3, 4)
+    # decode IDAT and undo the filter-0 scanlines
+    idat_len = struct.unpack(">I", data[33:37])[0]
+    raw = zlib.decompress(data[41 : 41 + idat_len])
+    rows = [raw[y * (1 + 3 * 4) + 1 : (y + 1) * (1 + 3 * 4)] for y in range(4)]
+    decoded = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(4, 3, 4)
+    assert (decoded == rgba).all()
+
+
+def test_lut_endpoints():
+    t = lut("grey")
+    assert t.shape == (256, 3)
+    assert (t[0] == [0, 0, 0]).all() and (t[255] == [255, 255, 255]).all()
+
+
+def test_raster_orientation():
+    """by=0 must land on the BOTTOM scanline (y axis points up)."""
+    rows = [{"bx": 0, "by": 0, "shade": 1.0}]
+    img = raster_to_rgba(rows, width=2, height=3, cmap="grey")
+    assert img[2, 0, 3] == 255 and img[0, 0, 3] == 0
+
+
+def test_cli_end_to_end(tmp_path, spark, sf_dir):
+    paths = cli.run(
+        [
+            sf_dir, "-x", "time", "-y", "DATA:amp",
+            "--xcanvas", "64", "--ycanvas", "48",
+            "--dir", str(tmp_path), "--png", "{ms}_{xname}_{yname}.png",
+        ],
+        spark=spark,
+    )
+    assert len(paths) == 1 and paths[0].endswith("sf0.001_time_DATA_amp.png")
+    w, h, _ = _png_size(paths[0])
+    assert (w, h) == (64, 48)
+
+
+def test_cli_deterministic(tmp_path, spark, sf_dir):
+    argv = [
+        sf_dir, "-x", "time", "-y", "amp",
+        "--xcanvas", "32", "--ycanvas", "32", "--norm", "log",
+        "--dir", str(tmp_path),
+    ]
+    p1 = cli.run(argv + ["--png", "a.png"], spark=spark)[0]
+    p2 = cli.run(argv + ["--png", "b.png"], spark=spark)[0]
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_cli_facets(tmp_path, spark, sf_dir):
+    paths = cli.run(
+        [
+            sf_dir, "-x", "time", "-y", "DATA:phase", "--iter-field",
+            "--xcanvas", "32", "--ycanvas", "32",
+            "--dir", str(tmp_path), "--png", "f{field}.png",
+        ],
+        spark=spark,
+    )
+    assert len(paths) >= 2  # one PNG per field_label present at this sf
+    for p in paths:
+        assert _png_size(p)[:2] == (32, 32)
+
+
+def test_cli_categorical(tmp_path, spark, sf_dir):
+    paths = cli.run(
+        [
+            sf_dir, "-x", "time", "-y", "amp", "-C", "corr_label",
+            "--xcanvas", "32", "--ycanvas", "32",
+            "--dir", str(tmp_path), "--png", "cat.png",
+        ],
+        spark=spark,
+    )
+    w, h, _ = _png_size(paths[0])
+    assert (w, h) == (32, 32)
