@@ -43,3 +43,35 @@ def test_dim_joins_broadcast(spark):
 def test_semijoin_broadcast(spark):
     p = _plan(spark, "q_semijoin")
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    """M3 brute force: ONE scan of the collection, queries broadcast —
+    the big side must never shuffle for scoring."""
+    p = _plan(spark, "q_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_is_limit_pushed(spark):
+    """O3: global top-k must be TakeOrderedAndProject (per-partition
+    partial top-k), never a full sort of the input."""
+    p = _plan(spark, "q_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_minhash_joins_on_longs(spark):
+    """Dedup shuffles must carry 8-byte gram hashes, not strings: no
+    string-typed join keys anywhere in the candidate plan."""
+    reg = load_registry()
+    df = reg["q_dedup_minhash"][0](spark, SF)
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert schema == {"id1": "bigint", "id2": "bigint", "jaccard": "double"}
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in p  # signature table persisted once
+
+
+def test_events_scan_prunes(spark):
+    """Tumbling agg over events must read only ts + grouping/agg cols."""
+    p = _plan(spark, "q_tumbling")
+    assert "ReadSchema: struct<ts:bigint,event_type:string,value:double>" in p

@@ -1,0 +1,163 @@
+"""Property-based invariants (SURVEY.md §5.2.3, hypothesis):
+conservation and algebraic laws that must hold for ANY input, not
+just the fixtures.  Each property evaluates one Spark job per example;
+max_examples is kept small since the point is edge-case discovery
+(zeros, negatives, bin edges), not volume."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from shadems_spark.functions import complexops as C
+from shadems_spark.operators import raster as R
+from shadems_spark.operators.mappers import baseline_index
+from shadems_spark.operators.normalize import eq_hist
+from shadems_spark.operators.text import ngram_hashes, word_ngrams, words
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+points = st.lists(st.tuples(finite, finite), min_size=1, max_size=40)
+
+
+@given(pts=points)
+@settings(**SETTINGS)
+def test_raster_conserves_count(spark, pts):
+    """Sum of per-pixel counts == number of in-range input rows."""
+    df = spark.createDataFrame(pts, "x double, y double")
+    xr, yr = (-1e6, 1e6), (-1e6, 1e6)
+    binned = R.raster(df, F.col("x"), F.col("y"), xr, yr, 16, 16)
+    assert binned.agg(F.sum("val")).first()[0] == len(pts)
+
+
+@given(pts=points)
+@settings(**SETTINGS)
+def test_bin_in_bounds(spark, pts):
+    """Every in-range sample's bin index lands in [0, n)."""
+    df = spark.createDataFrame(pts, "x double, y double")
+    b = df.select(R.bin_axis(F.col("x"), -1e6, 1e6, 7).alias("b"))
+    mn, mx = b.agg(F.min("b"), F.max("b")).first()
+    assert 0 <= mn and mx <= 6
+
+
+@given(pairs=st.lists(st.tuples(finite, finite), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_amp_dominates_components(spark, pairs):
+    """amp >= |re| and amp >= |im|, within 1 ulp of sqrt rounding and
+    the square's underflow floor (re^2 flushes to 0 below ~1e-154)."""
+    df = spark.createDataFrame(pairs, "re double, im double")
+    v = df.select(C.c_amp(C.cpx(F.col("re"), F.col("im"))).alias("amp"), "re", "im")
+    bad = v.filter(
+        (F.col("amp") < F.abs(F.col("re")) * (1 - 1e-12) - 1e-150)
+        | (F.col("amp") < F.abs(F.col("im")) * (1 - 1e-12) - 1e-150)
+    )
+    assert bad.count() == 0
+
+
+@given(pairs=st.lists(st.tuples(finite, finite), min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_complex_mul_div_inverse(spark, pairs):
+    """c_div(c_mul(a, b), b) ~= a for non-tiny b."""
+    df = spark.createDataFrame(pairs, "re double, im double")
+    a = C.cpx(F.col("re"), F.col("im"))
+    b = C.cpx(F.lit(3.5), F.lit(-1.25))
+    back = C.c_div(C.c_mul(a, b), b)
+    bad = df.select(
+        (F.abs(C.c_re(back) - F.col("re")) > 1e-6 * (F.abs(F.col("re")) + 1)).alias("r"),
+        (F.abs(C.c_im(back) - F.col("im")) > 1e-6 * (F.abs(F.col("im")) + 1)).alias("i"),
+    ).filter(F.col("r") | F.col("i"))
+    assert bad.count() == 0
+
+
+@given(us=st.lists(st.tuples(finite, finite), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_conjugate_mirror_doubles(spark, us):
+    """U2: dataset ∪ negated copy has exactly 2x the rows and is
+    symmetric under (u,v) -> (-u,-v)."""
+    df = spark.createDataFrame(us, "u double, v double")
+    mirrored = df.unionAll(df.select((-F.col("u")).alias("u"), (-F.col("v")).alias("v")))
+    assert mirrored.count() == 2 * len(us)
+    neg = mirrored.select((-F.col("u")).alias("u"), (-F.col("v")).alias("v"))
+    assert mirrored.exceptAll(neg).count() == 0
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_eq_hist_range_and_monotone(spark, vals):
+    """W1: shades lie in (0, 1]; larger values never shade lower."""
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, val int")
+    rows = eq_hist(df).collect()
+    assert all(0 < r["shade"] <= 1.0 for r in rows)
+    by_val = sorted(rows, key=lambda r: r["val"])
+    for a, b in zip(by_val, by_val[1:]):
+        assert a["shade"] <= b["shade"]
+        if a["val"] == b["val"]:
+            assert a["shade"] == b["shade"]  # ties shade identically
+
+
+@given(
+    a1=st.integers(min_value=0, max_value=500),
+    a2=st.integers(min_value=0, max_value=500),
+    b1=st.integers(min_value=0, max_value=500),
+    b2=st.integers(min_value=0, max_value=500),
+)
+@settings(**SETTINGS)
+def test_baseline_index_injective_unordered(spark, a1, a2, b1, b2):
+    """P11: index collides iff the unordered antenna pairs coincide."""
+    df = spark.createDataFrame([(a1, a2, b1, b2)], "a1 int, a2 int, b1 int, b2 int")
+    r = df.select(
+        baseline_index(F.col("a1"), F.col("a2")).alias("x"),
+        baseline_index(F.col("b1"), F.col("b2")).alias("y"),
+    ).first()
+    same_pair = {a1, a2} == {b1, b2}
+    assert (r["x"] == r["y"]) == same_pair
+
+
+@given(
+    text=st.text(
+        alphabet=st.sampled_from("ab dx"), min_size=0, max_size=60
+    ).map(lambda s: " ".join(s.split()) or "a")
+)
+@settings(**SETTINGS)
+def test_ngram_counts(spark, text):
+    """n-gram count (pre-distinct) == max(0, n_words - 2); the hashed
+    and string shingle paths agree on set size."""
+    df = spark.createDataFrame([(text,)], "text string")
+    r = df.select(
+        F.size(words("text")).alias("nw"),
+        F.size(word_ngrams(words("text"), 3, distinct=False)).alias("ng"),
+        F.size(word_ngrams(words("text"), 3)).alias("d_str"),
+        F.size(ngram_hashes(words("text"), 3)).alias("d_hash"),
+    ).first()
+    assert r["ng"] == max(0, r["nw"] - 2)
+    assert r["d_str"] == r["d_hash"]
+
+
+@given(
+    lo=st.floats(min_value=-100, max_value=99, allow_nan=False),
+    width=st.floats(min_value=0.5, max_value=200, allow_nan=False),
+    frac=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+@settings(**SETTINGS)
+def test_bin_edges(spark, lo, width, frac):
+    """G1 edge ownership: lo maps to bin 0, hi clamps into bin n-1."""
+    hi = lo + width
+    x = lo + frac * width
+    df = spark.createDataFrame([(float(x),)], "x double")
+    b = df.select(R.bin_axis(F.col("x"), lo, hi, 8).alias("b")).first()["b"]
+    assert 0 <= b <= 7
+    if frac == 0.0:
+        assert b == 0
+    if frac == 1.0:
+        assert b == 7
