@@ -1,0 +1,84 @@
+"""Skew mitigation for hot-key shuffles (SURVEY.md §4 physical
+execution: "skewed keys -> salting or AQE skew-join").
+
+AQE's skew-join handling splits oversized SORT-MERGE partitions at
+runtime, but it cannot help a shuffled-hash/broadcast-ineligible join
+whose *key distribution* is pathological (one key = 30% of a 100 TB
+fact table), nor a groupBy whose per-key state is too big for one
+task.  These helpers make the classic salting patterns first-class:
+
+- ``salted_join``: replicate the small side ``n_salt`` times, spray
+  the fact side uniformly across salts — each hot key becomes
+  ``n_salt`` independent shuffle keys.
+- ``two_phase_agg``: salt -> partial agg per (key, salt) -> final agg
+  per key, for aggregations whose combiner state is wide (e.g.
+  collect_list / distinct-heavy), where map-side combine alone can't
+  bound reducer skew.
+
+Both are algebraic rewrites — results are exactly those of the
+unsalted plan (asserted in tests/test_skew.py) — so callers opt in
+per join/agg when key stats warrant it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT = "__salt"
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``on`` is skewed on the fact side: fact rows get
+    a uniform salt in [0, n_salt); the non-skewed side is exploded
+    across all salts, so each (key, salt) bucket holds ~1/n of the hot
+    key's rows.  Only ``inner`` and ``left`` are salt-safe (other
+    outer types would emit dim-unmatched rows once per salt).
+
+    The salt must NOT depend only on the join key (that would keep the
+    hot key in one bucket); it derives from the row's physical position
+    (partition id + within-partition counter) — uniform across tasks,
+    consistent within the plan, and never needed again after the join.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = (F.spark_partition_id() * F.lit(2654435761) + F.monotonically_increasing_id()) % n_salt
+    f = fact.withColumn(SALT, salt.cast("int"))
+    d = dim.withColumn(SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    return f.join(d, [on, SALT], how).drop(SALT)
+
+
+def two_phase_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partials: dict[str, Column],
+    finals: dict[str, Column],
+    n_salt: int = 16,
+) -> DataFrame:
+    """Skew-proof aggregation: groupBy(keys + salt) computes
+    ``partials`` (bounded per-bucket state), then groupBy(keys) merges
+    with ``finals`` over the partial columns.
+
+    Example — a count + sum whose hot key would overload one reducer:
+
+        two_phase_agg(df, ["k"],
+                      partials={"n": F.count(F.lit(1)), "s": F.sum("v")},
+                      finals={"n": F.sum("n"), "s": F.sum("s")})
+    """
+    salt = (F.spark_partition_id() * F.lit(2654435761) + F.monotonically_increasing_id()) % n_salt
+    stage1 = (
+        df.withColumn(SALT, salt.cast("int"))
+        .groupBy(*keys, SALT)
+        .agg(*[c.alias(name) for name, c in partials.items()])
+    )
+    return stage1.groupBy(*keys).agg(
+        *[c.alias(name) for name, c in finals.items()]
+    )

@@ -43,6 +43,7 @@ _MODULES = [
     "shadems_spark.queries.analytics",
     "shadems_spark.queries.streaming",
     "shadems_spark.queries.llm_ops",
+    "shadems_spark.queries.skewq",
 ]
 
 

@@ -87,6 +87,31 @@ def stream_from_parquet(spark: SparkSession, sf_dir: str, watermark: str = "1 ho
     return ev.withWatermark("ts", watermark)
 
 
+def streaming_raster(
+    df: DataFrame,
+    x: str = "value",
+    x_range: tuple[float, float] = (0.0, 1000.0),
+    n_bins: int = 64,
+    ts: str = "ts",
+    window: str = "1 day",
+) -> DataFrame:
+    """The shadeMS canvas under Structured Streaming: per event-time
+    window, a 1-D binned count raster of ``x`` — EXACTLY the batch
+    bin_axis expression (operators/raster.py G1), so the live plot and
+    the batch plot are the same logical plan.  Works identically on a
+    batch frame (the tests compare the two)."""
+    from shadems_spark.operators.raster import bin_axis
+
+    lo, hi = x_range
+    c = F.col(x).cast("double")
+    return (
+        df.filter(c.between(F.lit(lo), F.lit(hi)))
+        .withColumn("bx", bin_axis(c, lo, hi, n_bins))
+        .groupBy(F.window(F.col(ts), window).alias("win"), F.col("bx"))
+        .agg(F.count(F.lit(1)).alias("val"))
+    )
+
+
 def run_stream_smoke(spark: SparkSession, sf_dir: str, out_table: str = "stream_tumbling") -> int:
     """End-to-end Structured Streaming check: events parquet ->
     watermark -> tumbling agg -> memory sink, availableNow trigger.

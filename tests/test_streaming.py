@@ -29,6 +29,34 @@ def test_horizon_filter(spark, sf_dir):
     assert 0 < kept.count() < ev.count()
 
 
+def test_streaming_raster_matches_batch(spark, sf_dir):
+    """The canvas aggregation under readStream: drain the events
+    source and compare every (window, bin) count against the same
+    expressions run in batch — identical logical plan, two modes."""
+    ev_stream = SW.stream_from_parquet(spark, sf_dir)
+    q = (
+        SW.streaming_raster(ev_stream)
+        .writeStream.format("memory")
+        .queryName("t_raster_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win"]["start"], r["bx"]): r["val"]
+        for r in spark.table("t_raster_stream").collect()
+    }
+    ev_batch = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+    want = {
+        (r["win"]["start"], r["bx"]): r["val"]
+        for r in SW.streaming_raster(ev_batch).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_stateful_stream_matches_batch(spark, sf_dir):
     """applyInPandasWithState end-to-end: drain the events source with
     availableNow, compare final per-user state against the batch agg."""
