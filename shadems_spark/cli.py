@@ -55,10 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     sel.add_argument("--corr", default=None, help="comma-separated correlation labels")
     sel.add_argument("--ant", action="append", type=int, default=None, help="antenna selection (repeatable)")
     sel.add_argument("--baseline", action="append", default=None, help='baseline pairs "a1-a2" (repeatable)')
+    sel.add_argument("--chan", default=None, help="channel slice start:stop[:step]")
+    sel.add_argument("--nchan", type=int, default=64, help="channel count of the synthetic spectral window")
     sel.add_argument("--noflags", action="store_true", help="plot flagged data too")
     sel.add_argument("--noconj", action="store_true", help="no conjugate mirroring for u/v axes")
     lim = p.add_argument_group("limits")
-    for name in ("xmin", "xmax", "ymin", "ymax"):
+    for name in ("xmin", "xmax", "ymin", "ymax", "amin", "amax"):
         lim.add_argument(f"--{name}", type=float, default=None)
     canvas = p.add_argument_group("canvas / shading")
     canvas.add_argument("--xcanvas", type=int, default=1280)
@@ -119,6 +121,18 @@ def run(argv: list[str] | None = None, spark=None) -> list[str]:
         df = S.select_baselines(df, pairs)
     df = S.apply_flags(df, noflags=args.noflags)
 
+    # --- channel dimension (P7/P9): attach via broadcast cross join
+    # only when an axis needs it (row × chan outer product, F5 slicing)
+    specs = [args.xaxis, args.yaxis] + ([args.aaxis] if args.aaxis else [])
+    needs_chan = any(s.rsplit(":", 1)[-1].lower() in M.CHAN_FUNCS for s in specs)
+    if needs_chan:
+        df = df.crossJoin(F.broadcast(M.chan_freqs(spark, n_chan=args.nchan)))
+        if args.chan:
+            parts = [int(v) if v else None for v in args.chan.split(":")]
+            start, stop = parts[0] or 0, parts[1] if len(parts) > 1 else args.nchan
+            step = parts[2] if len(parts) > 2 and parts[2] else 1
+            df = S.chan_slice(df, "chan", start, stop if stop is not None else args.nchan, step)
+
     # --- axes (B mappers) + hygiene (F8)
     x, xname = _axis(args.xaxis, args.col)
     y, yname = _axis(args.yaxis, args.col)
@@ -133,6 +147,8 @@ def run(argv: list[str] | None = None, spark=None) -> list[str]:
 
     reduction = args.ared or "count"
     value = M.parse_axis(args.aaxis) if args.aaxis else None
+    if value is not None and args.amin is not None and args.amax is not None:
+        df = R.clip(df, value.cast("double"), args.amin, args.amax)
     category = None
     categories = None
     if args.colour_by:

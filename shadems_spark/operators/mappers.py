@@ -52,7 +52,17 @@ MAPPERS: dict[str, Callable[..., Column]] = {
     "w": lambda: F.col("w"),
     "time": lambda: F.col("time_day").cast("double"),
     "baseline": lambda: baseline_index(F.col("a1"), F.col("a2")),
+    # channel-shaped axes: valid after the broadcast chan_freqs join
+    # (P7/P9/P10 — cli.run attaches the channel dim on demand)
+    "chan": lambda: F.col("chan").cast("double"),
+    "freq": lambda: F.col("freq"),
+    "wavel": lambda: F.col("wavel"),
+    "uvwave": lambda: F.sqrt(F.col("u") * F.col("u") + F.col("v") * F.col("v"))
+    * F.col("freq") / F.lit(LIGHTSPEED),
 }
+
+#: axis funcs that need the channel dimension attached first.
+CHAN_FUNCS = {"chan", "freq", "wavel", "uvwave"}
 
 
 def baseline_index(a1: Column, a2: Column, n_ant: int = 2048) -> Column:

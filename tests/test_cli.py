@@ -89,6 +89,36 @@ def test_cli_facets(tmp_path, spark, sf_dir):
         assert _png_size(p)[:2] == (32, 32)
 
 
+def test_cli_chan_axis(tmp_path, spark, sf_dir):
+    """Channel-shaped axes attach the broadcast spectral-window dim;
+    --chan slices it (row x chan outer product, F5)."""
+    paths = cli.run(
+        [
+            sf_dir, "-x", "uvwave", "-y", "amp",
+            "--nchan", "8", "--chan", "0:8:2",
+            "--xcanvas", "32", "--ycanvas", "32",
+            "--dir", str(tmp_path), "--png", "chan.png",
+        ],
+        spark=spark,
+    )
+    assert _png_size(paths[0])[:2] == (32, 32)
+
+
+def test_cli_agg_axis_clip(tmp_path, spark, sf_dir):
+    """--ared mean over --aaxis with --amin/--amax clipping (F7)."""
+    paths = cli.run(
+        [
+            sf_dir, "-x", "time", "-y", "amp",
+            "--ared", "mean", "-a", "DATA:real",
+            "--amin", "0", "--amax", "50000",
+            "--xcanvas", "32", "--ycanvas", "32",
+            "--dir", str(tmp_path), "--png", "agg.png",
+        ],
+        spark=spark,
+    )
+    assert _png_size(paths[0])[:2] == (32, 32)
+
+
 def test_cli_categorical(tmp_path, spark, sf_dir):
     paths = cli.run(
         [
