@@ -109,6 +109,80 @@ def lsh_topk(
     )
 
 
+def ivf_assign(emb: DataFrame, centroids: list[list[float]], vec: str = "c_vec") -> DataFrame:
+    """Assign each vector to its nearest coarse centroid (max cosine).
+    Centroids ride the plan as literal arrays (k is small — IVF coarse
+    quantizers are 2^8..2^12 cells even at billion-vector scale), so
+    assignment is a pure projection: no shuffle, no UDF."""
+    best_id, best_cos = F.lit(-1), F.lit(-2.0)
+    for i, c in enumerate(centroids):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        cos_i = cosine(F.col(vec), cvec)
+        better = cos_i > best_cos
+        best_id = F.when(better, F.lit(i)).otherwise(best_id)
+        best_cos = F.when(better, cos_i).otherwise(best_cos)
+    return emb.withColumn("cell", best_id)
+
+
+def sample_centroids(
+    emb: DataFrame, k: int = 8, id_col: str = "vec_id", vec: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic coarse centroids: an id-stride sample (k tiny rows
+    to the driver).  A k-means refinement would iterate ivf_assign +
+    groupBy(cell).avg — the sampled quantizer is enough to bound the
+    search to O(rows/k) per probe, which is the scale property."""
+    n = emb.count()
+    stride = max(1, n // k)
+    rows = (
+        emb.filter((F.col(id_col) % stride == 0))
+        .orderBy(id_col)
+        .limit(k)
+        .select(as_double(vec).alias("v"))
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec: str = "embedding",
+    n_cells: int = 8, n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the collection once,
+    probe the query's ``n_probe`` nearest cells — candidates are
+    O(n_probe/n_cells) of the collection instead of all of it.
+
+    The probe set is a tiny exploded (q_id, cell) frame broadcast into
+    the candidate join, so the big side is scanned once and never
+    shuffled."""
+    cents = sample_centroids(emb, k=n_cells, id_col=id_col, vec=vec)
+    c = ivf_assign(
+        emb.select(F.col(id_col).alias("cand_id"), as_double(vec).alias("c_vec")),
+        cents,
+    )
+    # per query: rank all cells by centroid cosine, keep n_probe
+    q = queries.select(F.col(id_col).alias("q_id"), as_double(vec).alias("q_vec"))
+    probe_cols = []
+    for i, cent in enumerate(cents):
+        cvec = F.array(*[F.lit(float(x)) for x in cent])
+        probe_cols.append(F.struct(cosine(F.col("q_vec"), cvec).alias("cos"), F.lit(i).alias("cell")))
+    probes = q.withColumn(
+        "__p",
+        F.explode(F.slice(F.reverse(F.array_sort(F.array(*probe_cols))), 1, n_probe)),
+    ).select("q_id", "q_vec", F.col("__p.cell").alias("cell"))
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("cand_id") != F.col("q_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "cell", "cand_id", "cos", "rank")
+    )
+
+
 def embedding_near_dup(
     emb: DataFrame, id_col: str = "vec_id", vec: str = "embedding",
     bucket_col: str = "label", threshold: float = 0.99,

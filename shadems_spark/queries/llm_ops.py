@@ -172,6 +172,16 @@ def q_ann_lsh(spark, sf_dir):
     return SIM.lsh_topk(emb, queries, k=5)
 
 
+@register("q_ann_ivf", sql=None)  # sampled quantizer: rows-only
+def q_ann_ivf(spark, sf_dir):
+    """M3 scale path #2: IVF — coarse-quantize once, probe the
+    query's nearest cells; candidates are O(n_probe/n_cells) of the
+    collection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return SIM.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2)
+
+
 # ------------------------------------------------------------ text analysis
 
 @register(
@@ -273,6 +283,53 @@ def q_lang_id(spark, sf_dir):
     truth = docs.select("doc_id", "lang")
     return pred.join(truth, "doc_id").select(
         "doc_id", "pred_lang", "score", (F.col("pred_lang") == F.col("lang")).alias("correct")
+    )
+
+
+@register(
+    "q_curation",
+    sql="""
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+               round((least(1.0, length(text) / 400.0)
+                      + len(list_distinct(string_split(text, ' ')))
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 2.0, 6) AS quality,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM scored
+        WHERE quality >= 0.5
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(bpe_tokens) AS total_tokens,
+           round(avg(quality), 4) AS avg_quality
+    FROM kept GROUP BY lang
+    """,
+)
+def q_curation(spark, sf_dir):
+    """End-to-end curation pipeline — the composed LLM-training-data
+    flow: quality scoring -> threshold filter -> exact dedup (first
+    doc per identical text) -> per-language token budget.  One
+    declarative plan: Catalyst fuses the scoring/filter into the scan
+    and the dedup window + final agg are the only two shuffles."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.token_count(T.quality_score(docs))
+    kept = (
+        scored.filter(F.col("quality") >= 0.5)
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("text").orderBy("doc_id")),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
 
 

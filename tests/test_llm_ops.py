@@ -62,6 +62,31 @@ def test_cosine_topk_self_similarity(spark):
     assert order == [1, 2, 3]  # by decreasing cosine
 
 
+def test_ivf_full_probe_matches_brute(spark, sf_dir):
+    """With n_probe == n_cells IVF degenerates to exact search: its
+    top-k must equal brute force; with fewer probes it returns a
+    subset-quality result (recall check)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1))
+    brute = {
+        (r["q_id"], r["cand_id"]) for r in SIM.brute_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r["q_id"], r["cand_id"])
+        for r in SIM.ivf_topk(emb, queries, k=5, n_cells=4, n_probe=4).collect()
+    }
+    assert full == brute
+    probe1 = {
+        (r["q_id"], r["cand_id"])
+        for r in SIM.ivf_topk(emb, queries, k=5, n_cells=4, n_probe=2).collect()
+    }
+    recall = len(probe1 & brute) / len(brute)
+    assert recall >= 0.4  # partial probing trades recall for candidates
+
+
 def test_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="gamma beta alpha")]
