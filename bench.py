@@ -30,6 +30,9 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_cosine_topk",
     "q_ngram_jaccard",
+    "q_salted_join",
+    "q_curation",
+    "q_ann_ivf",
 ]
 
 

@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     out.add_argument("--png", default="{ms}_{xname}_{yname}{field}.png", help="output name template")
     out.add_argument("--dir", default=".", help="output directory")
     out.add_argument("--iter-field", action="store_true", help="one PNG per field")
+    out.add_argument(
+        "--iter", choices=["field", "corr", "ant"], default=None,
+        help="facet axis: one PNG per group of the chosen key",
+    )
     run = p.add_argument_group("execution")
     run.add_argument("-z", "--row-chunk-size", type=int, default=0, help="repartition hint (0 = leave to Spark)")
     run.add_argument("-j", "--num-parallel", type=int, default=1, help="accepted for parity; Spark schedules jobs itself")
@@ -181,19 +185,24 @@ def run(argv: list[str] | None = None, spark=None) -> list[str]:
     os.makedirs(args.dir, exist_ok=True)
     written: list[str] = []
 
-    if args.iter_field:
+    facet = args.iter or ("field" if args.iter_field else None)
+    if facet:
         # one plan: facet key rides the raster groupBy; split driver-side
+        facet_col = {"field": "field_label", "corr": "corr_label", "ant": "a1"}[facet]
         xr, yr = plot.bounds(df)
         binned = R.raster(
-            df.withColumn("__facet", F.col("field_label")),
+            df.withColumn("__facet", F.col(facet_col).cast("string")),
             plot.x, plot.y, xr, yr, plot.width, plot.height,
             reduction=reduction, value=value,
             category=F.col("__facet"),
         )
-        fields = sorted(r["cat"] for r in binned.select("cat").distinct().collect())
-        for fld in fields:
-            one = binned.filter(F.col("cat") == fld).drop("cat")
-            name = _template(args.png, ms=ms_name, xname=xname, yname=yname, field=f"_{fld}")
+        groups = sorted(r["cat"] for r in binned.select("cat").distinct().collect())
+        for grp in groups:
+            one = binned.filter(F.col("cat") == grp).drop("cat")
+            name = _template(
+                args.png, ms=ms_name, xname=xname, yname=yname,
+                field=f"_{grp}", group=f"_{grp}",
+            )
             path = os.path.join(args.dir, name)
             render_png(one, path, plot.width, plot.height, how=args.norm, cmap=args.cmap)
             written.append(path)

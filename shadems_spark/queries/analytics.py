@@ -199,3 +199,25 @@ def q_csv_roundtrip(spark, sf_dir):
         schema="l_orderkey long, l_linenumber int, l_quantity double, "
         "l_extendedprice double, l_returnflag string",
     )
+
+
+@register(
+    "q_orc_roundtrip",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem WHERE l_orderkey % 200 = 0
+    """,
+)
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC adapter check: columnar alternate format, same vectorized
+    scan + pushdown properties as parquet."""
+    from shadems_spark.sources.io import read_orc, write_orc
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 200 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    )
+    path = os.path.join(_SCRATCH, "orc_roundtrip")
+    write_orc(li, path)
+    return read_orc(spark, path)

@@ -33,6 +33,16 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     return r.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC: same vectorized-read + pushdown properties as parquet
+    (both columnar DataSource V2 formats)."""
+    return tune(spark).read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
 def write_partitioned(df: DataFrame, path: str, partition_by: list[str], fmt: str = "parquet") -> None:
     """The facet sink: one directory per group key — the engine-side
     analogue of one-PNG-per-group ([R] shade_ms/main.py --iter-*)."""

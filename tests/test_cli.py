@@ -119,6 +119,20 @@ def test_cli_agg_axis_clip(tmp_path, spark, sf_dir):
     assert _png_size(paths[0])[:2] == (32, 32)
 
 
+def test_cli_iter_corr(tmp_path, spark, sf_dir):
+    """--iter corr facets on the correlation label (A/N/R)."""
+    paths = cli.run(
+        [
+            sf_dir, "-x", "time", "-y", "amp", "--iter", "corr",
+            "--xcanvas", "16", "--ycanvas", "16",
+            "--dir", str(tmp_path), "--png", "c{group}.png",
+        ],
+        spark=spark,
+    )
+    assert len(paths) >= 2
+    assert all("c_" in p for p in paths)
+
+
 def test_cli_categorical(tmp_path, spark, sf_dir):
     paths = cli.run(
         [
