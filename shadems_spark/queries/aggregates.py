@@ -258,6 +258,32 @@ def q_rollup(spark, sf_dir):
 
 
 @register(
+    "q_grouping_sets",
+    sql="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls2,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """G10: explicit GROUPING SETS (disjoint facet margins in one
+    pass) via the SQL surface — the DataFrame plan and SQL plan are
+    the same Catalyst Aggregate(Expand) node."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls2,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
     "q_distinct",
     sql="""
     SELECT count(DISTINCT l_suppkey) AS n_supp,

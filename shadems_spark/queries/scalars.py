@@ -92,6 +92,32 @@ def q_json_funcs(spark, sf_dir):
 
 
 @register(
+    "q_map_funcs",
+    sql="""
+    SELECT event_id,
+           len(json_keys(props)) AS n_keys,
+           array_to_string(json_keys(props), ',') AS keys_csv,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           len(json_keys(props)) + 1 AS n_keys2
+    FROM events WHERE event_id % 11 = 0
+    """,
+)
+def q_map_funcs(spark, sf_dir):
+    """SF: map functions — from_json to map<string,long>, size,
+    map_keys, element_at, map_concat/create_map."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    m = F.from_json("props", "map<string,bigint>")
+    m2 = F.map_concat(m, F.create_map(F.lit("extra"), F.lit(1).cast("bigint")))
+    return ev.select(
+        "event_id",
+        F.size(m).cast("bigint").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m2).cast("bigint").alias("n_keys2"),
+    )
+
+
+@register(
     "q_array_funcs",
     sql="""
     SELECT vec_id,

@@ -73,6 +73,9 @@ def get_spark(app_name: str = "shadems-spark", master: str | None = None) -> Spa
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # bucketed saveAsTable target (co-located joins, tests) — keep
+        # the metastore/warehouse out of the repo tree.
+        .config("spark.sql.warehouse.dir", "/tmp/shadems-warehouse")
     )
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)

@@ -47,6 +47,51 @@ def test_pruned_read_matches_filter(spark, sf_dir, partitioned):
     assert got == want > 0
 
 
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """SURVEY §4: bucketing for co-located fact×fact joins — two
+    tables bucketed+sorted on the join key must sort-merge join with
+    NO Exchange on either side (the 100 TB join strategy: shuffle paid
+    once at write time, amortized over every downstream join)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    import shutil
+
+    for t in ("li_bkt", "ord_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # the in-memory catalog is per-session but the warehouse dir
+        # outlives it — clear stale locations from earlier sessions
+        shutil.rmtree(f"/tmp/shadems-warehouse/{t}", ignore_errors=True)
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+        "li_bkt", mode="overwrite"
+    )
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+        "ord_bkt", mode="overwrite"
+    )
+    # force the sort-merge path: at fixture scale AQE would broadcast,
+    # which is exactly what a 100 TB fact×fact join cannot do
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_bkt").join(
+            spark.table("ord_bkt"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: bucket layout reused
+        # and the result matches the plain (shuffling) join
+        plain = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert joined.count() == plain > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_facet_write_layout(spark, sf_dir, tmp_path):
     """run_faceted must emit one directory per facet key value."""
     import os
