@@ -29,6 +29,25 @@ def test_horizon_filter(spark, sf_dir):
     assert 0 < kept.count() < ev.count()
 
 
+def test_streaming_dedup_matches_batch(spark, sf_dir):
+    """S5 under a real stream: dropDuplicates on event_id with a
+    watermark, drained with availableNow — one row per distinct id."""
+    ev_stream = SW.stream_from_parquet(spark, sf_dir)
+    q = (
+        ev_stream.dropDuplicates(["event_id"])
+        .select("event_id")
+        .writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_dedup_stream").count()
+    want = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert got == want > 0
+
+
 def test_streaming_raster_matches_batch(spark, sf_dir):
     """The canvas aggregation under readStream: drain the events
     source and compare every (window, bin) count against the same
