@@ -68,6 +68,7 @@ def build_parser() -> argparse.ArgumentParser:
     canvas.add_argument("--norm", default="eq_hist", choices=["eq_hist", "log", "cbrt", "linear"])
     canvas.add_argument("--cmap", default="viridis", choices=sorted(_CMAPS))
     canvas.add_argument("--cnum", type=int, default=16, help="max categories before 'other'")
+    canvas.add_argument("--robust", action="store_true", help="quantile-sketch axis bounds (outlier-proof)")
     out = p.add_argument_group("output")
     out.add_argument("--png", default="{ms}_{xname}_{yname}{field}.png", help="output name template")
     out.add_argument("--dir", default=".", help="output directory")
@@ -179,6 +180,7 @@ def run(argv: list[str] | None = None, spark=None) -> list[str]:
         reduction=reduction,
         value=value,
         category=category,
+        robust=args.robust,
     )
 
     ms_name = os.path.basename(os.path.normpath(args.ms))

@@ -62,6 +62,24 @@ def minmax(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     return df.agg(*aggs)
 
 
+def robust_bounds(
+    df: DataFrame, cols: dict[str, Column], q: float = 0.02
+) -> DataFrame:
+    """Robust-limits mode (SURVEY.md §4 optional extension): axis
+    bounds from the [q, 1-q] quantiles instead of min/max, so a single
+    cosmic-ray sample can't stretch the canvas to uselessness.
+
+    Same single-job batched shape as :func:`minmax` —
+    percentile_approx is a mergeable sketch (partial/final aggregate),
+    so the pass stays one scan + O(sketch) shuffle at any input size;
+    exact percentile would need a full sort per axis."""
+    aggs = []
+    for name, c in cols.items():
+        aggs.append(F.percentile_approx(c, q, 10000).alias(f"{name}_min"))
+        aggs.append(F.percentile_approx(c, 1.0 - q, 10000).alias(f"{name}_max"))
+    return df.agg(*aggs)
+
+
 def raster(
     df: DataFrame,
     x: Column,

@@ -36,6 +36,9 @@ class ShadePlot:
     reduction: str = "count"
     value: Column | None = None
     category: Column | None = None
+    #: robust=True: bounds from 2%/98% quantile sketches instead of
+    #: min/max — outlier samples can't stretch the canvas (§4 ext).
+    robust: bool = False
     _bounds: dict = field(default_factory=dict, repr=False)
 
     def bounds(self, df: DataFrame) -> tuple[tuple[float, float], tuple[float, float]]:
@@ -44,7 +47,8 @@ class ShadePlot:
         limits into a single dask compute)."""
         if self.x_range is not None and self.y_range is not None:
             return self.x_range, self.y_range
-        row = R.minmax(df, {"x": self.x, "y": self.y}).first()
+        pass_fn = R.robust_bounds if self.robust else R.minmax
+        row = pass_fn(df, {"x": self.x, "y": self.y}).first()
         xr = self.x_range or (float(row["x_min"]), float(row["x_max"]))
         yr = self.y_range or (float(row["y_min"]), float(row["y_max"]))
         return xr, yr

@@ -71,6 +71,22 @@ def test_minhash_joins_on_longs(spark):
     assert "InMemoryTableScan" in p  # signature table persisted once
 
 
+def test_robust_bounds_shrink(spark):
+    """Quantile bounds must lie within min/max and survive a single
+    outlier that would wreck the linear canvas."""
+    from pyspark.sql import functions as F
+
+    from shadems_spark.operators import raster as R
+
+    df = spark.range(1000).select(F.col("id").cast("double").alias("x"))
+    df = df.union(spark.createDataFrame([(1e12,)], "x double"))  # cosmic ray
+    mm = R.minmax(df, {"x": F.col("x")}).first()
+    rb = R.robust_bounds(df, {"x": F.col("x")}, q=0.02).first()
+    assert mm["x_max"] == 1e12
+    assert rb["x_max"] < 1100  # sketch ignores the outlier
+    assert mm["x_min"] <= rb["x_min"] <= rb["x_max"] <= mm["x_max"]
+
+
 def test_events_scan_prunes(spark):
     """Tumbling agg over events must read only ts + grouping/agg cols."""
     p = _plan(spark, "q_tumbling")
