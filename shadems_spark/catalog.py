@@ -76,3 +76,11 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def sql(spark: SparkSession, query: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """One-call SQL surface over the fixture catalog: every table is a
+    view, the query is any Spark SQL — the DataFrame-API and SQL forms
+    compile to the same Catalyst plan, so either is first-class."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

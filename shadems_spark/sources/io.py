@@ -47,3 +47,19 @@ def write_partitioned(df: DataFrame, path: str, partition_by: list[str], fmt: st
     """The facet sink: one directory per group key — the engine-side
     analogue of one-PNG-per-group ([R] shade_ms/main.py --iter-*)."""
     df.write.mode("overwrite").format(fmt).partitionBy(*partition_by).save(path)
+
+
+def write_compacted(df: DataFrame, path: str, target_mb: int = 128) -> int:
+    """Small-files-aware writer: size the output file count from the
+    optimizer's row-size statistics so each file lands near
+    ``target_mb`` (the classic 100 TB sink problem — a 32-task plan
+    writing 32 x 4 KB files per day strangles the downstream scan).
+
+    Uses Catalyst's estimated sizeInBytes (free — no extra job) and
+    repartition(n); AQE may still coalesce below n if the estimate ran
+    high, which is the right direction.  Returns the partition count
+    chosen."""
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n = max(1, min(10000, size // (target_mb * 1024 * 1024) + 1))
+    df.repartition(n).write.mode("overwrite").parquet(path)
+    return n
