@@ -65,3 +65,69 @@ def decode_features(blobs: DataFrame, real_decode: bool = False) -> DataFrame:
             )
 
     return blobs.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+#: contracts for the resize / frame-sample stages.
+RESIZED_SCHEMA = "doc_id long, width int, height int, pixels binary"
+FRAME_SCHEMA = "doc_id long, frame_idx int, n_frames int, frame binary"
+
+
+def resize_images(blobs: DataFrame, width: int = 8, height: int = 8, real_decode: bool = False) -> DataFrame:
+    """Image resize as an Arrow-batched mapInPandas stage: binary in,
+    fixed-shape binary out (1:1 rows).  The decode+resample itself is
+    STUBBED (no PIL here): the fake emits a deterministic w*h byte
+    grid seeded from the payload, so downstream schema/partitioning/
+    batch behavior is exercised for real.  A real implementation
+    replaces only the inner loop with PIL.Image.open(...).resize()."""
+    if real_decode:
+        raise NotImplementedError("no image codec in this container")
+
+    def resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for b in pdf["blob"]:
+                seed = (sum(b[:64]) + len(b)) % 251 if len(b) else 0
+                # deterministic fake "pixels": (seed + i) mod 256 grid
+                px = ((np.arange(width * height) + seed) % 256).astype(np.uint8)
+                out.append(px.tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels": out,
+                }
+            )
+
+    return blobs.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(blobs: DataFrame, frame_bytes: int = 256, every_n: int = 4, real_decode: bool = False) -> DataFrame:
+    """Video frame sampling as a 1:N mapInPandas stage — each input
+    blob yields one OUTPUT ROW per sampled frame (the row-expanding
+    shape a container demuxer takes; the pandas iterator contract
+    allows ragged output frames).  Here a "frame" is a fixed-size byte
+    window of the payload; a real implementation swaps in av/ffmpeg
+    keyframe extraction and keeps every_n-th frame."""
+    if real_decode:
+        raise NotImplementedError("no video codec in this container")
+
+    def frames(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "n_frames": [], "frame": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+                total = max(1, (len(b) + frame_bytes - 1) // frame_bytes)
+                kept = list(range(0, total, every_n))
+                for i in kept:
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["n_frames"].append(len(kept))
+                    rows["frame"].append(bytes(b[i * frame_bytes : (i + 1) * frame_bytes]))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(frames, schema=FRAME_SCHEMA)

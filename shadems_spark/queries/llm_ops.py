@@ -354,6 +354,15 @@ def q_multimodal(spark, sf_dir):
     return MM.decode_features(MM.blob_table(docs))
 
 
+@register("q_frame_sample", sql=None)  # binary output: rows-only
+def q_frame_sample(spark, sf_dir):
+    """M6: 1:N frame-sampling stage — row-expanding mapInPandas over
+    binary payloads (decode stubbed, plumbing real)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    frames = MM.sample_frames(MM.blob_table(docs), frame_bytes=128, every_n=4)
+    return frames.select("doc_id", "frame_idx", "n_frames", F.length("frame").alias("frame_bytes"))
+
+
 @register(
     "q_pandas_udf",
     sql="""

@@ -109,6 +109,40 @@ def test_lang_id_completeness(spark, sf_dir):
     assert all(r["pred_lang"] in langs and r["score"] > 0 for r in rows)
 
 
+def test_multimodal_resize_shape(spark, sf_dir):
+    """Resize: 1:1 rows, every output exactly width*height bytes,
+    deterministic across runs."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    blobs = MM.blob_table(docs)
+    out = MM.resize_images(blobs, width=4, height=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r["pixels"]) == 16 for r in rows)
+    again = {r["doc_id"]: r["pixels"] for r in MM.resize_images(blobs, 4, 4).collect()}
+    assert all(again[r["doc_id"]] == r["pixels"] for r in rows)
+
+
+def test_multimodal_frame_sampling(spark, sf_dir):
+    """Frame sampling: 1:N row expansion; every_n-th window kept and
+    per-doc frame counts consistent."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    blobs = MM.blob_table(docs)
+    out = MM.sample_frames(blobs, frame_bytes=64, every_n=3).collect()
+    assert len(out) > len(docs.collect())  # row-expanding stage
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        assert len(doc_rows) == doc_rows[0]["n_frames"]
+        assert all(r["frame_idx"] % 3 == 0 for r in doc_rows)
+
+
 def test_multimodal_stub_gate(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(10)
     blobs = MM.blob_table(docs)
