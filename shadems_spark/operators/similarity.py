@@ -53,6 +53,51 @@ def brute_topk(
     )
 
 
+def brute_topk_vectorized(
+    emb: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """brute_topk's Arrow fast path: queries are collected into a
+    numpy matrix (they are small by contract) and each Arrow batch of
+    candidates is scored as ONE matmul — the per-element HOF fold
+    becomes BLAS.  Same results as brute_topk (tests pin equality);
+    use this form when the scoring stage dominates (wide vectors,
+    many queries).  The big side is still scanned once, never
+    shuffled; the window top-k is unchanged."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    q_rows = queries.select(F.col(id_col).alias("q_id"), as_double(vec).alias("q_vec")).collect()
+    q_ids = [int(r["q_id"]) for r in q_rows]
+    qm = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
+    qm_unit = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    @pandas_udf("array<double>")
+    def score(vecs):
+        import pandas as pd
+
+        m = np.vstack(vecs.map(np.asarray, na_action=None).to_numpy()).astype(np.float64)
+        m_unit = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        cos = m_unit @ qm_unit.T  # (batch, n_queries)
+        return pd.Series(list(np.round(cos, 6)))
+
+    c = emb.select(F.col(id_col).alias("cand_id"), as_double(vec).alias("c_vec"))
+    scored = c.withColumn("__cos", score("c_vec")).select(
+        "cand_id",
+        F.posexplode("__cos").alias("__qi", "cos"),
+    )
+    qmap = F.array(*[F.lit(i) for i in q_ids])
+    scored = scored.withColumn("q_id", F.element_at(qmap, F.col("__qi") + 1)).filter(
+        F.col("cand_id") != F.col("q_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "cand_id", "cos", "rank")
+    )
+
+
 def _splitmix64(x: int) -> int:
     """Deterministic 64-bit mixer (public SplitMix64 constants) — used
     to derive hyperplane components driver-side so the plan carries

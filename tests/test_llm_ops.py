@@ -62,6 +62,19 @@ def test_cosine_topk_self_similarity(spark):
     assert order == [1, 2, 3]  # by decreasing cosine
 
 
+def test_vectorized_topk_matches_hof(spark, sf_dir):
+    """The Arrow/BLAS scorer must return exactly the HOF-expression
+    results (same rounding, same tie-break ranks)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    a = {tuple(r) for r in SIM.brute_topk(emb, q, k=5).collect()}
+    b = {tuple(r) for r in SIM.brute_topk_vectorized(emb, q, k=5).collect()}
+    assert a == b
+
+
 def test_ivf_full_probe_matches_brute(spark, sf_dir):
     """With n_probe == n_cells IVF degenerates to exact search: its
     top-k must equal brute force; with fewer probes it returns a

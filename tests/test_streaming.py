@@ -76,6 +76,32 @@ def test_streaming_raster_matches_batch(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_streaming_foreachbatch_sink(spark, sf_dir, tmp_path):
+    """Source -> raster -> foreachBatch parquet sink: the durable-sink
+    pattern (complete mode, overwrite per microbatch — last batch is
+    the full result under availableNow)."""
+    out = str(tmp_path / "stream_sink")
+    ev = SW.stream_from_parquet(spark, sf_dir)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = (
+        SW.streaming_raster(ev)
+        .writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    ev_batch = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+    want = SW.streaming_raster(ev_batch).agg(F.sum("val")).first()[0]
+    assert back.agg(F.sum("val")).first()[0] == want
+
+
 def test_stateful_stream_matches_batch(spark, sf_dir):
     """applyInPandasWithState end-to-end: drain the events source with
     availableNow, compare final per-user state against the batch agg."""
