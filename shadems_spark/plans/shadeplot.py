@@ -69,6 +69,13 @@ class ShadePlot:
             category=self.category,
         )
 
+    def run_with_ranges(self, df: DataFrame, xr, yr) -> DataFrame:
+        """Job 2 with externally-supplied bounds (see run_plots)."""
+        return R.raster(
+            df, self.x, self.y, xr, yr, self.width, self.height,
+            reduction=self.reduction, value=self.value, category=self.category,
+        )
+
     def run_faceted(self, df: DataFrame, facet_keys: list[str], out_path: str) -> None:
         """A7/iteration (--iter-field/--iter-scan...): ONE plan whose
         groupBy includes the facet keys, written partitioned — the
@@ -83,3 +90,31 @@ class ShadePlot:
             .agg(R.REDUCTIONS[self.reduction](self.value).alias("val"))
         )
         binned.write.mode("overwrite").partitionBy(*facet_keys).parquet(out_path)
+
+
+def run_plots(df: DataFrame, plots: list[ShadePlot], cache: bool = True) -> list[DataFrame]:
+    """Render several plots of ONE data extract with ONE bounds job.
+
+    The reference batches every unset axis limit of every requested
+    plot into a single dask compute ([R] shade_ms/data_plots.py::
+    compute_bounds) and shares the extracted dataframe across plots
+    (axis dedup, [R] DataAxis.register).  Spark equivalent: union all
+    unknown (plot, axis) ranges into one agg job over the (optionally
+    cached) extract, then instantiate each raster with its resolved
+    ranges — N plots cost 1 bounds scan + N small agg jobs, not 2N
+    scans."""
+    needed: dict[str, object] = {}
+    for i, p in enumerate(plots):
+        if p.x_range is None:
+            needed[f"p{i}x"] = p.x
+        if p.y_range is None:
+            needed[f"p{i}y"] = p.y
+    if cache and needed:
+        df = df.persist()
+    row = R.minmax(df, needed).first() if needed else None
+    out = []
+    for i, p in enumerate(plots):
+        xr = p.x_range or (float(row[f"p{i}x_min"]), float(row[f"p{i}x_max"]))
+        yr = p.y_range or (float(row[f"p{i}y_min"]), float(row[f"p{i}y_max"]))
+        out.append(p.run_with_ranges(df, xr, yr))
+    return out
