@@ -177,6 +177,54 @@ def q_facet(spark, sf_dir):
 
 
 @register(
+    "q_local_supplier",
+    sql="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'AMERICA')
+      AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape: the six-table star join — Catalyst orders the
+    joins and broadcasts every dim (region/nation/supplier/customer);
+    only the fact×orders edge can need a real shuffle, and AQE decides
+    that at runtime from actual sizes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit("1995-01-01").cast("date")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "AMERICA")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@register(
     "q_csv_roundtrip",
     sql="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
