@@ -190,15 +190,13 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]], vec: str = "c_vec")
 def sample_centroids(
     emb: DataFrame, k: int = 8, id_col: str = "vec_id", vec: str = "embedding"
 ) -> list[list[float]]:
-    """Deterministic coarse centroids: an id-stride sample (k tiny rows
-    to the driver).  A k-means refinement would iterate ivf_assign +
-    groupBy(cell).avg — the sampled quantizer is enough to bound the
-    search to O(rows/k) per probe, which is the scale property."""
-    n = emb.count()
-    stride = max(1, n // k)
+    """Deterministic coarse centroids: the k ids hashing lowest — a
+    uniform, order-free sample in ONE pass (TakeOrderedAndProject; no
+    count job, no full sort).  A k-means refinement would iterate
+    ivf_assign + groupBy(cell).avg — the sampled quantizer is enough
+    to bound the search to O(rows/k) per probe, the scale property."""
     rows = (
-        emb.filter((F.col(id_col) % stride == 0))
-        .orderBy(id_col)
+        emb.orderBy(F.xxhash64(F.col(id_col)))
         .limit(k)
         .select(as_double(vec).alias("v"))
         .collect()
