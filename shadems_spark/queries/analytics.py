@@ -269,3 +269,31 @@ def q_orc_roundtrip(spark, sf_dir):
     path = os.path.join(_SCRATCH, "orc_roundtrip")
     write_orc(li, path)
     return read_orc(spark, path)
+
+
+@register(
+    "q_json_roundtrip",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem WHERE l_orderkey % 200 = 0
+    """,
+)
+def q_json_roundtrip(spark, sf_dir):
+    """JSON-lines adapter check: row format for interchange with
+    non-columnar producers; explicit schema on read-back avoids the
+    double inference pass (a full extra scan at 100 TB)."""
+    from shadems_spark.sources.io import read_json
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 200 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    )
+    path = os.path.join(_SCRATCH, "json_roundtrip")
+    li.write.mode("overwrite").json(path)
+    return read_json(
+        spark,
+        path,
+        schema="l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_returnflag string",
+    )

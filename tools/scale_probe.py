@@ -1,0 +1,152 @@
+"""Scale probe: measure how headline queries scale when the fact
+tables grow xN (default 10), holding dims fixed.
+
+The 100 TB design claims in SURVEY.md §4 are analytical (bounded
+raster shuffle, broadcast dims, bucket-bounded dedup joins); this tool
+turns them into MEASURED evidence on this machine: it materializes a
+xN copy of the big fixtures (key-shifted unions — same distributions,
+N times the rows), runs the headline queries at both scales in one
+warm JVM, and reports sec + output rows at each scale.
+
+Reading the report:
+- scan-bound queries (rasters, minmax, aggregates, windows, joins to
+  dims) should scale ~linearly (ratio <= N, usually well under N on
+  local[32] because partitions parallelize);
+- raster/binned outputs should have IDENTICAL output rows at both
+  scales (the shuffle is bounded by the canvas, not the data);
+- dedup on an xN duplicated corpus is expected superlinear in
+  CANDIDATE PAIRS (each doc gains N-1 planted near-dups: the workload
+  itself grows ~N^2/2 pairs inside each duplicate group) — the probe
+  reports it for honesty, the linearity claim applies to the
+  signature stage, not the planted-pair explosion.
+
+Usage: python tools/scale_probe.py [N] [base_sf_dir]
+Prints one JSON line (plus a human table on stderr).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from shadems_spark.catalog import TABLES, load_table  # noqa: E402
+from shadems_spark.queries import load_registry  # noqa: E402
+from shadems_spark.session import get_spark  # noqa: E402
+
+#: probe set: one representative per engine family whose scaling claim
+#: is "linear in input" (plus dedup, reported with its caveat above).
+PROBE = [
+    "q_raster_count",
+    "q_raster_count_cat",
+    "q_minmax",
+    "q_eq_hist",
+    "q_pricing_summary",
+    "q_join_fact",
+    "q_local_supplier",
+    "q_salted_join",
+    "q_tumbling",
+    "q_session",
+    "q_cosine_topk",
+    "q_curation",
+    "q_dedup_minhash",
+]
+
+#: key shift per copy — far above any real key at these scale factors.
+SHIFT = 100_000_000
+
+
+def build_scaled(spark, base_dir: str, out_dir: str, n: int) -> None:
+    """Materialize the xN fixture dir: fact tables unioned n times with
+    shifted keys (so joins stay consistent copy-by-copy), dims copied
+    through unchanged."""
+    shifted_keys = {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey"],
+        "events": ["event_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        df = load_table(spark, base_dir, name)
+        if name in shifted_keys:
+            copies = []
+            for i in range(n):
+                c = df
+                for k in shifted_keys[name]:
+                    c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+
+def run_probe(spark, registry, sf_dir: str, names: list[str]) -> dict[str, dict]:
+    registry["q_scan"][0](spark, sf_dir).count()  # warm footers
+    out: dict[str, dict] = {}
+    for name in names:
+        fn, _sql = registry[name]
+        t0 = time.time()
+        rows = fn(spark, sf_dir).count()
+        out[name] = {"sec": round(time.time() - t0, 3), "rows": rows}
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scaled = os.path.join(repo, ".scratch", f"sfx{n}")
+
+    spark = get_spark("shadems-scale-probe")
+    registry = load_registry()
+    names = [q for q in PROBE if q in registry]
+
+    t0 = time.time()
+    build_scaled(spark, base, scaled, n)
+    build_s = round(time.time() - t0, 1)
+
+    base_r = run_probe(spark, registry, base, names)
+    scaled_r = run_probe(spark, registry, scaled, names)
+
+    report = {}
+    for q in names:
+        b, s = base_r[q], scaled_r[q]
+        report[q] = {
+            "base_sec": b["sec"],
+            "xN_sec": s["sec"],
+            "ratio": round(s["sec"] / b["sec"], 2) if b["sec"] else None,
+            "base_rows": b["rows"],
+            "xN_rows": s["rows"],
+        }
+        print(
+            f"{q:24s} {b['sec']:7.2f}s -> {s['sec']:7.2f}s  "
+            f"x{report[q]['ratio']:<6} rows {b['rows']} -> {s['rows']}",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe",
+                "n": n,
+                "base": base,
+                "build_sec": build_s,
+                "queries": report,
+            }
+        )
+    )
+    shutil.rmtree(scaled, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
