@@ -1,0 +1,124 @@
+"""Incremental corpus-maintenance operators: merge/upsert snapshots
+and batch-vs-corpus dedup.
+
+A training-data corpus is not static — new crawl batches arrive, and
+admitting them must not mean reprocessing the resident 100 TB.  Two
+first-class shapes:
+
+- ``merge_upsert``: MERGE semantics (updates win by key, unmatched
+  base rows survive, brand-new keys insert) as a plain algebraic
+  rewrite — anti-join + union — so Catalyst plans it like any other
+  join.  The write side pairs with ``overwrite_dynamic``: with
+  ``partitionOverwriteMode=dynamic`` Spark rewrites ONLY the
+  partitions the merged frame touches, so a merge that modifies one
+  day of a date-partitioned corpus costs one partition, not a
+  100 TB rewrite.
+- ``incremental_jaccard`` / ``incremental_minhash_candidates``: dedup
+  a NEW batch against the EXISTING corpus.  The join is new×corpus
+  (never corpus×corpus): gram/band buckets bound each key's fanout,
+  and the corpus side can be a pre-computed signature table persisted
+  from earlier runs — admitting a 1 GB batch never re-shingles the
+  resident corpus.
+
+shadeMS analogue: none (the reference is a read-only plotter); these
+extend the engine for the north-star pipeline per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from shadems_spark.operators.text import ngram_hashes, words
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE INTO base USING updates ON key: update rows win, base
+    rows with no update survive, new keys insert.
+
+    Algebraic form: base ANTI-JOIN updates, UNION updates.  The anti
+    join broadcasts whenever the batch is small (the common case —
+    AQE decides from runtime sizes), so the resident side streams
+    through map tasks with no shuffle."""
+    survivors = base.join(updates.select(key), key, "left_anti")
+    return survivors.unionByName(updates)
+
+
+def overwrite_dynamic(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Partition-pruned snapshot write: only partitions present in
+    ``df`` are replaced; all other resident partitions are untouched
+    (the lakehouse-style incremental commit, minus the transaction
+    log).  Callers merge a batch, then write just the touched
+    partitions of the merged frame."""
+    (
+        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def incremental_jaccard(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard of each NEW doc against the corpus: the
+    admission filter for a fresh crawl batch.
+
+    Join shape is new-grams × corpus-grams (equi-join on the 64-bit
+    gram hash) — candidate fanout is bounded by gram bucket sizes and
+    the batch size, never corpus².  Returns (new_id, corpus_id,
+    jaccard) for pairs at/above threshold."""
+    def shingle(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            ngram_hashes(words(text), n).alias("ngs"),
+        )
+
+    ns = shingle(new, "new_id").persist()
+    cs = shingle(corpus, "corpus_id")
+    ng = ns.select("new_id", F.explode("ngs").alias("ng"))
+    cg = cs.select("corpus_id", F.explode("ngs").alias("ng"))
+    inter = (
+        ng.join(cg, "ng")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nsz = ns.select("new_id", F.size("ngs").alias("sz_new"))
+    csz = cs.select("corpus_id", F.size("ngs").alias("sz_corpus"))
+    jac = F.col("c") / (F.col("sz_new") + F.col("sz_corpus") - F.col("c"))
+    return (
+        inter.join(F.broadcast(nsz), "new_id")
+        .join(csz, "corpus_id")
+        .filter(jac >= threshold)
+        .select("new_id", "corpus_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def incremental_minhash_candidates(
+    new_sigs: DataFrame, corpus_sigs: DataFrame,
+    id_col: str = "doc_id", bands: int = 8, rows: int = 4,
+) -> DataFrame:
+    """LSH band candidates of new docs against a RESIDENT signature
+    table (e.g. persisted by an earlier ``minhash_signatures`` run):
+    band-bucket equi-join, new side × corpus side only.  The corpus is
+    touched one narrow signature row per doc — its text is never
+    re-read."""
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+
+    nb = banded(new_sigs, "new_id")
+    cb = banded(corpus_sigs, "corpus_id")
+    return nb.join(cb, ["band", "bucket"]).select("new_id", "corpus_id").distinct()

@@ -44,6 +44,7 @@ _MODULES = [
     "shadems_spark.queries.streaming",
     "shadems_spark.queries.llm_ops",
     "shadems_spark.queries.skewq",
+    "shadems_spark.queries.incremental",
 ]
 
 

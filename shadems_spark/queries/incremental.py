@@ -1,0 +1,98 @@
+"""Incremental corpus-maintenance queries: merge/upsert and
+batch-vs-corpus dedup (operators/incremental.py).
+
+The reference has no write path at all ([R] shade_ms — read-only
+plotter); these queries cover the north-star pipeline's snapshot
+maintenance: admit a new batch by MERGE, dedup it against the
+resident corpus without reprocessing the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shadems_spark.catalog import load_table
+from shadems_spark.operators.incremental import incremental_jaccard, merge_upsert
+from shadems_spark.queries import register
+
+#: far above any o_orderkey at test scale factors.
+_INSERT_SHIFT = 100_000_000
+
+
+@register(
+    "q_merge_upsert",
+    sql=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    upd AS (
+        SELECT o_orderkey, o_orderpriority, round(o_totalprice + 1000.0, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    ins AS (
+        SELECT o_orderkey + {_INSERT_SHIFT} AS o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 500 = 0
+    ),
+    updates AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    merged AS (
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        UNION ALL SELECT * FROM updates
+    )
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM merged GROUP BY o_orderpriority
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE semantics as an algebraic rewrite (anti-join + union):
+    modified rows win by key, untouched base rows survive, new keys
+    insert.  The anti join broadcasts the (small) batch side under
+    AQE, so the resident side never shuffles."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 10 == 0)
+    upd = orders.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") + 1000.0, 2)
+    )
+    ins = orders.filter(F.col("o_orderkey") % 500 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + _INSERT_SHIFT
+    )
+    merged = merge_upsert(base, upd.unionByName(ins), "o_orderkey")
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "q_incremental_dedup",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                                       for i in range(len(ws) - 2)])) AS ng
+          FROM w),
+    s AS (SELECT doc_id, count(*) sz FROM g GROUP BY doc_id),
+    inter AS (SELECT a.doc_id new_id, b.doc_id corpus_id, count(*) c
+              FROM g a JOIN g b ON a.ng = b.ng
+              WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+              GROUP BY 1, 2)
+    SELECT new_id, corpus_id,
+           round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM inter
+    JOIN s sa ON new_id = sa.doc_id
+    JOIN s sb ON corpus_id = sb.doc_id
+    WHERE c / (sa.sz + sb.sz - c) >= 0.2
+    """,
+)
+def q_incremental_dedup(spark, sf_dir):
+    """Admission dedup: exact n-gram Jaccard of a NEW batch (doc_id %
+    5 = 0) against the RESIDENT corpus (the rest) — join shape is
+    new×corpus, never corpus×corpus.  Grams join by 64-bit hash;
+    identical counts absent xxhash64 collisions (oracle confirms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_jaccard(new, corpus, threshold=0.2)
