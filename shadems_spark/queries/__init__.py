@@ -45,6 +45,7 @@ _MODULES = [
     "shadems_spark.queries.llm_ops",
     "shadems_spark.queries.skewq",
     "shadems_spark.queries.incremental",
+    "shadems_spark.queries.curation",
 ]
 
 

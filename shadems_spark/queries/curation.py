@@ -1,0 +1,185 @@
+"""Corpus-curation queries (operators/curation.py): benchmark
+decontamination, repetition filtering, PII scrubbing, deterministic
+domain mixing, and sequence packing.
+
+No reference anchor — [R] shade_ms has no curation surface; these are
+north-star LLM-pipeline extensions over the driver's ``documents``
+table, oracle-checked like every other query family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shadems_spark.catalog import load_table
+from shadems_spark.operators.curation import (
+    decontaminate,
+    pack_sequences,
+    repetition_stats,
+    scrub_pii,
+    stratified_sample,
+)
+from shadems_spark.queries import register
+
+#: (stratum, keep-rate) mixture used by q_domain_mix on both engines.
+_MIX = [("en", 0.5), ("de", 0.8), ("es", 0.25), ("fr", 1.0), ("zh", 0.1)]
+
+
+@register(
+    "q_decontaminate",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                                       for i in range(len(ws) - 2)])) AS ng
+          FROM w),
+    bg AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0),
+    tot AS (SELECT doc_id, count(*) AS total FROM g
+            WHERE doc_id % 97 <> 0 GROUP BY 1),
+    m AS (SELECT g.doc_id, count(*) AS matched FROM g JOIN bg USING (ng)
+          WHERE g.doc_id % 97 <> 0 GROUP BY 1)
+    SELECT m.doc_id, matched, total,
+           round(matched / total, 6) AS overlap
+    FROM m JOIN tot USING (doc_id)
+    WHERE matched / total >= 0.05
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: word-3-gram overlap of the corpus
+    against a held-out benchmark set (doc_id % 97 = 0 stands in for
+    the benchmark).  The benchmark gram set broadcast-joins against
+    the corpus grams — the corpus side never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    hits = decontaminate(corpus, bench)
+    return hits.filter(F.col("matched") / F.col("total") >= 0.05)
+
+
+@register(
+    "q_repetition",
+    sql="""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    c AS (SELECT doc_id, w, count(*) AS n FROM w GROUP BY 1, 2),
+    s AS (SELECT doc_id, sum(n) AS n_words, count(*) AS n_uniq,
+                 round(max(n) / sum(n), 6) AS top_frac,
+                 round(1.0 - count(*) / sum(n), 6) AS dup_frac
+          FROM c GROUP BY 1)
+    SELECT * FROM s WHERE dup_frac >= 0.6
+    """,
+)
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filter: flag documents whose duplicate
+    word mass (1 − distinct/total) exceeds 0.6.  Two-level hash agg;
+    the shuffle carries (doc, word) partial counts, not raw tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = repetition_stats(docs)
+    return stats.filter(F.col("dup_frac") >= 0.6)
+
+
+@register(
+    "q_pii_scrub",
+    sql=r"""
+    WITH aug AS (
+        SELECT doc_id, lang,
+               text || ' contact ' || source || '@example.com ip 10.0.' ||
+               CAST(doc_id % 256 AS VARCHAR) || '.1' AS t0
+        FROM documents),
+    s AS (SELECT doc_id, lang,
+                 len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+                 regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+          FROM aug),
+    s2 AS (SELECT doc_id, lang, c1,
+                  len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS c2,
+                  regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g') AS t2
+           FROM s),
+    s3 AS (SELECT doc_id, lang, c1 + c2 +
+                  len(regexp_extract_all(t2, '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}')) AS n_redacted,
+                  regexp_replace(t2, '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}', '[PHONE]', 'g') AS clean
+           FROM s2)
+    SELECT lang, count(*) AS n_docs, sum(n_redacted) AS redactions,
+           sum(length(clean)) AS clean_chars
+    FROM s3 GROUP BY lang
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing over a synthesized contact suffix (the corpus
+    text itself is PII-free): emails, IPv4s, then phone numbers
+    replaced in sequence, redactions counted per language.  Pure
+    regexp_replace/regexp_count chain — codegen'd, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "t0",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.col("source"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ),
+    )
+    clean = scrub_pii(aug, "t0")
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_redacted").alias("redactions"),
+        F.sum(F.length("clean")).alias("clean_chars"),
+    )
+
+
+@register(
+    "q_domain_mix",
+    sql=f"""
+    WITH rates AS (SELECT * FROM (VALUES {", ".join(f"('{s}', {r})" for s, r in _MIX)})
+                   AS t(lang, rate)),
+    kept AS (
+        SELECT d.* FROM documents d JOIN rates USING (lang)
+        WHERE d.doc_id % 1000 < CAST(rate * 1000 AS BIGINT))
+    SELECT lang, count(*) AS n_kept, sum(doc_id) AS key_sum
+    FROM kept GROUP BY lang
+    """,
+)
+def q_domain_mix(spark, sf_dir):
+    """Domain mixing: deterministically resample each language to a
+    target rate (key-mod systematic sampling — same rows kept on every
+    engine and run, unlike rng-based sample()).  Broadcast rates join;
+    the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(_MIX, "lang string, rate double")
+    kept = stratified_sample(docs, rates, "doc_id", "lang")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("key_sum"),
+    )
+
+
+@register(
+    "q_seq_pack",
+    sql="""
+    WITH t AS (SELECT doc_id, lang,
+                      CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens
+               FROM documents),
+    p AS (SELECT lang, tokens,
+                 (sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - tokens) // 512
+                   AS pack_id
+          FROM t)
+    SELECT lang, pack_id, count(*) AS n_docs, sum(tokens) AS pack_tokens
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q_seq_pack(spark, sf_dir):
+    """Sequence packing (concat-then-chunk): per-language token stream
+    in doc_id order cut into 512-token contexts; each document lands
+    in the pack holding its first token.  One sort-shuffle per stream
+    key; integer arithmetic end-to-end so the oracle is bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.withColumn(
+        "tokens", F.ceil(F.length("text") / F.lit(4.0)).cast("long")
+    )
+    packed = pack_sequences(t, budget=512)
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("pack_tokens"),
+    )
