@@ -49,22 +49,26 @@ def decontaminate(
         benchmark.select(F.explode(ngram_hashes(words(text), n)).alias("g"))
         .distinct()
     )
-    doc_grams = docs.select(
-        id_col, F.explode(ngram_hashes(words(text), n)).alias("g")
+    # total rides along through the explode so the corpus is scanned
+    # exactly once and no totals join is needed afterwards.
+    doc_grams = docs.withColumn("_grams", ngram_hashes(words(text), n)).select(
+        id_col,
+        F.size("_grams").alias("total"),
+        F.explode("_grams").alias("g"),
     )
-    totals = docs.select(
-        id_col, F.size(ngram_hashes(words(text), n)).alias("total")
-    )
-    matched = (
+    return (
         doc_grams.join(F.broadcast(bench_grams), "g")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("matched"))
-    )
-    return matched.join(totals, id_col).select(
-        id_col,
-        "matched",
-        "total",
-        F.round(F.col("matched") / F.col("total"), 6).alias("overlap"),
+        .agg(
+            F.count(F.lit(1)).alias("matched"),
+            F.first("total").alias("total"),
+        )
+        .select(
+            id_col,
+            "matched",
+            "total",
+            F.round(F.col("matched") / F.col("total"), 6).alias("overlap"),
+        )
     )
 
 
