@@ -113,3 +113,26 @@ def test_events_scan_prunes(spark):
     """Tumbling agg over events must read only ts + grouping/agg cols."""
     p = _plan(spark, "q_tumbling")
     assert "ReadSchema: struct<ts:bigint,event_type:string,value:double>" in p
+
+
+def test_domain_mix_no_fact_shuffle(spark):
+    """Stratified sampling must be a map-side broadcast join + filter;
+    the only exchange is the final small groupBy."""
+    p = _plan(spark, "q_domain_mix")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_seq_pack_single_sort_shuffle(spark):
+    """Sequence packing: one scan, one exchange (the per-stream window
+    sort), then pure arithmetic + partial-agg."""
+    p = _plan(spark, "q_seq_pack")
+    assert p.count("Exchange") <= 2  # stream repartition (+AQE coalesce)
+    assert "partial_count" in p
+
+
+def test_decontaminate_single_corpus_scan(spark):
+    """Benchmark grams broadcast; corpus scanned exactly once (total
+    rides through the explode, no totals join)."""
+    p = _plan(spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert p.count("Generate explode") == 2  # bench grams + corpus grams only
