@@ -82,3 +82,38 @@ def two_phase_agg(
     return stage1.groupBy(*keys).agg(
         *[c.alias(name) for name, c in finals.items()]
     )
+
+
+def skew_split_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    hot_keys: Sequence,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key split join (Hive's skew-join optimization, made
+    explicit): the few keys that dominate the distribution join via a
+    BROADCAST of their (tiny) dim slice — those fact rows never move —
+    while the well-distributed remainder takes the ordinary shuffle
+    join.  Union of the two halves is exactly the plain join.
+
+    This is the scalable form of skew mitigation: ``salted_join``
+    replicates the WHOLE dim side n_salt times (cost grows with
+    |dim| × n_salt — measured x5.8 at x10 data in the scale probe),
+    whereas here the extra cost is |hot slice| ≈ |hot_keys|, by
+    definition small.  Use salted_join only when hot keys can't be
+    enumerated (then two_phase_agg / AQE skew handling are the
+    alternatives).
+
+    ``hot_keys`` comes from key stats (e.g. a cheap
+    ``groupBy(on).count().orderBy(desc)`` sample or prior profiling).
+    Inner/left only, for the same reason as salted_join.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"skew_split_join supports inner/left, got {how!r}")
+    keys = list(hot_keys)
+    fact_hot = fact.filter(F.col(on).isin(keys))
+    fact_cold = fact.filter(~F.col(on).isin(keys) | F.col(on).isNull())
+    hot = fact_hot.join(F.broadcast(dim.filter(F.col(on).isin(keys))), on, how)
+    cold = fact_cold.join(dim, on, how)
+    return hot.unionByName(cold)

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from shadems_spark.catalog import load_table
-from shadems_spark.operators.skew import salted_join, two_phase_agg
+from shadems_spark.operators.skew import salted_join, skew_split_join, two_phase_agg
 from shadems_spark.queries import register
 
 
@@ -63,4 +63,30 @@ def q_two_phase_agg(spark, sf_dir):
             "revenue": F.round(F.sum("rev"), 2),
             "n_supp": F.size(F.array_distinct(F.flatten(F.collect_list("supps")))).cast("long"),
         },
+    )
+
+
+@register(
+    "q_skew_split",
+    sql="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_skew_split(spark, sf_dir):
+    """Hot-key split join: the hot keys' dim slice broadcasts (their
+    fact rows never shuffle), the remainder joins normally; union is
+    result-identical to the plain join (the oracle IS the plain SQL).
+    Hot keys enumerated from the dim, as key stats would supply."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    hot = [r[0] for r in orders.orderBy("l_orderkey").limit(5).collect()]
+    joined = skew_split_join(li, orders, "l_orderkey", hot)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )

@@ -75,3 +75,38 @@ def test_two_phase_distinct_state_bounded(spark):
         finals={"nd": F.size(F.array_distinct(F.flatten(F.collect_list("vs")))).cast("long")},
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_skew_split_join_matches_plain(spark):
+    from shadems_spark.operators.skew import skew_split_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(k, 0) for k in (2, 3, 4)],
+        "k int, v int",
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "a"), (3, "b")], "k int, d string")
+    got = skew_split_join(fact, dim, "k", [1]).collect()
+    want = fact.join(dim, "k").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_skew_split_left_join_keeps_nulls_and_unmatched(spark):
+    from shadems_spark.operators.skew import skew_split_join
+
+    fact = spark.createDataFrame([(1, 10), (4, 40), (None, 0)], "k int, v int")
+    dim = spark.createDataFrame([(1, "hot")], "k int, d string")
+    got = skew_split_join(fact, dim, "k", [1], how="left").collect()
+    want = fact.join(dim, "k", "left").collect()
+    assert sorted(map(tuple, got), key=str) == sorted(map(tuple, want), key=str)
+
+
+def test_skew_split_hot_side_broadcasts(spark):
+    from shadems_spark.operators.skew import skew_split_join
+
+    fact = spark.createDataFrame([(i % 3, i) for i in range(100)], "k int, v int")
+    dim = spark.createDataFrame([(i, str(i)) for i in range(3)], "k int, d string")
+    plan = (
+        skew_split_join(fact, dim, "k", [0])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "Union" in plan

@@ -51,11 +51,17 @@ PROBE = [
     "q_join_fact",
     "q_local_supplier",
     "q_salted_join",
+    "q_skew_split",
     "q_tumbling",
     "q_session",
     "q_cosine_topk",
     "q_curation",
     "q_dedup_minhash",
+    "q_decontaminate",
+    "q_repetition",
+    "q_pii_scrub",
+    "q_domain_mix",
+    "q_seq_pack",
 ]
 
 #: key shift per copy — far above any real key at these scale factors.
