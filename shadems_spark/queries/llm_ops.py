@@ -273,16 +273,43 @@ def q_lang(spark, sf_dir):
     )
 
 
-@register("q_lang_id", sql=None)  # corpus-derived profiles: rows-only
+@register(
+    "q_lang_id",
+    sql="""
+    WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    pf AS (SELECT lang, w, count(*) AS n FROM w GROUP BY 1, 2),
+    prof AS (SELECT lang AS cand, w FROM (
+                 SELECT lang, w,
+                        row_number() OVER (PARTITION BY lang
+                                           ORDER BY n DESC, w) AS rk
+                 FROM pf) WHERE rk <= 40),
+    scored AS (SELECT t.doc_id, p.cand, count(*) AS score
+               FROM w t JOIN prof p USING (w) GROUP BY 1, 2),
+    pick AS (SELECT doc_id, cand AS pred_lang, score,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, cand) AS rk
+             FROM scored)
+    SELECT p.doc_id, pred_lang, score,
+           CAST(pred_lang = d.lang AS INT) AS correct
+    FROM pick p JOIN documents d ON p.doc_id = d.doc_id
+    WHERE p.rk = 1
+    """,
+)
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic: top-words profile per labeled language
-    (train pass), argmax profile overlap per doc (score pass)."""
+    (train pass), argmax profile overlap per doc (score pass).  Fully
+    deterministic (ties broken by word / candidate name), so the
+    DuckDB oracle reproduces it exactly."""
     docs = load_table(spark, sf_dir, "documents")
     profiles = T.lang_profiles(docs)
     pred = T.lang_id(docs, profiles)
     truth = docs.select("doc_id", "lang")
     return pred.join(truth, "doc_id").select(
-        "doc_id", "pred_lang", "score", (F.col("pred_lang") == F.col("lang")).alias("correct")
+        "doc_id",
+        "pred_lang",
+        "score",
+        (F.col("pred_lang") == F.col("lang")).cast("int").alias("correct"),
     )
 
 
