@@ -31,8 +31,13 @@ HEADLINE = [
     "q_cosine_topk",
     "q_ngram_jaccard",
     "q_salted_join",
+    "q_skew_split",
     "q_curation",
     "q_ann_ivf",
+    "q_decontaminate",
+    "q_repetition",
+    "q_domain_mix",
+    "q_seq_pack",
 ]
 
 
