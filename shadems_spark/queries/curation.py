@@ -146,7 +146,11 @@ def q_domain_mix(spark, sf_dir):
     engine and run, unlike rng-based sample()).  Broadcast rates join;
     the corpus never shuffles."""
     docs = load_table(spark, sf_dir, "documents")
-    rates = spark.createDataFrame(_MIX, "lang string, rate double")
+    # VALUES makes a LocalRelation — broadcasting it is driver-side
+    # only; createDataFrame would route through a Python RDD and pay a
+    # Python-worker job per run (measured ~1s of q_domain_mix's wall).
+    values = ", ".join(f"('{s}', {r})" for s, r in _MIX)
+    rates = spark.sql(f"SELECT * FROM VALUES {values} AS t(lang, rate)")
     kept = stratified_sample(docs, rates, "doc_id", "lang")
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
