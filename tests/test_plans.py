@@ -136,3 +136,10 @@ def test_decontaminate_single_corpus_scan(spark):
     p = _plan(spark, "q_decontaminate")
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
     assert p.count("Generate explode") == 2  # bench grams + corpus grams only
+
+
+def test_domain_mix_rates_are_local_relation(spark):
+    """The literal rates table must be a LocalRelation (VALUES), not a
+    Python-RDD scan — ExistingRDD costs a Python-worker job per run."""
+    p = _plan(spark, "q_domain_mix")
+    assert "Scan ExistingRDD" not in p
