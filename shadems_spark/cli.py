@@ -36,6 +36,17 @@ from shadems_spark.vis import vis_view
 #: axes like time/uvdist/u/v/w/baseline).
 _COL_FUNCS = {"amp", "phase", "real", "imag", "_"}
 
+#: --iter facet axes ([R] main.py --iter-field/-scan/-antenna/-baseline
+#: /-spw): name -> grouping Column over the vis view.
+_FACET_COLS = {
+    "field": lambda: F.col("field_label"),
+    "corr": lambda: F.col("corr_label"),
+    "ant": lambda: F.col("a1"),
+    "scan": lambda: F.col("scan_no"),
+    "spw": lambda: F.col("spw_id"),
+    "baseline": lambda: M.baseline_index(F.col("a1"), F.col("a2")),
+}
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -74,7 +85,7 @@ def build_parser() -> argparse.ArgumentParser:
     out.add_argument("--dir", default=".", help="output directory")
     out.add_argument("--iter-field", action="store_true", help="one PNG per field")
     out.add_argument(
-        "--iter", choices=["field", "corr", "ant"], default=None,
+        "--iter", choices=sorted(_FACET_COLS), default=None,
         help="facet axis: one PNG per group of the chosen key",
     )
     run = p.add_argument_group("execution")
@@ -98,6 +109,11 @@ def _axis(spec: str, default_col: str):
     return M.parse_axis(spec), name
 
 
+def _chunk_partitions(n_rows: int, rows_per_chunk: int) -> int:
+    """-z semantics: ceil(rows / rows_per_chunk) partitions, min 1."""
+    return max(1, -(-n_rows // rows_per_chunk))
+
+
 def _template(tpl: str, **tokens: str) -> str:
     class _Default(dict):
         def __missing__(self, k):
@@ -112,7 +128,9 @@ def run(argv: list[str] | None = None, spark=None) -> list[str]:
     spark = spark or get_spark("shadems-cli")
     df = vis_view(load_table(spark, args.ms, "lineitem"))
     if args.row_chunk_size:
-        df = df.repartition(max(1, args.row_chunk_size))
+        # -z is rows PER CHUNK (reference parity), not a partition
+        # count — derive partitions from the table size (ADVICE r01).
+        df = df.repartition(_chunk_partitions(df.count(), args.row_chunk_size))
 
     # --- selection (F1/F2/F3/F4/F6), conjunctive like the reference
     if args.field:
@@ -143,17 +161,19 @@ def run(argv: list[str] | None = None, spark=None) -> list[str]:
     y, yname = _axis(args.yaxis, args.col)
     df = S.drop_nonfinite(df, x.cast("double"), y.cast("double"))
 
-    # --- conjugate mirror (U2): uv-coverage symmetry unless --noconj
-    if {args.xaxis.lower(), args.yaxis.lower()} == {"u", "v"} and not args.noconj:
-        df = df.select(F.col("u"), F.col("v")).unionAll(
-            df.select((-F.col("u")).alias("u"), (-F.col("v")).alias("v"))
-        )
-        x, y = F.col("u"), F.col("v")
-
     reduction = args.ared or "count"
-    value = M.parse_axis(args.aaxis) if args.aaxis else None
+    value = None
+    if args.aaxis:
+        # materialized as a column so the conjugate-mirror union below
+        # can carry it alongside u/v (ADVICE r01: the mirror used to
+        # drop every non-uv column, breaking --ared/--colour-by/--iter)
+        df = df.withColumn("__aval", M.parse_axis(args.aaxis).cast("double"))
+        value = F.col("__aval")
     if value is not None and args.amin is not None and args.amax is not None:
-        df = R.clip(df, value.cast("double"), args.amin, args.amax)
+        df = R.clip(df, value, args.amin, args.amax)
+    facet = args.iter or ("field" if args.iter_field else None)
+    if facet:
+        df = df.withColumn("__facet", _FACET_COLS[facet]().cast("string"))
     category = None
     categories = None
     if args.colour_by:
@@ -169,6 +189,23 @@ def run(argv: list[str] | None = None, spark=None) -> list[str]:
         ]
         category = F.when(cat_col.isin(top), cat_col).otherwise(F.lit("other"))
         categories = sorted(top) + (["other"] if len(top) >= args.cnum else [])
+
+    # --- conjugate mirror (U2): uv-coverage symmetry unless --noconj.
+    # Applied after the value/facet columns are materialized so the
+    # union keeps every column later stages reference.
+    if {args.xaxis.lower(), args.yaxis.lower()} == {"u", "v"} and not args.noconj:
+        keep = []
+        if value is not None:
+            keep.append("__aval")
+        if args.colour_by:
+            keep.append(args.colour_by)
+        if facet:
+            keep.append("__facet")
+        keep = list(dict.fromkeys(keep))
+        fwd = [F.col("u"), F.col("v"), *[F.col(c) for c in keep]]
+        mir = [(-F.col("u")).alias("u"), (-F.col("v")).alias("v"), *[F.col(c) for c in keep]]
+        df = df.select(*fwd).unionAll(df.select(*mir))
+        x, y = F.col("u"), F.col("v")
 
     plot = ShadePlot(
         x=x.cast("double"),
@@ -187,13 +224,12 @@ def run(argv: list[str] | None = None, spark=None) -> list[str]:
     os.makedirs(args.dir, exist_ok=True)
     written: list[str] = []
 
-    facet = args.iter or ("field" if args.iter_field else None)
     if facet:
-        # one plan: facet key rides the raster groupBy; split driver-side
-        facet_col = {"field": "field_label", "corr": "corr_label", "ant": "a1"}[facet]
+        # one plan: the facet key (materialized above) rides the raster
+        # groupBy; the tiny binned table splits driver-side
         xr, yr = plot.bounds(df)
         binned = R.raster(
-            df.withColumn("__facet", F.col(facet_col).cast("string")),
+            df,
             plot.x, plot.y, xr, yr, plot.width, plot.height,
             reduction=reduction, value=value,
             category=F.col("__facet"),

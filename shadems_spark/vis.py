@@ -59,6 +59,13 @@ def vis_view(lineitem: DataFrame) -> DataFrame:
         (F.col("l_orderkey") % F.lit(97) == F.lit(0)).alias("flag_row"),
         F.col("l_returnflag").alias("corr_label"),
         F.col("l_linestatus").alias("field_label"),
+        # facet keys ([R] main.py --iter-scan/-spw): 90-day scans,
+        # 4-way synthetic DATA_DESC_ID
+        F.floor(
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit(EPOCH).cast("date"))
+            / F.lit(90)
+        ).alias("scan_no"),
+        (F.col("l_orderkey") % F.lit(4)).alias("spw_id"),
     )
 
 
@@ -82,6 +89,11 @@ VIS_SQL_COLS: dict[str, str] = {
     "flag_row": "l_orderkey % 97 = 0",
     "corr_label": "l_returnflag",
     "field_label": "l_linestatus",
+    "scan_no": (
+        "CAST(floor(datediff('day', DATE '1995-01-01',"
+        " CAST(l_shipdate AS DATE)) / 90.0) AS BIGINT)"
+    ),
+    "spw_id": "l_orderkey % 4",
 }
 
 

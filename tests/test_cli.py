@@ -133,6 +133,67 @@ def test_cli_iter_corr(tmp_path, spark, sf_dir):
     assert all("c_" in p for p in paths)
 
 
+def test_cli_uv_mirror_with_colour_and_agg(tmp_path, spark, sf_dir):
+    """'-x u -y v' conjugate-mirrors the coverage; the union must keep
+    the --colour-by and --ared/--aaxis columns (ADVICE r01: the mirror
+    used to drop them -> AnalysisException)."""
+    paths = cli.run(
+        [
+            sf_dir, "-x", "u", "-y", "v", "-C", "corr_label",
+            "--ared", "mean", "-a", "DATA:amp",
+            "--xcanvas", "24", "--ycanvas", "24",
+            "--dir", str(tmp_path), "--png", "uv.png",
+        ],
+        spark=spark,
+    )
+    assert _png_size(paths[0])[:2] == (24, 24)
+
+
+def test_cli_uv_mirror_faceted(tmp_path, spark, sf_dir):
+    """The mirror must also carry the --iter facet key."""
+    paths = cli.run(
+        [
+            sf_dir, "-x", "u", "-y", "v", "--iter", "field",
+            "--xcanvas", "16", "--ycanvas", "16",
+            "--dir", str(tmp_path), "--png", "uvf{group}.png",
+        ],
+        spark=spark,
+    )
+    assert len(paths) >= 2
+
+
+def test_cli_iter_scan_spw_baseline(tmp_path, spark, sf_dir):
+    """[R] main.py --iter-scan/-spw/-baseline parity: each facet axis
+    yields one PNG per group from ONE raster plan."""
+    for facet, at_least in (("scan", 2), ("spw", 2), ("baseline", 2)):
+        paths = cli.run(
+            [
+                sf_dir, "-x", "time", "-y", "amp", "--iter", facet,
+                "--xcanvas", "8", "--ycanvas", "8",
+                "--dir", str(tmp_path), "--png", facet + "{group}.png",
+            ],
+            spark=spark,
+        )
+        assert len(paths) >= at_least, facet
+
+
+def test_cli_row_chunk_size_is_rows_per_chunk(tmp_path, spark, sf_dir):
+    """-z means rows PER CHUNK: a huge -z on a tiny table must yield
+    ONE partition, not -z partitions (ADVICE r01)."""
+    assert cli._chunk_partitions(6000, 100000) == 1
+    assert cli._chunk_partitions(6000, 1000) == 6
+    assert cli._chunk_partitions(6001, 1000) == 7
+    paths = cli.run(
+        [
+            sf_dir, "-x", "time", "-y", "amp", "-z", "100000",
+            "--xcanvas", "8", "--ycanvas", "8",
+            "--dir", str(tmp_path), "--png", "z.png",
+        ],
+        spark=spark,
+    )
+    assert _png_size(paths[0])[:2] == (8, 8)
+
+
 def test_cli_categorical(tmp_path, spark, sf_dir):
     paths = cli.run(
         [
