@@ -108,25 +108,31 @@ def q_ngram_jaccard(spark, sf_dir):
 
 @register(
     "q_dedup_embedding",
-    sql="""
+    sql=f"""
     WITH e AS (SELECT vec_id, label,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) v
-               FROM embeddings)
+               FROM embeddings),
+    h AS (SELECT vec_id, label, v,
+                 {SIM.hyperplane_bucket_sql("v", 2, 64)} AS hp
+          FROM e)
     SELECT a.label AS bkt, a.vec_id AS id1, b.vec_id AS id2,
            round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
                  / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
                     * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4) AS cos
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM h a JOIN h b ON a.label = b.label AND a.hp = b.hp AND a.vec_id < b.vec_id
     WHERE round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
                 / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
                    * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4) >= 0.4
     """,
 )
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup within label blocks (IVF-style
-    "compare only within the cell")."""
+    """Embedding-cosine near-dup within (label, hyperplane sub-bucket)
+    blocks — label blocking alone is O(bucket²) on a hot label; the
+    2-plane sub-bucket bounds candidates at a documented recall trade
+    (operators/similarity.py::embedding_near_dup).  The oracle applies
+    the identical plane literals, so results hash-match exactly."""
     return SIM.embedding_near_dup(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, sub_planes=2
     )
 
 
