@@ -96,8 +96,12 @@ def q_session(spark, sf_dir):
     """,
 )
 def q_watermark(spark, sf_dir):
-    """S4 (weak batch form): watermark horizon — keep events within
-    24h of max event time; streaming drops older late arrivals."""
+    """S4, batch-checkable form: watermark horizon — keep events
+    within 24h of max event time.  The REAL ``withWatermark`` late-row
+    drop path runs under readStream/availableNow with a planted late
+    row and is asserted for parity in tests/test_streaming.py
+    (test_watermark_drops_late_rows_tumbling / _dedup / _session);
+    this oracle-checked query pins the equivalent horizon filter."""
     ev = _ev(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
     kept = SW.horizon_filter(ev, "ts_us", 86_400_000_000)
     return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

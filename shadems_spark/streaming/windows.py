@@ -87,6 +87,27 @@ def stream_from_parquet(spark: SparkSession, sf_dir: str, watermark: str = "1 ho
     return ev.withWatermark("ts", watermark)
 
 
+def stream_events_dir(
+    spark: SparkSession, path: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """readStream over a directory of event parquet files, ONE
+    micro-batch per file (maxFilesPerTrigger=1, honoured by the
+    availableNow trigger) — so a late row planted in a later file
+    arrives AFTER the watermark has advanced past it and exercises the
+    real ``withWatermark`` drop path, not the batch analogue
+    (VERDICT r01 #5; parity asserted in tests/test_streaming.py)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withWatermark("ts", watermark)
+
+
 def streaming_raster(
     df: DataFrame,
     x: str = "value",

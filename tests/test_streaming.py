@@ -102,6 +102,136 @@ def test_streaming_foreachbatch_sink(spark, sf_dir, tmp_path):
     assert back.agg(F.sum("val")).first()[0] == want
 
 
+#: final watermark of the planted-late fixture: 06:35 fresh row - 10'
+_WM_FINAL = "2024-01-01 06:25:00"
+
+
+def _planted_late_dir(spark, tmp_path):
+    """Three parquet files = three micro-batches (the watermark a
+    batch FILTERS with is the one computed from the batches before the
+    previous one, so the late file must arrive two batches after the
+    advancer).  File 2 advances event time to 06:35; file 3 carries a
+    LATE row (02:30, far behind the 06:25 watermark -> dropped).
+    Returns (dir, on_time_df, late_df)."""
+    import os
+    import time
+
+    mk = lambda eid, hhmm, typ, uid: (
+        eid, f"2024-01-01 {hhmm}:00", uid, typ, float(eid),
+    )
+    batches = [
+        [
+            mk(1, "01:05", "click", 1),
+            mk(2, "01:15", "click", 1),
+            mk(3, "02:10", "view", 2),
+            mk(4, "03:20", "click", 2),
+        ],
+        [mk(5, "05:50", "view", 1), mk(7, "06:35", "view", 3)],
+        [mk(6, "02:30", "click", 3)],  # the planted late row
+    ]
+    d = str(tmp_path / "late_events")
+    cols = "event_id long, ts_s string, user_id long, event_type string, value double"
+    to_df = lambda rows: (
+        spark.createDataFrame(rows, cols)
+        .select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                "user_id", "event_type", "value")
+    )
+    # one flat dir; file mtimes force the source's processing order
+    os.makedirs(d + "/in", exist_ok=True)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        to_df(rows).coalesce(1).write.mode("overwrite").parquet(f"{d}/b{i}")
+        src = next(
+            f for f in os.listdir(f"{d}/b{i}") if f.endswith(".parquet")
+        )
+        dst = f"{d}/in/batch_{i}.parquet"
+        os.rename(f"{d}/b{i}/{src}", dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    return d + "/in", to_df(batches[0] + batches[1]), to_df(batches[2])
+
+
+def test_watermark_drops_late_rows_tumbling(spark, sf_dir, tmp_path):
+    """S4 for real: tumbling agg under withWatermark + availableNow,
+    append mode.  The planted late row must NOT be counted, and the
+    emitted windows must equal the batch tumbling agg over the on-time
+    rows restricted to windows closed by the final watermark."""
+    src, on_time, late_df = _planted_late_dir(spark, tmp_path)
+    ev = SW.stream_events_dir(spark, src, watermark="10 minutes")
+    q = (
+        SW.tumbling(ev)
+        .writeStream.format("memory")
+        .queryName("t_wm_tumbling")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win"]["start"].isoformat(), r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.table("t_wm_tumbling").collect()
+    }
+    # final watermark 06:25 -> the 06:00-07:00 window stays open and
+    # must not have been emitted
+    want = {
+        (r["win"]["start"].isoformat(), r["event_type"]): (r["n"], r["sum_value"])
+        for r in SW.tumbling(on_time)
+        .filter(F.col("win.end") <= F.lit(_WM_FINAL).cast("timestamp"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    # the late row's (02:00 window, click, user 3) contribution is absent
+    assert got[("2024-01-01T02:00:00", "view")] == (1, 3.0)
+    assert ("2024-01-01T02:00:00", "click") not in got
+
+
+def test_watermark_drops_late_rows_dedup(spark, sf_dir, tmp_path):
+    """S5 for real: dropDuplicates under the watermark — a brand-new
+    id arriving behind the watermark is dropped, so the stream output
+    is the batch distinct of the ON-TIME rows only."""
+    src, on_time, _late = _planted_late_dir(spark, tmp_path)
+    ev = SW.stream_events_dir(spark, src, watermark="10 minutes")
+    q = (
+        ev.dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+        .writeStream.format("memory")
+        .queryName("t_wm_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"] for r in spark.table("t_wm_dedup").collect()}
+    assert got == {r["event_id"] for r in on_time.collect()} == {1, 2, 3, 4, 5, 7}
+
+
+def test_watermark_session_parity(spark, sf_dir, tmp_path):
+    """S3 under the watermark: sessions closed by the final watermark
+    match the batch session windows over the on-time rows."""
+    src, on_time, _late = _planted_late_dir(spark, tmp_path)
+    ev = SW.stream_events_dir(spark, src, watermark="10 minutes")
+    q = (
+        SW.session(ev)
+        .writeStream.format("memory")
+        .queryName("t_wm_session")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["win"]["start"].isoformat(), r["n"])
+        for r in spark.table("t_wm_session").collect()
+    }
+    closed = SW.session(on_time).filter(
+        F.col("win.end") <= F.lit(_WM_FINAL).cast("timestamp")
+    )
+    want = {
+        (r["user_id"], r["win"]["start"].isoformat(), r["n"])
+        for r in closed.collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_stateful_stream_matches_batch(spark, sf_dir):
     """applyInPandasWithState end-to-end: drain the events source with
     availableNow, compare final per-user state against the batch agg."""
