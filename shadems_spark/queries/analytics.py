@@ -177,6 +177,45 @@ def q_facet(spark, sf_dir):
 
 
 @register(
+    "q_facet_scan",
+    sql=f"""
+    SELECT scan_no, spw_id, {R.bin_axis_sql('re', *PRICE_RANGE, 16)} AS by,
+           {R.bin_axis_sql('time_day', *TIME_RANGE, 16)} AS bx,
+           count(*) AS val
+    FROM {_VIS} v
+    WHERE time_day BETWEEN {TIME_RANGE[0]!r} AND {TIME_RANGE[1]!r}
+      AND re BETWEEN {PRICE_RANGE[0]!r} AND {PRICE_RANGE[1]!r}
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_facet_scan(spark, sf_dir):
+    """--iter scan/--iter spw facet engine ([R] main.py iteration
+    axes beyond field/corr/ant): TWO facet keys ride one raster
+    groupBy, written partitionBy(scan_no, spw_id) and read back —
+    still one shuffle for the full facet grid.  Partition-column
+    types are re-cast on read (partition discovery infers int)."""
+    from shadems_spark.plans.shadeplot import ShadePlot
+
+    v = vis_view(load_table(spark, sf_dir, "lineitem"))
+    plot = ShadePlot(
+        x=F.col("time_day").cast("double"),
+        y=F.col("vis.re"),
+        width=16,
+        height=16,
+        x_range=TIME_RANGE,
+        y_range=PRICE_RANGE,
+    )
+    out_path = os.path.join(_SCRATCH, "facet_scan_raster")
+    plot.run_faceted(v, ["scan_no", "spw_id"], out_path)
+    back = spark.read.parquet(out_path)
+    return back.select(
+        F.col("scan_no").cast("long").alias("scan_no"),
+        F.col("spw_id").cast("long").alias("spw_id"),
+        "by", "bx", "val",
+    )
+
+
+@register(
     "q_local_supplier",
     sql="""
     SELECT n_name,

@@ -115,3 +115,31 @@ def test_facet_write_layout(spark, sf_dir, tmp_path):
     one = back.filter(F.col("field_label") == dirs[0].split("=", 1)[1])
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and one.count() > 0
+
+
+def test_facet_scan_spw_write_layout(spark, sf_dir, tmp_path):
+    """--iter scan/spw layout: two-level scan_no=<v>/spw_id=<v>
+    directories, partition-pruned read-back."""
+    import os
+
+    from shadems_spark.plans.shadeplot import ShadePlot
+
+    v = vis_view(load_table(spark, sf_dir, "lineitem"))
+    plot = ShadePlot(
+        x=F.col("time_day").cast("double"),
+        y=F.col("vis.re"),
+        width=8,
+        height=8,
+    )
+    out = str(tmp_path / "facets_scan")
+    plot.run_faceted(v, ["scan_no", "spw_id"], out)
+    scans = sorted(d for d in os.listdir(out) if d.startswith("scan_no="))
+    assert len(scans) >= 2
+    spws = sorted(
+        d for d in os.listdir(os.path.join(out, scans[0])) if d.startswith("spw_id=")
+    )
+    assert len(spws) >= 2
+    back = spark.read.parquet(out)
+    one = back.filter((F.col("scan_no") == 0) & (F.col("spw_id") == 1))
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
