@@ -79,6 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
     canvas.add_argument("--norm", default="eq_hist", choices=["eq_hist", "log", "cbrt", "linear"])
     canvas.add_argument("--cmap", default="viridis", choices=sorted(_CMAPS))
     canvas.add_argument("--cnum", type=int, default=16, help="max categories before 'other'")
+    canvas.add_argument("--spread", type=int, default=0, help="paint each pixel's N-px neighbourhood (tf.spread)")
+    canvas.add_argument("--dynspread", action="store_true", help="auto-spread sparse plots (tf.dynspread, threshold 0.5)")
     canvas.add_argument("--robust", action="store_true", help="quantile-sketch axis bounds (outlier-proof)")
     out = p.add_argument_group("output")
     out.add_argument("--png", default="{ms}_{xname}_{yname}{field}.png", help="output name template")
@@ -242,7 +244,11 @@ def run(argv: list[str] | None = None, spark=None) -> list[str]:
                 field=f"_{grp}", group=f"_{grp}",
             )
             path = os.path.join(args.dir, name)
-            render_png(one, path, plot.width, plot.height, how=args.norm, cmap=args.cmap)
+            render_png(
+                one, path, plot.width, plot.height, how=args.norm, cmap=args.cmap,
+                spread_px=args.spread,
+                dynspread_threshold=0.5 if args.dynspread else None,
+            )
             written.append(path)
         return written
 
@@ -252,6 +258,8 @@ def run(argv: list[str] | None = None, spark=None) -> list[str]:
     render_png(
         binned, path, plot.width, plot.height,
         how=args.norm, cmap=args.cmap, categories=categories,
+        spread_px=args.spread,
+        dynspread_threshold=0.5 if args.dynspread else None,
     )
     written.append(path)
     return written

@@ -25,13 +25,22 @@ from pyspark.sql import DataFrame
 from shadems_spark.operators.normalize import eq_hist, norm
 
 #: colormap name -> anchor colors (linear-interpolated, 256-entry LUT).
-#: 'fire'/'bgy'/'grey' follow the colorcet families shadeMS exposes
-#: via --cmap; anchors are coarse public approximations, not copies.
+#: Names follow the colorcet/matplotlib/cmasher families shadeMS
+#: exposes via --cmap; anchors are coarse public approximations (a few
+#: well-known waypoint colors each), not copied palette tables.
 _CMAPS: dict[str, list[tuple[int, int, int]]] = {
     "grey": [(0, 0, 0), (255, 255, 255)],
     "fire": [(0, 0, 0), (120, 0, 0), (230, 110, 0), (255, 235, 160), (255, 255, 255)],
     "bgy": [(0, 0, 90), (0, 110, 160), (60, 200, 110), (250, 250, 80)],
     "viridis": [(68, 1, 84), (59, 82, 139), (33, 145, 140), (94, 201, 98), (253, 231, 37)],
+    "inferno": [(0, 0, 4), (87, 16, 110), (188, 55, 84), (249, 142, 9), (252, 255, 164)],
+    "magma": [(0, 0, 4), (81, 18, 124), (183, 55, 121), (254, 136, 97), (252, 253, 191)],
+    "plasma": [(13, 8, 135), (126, 3, 168), (204, 71, 120), (248, 149, 64), (240, 249, 33)],
+    "cividis": [(0, 32, 77), (87, 92, 109), (149, 152, 122), (222, 218, 110), (255, 234, 70)],
+    "coolwarm": [(59, 76, 192), (144, 178, 254), (221, 221, 221), (245, 156, 125), (180, 4, 38)],
+    "rainbow": [(110, 64, 170), (52, 133, 231), (56, 209, 145), (175, 240, 91), (255, 94, 58)],
+    "kbc": [(0, 10, 60), (20, 60, 150), (40, 120, 220), (120, 190, 250), (210, 240, 255)],
+    "bmy": [(0, 0, 60), (120, 20, 130), (230, 60, 120), (255, 160, 70), (255, 255, 120)],
 }
 
 #: categorical palette (--colour-by): distinct hues, cycled.
@@ -57,6 +66,92 @@ def shade(binned: DataFrame, how: str = "eq_hist", val: str = "val") -> DataFram
     if how == "eq_hist":
         return eq_hist(binned, val=val)
     return norm(binned, how, val=val)
+
+
+def spread(
+    binned: DataFrame, px: int, width: int, height: int,
+    val: str = "val", extra_keys: list[str] | None = None, how: str = "max",
+) -> DataFrame:
+    """tf.spread on the BINNED table ([R] data_plots.py::create_plot
+    applies datashader spreading to the shaded image): each occupied
+    pixel paints its (2px+1)² neighbourhood; overlaps combine by
+    ``how`` (max keeps counts un-inflated; sum mimics additive
+    compositing).
+
+    Engine-side and scale-free: one explode of the ≤W·H-row binned
+    table over the literal offset array, one groupBy back onto pixel
+    keys — never touches the source data."""
+    from pyspark.sql import functions as F
+
+    if px <= 0:
+        return binned
+    keys = list(extra_keys or [])
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-px, px + 1)
+            for dy in range(-px, px + 1)
+        ]
+    )
+    ex = (
+        binned.withColumn("__o", F.explode(offs))
+        .select(
+            (F.col("bx") + F.col("__o.dx")).alias("bx"),
+            (F.col("by") + F.col("__o.dy")).alias("by"),
+            F.col(val), *[F.col(k) for k in keys],
+        )
+        .filter(
+            (F.col("bx") >= 0) & (F.col("bx") < width)
+            & (F.col("by") >= 0) & (F.col("by") < height)
+        )
+    )
+    agg = {"max": F.max, "sum": F.sum}[how](F.col(val)).alias(val)
+    return ex.groupBy("bx", "by", *keys).agg(agg)
+
+
+def _isolated_fraction(binned: DataFrame, d: int = 1) -> float:
+    """Share of occupied pixels with NO occupied neighbour within
+    Chebyshev distance ``d`` (the tiny binned table; two small jobs)."""
+    from pyspark.sql import functions as F
+
+    total = binned.count()
+    if total == 0:
+        return 0.0
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-d, d + 1)
+            for dy in range(-d, d + 1)
+            if (dx, dy) != (0, 0)
+        ]
+    )
+    shifted = (
+        binned.withColumn("__o", F.explode(offs))
+        .select(
+            (F.col("bx") + F.col("__o.dx")).alias("bx"),
+            (F.col("by") + F.col("__o.dy")).alias("by"),
+        )
+        .distinct()
+    )
+    with_neighbor = binned.join(shifted, ["bx", "by"], "left_semi").count()
+    return 1.0 - with_neighbor / total
+
+
+def dynspread(
+    binned: DataFrame, width: int, height: int,
+    max_px: int = 3, threshold: float = 0.5,
+    val: str = "val", extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """tf.dynspread semantics: spread sparse plots, leave dense ones
+    alone — grow px from 0 until the fraction of occupied pixels that
+    have an occupied neighbour reaches ``threshold`` (datashader's
+    definition), capped at ``max_px``.  All probing runs on the binned
+    table, so the cost is independent of the input data size."""
+    for px in range(max_px + 1):
+        spread_now = spread(binned, px, width, height, val, extra_keys)
+        if 1.0 - _isolated_fraction(spread_now, 1) >= threshold:
+            return spread_now
+    return spread(binned, max_px, width, height, val, extra_keys)
 
 
 def raster_to_rgba(
@@ -127,8 +222,17 @@ def render_png(
     how: str = "eq_hist",
     cmap: str = "viridis",
     categories: list | None = None,
+    spread_px: int = 0,
+    dynspread_threshold: float | None = None,
 ) -> str:
-    """Binned table -> shaded PNG file; returns the path."""
+    """Binned table -> (spread) -> shaded PNG file; returns the path."""
+    keys = ["cat"] if categories is not None else None
+    if dynspread_threshold is not None:
+        binned = dynspread(
+            binned, width, height, threshold=dynspread_threshold, extra_keys=keys
+        )
+    elif spread_px:
+        binned = spread(binned, spread_px, width, height, extra_keys=keys)
     shaded = shade(binned, how=how)
     rows = shaded.collect()
     img = raster_to_rgba(rows, width, height, cmap=cmap, categories=categories)

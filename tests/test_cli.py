@@ -194,6 +194,73 @@ def test_cli_row_chunk_size_is_rows_per_chunk(tmp_path, spark, sf_dir):
     assert _png_size(paths[0])[:2] == (8, 8)
 
 
+def test_spread_neighborhood_max(spark):
+    """tf.spread semantics on the binned table: one occupied pixel
+    paints its (2px+1)² neighbourhood, clipped to the canvas, max on
+    overlap."""
+    from shadems_spark.render import dynspread, spread
+
+    binned = spark.createDataFrame(
+        [(0, 0, 9), (5, 5, 4)], "bx int, by int, val long"
+    )
+    out = {(r["bx"], r["by"]): r["val"] for r in spread(binned, 1, 8, 8).collect()}
+    # corner pixel clips to 4 cells; interior paints 9
+    assert len(out) == 4 + 9
+    assert out[(0, 0)] == 9 and out[(1, 1)] == 9
+    assert out[(4, 4)] == 4 and out[(6, 6)] == 4
+    assert (7, 7) not in out
+    # dynspread: two isolated points -> spreads; a dense block -> no-op
+    dyn = {(r["bx"], r["by"]) for r in dynspread(binned, 8, 8, max_px=2).collect()}
+    assert len(dyn) > 2
+    dense = spark.createDataFrame(
+        [(x, y, 1) for x in range(4) for y in range(4)], "bx int, by int, val long"
+    )
+    assert dynspread(dense, 8, 8).count() == 16
+
+
+def test_cli_spread_golden_pixels(tmp_path, spark, sf_dir):
+    """--spread 1 must strictly grow the set of painted pixels of the
+    same plot, and identical argv stays deterministic."""
+    base_argv = [
+        sf_dir, "-x", "time", "-y", "amp",
+        "--xcanvas", "48", "--ycanvas", "48", "--norm", "linear",
+        "--dir", str(tmp_path),
+    ]
+    p0 = cli.run(base_argv + ["--png", "nospread.png"], spark=spark)[0]
+    p1 = cli.run(base_argv + ["--spread", "1", "--png", "spread.png"], spark=spark)[0]
+
+    def painted(path):
+        _, _, data = _png_size(path)
+        idat_len = struct.unpack(">I", data[33:37])[0]
+        raw = zlib.decompress(data[41 : 41 + idat_len])
+        px = np.frombuffer(
+            b"".join(
+                raw[y * (1 + 48 * 4) + 1 : (y + 1) * (1 + 48 * 4)] for y in range(48)
+            ),
+            dtype=np.uint8,
+        ).reshape(48, 48, 4)
+        return {(x, y) for y in range(48) for x in range(48) if px[y, x, 3] > 0}
+
+    a, b = painted(p0), painted(p1)
+    assert a and a < b  # strict superset: neighbourhoods painted
+    p2 = cli.run(base_argv + ["--spread", "1", "--png", "spread2.png"], spark=spark)[0]
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_cli_dynspread_and_cmaps(tmp_path, spark, sf_dir):
+    """--dynspread end-to-end plus a couple of the new LUT names."""
+    for cmap in ("inferno", "coolwarm"):
+        paths = cli.run(
+            [
+                sf_dir, "-x", "u", "-y", "v", "--dynspread", "--cmap", cmap,
+                "--xcanvas", "24", "--ycanvas", "24",
+                "--dir", str(tmp_path), "--png", f"d_{cmap}.png",
+            ],
+            spark=spark,
+        )
+        assert _png_size(paths[0])[:2] == (24, 24)
+
+
 def test_cli_categorical(tmp_path, spark, sf_dir):
     paths = cli.run(
         [
