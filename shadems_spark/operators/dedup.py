@@ -181,6 +181,64 @@ def minhash_dedup(
     return jaccard_verify(cands, grams, id_col, threshold)
 
 
+def connected_components(
+    pairs: DataFrame, id1: str = "id1", id2: str = "id2", max_iter: int = 20
+) -> DataFrame:
+    """Near-dup pair graph -> cluster labels: every doc gets the MIN
+    doc id reachable through dup edges (the canonical representative a
+    dedup pipeline keeps).  Returns (doc_id, cluster_id) for every doc
+    appearing in ``pairs``.
+
+    Min-label propagation: each iteration takes, per node, the min of
+    its own label and its neighbours' labels — one equi-join + one
+    groupBy over fixed-width (long, long) rows, converging in
+    O(graph diameter) iterations with an early-stop change check.
+    Near-dup graphs are quasi-cliques (diameter 2-3), so this settles
+    in a few rounds; for adversarially long path graphs the
+    alternating large-star/small-star rewrite (Kiveris et al.,
+    "Connected Components in MapReduce") halves diameter per round —
+    documented as the upgrade path, not needed for dedup workloads."""
+    e = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.v)
+                .groupBy("src")
+                .agg(F.min("lbl").alias("nbr_lbl"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels.v == nbr_min.src, "left")
+                .select(
+                    labels.v,
+                    F.least(
+                        labels.lbl, F.coalesce(F.col("nbr_lbl"), labels.lbl)
+                    ).alias("lbl"),
+                )
+                .persist()
+            )
+            # full count (not limit-1) so the change check materializes
+            # new_labels' cache completely for the next iteration
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "v")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    finally:
+        edges.unpersist()
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text: str = "text", bits: int = 64
 ) -> DataFrame:

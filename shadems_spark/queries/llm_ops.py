@@ -136,6 +136,44 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
+@register(
+    "q_dedup_clusters",
+    sql="""
+    WITH RECURSIVE
+    w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                                       for i in range(len(ws) - 2)])) AS ng
+          FROM w),
+    s AS (SELECT doc_id, count(*) sz FROM g GROUP BY doc_id),
+    inter AS (SELECT a.doc_id id1, b.doc_id id2, count(*) c
+              FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    p AS (SELECT id1, id2 FROM inter
+          JOIN s sa ON id1 = sa.doc_id
+          JOIN s sb ON id2 = sb.doc_id
+          WHERE c / (sa.sz + sb.sz - c) >= 0.2),
+    edges AS (SELECT id1 a, id2 b FROM p UNION SELECT id2, id1 FROM p),
+    walk(v, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, wk.lbl FROM edges e JOIN walk wk ON wk.v = e.b
+    )
+    SELECT v AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY v
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Dup-pair graph -> connected components: the step after M2 that
+    an actual dedup pipeline needs (cluster near-dups, keep the min
+    doc id as canonical).  Spark side: minhash pipeline pairs ->
+    min-label propagation (operators/dedup.py::connected_components);
+    oracle: exact-Jaccard pairs + a recursive-CTE reachability
+    closure.  They agree because banding at this threshold loses no
+    pair (pinned in tests/test_llm_ops.py)."""
+    pairs = D.minhash_dedup(load_table(spark, sf_dir, "documents"), threshold=0.2)
+    return D.connected_components(pairs)
+
+
 # ------------------------------------------------------- similarity search
 
 @register(

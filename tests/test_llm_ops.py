@@ -180,6 +180,19 @@ def test_minhash_pair_counts_pinned(spark, sf_dir):
     assert mh == exact  # banding at these thresholds loses no pair
 
 
+def test_connected_components_labels(spark):
+    """Min-label propagation: a 4-node path (needs >1 iteration), a
+    separate pair, and min-id canonical labels."""
+    pairs = spark.createDataFrame(
+        [(3, 4), (1, 2), (2, 3), (10, 11)], "id1 long, id2 long"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="gamma beta alpha")]

@@ -20,8 +20,18 @@ Reading the report:
   reports it for honesty, the linearity claim applies to the
   signature stage, not the planted-pair explosion.
 
-Usage: python tools/scale_probe.py [N] [base_sf_dir]
+Usage: python tools/scale_probe.py [N] [base_sf_dir] [--dedup]
 Prints one JSON line (plus a human table on stderr).
+
+--dedup runs the dedup-family probe (minhash / simhash / exact /
+n-gram Jaccard / decontaminate) and builds ONLY the xN documents
+table, with per-copy word mutation: naively unioning the corpus N
+times plants N-1 near-dups per doc, growing the candidate-pair
+WORKLOAD ~N²/2 regardless of engine quality.  Suffixing every word
+with its copy index keeps copies fully dissimilar, so gram/bucket
+fan-outs match a genuinely larger corpus and the measured growth is
+the ENGINE's, not the planted-pair explosion.  x100 from sf0.1 =
+500k docs, the largest corpus this sandbox holds comfortably.
 """
 
 from __future__ import annotations
@@ -64,14 +74,28 @@ PROBE = [
     "q_seq_pack",
 ]
 
+#: dedup-family probe (--dedup): documents-only workloads whose scale
+#: claim is "bounded candidate generation, never all-pairs".
+PROBE_DEDUP = [
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_ngram_jaccard",
+    "q_decontaminate",
+]
+
 #: key shift per copy — far above any real key at these scale factors.
 SHIFT = 100_000_000
 
 
-def build_scaled(spark, base_dir: str, out_dir: str, n: int) -> None:
+def build_scaled(
+    spark, base_dir: str, out_dir: str, n: int,
+    only: list[str] | None = None, mutate_docs: bool = False,
+) -> None:
     """Materialize the xN fixture dir: fact tables unioned n times with
     shifted keys (so joins stay consistent copy-by-copy), dims copied
-    through unchanged."""
+    through unchanged.  ``mutate_docs`` suffixes every word of each
+    non-zero copy with its copy index (see module docstring)."""
     shifted_keys = {
         "lineitem": ["l_orderkey"],
         "orders": ["o_orderkey"],
@@ -81,6 +105,8 @@ def build_scaled(spark, base_dir: str, out_dir: str, n: int) -> None:
     }
     os.makedirs(out_dir, exist_ok=True)
     for name in TABLES:
+        if only is not None and name not in only:
+            continue
         df = load_table(spark, base_dir, name)
         if name in shifted_keys:
             copies = []
@@ -88,6 +114,15 @@ def build_scaled(spark, base_dir: str, out_dir: str, n: int) -> None:
                 c = df
                 for k in shifted_keys[name]:
                     c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+                if mutate_docs and name == "documents" and i > 0:
+                    tag = F.lit(f"_{i}")
+                    c = c.withColumn(
+                        "text",
+                        F.array_join(
+                            F.transform(F.split("text", " "), lambda w: F.concat(w, tag)),
+                            " ",
+                        ),
+                    )
                 copies.append(c)
             out = copies[0]
             for c in copies[1:]:
@@ -97,8 +132,10 @@ def build_scaled(spark, base_dir: str, out_dir: str, n: int) -> None:
         out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
-def run_probe(spark, registry, sf_dir: str, names: list[str]) -> dict[str, dict]:
-    registry["q_scan"][0](spark, sf_dir).count()  # warm footers
+def run_probe(
+    spark, registry, sf_dir: str, names: list[str], warm: str = "q_scan"
+) -> dict[str, dict]:
+    registry[warm][0](spark, sf_dir).count()  # warm footers
     out: dict[str, dict] = {}
     for name in names:
         fn, _sql = registry[name]
@@ -109,21 +146,27 @@ def run_probe(spark, registry, sf_dir: str, names: list[str]) -> dict[str, dict]
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    dedup = "--dedup" in sys.argv
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(pos[0]) if pos else 10
+    base = pos[1] if len(pos) > 1 else "/root/testdata/sf0.1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    scaled = os.path.join(repo, ".scratch", f"sfx{n}")
+    scaled = os.path.join(repo, ".scratch", f"sfx{n}" + ("_docs" if dedup else ""))
 
     spark = get_spark("shadems-scale-probe")
     registry = load_registry()
-    names = [q for q in PROBE if q in registry]
+    names = [q for q in (PROBE_DEDUP if dedup else PROBE) if q in registry]
+    warm = "q_dedup_exact" if dedup else "q_scan"
 
     t0 = time.time()
-    build_scaled(spark, base, scaled, n)
+    build_scaled(
+        spark, base, scaled, n,
+        only=(["documents"] if dedup else None), mutate_docs=dedup,
+    )
     build_s = round(time.time() - t0, 1)
 
-    base_r = run_probe(spark, registry, base, names)
-    scaled_r = run_probe(spark, registry, scaled, names)
+    base_r = run_probe(spark, registry, base, names, warm)
+    scaled_r = run_probe(spark, registry, scaled, names, warm)
 
     report = {}
     for q in names:
@@ -143,7 +186,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "scale_probe",
+                "metric": "scale_probe_dedup" if dedup else "scale_probe",
                 "n": n,
                 "base": base,
                 "build_sec": build_s,
