@@ -151,12 +151,23 @@ def jaccard_verify(
     )
 
 
-#: one-slot cache of the gram table persisted by the latest
-#: ``minhash_dedup`` call — repeated invocations in one session used
-#: to accumulate cached partitions indefinitely (ADVICE r01); now each
+#: one-slot cache of the gram table persisted by the latest dedup-
+#: family call — repeated invocations in one session used to
+#: accumulate cached partitions indefinitely (ADVICE r01); now each
 #: call releases its predecessor's.  The final table's lifetime is
 #: caller-owned (it backs the lazily-evaluated result).
 _live_grams: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) with the one-slot release above —
+    spills instead of evicting at corpus scale."""
+    from pyspark import StorageLevel
+
+    while _live_grams:
+        _live_grams.pop().unpersist()
+    _live_grams.append(df.persist(StorageLevel.MEMORY_AND_DISK))
+    return df
 
 
 def minhash_dedup(
@@ -168,14 +179,8 @@ def minhash_dedup(
     The gram table feeds three operators (the signature aggregate and
     both sides of the verify join); persisting it trades one
     materialization (two longs per (doc, gram)) for recomputing the
-    shingle scan three times — MEMORY_AND_DISK, so at corpus scale it
-    spills instead of evicting."""
-    from pyspark import StorageLevel
-
-    while _live_grams:
-        _live_grams.pop().unpersist()
-    grams = doc_grams(df, id_col, text).persist(StorageLevel.MEMORY_AND_DISK)
-    _live_grams.append(grams)
+    shingle scan three times."""
+    grams = tracked_persist(doc_grams(df, id_col, text))
     sigs = minhash_signatures_from_grams(grams, id_col)
     cands = lsh_candidate_pairs(sigs, id_col)
     return jaccard_verify(cands, grams, id_col, threshold)

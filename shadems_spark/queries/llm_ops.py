@@ -82,13 +82,14 @@ def q_ngram_jaccard(spark, sf_dir):
 
     Grams are joined by 64-bit hash (text.ngram_hashes) — an 8-byte
     join key instead of a variable-width string; identical counts
-    absent xxhash64 collisions, which the oracle run confirms."""
+    absent xxhash64 collisions, which the oracle run confirms.  The
+    gram table is persisted once and feeds all four consumers (both
+    join sides + both size lookups) — the unshared form re-ran the
+    split/hash scan four times (~25% of this query's round-1 wall)."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = docs.select(
-        "doc_id", T.ngram_hashes(T.words("text"), 3).alias("ngs")
-    )
-    sizes = shingled.select("doc_id", F.size("ngs").alias("sz"))
-    g = shingled.select("doc_id", F.explode("ngs").alias("ng"))
+    grams = D.tracked_persist(D.doc_grams(docs, ngram=3))
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    g = grams.withColumnRenamed("s", "ng")
     a, b = g.alias("a"), g.alias("b")
     inter = (
         a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -204,6 +205,37 @@ def q_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
     return SIM.brute_topk(emb, queries, k=5)
+
+
+@register(
+    "q_cosine_topk_blas",
+    sql="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS cand_id,
+               round(list_sum(list_transform(list_zip(q.qv, e.v), z -> z[1] * z[2]))
+                     / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+                        * sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6) AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id != q.q_id
+    )
+    SELECT q_id, cand_id, cos, rank FROM (
+        SELECT q_id, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id)
+                    AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_cosine_topk_blas(spark, sf_dir):
+    """M3's Arrow/BLAS fast path under the SAME exact-SQL oracle as
+    the HOF form: per-Arrow-batch matmul scoring with HALF_UP rounding
+    (matching F.round), so the sanctioned pandas-UDF path is proven
+    bit-equal to the declarative plan, not merely rows-compatible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return SIM.brute_topk_vectorized(emb, queries, k=5)
 
 
 @register("q_ann_lsh", sql=None)  # hash-derived planes: rows-only
