@@ -169,3 +169,44 @@ def pack_sequences(
     return df.withColumn(
         "pack_id", ((cum - F.col(token_col)) / budget).cast("long")
     )
+
+
+def gopher_rules(df: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    public heuristics): word count bounds, mean word length bounds,
+    symbol-to-word ratio, and the fraction of words containing an
+    alphabetic character.  Pure Column expressions — one pruned scan,
+    no UDF; each rule is exposed as a column plus a combined pass
+    flag so pipelines can filter or audit rule-by-rule."""
+    ws = F.split(F.col(text), " ")
+    n_words = F.size(ws)
+    mean_wl = F.round(
+        F.aggregate(
+            ws, F.lit(0.0), lambda a, w: a + F.length(w).cast("double")
+        )
+        / n_words,
+        4,
+    )
+    symbols = F.length(F.col(text)) - F.length(
+        F.regexp_replace(F.col(text), "[^A-Za-z0-9 ]", "")
+    )
+    sym_ratio = F.round(symbols.cast("double") / n_words, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("double") / n_words,
+        6,
+    )
+    passes = (
+        n_words.between(3, 100000)
+        & mean_wl.between(2.0, 12.0)
+        & (sym_ratio < 1.0)
+        & (alpha_frac >= 0.8)
+    )
+    return df.withColumns(
+        {
+            "n_words": n_words.cast("long"),
+            "mean_word_len": mean_wl,
+            "symbol_ratio": sym_ratio,
+            "alpha_word_frac": alpha_frac,
+            "passes_gopher": passes.cast("int"),
+        }
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from shadems_spark.catalog import load_table
 from shadems_spark.operators.curation import (
     decontaminate,
+    gopher_rules,
     pack_sequences,
     repetition_stats,
     scrub_pii,
@@ -186,4 +187,41 @@ def q_seq_pack(spark, sf_dir):
     return packed.groupBy("lang", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tokens").alias("pack_tokens"),
+    )
+
+
+@register(
+    "q_gopher_rules",
+    sql="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           round(list_sum(list_transform(string_split(text, ' '),
+                                         w -> CAST(length(w) AS DOUBLE)))
+                 / len(string_split(text, ' ')), 4) AS mean_word_len,
+           round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                 / len(string_split(text, ' ')), 6) AS symbol_ratio,
+           round(len(list_filter(string_split(text, ' '),
+                                 w -> regexp_matches(w, '[A-Za-z]')))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS alpha_word_frac,
+           CAST(len(string_split(text, ' ')) BETWEEN 3 AND 100000
+                AND (list_sum(list_transform(string_split(text, ' '),
+                                             w -> CAST(length(w) AS DOUBLE)))
+                     / len(string_split(text, ' '))) BETWEEN 2.0 AND 12.0
+                AND ((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                     / len(string_split(text, ' '))) < 1.0
+                AND (len(list_filter(string_split(text, ' '),
+                                     w -> regexp_matches(w, '[A-Za-z]')))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE)) >= 0.8
+                AS INT) AS passes_gopher
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality rules battery (word count / mean word length /
+    symbol ratio / alpha-word fraction + combined pass flag) — the
+    rule-level audit columns a curation pipeline filters on."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    return gopher_rules(docs).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_word_frac", "passes_gopher",
     )

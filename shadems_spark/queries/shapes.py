@@ -92,3 +92,71 @@ def q_union_groups(spark, sf_dir):
         )
     )
     return part("F", "grpF").unionByName(part("O", "grpO"))
+
+
+@register(
+    "q_pivot",
+    sql=f"""
+    SELECT field_label,
+           sum(CASE WHEN corr_label = 'A' THEN 1 ELSE 0 END) AS n_a,
+           sum(CASE WHEN corr_label = 'N' THEN 1 ELSE 0 END) AS n_n,
+           sum(CASE WHEN corr_label = 'R' THEN 1 ELSE 0 END) AS n_r
+    FROM {_VIS} v GROUP BY field_label
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """X4: long->wide pivot (df.groupBy().pivot() with EXPLICIT pivot
+    values, so no extra distinct-discovery job runs and the output
+    schema is static — the scale-safe pivot form; oracle is the
+    equivalent CASE-WHEN aggregate)."""
+    v = vis_view(load_table(spark, sf_dir, "lineitem"))
+    p = (
+        v.groupBy("field_label")
+        .pivot("corr_label", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "field_label",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c.lower()}")
+            for c in ("A", "N", "R")
+        ],
+    )
+
+
+@register(
+    "q_unpivot",
+    sql="""
+    SELECT l_orderkey AS row_key, l_linenumber AS line_no, metric, val
+    FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+        FROM lineitem WHERE l_orderkey % 20 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem WHERE l_orderkey % 20 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        FROM lineitem WHERE l_orderkey % 20 = 0
+    )
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """X5: wide->long unpivot/melt (DataFrame.unpivot — one Expand
+    node over a single scan, not N self-unions; oracle spells out the
+    UNION ALL it is equivalent to)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "metric",
+            "val",
+        )
+        .select(
+            F.col("l_orderkey").alias("row_key"),
+            F.col("l_linenumber").alias("line_no"),
+            "metric",
+            "val",
+        )
+    )

@@ -141,3 +141,45 @@ def q_stateful_totals(spark, sf_dir):
     from shadems_spark.streaming.stateful import running_totals_batch
 
     return running_totals_batch(_ev(spark, sf_dir))
+
+
+@register(
+    "q_gap_fill",
+    sql="""
+    WITH bounds AS (SELECT min(CAST(ts AS DATE)) lo, max(CAST(ts AS DATE)) hi
+                    FROM events),
+    days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+             FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+                     round(sum(value), 2) AS sum_value
+              FROM events GROUP BY 1, 2)
+    SELECT t.event_type, days.d, coalesce(daily.n, 0) AS n,
+           coalesce(daily.sum_value, 0.0) AS sum_value
+    FROM types t CROSS JOIN days
+    LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = days.d
+    """,
+)
+def q_gap_fill(spark, sf_dir):
+    """Time-series gap fill (resample-to-daily with zero-filled
+    missing days): the dense (type × day) grid is built from
+    ``sequence()`` over the broadcast min/max bounds — a few hundred
+    rows regardless of input size — and left-joins the daily
+    aggregate.  The scan happens twice (bounds + daily), both
+    all-column-pruned; the grid join is broadcast."""
+    ev = _ev(spark, sf_dir).withColumn("d", F.to_date("ts"))
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    days = (
+        ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(days))
+    return grid.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        "d",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )

@@ -128,3 +128,42 @@ def q_lag(spark, sf_dir):
         F.lead("value").over(w).alias("next_value"),
         F.round(F.sum("value").over(w.rowsBetween(-2, 0)), 2).alias("roll3"),
     )
+
+
+@register(
+    "q_window_battery",
+    sql=f"""
+    SELECT row_key, line_no, corr_label,
+           CAST(ntile(4) OVER w AS INT) AS tile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           first_value(u) OVER w AS first_u,
+           lead(u, 2) OVER w AS lead_u,
+           round(avg(u) OVER (PARTITION BY corr_label ORDER BY row_key, line_no, u
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS roll_u
+    FROM {_VIS} v WHERE row_key % 20 = 0
+    WINDOW w AS (PARTITION BY corr_label ORDER BY row_key, line_no, u)
+    """,
+)
+def q_window_battery(spark, sf_dir):
+    """W4 extended: the remaining ranking/frame surface in one query —
+    ntile, percent_rank, cume_dist, first_value, lead, and an explicit
+    ROWS-frame rolling mean.  The ordering key includes ``u`` because
+    the fixture carries duplicate (row_key, line_no) pairs with
+    different values — rows still tying after ``u`` are identical in
+    every selected column, so ROWS-frame outputs agree as multisets
+    and the oracle reproduces them exactly."""
+    v = vis_view(load_table(spark, sf_dir, "lineitem")).filter(F.col("row_key") % 20 == 0)
+    w = Window.partitionBy("corr_label").orderBy("row_key", "line_no", "u")
+    roll = w.rowsBetween(-2, Window.currentRow)
+    return v.select(
+        "row_key",
+        "line_no",
+        "corr_label",
+        F.ntile(4).over(w).alias("tile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("u").over(w).alias("first_u"),
+        F.lead("u", 2).over(w).alias("lead_u"),
+        F.round(F.avg("u").over(roll), 4).alias("roll_u"),
+    )

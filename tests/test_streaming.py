@@ -232,6 +232,37 @@ def test_watermark_session_parity(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static enrichment: the streaming events frame joins a
+    static dimension (broadcastable per micro-batch); drained with
+    availableNow it must equal the batch join + aggregate."""
+    ev_batch = load_table(spark, sf_dir, "events")
+    dim = ev_batch.select("user_id").distinct().withColumn(
+        "tier", F.when(F.col("user_id") % 3 == 0, "gold").otherwise("std")
+    )
+    ev_stream = SW.stream_from_parquet(spark, sf_dir).select("user_id", "value")
+    q = (
+        ev_stream.join(F.broadcast(dim), "user_id")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .writeStream.format("memory")
+        .queryName("t_static_join")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["tier"]: (r["n"], r["s"]) for r in spark.table("t_static_join").collect()}
+    want = {
+        r["tier"]: (r["n"], r["s"])
+        for r in ev_batch.join(dim, "user_id")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert got == want and len(want) == 2
+
+
 def test_stateful_stream_matches_batch(spark, sf_dir):
     """applyInPandasWithState end-to-end: drain the events source with
     availableNow, compare final per-user state against the batch agg."""
