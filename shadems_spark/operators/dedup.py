@@ -296,3 +296,44 @@ def simhash_candidates(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .distinct()
     )
     return pairs.withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+
+
+def bottomk_sketch(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text",
+    k: int = 64, ngram: int = 3,
+) -> DataFrame:
+    """Bottom-k minwise sketch per document: the k smallest 64-bit
+    gram hashes — one array_sort + slice per row, no explode, no
+    shuffle.  Unlike carrying the full shingle set, the sketch row is
+    bounded at k longs regardless of document length; the price is
+    that downstream Jaccard becomes an ESTIMATE with error
+    O(1/sqrt(k)) instead of exact (Broder's minwise framework /
+    Cohen's bottom-k summaries — public results)."""
+    return df.select(
+        id_col,
+        F.slice(F.array_sort(ngram_hashes(words(text), ngram)), 1, k).alias("sk"),
+    )
+
+
+def bottomk_jaccard(
+    pairs: DataFrame, sketches: DataFrame, id_col: str = "doc_id",
+    k: int = 64, threshold: float = 0.2,
+) -> DataFrame:
+    """Bottom-k Jaccard estimate on candidate pairs: with S the
+    bottom-k of A∪B (computable from the two sketches alone),
+    Ĵ = |S ∩ A_k ∩ B_k| / |S| — the unbiased minwise estimator.
+    Exact whenever a document has ≤ k grams (the sketch IS the set,
+    pinned in tests); otherwise within O(1/√k).  Join payloads are
+    bounded at k longs per side by construction."""
+    s1 = sketches.select(F.col(id_col).alias("id1"), F.col("sk").alias("sk1"))
+    s2 = sketches.select(F.col(id_col).alias("id2"), F.col("sk").alias("sk2"))
+    union_bk = F.slice(F.array_sort(F.array_union("sk1", "sk2")), 1, k)
+    inter = F.size(F.array_intersect(F.array_intersect(union_bk, F.col("sk1")), F.col("sk2")))
+    est = F.round(inter.cast("double") / F.size(union_bk), 6)
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id1", "id2", "jaccard_est")
+    )

@@ -493,3 +493,19 @@ def q_pandas_udf(spark, sf_dir):
             F.col("l_extendedprice"), F.col("l_extendedprice") * F.col("l_discount")
         ).alias("amp"),
     )
+
+
+@register("q_dedup_bottomk", sql=None)  # xxhash sketches: rows-only
+def q_dedup_bottomk(spark, sf_dir):
+    """M2 variant with bounded-width verification: LSH banding for
+    candidates, then a bottom-k (k=64) minwise Jaccard ESTIMATE
+    instead of the exact gram co-count — every join payload is ≤ k
+    longs, the documented trade for corpus-scale verify stages.
+    Estimator accuracy is pinned against the exact join in
+    tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = D.tracked_persist(D.doc_grams(docs))
+    sigs = D.minhash_signatures_from_grams(grams)
+    cands = D.lsh_candidate_pairs(sigs)
+    sketches = D.bottomk_sketch(docs, k=64)
+    return D.bottomk_jaccard(cands, sketches, k=64, threshold=0.2)

@@ -180,6 +180,41 @@ def test_minhash_pair_counts_pinned(spark, sf_dir):
     assert mh == exact  # banding at these thresholds loses no pair
 
 
+def test_bottomk_exact_for_small_docs(spark):
+    """A doc with ≤ k grams sketches to its full gram set, so the
+    bottom-k estimate must be EXACT: identical docs -> 1.0, the
+    one-word-off pair -> 7/9 (7 shared of 9 union grams)."""
+    docs = _docs(spark)
+    sk = D.bottomk_sketch(docs, k=64)
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], "id1 long, id2 long")
+    est = {
+        (r["id1"], r["id2"]): r["jaccard_est"]
+        for r in D.bottomk_jaccard(pairs, sk, k=64, threshold=0.0).collect()
+    }
+    assert est[(1, 4)] == 1.0
+    assert abs(est[(1, 2)] - round(7 / 9, 6)) < 1e-9
+
+
+def test_bottomk_estimate_tracks_exact(spark):
+    """On sf0.01 (docs ~100 words > k=64 grams) the estimator must
+    stay within the O(1/sqrt(k)) band of the exact Jaccard join."""
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    est = {
+        (r["id1"], r["id2"]): r["jaccard_est"]
+        for r in reg["q_dedup_bottomk"][0](spark, _RECALL_SF).collect()
+    }
+    exact = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in reg["q_ngram_jaccard"][0](spark, _RECALL_SF).collect()
+    }
+    common = set(est) & set(exact)
+    assert len(common) >= 0.8 * len(exact)  # borderline pairs may flip
+    errs = [abs(est[p] - exact[p]) for p in common]
+    assert max(errs) <= 0.25 and sum(errs) / len(errs) <= 0.1
+
+
 def test_connected_components_labels(spark):
     """Min-label propagation: a 4-node path (needs >1 iteration), a
     separate pair, and min-id canonical labels."""

@@ -143,3 +143,18 @@ def test_domain_mix_rates_are_local_relation(spark):
     Python-RDD scan — ExistingRDD costs a Python-worker job per run."""
     p = _plan(spark, "q_domain_mix")
     assert "Scan ExistingRDD" not in p
+
+
+def test_unpivot_is_single_scan_expand(spark):
+    """Unpivot must be one Expand over one scan, not N self-unions."""
+    reg = load_registry()
+    p = _plan(spark, "q_unpivot")
+    assert "Expand" in p
+    assert p.count("Scan parquet") == 1
+
+
+def test_gap_fill_grid_broadcasts(spark):
+    """The dense (type x day) grid must broadcast into the left join —
+    the fact side never shuffles for the enrichment."""
+    p = _plan(spark, "q_gap_fill")
+    assert "BroadcastHashJoin" in p
