@@ -122,3 +122,42 @@ def incremental_minhash_candidates(
     nb = banded(new_sigs, "new_id")
     cb = banded(corpus_sigs, "corpus_id")
     return nb.join(cb, ["band", "bucket"]).select("new_id", "corpus_id").distinct()
+
+
+def incremental_embedding_near_dup(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.9,
+    sub_planes: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Admit a new EMBEDDING batch against the resident corpus: the
+    join is new×corpus (never corpus×corpus), blocked on the shared
+    hyperplane bucket so each new vector scores only ~corpus/2^planes
+    candidates.  Same plane literals as similarity.hyperplane_bucket —
+    deterministic, broadcast-free, and mirrored exactly by the DuckDB
+    oracle.  Returns (new_id, corpus_id, cos) pairs at/above
+    threshold — the "this batch duplicates resident data" signal."""
+    from shadems_spark.operators.similarity import (
+        as_double,
+        cosine,
+        embedding_dim,
+        hyperplane_bucket,
+    )
+
+    dim = dim or embedding_dim(corpus, vec)
+
+    def side(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        base = df.select(F.col(id_col).alias(out_id), as_double(vec).alias(out_vec))
+        return base.withColumn("hp", hyperplane_bucket(F.col(out_vec), sub_planes, dim))
+
+    n = side(new, "new_id", "nv")
+    c = side(corpus, "corpus_id", "cv")
+    return (
+        n.join(c, "hp")
+        .withColumn("cos", F.round(cosine(F.col("nv"), F.col("cv")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("new_id", "corpus_id", "cos")
+    )

@@ -12,11 +12,33 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from shadems_spark.catalog import load_table
-from shadems_spark.operators.incremental import incremental_jaccard, merge_upsert
+from shadems_spark.operators.incremental import (
+    incremental_embedding_near_dup,
+    incremental_jaccard,
+    merge_upsert,
+)
+from shadems_spark.operators.similarity import hyperplane_bucket_sql
 from shadems_spark.queries import register
 
 #: far above any o_orderkey at test scale factors.
 _INSERT_SHIFT = 100_000_000
+
+#: DuckDB mirror of q_incremental_embedding (same plane literals).
+_EMB_ADMIT_SQL = f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    h AS (SELECT vec_id, v, {hyperplane_bucket_sql("v", 2, 64)} AS hp FROM e),
+    n AS (SELECT vec_id AS new_id, v AS nv, hp FROM h WHERE vec_id % 10 = 0),
+    c AS (SELECT vec_id AS corpus_id, v AS cv, hp FROM h WHERE vec_id % 10 != 0)
+    SELECT new_id, corpus_id,
+           round(list_sum(list_transform(list_zip(nv, cv), z -> z[1] * z[2]))
+                 / (sqrt(list_sum(list_transform(nv, x -> x*x)))
+                    * sqrt(list_sum(list_transform(cv, x -> x*x)))), 4) AS cos
+    FROM n JOIN c USING (hp)
+    WHERE round(list_sum(list_transform(list_zip(nv, cv), z -> z[1] * z[2]))
+                / (sqrt(list_sum(list_transform(nv, x -> x*x)))
+                   * sqrt(list_sum(list_transform(cv, x -> x*x)))), 4) >= 0.3
+"""
 
 
 @register(
@@ -96,3 +118,68 @@ def q_incremental_dedup(spark, sf_dir):
     new = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return incremental_jaccard(new, corpus, threshold=0.2)
+
+
+@register(
+    "q_incremental_embedding",
+    sql=_EMB_ADMIT_SQL,
+)
+def q_incremental_embedding(spark, sf_dir):
+    """Embedding-batch admission: new (vec_id % 10 = 0) × resident
+    corpus cosine near-dup, blocked on the shared 2-plane hyperplane
+    bucket — the join is new×corpus, never corpus×corpus, and each new
+    vector scores ~corpus/4 candidates.  Oracle applies identical
+    plane literals (similarity.hyperplane_bucket_sql)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    return incremental_embedding_near_dup(new, corpus, threshold=0.3)
+
+
+@register(
+    "q_snapshot_diff",
+    sql="""
+    WITH a AS (SELECT lang, count(*) n_a FROM documents
+               WHERE doc_id % 3 != 0 GROUP BY lang),
+    b AS (SELECT lang, count(*) n_b FROM documents GROUP BY lang)
+    SELECT lang,
+           coalesce(n_a, 0) AS n_a,
+           coalesce(n_b, 0) AS n_b,
+           coalesce(n_b, 0) - coalesce(n_a, 0) AS delta,
+           round(coalesce(n_b, 0) / CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                 - coalesce(n_a, 0)
+                   / CAST((SELECT count(*) FROM documents WHERE doc_id % 3 != 0)
+                          AS DOUBLE), 6) AS share_delta
+    FROM a FULL OUTER JOIN b USING (lang)
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot drift report: per-language doc counts and mixture-
+    share deltas between the prior snapshot (doc_id % 3 != 0 stands in
+    for it) and the current corpus.  FULL OUTER join keeps languages
+    that appear or vanish; totals ride a whole-frame window over the
+    tiny per-language aggregate, so no extra count jobs run."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 3 != 0).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    b = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_b"))
+    j = a.join(b, "lang", "full_outer").select(
+        "lang",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    w = Window.partitionBy()
+    return j.select(
+        "lang",
+        "n_a",
+        "n_b",
+        (F.col("n_b") - F.col("n_a")).alias("delta"),
+        F.round(
+            F.col("n_b") / F.sum("n_b").over(w)
+            - F.col("n_a") / F.sum("n_a").over(w),
+            6,
+        ).alias("share_delta"),
+    )
