@@ -1,0 +1,256 @@
+"""Text retrieval + corpus-preparation operators for training-data
+pipelines (north-star suite, beyond SURVEY.md §2): TF-IDF term
+weighting, BM25 ranked retrieval, fixed-window document chunking,
+int8 embedding quantization, and deterministic stratified splits.
+
+Design for 100 TB:
+- the (doc, term) table is built ONCE per pipeline with map-side
+  combine (explode -> groupBy count); every consumer shares it;
+- document-frequency / corpus totals are tiny aggregates carried via
+  broadcast join or a whole-frame window over an already-small table,
+  never a driver collect on the fact side;
+- BM25 pushes the query-term filter BELOW the aggregation, so only
+  rows matching the handful of query terms survive the shuffle;
+- chunking and quantization are pure per-row Column expressions —
+  no shuffle at all;
+- the stratified split is hash-deterministic (Knuth multiplicative),
+  so re-runs and task retries assign every document identically with
+  zero coordination state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from shadems_spark.operators.text import words
+
+#: Knuth's 32-bit multiplicative-hash constant (2^32 / phi) — public.
+_KNUTH32 = 2654435761
+_MOD32 = 1 << 32
+
+
+def doc_terms(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """The shared (doc, term, tf) table: explode whitespace tokens and
+    count per (doc, term).  ONE shuffle keyed on (doc, term) with
+    map-side combine; every retrieval consumer reuses this."""
+    return (
+        df.select(id_col, F.explode(words(text)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Per-document token counts (the BM25 length normalizer)."""
+    return df.select(id_col, F.size(words(text)).cast("long").alias("dl"))
+
+
+def tf_idf(
+    terms: DataFrame,
+    id_col: str = "doc_id",
+    top_per_doc: int | None = 3,
+) -> DataFrame:
+    """TF-IDF over a (doc, term, tf) table.
+
+    df(term) is a groupBy on the already-aggregated term table —
+    second shuffle keyed on term, output ~vocabulary-sized.  N rides a
+    whole-frame window over that SMALL table (no extra corpus count
+    job).  idf = ln((N+1)/(df+1)) + 1 (smoothed); score = tf * idf,
+    rounded 6dp (libm ln — harness rounding convention).
+
+    ``top_per_doc`` keeps the highest-scoring terms per document
+    (score desc, term asc tie-break) — the usual keyword-extraction
+    shape and a bounded output at any corpus size."""
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = terms.select(F.countDistinct(id_col).alias("n"))
+    scored = (
+        terms.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n") + 1.0) / (F.col("df_t") + 1.0))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+        .select(id_col, "term", "tf", "df_t", "tfidf")
+    )
+    if top_per_doc is None:
+        return scored
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_per_doc)
+        .select(id_col, "term", "tf", "df_t", "tfidf", "rk")
+    )
+
+
+def bm25(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval for one query (a list of terms).
+
+    Scale shape: the exploded token stream is FILTERED to the query
+    terms before any shuffle — for a q-term query only matching
+    (doc, term) rows reach the aggregation, so the shuffle is
+    O(matching postings), not O(corpus tokens).  Document frequencies
+    and avgdl are tiny aggregates joined by broadcast.  Final top-k is
+    a single whole-frame window over per-doc scores that already
+    collapsed to <= one row per matching doc.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5));
+    score = sum_t idf_t * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    rounded 6dp."""
+    toks = docs.select(id_col, F.explode(words(text)).alias("term"))
+    hits = toks.filter(F.col("term").isin(query_terms))
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    lens = doc_lengths(docs, id_col, text)
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "score", "rank")
+    )
+
+
+def chunk_docs(
+    df: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Fixed-window document chunking with overlap (the pre-tokenize
+    split step of a training pipeline): windows of ``chunk_size``
+    tokens starting every ``stride`` tokens.
+
+    Pure per-row Column expressions — sequence of window starts,
+    posexplode, slice — NO shuffle; output rows ~ tokens/stride per
+    document.  chunk_idx derives from the start offset so it is
+    order-free (no ordinality dependence between engines)."""
+    ws = words(text)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(stride))
+    exploded = df.select(
+        id_col,
+        F.size(ws).cast("long").alias("doc_tokens"),
+        F.explode(starts).alias("start"),
+        ws.alias("__ws"),
+    )
+    chunk = F.slice(F.col("__ws"), F.col("start"), F.lit(chunk_size))
+    return exploded.select(
+        id_col,
+        "doc_tokens",
+        ((F.col("start") - 1) / stride + 1).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def quantize_vec(vec: Column, out_scale: str | None = None) -> Column:
+    """Symmetric int8 quantization of a double array: q_i = round
+    HALF_UP(x_i / max|x| * 127).  Keeps sign structure; the scale
+    cancels in cosine, so quantized cosine needs no dequantization.
+    8 bytes -> 1 byte per component: a 4-8x smaller shuffle/storage
+    payload for every downstream ANN stage at 100 TB."""
+    m = F.aggregate(
+        vec, F.lit(0.0), lambda s, x: F.greatest(s, F.abs(x))
+    )
+    # floor(x*127/m + 0.5) with sign handling = HALF_UP, matching both
+    # engines exactly in integer space.
+    return F.transform(
+        vec,
+        lambda x: F.when(m == 0, F.lit(0))
+        .otherwise(
+            F.signum(x) * F.floor(F.abs(x) * 127.0 / m + 0.5)
+        )
+        .cast("int"),
+    )
+
+
+def quantized_cosine(qa: Column, qb: Column) -> Column:
+    """Cosine over int8-quantized vectors — integer dot products in
+    double accumulation (exact: |sum| < 127^2 * dim << 2^53)."""
+    d = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(qa, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(qb, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+    return d / (na * nb)
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = Knuth
+    multiplicative hash of the id mod 100.  Pure per-row arithmetic —
+    identical under task retry, re-run, and engine (the oracle mirrors
+    the same integer expression); no sampling state, no shuffle."""
+    bucket = (F.col(id_col) * F.lit(_KNUTH32)) % F.lit(_MOD32) % 100
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def split_report(df: DataFrame, strat_col: str = "lang") -> DataFrame:
+    """Per-(stratum, split) counts + within-stratum share — the
+    verification report that the hash split is balanced."""
+    counts = df.groupBy(strat_col, "split").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(strat_col)
+    return counts.select(
+        strat_col,
+        "split",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
+    )

@@ -46,6 +46,7 @@ _MODULES = [
     "shadems_spark.queries.skewq",
     "shadems_spark.queries.incremental",
     "shadems_spark.queries.curation",
+    "shadems_spark.queries.retrieval",
 ]
 
 

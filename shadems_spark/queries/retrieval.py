@@ -1,0 +1,200 @@
+"""Retrieval / corpus-prep queries (north-star suite): TF-IDF keyword
+extraction, BM25 ranked retrieval, fixed-window chunking, int8
+quantized similarity, and the deterministic stratified-split report.
+
+All five carry exact DuckDB oracles: ln-based scores are rounded 6dp
+(libm convention), quantization uses the same integer HALF_UP
+expression on both engines, and the split hash is plain bigint
+arithmetic both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from shadems_spark.catalog import load_table
+from shadems_spark.operators import retrieval as R
+from shadems_spark.queries import register
+
+_BM25_TERMS = ["spark", "hash", "window"]
+
+
+@register(
+    "q_tfidf",
+    sql="""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    scored AS (
+      SELECT doc_id, term, tf, df_t,
+             round(tf * (ln((n + 1.0) / (df_t + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    rk AS (SELECT *, row_number() OVER
+             (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+           FROM scored)
+    SELECT doc_id, term, tf, df_t, tfidf, rk FROM rk WHERE rk <= 3
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    """TF-IDF top-3 keywords per document.  Two shuffles total —
+    (doc, term) counts with map-side combine, then the vocabulary-
+    sized document-frequency aggregate joined back by broadcast; the
+    corpus size N rides a broadcast 1-row aggregate, not a separate
+    driver action."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.tf_idf(R.doc_terms(docs), top_per_doc=3)
+
+
+@register(
+    "q_bm25",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    hits AS (SELECT doc_id, term FROM toks
+             WHERE term IN ('spark', 'hash', 'window')),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+    lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+             FROM documents),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             ), 6) AS score
+      FROM tf JOIN dfreq USING (term)
+              JOIN lens ON tf.doc_id = lens.doc_id
+              CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+    WHERE rank <= 20
+    """,
+)
+def q_bm25(spark, sf_dir):
+    """BM25 top-20 for the query {{'spark','hash','window'}}
+    (k1=1.2, b=0.75).  The query-term filter sits BELOW the first
+    shuffle, so only matching postings are aggregated — O(matching
+    postings), not O(corpus tokens), at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.bm25(docs, _BM25_TERMS, k=20)
+
+
+@register(
+    "q_chunk",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+               WHERE doc_id % 7 = 0),
+    s AS (SELECT doc_id, len(ws) AS doc_tokens, ws,
+                 unnest(range(1, greatest(len(ws), 1) + 1, 24)) AS start
+          FROM w)
+    SELECT doc_id, doc_tokens,
+           CAST((start - 1) // 24 + 1 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start,
+           CAST(len(ws[start : start + 31]) AS BIGINT) AS n_tokens,
+           array_to_string(ws[start : start + 31], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def q_chunk(spark, sf_dir):
+    """Fixed-window chunking (32-token windows, stride 24) over a 1/7
+    document sample: sequence + posexplode + slice, zero shuffles.
+    chunk_idx derives from the start offset, so both engines agree
+    without any ordinality dependence."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return R.chunk_docs(docs, chunk_size=32, stride=24)
+
+
+@register(
+    "q_quantize_topk",
+    sql="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS mx
+          FROM e),
+    q AS (SELECT vec_id,
+                 list_transform(v, x -> CAST(CASE WHEN mx = 0 THEN 0
+                     ELSE sign(x) * floor(abs(x) * 127.0 / mx + 0.5)
+                     END AS INTEGER)) AS qv
+          FROM m),
+    qs AS (SELECT vec_id AS q_id, qv AS q_vec FROM q WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q_id, c.vec_id AS cand_id,
+             round(
+               list_sum(list_transform(list_zip(q_vec, c.qv),
+                                       z -> CAST(z[1] * z[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q_vec, x -> CAST(x*x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.qv, x -> CAST(x*x AS DOUBLE))))),
+               6) AS cos
+      FROM qs CROSS JOIN q c WHERE c.vec_id != q_id)
+    SELECT q_id, cand_id, cos, rank FROM (
+      SELECT q_id, cand_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, cand_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_quantize_topk(spark, sf_dir):
+    """Int8-quantized cosine top-5: vectors quantize to int8 with an
+    integer HALF_UP rule identical on both engines, the scale cancels
+    in cosine, and the scoring join ships 1-byte components instead of
+    8-byte doubles — the payload shape that matters at 100 TB.  Query
+    set = vec_id % 100 = 0 (small by contract, broadcast)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from shadems_spark.operators.similarity import as_double
+
+    q = emb.select(
+        "vec_id", R.quantize_vec(as_double("embedding")).alias("qv")
+    )
+    queries = q.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_vec")
+    )
+    scored = (
+        q.select(F.col("vec_id").alias("cand_id"), F.col("qv").alias("c_vec"))
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("cand_id") != F.col("q_id"))
+        .withColumn(
+            "cos",
+            F.round(R.quantized_cosine(F.col("q_vec"), F.col("c_vec")), 6),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "cand_id", "cos", "rank")
+    )
+
+
+@register(
+    "q_split_stratified",
+    sql="""
+    WITH s AS (SELECT lang,
+                      CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+                             THEN 'train'
+                           WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+                             THEN 'val'
+                           ELSE 'test' END AS split
+               FROM documents),
+    c AS (SELECT lang, split, count(*) AS n FROM s GROUP BY 1, 2)
+    SELECT lang, split, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6)
+             AS share
+    FROM c
+    """,
+)
+def q_split_stratified(spark, sf_dir):
+    """Deterministic 80/10/10 split via Knuth multiplicative hash on
+    doc_id, reported per (lang, split) with within-language shares.
+    Pure per-row bigint arithmetic — identical under retry and across
+    engines; the report aggregate is language x 3 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.split_report(R.stratified_split(docs), strat_col="lang")

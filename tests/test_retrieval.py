@@ -1,0 +1,135 @@
+"""Retrieval-family tests: TF-IDF / BM25 semantics, chunk coverage
+invariants, quantization error bounds, split determinism — plus plan
+pins for the scale shapes the module docstrings promise."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from shadems_spark.catalog import load_table
+from shadems_spark.operators import retrieval as R
+from shadems_spark.queries import load_registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, qname):
+    reg = load_registry()
+    return reg[qname][0](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tfidf_idf_math(spark):
+    """A term present in every document gets idf ln(1)=0 -> score tf*1
+    (the +1 smoothing floor); a rarer term scores strictly higher per
+    occurrence."""
+    df = spark.sql(
+        "SELECT * FROM VALUES (0, 'a a b'), (1, 'a c') AS t(doc_id, text)"
+    )
+    out = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in R.tf_idf(R.doc_terms(df), top_per_doc=None).collect()
+    }
+    # 'a' in both docs: idf = ln(3/3)+1 = 1 -> doc0 score 2.0, doc1 1.0
+    assert out[(0, "a")] == 2.0 and out[(1, "a")] == 1.0
+    # 'b' df=1: idf = ln(3/2)+1
+    assert out[(0, "b")] == round(math.log(3 / 2) + 1, 6)
+
+
+def test_bm25_ranks_tf_and_rarity(spark):
+    """More hits of a rarer term outrank fewer hits of a common one;
+    longer docs are penalized at equal tf."""
+    df = spark.sql(
+        """SELECT * FROM VALUES
+        (0, 'x x y pad pad'),
+        (1, 'x pad pad pad pad'),
+        (2, 'pad pad pad pad pad')
+        AS t(doc_id, text)"""
+    )
+    out = R.bm25(df, ["x", "y"], k=10).collect()
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    assert ranks[0] == 1 and ranks[1] == 2 and 2 not in ranks
+
+
+def test_chunks_cover_every_token(spark):
+    """Stride <= chunk_size -> every token index falls in >= 1 chunk,
+    first chunk starts at 1, and n_tokens <= chunk_size."""
+    docs = load_table(spark, SF, "documents").limit(50)
+    ch = R.chunk_docs(docs, chunk_size=32, stride=24)
+    bad = ch.filter(
+        (F.col("n_tokens") > 32)
+        | (F.col("start") + F.col("n_tokens") - 1 > F.col("doc_tokens"))
+    ).count()
+    assert bad == 0
+    agg = (
+        ch.groupBy("doc_id", "doc_tokens")
+        .agg(
+            F.min("start").alias("first"),
+            F.max(F.col("start") + F.col("n_tokens") - 1).alias("covered"),
+        )
+        .filter((F.col("first") != 1) | (F.col("covered") != F.col("doc_tokens")))
+        .count()
+    )
+    assert agg == 0
+
+
+def test_quantized_cosine_close_to_exact(spark):
+    """Int8 quantization keeps cosine within ~1e-2 of the exact value
+    on real embeddings (64-dim)."""
+    from shadems_spark.operators.similarity import as_double, cosine
+
+    emb = load_table(spark, SF, "embeddings").limit(64)
+    a = emb.select("vec_id", as_double("embedding").alias("v"),
+                   R.quantize_vec(as_double("embedding")).alias("qv"))
+    b = a.select(
+        F.col("vec_id").alias("vid2"), F.col("v").alias("v2"), F.col("qv").alias("qv2")
+    )
+    pairs = a.crossJoin(b).filter(F.col("vec_id") < F.col("vid2")).limit(200)
+    err = pairs.select(
+        F.max(
+            F.abs(
+                cosine(F.col("v"), F.col("v2"))
+                - R.quantized_cosine(F.col("qv"), F.col("qv2"))
+            )
+        ).alias("e")
+    ).collect()[0]["e"]
+    assert err < 0.01
+
+
+def test_split_deterministic_and_complete(spark):
+    """Same ids -> same split on every run; every row lands in exactly
+    one of train/val/test."""
+    docs = load_table(spark, SF, "documents")
+    s1 = R.stratified_split(docs).groupBy("split").count().collect()
+    s2 = R.stratified_split(docs).groupBy("split").count().collect()
+    d1 = {r["split"]: r["count"] for r in s1}
+    assert d1 == {r["split"]: r["count"] for r in s2}
+    assert sum(d1.values()) == docs.count()
+    assert set(d1) <= {"train", "val", "test"}
+
+
+# ------------------------------------------------------------- plans
+
+def test_chunk_plan_has_no_shuffle(spark):
+    """Chunking is per-row generate+project — any Exchange means a
+    regression."""
+    p = _plan(spark, "q_chunk")
+    assert "Exchange" not in p
+    assert "Generate" in p
+
+
+def test_bm25_filters_below_aggregation(spark):
+    """The query-term IN-filter must sit directly above the token
+    Generate (i.e. in the scan stage, below every Exchange), so only
+    matching postings shuffle."""
+    p = _plan(spark, "q_bm25")
+    i = p.index("IN (spark,hash,window)")
+    between = p[i : p.index("Generate", i)]
+    assert "Exchange" not in between  # filter feeds the explode directly
+
+
+def test_quantize_broadcasts_queries(spark):
+    p = _plan(spark, "q_quantize_topk")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
