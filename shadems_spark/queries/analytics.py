@@ -336,3 +336,49 @@ def q_json_roundtrip(spark, sf_dir):
         schema="l_orderkey long, l_linenumber int, l_quantity double, "
         "l_extendedprice double, l_returnflag string",
     )
+
+
+@register(
+    "q_bucketed_join",
+    sql="""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderkey % 25 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bucketed_join(spark, sf_dir):
+    """Co-located fact x fact join on pre-bucketed tables: both sides
+    are written ONCE with bucketBy(8, orderkey) + sortBy, so the join
+    (and any later orderkey aggregation) runs with no Exchange and no
+    Sort on either side — the write-time shuffle is amortized across
+    every downstream consumer, the standard layout for a 100 TB fact
+    table that joins on the same key daily.  tests/test_plans pins
+    the Exchange-free plan; the merge hint keeps the demo honest
+    (broadcast would hide the property at toy scale)."""
+    from shadems_spark.sources.io import write_bucketed
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 25 == 0)
+        .select("l_orderkey", "l_extendedprice")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 25 == 0)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    write_bucketed(li, "b_lineitem", "l_orderkey", 8)
+    write_bucketed(orders, "b_orders", "o_orderkey", 8)
+    bl = spark.table("b_lineitem").hint("merge")
+    bo = spark.table("b_orders").hint("merge")
+    return (
+        bl.join(bo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

@@ -63,3 +63,33 @@ def write_compacted(df: DataFrame, path: str, target_mb: int = 128) -> int:
     n = max(1, min(10000, size // (target_mb * 1024 * 1024) + 1))
     df.repartition(n).write.mode("overwrite").parquet(path)
     return n
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Bucketed managed table: pre-shuffles ONCE at write time so every
+    later equi-join/aggregation on ``bucket_col`` against a co-bucketed
+    table runs with NO Exchange — the canonical way to amortize the
+    dominant shuffle of a repeatedly-joined 100 TB fact table.
+    ``sortBy`` additionally removes the join Sort when both sides
+    declare it.  Requires saveAsTable (bucket metadata lives in the
+    catalog, not the parquet footer)."""
+    import shutil
+
+    spark = df.sparkSession
+    # the warehouse dir outlives the per-session metastore: a stale
+    # location with no catalog entry makes saveAsTable refuse even
+    # with mode=overwrite, so clear both.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    if wh:
+        shutil.rmtree(f"{wh.rstrip('/')}/{table}", ignore_errors=True)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)

@@ -158,3 +158,17 @@ def test_gap_fill_grid_broadcasts(spark):
     the fact side never shuffles for the enrichment."""
     p = _plan(spark, "q_gap_fill")
     assert "BroadcastHashJoin" in p
+
+
+def test_bucketed_join_no_join_shuffle(spark):
+    """Co-bucketed fact x fact join: both scans read bucket layout and
+    the SortMergeJoin runs with NO Exchange on the join keys — the
+    write-time shuffle is the only one (the residual Exchange is the
+    tiny groupBy on priority)."""
+    reg = load_registry()
+    df = reg["q_bucketed_join"][0](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Bucketed: true") >= 2
+    assert "SortMergeJoin" in p
+    assert "Exchange hashpartitioning(l_orderkey" not in p
+    assert "Exchange hashpartitioning(o_orderkey" not in p
