@@ -183,3 +183,28 @@ def q_gap_fill(spark, sf_dir):
         F.coalesce("n", F.lit(0)).cast("long").alias("n"),
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
     )
+
+
+@register(
+    "q_stream_join",
+    sql="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_join(spark, sf_dir):
+    """Stream-stream interval join, batch-checkable form: click ->
+    purchase attribution within 30 minutes per user.  The time bound
+    lives in the join condition (state-expiry shape under streaming);
+    the shuffle key is user_id — bounded state, no cross join."""
+    ev = _ev(spark, sf_dir)
+    return SW.interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )

@@ -148,3 +148,42 @@ def run_stream_smoke(spark: SparkSession, sf_dir: str, out_table: str = "stream_
     )
     q.awaitTermination(120)
     return spark.table(out_table).count()
+
+
+def interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    upper_minutes: int = 30,
+) -> DataFrame:
+    """Stream-stream interval join: purchase within [click.ts,
+    click.ts + upper] for the same key.  The time bound is part of the
+    JOIN CONDITION — under Structured Streaming (both sides
+    watermarked) it is what lets the engine expire join state, so
+    buffered rows stay O(key-rate x interval) instead of unbounded.
+    The same builder runs on batch frames (oracle-checked as
+    q_stream_join) and on two readStream frames
+    (tests/test_streaming.py asserts parity)."""
+    c = clicks.select(
+        F.col(key).alias("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col(key).alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {upper_minutes} MINUTES"))
+    )
+    # exact integer µs gap (session tz is UTC, so the NTZ->TZ cast is
+    # identity and both engines subtract the same epoch numbers)
+    gap = F.unix_micros(F.col("p_ts").cast("timestamp")) - F.unix_micros(
+        F.col("c_ts").cast("timestamp")
+    )
+    return c.join(p, cond).select(
+        "user_id", "click_id", "purchase_id", gap.alias("gap_us")
+    )

@@ -288,3 +288,38 @@ def test_stateful_stream_matches_batch(spark, sf_dir):
         for r in ST.running_totals_batch(ev).collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join for real: two watermarked readStream
+    frames (clicks, purchases), joined with the time-bound condition,
+    drained with availableNow — output must equal the batch
+    interval_join on the same events."""
+    clicks = SW.stream_from_parquet(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = SW.stream_from_parquet(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        SW.interval_join(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["gap_us"])
+        for r in spark.table("t_ssjoin").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["gap_us"])
+        for r in SW.interval_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
