@@ -38,6 +38,11 @@ HEADLINE = [
     "q_repetition",
     "q_domain_mix",
     "q_seq_pack",
+    "q_tfidf",
+    "q_bm25",
+    "q_quantize_topk",
+    "q_stream_join",
+    "q_bucketed_join",
 ]
 
 
