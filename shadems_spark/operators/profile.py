@@ -1,0 +1,93 @@
+"""Data-quality profiling (north-star pipeline utility): one-pass
+per-column statistics and vocabulary coverage.
+
+Scale shape: `profile` computes EVERY column's stats in a SINGLE
+aggregation job — one scan of the table regardless of column count —
+then pivots the one-row result into (column, stat) rows with a
+plain Column `stack`, driver-free.  The multi-countDistinct agg uses
+Spark's Expand-based rewrite (rows × n_distinct_aggs before the
+partial agg); for a 100 TB profile swap ``exact=False`` to
+approx_count_distinct, which keeps the scan single-pass and the
+state HLL-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType
+
+
+def profile(df: DataFrame, cols: list[str] | None = None, exact: bool = True) -> DataFrame:
+    """Per-column stats in one scan: rows, nulls, distinct, numeric
+    min/max (null for strings), string min/max (null for numerics).
+
+    Returns (column, n_rows, n_null, n_distinct, min_num, max_num,
+    min_str, max_str), one row per profiled column."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = cols or [
+        n for n, t in fields.items()
+        if isinstance(t, (NumericType, StringType))
+    ]
+    distinct = F.count_distinct if exact else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        num = isinstance(fields[c], NumericType)
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__null"),
+            distinct(F.col(c)).alias(f"{c}__dist"),
+            (F.min(c).cast("double") if num else F.lit(None).cast("double")).alias(f"{c}__minn"),
+            (F.max(c).cast("double") if num else F.lit(None).cast("double")).alias(f"{c}__maxn"),
+            (F.lit(None).cast("string") if num else F.min(c)).alias(f"{c}__mins"),
+            (F.lit(None).cast("string") if num else F.max(c)).alias(f"{c}__maxs"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__null`, `{c}__dist`, `{c}__minn`, `{c}__maxn`, `{c}__mins`, `{c}__maxs`"
+        for c in cols
+    )
+    return one.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_null, n_distinct, min_num, max_num, min_str, max_str)",
+    ).select(
+        "column", "n_rows", "n_null", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, text: str = "text", top: int = 100
+) -> DataFrame:
+    """Vocabulary build + coverage curve: top-``top`` words by corpus
+    frequency with rank and cumulative coverage share (the how-big-
+    must-the-vocab-be question of tokenizer design).
+
+    The corpus-sized work is the (word, count) aggregation with
+    map-side combine; the ordered cumulative window then runs on the
+    VOCABULARY-sized table only (single-partition by nature, small by
+    construction — document-scale data never enters the window)."""
+    from pyspark.sql import Window
+
+    from shadems_spark.operators.text import words
+
+    wc = (
+        df.select(F.explode(words(text)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    order = Window.orderBy(F.col("n").desc(), F.col("w"))
+    total = Window.partitionBy()
+    return (
+        wc.withColumn("rk", F.row_number().over(order))
+        .withColumn(
+            "coverage",
+            F.round(
+                F.sum("n").over(order.rowsBetween(Window.unboundedPreceding, 0))
+                / F.sum("n").over(total),
+                6,
+            ),
+        )
+        .filter(F.col("rk") <= top)
+        .select("w", "n", "rk", "coverage")
+    )

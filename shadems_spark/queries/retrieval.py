@@ -198,3 +198,78 @@ def q_split_stratified(spark, sf_dir):
     engines; the report aggregate is language x 3 rows."""
     docs = load_table(spark, sf_dir, "documents")
     return R.split_report(R.stratified_split(docs), strat_col="lang")
+
+
+@register(
+    "q_profile",
+    sql="""
+    WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+    SELECT 'l_quantity' AS column, n_rows,
+           (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL) AS n_null,
+           (SELECT count(DISTINCT l_quantity) FROM lineitem) AS n_distinct,
+           (SELECT CAST(min(l_quantity) AS DOUBLE) FROM lineitem) AS min_num,
+           (SELECT CAST(max(l_quantity) AS DOUBLE) FROM lineitem) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM n
+    UNION ALL
+    SELECT 'l_discount', n_rows,
+           (SELECT count(*) FROM lineitem WHERE l_discount IS NULL),
+           (SELECT count(DISTINCT l_discount) FROM lineitem),
+           (SELECT CAST(min(l_discount) AS DOUBLE) FROM lineitem),
+           (SELECT CAST(max(l_discount) AS DOUBLE) FROM lineitem),
+           NULL, NULL
+    FROM n
+    UNION ALL
+    SELECT 'l_returnflag', n_rows,
+           (SELECT count(*) FROM lineitem WHERE l_returnflag IS NULL),
+           (SELECT count(DISTINCT l_returnflag) FROM lineitem),
+           NULL, NULL,
+           (SELECT min(l_returnflag) FROM lineitem),
+           (SELECT max(l_returnflag) FROM lineitem)
+    FROM n
+    UNION ALL
+    SELECT 'l_linestatus', n_rows,
+           (SELECT count(*) FROM lineitem WHERE l_linestatus IS NULL),
+           (SELECT count(DISTINCT l_linestatus) FROM lineitem),
+           NULL, NULL,
+           (SELECT min(l_linestatus) FROM lineitem),
+           (SELECT max(l_linestatus) FROM lineitem)
+    FROM n
+    """,
+)
+def q_profile(spark, sf_dir):
+    """One-pass column profile of lineitem (2 numeric + 2 string
+    columns): nulls, exact distinct, min/max — ONE aggregation job for
+    all columns (the oracle's per-column scalar subqueries are the
+    readable spec; Spark does it in a single scan)."""
+    from shadems_spark.operators.profile import profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile(li, ["l_quantity", "l_discount", "l_returnflag", "l_linestatus"])
+
+
+@register(
+    "q_vocab",
+    sql="""
+    WITH wc AS (SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents),
+    c AS (SELECT w, count(*) AS n FROM wc GROUP BY w),
+    r AS (SELECT w, n,
+                 row_number() OVER (ORDER BY n DESC, w) AS rk,
+                 sum(n) OVER (ORDER BY n DESC, w
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(n) OVER () AS total
+          FROM c)
+    SELECT w, n, rk, round(cum / CAST(total AS DOUBLE), 6) AS coverage
+    FROM r WHERE rk <= 100
+    """,
+)
+def q_vocab(spark, sf_dir):
+    """Tokenizer-vocab coverage curve: top-100 words with cumulative
+    corpus-coverage share.  The corpus-sized stage is the word-count
+    aggregation; the ordered window only ever sees the vocabulary-
+    sized table."""
+    from shadems_spark.operators.profile import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, top=100)

@@ -172,3 +172,24 @@ def test_bucketed_join_no_join_shuffle(spark):
     assert "SortMergeJoin" in p
     assert "Exchange hashpartitioning(l_orderkey" not in p
     assert "Exchange hashpartitioning(o_orderkey" not in p
+
+
+def test_profile_single_scan(spark):
+    """The 4-column profile must read the table ONCE (one FileScan,
+    Expand-based multi-distinct), not once per column."""
+    reg = load_registry()
+    df = reg["q_profile"][0](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("FileScan parquet") == 1
+    assert "Expand" in p  # the one-pass multi-countDistinct rewrite
+
+
+def test_vocab_window_after_aggregate(spark):
+    """The single-partition coverage window must sit ABOVE the word
+    count aggregate (vocab-sized input), never over the raw corpus."""
+    reg = load_registry()
+    df = reg["q_vocab"][0](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    i_win = p.index("Window")
+    assert "HashAggregate" in p[i_win:]  # agg below the window
+    assert "partial_count" in p  # map-side combine on the corpus stage
