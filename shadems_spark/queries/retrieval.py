@@ -151,19 +151,45 @@ def q_quantize_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     from shadems_spark.operators.similarity import as_double
 
+    # quantize once and precompute each vector's norm ONCE instead of
+    # per pair (the naive quantized_cosine refolds both norms for
+    # every (query, candidate) pair — 3x the HOF fold work; the win
+    # grows with the query fan-out since each saved fold is reused
+    # n_queries / n_candidates times).
     q = emb.select(
         "vec_id", R.quantize_vec(as_double("embedding")).alias("qv")
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("qv"), lambda x: (x * x).cast("double")),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        ),
     )
     queries = q.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_vec")
+        F.col("vec_id").alias("q_id"),
+        F.col("qv").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dotq = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"), F.col("c_vec"), lambda x, y: (x * y).cast("double")
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
     )
     scored = (
-        q.select(F.col("vec_id").alias("cand_id"), F.col("qv").alias("c_vec"))
+        q.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("qv").alias("c_vec"),
+            F.col("nrm").alias("c_nrm"),
+        )
         .crossJoin(F.broadcast(queries))
         .filter(F.col("cand_id") != F.col("q_id"))
         .withColumn(
-            "cos",
-            F.round(R.quantized_cosine(F.col("q_vec"), F.col("c_vec")), 6),
+            "cos", F.round(dotq / (F.col("q_nrm") * F.col("c_nrm")), 6)
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
