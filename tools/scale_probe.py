@@ -84,6 +84,19 @@ PROBE_DEDUP = [
     "q_decontaminate",
 ]
 
+#: retrieval-family probe (--retrieval): documents-only workloads.
+#: Copies are word-mutated, so the x10 corpus has ~10x the VOCABULARY
+#: too — the stress case for tfidf/vocab (df table grows with N, not
+#: just postings) and the honest case for bm25 (query terms hit only
+#: copy 0, so its match-bounded claim is visible: near-flat wall).
+PROBE_RETRIEVAL = [
+    "q_tfidf",
+    "q_bm25",
+    "q_vocab",
+    "q_chunk",
+    "q_split_stratified",
+]
+
 #: key shift per copy — far above any real key at these scale factors.
 SHIFT = 100_000_000
 
@@ -147,21 +160,24 @@ def run_probe(
 
 def main() -> None:
     dedup = "--dedup" in sys.argv
+    retrieval = "--retrieval" in sys.argv
+    docs_only = dedup or retrieval
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 10
     base = pos[1] if len(pos) > 1 else "/root/testdata/sf0.1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    scaled = os.path.join(repo, ".scratch", f"sfx{n}" + ("_docs" if dedup else ""))
+    scaled = os.path.join(repo, ".scratch", f"sfx{n}" + ("_docs" if docs_only else ""))
 
     spark = get_spark("shadems-scale-probe")
     registry = load_registry()
-    names = [q for q in (PROBE_DEDUP if dedup else PROBE) if q in registry]
-    warm = "q_dedup_exact" if dedup else "q_scan"
+    probe_set = PROBE_DEDUP if dedup else PROBE_RETRIEVAL if retrieval else PROBE
+    names = [q for q in probe_set if q in registry]
+    warm = "q_dedup_exact" if docs_only else "q_scan"
 
     t0 = time.time()
     build_scaled(
         spark, base, scaled, n,
-        only=(["documents"] if dedup else None), mutate_docs=dedup,
+        only=(["documents"] if docs_only else None), mutate_docs=docs_only,
     )
     build_s = round(time.time() - t0, 1)
 
@@ -186,7 +202,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "scale_probe_dedup" if dedup else "scale_probe",
+                "metric": ("scale_probe_dedup" if dedup else "scale_probe_retrieval" if retrieval else "scale_probe"),
                 "n": n,
                 "base": base,
                 "build_sec": build_s,
