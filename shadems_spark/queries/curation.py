@@ -225,3 +225,34 @@ def q_gopher_rules(spark, sf_dir):
         "doc_id", "n_words", "mean_word_len", "symbol_ratio",
         "alpha_word_frac", "passes_gopher",
     )
+
+
+@register(
+    "q_group_sample",
+    sql="""
+    SELECT event_type, event_id, user_id FROM (
+      SELECT event_type, event_id, user_id,
+             row_number() OVER
+               (PARTITION BY event_type
+                ORDER BY (event_id * 2654435761) % 4294967296, event_id)
+               AS rk
+      FROM events)
+    WHERE rk <= 3
+    """,
+)
+def q_group_sample(spark, sf_dir):
+    """Deterministic k-per-group sampling (eval-set construction):
+    rank rows inside each group by a multiplicative hash of their id
+    and keep the first k.  Identical on re-run/retry/engine — no
+    sampling state; one shuffle on the group key."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        (F.col("event_id") * F.lit(2654435761)) % F.lit(1 << 32), "event_id"
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "event_id", "user_id")
+    )

@@ -167,3 +167,91 @@ def q_window_battery(spark, sf_dir):
         F.lead("u", 2).over(w).alias("lead_u"),
         F.round(F.avg("u").over(roll), 4).alias("roll_u"),
     )
+
+
+@register(
+    "q_scd2",
+    sql="""
+    WITH e AS (SELECT user_id, event_type, event_id,
+                      epoch_us(ts) AS ts_us
+               FROM events WHERE user_id < 20),
+    seg AS (SELECT *,
+                   lag(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+            FROM e),
+    starts AS (SELECT user_id, event_type, ts_us FROM seg
+               WHERE prev IS NULL OR prev != event_type)
+    SELECT user_id, event_type, ts_us AS valid_from,
+           lead(ts_us) OVER
+             (PARTITION BY user_id ORDER BY ts_us) AS valid_to
+    FROM starts
+    """,
+)
+def q_scd2(spark, sf_dir):
+    """SCD-type-2 history build: collapse each user's event_type
+    stream into change segments with [valid_from, valid_to) intervals
+    — two lag/lead windows, both partitioned by user_id, so every
+    shuffle is the natural per-entity key and state never exceeds one
+    user's history per task."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = ev.select(
+        "user_id", "event_type", "event_id", ts_us.alias("ts_us")
+    ).withColumn("prev", F.lag("event_type").over(w))
+    starts = seg.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us")
+    return starts.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from"),
+        F.lead("ts_us").over(w2).alias("valid_to"),
+    )
+
+
+@register(
+    "q_outliers",
+    sql="""
+    WITH med AS (SELECT event_type,
+                        quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS ad
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type,
+           round(d.value, 4) AS value,
+           round(d.ad / m.mad, 4) AS score
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.ad > 6 * m.mad
+    """,
+)
+def q_outliers(spark, sf_dir):
+    """Robust outlier detection: |value - median| > 6 * MAD per event
+    type.  Two tiny per-type aggregates (exact interpolated
+    percentile on both engines) broadcast back onto the fact scan —
+    the fact table shuffles only for the percentile itself, and a
+    t-digest/approx swap keeps even that map-side at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("ad") > 6 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(F.col("ad") / F.col("mad"), 4).alias("score"),
+        )
+    )
