@@ -382,3 +382,61 @@ def q_bucketed_join(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+@register(
+    "q_ship_priority",
+    sql="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_ship_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): segment-filtered customer
+    dim broadcast into orders, orders' surviving keys join lineitem,
+    revenue aggregate, global top-10 via TakeOrdered (never a full
+    sort).  Both date filters reach their scans as pushed predicates."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        # only the segment-filtered customer KEY LIST broadcasts; the
+        # orders x lineitem join shuffles on orderkey (or AQE picks
+        # broadcast at toy scale) — at 100 TB both sides are facts.
+        li.join(
+            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
