@@ -440,3 +440,35 @@ def q_ship_priority(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "q_pysource",
+    sql="""
+    SELECT (i * 2654435761) % 4294967296 % 100 AS bucket,
+           count(*) AS n,
+           round(sum(((i * 2654435761) % 4294967296 % 1000000)
+                     / 1000000.0), 6) AS sum_val
+    FROM range(0, 20000) t(i)
+    GROUP BY 1
+    """,
+)
+def q_pysource(spark, sf_dir):
+    """Custom Python DataSource end-to-end: read 20k rows from the
+    synthgen format (partition-planned, executor-side generation) and
+    aggregate per bucket.  The oracle reproduces the source's
+    arithmetic from range() — checking the full read path, not just
+    the aggregate."""
+    from shadems_spark.sources.pysource import register_synthgen
+
+    register_synthgen(spark)
+    df = (
+        spark.read.format("synthgen")
+        .option("rows", 20000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("val"), 6).alias("sum_val"),
+    )

@@ -1,0 +1,58 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API) —
+the extension point for ingesting formats Spark has no built-in
+reader for (instrument telemetry, proprietary binary logs, service
+APIs).
+
+The demo source generates a deterministic synthetic stream:
+``spark.read.format("synthgen").option("rows", N)`` — but the shape
+is the real one: `partitions()` plans N independent splits
+driver-side (like DataSource V2 partition planning), and each
+`read(partition)` runs ON AN EXECUTOR, yielding only its split's
+rows — so ingestion parallelism scales with the cluster, and no row
+ever passes through the driver.  Rows derive from the id by pure
+arithmetic (Knuth multiplicative hash), which is what lets the DuckDB
+oracle mirror the source exactly from `range()`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_KNUTH32 = 2654435761
+_MOD32 = 1 << 32
+
+
+class SynthDataSource(DataSource):
+    """`format("synthgen")`: rows (id, bucket, val) with
+    bucket = knuth(id) % 100 and val = (knuth(id) % 1e6) / 1e6."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthgen"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, val double"
+
+    def reader(self, schema) -> "SynthReader":
+        return SynthReader(self.options)
+
+
+class SynthReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.num_parts = int(options.get("partitions", 8))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.num_parts)]
+
+    def read(self, partition):
+        # round-robin split: this partition owns ids i, i+P, i+2P, ...
+        start = partition.value
+        for i in range(start, self.rows, self.num_parts):
+            h = (i * _KNUTH32) % _MOD32
+            yield (i, h % 100, (h % 1_000_000) / 1_000_000)
+
+
+def register_synthgen(spark) -> None:
+    """Idempotent registration of the synthgen format."""
+    spark.dataSource.register(SynthDataSource)
