@@ -182,3 +182,58 @@ def q_asof_join(spark, sf_dir):
     return out.select(
         "event_id", "user_id", F.col("asof_click_us").alias("asof_click_us")
     )
+
+
+@register(
+    "q_asof_cogroup",
+    sql="""
+    SELECT p.event_id, p.user_id,
+           (SELECT max(epoch_us(c.ts)) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts) AS asof_click_us
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def q_asof_cogroup(spark, sf_dir):
+    """J6 via the cogrouped-pandas path: groupBy(user_id).cogroup +
+    applyInPandas(merge_asof) — the sanctioned Arrow escape hatch for
+    ordered per-key merges, result-identical to the JVM union+window
+    form (same oracle as q_asof_join).  Scale shape: ONE co-shuffle of
+    both sides on user_id, then per-key pandas merges sized by a
+    single user's history; Arrow batches, never row-at-a-time."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("ts_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("click_us")
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts_us")
+        # the key rides the left frame; keep only the value column on
+        # the right (a shared user_id column would suffix-collide).
+        right = (
+            right[["click_us"]]
+            .rename(columns={"click_us": "asof_click_us"})
+            .sort_values("asof_click_us")
+        )
+        out = pd.merge_asof(
+            left,
+            right,
+            left_on="ts_us",
+            right_on="asof_click_us",
+            direction="backward",
+        )
+        return out[["event_id", "user_id", "asof_click_us"]]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge, "event_id long, user_id long, asof_click_us long"
+        )
+    )
