@@ -299,3 +299,43 @@ def q_vocab(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return vocab_coverage(docs, top=100)
+
+
+@register(
+    "q_chunk_udtf",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+               WHERE doc_id % 31 = 0),
+    s AS (SELECT doc_id, ws,
+                 unnest(range(1, greatest(len(ws), 1) + 1, 24)) AS start
+          FROM w)
+    SELECT doc_id, CAST(start AS INTEGER) AS start,
+           array_to_string(ws[start : start + 31], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def q_chunk_udtf(spark, sf_dir):
+    """Python UDTF surface (Spark 4 @udtf + LATERAL): the chunker as a
+    user-defined TABLE function, cross-validated against q_chunk's
+    pure-Column semantics via the same slicing oracle.  Row-Python is
+    the slow path by policy — this exists to cover the API (the
+    production chunker is the zero-shuffle Column form); the lateral
+    join still fans out executor-side with no driver involvement."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="start int, chunk_text string")
+    class Chunker:
+        def eval(self, text: str, size: int, stride: int):
+            ws = text.split(" ")
+            for s in range(0, max(len(ws), 1), stride):
+                yield s + 1, " ".join(ws[s : s + size])
+
+    spark.udtf.register("chunker", Chunker)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 31 == 0
+    )
+    docs.createOrReplaceTempView("__chunk_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.start, c.chunk_text "
+        "FROM __chunk_docs d, LATERAL chunker(d.text, 32, 24) c"
+    )
