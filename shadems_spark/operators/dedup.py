@@ -211,7 +211,7 @@ def connected_components(
         edges.select(F.col("src").alias("v")).distinct().withColumn("lbl", F.col("v"))
     ).persist()
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             nbr_min = (
                 edges.join(labels, edges.dst == labels.v)
                 .groupBy("src")
@@ -239,6 +239,11 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+            # persist caches data but the logical plan still nests one
+            # level per round; truncate lineage periodically so long
+            # propagations never accumulate an analysis-time blowup.
+            if (it + 1) % 5 == 0:
+                labels = labels.localCheckpoint(eager=True)
         return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
     finally:
         edges.unpersist()

@@ -255,3 +255,45 @@ def q_outliers(spark, sf_dir):
             F.round(F.col("ad") / F.col("mad"), 4).alias("score"),
         )
     )
+
+
+@register(
+    "q_range_frame",
+    sql="""
+    SELECT event_id, user_id, ts_us,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
+             AS rolling_1h,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS n_1h
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+          FROM events WHERE user_id < 10)
+    """,
+)
+def q_range_frame(spark, sf_dir):
+    """RANGE-frame window (value-based, not row-based): per-user
+    rolling 1-hour sum/count over event time — the frame the ROWS
+    battery can't express when events are irregularly spaced.  Keyed
+    on user_id, so frame state per task is one user's hour of
+    events.  ts in integer µs (epoch arithmetic identical on both
+    engines; duplicate timestamps make ROWS ambiguous but RANGE
+    well-defined)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    base = ev.select(
+        "event_id", "user_id", F.expr("ts_ns div 1000").alias("ts_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round(F.sum("value").over(w), 2).alias("rolling_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
