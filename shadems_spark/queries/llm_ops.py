@@ -509,3 +509,69 @@ def q_dedup_bottomk(spark, sf_dir):
     cands = D.lsh_candidate_pairs(sigs)
     sketches = D.bottomk_sketch(docs, k=64)
     return D.bottomk_jaccard(cands, sketches, k=64, threshold=0.2)
+
+
+@register(
+    "q_entropy",
+    sql="""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+    n AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           round(-sum((c / CAST(n.n AS DOUBLE))
+                      * ln(c / CAST(n.n AS DOUBLE))), 6) AS entropy
+    FROM tf JOIN n ON tf.doc_id = n.doc_id
+    GROUP BY tf.doc_id
+    """,
+)
+def q_entropy(spark, sf_dir):
+    """Word-distribution entropy per document (low entropy = repeated
+    boilerplate, a standard quality signal alongside the Gopher
+    rules).  Shuffle ladder: (doc, word) counts with map-side
+    combine -> per-doc totals -> one entropy fold; every stage is
+    keyed on doc_id so the plan re-uses the same partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(T.words("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )
+
+
+@register(
+    "q_label_centroids",
+    sql="""
+    WITH e AS (SELECT label,
+                      unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                        AS x,
+                      generate_subscripts(embedding, 1) AS pos
+               FROM embeddings)
+    SELECT label, pos, round(avg(x), 6) AS mean_x, count(*) AS n
+    FROM e GROUP BY label, pos
+    """,
+)
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid in long format: posexplode the
+    vector, aggregate (label, pos) means with map-side combine —
+    the scalable vector-mean shape (no per-group array reassembly,
+    no collect; output = labels x dim rows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(SIM.as_double("embedding")).alias("pos0", "x")
+        )
+        .select("label", (F.col("pos0") + 1).alias("pos"), "x")
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean_x"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
