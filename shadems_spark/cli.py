@@ -28,7 +28,7 @@ from shadems_spark.operators import mappers as M
 from shadems_spark.operators import raster as R
 from shadems_spark.operators import selection as S
 from shadems_spark.plans.shadeplot import ShadePlot
-from shadems_spark.render import _CMAPS, render_png
+from shadems_spark.render import _CMAPS, parse_color, render_png
 from shadems_spark.session import get_spark
 from shadems_spark.vis import vis_view
 
@@ -81,6 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     canvas.add_argument("--cnum", type=int, default=16, help="max categories before 'other'")
     canvas.add_argument("--spread", type=int, default=0, help="paint each pixel's N-px neighbourhood (tf.spread)")
     canvas.add_argument("--dynspread", action="store_true", help="auto-spread sparse plots (tf.dynspread, threshold 0.5)")
+    canvas.add_argument("--bgcol", default="white", help="background colour (name, #rrggbb, or 'none' for transparent; reference default white)")
     canvas.add_argument("--robust", action="store_true", help="quantile-sketch axis bounds (outlier-proof)")
     out = p.add_argument_group("output")
     out.add_argument("--png", default="{ms}_{xname}_{yname}{field}.png", help="output name template")
@@ -248,6 +249,7 @@ def run(argv: list[str] | None = None, spark=None) -> list[str]:
                 one, path, plot.width, plot.height, how=args.norm, cmap=args.cmap,
                 spread_px=args.spread,
                 dynspread_threshold=0.5 if args.dynspread else None,
+                bgcol=None if args.bgcol == "none" else parse_color(args.bgcol),
             )
             written.append(path)
         return written
@@ -260,6 +262,7 @@ def run(argv: list[str] | None = None, spark=None) -> list[str]:
         how=args.norm, cmap=args.cmap, categories=categories,
         spread_px=args.spread,
         dynspread_threshold=0.5 if args.dynspread else None,
+        bgcol=None if args.bgcol == "none" else parse_color(args.bgcol),
     )
     written.append(path)
     return written

@@ -154,8 +154,25 @@ def dynspread(
     return spread(binned, max_px, width, height, val, extra_keys)
 
 
+#: background colour names ([R] shade_ms --bgcol); hex also accepted.
+_COLORS = {
+    "white": (255, 255, 255),
+    "black": (0, 0, 0),
+    "grey": (128, 128, 128),
+    "gray": (128, 128, 128),
+    "navy": (0, 0, 64),
+}
+
+
+def parse_color(name: str) -> tuple[int, int, int]:
+    if name.startswith("#") and len(name) == 7:
+        return tuple(int(name[i : i + 2], 16) for i in (1, 3, 5))
+    return _COLORS[name.lower()]
+
+
 def raster_to_rgba(
-    rows, width: int, height: int, cmap: str = "viridis", categories: list | None = None
+    rows, width: int, height: int, cmap: str = "viridis", categories: list | None = None,
+    bgcol: tuple[int, int, int] | None = None,
 ) -> np.ndarray:
     """Collected shaded pixels -> H×W×4 RGBA (row 0 = top scanline).
 
@@ -166,6 +183,12 @@ def raster_to_rgba(
     pixel-total shade.
     """
     img = np.zeros((height, width, 4), dtype=np.uint8)
+    if bgcol is not None:
+        # compose on an opaque background ([R] tf.set_background /
+        # shadeMS --bgcol, default white): unoccupied pixels get the
+        # background instead of transparency.
+        img[:, :, :3] = bgcol
+        img[:, :, 3] = 255
     table = lut(cmap)
     if categories is None:
         for r in rows:
@@ -224,6 +247,7 @@ def render_png(
     categories: list | None = None,
     spread_px: int = 0,
     dynspread_threshold: float | None = None,
+    bgcol: tuple[int, int, int] | None = None,
 ) -> str:
     """Binned table -> (spread) -> shaded PNG file; returns the path."""
     keys = ["cat"] if categories is not None else None
@@ -235,6 +259,8 @@ def render_png(
         binned = spread(binned, spread_px, width, height, extra_keys=keys)
     shaded = shade(binned, how=how)
     rows = shaded.collect()
-    img = raster_to_rgba(rows, width, height, cmap=cmap, categories=categories)
+    img = raster_to_rgba(
+        rows, width, height, cmap=cmap, categories=categories, bgcol=bgcol
+    )
     write_png(path, img)
     return path

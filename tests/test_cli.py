@@ -224,6 +224,7 @@ def test_cli_spread_golden_pixels(tmp_path, spark, sf_dir):
     base_argv = [
         sf_dir, "-x", "time", "-y", "amp",
         "--xcanvas", "48", "--ycanvas", "48", "--norm", "linear",
+        "--bgcol", "none",  # alpha marks occupancy for this test
         "--dir", str(tmp_path),
     ]
     p0 = cli.run(base_argv + ["--png", "nospread.png"], spark=spark)[0]
@@ -272,3 +273,29 @@ def test_cli_categorical(tmp_path, spark, sf_dir):
     )
     w, h, _ = _png_size(paths[0])
     assert (w, h) == (32, 32)
+
+
+def test_cli_bgcol_composes_background(tmp_path, spark, sf_dir):
+    """--bgcol paints unoccupied pixels opaque ([R] --bgcol, default
+    white): with a black background every pixel is opaque, and both
+    occupied and background pixels exist."""
+    import zlib
+
+    import numpy as np
+
+    path = cli.run(
+        [
+            sf_dir, "-x", "time", "-y", "amp", "--bgcol", "black",
+            "--cmap", "viridis", "--xcanvas", "24", "--ycanvas", "24",
+            "--dir", str(tmp_path), "--png", "bg.png",
+        ],
+        spark=spark,
+    )[0]
+    raw = open(path, "rb").read()
+    idat = raw[raw.index(b"IDAT") + 4 : raw.rindex(b"IEND") - 4]
+    px = zlib.decompress(idat)
+    rows = [px[y * (24 * 4 + 1) + 1 : (y + 1) * (24 * 4 + 1)] for y in range(24)]
+    img = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(24, 24, 4)
+    assert (img[:, :, 3] == 255).all()  # fully opaque canvas
+    black = (img[:, :, :3] == 0).all(axis=2)
+    assert black.any() and (~black).any()  # background + data pixels
