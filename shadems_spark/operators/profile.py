@@ -91,3 +91,41 @@ def vocab_coverage(
         .filter(F.col("rk") <= top)
         .select("w", "n", "rk", "coverage")
     )
+
+
+def global_index(
+    df: DataFrame,
+    order: list[str],
+    out: str = "gid",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Scalable global row numbering in total ``order`` (must be a
+    total order — include a unique key as the last column).
+
+    The naive row_number() over a global window moves EVERY row to one
+    partition; this is the two-pass shape that scales: range-partition
+    on the order key, number rows within each partition, then add each
+    partition's cumulative offset (a partitions-sized table whose
+    cumsum rides a tiny window, broadcast back).  No driver collect,
+    no single-partition stage over the data; numbering is invariant to
+    the sampled partition boundaries because ``order`` is total."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in order]
+    parts = df.repartitionByRange(n_parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    local = parts.withColumn("__rn", F.row_number().over(w_local))
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, (F.col("__off") + F.col("__rn")).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )

@@ -339,3 +339,92 @@ def q_chunk_udtf(spark, sf_dir):
         "SELECT d.doc_id, c.start, c.chunk_text "
         "FROM __chunk_docs d, LATERAL chunker(d.text, 32, 24) c"
     )
+
+
+@register(
+    "q_global_index",
+    sql="""
+    SELECT event_id,
+           row_number() OVER (ORDER BY epoch_us(ts), event_id) AS gid
+    FROM events
+    """,
+)
+def q_global_index(spark, sf_dir):
+    """Scalable global row numbering over 10k events in (ts, event_id)
+    order: range-partition + local row_number + broadcast cumulative
+    offsets (operators/profile.global_index) — numbering identical to
+    a global window without ever moving the data to one partition."""
+    from shadems_spark.operators.profile import global_index
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    return global_index(ev, ["ts_us", "event_id"]).select("event_id", "gid")
+
+
+@register(
+    "q_pmi",
+    sql="""
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    big AS (SELECT ws[i] AS a, ws[i+1] AS b
+            FROM w, LATERAL unnest(range(1, len(ws))) t(i)),
+    bc AS (SELECT a, b, count(*) AS nab FROM big GROUP BY 1, 2),
+    uni AS (SELECT unnest(string_split(text, ' ')) AS u FROM documents),
+    uc AS (SELECT u, count(*) AS nu FROM uni GROUP BY 1),
+    tot AS (SELECT (SELECT sum(nab) FROM bc) AS nb,
+                   (SELECT sum(nu) FROM uc) AS n1)
+    SELECT a, b, nab,
+           round(ln((nab / CAST(nb AS DOUBLE))
+                    / ((ua.nu / CAST(n1 AS DOUBLE))
+                       * (ub.nu / CAST(n1 AS DOUBLE)))), 6) AS pmi
+    FROM bc JOIN uc ua ON bc.a = ua.u
+            JOIN uc ub ON bc.b = ub.u
+            CROSS JOIN tot
+    WHERE nab >= 40
+    """,
+)
+def q_pmi(spark, sf_dir):
+    """Bigram collocation mining by pointwise mutual information:
+    PMI(a,b) = ln(p(ab) / p(a)p(b)) for bigrams seen >= 40 times.
+    Corpus-sized work is two counted explodes (bigrams via zip_with
+    on shifted slices, unigrams); the PMI join runs on the counted
+    tables with the unigram side broadcast and totals riding 1-row
+    broadcast aggregates."""
+    from shadems_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = words("text")
+    length = F.greatest(F.size(ws) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(ws, 1, length),
+        F.slice(ws, 2, length),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    bc = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+    )
+    uc = (
+        docs.select(F.explode(ws).alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("nu"))
+    )
+    tot = bc.agg(F.sum("nab").alias("nb")).crossJoin(
+        uc.agg(F.sum("nu").alias("n1"))
+    )
+    ua = uc.select(F.col("u").alias("a"), F.col("nu").alias("nu_a"))
+    ub = uc.select(F.col("u").alias("b"), F.col("nu").alias("nu_b"))
+    p_ab = F.col("nab") / F.col("nb")
+    p_a = F.col("nu_a") / F.col("n1")
+    p_b = F.col("nu_b") / F.col("n1")
+    return (
+        bc.filter(F.col("nab") >= 40)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a", "b", "nab", F.round(F.log(p_ab / (p_a * p_b)), 6).alias("pmi")
+        )
+    )

@@ -133,3 +133,44 @@ def test_quantize_broadcasts_queries(spark):
     p = _plan(spark, "q_quantize_topk")
     assert "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_global_index_matches_global_window(spark):
+    """Two-pass numbering equals the single-partition window form and
+    is stable across runs."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.profile import global_index
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    got = {
+        r["event_id"]: r["gid"]
+        for r in global_index(ev, ["ts_us", "event_id"]).collect()
+    }
+    w = Window.orderBy("ts_us", "event_id")
+    want = {
+        r["event_id"]: r["gid"]
+        for r in ev.withColumn("gid", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    again = {
+        r["event_id"]: r["gid"]
+        for r in global_index(ev, ["ts_us", "event_id"]).collect()
+    }
+    assert got == again
+
+
+def test_global_index_plan_range_partitions(spark):
+    """The data-sized stage must be range-partitioned (never a
+    SinglePartition exchange of the full input; the only
+    SinglePartition allowed is the partitions-sized offsets table)."""
+    reg = load_registry()
+    df = reg["q_global_index"][0](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in p
+    # offsets side: SinglePartition windows appear only above the
+    # per-partition count aggregate, never directly over the scan
+    for seg in p.split("Exchange SinglePartition")[1:]:
+        assert "HashAggregate" in seg[:2000] or "count" in seg[:2000]
