@@ -50,18 +50,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     tune(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            # `div` is integer division (a double `/` would round the
-            # ~1.7e18 nanos value: double ulp there is 256ns).
-            # timestamp_micros yields TimestampType; cast to NTZ so
-            # Arrow output is tz-naive like DuckDB's TIMESTAMP.
-            .withColumn(
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # Legacy fixture layout: TIMESTAMP(NANOS) parquet read via
+            # nanosAsLong.  `div` is integer division (a double `/`
+            # would round the ~1.7e18 nanos value: double ulp there is
+            # 256ns).  timestamp_micros yields TimestampType; cast to
+            # NTZ so Arrow output is tz-naive like DuckDB's TIMESTAMP.
+            df = df.withColumnRenamed("ts", "ts_ns").withColumn(
                 "ts",
                 F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz"),
             )
-        )
+        elif ts_type is not None and ts_type.startswith("timestamp"):
+            # Current fixture layout: TIMESTAMP(MICROS) parquet, read
+            # natively.  Derive the epoch-nanos long the engine's
+            # time-ordered queries key on (session tz is UTC, so the
+            # ntz->tz cast is wall-clock identity).
+            df = df.withColumn(
+                "ts_ns",
+                F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000),
+            )
+            if ts_type != "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

@@ -18,7 +18,10 @@ def eq_hist(binned: DataFrame, val: str = "val", out: str = "shade") -> DataFram
     empirical CDF rank (datashader's default for counts).  cume_dist
     gives ties identical shade, matching the empirical-CDF definition
     over non-empty pixels."""
-    w = Window.orderBy(F.col(val))
+    # partitionBy(lit(0)): the whole (bounded) raster is ONE window by
+    # design — the constant key states that explicitly instead of
+    # tripping WindowExec's no-partition warning on every run.
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col(val))
     return binned.withColumn(out, F.cume_dist().over(w))
 
 
@@ -35,6 +38,6 @@ def norm(binned: DataFrame, how: str, val: str = "val", out: str = "shade") -> D
         t = v
     else:
         raise ValueError(f"unknown norm {how!r}")
-    w = Window.partitionBy()  # whole raster
+    w = Window.partitionBy(F.lit(0))  # whole raster, one explicit partition
     lo, hi = F.min(t).over(w), F.max(t).over(w)
     return binned.withColumn(out, (t - lo) / (hi - lo))

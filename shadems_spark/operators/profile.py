@@ -76,8 +76,13 @@ def vocab_coverage(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    order = Window.orderBy(F.col("n").desc(), F.col("w"))
-    total = Window.partitionBy()
+    # vocabulary-sized table (≤ distinct words).  The cumulative
+    # coverage curve needs ONE totally-ordered pass by construction;
+    # the constant partition key says so explicitly.  At true 100 TB
+    # vocab (~1e8 rows) this single partition is the known cost of an
+    # exact CDF — cap upstream (min-count filter) before calling.
+    order = Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("w"))
+    total = Window.partitionBy(F.lit(0))
     return (
         wc.withColumn("rk", F.row_number().over(order))
         .withColumn(
@@ -118,7 +123,7 @@ def global_index(
     w_local = Window.partitionBy("__pid").orderBy(*cols)
     local = parts.withColumn("__rn", F.row_number().over(w_local))
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    w_off = Window.orderBy("__pid").rowsBetween(
+    w_off = Window.partitionBy(F.lit(0)).orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = counts.withColumn(

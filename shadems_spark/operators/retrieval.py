@@ -136,11 +136,15 @@ def bm25(
         .groupBy(id_col)
         .agg(F.round(F.sum(contrib), 6).alias("score"))
     )
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "score", "rank")
+    # Two-phase global top-k: orderBy().limit(k) compiles to
+    # TakeOrderedAndProject (per-partition partial top-k, merged) —
+    # the corpus-sized scored table never lands on one partition.
+    # Only the k survivors ride the ranking window.
+    order = [F.col("score").desc(), F.col(id_col)]
+    topk = scored.orderBy(*order).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "score", "rank"
     )
 
 

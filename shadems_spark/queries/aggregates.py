@@ -159,7 +159,8 @@ def q_cat_discover(spark, sf_dir):
     counts = li.groupBy(F.col("l_returnflag").alias("cat")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("cat"))
+    # category table: ≤ cardinality(cat) rows — one explicit partition
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("cat"))
     return counts.select(
         "cat",
         F.when(F.dense_rank().over(w) > 2, F.lit("other")).otherwise(F.col("cat")).alias("legend"),
@@ -314,7 +315,10 @@ def q_sort(spark, sf_dir):
     """O1: stable legend/category ordering ([R] create_plot legend)."""
     li = load_table(spark, sf_dir, "lineitem")
     cats = li.select(F.col("l_returnflag").alias("cat")).distinct()
-    return cats.select("cat", F.row_number().over(Window.orderBy("cat")).alias("ord"))
+    return cats.select(
+        "cat",
+        F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("cat")).alias("ord"),
+    )
 
 
 @register(

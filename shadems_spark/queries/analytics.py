@@ -94,10 +94,14 @@ def q_top_orders(spark, sf_dir):
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    # TakeOrderedAndProject top-10, then rank the 10 survivors — the
+    # grouped-revenue table never collapses to a single partition.
+    order = [F.col("revenue").desc(), F.col("o_orderkey")]
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
     return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+        rev.orderBy(*order)
+        .limit(10)
+        .withColumn("rk", F.row_number().over(w))
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),

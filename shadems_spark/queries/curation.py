@@ -9,6 +9,7 @@ table, oracle-checked like every other query family.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from shadems_spark.catalog import load_table
@@ -63,7 +64,7 @@ def q_decontaminate(spark, sf_dir):
     WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                FROM documents),
     c AS (SELECT doc_id, w, count(*) AS n FROM w GROUP BY 1, 2),
-    s AS (SELECT doc_id, sum(n) AS n_words, count(*) AS n_uniq,
+    s AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, count(*) AS n_uniq,
                  round(max(n) / sum(n), 6) AS top_frac,
                  round(1.0 - count(*) / sum(n), 6) AS dup_frac
           FROM c GROUP BY 1)
@@ -99,8 +100,9 @@ def q_repetition(spark, sf_dir):
                   len(regexp_extract_all(t2, '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}')) AS n_redacted,
                   regexp_replace(t2, '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}', '[PHONE]', 'g') AS clean
            FROM s2)
-    SELECT lang, count(*) AS n_docs, sum(n_redacted) AS redactions,
-           sum(length(clean)) AS clean_chars
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_redacted) AS BIGINT) AS redactions,
+           CAST(sum(length(clean)) AS BIGINT) AS clean_chars
     FROM s3 GROUP BY lang
     """,
 )
@@ -137,7 +139,7 @@ def q_pii_scrub(spark, sf_dir):
     kept AS (
         SELECT d.* FROM documents d JOIN rates USING (lang)
         WHERE d.doc_id % 1000 < CAST(rate * 1000 AS BIGINT))
-    SELECT lang, count(*) AS n_kept, sum(doc_id) AS key_sum
+    SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS key_sum
     FROM kept GROUP BY lang
     """,
 )
@@ -166,11 +168,12 @@ def q_domain_mix(spark, sf_dir):
                       CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens
                FROM documents),
     p AS (SELECT lang, tokens,
-                 (sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                                    ROWS UNBOUNDED PRECEDING) - tokens) // 512
-                   AS pack_id
+                 CAST((sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - tokens) // 512
+                      AS BIGINT) AS pack_id
           FROM t)
-    SELECT lang, pack_id, count(*) AS n_docs, sum(tokens) AS pack_tokens
+    SELECT lang, pack_id, count(*) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS pack_tokens
     FROM p GROUP BY 1, 2
     """,
 )
@@ -255,4 +258,150 @@ def q_group_sample(spark, sf_dir):
         ev.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("event_type", "event_id", "user_id")
+    )
+
+
+@register(
+    "q_alpha_mix",
+    sql="""
+    WITH s AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM s),
+    w AS (SELECT lang, n, pow(n / CAST(tot AS DOUBLE), 0.3) AS wu FROM s, t)
+    SELECT lang, n, round(wu / sum(wu) OVER (), 6) AS rate
+    FROM w
+    """,
+)
+def q_alpha_mix(spark, sf_dir):
+    """Temperature-based mixture weights (multilingual-sampling
+    alpha-mix, alpha=0.3): per-language corpus shares raised to alpha
+    and renormalized — the standard up/down-weighting rule for
+    low/high-resource strata in training-data mixing.  One fact-scan
+    aggregate; everything after runs on the languages-sized table."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = s.agg(F.sum("n").alias("tot"))
+    w = s.crossJoin(F.broadcast(tot)).withColumn(
+        "wu", F.pow(F.col("n") / F.col("tot"), F.lit(0.3))
+    )
+    z = Window.partitionBy(F.lit(0))  # languages-sized table
+    return w.select(
+        "lang", "n", F.round(F.col("wu") / F.sum("wu").over(z), 6).alias("rate")
+    )
+
+
+@register(
+    "q_unigram_lm",
+    sql="""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS u FROM documents),
+    uc AS (SELECT u, count(*) AS n FROM w GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM uc),
+    sc AS (SELECT w.doc_id, -ln(uc.n / CAST(tot AS DOUBLE)) AS nll
+           FROM w JOIN uc USING (u) CROSS JOIN tot)
+    SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 4) AS avg_nll
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q_unigram_lm(spark, sf_dir):
+    """Self-trained unigram LM quality score: every document scored by
+    its mean token negative-log-likelihood under the corpus's own
+    unigram distribution — the cheap LM-perplexity proxy used to rank
+    documents when no external LM is available.  Token<->vocab join is
+    keyed on the word (narrow key, word-partitioned shuffle); the
+    corpus total rides a broadcast."""
+    from shadems_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(words("text")).alias("u"))
+    uc = w.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
+    tot = uc.agg(F.sum("n").alias("tot"))
+    sc = (
+        w.join(uc, "u")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (-F.log(F.col("n") / F.col("tot"))).alias("nll"))
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+    )
+
+
+@register(
+    "q_span_dedup",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                                       for i in range(len(ws) - 2)])) AS ng
+          FROM w),
+    d AS (SELECT ng, count(*) AS nd FROM g GROUP BY 1)
+    SELECT g.doc_id, count(*) AS total,
+           CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared,
+           round(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) / count(*), 6)
+               AS shared_frac
+    FROM g JOIN d USING (ng) GROUP BY 1
+    """,
+)
+def q_span_dedup(spark, sf_dir):
+    """Span-level duplication audit (the 'fraction of my 3-gram spans
+    that exist in another document' signal behind exact-substring
+    dedup): distinct per-doc gram hashes, gram document-frequency,
+    joined back for a per-doc shared fraction.  All joins/aggregates
+    ride 8-byte xxhash64 gram keys (operators/text.ngram_hashes) —
+    counts are hash-invariant so the string-gram oracle matches."""
+    from shadems_spark.operators.text import ngram_hashes, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(ngram_hashes(words("text"), 3)).alias("ng")
+    )
+    d = g.groupBy("ng").agg(F.count(F.lit(1)).alias("nd"))
+    j = g.join(d, "ng")
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total"),
+        shared.alias("shared"),
+        F.round(shared / F.count(F.lit(1)), 6).alias("shared_frac"),
+    )
+
+
+@register(
+    "q_zipf",
+    sql="""
+    WITH uc AS (SELECT u, count(*) AS n
+                FROM (SELECT unnest(string_split(text, ' ')) AS u FROM documents)
+                GROUP BY 1),
+    top AS (SELECT n, row_number() OVER (ORDER BY n DESC, u) AS rk
+            FROM uc ORDER BY n DESC, u LIMIT 200)
+    SELECT count(*) AS n_points,
+           round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 4)
+               AS slope
+    FROM top
+    """,
+)
+def q_zipf(spark, sf_dir):
+    """Zipf-slope corpus health check: OLS slope of ln(frequency) on
+    ln(rank) over the top-200 vocabulary (natural language ~ -1; a
+    flat or cliffy slope flags templated/boilerplate corpora).  The
+    vocab aggregate is the only corpus-scale stage; top-200 comes from
+    TakeOrderedAndProject and the regression is covar_pop/var_pop on
+    200 rows."""
+    from shadems_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    uc = (
+        docs.select(F.explode(words("text")).alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = uc.orderBy(F.col("n").desc(), "u").limit(200)
+    rk = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), "u")
+    )
+    pts = top.select(
+        F.log(F.col("n").cast("double")).alias("y"),
+        F.log(rk.cast("double")).alias("x"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.covar_pop("y", "x") / F.var_pop("x"), 4).alias("slope"),
     )

@@ -406,7 +406,7 @@ def q_lang_id(spark, sf_dir):
         QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
     )
     SELECT lang, count(*) AS n_docs,
-           sum(bpe_tokens) AS total_tokens,
+           CAST(sum(bpe_tokens) AS BIGINT) AS total_tokens,
            round(avg(quality), 4) AS avg_quality
     FROM kept GROUP BY lang
     """,
@@ -444,8 +444,8 @@ def q_curation(spark, sf_dir):
     SELECT doc_id, 'text/plain' AS kind,
            length(text) AS n_bytes,
            ascii(substring(text, 1, 1)) AS first_byte,
-           list_sum(list_transform(string_split(text, ''), x -> ascii(x)))
-               % 2147483647 AS checksum
+           CAST(list_sum(list_transform(string_split(text, ''), x -> ascii(x)))
+                % 2147483647 AS BIGINT) AS checksum
     FROM documents WHERE doc_id % 4 = 0
     """,
 )

@@ -161,10 +161,15 @@ def q_freq(spark, sf_dir):
 )
 def q_index_axes(spark, sf_dir):
     """P10: ROW index axis as a deterministic ranking over the natural
-    key (chan/corr indices come from posexplode positions: q_explode)."""
-    w = Window.orderBy("row_key", "line_no")
-    return _v(spark, sf_dir).select(
-        "row_key", "line_no", F.row_number().over(w).alias("row_idx")
+    key (chan/corr indices come from posexplode positions: q_explode).
+    Numbered via the two-phase global_index (range-partition + local
+    row_number + broadcast offsets) — identical output to a global
+    window without moving the scan to a single partition."""
+    from shadems_spark.operators.profile import global_index
+
+    v = _v(spark, sf_dir).select("row_key", "line_no")
+    return global_index(v, ["row_key", "line_no"], out="row_idx").withColumn(
+        "row_idx", F.col("row_idx").cast("int")
     )
 
 

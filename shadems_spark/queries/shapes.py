@@ -98,9 +98,9 @@ def q_union_groups(spark, sf_dir):
     "q_pivot",
     sql=f"""
     SELECT field_label,
-           sum(CASE WHEN corr_label = 'A' THEN 1 ELSE 0 END) AS n_a,
-           sum(CASE WHEN corr_label = 'N' THEN 1 ELSE 0 END) AS n_n,
-           sum(CASE WHEN corr_label = 'R' THEN 1 ELSE 0 END) AS n_r
+           CAST(sum(CASE WHEN corr_label = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN corr_label = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+           CAST(sum(CASE WHEN corr_label = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r
     FROM {_VIS} v GROUP BY field_label
     """,
 )
@@ -159,4 +159,35 @@ def q_unpivot(spark, sf_dir):
             "metric",
             "val",
         )
+    )
+
+
+@register(
+    "q_union_by_name",
+    sql="""
+    SELECT doc_id,
+           coalesce(lang, '??') AS lang,
+           coalesce(n_chars, CAST(-1 AS BIGINT)) AS n_chars
+    FROM (
+        SELECT doc_id, lang, NULL::BIGINT AS n_chars
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL BY NAME
+        SELECT n_chars, doc_id FROM documents WHERE doc_id % 7 = 0
+    )
+    """,
+)
+def q_union_by_name(spark, sf_dir):
+    """X6: schema-evolution union — two extracts with different column
+    sets/orders combined by NAME (unionByName allowMissingColumns),
+    the operation that concatenates corpus snapshots whose schemas
+    drifted.  Missing columns null-fill then coalesce to sentinels so
+    both engines emit stable dtypes."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "lang")
+    b = docs.filter(F.col("doc_id") % 7 == 0).select("n_chars", "doc_id")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.select(
+        "doc_id",
+        F.coalesce("lang", F.lit("??")).alias("lang"),
+        F.coalesce("n_chars", F.lit(-1).cast("long")).alias("n_chars"),
     )

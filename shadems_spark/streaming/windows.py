@@ -67,23 +67,28 @@ def stream_from_parquet(spark: SparkSession, sf_dir: str, watermark: str = "1 ho
     """readStream over the events fixture (schema from the batch read;
     ts normalized exactly like catalog.load_table)."""
     load_table(spark, sf_dir, "events")  # applies session tuning (nanosAsLong)
-    # on-disk schema: ts is TIMESTAMP(NANOS) -> long under nanosAsLong
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
+    # take the streaming schema from the actual on-disk layout (fixture
+    # rounds differ: TIMESTAMP(NANOS) arrives as long under nanosAsLong,
+    # TIMESTAMP(MICROS) arrives as a native timestamp type).
+    raw_schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
     raw = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(raw_schema)
         # file streaming sources take a directory; glob-filter to the
         # events table only (the dir holds all ten fixture tables).
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    # watermarks require TimestampType (not NTZ); session tz is UTC so
-    # the window boundaries match the batch/oracle NTZ arithmetic.
-    ev = raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-    )
+    # watermarks want TimestampType; session tz is UTC so the window
+    # boundaries match the batch/oracle NTZ arithmetic either way.
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        ev = raw.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    else:
+        ev = raw.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+        )
     return ev.withWatermark("ts", watermark)
 
 

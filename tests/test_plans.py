@@ -112,7 +112,13 @@ def test_robust_bounds_shrink(spark):
 def test_events_scan_prunes(spark):
     """Tumbling agg over events must read only ts + grouping/agg cols."""
     p = _plan(spark, "q_tumbling")
-    assert "ReadSchema: struct<ts:bigint,event_type:string,value:double>" in p
+    # fixture layouts differ by round: ts arrives as TIMESTAMP(MICROS)
+    # (read natively) or TIMESTAMP(NANOS) (read as bigint) — pruning
+    # to exactly {ts, event_type, value} is what matters.
+    assert (
+        "ReadSchema: struct<ts:timestamp_ntz,event_type:string,value:double>" in p
+        or "ReadSchema: struct<ts:bigint,event_type:string,value:double>" in p
+    )
 
 
 def test_domain_mix_no_fact_shuffle(spark):

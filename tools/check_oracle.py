@@ -58,7 +58,33 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[st
     s, d = normalize(spark_pd), normalize(duck_pd)
     for c in s.columns:
         a, b = s[c].to_numpy(), d[c].to_numpy()
-        if a.dtype.kind == "f" or b.dtype.kind == "f":
+        # The driver hashes stringified values, so an int64 42 vs a
+        # float64 42.0 (DuckDB SUM(BIGINT) -> HUGEINT -> float64) IS a
+        # mismatch even though the numbers are equal.  Compare dtype
+        # kind first, then exact values, mirroring that strictness.
+        ak = pd.Series(a).dtype.kind
+        bk = pd.Series(b).dtype.kind
+        if {ak, bk} <= {"i", "u"}:
+            pass  # int widths are repr-identical
+        elif "M" in (ak, bk) and {ak, bk} <= {"M", "O"}:
+            # Spark DATE -> object(datetime.date), DuckDB DATE ->
+            # datetime64[ns]: the driver's hash stringifies both to
+            # ISO dates (r02: q_date_funcs hash-matched), so compare
+            # as normalized datetimes rather than flagging the kinds.
+            sa = pd.to_datetime(pd.Series(a)).astype(str)
+            sb = pd.to_datetime(pd.Series(b)).astype(str)
+            bad = (sa != sb).to_numpy()
+            if bad.any():
+                i = int(np.argmax(bad))
+                problems.append(
+                    f"col {c}: {int(bad.sum())} diffs, first@{i}: "
+                    f"spark={sa[i]} duck={sb[i]}"
+                )
+            continue
+        elif ak != bk:
+            problems.append(f"col {c}: dtype kind spark={ak} duck={bk} (hash-breaking)")
+            continue
+        if ak == "f" or bk == "f":
             af, bf = a.astype(float), b.astype(float)
             eq = (af == bf) | (np.isnan(af) & np.isnan(bf))
             if not eq.all():
@@ -68,6 +94,17 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[st
                     f"spark={af[i]!r} duck={bf[i]!r} (maxabs="
                     f"{np.nanmax(np.abs(af - bf)):.3e})"
                 )
+            else:
+                # exact-equal floats can still hash apart: -0.0 vs 0.0
+                sr = pd.Series(af).map(repr)
+                dr = pd.Series(bf).map(repr)
+                bad = (sr != dr).to_numpy()
+                if bad.any():
+                    i = int(np.argmax(bad))
+                    problems.append(
+                        f"col {c}: {int(bad.sum())} repr diffs, first@{i}: "
+                        f"spark={sr[i]} duck={dr[i]}"
+                    )
         else:
             eq = pd.Series(a).astype(str) == pd.Series(b).astype(str)
             if not eq.all():
