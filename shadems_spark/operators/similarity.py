@@ -383,3 +383,73 @@ def embedding_near_dup(
         .filter(F.col("cos") >= threshold)
         .select("bkt", "id1", "id2", "cos")
     )
+
+
+def power_top_component(
+    emb: DataFrame,
+    vec: str = "embedding",
+    d: int | None = None,
+    iters: int = 8,
+) -> tuple[list[float], list[float]]:
+    """Distributed PCA top component by power iteration.
+
+    Returns ``(mean, component)`` as plain d-vectors.  Each iteration
+    is ONE map-side aggregate over the data: per row the scalar
+    projection t = (x - mu) . v, then d partial sums of t * (x - mu)_i
+    — the classic v <- A v step with A = covariance, computed without
+    ever materializing the d x d covariance.  Driver state is two
+    d-vectors (like IVF centroids) — legitimate small state, not a
+    collect of data rows.  Cost per pass is O(rows * d) map-side with
+    no shuffle beyond the final partial-agg merge, so the shape holds
+    at any corpus size; iters bounds total passes.
+
+    Deterministic: fixed uniform init, fixed iteration count, and a
+    canonical sign (first non-tiny coordinate positive) so the +/-v
+    ambiguity of eigenvectors never flips between runs/engines.
+    """
+    import math
+
+    from shadems_spark.operators.similarity import embedding_dim
+
+    d = d or embedding_dim(emb, vec)
+    xs = [F.element_at(as_double(vec), i + 1) for i in range(d)]
+    mu_row = emb.agg(*[F.avg(x).alias(f"m{i}") for i, x in enumerate(xs)]).first()
+    mu = [float(mu_row[i]) for i in range(d)]
+    v = [1.0 / math.sqrt(d)] * d
+    centered = emb.select(*[(xs[i] - F.lit(mu[i])).alias(f"c{i}") for i in range(d)])
+    for _ in range(iters):
+        t = F.lit(0.0)
+        for i in range(d):
+            t = t + F.col(f"c{i}") * F.lit(v[i])
+        proj = centered.withColumn("__t", t)
+        srow = proj.agg(
+            *[F.sum(F.col("__t") * F.col(f"c{i}")).alias(f"s{i}") for i in range(d)]
+        ).first()
+        s = [float(srow[i]) for i in range(d)]
+        nrm = math.sqrt(sum(x * x for x in s)) or 1.0
+        v = [x / nrm for x in s]
+    for x in v:
+        if abs(x) > 1e-9:
+            if x < 0:
+                v = [-y for y in v]
+            break
+    return mu, v
+
+
+def pca_project(
+    emb: DataFrame,
+    mean: list[float],
+    component: list[float],
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    out: str = "pc1",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Project every vector onto a fitted component: one scan, pure
+    Column arithmetic (the fitted (mean, component) ride the plan as
+    literals — broadcast-by-construction)."""
+    c = as_double(vec)
+    mu = F.array(*[F.lit(m) for m in mean])
+    cv = F.array(*[F.lit(w) for w in component])
+    proj = dot(F.zip_with(c, mu, lambda a, b: a - b), cv)
+    return emb.select(id_col, F.round(proj, ndigits).alias(out))

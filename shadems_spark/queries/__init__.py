@@ -119,17 +119,18 @@ _R02_RED = [
 
 
 def _check_order(names: list[str]) -> list[str]:
-    """Driver-check order for round 3: the ~41 queries no driver round
-    has checked yet (round-2 additions + deferred addendum) first, then
-    the 10 whose r02 rows were red and are now fixed, then the proven
-    r02/r01 prefixes (all already have green driver rows)."""
+    """Driver-check order for round 3: first the 10 queries whose r02
+    driver rows were RED and are now fixed (a stale red row is worse
+    evidence than a missing row), then the ~48 queries no driver round
+    has checked yet (round-2/3 additions + deferred addendum), then
+    the proven r02/r01 prefixes (already have green driver rows)."""
     r02_red = set(_R02_RED)
     known = set(_R02_PRIORITY) | set(_DEFERRED) | set(_R01_DRIVER_GREEN)
     new = [n for n in names if n not in known]
     ordered = (
-        new
+        [n for n in _R02_RED if n in names]
+        + new
         + [n for n in _DEFERRED if n in names]
-        + [n for n in _R02_RED if n in names]
         + [n for n in _R02_PRIORITY if n in names and n not in r02_red]
         + [n for n in _R01_DRIVER_GREEN if n in names]
     )

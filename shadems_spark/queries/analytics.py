@@ -476,3 +476,56 @@ def q_pysource(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("val"), 6).alias("sum_val"),
     )
+
+
+@register(
+    "q_binary_ingest",
+    sql="""
+    SELECT doc_id, 'application/octet-stream' AS kind,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           ascii(substring(text, 1, 1)) AS first_byte,
+           CAST(list_sum(list_transform(string_split(text, ''), x -> ascii(x)))
+                % 2147483647 AS BIGINT) AS checksum
+    FROM documents WHERE doc_id % 40 = 0
+    """,
+)
+def q_binary_ingest(spark, sf_dir):
+    """A8: raw-blob ingestion via Spark's ``binaryFile`` source — the
+    entry path for image/audio payloads that never existed as rows.  A
+    deterministic mini blob store (one .bin per selected document,
+    corpus text is ASCII so byte == codepoint for the oracle) is laid
+    down once, then the DISTRIBUTED part under test runs: binaryFile
+    scan -> filename-key extraction -> Arrow mapInPandas feature
+    extraction (operators/multimodal.decode_features — same stage the
+    parquet-blob path uses).  At scale the store is an object-store
+    prefix and the scan parallelizes per file; the driver-side writer
+    here is fixture setup, not the operator."""
+    import shutil
+
+    from shadems_spark.operators import multimodal as MM
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 40 == 0)
+        .select("doc_id", "text")
+    )
+    store = os.path.join(_SCRATCH, "blob_store")
+    shutil.rmtree(store, ignore_errors=True)
+    os.makedirs(store, exist_ok=True)
+    for r in docs.collect():  # small by contract: 1/40 of documents
+        with open(os.path.join(store, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+
+    bf = spark.read.format("binaryFile").load(store)
+    blobs = bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("blob"),
+        F.struct(
+            F.lit("application/octet-stream").alias("kind"),
+            F.lit("blob_store").alias("origin"),
+            F.length("content").cast("long").alias("declared_size"),
+        ).alias("meta"),
+    )
+    return MM.decode_features(blobs)

@@ -428,3 +428,20 @@ def q_pmi(spark, sf_dir):
             "a", "b", "nab", F.round(F.log(p_ab / (p_a * p_b)), 6).alias("pmi")
         )
     )
+
+
+@register("q_pca", sql=None)  # iterative fit: no single-statement SQL form
+def q_pca(spark, sf_dir):
+    """Distributed PCA (top principal component) over the embedding
+    table by power iteration — d-vector driver state only, one
+    map-side aggregate pass per iteration, then a single projection
+    scan (operators/similarity.power_top_component).  Verified in
+    tests/test_retrieval.py against a local numpy run of the same
+    algorithm (agreement ~1e-6) plus a Rayleigh-quotient bound vs the
+    exact top eigenvalue; rows-only here because the fit is iterative,
+    not a single SQL statement."""
+    from shadems_spark.operators.similarity import pca_project, power_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comp = power_top_component(emb, iters=8)
+    return pca_project(emb, mean, comp)

@@ -174,3 +174,67 @@ def test_global_index_plan_range_partitions(spark):
     # per-partition count aggregate, never directly over the scan
     for seg in p.split("Exchange SinglePartition")[1:]:
         assert "HashAggregate" in seg[:2000] or "count" in seg[:2000]
+
+
+def test_pca_matches_numpy_power_iteration(spark):
+    """The distributed fit must reproduce a local numpy run of the
+    SAME algorithm (same init, same iteration count) almost exactly —
+    that pins the distributed arithmetic.  The fixture embeddings are
+    near-isotropic (random vectors: tiny eigengap), so alignment with
+    the exact eigenvector is NOT a fair bound in finitely many passes;
+    instead assert the Rayleigh quotient reaches >=90% of the true top
+    eigenvalue (found a genuinely high-variance direction)."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.similarity import (
+        pca_project,
+        power_top_component,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    iters = 12
+    mean, comp = power_top_component(emb, iters=iters)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    assert np.allclose(mean, mu, atol=1e-9)
+
+    d = X.shape[1]
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(iters):
+        s = Xc.T @ (Xc @ v)
+        v = s / np.linalg.norm(s)
+    lead = v[np.argmax(np.abs(v) > 1e-9)]
+    if lead < 0:
+        v = -v
+    got_v = np.array(comp)
+    # same algorithm, different summation order: agreement to ~1e-6
+    assert abs(float(got_v @ v)) > 1.0 - 1e-6
+
+    cov = Xc.T @ Xc
+    lam_top = np.linalg.eigvalsh(cov)[-1]
+    rayleigh = float(got_v @ cov @ got_v)
+    assert rayleigh >= 0.9 * lam_top
+
+    got = {r["vec_id"]: r["pc1"] for r in pca_project(emb, mean, comp).collect()}
+    want = Xc @ got_v
+    for i, vid in enumerate(ids):
+        assert abs(got[vid] - round(float(want[i]), 4)) < 2e-3
+
+
+def test_pca_deterministic_and_sign_canonical(spark):
+    """Same fit twice -> identical component; leading non-tiny
+    coordinate is positive (sign canonicalization)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.similarity import power_top_component
+
+    emb = load_table(spark, SF, "embeddings")
+    _, c1 = power_top_component(emb, iters=6)
+    _, c2 = power_top_component(emb, iters=6)
+    assert c1 == c2
+    lead = next(x for x in c1 if abs(x) > 1e-9)
+    assert lead > 0
