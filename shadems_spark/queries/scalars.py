@@ -197,3 +197,72 @@ def q_sink_roundtrip(spark, sf_dir):
     )
     out.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+@register(
+    "q_variant",
+    sql="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_max
+    FROM events WHERE event_id % 3 = 0
+    GROUP BY event_type
+    """,
+)
+def q_variant(spark, sf_dir):
+    """SF-variant: semi-structured payloads through Spark 4's VARIANT
+    type — parse_json once at the scan, typed variant_get extraction
+    downstream (the open-schema path for event/props columns where a
+    fixed struct schema can't be declared up front).  The binary
+    variant encoding prunes and predicate-pushes better than repeated
+    get_json_object string re-parses at scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+@register(
+    "q_collation",
+    sql="""
+    WITH m AS (SELECT doc_id, lang,
+                      CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+                          AS mixed
+               FROM documents)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN lower(mixed) = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_eq_en_ci,
+           count(DISTINCT lower(mixed)) AS n_distinct_ci
+    FROM m GROUP BY lang
+    """,
+)
+def q_collation(spark, sf_dir):
+    """SF-collation: case-insensitive string semantics via Spark 4
+    collations (UTF8_LCASE) — collation-aware equality and DISTINCT
+    instead of wrapping every comparison in lower() (the collated
+    comparison stays codegen'd and sargable; the oracle spells out the
+    lower() equivalent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = F.when(
+        F.col("doc_id") % 2 == 0, F.upper("lang")
+    ).otherwise(F.col("lang"))
+    ci = F.collate(mixed, "UTF8_LCASE")
+    return docs.select("lang", ci.alias("ci")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("ci") == F.lit("en")).cast("int")).cast("long").alias("n_eq_en_ci"),
+        F.countDistinct("ci").alias("n_distinct_ci"),
+    )

