@@ -529,3 +529,252 @@ def q_binary_ingest(spark, sf_dir):
         ).alias("meta"),
     )
     return MM.decode_features(blobs)
+
+
+@register(
+    "q_recursive_cte",
+    sql="""
+    WITH RECURSIVE anc AS (
+        SELECT doc_id, doc_id AS node, 0 AS depth
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, node // 10 AS node, depth + 1
+        FROM anc WHERE node > 0
+    )
+    SELECT doc_id, CAST(max(depth) AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_ancestors
+    FROM anc GROUP BY doc_id
+    """,
+)
+def q_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4): ancestor walk over a synthetic decimal
+    tree (parent = node div 10 — the category-tree / org-chart
+    traversal shape).  Spark iterates the recursion as successive
+    joins with AQE on each step; depth is bounded by the key width so
+    the loop terminates in ~log10(max_id) rounds at any scale."""
+    from shadems_spark.catalog import sql as catalog_sql
+
+    return catalog_sql(
+        spark,
+        """
+        WITH RECURSIVE anc AS (
+            SELECT doc_id, doc_id AS node, 0 AS depth
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, node div 10 AS node, depth + 1
+            FROM anc WHERE node > 0
+        )
+        SELECT doc_id, CAST(max(depth) AS BIGINT) AS depth,
+               CAST(count(*) AS BIGINT) AS n_ancestors
+        FROM anc GROUP BY doc_id
+        """,
+        sf_dir,
+    )
+
+
+@register(
+    "q_pipe_syntax",
+    sql="""
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS rev
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def q_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4): the same scan -> filter -> aggregate
+    chain written as |> stages — compiles to the identical Catalyst
+    plan as the GROUP BY form (the oracle), so it is pure surface
+    coverage, verified by the same value hash."""
+    from shadems_spark.catalog import sql as catalog_sql
+
+    return catalog_sql(
+        spark,
+        """
+        FROM lineitem
+        |> WHERE l_orderkey % 10 = 0
+        |> AGGREGATE count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+           GROUP BY l_returnflag
+        """,
+        sf_dir,
+    )
+
+
+@register(
+    "q_corr",
+    sql="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+           round(covar_pop(l_discount, l_tax), 8) AS cov_disc_tax,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_corr(spark, sf_dir):
+    """Column-pair statistics battery (corr / covariances / stddev per
+    group) — the one-pass feature-correlation profile step of a data
+    audit.  All four moments ride ONE partial-aggregable scan (each is
+    sums/products — map-side combine; no second pass per pair)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+        F.round(F.covar_pop("l_discount", "l_tax"), 8).alias("cov_disc_tax"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+    )
+
+
+@register(
+    "q_sessionize",
+    sql="""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+               FROM events WHERE user_id % 11 = 0),
+    g AS (SELECT *,
+                 CASE WHEN ts_us - lag(ts_us) OVER
+                          (PARTITION BY user_id ORDER BY ts_us, event_id)
+                      > 1800000000 OR lag(ts_us) OVER
+                          (PARTITION BY user_id ORDER BY ts_us, event_id)
+                      IS NULL THEN 1 ELSE 0 END AS new_sess
+          FROM e),
+    s AS (SELECT user_id, event_id,
+                 CAST(sum(new_sess) OVER
+                     (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+          FROM g)
+    SELECT user_id, session_no, count(*) AS n_events
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization with explicit session IDs (gaps-and-islands:
+    a 30-minute silence starts a new session; running sum of the
+    new-session flags numbers them).  Complements session_window (S3),
+    which aggregates but never exposes the id.  Both windows share the
+    per-user partition, so one shuffle serves the whole chain."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 11 == 0)
+        .select("user_id", "event_id", F.expr("ts_ns div 1000").alias("ts_us"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_no",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "q_funnel",
+    sql="""
+    WITH f AS (SELECT user_id,
+                      min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+                      min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+                      min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+               FROM events GROUP BY user_id)
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+           CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+           CAST(sum(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 ELSE 0 END) AS BIGINT) AS step_buy
+    FROM f
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered-funnel analysis (view -> click -> purchase): earliest
+    per-step timestamps per user in ONE conditional aggregate, then
+    ordering comparisons — no self-joins, no per-step scans; the only
+    shuffle is the per-user agg."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    step = lambda t: F.min(F.when(F.col("event_type") == t, us))
+    f = ev.groupBy("user_id").agg(
+        step("view").alias("t_view"),
+        step("click").alias("t_click"),
+        step("purchase").alias("t_buy"),
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("int")).cast("long").alias("step_view"),
+        F.sum((F.col("t_view") < F.col("t_click")).cast("int")).cast("long").alias("step_click"),
+        F.sum(
+            ((F.col("t_view") < F.col("t_click")) & (F.col("t_click") < F.col("t_buy"))).cast("int")
+        ).cast("long").alias("step_buy"),
+    )
+
+
+@register(
+    "q_retention",
+    sql="""
+    WITH firsts AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+                    FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT e.user_id, f.cohort,
+                   date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS day_off
+            FROM events e JOIN firsts f USING (user_id))
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort, day_off,
+           count(*) AS n_active
+    FROM act WHERE day_off <= 7 GROUP BY 1, 2
+    """,
+)
+def q_retention(spark, sf_dir):
+    """Cohort retention: users keyed by first-seen day, activity
+    counted per (cohort, day-offset) for the first week.  The firsts
+    table is per-user (broadcastable at dim scale); the distinct
+    rides the same (user, day) shuffle as the join output."""
+    ev = load_table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    act = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff("d", "cohort").alias("day_off"),
+        )
+        .distinct()
+    )
+    return (
+        act.filter(F.col("day_off") <= 7)
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"), "day_off"
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "q_weighted_sample",
+    sql="""
+    WITH w AS (SELECT doc_id, lang, n_chars,
+                      least(1.0, sqrt(n_chars) / 40.0) AS keep_rate,
+                      ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS u
+               FROM documents)
+    SELECT lang, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS key_sum
+    FROM w WHERE u < keep_rate GROUP BY lang
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted Bernoulli sampling: per-row keep rate
+    from a weight column (here sqrt(n_chars), the length-balanced
+    sampling a curation pipeline uses), decided by a multiplicative
+    key hash — identical on every run/engine/retry, unlike rand();
+    map-side only, no shuffle before the audit agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.least(F.lit(1.0), F.sqrt(F.col("n_chars")) / F.lit(40.0))
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1 << 32)) / F.lit(
+        float(1 << 32)
+    )
+    return (
+        docs.filter(u < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("key_sum"),
+        )
+    )

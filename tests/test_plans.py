@@ -199,3 +199,40 @@ def test_vocab_window_after_aggregate(spark):
     i_win = p.index("Window")
     assert "HashAggregate" in p[i_win:]  # agg below the window
     assert "partial_count" in p  # map-side combine on the corpus stage
+
+
+def test_funnel_single_shuffle(spark):
+    """Funnel: one per-user aggregate exchange feeding a tiny global
+    agg — never per-step scans or self-joins."""
+    p = _plan(spark, "q_funnel")
+    assert p.count("Scan parquet") == 1
+    assert "partial_min" in p  # conditional step mins combine map-side
+
+
+def test_weighted_sample_mapside(spark):
+    """Weighted sampling must be a pure filter on the scan (no
+    exchange before the audit aggregate's own partial agg)."""
+    p = _plan(spark, "q_weighted_sample")
+    assert p.count("Exchange") <= 2  # final groupBy (+AQE read)
+    assert "partial_count" in p
+
+
+def test_topk_paths_take_ordered(spark):
+    """Global top-k queries must prune with TakeOrderedAndProject, not
+    rank the full table through a single-partition window."""
+    for q in ("q_top_orders", "q_bm25"):
+        p = _plan(spark, q)
+        assert "TakeOrderedAndProject" in p, q
+
+
+def test_zipf_take_ordered_before_regression(spark):
+    p = _plan(spark, "q_zipf")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_variant_single_parse(spark):
+    """VARIANT battery: one scan, parse_json at the projection, no
+    repeated string re-parses per extracted field."""
+    p = _plan(spark, "q_variant")
+    assert p.count("Scan parquet") == 1
+    assert "parse_json" in p or "variant_get" in p
