@@ -43,6 +43,12 @@ HEADLINE = [
     "q_quantize_topk",
     "q_stream_join",
     "q_bucketed_join",
+    # round-3 families
+    "q_span_dedup",
+    "q_unigram_lm",
+    "q_sessionize",
+    "q_funnel",
+    "q_variant",
 ]
 
 

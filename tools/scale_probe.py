@@ -97,6 +97,24 @@ PROBE_RETRIEVAL = [
     "q_split_stratified",
 ]
 
+#: round-3 probe (--round3): corpus + behavioral-analytics families
+#: added in round 3.  Documents are word-mutated (vocabulary grows
+#: with N — the stress case for unigram-LM and span-dedup);  events
+#: copies keep their user_id, so each user's history grows xN — the
+#: stress case for the per-user windows in sessionize/funnel/retention
+#: (state per key grows, key count does not: the honest worst case).
+PROBE_R3 = [
+    "q_unigram_lm",
+    "q_span_dedup",
+    "q_zipf",
+    "q_weighted_sample",
+    "q_sessionize",
+    "q_funnel",
+    "q_retention",
+    "q_variant",
+    "q_recursive_cte",
+]
+
 #: key shift per copy — far above any real key at these scale factors.
 SHIFT = 100_000_000
 
@@ -107,8 +125,11 @@ def build_scaled(
 ) -> None:
     """Materialize the xN fixture dir: fact tables unioned n times with
     shifted keys (so joins stay consistent copy-by-copy), dims copied
-    through unchanged.  ``mutate_docs`` suffixes every word of each
-    non-zero copy with its copy index (see module docstring)."""
+    through unchanged.  ``only`` restricts which tables get the xN
+    treatment — the rest copy through 1x so the dir is a complete
+    catalog (queries that register every view still run).
+    ``mutate_docs`` suffixes every word of each non-zero copy with its
+    copy index (see module docstring)."""
     shifted_keys = {
         "lineitem": ["l_orderkey"],
         "orders": ["o_orderkey"],
@@ -118,9 +139,10 @@ def build_scaled(
     }
     os.makedirs(out_dir, exist_ok=True)
     for name in TABLES:
-        if only is not None and name not in only:
-            continue
         df = load_table(spark, base_dir, name)
+        if only is not None and name not in only:
+            df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+            continue
         if name in shifted_keys:
             copies = []
             for i in range(n):
@@ -161,23 +183,35 @@ def run_probe(
 def main() -> None:
     dedup = "--dedup" in sys.argv
     retrieval = "--retrieval" in sys.argv
+    round3 = "--round3" in sys.argv
     docs_only = dedup or retrieval
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 10
     base = pos[1] if len(pos) > 1 else "/root/testdata/sf0.1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    scaled = os.path.join(repo, ".scratch", f"sfx{n}" + ("_docs" if docs_only else ""))
+    suffix = "_docs" if docs_only else "_r3" if round3 else ""
+    scaled = os.path.join(repo, ".scratch", f"sfx{n}" + suffix)
 
     spark = get_spark("shadems-scale-probe")
     registry = load_registry()
-    probe_set = PROBE_DEDUP if dedup else PROBE_RETRIEVAL if retrieval else PROBE
+    probe_set = (
+        PROBE_DEDUP if dedup
+        else PROBE_RETRIEVAL if retrieval
+        else PROBE_R3 if round3
+        else PROBE
+    )
     names = [q for q in probe_set if q in registry]
-    warm = "q_dedup_exact" if docs_only else "q_scan"
+    warm = "q_dedup_exact" if (docs_only or round3) else "q_scan"
 
     t0 = time.time()
     build_scaled(
         spark, base, scaled, n,
-        only=(["documents"] if docs_only else None), mutate_docs=docs_only,
+        only=(
+            ["documents"] if docs_only
+            else ["documents", "events"] if round3
+            else None
+        ),
+        mutate_docs=docs_only or round3,
     )
     build_s = round(time.time() - t0, 1)
 
