@@ -405,3 +405,51 @@ def q_zipf(spark, sf_dir):
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.covar_pop("y", "x") / F.var_pop("x"), 4).alias("slope"),
     )
+
+
+@register(
+    "q_token_budget",
+    sql="""
+    WITH t AS (SELECT doc_id, lang,
+                      CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens,
+                      (doc_id * 2654435761) % 4294967296 AS h
+               FROM documents),
+    c AS (SELECT *,
+                 CAST(sum(tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM t)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS taken_tokens,
+           CAST(max(cum) AS BIGINT) AS budget_used
+    FROM c WHERE cum <= 6000 GROUP BY lang
+    """,
+)
+def q_token_budget(spark, sf_dir):
+    """Token-budget quota sampling: each language contributes documents
+    in deterministic hash order until its token budget (6k) fills —
+    the mixture-building step when targets are token counts, not row
+    rates.  One sort-shuffle per language (same shape as sequence
+    packing); the budget cut is a running-sum filter, no iteration."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("tokens"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1 << 32)).alias("h"),
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = t.withColumn("cum", F.sum("tokens").over(w))
+    return (
+        c.filter(F.col("cum") <= 6000)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("taken_tokens"),
+            F.max("cum").alias("budget_used"),
+        )
+    )

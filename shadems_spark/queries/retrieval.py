@@ -445,3 +445,17 @@ def q_pca(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     mean, comp = power_top_component(emb, iters=8)
     return pca_project(emb, mean, comp)
+
+
+@register("q_pq_topk", sql=None)  # codebook fit + ADC: no SQL form
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: deterministic codebooks (m=8 subspaces
+    x k=16 centroids), vectors encoded to 8 int codes (8x storage and
+    shuffle compression vs raw doubles), queries scored by asymmetric
+    distance through literal lookup tables over the persisted code
+    table.  Recall vs exact cosine pinned in tests/test_retrieval.py."""
+    from shadems_spark.operators.similarity import pq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb)
+    return pq_topk(emb, cb, k=3)
