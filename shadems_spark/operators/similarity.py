@@ -585,3 +585,84 @@ def pq_topk(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 32,
+    pq_k: int = 16,
+    query_mod: int = 100,
+) -> DataFrame:
+    """IVF+PQ (IVFADC) — the layout billion-vector ANN actually ships:
+    a coarse quantizer routes each vector to a cell (inverted list),
+    vectors are stored as PQ codes, and a query scans only its
+    ``n_probe`` nearest cells scoring codes by asymmetric distance.
+
+    Work per query = (n_probe/n_cells) of the collection x m code
+    lookups; storage = m ints + 1 cell id per vector.  Both index
+    passes (assign + encode) share one scan each and the code table is
+    persisted across queries.  Composes the existing deterministic
+    pieces: sample_centroids/ivf_assign (coarse) + pq_train/pq_encode
+    (fine) — no new sampling or RNG anywhere."""
+    cents = sample_centroids(emb, k=n_cells, id_col=id_col, vec=vec)
+    cb = pq_train(emb, vec=vec, id_col=id_col, m=m, k=pq_k)
+    sub = len(cb[0][0])
+
+    assigned = ivf_assign(
+        emb.select(F.col(id_col).alias("cand_id"), as_double(vec).alias("c_vec")),
+        cents,
+    ).select("cand_id", "cell")
+    codes = (
+        pq_encode(emb, cb, vec=vec, id_col=id_col)
+        .withColumnRenamed(id_col, "cand_id")
+        .join(assigned, "cand_id")
+        .persist()
+    )
+
+    qrows = (
+        emb.filter(F.col(id_col) % query_mod == 0)
+        .select(F.col(id_col).alias("q_id"), unit(as_double(vec)).alias("qv"))
+        .collect()
+    )
+    import numpy as np
+
+    cent_m = [np.asarray(c, dtype=np.float64) for c in cents]
+    outs = []
+    for qr in qrows:
+        qv = np.asarray(qr["qv"], dtype=np.float64)
+        # probe cells by centroid cosine (centroids unit-normalized)
+        sims = [float(qv @ (c / np.linalg.norm(c))) for c in cent_m]
+        probe = sorted(range(len(sims)), key=lambda i: (-sims[i], i))[:n_probe]
+        luts = [
+            [
+                float(sum(qv[mi * sub + i] * cb[mi][j][i] for i in range(sub)))
+                for j in range(len(cb[mi]))
+            ]
+            for mi in range(len(cb))
+        ]
+        score = F.lit(0.0)
+        for mi in range(len(cb)):
+            lut = F.array(*[F.lit(x) for x in luts[mi]])
+            score = score + F.element_at(lut, F.element_at("codes", mi + 1) + 1)
+        scored = (
+            codes.filter(F.col("cell").isin(probe))
+            .filter(F.col("cand_id") != qr["q_id"])
+            .select(
+                F.lit(qr["q_id"]).alias("q_id"),
+                F.col("cand_id"),
+                F.col("cell"),
+                F.round(score, 6).alias("adc_score"),
+            )
+        )
+        outs.append(
+            scored.orderBy(F.col("adc_score").desc(), F.col("cand_id")).limit(k)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -778,3 +778,71 @@ def q_weighted_sample(spark, sf_dir):
             F.sum("doc_id").alias("key_sum"),
         )
     )
+
+
+@register(
+    "q_dq_audit",
+    sql="""
+    WITH o AS (SELECT DISTINCT o_orderkey FROM orders)
+    SELECT
+      count(*) AS n_rows,
+      CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+      CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_qty,
+      CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS bad_discount,
+      CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT)
+          AS bad_flag,
+      CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS orphan_rows,
+      count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_keys
+    FROM lineitem l LEFT JOIN o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q_dq_audit(spark, sf_dir):
+    """Data-quality audit battery: null / range / domain / referential
+    -integrity / duplicate-key violation counts for the main fact in
+    ONE pass — the expectations check that gates a pipeline promote.
+    The FK probe is a broadcastable left join against the distinct
+    parent keys; the duplicate check is the only extra aggregate and
+    shares the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    j = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left")
+    flag = lambda c: F.sum(c.cast("int")).cast("long")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        flag(F.col("l_quantity").isNull()).alias("null_qty"),
+        flag(F.col("l_quantity") <= 0).alias("nonpos_qty"),
+        flag((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("bad_discount"),
+        flag(~F.col("l_returnflag").isin("A", "N", "R")).alias("bad_flag"),
+        flag(F.col("o_orderkey").isNull()).alias("orphan_rows"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.struct("l_orderkey", "l_linenumber"))
+        ).alias("dup_keys"),
+    )
+
+
+@register(
+    "q_latency_bands",
+    sql="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY 1
+    """,
+)
+def q_latency_bands(spark, sf_dir):
+    """Daily P50/P95/P99 bands over the event value stream — the SLO
+    dashboard aggregate.  Exact interpolated percentiles per day key
+    (both engines share the definition); at 100 TB the same plan swaps
+    percentile for percentile_approx's t-digest without reshaping."""
+    ev = load_table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    return ev.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )

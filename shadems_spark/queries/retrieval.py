@@ -459,3 +459,16 @@ def q_pq_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     cb = pq_train(emb)
     return pq_topk(emb, cb, k=3)
+
+
+@register("q_ivfpq", sql=None)  # composed index fit: no SQL form
+def q_ivfpq(spark, sf_dir):
+    """IVF+PQ (IVFADC) composed index: coarse cells route the scan,
+    PQ codes compress the payload, asymmetric-distance LUTs score only
+    the probed slice — the standard billion-vector ANN layout, built
+    from the repo's deterministic IVF and PQ pieces.  Recall vs exact
+    cosine pinned in tests/test_retrieval.py."""
+    from shadems_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, k=3)

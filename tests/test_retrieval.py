@@ -276,3 +276,30 @@ def test_pq_recall_and_compression(spark):
     # deterministic fixture: measured 0.68 @ sf0.01 / sub=2-dim
     # subspaces (see BASELINE.md); generous floor against env drift
     assert recall >= 0.4, recall
+
+
+def test_ivfpq_recall_and_probe_bound(spark):
+    """IVFADC must (a) only ever score candidates from probed cells,
+    (b) recover a meaningful share of the exact top-5 — lower than
+    plain PQ since the probe can miss a neighbour's cell: that gap IS
+    the IVF trade; floor pinned on the deterministic fixture."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.similarity import brute_topk, ivfpq_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    k = 5
+    approx = ivfpq_topk(emb, k=k).collect()
+    cells_per_q: dict = {}
+    got: dict = {}
+    for r in approx:
+        got.setdefault(r["q_id"], set()).add(r["cand_id"])
+        cells_per_q.setdefault(r["q_id"], set()).add(r["cell"])
+    assert all(len(c) <= 2 for c in cells_per_q.values())  # n_probe=2
+
+    exact = brute_topk(emb, emb.filter(F.col("vec_id") % 100 == 0), k=k)
+    want: dict = {}
+    for r in exact.collect():
+        want.setdefault(r["q_id"], set()).add(r["cand_id"])
+    hits = sum(len(want[q] & got.get(q, set())) for q in want)
+    total = sum(len(want[q]) for q in want)
+    assert hits / total >= 0.2, hits / total
