@@ -161,3 +161,103 @@ def test_bin_edges(spark, lo, width, frac):
         assert b == 0
     if frac == 1.0:
         assert b == 7
+
+
+sessions_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user_id
+        st.integers(min_value=0, max_value=10**7),  # ts_us
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(evs=sessions_events)
+@settings(**SETTINGS)
+def test_sessionize_partition_and_gap_law(spark, evs):
+    """Gaps-and-islands sessionization: every event lands in exactly
+    one session; consecutive events in one session are <= gap apart;
+    consecutive sessions of a user are > gap apart at the boundary."""
+    from pyspark.sql import Window
+
+    gap = 1000
+    rows = [(u, i, t) for i, (u, t) in enumerate(evs)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts_us long")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gcol = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_sess = F.when(gcol.isNull() | (gcol > gap), 1).otherwise(0)
+    out = df.withColumn(
+        "session_no",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).collect()
+    assert len(out) == len(rows)  # no event lost or duplicated
+    by_user: dict = {}
+    for r in sorted(out, key=lambda r: (r["user_id"], r["ts_us"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for seq in by_user.values():
+        for a, b in zip(seq, seq[1:]):
+            if b["session_no"] == a["session_no"]:
+                assert b["ts_us"] - a["ts_us"] <= gap
+            else:
+                assert b["session_no"] == a["session_no"] + 1
+                assert b["ts_us"] - a["ts_us"] > gap
+
+
+token_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**6),  # doc_id
+        st.integers(min_value=1, max_value=400),    # tokens
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=token_docs)
+@settings(**SETTINGS)
+def test_token_budget_cut_law(spark, docs):
+    """Budget-quota fill: kept prefix's cumulative tokens never exceed
+    the budget, and the FIRST dropped doc (in hash order) would have
+    pushed it over — i.e. the cut is tight, not arbitrary."""
+    from pyspark.sql import Window
+
+    budget = 1000
+    df = spark.createDataFrame(docs, "doc_id long, tokens long")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1 << 32)
+    w = Window.orderBy(F.asc("h"), "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = df.withColumn("h", h).withColumn("cum", F.sum("tokens").over(w))
+    rows = sorted(c.collect(), key=lambda r: (r["h"], r["doc_id"]))
+    kept = [r for r in rows if r["cum"] <= budget]
+    if kept:
+        assert kept[-1]["cum"] <= budget
+    dropped = [r for r in rows if r["cum"] > budget]
+    if dropped and kept:
+        first_dropped = dropped[0]
+        assert kept[-1]["cum"] + first_dropped["tokens"] > budget
+
+
+vecs = st.lists(
+    st.lists(finite, min_size=8, max_size=8),
+    min_size=3,
+    max_size=16,
+)
+
+
+@given(vs=vecs)
+@settings(**SETTINGS)
+def test_pq_codes_in_range(spark, vs):
+    """PQ encode: every code indexes a real centroid (0 <= c < k) and
+    the code array is exactly m long, for arbitrary vectors."""
+    from shadems_spark.operators.similarity import pq_encode, pq_train
+
+    rows = [(i, v) for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m, k = 4, min(4, len(vs))
+    cb = pq_train(df, m=m, k=k)
+    for r in pq_encode(df, cb).collect():
+        assert len(r["codes"]) == m
+        assert all(0 <= c < k for c in r["codes"])
