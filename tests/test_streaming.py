@@ -365,3 +365,25 @@ def test_transform_with_state_parity_or_env_gate(spark, sf_dir):
         for r in ST.running_max_batch(load_table(spark, sf_dir, "events")).collect()
     }
     assert got == want
+
+
+def test_foreach_batch_merge_parity(spark, sf_dir, tmp_path):
+    """foreachBatch streaming merge: after draining the events source,
+    the merged table equals the one-shot batch aggregate."""
+    import shutil
+
+    from shadems_spark.catalog import load_table
+
+    out = str(tmp_path / "totals.parquet")
+    ev = SW.stream_from_parquet(spark, sf_dir)
+    ST.stream_merge_into(ev, out)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in ST.running_totals_batch(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want
+    shutil.rmtree(out + ".ckpt", ignore_errors=True)
