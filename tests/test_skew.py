@@ -126,3 +126,45 @@ def test_skew_split_hot_side_broadcasts(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "Union" in plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The engine's FIRST line of skew defense is AQE's runtime skew
+    join (session.py enables it): a 95%-hot-key join must show
+    SortMergeJoin(skew=true) with a skewed AQEShuffleRead in the final
+    adaptive plan — no manual salting needed.  The operators/skew.py
+    rewrites remain the escape hatch for plan shapes AQE can't touch
+    (documented there)."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 300000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        other = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(other, "k")
+        # AQE decisions exist only in THIS dataframe's executed plan,
+        # and only after ITS OWN execution (count() builds a different
+        # query execution).
+        assert len(j.collect()) > 0
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in p
+        assert "skewed" in p  # AQEShuffleRead coalesced and skewed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
