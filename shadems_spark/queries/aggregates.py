@@ -387,3 +387,55 @@ def q_except(spark, sf_dir):
         F.col("l_suppkey").alias("suppkey")
     )
     return sup.subtract(li)  # EXCEPT (distinct) semantics
+
+
+@register(
+    "q_bitmap_distinct",
+    sql="""
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_bitmap_distinct(spark, sf_dir):
+    """G11 scale path: EXACT distinct counting via mergeable bitmaps
+    (Spark 4 bitmap_construct_agg) — the two-level form: per
+    (group, 2^15-value bucket) bitmaps built map-side, bit counts
+    summed per group.  Unlike count(DISTINCT) the partial state is a
+    fixed 4 KiB bitmap per bucket, merges associatively across
+    partitions/days, and can be persisted for incremental refresh —
+    the pattern for repeated exact-distinct dashboards over 100 TB.
+    The oracle is the plain COUNT(DISTINCT) it must equal exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    buckets = (
+        li.groupBy(
+            "l_returnflag",
+            F.bitmap_bucket_number(F.col("l_partkey")).alias("bkt"),
+        )
+        .agg(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position(F.col("l_partkey"))
+            ).alias("bm")
+        )
+    )
+    return buckets.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_parts")
+    )
+
+
+@register("q_hll_distinct", sql=None)  # sketch estimate: engine-specific
+def q_hll_distinct(spark, sf_dir):
+    """G11 sketch path: Apache DataSketches HLL distinct estimates
+    (hll_sketch_agg / hll_sketch_estimate) — unlike
+    approx_count_distinct the SKETCH ITSELF is a column: persistable,
+    re-mergeable across runs (hll_union_agg), the incremental-rollup
+    distinct pattern.  Rows-only (estimates are library-specific);
+    tests pin the estimate within 5% of exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.hll_sketch_agg(F.col("l_partkey")).alias("sk"))
+        .select(
+            "l_returnflag",
+            F.hll_sketch_estimate(F.col("sk")).cast("long").alias("est_parts"),
+        )
+    )

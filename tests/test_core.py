@@ -79,3 +79,26 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
+
+
+def test_hll_estimate_within_tolerance(spark, sf_dir):
+    """HLL sketch estimates must land within 5% of exact distincts."""
+    from pyspark.sql import functions as F
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    est = {
+        r["l_returnflag"]: r["est_parts"]
+        for r in reg["q_hll_distinct"][0](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
