@@ -412,11 +412,15 @@ def power_top_component(
     from shadems_spark.operators.similarity import embedding_dim
 
     d = d or embedding_dim(emb, vec)
-    xs = [F.element_at(as_double(vec), i + 1) for i in range(d)]
-    mu_row = emb.agg(*[F.avg(x).alias(f"m{i}") for i, x in enumerate(xs)]).first()
+    # materialize the double array ONCE per row; element_at on the
+    # attribute then costs O(1) — inlining as_double(vec) into each of
+    # the d accesses would re-run the transform per access (O(d^2)/row)
+    dv = emb.select(as_double(vec).alias("__v"))
+    xs = [F.element_at(F.col("__v"), i + 1) for i in range(d)]
+    mu_row = dv.agg(*[F.avg(x).alias(f"m{i}") for i, x in enumerate(xs)]).first()
     mu = [float(mu_row[i]) for i in range(d)]
     v = [1.0 / math.sqrt(d)] * d
-    centered = emb.select(*[(xs[i] - F.lit(mu[i])).alias(f"c{i}") for i in range(d)])
+    centered = dv.select(*[(xs[i] - F.lit(mu[i])).alias(f"c{i}") for i in range(d)])
     for _ in range(iters):
         t = F.lit(0.0)
         for i in range(d):
@@ -456,9 +460,33 @@ def pca_project(
 
 
 def unit(vec: Column) -> Column:
-    """Unit-normalize an array<double> vector (zero-safe)."""
+    """Unit-normalize an array<double> vector (zero-safe).
+
+    NOTE: the norm subtree is embedded in every element's division and
+    Catalyst does no CSE inside HOF lambdas — O(d^2) per row.  Fine
+    for small collected query sets; for corpus-wide projections use
+    :func:`with_unit`, which binds the norm once as a column."""
     n = norm(vec)
     return F.transform(vec, lambda x: x / F.when(n == 0, F.lit(1.0)).otherwise(n))
+
+
+def with_unit(df: DataFrame, vec: str, out: str) -> DataFrame:
+    """Corpus-scale unit normalization: materialize the double array
+    and its norm as columns FIRST, then divide — each row computes the
+    norm once (O(d)), not once per element (O(d^2), what inlining
+    ``unit()`` into a projection costs)."""
+    return (
+        df.withColumn("__dv", as_double(vec))
+        .withColumn("__n", norm(F.col("__dv")))
+        .withColumn(
+            out,
+            F.transform(
+                F.col("__dv"),
+                lambda x: x / F.when(F.col("__n") == 0, F.lit(1.0)).otherwise(F.col("__n")),
+            ),
+        )
+        .drop("__dv", "__n")
+    )
 
 
 def pq_train(
@@ -477,10 +505,20 @@ def pq_train(
     Driver state is m*k*(d/m) = k*d floats — codebook-sized, like IVF
     centroids; the data never leaves the cluster."""
     d = embedding_dim(emb, vec)
+    if m > d:
+        raise ValueError(f"pq_train: m={m} subspaces > embedding dim d={d}")
+    if d % m != 0:
+        # silently truncating the tail dims would drop them from every
+        # codebook/code/LUT and quietly corrupt rankings
+        raise ValueError(
+            f"pq_train: embedding dim d={d} not divisible by m={m}; "
+            f"choose m from the divisors of d"
+        )
     sub = d // m
     h = (F.col(id_col) * F.lit(2654435761)) % F.lit(1 << 32)
     rows = (
-        emb.select(unit(as_double(vec)).alias("v"), h.alias("h"))
+        with_unit(emb, vec, "v")
+        .select("v", h.alias("h"))
         .orderBy("h")
         .limit(k)
         .collect()
@@ -549,16 +587,25 @@ def pq_topk(
     table folded into the plan as literals — scoring touches only the
     m int codes per candidate (never the raw vectors), so the scan
     payload is the compressed table.  One TakeOrdered job per query
-    over the shared persisted code table; queries are small by
-    contract (id % query_mod = 0)."""
+    over the shared persisted code table (one-slot tracked persist —
+    same lifecycle policy as the dedup gram table); queries are small
+    by contract (id % query_mod = 0)."""
+    from shadems_spark.operators.dedup import tracked_persist
+
     m = len(centroids)
     sub = len(centroids[0][0])
-    codes = pq_encode(emb, centroids, vec, id_col).persist()
+    codes = tracked_persist(pq_encode(emb, centroids, vec, id_col))
     qrows = (
-        emb.filter(F.col(id_col) % query_mod == 0)
-        .select(F.col(id_col).alias("q_id"), unit(as_double(vec)).alias("qv"))
+        with_unit(
+            emb.filter(F.col(id_col) % query_mod == 0), vec, "qv"
+        )
+        .select(F.col(id_col).alias("q_id"), "qv")
         .collect()
     )
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "q_id long, cand_id long, adc_score double"
+        )
     outs = []
     for qr in qrows:
         qv = qr["qv"]
@@ -617,18 +664,25 @@ def ivfpq_topk(
         emb.select(F.col(id_col).alias("cand_id"), as_double(vec).alias("c_vec")),
         cents,
     ).select("cand_id", "cell")
-    codes = (
+    from shadems_spark.operators.dedup import tracked_persist
+
+    codes = tracked_persist(
         pq_encode(emb, cb, vec=vec, id_col=id_col)
         .withColumnRenamed(id_col, "cand_id")
         .join(assigned, "cand_id")
-        .persist()
     )
 
     qrows = (
-        emb.filter(F.col(id_col) % query_mod == 0)
-        .select(F.col(id_col).alias("q_id"), unit(as_double(vec)).alias("qv"))
+        with_unit(
+            emb.filter(F.col(id_col) % query_mod == 0), vec, "qv"
+        )
+        .select(F.col(id_col).alias("q_id"), "qv")
         .collect()
     )
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "q_id long, cand_id long, cell int, adc_score double"
+        )
     import numpy as np
 
     cent_m = [np.asarray(c, dtype=np.float64) for c in cents]

@@ -114,14 +114,20 @@ def _tws_processor():
 def running_max_tws(ev_stream: DataFrame) -> DataFrame:
     """S/L (Spark 4): per-user running max via transformWithStateInPandas
     — typed ValueState, Update mode, RocksDB state store.  Same
-    semantics as running_max_batch after draining the source."""
+    semantics as running_max_batch after draining the source.
+
+    The processor is constructed BEFORE the session-global state-store
+    conf is touched, so the environment gate (missing protobuf) raises
+    without leaving the session switched to a provider other streaming
+    queries weren't written against."""
+    processor = _tws_processor()  # env gate fires here, pre-mutation
     spark = ev_stream.sparkSession
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     return ev_stream.groupBy("user_id").transformWithStateInPandas(
-        _tws_processor(),
+        processor,
         outputStructType=TWS_OUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
@@ -133,45 +139,27 @@ def stream_merge_into(
     table_path: str,
     key: str = "user_id",
 ) -> None:
-    """Streaming upsert sink via foreachBatch — the production
-    incremental-ingest pattern: each micro-batch's per-key aggregate
-    MERGEs into a parquet table (operators/incremental.merge_upsert:
-    anti-join + union), so the resident table is rewritten only when a
-    batch actually arrives and only with batch-sized join work on the
-    update side.  Drains the source under availableNow; parity with
-    the one-shot batch aggregate is asserted in
-    tests/test_streaming.py."""
-    import os
-
-    from shadems_spark.operators.incremental import merge_upsert
-
+    """Streaming upsert sink via foreachBatch — each micro-batch's
+    per-key PARTIAL aggregate lands in its own ``batch_id=N``
+    partition (dynamic-partition overwrite of exactly that partition),
+    so a replayed batch — foreachBatch's documented at-least-once
+    failure mode — overwrites its own partition instead of
+    double-counting into an accumulated table.  Readers fold the
+    partials with :func:`read_merged_totals` (sums are associative;
+    rounding happens once, at read).  Drains the source under
+    availableNow; parity with the one-shot batch aggregate is asserted
+    in tests/test_streaming.py."""
     spark = ev_stream.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         agg = batch_df.groupBy(key).agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum("value").alias("sum_value"),  # unrounded partial
         )
-        if os.path.exists(table_path):
-            base = spark.read.parquet(table_path)
-            # merge at the metric level: totals accumulate across batches
-            merged = (
-                base.unionByName(agg)
-                .groupBy(key)
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.round(F.sum("total_value"), 2).alias("total_value"),
-                )
-            )
-        else:
-            merged = agg
-        # foreachBatch may retry a batch; the rewrite is idempotent per
-        # batch_id only if the source replays identically — availableNow
-        # over static files does.  A lakehouse table format would make
-        # this transactional; plain parquet needs the staging rewrite.
-        merged.write.mode("overwrite").parquet(table_path + ".staging")
-        stage = spark.read.parquet(table_path + ".staging")
-        stage.write.mode("overwrite").parquet(table_path)
+        agg.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).partitionBy("batch_id").parquet(table_path)
 
     q = (
         ev_stream.writeStream.foreachBatch(upsert)
@@ -180,3 +168,14 @@ def stream_merge_into(
         .start()
     )
     q.awaitTermination(180)
+
+
+def read_merged_totals(spark, table_path: str, key: str = "user_id") -> DataFrame:
+    """Fold the per-batch partial aggregates written by
+    :func:`stream_merge_into` into final per-key totals (round once
+    here, matching running_totals_batch exactly)."""
+    parts = spark.read.parquet(table_path)
+    return parts.groupBy(key).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("sum_value"), 2).alias("total_value"),
+    )

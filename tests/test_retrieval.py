@@ -303,3 +303,34 @@ def test_ivfpq_recall_and_probe_bound(spark):
     hits = sum(len(want[q] & got.get(q, set())) for q in want)
     total = sum(len(want[q]) for q in want)
     assert hits / total >= 0.2, hits / total
+
+
+def test_pq_train_rejects_bad_subspace_split(spark):
+    """d % m != 0 or m > d must raise, never silently truncate dims."""
+    import pytest
+
+    from shadems_spark.operators.similarity import pq_train
+
+    df = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(6)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=4)
+    with pytest.raises(ValueError, match="> embedding dim"):
+        pq_train(df, m=8)
+
+
+def test_pq_topk_empty_query_set_returns_empty(spark):
+    """No id hits the query contract -> empty result with the right
+    schema, not an IndexError."""
+    from shadems_spark.operators.similarity import pq_topk, pq_train
+
+    df = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(1, 10)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_train(df, m=4, k=4)
+    out = pq_topk(df, cb, k=3, query_mod=100)  # ids 1..9: no multiples
+    assert out.count() == 0
+    assert set(out.columns) == {"q_id", "cand_id", "adc_score"}

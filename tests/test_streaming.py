@@ -379,7 +379,7 @@ def test_foreach_batch_merge_parity(spark, sf_dir, tmp_path):
     ST.stream_merge_into(ev, out)
     got = {
         r["user_id"]: (r["n_events"], r["total_value"])
-        for r in spark.read.parquet(out).collect()
+        for r in ST.read_merged_totals(spark, out).collect()
     }
     want = {
         r["user_id"]: (r["n_events"], r["total_value"])
