@@ -720,3 +720,55 @@ def ivfpq_topk(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def pq_refine(
+    emb: DataFrame,
+    centroids: list[list[list[float]]],
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 1,
+) -> list[list[list[float]]]:
+    """One-or-more Lloyd iterations over every subspace jointly:
+    re-encode, explode each vector into its m (subspace, code,
+    position, value) cells, and average per (subspace, code, position)
+    — a single partial-aggregable shuffle of n*d fixed-width rows per
+    iteration, no driver data collection beyond the m*k*(d/m)-float
+    codebook itself.  Empty cells keep their previous centroid (the
+    standard k-means dead-cell rule)."""
+    m = len(centroids)
+    sub = len(centroids[0][0])
+    for _ in range(iters):
+        codes = pq_encode(emb, centroids, vec, id_col)
+        uv = with_unit(emb.select(id_col, vec), vec, "uv").select(id_col, "uv")
+        cells = (
+            codes.join(uv, id_col)
+            .select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.element_at("codes", mi + 1).alias("code"),
+                                F.slice("uv", mi * sub + 1, sub).alias("sv"),
+                            )
+                            for mi in range(m)
+                        ]
+                    )
+                ).alias("mi", "cell")
+            )
+            .select("mi", F.col("cell.code").alias("code"),
+                    F.posexplode(F.col("cell.sv")).alias("pos", "val"))
+        )
+        means = (
+            cells.groupBy("mi", "code", "pos")
+            .agg(F.avg("val").alias("mu"))
+            .collect()
+        )
+        new = [
+            [[centroids[mi][j][i] for i in range(sub)] for j in range(len(centroids[mi]))]
+            for mi in range(m)
+        ]
+        for r in means:
+            new[r["mi"]][r["code"]][r["pos"]] = float(r["mu"])
+        centroids = new
+    return centroids

@@ -334,3 +334,44 @@ def test_pq_topk_empty_query_set_returns_empty(spark):
     out = pq_topk(df, cb, k=3, query_mod=100)  # ids 1..9: no multiples
     assert out.count() == 0
     assert set(out.columns) == {"q_id", "cand_id", "adc_score"}
+
+
+def test_pq_refine_improves_or_holds_distortion(spark):
+    """Lloyd refinement must not increase total quantization
+    distortion (k-means' monotonicity law) — measured as the sum of
+    squared distances from each subvector to its assigned centroid."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.similarity import (
+        pq_encode,
+        pq_refine,
+        pq_train,
+        with_unit,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    cb0 = pq_train(emb)
+    cb1 = pq_refine(emb, cb0, iters=1)
+
+    uv = {
+        r["vec_id"]: np.asarray(r["uv"], dtype=np.float64)
+        for r in with_unit(emb, "embedding", "uv").select("vec_id", "uv").collect()
+    }
+
+    def distortion(cb):
+        m = len(cb)
+        sub = len(cb[0][0])
+        codes = {
+            r["vec_id"]: r["codes"] for r in pq_encode(emb, cb).collect()
+        }
+        tot = 0.0
+        for vid, cs in codes.items():
+            x = uv[vid]
+            for mi in range(m):
+                c = np.asarray(cb[mi][cs[mi]])
+                s = x[mi * sub : (mi + 1) * sub]
+                tot += float(((s - c) ** 2).sum())
+        return tot
+
+    assert distortion(cb1) <= distortion(cb0) + 1e-9
