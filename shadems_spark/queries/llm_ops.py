@@ -575,3 +575,63 @@ def q_label_centroids(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+_FH_DIM = 16
+_FH_COLS = ",\n           ".join(
+    f"CAST(len(list_filter(bs, x -> x = {b})) AS BIGINT) AS f{b}"
+    for b in range(_FH_DIM)
+)
+
+
+@register(
+    "q_feature_hash",
+    sql=f"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+               FROM documents WHERE doc_id % 6 = 0),
+    b AS (SELECT doc_id,
+                 list_transform(ws, w ->
+                     list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                                      list_transform(string_split(w, ''),
+                                                     c -> CAST(ascii(c) AS BIGINT))),
+                         (a, c) -> (a * 31 + c) % 1000000007) % {_FH_DIM}) AS bs
+          FROM w)
+    SELECT doc_id, {_FH_COLS}
+    FROM b
+    """,
+)
+def q_feature_hash(spark, sf_dir):
+    """Feature hashing (the 'hashing trick'): every document becomes a
+    fixed {dim}-bucket bag-of-words count vector with NO vocabulary
+    pass — each word's polynomial char hash picks its bucket, so the
+    featurizer is a single stateless projection (nested JVM HOF
+    lambdas: per-word fold inside a per-doc transform).  The
+    model-free text-vectorizer used when a training pipeline needs
+    embeddings before any model exists; identical polynomial on both
+    engines makes it exactly oracle-checkable.""".format(dim=_FH_DIM)
+    from shadems_spark.operators.text import FP_MOD, words
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0)
+    ws = F.filter(words("text"), lambda w: F.length(w) > 0)
+    word_hash = lambda w: (
+        F.aggregate(
+            F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, c: (a * F.lit(31) + c) % F.lit(FP_MOD),
+        )
+        % F.lit(_FH_DIM)
+    )
+    buckets = F.transform(ws, word_hash)
+
+    def count_bucket(b):
+        # NB: a two-parameter lambda (even `lambda x, b=b: ...`) is
+        # treated by PySpark HOFs as the (element, index) form — the
+        # index would silently overwrite the default. One param only.
+        return F.size(F.filter(buckets, lambda x: x == F.lit(b)))
+
+    return docs.select(
+        "doc_id",
+        *[count_bucket(b).cast("long").alias(f"f{b}") for b in range(_FH_DIM)],
+    )
