@@ -131,3 +131,35 @@ def sample_frames(blobs: DataFrame, frame_bytes: int = 256, every_n: int = 4, re
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def decode_features_arrow(blobs: DataFrame, real_decode: bool = False) -> DataFrame:
+    """decode_features' mapInArrow twin: the same byte-level feature
+    extraction consuming raw ``pyarrow.RecordBatch``es — no pandas
+    conversion layer at all, the minimum-copy path for binary-heavy
+    batches (pandas wraps each blob in a Python object; Arrow keeps
+    the buffers).  Result-identical to decode_features (pinned in
+    tests/test_llm_ops.py)."""
+    if real_decode:
+        raise NotImplementedError(
+            "media decode libraries are not available in this container; "
+            "run with real_decode=False for the deterministic byte-level path"
+        )
+
+    def extract(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            tbl = batch.to_pydict()
+            blob = tbl["blob"]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": tbl["doc_id"],
+                    "kind": [m["kind"] for m in tbl["meta"]],
+                    "n_bytes": [len(b) for b in blob],
+                    "first_byte": [b[0] if len(b) else -1 for b in blob],
+                    "checksum": [sum(b) % 2147483647 for b in blob],
+                }
+            )
+
+    return blobs.mapInArrow(extract, schema=FEATURE_SCHEMA)

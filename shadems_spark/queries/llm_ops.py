@@ -635,3 +635,38 @@ def q_feature_hash(spark, sf_dir):
         "doc_id",
         *[count_bucket(b).cast("long").alias(f"f{b}") for b in range(_FH_DIM)],
     )
+
+
+@register(
+    "q_grouped_agg_pandas",
+    sql="""
+    SELECT lang,
+           round(avg(n_chars), 4) AS mean_chars,
+           round(quantile_cont(n_chars, 0.5), 1) AS med_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_grouped_agg_pandas(spark, sf_dir):
+    """L surface: GROUPED_AGG pandas UDFs — whole-group numpy
+    reductions (mean + interpolated median) running as Arrow-batched
+    aggregate expressions inside a regular groupBy, the escape hatch
+    when an aggregate has no Catalyst equivalent.  np.percentile's
+    linear interpolation matches DuckDB's quantile_cont exactly, so
+    this UDF path is oracle-checked, not rows-only."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def mean_chars(v: pd.Series) -> float:
+        return float(np.round(np.mean(v.to_numpy(dtype="float64")), 4))
+
+    @pandas_udf("double")
+    def med_chars(v: pd.Series) -> float:
+        return float(
+            np.round(np.percentile(v.to_numpy(dtype="float64"), 50), 1)
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        mean_chars("n_chars").alias("mean_chars"),
+        med_chars("n_chars").alias("med_chars"),
+    )

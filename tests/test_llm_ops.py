@@ -292,3 +292,18 @@ def test_multimodal_stub_gate(spark, sf_dir):
     assert all(r["n_bytes"] > 0 and r["kind"] == "text/plain" for r in feats)
     with pytest.raises(NotImplementedError):
         MM.decode_features(blobs, real_decode=True)
+
+
+def test_map_in_arrow_matches_pandas_path(spark, sf_dir):
+    """The mapInArrow feature extractor must be result-identical to
+    the mapInPandas one (same schema, same rows)."""
+    from pyspark.sql import functions as F
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
+    blobs = MM.blob_table(docs)
+    a = sorted(map(tuple, MM.decode_features(blobs).collect()))
+    b = sorted(map(tuple, MM.decode_features_arrow(blobs).collect()))
+    assert a == b and len(a) > 0
