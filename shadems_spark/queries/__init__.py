@@ -118,21 +118,72 @@ _R02_RED = [
 ]
 
 
+#: the 28 queries with no driver CORRECTNESS row in any of r01–r03
+#: (union computed from the three JSON records; VERDICT r03 "Next round"
+#: item 1).  All passed the judge's own oracle sweep in r03; the driver
+#: record is the hard signal, so they take the first ~28 of round 4's
+#: ~50 check slots.
+_NEVER_CHECKED_R3 = [
+    "q_pricing_summary", "q_top_orders", "q_percentile", "q_approx_distinct",
+    "q_facet", "q_local_supplier", "q_csv_roundtrip", "q_orc_roundtrip",
+    "q_json_roundtrip",
+    "q_group_sample", "q_alpha_mix", "q_unigram_lm", "q_span_dedup",
+    "q_zipf", "q_token_budget", "q_tfidf", "q_bm25", "q_chunk",
+    "q_quantize_topk", "q_split_stratified", "q_profile", "q_vocab",
+    "q_chunk_udtf", "q_global_index", "q_pmi", "q_pca", "q_pq_topk",
+    "q_ivfpq",
+]
+
+#: r02/r03-added queries that already have a green driver row (union of
+#: CORRECTNESS_r01–r03 minus the older lists) — proven, rotate behind
+#: the never-checked block.
+_R23_DRIVER_GREEN = [
+    "q_asof_cogroup", "q_binary_ingest", "q_bitmap_distinct",
+    "q_bucketed_join", "q_collation", "q_corr", "q_cosine_topk_blas",
+    "q_dedup_bottomk", "q_dedup_clusters", "q_dq_audit", "q_entropy",
+    "q_facet_scan", "q_feature_hash", "q_funnel", "q_gap_fill",
+    "q_gopher_rules", "q_grouped_agg_pandas", "q_hll_distinct",
+    "q_hof_funcs", "q_incremental_embedding", "q_label_centroids",
+    "q_latency_bands", "q_null_funcs", "q_outliers", "q_pipe_syntax",
+    "q_pivot", "q_pysource", "q_range_frame", "q_recursive_cte",
+    "q_retention", "q_scd2", "q_sessionize", "q_ship_priority",
+    "q_snapshot_diff", "q_stream_join", "q_union_by_name", "q_unpivot",
+    "q_variant", "q_weighted_sample", "q_window_battery",
+]
+
+#: queries whose implementation or oracle changed in round 4 and should
+#: re-earn a driver row right after the never-checked block:
+#: q_frame_sample graduated from rows-only to a SQL oracle, and
+#: q_grouped_agg_pandas switched to oracle-matching half-up rounding
+#: (ADVICE r03).  New round-4 queries (not in any known list) slot here
+#: automatically via the `new` bucket.
+_R04_TOUCHED = [
+    "q_frame_sample", "q_grouped_agg_pandas", "q_multimodal",
+]
+
+
 def _check_order(names: list[str]) -> list[str]:
-    """Driver-check order for round 3: first the 10 queries whose r02
-    driver rows were RED and are now fixed (a stale red row is worse
-    evidence than a missing row), then the ~48 queries no driver round
-    has checked yet (round-2/3 additions + deferred addendum), then
-    the proven r02/r01 prefixes (already have green driver rows)."""
-    r02_red = set(_R02_RED)
-    known = set(_R02_PRIORITY) | set(_DEFERRED) | set(_R01_DRIVER_GREEN)
+    """Driver-check order for round 4: first the 28 queries that have
+    never had a driver CORRECTNESS row (judge-verified only), then any
+    brand-new round-4 queries, then queries whose code/oracle changed
+    this round, then the proven r03→r01 prefixes (already driver-green,
+    rotate to the back)."""
+    front = set(_NEVER_CHECKED_R3) | set(_R04_TOUCHED)
+    known = (
+        front | set(_R23_DRIVER_GREEN) | set(_R02_RED) | set(_R02_PRIORITY)
+        | set(_DEFERRED) | set(_R01_DRIVER_GREEN)
+    )
     new = [n for n in names if n not in known]
     ordered = (
-        [n for n in _R02_RED if n in names]
+        [n for n in _NEVER_CHECKED_R3 if n in names]
         + new
-        + [n for n in _DEFERRED if n in names]
-        + [n for n in _R02_PRIORITY if n in names and n not in r02_red]
-        + [n for n in _R01_DRIVER_GREEN if n in names]
+        + [n for n in _R04_TOUCHED if n in names]
+        + [n for n in _R23_DRIVER_GREEN if n in names and n not in front]
+        + [n for n in _R02_RED if n in names and n not in front]
+        + [n for n in _R02_PRIORITY if n in names and n not in front
+           and n not in set(_R02_RED)]
+        + [n for n in _DEFERRED if n in names and n not in front]
+        + [n for n in _R01_DRIVER_GREEN if n in names and n not in front]
     )
     assert len(ordered) == len(names), "registry reorder dropped a query"
     return ordered

@@ -652,21 +652,24 @@ def q_grouped_agg_pandas(spark, sf_dir):
     aggregate expressions inside a regular groupBy, the escape hatch
     when an aggregate has no Catalyst equivalent.  np.percentile's
     linear interpolation matches DuckDB's quantile_cont exactly, so
-    this UDF path is oracle-checked, not rows-only."""
+    this UDF path is oracle-checked, not rows-only.
+
+    The UDFs return the RAW aggregate; rounding happens outside via
+    F.round (HALF_UP, same as the oracle's round()).  np.round inside
+    the UDF was ADVICE r03's latent-drift flag: banker's rounding
+    diverges from DuckDB on exact binary halves."""
     import numpy as np
 
     @pandas_udf("double")
     def mean_chars(v: pd.Series) -> float:
-        return float(np.round(np.mean(v.to_numpy(dtype="float64")), 4))
+        return float(np.mean(v.to_numpy(dtype="float64")))
 
     @pandas_udf("double")
     def med_chars(v: pd.Series) -> float:
-        return float(
-            np.round(np.percentile(v.to_numpy(dtype="float64"), 50), 1)
-        )
+        return float(np.percentile(v.to_numpy(dtype="float64"), 50))
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
-        mean_chars("n_chars").alias("mean_chars"),
-        med_chars("n_chars").alias("med_chars"),
+        F.round(mean_chars("n_chars"), 4).alias("mean_chars"),
+        F.round(med_chars("n_chars"), 1).alias("med_chars"),
     )

@@ -111,27 +111,75 @@ def _tws_processor():
     return RunningMax()
 
 
+class _scoped_conf:
+    """Set session confs for the duration of a block, then restore the
+    previous values (or unset keys that were unset).  Session-global
+    conf mutation leaking past an operator was ADVICE r03's top
+    finding — a streaming sink flipping partitionOverwriteMode or the
+    state-store provider silently changed the semantics of every later
+    writer/stream in the session."""
+
+    def __init__(self, spark, **confs: str):
+        self._spark, self._confs, self._saved = spark, confs, {}
+
+    def __enter__(self):
+        for k, v in self._confs.items():
+            self._saved[k] = self._spark.conf.get(k, None)
+            self._spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, prior in self._saved.items():
+            if prior is None:
+                self._spark.conf.unset(k)
+            else:
+                self._spark.conf.set(k, prior)
+        return False
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def running_max_tws(ev_stream: DataFrame) -> DataFrame:
     """S/L (Spark 4): per-user running max via transformWithStateInPandas
-    — typed ValueState, Update mode, RocksDB state store.  Same
-    semantics as running_max_batch after draining the source.
+    — typed ValueState, Update mode.  Same semantics as
+    running_max_batch after draining the source.
 
-    The processor is constructed BEFORE the session-global state-store
-    conf is touched, so the environment gate (missing protobuf) raises
-    without leaving the session switched to a provider other streaming
-    queries weren't written against."""
+    The processor is constructed first so the environment gate
+    (missing protobuf) raises before any session state is touched.
+    The RocksDB state-store provider is NOT set here: the conf is
+    read at query *start*, which happens in the caller — use
+    :func:`run_tws_to_memory` to execute with RocksDB scoped to the
+    query (set → start → drain → restore), per ADVICE r03."""
     processor = _tws_processor()  # env gate fires here, pre-mutation
-    spark = ev_stream.sparkSession
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     return ev_stream.groupBy("user_id").transformWithStateInPandas(
         processor,
         outputStructType=TWS_OUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
     )
+
+
+def run_tws_to_memory(ev_stream: DataFrame, name: str = "tws_max") -> DataFrame:
+    """Drain the transformWithState stream into a memory sink with the
+    RocksDB provider active only for this query's lifetime (restored
+    in finally), returning the sink table."""
+    spark = ev_stream.sparkSession
+    out = running_max_tws(ev_stream)
+    with _scoped_conf(
+        spark, **{"spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER}
+    ):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    return spark.table(name)
 
 
 def stream_merge_into(
@@ -148,9 +196,13 @@ def stream_merge_into(
     partials with :func:`read_merged_totals` (sums are associative;
     rounding happens once, at read).  Drains the source under
     availableNow; parity with the one-shot batch aggregate is asserted
-    in tests/test_streaming.py."""
-    spark = ev_stream.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    in tests/test_streaming.py.
+
+    Dynamic-partition overwrite is requested per-write via the
+    DataFrameWriter option, NOT a session conf — other writers in the
+    same session keep static overwrite-whole-path semantics (ADVICE
+    r03: the session-wide set leaked into shadeplot/incremental/io
+    overwrites and could leave stale partitions)."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         agg = batch_df.groupBy(key).agg(
@@ -159,7 +211,9 @@ def stream_merge_into(
         )
         agg.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "overwrite"
-        ).partitionBy("batch_id").parquet(table_path)
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id"
+        ).parquet(table_path)
 
     q = (
         ev_stream.writeStream.foreachBatch(upsert)

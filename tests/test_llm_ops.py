@@ -307,3 +307,26 @@ def test_map_in_arrow_matches_pandas_path(spark, sf_dir):
     a = sorted(map(tuple, MM.decode_features(blobs).collect()))
     b = sorted(map(tuple, MM.decode_features_arrow(blobs).collect()))
     assert a == b and len(a) > 0
+
+
+def test_map_in_arrow_empty_and_zero_blob(spark):
+    """ADVICE r03 edge cases: a partition with zero rows must emit the
+    declared types (not value-inferred nulls), and all-empty blobs must
+    produce long-typed first_byte=-1 / checksum=0 rows."""
+    from pyspark.sql import functions as F
+
+    from shadems_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "", "a", 0), (2, "", "a", 0)],
+        "doc_id long, text string, source string, n_chars long",
+    ).repartition(8)  # most partitions are empty
+    blobs = MM.blob_table(docs)
+    out = MM.decode_features_arrow(blobs)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "string", "bigint", "bigint", "bigint"
+    ]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert (r["n_bytes"], r["first_byte"], r["checksum"]) == (0, -1, 0)

@@ -47,10 +47,26 @@ def test_semijoin_broadcast(spark):
 
 def test_cosine_topk_broadcasts_queries(spark):
     """M3 brute force: ONE scan of the collection, queries broadcast —
-    the big side must never shuffle for scoring."""
+    the big side must never shuffle for scoring.  BENCH_r03 recorded a
+    6.5× outlier on this query with unchanged code (ambient load);
+    this pin makes any *structural* regression — an extra window pass,
+    a shuffle join, a cartesian — fail loud so noise can't hide one
+    (VERDICT r03 'What's wrong' #1)."""
     p = _plan(spark, "q_cosine_topk")
     assert "BroadcastNestedLoopJoin" in p
-    assert "SortMergeJoin" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("Window [") == 1  # single top-k ranking pass
+
+
+def test_ngram_jaccard_persisted_single_scan(spark):
+    """M2 exact verify metric: the gram table is built ONCE (persisted)
+    and feeds all four consumers — both self-join sides and both size
+    lookups read the cache, and the size joins stay broadcast.  Pin per
+    VERDICT r03 'What's wrong' #2 (bench outlier, code unchanged)."""
+    p = _plan(spark, "q_ngram_jaccard")
+    assert p.count("InMemoryTableScan") == 4
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # size lookups broadcast
 
 
 def test_topk_is_limit_pushed(spark):

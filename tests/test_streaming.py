@@ -347,19 +347,25 @@ def test_transform_with_state_parity_or_env_gate(spark, sf_dir):
             ST.running_max_tws(ev_stream)
         return
 
-    out = ST.running_max_tws(ev_stream)
-    q = (
-        out.writeStream.format("memory")
-        .queryName("tws_max")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    provider_before = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
     )
-    q.awaitTermination(180)
-    got = {
-        r["user_id"]: (r["n_events"], r["max_value"])
-        for r in spark.table("tws_max").collect()
-    }
+    sink = ST.run_tws_to_memory(ev_stream)
+    # RocksDB provider must be scoped to the query, not left switched
+    # for every later streaming query in the session (ADVICE r03).
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        == provider_before
+    )
+    # Update-mode sink may hold one row per key per micro-batch; the
+    # updates are monotone, so reduce to the final state per key
+    # (max n_events) instead of relying on collect() row order.
+    final = {}
+    for r in sink.collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["max_value"])
+    got = final
     want = {
         r["user_id"]: (r["n_events"], r["max_value"])
         for r in ST.running_max_batch(load_table(spark, sf_dir, "events")).collect()
