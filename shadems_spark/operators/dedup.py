@@ -151,23 +151,40 @@ def jaccard_verify(
     )
 
 
-#: one-slot cache of the gram table persisted by the latest dedup-
-#: family call — repeated invocations in one session used to
-#: accumulate cached partitions indefinitely (ADVICE r01); now each
-#: call releases its predecessor's.  The final table's lifetime is
-#: caller-owned (it backs the lazily-evaluated result).
-_live_grams: list[DataFrame] = []
+#: keyed cache of tables persisted by dedup/ANN-family calls.
+#: History: repeated invocations in one session used to accumulate
+#: cached partitions indefinitely (ADVICE r01) → one-slot release
+#: (r2) → VERDICT r03 #4 flagged the single slot as a footgun: two
+#: operators persisting concurrently in one pipeline would silently
+#: evict each other and recompute.  Now each operator persists under
+#: its own key and only releases ITS OWN stale predecessor; persisted
+#: lifetimes stay caller-owned (the cache backs lazily-evaluated
+#: results), bounded at one live table per operator family.
+_live: dict[str, DataFrame] = {}
 
 
-def tracked_persist(df: DataFrame) -> DataFrame:
-    """persist(MEMORY_AND_DISK) with the one-slot release above —
-    spills instead of evicting at corpus scale."""
+def tracked_persist(df: DataFrame, key: str = "grams") -> DataFrame:
+    """persist(MEMORY_AND_DISK) under ``key``, releasing only the
+    previous occupant of the same key — spills instead of evicting at
+    corpus scale, and concurrent operators (distinct keys) never
+    evict each other."""
     from pyspark import StorageLevel
 
-    while _live_grams:
-        _live_grams.pop().unpersist()
-    _live_grams.append(df.persist(StorageLevel.MEMORY_AND_DISK))
+    prior = _live.pop(key, None)
+    if prior is not None:
+        prior.unpersist()
+    _live[key] = df.persist(StorageLevel.MEMORY_AND_DISK)
     return df
+
+
+def release_persist(key: str | None = None) -> None:
+    """Explicitly release one key's (or every) tracked persist — for
+    callers that fully materialize their result and want the cache
+    gone before the next pipeline stage."""
+    for k in [key] if key is not None else list(_live):
+        df = _live.pop(k, None)
+        if df is not None:
+            df.unpersist()
 
 
 def minhash_dedup(
@@ -180,7 +197,7 @@ def minhash_dedup(
     both sides of the verify join); persisting it trades one
     materialization (two longs per (doc, gram)) for recomputing the
     shingle scan three times."""
-    grams = tracked_persist(doc_grams(df, id_col, text))
+    grams = tracked_persist(doc_grams(df, id_col, text), key="minhash_grams")
     sigs = minhash_signatures_from_grams(grams, id_col)
     cands = lsh_candidate_pairs(sigs, id_col)
     return jaccard_verify(cands, grams, id_col, threshold)

@@ -87,7 +87,7 @@ def q_ngram_jaccard(spark, sf_dir):
     join sides + both size lookups) — the unshared form re-ran the
     split/hash scan four times (~25% of this query's round-1 wall)."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = D.tracked_persist(D.doc_grams(docs, ngram=3))
+    grams = D.tracked_persist(D.doc_grams(docs, ngram=3), key="ngram_grams")
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     g = grams.withColumnRenamed("s", "ng")
     a, b = g.alias("a"), g.alias("b")
@@ -504,7 +504,7 @@ def q_dedup_bottomk(spark, sf_dir):
     Estimator accuracy is pinned against the exact join in
     tests/test_llm_ops.py."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = D.tracked_persist(D.doc_grams(docs))
+    grams = D.tracked_persist(D.doc_grams(docs), key="bottomk_grams")
     sigs = D.minhash_signatures_from_grams(grams)
     cands = D.lsh_candidate_pairs(sigs)
     sketches = D.bottomk_sketch(docs, k=64)

@@ -330,3 +330,25 @@ def test_map_in_arrow_empty_and_zero_blob(spark):
     assert set(rows) == {1, 2}
     for r in rows.values():
         assert (r["n_bytes"], r["first_byte"], r["checksum"]) == (0, -1, 0)
+
+
+def test_tracked_persist_keyed_scopes(spark):
+    """VERDICT r03 #4: two operators persisting concurrently (distinct
+    keys) must not evict each other; re-persisting the SAME key
+    releases only its own stale predecessor."""
+    from shadems_spark.operators import dedup as D
+
+    a = spark.range(10).withColumnRenamed("id", "a")
+    b = spark.range(10).withColumnRenamed("id", "b")
+    D.tracked_persist(a, key="ka")
+    D.tracked_persist(b, key="kb")
+    assert a.is_cached and b.is_cached  # no cross-key eviction
+
+    a2 = spark.range(20).withColumnRenamed("id", "a")
+    D.tracked_persist(a2, key="ka")
+    assert not a.is_cached and a2.is_cached and b.is_cached
+
+    D.release_persist("kb")
+    assert not b.is_cached and a2.is_cached
+    D.release_persist()
+    assert not a2.is_cached
