@@ -846,3 +846,22 @@ def q_latency_bands(spark, sf_dir):
         F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
         F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+@register("q_latency_tdigest", sql=None)  # sketch percentiles: engine-specific
+def q_latency_tdigest(spark, sf_dir):
+    """q_latency_bands' documented 100-TB path (VERDICT r03 #8): the
+    exact per-day percentile sorts every group's values; this variant
+    swaps in percentile_approx — Spark's bounded-memory quantile
+    sketch (GK/t-digest-style, mergeable across partitions), accuracy
+    set to 1/10000 relative rank.  Same plan shape, fixed-size
+    aggregate state per (day) key regardless of group row count.
+    Rows-only by nature (sketch estimates are engine-specific);
+    accuracy vs the exact form is pinned in tests/test_core.py."""
+    ev = load_table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    return ev.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 4).alias("p50"),
+        F.round(F.percentile_approx("value", F.lit(0.95), F.lit(10000)), 4).alias("p95"),
+        F.round(F.percentile_approx("value", F.lit(0.99), F.lit(10000)), 4).alias("p99"),
+    )

@@ -457,10 +457,33 @@ def q_multimodal(spark, sf_dir):
     return MM.decode_features(MM.blob_table(docs))
 
 
-@register("q_frame_sample", sql=None)  # binary output: rows-only
+@register(
+    "q_frame_sample",
+    sql="""
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+               FROM documents WHERE doc_id % 4 = 0),
+    t AS (SELECT doc_id, nb,
+                 greatest(1, CAST(ceil(nb / 128.0) AS BIGINT)) AS total
+          FROM d),
+    k AS (SELECT doc_id, nb, total, unnest(range(0, total, 4)) AS fi
+          FROM t)
+    SELECT doc_id,
+           CAST(fi AS INT) AS frame_idx,
+           CAST((total + 3) // 4 AS INT) AS n_frames,
+           CAST(least(128, nb - fi * 128) AS INT) AS frame_bytes
+    FROM k
+    """,
+)
 def q_frame_sample(spark, sf_dir):
     """M6: 1:N frame-sampling stage — row-expanding mapInPandas over
-    binary payloads (decode stubbed, plumbing real)."""
+    binary payloads (decode stubbed, plumbing real).
+
+    Graduated from rows-only to a hash-matched oracle (VERDICT r03
+    next-round #4): the sampler is deterministic — frame count
+    ceil(bytes/128), every 4th kept, last frame short — so the whole
+    expansion is expressible as sequence+unnest over byte lengths; the
+    checked projection compares frame LENGTHS (the binary payload
+    itself has no DuckDB-comparable form)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
     frames = MM.sample_frames(MM.blob_table(docs), frame_bytes=128, every_n=4)
     return frames.select("doc_id", "frame_idx", "n_frames", F.length("frame").alias("frame_bytes"))

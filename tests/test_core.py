@@ -102,3 +102,38 @@ def test_hll_estimate_within_tolerance(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
+
+
+def test_tdigest_percentiles_close_to_exact(spark, sf_dir):
+    """The percentile_approx 100-TB variant: the sketch's guarantee is
+    on RANK, not value — the returned element's rank within its day
+    must sit within the accuracy bound of the requested quantile
+    (value-space comparison is meaningless on small discrete groups,
+    where even an exact order statistic differs from the interpolated
+    percentile).  n must match exactly (same groups, same rows)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    exact = {r["day"]: r for r in reg["q_latency_bands"][0](spark, sf_dir).collect()}
+    approx = {r["day"]: r for r in reg["q_latency_tdigest"][0](spark, sf_dir).collect()}
+    assert set(exact) == set(approx) and len(exact) > 0
+
+    ev = load_table(spark, sf_dir, "events")
+    vals_by_day = {}
+    for r in ev.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "value"
+    ).collect():
+        vals_by_day.setdefault(r["day"], []).append(r["value"])
+    for day, a in approx.items():
+        assert a["n"] == exact[day]["n"]
+        vs = sorted(vals_by_day[day])
+        n = len(vs)
+        for q, p in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            # rank band: sketch accuracy (1e-4 relative rank) plus the
+            # unavoidable 1-element discreteness of a small group, and
+            # the 4dp rounding applied to the returned element.
+            lo = sum(1 for v in vs if round(v, 4) < a[p])
+            hi = sum(1 for v in vs if round(v, 4) <= a[p])
+            tol = 1e-4 + 1.5 / n
+            assert lo / n - tol <= q <= hi / n + tol, (day, p, a[p], lo, hi, n)

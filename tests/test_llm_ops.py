@@ -352,3 +352,43 @@ def test_tracked_persist_keyed_scopes(spark):
     assert not b.is_cached and a2.is_cached
     D.release_persist()
     assert not a2.is_cached
+
+
+def test_simhash_block_recall_pinned(spark):
+    """VERDICT r03 #9: quantitative pin for the rows-only simhash
+    query — the 16-bit-block candidate set must recover >=85% of the
+    exact n-gram-Jaccard near-dup pairs at sf0.01 (measured 0.92 on
+    the deterministic fixture; simhash's bit-sign similarity is a
+    different metric than Jaccard, so 100% is not expected)."""
+    from shadems_spark.queries import load_registry
+
+    sf = "/root/testdata/sf0.01"
+    reg = load_registry()
+    exact = {
+        (r["id1"], r["id2"])
+        for r in reg["q_ngram_jaccard"][0](spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents")
+    cands = {
+        (r["id1"], r["id2"])
+        for r in D.simhash_candidates(D.simhash_signatures(docs)).collect()
+    }
+    assert len(exact) > 0
+    assert len(exact & cands) / len(exact) >= 0.85
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """VERDICT r03 #9: pin for the rows-only q_approx_distinct — HLL
+    estimates within 5% of exact (measured 2.7% / 3.0% at sf0.01)."""
+    from shadems_spark.queries import load_registry
+
+    sf = "/root/testdata/sf0.01"
+    reg = load_registry()
+    row = reg["q_approx_distinct"][0](spark, sf).collect()[0]
+    li = load_table(spark, sf, "lineitem")
+    ex = li.agg(
+        F.countDistinct("l_partkey").alias("p"),
+        F.countDistinct("l_suppkey").alias("s"),
+    ).collect()[0]
+    assert abs(row["approx_parts"] - ex["p"]) / ex["p"] < 0.05
+    assert abs(row["approx_supps"] - ex["s"]) / ex["s"] < 0.05
