@@ -34,11 +34,50 @@ _VIS = vis_sql_from("lineitem")
 )
 def q_scan(spark, sf_dir):
     """A1: pruned columnar scan — filter + projection push into the
-    parquet reader ([R] data_plots.py::get_plot_data columns=...)."""
+    parquet reader ([R] data_plots.py::get_plot_data columns=...).
+
+    Routed through the MS-source seam (sources/ms_adapter.py): the
+    fixture dir opens as a ParquetStandinMS whose table() is
+    plan-identical to a direct catalog load, so the same query runs
+    unchanged against any future MSSource backend."""
+    from shadems_spark.sources.ms_adapter import open_ms
+
     return (
-        load_table(spark, sf_dir, "lineitem")
+        open_ms(spark, sf_dir)
+        .table("lineitem")
         .filter(F.col("l_quantity") < 10)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "q_ms_main",
+    sql="""
+    SELECT datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
+               * 86400.0 AS "TIME",
+           l_suppkey AS "ANTENNA1",
+           l_partkey AS "ANTENNA2",
+           CAST(floor(datediff('day', DATE '1995-01-01',
+                CAST(l_shipdate AS DATE)) / 90.0) AS BIGINT) AS "SCAN_NUMBER",
+           l_orderkey % 4 AS "DATA_DESC_ID",
+           l_orderkey % 97 = 0 AS "FLAG_ROW",
+           l_extendedprice - 30000.0 AS u0
+    FROM lineitem WHERE l_partkey % 10 = 0
+    """,
+)
+def q_ms_main(spark, sf_dir):
+    """A1 via the MS-named MAIN surface (SURVEY §1.1 column contract):
+    TIME seconds, ANTENNA1/2, SCAN_NUMBER, DATA_DESC_ID, FLAG_ROW and
+    the first UVW coordinate, all through MSSource.main() — the oracle
+    applies the same stand-in formulas, proving the adapter projection
+    is exact, not just shaped right.  The subset filter is an
+    antenna selection (ANTENNA2 % 10), expressed on the MS surface."""
+    from shadems_spark.sources.ms_adapter import open_ms
+
+    ms = open_ms(spark, sf_dir).main()
+    return ms.filter(F.col("ANTENNA2") % 10 == 0).select(
+        "TIME", "ANTENNA1", "ANTENNA2", "SCAN_NUMBER", "DATA_DESC_ID",
+        "FLAG_ROW", F.element_at("UVW", 1).alias("u0"),
     )
 
 
