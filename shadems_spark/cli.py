@@ -28,7 +28,7 @@ from shadems_spark.operators import mappers as M
 from shadems_spark.operators import raster as R
 from shadems_spark.operators import selection as S
 from shadems_spark.plans.shadeplot import ShadePlot
-from shadems_spark.render import _CMAPS, parse_color, render_png
+from shadems_spark.render import _CMAPS, parse_color, render_figure, render_png
 from shadems_spark.session import get_spark
 from shadems_spark.vis import vis_view
 
@@ -85,6 +85,7 @@ def build_parser() -> argparse.ArgumentParser:
     canvas.add_argument("--robust", action="store_true", help="quantile-sketch axis bounds (outlier-proof)")
     out = p.add_argument_group("output")
     out.add_argument("--png", default="{ms}_{xname}_{yname}{field}.png", help="output name template")
+    out.add_argument("--figure", action="store_true", help="compose a labeled figure (axes, ticks, colorbar/legend) around the raster instead of writing the bare canvas")
     out.add_argument("--dir", default=".", help="output directory")
     out.add_argument("--iter-field", action="store_true", help="one PNG per field")
     out.add_argument(
@@ -245,24 +246,45 @@ def run(argv: list[str] | None = None, spark=None) -> list[str]:
                 field=f"_{grp}", group=f"_{grp}",
             )
             path = os.path.join(args.dir, name)
-            render_png(
-                one, path, plot.width, plot.height, how=args.norm, cmap=args.cmap,
-                spread_px=args.spread,
-                dynspread_threshold=0.5 if args.dynspread else None,
-                bgcol=None if args.bgcol == "none" else parse_color(args.bgcol),
-            )
+            if args.figure:
+                render_figure(
+                    one, path, plot.width, plot.height, xr, yr,
+                    how=args.norm, cmap=args.cmap,
+                    title=f"{ms_name} {grp}", xlabel=xname, ylabel=yname,
+                    spread_px=args.spread,
+                    dynspread_threshold=0.5 if args.dynspread else None,
+                    bgcol=None if args.bgcol == "none" else parse_color(args.bgcol),
+                )
+            else:
+                render_png(
+                    one, path, plot.width, plot.height, how=args.norm, cmap=args.cmap,
+                    spread_px=args.spread,
+                    dynspread_threshold=0.5 if args.dynspread else None,
+                    bgcol=None if args.bgcol == "none" else parse_color(args.bgcol),
+                )
             written.append(path)
         return written
 
-    binned = plot.run(df)
+    xr, yr = plot.bounds(df)
+    binned = plot.run_with_ranges(df, xr, yr)
     name = _template(args.png, ms=ms_name, xname=xname, yname=yname, field="")
     path = os.path.join(args.dir, name)
-    render_png(
-        binned, path, plot.width, plot.height,
-        how=args.norm, cmap=args.cmap, categories=categories,
-        spread_px=args.spread,
-        dynspread_threshold=0.5 if args.dynspread else None,
-        bgcol=None if args.bgcol == "none" else parse_color(args.bgcol),
-    )
+    if args.figure:
+        render_figure(
+            binned, path, plot.width, plot.height, xr, yr,
+            how=args.norm, cmap=args.cmap, categories=categories,
+            title=ms_name, xlabel=xname, ylabel=yname,
+            spread_px=args.spread,
+            dynspread_threshold=0.5 if args.dynspread else None,
+            bgcol=None if args.bgcol == "none" else parse_color(args.bgcol),
+        )
+    else:
+        render_png(
+            binned, path, plot.width, plot.height,
+            how=args.norm, cmap=args.cmap, categories=categories,
+            spread_px=args.spread,
+            dynspread_threshold=0.5 if args.dynspread else None,
+            bgcol=None if args.bgcol == "none" else parse_color(args.bgcol),
+        )
     written.append(path)
     return written

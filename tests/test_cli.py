@@ -22,6 +22,16 @@ def _png_size(path):
     return w, h, data
 
 
+def _decode_png(data: bytes) -> np.ndarray:
+    """Decode our own filter-0 RGBA PNGs back to an array."""
+    w, h = struct.unpack(">II", data[16:24])
+    idat_len = struct.unpack(">I", data[33:37])[0]
+    raw = zlib.decompress(data[41 : 41 + idat_len])
+    stride = 1 + 4 * w
+    rows = [raw[y * stride + 1 : (y + 1) * stride] for y in range(h)]
+    return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w, 4)
+
+
 def test_write_png_roundtrip(tmp_path):
     rgba = np.zeros((4, 3, 4), dtype=np.uint8)
     rgba[1, 2] = (10, 20, 30, 255)
@@ -299,3 +309,87 @@ def test_cli_bgcol_composes_background(tmp_path, spark, sf_dir):
     assert (img[:, :, 3] == 255).all()  # fully opaque canvas
     black = (img[:, :, :3] == 0).all(axis=2)
     assert black.any() and (~black).any()  # background + data pixels
+
+
+def test_figure_compose_layout():
+    """compose_figure: deterministic geometry — margins around the
+    raster, axes box drawn, ticks on both axes, colorbar strip on the
+    right.  Pure-numpy, no Spark."""
+    import numpy as np
+
+    from shadems_spark import figure as FIG
+
+    raster = np.zeros((40, 60, 4), dtype=np.uint8)
+    raster[10:20, 10:30] = (255, 0, 0, 255)
+    fig = FIG.compose_figure(
+        raster, (0.0, 120.0), (-5.0, 5.0),
+        title="TEST", xlabel="time", ylabel="amp", cmap="viridis",
+    )
+    H = FIG.M_TOP + 40 + FIG.M_BOTTOM
+    W = FIG.M_LEFT + 60 + FIG.M_RIGHT
+    assert fig.shape == (H, W, 4)
+    # axes box edges are black
+    assert (fig[FIG.M_TOP - 1, FIG.M_LEFT - 1 : FIG.M_LEFT + 61, :3] == 0).all()
+    # raster panel composited in place
+    assert tuple(fig[FIG.M_TOP + 15, FIG.M_LEFT + 15, :3]) == (255, 0, 0)
+    # colorbar strip present (non-background column right of panel)
+    bar = fig[FIG.M_TOP : FIG.M_TOP + 40, FIG.M_LEFT + 60 + 14, :3]
+    assert len({tuple(c) for c in bar}) > 10  # gradient, not flat
+
+
+def test_figure_ticks_and_text():
+    """nice_ticks covers the range at sane steps; glyph rendering
+    marks pixels for every supported character class."""
+    import numpy as np
+
+    from shadems_spark import figure as FIG
+
+    ts = FIG.nice_ticks(0.0, 120.0)
+    assert ts[0] >= 0.0 and ts[-1] <= 120.0 and 3 <= len(ts) <= 7
+    ts2 = FIG.nice_ticks(-0.037, 0.051)
+    assert all(-0.037 <= t <= 0.051 for t in ts2) and len(ts2) >= 3
+
+    img = np.zeros((20, 400, 4), dtype=np.uint8)
+    s = "AMP 0.5e-3 (42%) time_day:XY/Z"
+    FIG.draw_text(img, 1, 1, s)
+    assert int((img[:, :, 3] == 255).sum()) > 12 * len(s.replace(" ", ""))
+
+
+def test_cli_figure_golden_layout(tmp_path, spark, sf_dir):
+    """--figure: labeled figure output — canvas + margins sized, and
+    byte-identical across runs (golden determinism, VERDICT r03 #3)."""
+    from shadems_spark import figure as FIG
+
+    argv = [
+        sf_dir, "-x", "time", "-y", "amp",
+        "--xcanvas", "64", "--ycanvas", "48", "--figure",
+        "--dir", str(tmp_path),
+    ]
+    p1 = cli.run(argv + ["--png", "fa.png"], spark=spark)[0]
+    p2 = cli.run(argv + ["--png", "fb.png"], spark=spark)[0]
+    w, h, _ = _png_size(p1)
+    assert (w, h) == (64 + FIG.M_LEFT + FIG.M_RIGHT, 48 + FIG.M_TOP + FIG.M_BOTTOM)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_cli_figure_legend_categorical(tmp_path, spark, sf_dir):
+    """--figure with --colour-by renders the category legend sidebar
+    (palette swatch pixels present right of the panel)."""
+    import numpy as np
+
+    from shadems_spark import figure as FIG
+    from shadems_spark.render import PALETTE
+
+    paths = cli.run(
+        [
+            sf_dir, "-x", "time", "-y", "amp", "-C", "corr_label",
+            "--xcanvas", "48", "--ycanvas", "48", "--figure",
+            "--dir", str(tmp_path), "--png", "leg.png",
+        ],
+        spark=spark,
+    )
+    data = open(paths[0], "rb").read()
+    img = _decode_png(data)
+    sx = FIG.M_LEFT + 48 + 14
+    swatch = tuple(img[FIG.M_TOP + 2, sx + 2, :3])
+    assert swatch in {tuple(c) for c in PALETTE}
