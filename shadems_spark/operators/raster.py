@@ -31,6 +31,13 @@ REDUCTIONS = {
     "min": lambda v: F.min(v),
     "max": lambda v: F.max(v),
     "std": lambda v: F.stddev_pop(v),
+    # r4: the rest of datashader's order-free reduction set ([R]
+    # ds.reductions; shadeMS --ared).  var is population variance like
+    # std; any marks pixel occupancy (1 where any non-null sample
+    # landed).  first/last/mode are deliberately absent: they depend
+    # on row order, which a distributed scan does not define.
+    "var": lambda v: F.var_pop(v),
+    "any": lambda v: F.max(F.when(v.isNotNull(), 1).otherwise(0)),
 }
 
 

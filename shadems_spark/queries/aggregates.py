@@ -141,6 +141,36 @@ def q_raster_std(spark, sf_dir):
 
 
 @register(
+    "q_raster_var",
+    sql=f"""
+    SELECT by, bx, n, round(val, 2) AS val, anyv FROM (
+        SELECT {_BY} AS by, {_BX} AS bx, count(*) AS n,
+               var_pop({_AMP}) AS val,
+               max(CASE WHEN {_AMP} IS NOT NULL THEN 1 ELSE 0 END) AS anyv
+        FROM {_VIS} v WHERE {_CLIP} GROUP BY 1, 2
+    )
+    """,
+)
+def q_raster_var(spark, sf_dir):
+    """G5 (r4): var + any rasters — completes datashader's order-free
+    reduction set (first/last/mode are order-dependent and therefore
+    undefined over a distributed scan; excluded by design)."""
+    v = _vis(spark, sf_dir)
+    x, y = F.col("time_day").cast("double"), F.col("vis.re")
+    binned = (
+        R.clip(R.clip(v, x, *TIME_RANGE), y, *PRICE_RANGE)
+        .withColumn("bx", R.bin_axis(x, *TIME_RANGE, 64))
+        .withColumn("by", R.bin_axis(y, *PRICE_RANGE, 64))
+    )
+    amp = c_amp(F.col("vis"))
+    return binned.groupBy("by", "bx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(R.REDUCTIONS["var"](amp), 2).alias("val"),
+        R.REDUCTIONS["any"](amp).cast("int").alias("anyv"),
+    )
+
+
+@register(
     "q_cat_discover",
     sql="""
     SELECT cat, CASE WHEN r > 2 THEN 'other' ELSE cat END AS legend, n
