@@ -49,6 +49,11 @@ HEADLINE = [
     "q_sessionize",
     "q_funnel",
     "q_variant",
+    # round-4 additions: the MS-adapter scan surface and the t-digest
+    # percentile path (both cheap; comparability of the r1-r3 subset
+    # is unaffected — the driver record keys timings per query).
+    "q_ms_main",
+    "q_latency_tdigest",
 ]
 
 
