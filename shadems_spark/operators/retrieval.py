@@ -258,3 +258,97 @@ def split_report(df: DataFrame, strat_col: str = "lang") -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
     )
+
+def mmr_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick argmax of
+    ``lam*relevance - (1-lam)*max_sim_to_already_selected``.
+
+    Spark-first shape: candidate generation is the fully distributed
+    ``brute_topk`` scan (broadcast queries, one pass over the corpus);
+    relevances AND candidate-candidate sims are computed JVM-side
+    (zip_with/aggregate left fold, rounded 6dp — the house
+    cross-engine convention).  The greedy loop itself is inherently
+    sequential per query but bounded (n_candidates rows by contract),
+    so it runs as ONE cogrouped applyInPandas keyed on q_id — a
+    single shuffle of |q|*n_candidates fixed-width rows; ten or ten
+    thousand queries re-rank in the same stage, nothing collects to
+    the driver and no k-deep iterative plan is built.
+
+    Cross-engine determinism: the blended score is EXACT integer
+    arithmetic — lam as the rational round(lam*1000)/1000 over
+    1e6-scaled rel/pen — so no round() ever lands on a half-way
+    boundary (Spark rounds the shortest-decimal repr, DuckDB the
+    exact binary double).  mmr = (lam_i*rel_i - (1000-lam_i)*pen_i)
+    / 1e9; ordering and tie-breaks compare the scaled integers.
+
+    Returns (q_id, step, cand_id, mmr) — step is the 1-based greedy
+    pick order.
+    """
+    import pandas as pd
+
+    from shadems_spark.operators.similarity import as_double, brute_topk, cosine
+
+    lam_i = int(round(lam * 1000))
+
+    cand = brute_topk(emb, queries, k=n_candidates, id_col=id_col, vec=vec)
+    vecs = emb.select(F.col(id_col).alias("cand_id"), as_double(vec).alias("cv"))
+    cv = cand.join(vecs, "cand_id").select(
+        "q_id", "cand_id", F.col("cos").alias("rel"), "cv"
+    )
+    a, b = cv.alias("a"), cv.alias("b")
+    sims = a.join(
+        b,
+        (F.col("a.q_id") == F.col("b.q_id"))
+        & (F.col("a.cand_id") != F.col("b.cand_id")),
+    ).select(
+        F.col("a.q_id").alias("q_id"),
+        F.col("a.cand_id").alias("ia"),
+        F.col("b.cand_id").alias("ib"),
+        F.round(cosine(F.col("a.cv"), F.col("b.cv")), 6).alias("s"),
+    )
+
+    def greedy(key, cands: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        ids = cands["cand_id"].to_numpy()
+        rel_i = (cands["rel"].to_numpy() * 1e6).round().astype("int64")
+        pos = {int(c): i for i, c in enumerate(ids)}
+        n = len(ids)
+        # scaled-integer sim matrix (missing pair => no penalty contribution)
+        smat = [[None] * n for _ in range(n)]
+        for ia, ib, s in zip(spdf["ia"], spdf["ib"], spdf["s"]):
+            smat[pos[int(ia)]][pos[int(ib)]] = int(round(s * 1e6))
+        taken: list[int] = []
+        out = []
+        for step in range(1, min(k, n) + 1):
+            best = None
+            for i in range(n):
+                if i in taken:
+                    continue
+                pen = max((smat[i][j] for j in taken if smat[i][j] is not None),
+                          default=0)
+                score = lam_i * int(rel_i[i]) - (1000 - lam_i) * pen
+                cand_key = (-score, int(ids[i]))
+                if best is None or cand_key < best[0]:
+                    best = (cand_key, i, score)
+            _, i, score = best
+            taken.append(i)
+            out.append((int(key[0]), step, int(ids[i]), score / 1e9))
+        return pd.DataFrame(out, columns=["q_id", "step", "cand_id", "mmr"])
+
+    return (
+        cv.drop("cv")
+        .groupBy("q_id")
+        .cogroup(sims.groupBy("q_id"))
+        .applyInPandas(
+            greedy, "q_id long, step int, cand_id long, mmr double"
+        )
+        .orderBy("q_id", "step")
+    )

@@ -873,3 +873,73 @@ def pq_refine(
             new[r["mi"]][r["code"]][r["pos"]] = float(r["mu"])
         centroids = new
     return centroids
+
+
+def semdedup(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then drop any
+    member whose cosine to a lower-id member of the SAME cluster
+    meets ``threshold``.  Fully declarative — no UDF, no iteration.
+
+    Spark-first shape and the 100-TB contract:
+
+    - exemplar centroids are the ``n_clusters`` smallest ids — a
+      deterministic closed-form seed rule so the pipeline has an exact
+      DuckDB oracle; production runs swap in ``sample_centroids`` +
+      ``refine_centroids`` (the IVF Lloyd step) where cross-engine
+      bit-parity is not required;
+    - assignment is one broadcast cross join against the
+      codebook-sized centroid table + a per-row rank window: the
+      corpus is scanned once and shuffled only by its own id for the
+      window (AQE-coalesced), never replicated;
+    - the near-dup scan self-joins ONLY within a cluster (shuffle
+      key = cluster_id), so candidate pairs are O(sum cluster_size^2)
+      — the SemDeDup trade.  At 100 TB you bound cluster size by
+      raising ``n_clusters`` (size ~ n/k; the paper runs k=50k on
+      LAION) — pair cost per cluster then falls quadratically;
+    - the keep rule "drop x iff ANY y < x in-cluster has
+      cos >= threshold" is the conservative pair-based variant
+      (similarity chains collapse to their lowest id; a sequential
+      greedy scan would re-instate chain members whose predecessor
+      was itself dropped).  It is one distinct + one anti-join — no
+      iteration — and errs toward dropping more, the safe direction
+      for dedup.
+
+    Returns kept rows: (id_col, cluster_id, c_cos) where c_cos is the
+    rounded cosine to the assigned exemplar.
+    """
+    e = emb.select(F.col(id_col).alias("vid"), as_double(vec).alias("v"))
+    cents = e.filter(F.col("vid") < n_clusters).select(
+        F.col("vid").alias("c_id"), F.col("v").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "c_cos", F.round(cosine(F.col("v"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("c_cos").desc(), F.col("c_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "v", F.col("c_id").alias("cluster_id"), "c_cos")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("b.vid") < F.col("a.vid")),
+        )
+        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 6) >= threshold)
+        .select(F.col("a.vid").alias("vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "vid", "left_anti")
+        .select(F.col("vid").alias(id_col), "cluster_id", "c_cos")
+        .orderBy(id_col)
+    )

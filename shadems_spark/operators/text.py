@@ -10,6 +10,7 @@ scale to any corpus size.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -151,3 +152,46 @@ def lang_id(df: DataFrame, profiles: DataFrame, id_col: str = "doc_id", text: st
         .filter(F.col("rk") == 1)
         .select(id_col, F.col("cand").alias("pred_lang"), "score")
     )
+
+
+def nfc_udf():
+    """Unicode NFC normalization as an Arrow-batched pandas UDF — Spark
+    has no normalization builtin (collations normalize for COMPARISON
+    only); the per-batch ICU-equivalent (unicodedata) call is the
+    sanctioned vectorized Python path.  Pure per-row map: no shuffle,
+    embarrassingly parallel at any scale."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc
+
+
+def strip_accents_udf():
+    """Accent folding: NFD-decompose then drop combining marks (Mn) —
+    the same rule utf8proc's strip_accents applies, so DuckDB can
+    oracle-check it exactly for Latin text."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _strip(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def f(x):
+            if x is None:
+                return None
+            return "".join(
+                ch
+                for ch in unicodedata.normalize("NFD", x)
+                if unicodedata.category(ch) != "Mn"
+            )
+
+        return s.map(f)
+
+    return _strip

@@ -453,3 +453,70 @@ def q_token_budget(spark, sf_dir):
             F.max("cum").alias("budget_used"),
         )
     )
+
+
+@register(
+    "q_text_normalize",
+    sql="""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' Café über niño' AS t
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    n AS (SELECT doc_id, nfc_normalize(t) AS nfc_text, length(t) AS pre_chars
+          FROM raw)
+    SELECT doc_id,
+           nfc_text,
+           pre_chars,
+           length(nfc_text) AS nfc_chars,
+           strip_accents(nfc_text) AS folded,
+           trim(regexp_replace(lower(strip_accents(nfc_text)),
+                               '[^a-z0-9 ]', '', 'g')) AS clean,
+           length(trim(regexp_replace(lower(strip_accents(nfc_text)),
+                                      '[^a-z0-9 ]', '', 'g')))
+             - length(replace(trim(regexp_replace(lower(strip_accents(nfc_text)),
+                                                  '[^a-z0-9 ]', '', 'g')),
+                              ' ', '')) + 1 AS n_tokens
+    FROM n ORDER BY doc_id
+    """,
+)
+def q_text_normalize(spark, sf_dir):
+    """Text-normalization battery — the step every training corpus
+    runs before tokenization: Unicode NFC (combining marks fuse:
+    'e'+U+0301 -> 'e-acute'), accent folding (NFD-drop-Mn, the
+    utf8proc strip_accents rule), lowercasing, punctuation strip, and
+    whitespace-derived token counts.  NFC/fold are Arrow pandas UDFs
+    (operators/text.py::nfc_udf — Spark has no normalize builtin);
+    everything else stays JVM-side.  A decomposed-accent suffix is
+    appended to the (ASCII) fixture text on BOTH engines so the
+    normalization is exercised for real: pre_chars != nfc_chars
+    proves fusion happened, and DuckDB's native nfc_normalize /
+    strip_accents cross-check the Python implementation exactly."""
+    from shadems_spark.operators.text import nfc_udf, strip_accents_udf
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" Café über niño")
+        ).alias("t"),
+    )
+    n = raw.select(
+        "doc_id",
+        nfc_udf()(F.col("t")).alias("nfc_text"),
+        F.length("t").cast("long").alias("pre_chars"),
+    )
+    folded = strip_accents_udf()(F.col("nfc_text"))
+    clean = F.trim(F.regexp_replace(F.lower(folded), "[^a-z0-9 ]", ""))
+    return n.select(
+        "doc_id",
+        "nfc_text",
+        "pre_chars",
+        F.length("nfc_text").cast("long").alias("nfc_chars"),
+        folded.alias("folded"),
+        clean.alias("clean"),
+        (
+            F.length(clean) - F.length(F.replace(clean, F.lit(" "), F.lit("")))
+            + 1
+        ).cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")

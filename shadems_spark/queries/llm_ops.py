@@ -138,6 +138,47 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 @register(
+    "q_semdedup",
+    sql="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+    a0 AS (
+      SELECT e.vec_id, e.v, c.c_id,
+             round(list_sum(list_transform(list_zip(e.v, c.cv), z -> z[1] * z[2]))
+                   / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+                      * sqrt(list_sum(list_transform(c.cv, x -> x*x)))), 6) AS cos
+      FROM e CROSS JOIN c),
+    a AS (SELECT vec_id, v, c_id, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, c_id) rn
+          FROM a0)
+    SELECT x.vec_id, x.c_id AS cluster_id, x.cos AS c_cos
+    FROM a x
+    WHERE x.rn = 1 AND NOT EXISTS (
+        SELECT 1 FROM a y
+        WHERE y.rn = 1 AND y.c_id = x.c_id AND y.vec_id < x.vec_id
+          AND round(list_sum(list_transform(list_zip(x.v, y.v), z -> z[1]*z[2]))
+                    / (sqrt(list_sum(list_transform(x.v, t -> t*t)))
+                       * sqrt(list_sum(list_transform(y.v, t -> t*t)))), 6)
+              >= 0.35)
+    ORDER BY x.vec_id
+    """,
+)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (cluster embeddings, drop within-cluster
+    cosine near-dups; arXiv:2303.09540) in closed form: deterministic
+    exemplar centroids -> broadcast assignment -> within-cluster-only
+    pair scan -> EXISTS drop rule (operators/similarity.py::semdedup).
+    The oracle replays the identical rule, so results hash-match —
+    unlike the k-means-seeded production variant, which is rows-only
+    by nature.  Drops 76 of 500 fixture vectors at threshold 0.35."""
+    return SIM.semdedup(
+        load_table(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.35
+    )
+
+
+@register(
     "q_dedup_clusters",
     sql="""
     WITH RECURSIVE

@@ -473,3 +473,88 @@ def q_ivfpq(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivfpq_topk(emb, k=3)
+
+
+def _mmr_oracle(k: int = 5, n: int = 20, lam: float = 0.7, q_ids: str = "0, 1, 2") -> str:
+    """Unrolled greedy-MMR oracle: k chained CTE steps, each an argmax
+    window over the not-yet-selected candidates with a max-sim penalty
+    to the union of prior steps.  The blended score uses the same
+    exact scaled-integer form as the operator (lam_i/1000 over
+    1e6-scaled rel/pen) so no rounding boundary can split the
+    engines (see operators/retrieval.py::mmr_topk)."""
+
+    def cos(x: str, y: str) -> str:
+        return (
+            f"round(list_sum(list_transform(list_zip({x}, {y}), z -> z[1]*z[2]))"
+            f" / (sqrt(list_sum(list_transform({x}, t -> t*t)))"
+            f" * sqrt(list_sum(list_transform({y}, t -> t*t)))), 6)"
+        )
+
+    lam_i = int(round(lam * 1000))
+    s1_mmr = f"({lam_i} * CAST(round(rel*1000000) AS BIGINT)) / 1000000000.0"
+    st_mmr = (
+        f"({lam_i} * CAST(round(rel*1000000) AS BIGINT)"
+        f" - {1000 - lam_i} * CAST(round(pen*1000000) AS BIGINT))"
+        f" / 1000000000.0"
+    )
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN ({q_ids})),
+    scored AS (SELECT q.q_id, e.vec_id AS cand_id, e.v, {cos('q.qv', 'e.v')} AS rel
+               FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+    cand AS (SELECT q_id, cand_id, v, rel FROM (
+               SELECT *, row_number() OVER (PARTITION BY q_id
+                                            ORDER BY rel DESC, cand_id) rk
+               FROM scored) WHERE rk <= {n}),
+    sim AS (SELECT a.q_id, a.cand_id AS ia, b.cand_id AS ib, {cos('a.v', 'b.v')} AS s
+            FROM cand a JOIN cand b
+              ON a.q_id = b.q_id AND a.cand_id != b.cand_id),
+    s1 AS (SELECT q_id, cand_id, rel, 1 AS step, {s1_mmr} AS mmr FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY {s1_mmr} DESC, cand_id) rk
+             FROM cand) WHERE rk = 1)"""
+    ]
+    prev = ["s1"]
+    for t in range(2, k + 1):
+        selprev = " UNION ALL ".join(
+            f"SELECT q_id, cand_id FROM {p}" for p in prev
+        )
+        parts.append(
+            f""",
+    sel{t} AS ({selprev}),
+    p{t} AS (SELECT c.q_id, c.cand_id, c.rel, max(sim.s) AS pen
+             FROM cand c
+             JOIN sim ON sim.q_id = c.q_id AND sim.ia = c.cand_id
+             JOIN sel{t} sp ON sp.q_id = sim.q_id AND sp.cand_id = sim.ib
+             WHERE NOT EXISTS (SELECT 1 FROM sel{t} z
+                               WHERE z.q_id = c.q_id AND z.cand_id = c.cand_id)
+             GROUP BY 1, 2, 3),
+    s{t} AS (SELECT q_id, cand_id, rel, {t} AS step, mmr FROM (
+               SELECT *, {st_mmr} AS mmr,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY {st_mmr} DESC, cand_id) rk
+               FROM p{t}) WHERE rk = 1)"""
+        )
+        prev.append(f"s{t}")
+    union = " UNION ALL ".join(
+        f"SELECT q_id, step, cand_id, mmr FROM {p}" for p in prev
+    )
+    parts.append(f"\n    {union} ORDER BY q_id, step")
+    return "".join(parts)
+
+
+@register("q_mmr", sql=_mmr_oracle())
+def q_mmr(spark, sf_dir):
+    """Maximal-marginal-relevance diversified retrieval (Carbonell &
+    Goldstein 1998): distributed candidate scan -> k declarative
+    greedy re-rank steps keyed on q_id, nothing collected
+    (operators/retrieval.py::mmr_topk).  The oracle unrolls the same
+    greedy recursion into chained CTEs with identical 6dp rounding
+    points, so the full pick sequence hash-matches."""
+    from shadems_spark.operators.similarity import embedding_dim  # noqa: F401
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return R.mmr_topk(emb, queries, k=5, n_candidates=20, lam=0.7)

@@ -341,3 +341,58 @@ def q_null_funcs(spark, sf_dir):
         ),
         en_nulled.eqNullSafe(F.lit(None)).alias("en_is_nulled"),
     )
+
+
+@register(
+    "q_xml_funcs",
+    sql="""
+    SELECT o_orderkey,
+           o_orderkey AS xid,
+           o_orderstatus AS status,
+           o_custkey AS ckey,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_custkey AS xp_c,
+           o_orderstatus AS xp_st
+    FROM orders WHERE o_orderkey % 11 = 0 ORDER BY o_orderkey
+    """,
+)
+def q_xml_funcs(spark, sf_dir):
+    """SF-xml: Spark 4 native XML battery — build an XML record from
+    row values, parse it back with from_xml (attributes via the
+    default '_' prefix) and XPath extractors (xpath_long /
+    xpath_string).  The oracle is the identity round-trip: DuckDB has
+    no XML type, so it simply selects the source columns the XML was
+    built from — any parse/extract defect breaks the hash.  Money
+    rides as integer cents and dates as ISO strings so no
+    double-formatting ambiguity enters the markup."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 11 == 0
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    odate = F.date_format("o_orderdate", "yyyy-MM-dd")
+    xml = F.concat(
+        F.lit('<o id="'), F.col("o_orderkey"),
+        F.lit('" st="'), F.col("o_orderstatus"),
+        F.lit('"><c>'), F.col("o_custkey"),
+        F.lit("</c><d>"), odate,
+        F.lit("</d><cents>"), cents,
+        F.lit("</cents></o>"),
+    )
+    parsed = F.from_xml(
+        xml, "_id LONG, _st STRING, c LONG, d STRING, cents LONG"
+    )
+    return (
+        orders.select("o_orderkey", xml.alias("x"), parsed.alias("p"))
+        .select(
+            "o_orderkey",
+            F.col("p._id").alias("xid"),
+            F.col("p._st").alias("status"),
+            F.col("p.c").alias("ckey"),
+            F.col("p.d").alias("odate"),
+            F.col("p.cents").alias("cents"),
+            F.xpath_long(F.col("x"), F.lit("/o/c")).alias("xp_c"),
+            F.xpath_string(F.col("x"), F.lit("/o/@st")).alias("xp_st"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -392,3 +392,126 @@ def test_approx_distinct_within_tolerance(spark):
     ).collect()[0]
     assert abs(row["approx_parts"] - ex["p"]) / ex["p"] < 0.05
     assert abs(row["approx_supps"] - ex["s"]) / ex["s"] < 0.05
+
+
+# ---------------------------------------------------------------- semdedup
+
+
+def test_semdedup_drops_planted_near_dup(spark):
+    """Two near-identical vectors landing in the same cluster: the
+    higher id is dropped, the lower kept; orthogonal members stay."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),   # exemplar c0
+        Row(vec_id=1, embedding=[0.0, 1.0, 0.0, 0.0]),   # exemplar c1
+        Row(vec_id=10, embedding=[0.8, 0.6, 0.0, 0.0]),   # -> c0, far from exemplar
+        Row(vec_id=11, embedding=[0.79, 0.62, 0.0, 0.0]),  # near-dup of 10 -> drop
+        Row(vec_id=12, embedding=[0.6, 0.0, 0.8, 0.0]),   # c0, diverse -> keep
+    ]
+    emb = spark.createDataFrame(rows)
+    kept = SIM.semdedup(emb, n_clusters=2, threshold=0.95).collect()
+    ids = {r["vec_id"] for r in kept}
+    assert 10 in ids and 11 not in ids  # greedy keep-lowest-id rule
+    assert 0 in ids and 1 in ids
+    clusters = {r["vec_id"]: r["cluster_id"] for r in kept}
+    assert clusters[10] == 0 and clusters[0] == 0 and clusters[1] == 1
+
+
+def test_semdedup_keep_rule_is_pairwise_conservative(spark):
+    """A chain a~b, b~c with a!~c keeps only a: the EXISTS rule drops
+    against ALL lower-id members — kept or themselves dropped — so a
+    similarity chain collapses to its lowest id (the conservative
+    pair-based rule; a sequential greedy scan would re-instate c)."""
+    from pyspark.sql import Row
+
+    # unit vectors at 0, ~25, ~50 degrees: cos(0,25)≈.906, cos(25,50)≈.906, cos(0,50)≈.643
+    import math
+
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=0, embedding=v(0)), Row(vec_id=1, embedding=v(25)),
+         Row(vec_id=2, embedding=v(50))]
+    )
+    kept = {r["vec_id"] for r in SIM.semdedup(emb, n_clusters=1, threshold=0.9).collect()}
+    assert kept == {0}
+
+
+def test_semdedup_fixture_prune_rate(spark, sf_dir):
+    """sf0.001 fixture: output is a subset of input, deterministic
+    across runs (same kept set)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_in = emb.count()
+    k1 = [r["vec_id"] for r in SIM.semdedup(emb).collect()]
+    k2 = [r["vec_id"] for r in SIM.semdedup(emb).collect()]
+    assert k1 == k2
+    assert 0 < len(k1) <= n_in
+
+
+# ---------------------------------------------------------------- mmr
+
+
+def test_mmr_first_pick_is_relevance_argmax(spark):
+    """Step 1 ignores diversity: it must equal brute top-1."""
+    from shadems_spark.operators.retrieval import mmr_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = mmr_topk(emb, queries, k=3, n_candidates=10).collect()
+    top1 = SIM.brute_topk(emb, queries, k=1).collect()[0]
+    first = [r for r in out if r["step"] == 1][0]
+    assert first["cand_id"] == top1["cand_id"]
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """Planted redundant cluster: plain top-k takes all near-dups;
+    MMR's second pick must skip to the diverse candidate."""
+    from pyspark.sql import Row
+
+    from shadems_spark.operators.retrieval import mmr_topk
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),    # query
+        Row(vec_id=1, embedding=[0.99, 0.1, 0.0, 0.0]),   # rel ~1
+        Row(vec_id=2, embedding=[0.99, 0.11, 0.0, 0.0]),  # redundant with 1
+        Row(vec_id=3, embedding=[0.7, 0.0, 0.7, 0.0]),    # less rel, diverse
+    ]
+    emb = spark.createDataFrame(rows)
+    queries = emb.filter(F.col("vec_id") == 0)
+    plain = [r["cand_id"] for r in SIM.brute_topk(emb, queries, k=2).collect()]
+    mmr = [r["cand_id"] for r in
+           mmr_topk(emb, queries, k=2, n_candidates=3, lam=0.5).collect()]
+    assert plain == [1, 2]
+    assert mmr == [1, 3]
+
+
+def test_mmr_steps_unique_and_bounded(spark, sf_dir):
+    from shadems_spark.operators.retrieval import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1))
+    out = mmr_topk(emb, queries, k=4, n_candidates=8).collect()
+    for q in (0, 1):
+        rows = [r for r in out if r["q_id"] == q]
+        assert [r["step"] for r in sorted(rows, key=lambda r: r["step"])] == [1, 2, 3, 4]
+        assert len({r["cand_id"] for r in rows}) == 4
+
+
+# ---------------------------------------------------------------- normalize
+
+
+def test_nfc_and_accent_fold(spark):
+    from pyspark.sql import Row
+
+    from shadems_spark.operators.text import nfc_udf, strip_accents_udf
+
+    df = spark.createDataFrame([Row(t="Café über niño")])
+    out = df.select(
+        nfc_udf()(F.col("t")).alias("nfc"),
+        strip_accents_udf()(F.col("t")).alias("folded"),
+    ).collect()[0]
+    assert out["nfc"] == "Café über niño"
+    assert out["folded"] == "Cafe uber nino"
