@@ -1,0 +1,75 @@
+"""Graph operators over edge DataFrames (north-star extension —
+duplicate-cluster graphs, citation/link authority, co-purchase
+structure all show up in corpus curation).
+
+PageRank here is FIXED-POINT: ranks are 1e9-scaled BIGINTs and every
+step is integer arithmetic (`div`, `*`, order-free integer sums), so
+the iteration is bit-deterministic across engines AND across shuffle
+orders — no float summation-order drift, which would otherwise
+compound over iterations and break any exact oracle.
+
+Scale shape: each iteration is one join of the rank table to the edge
+table plus one groupBy(dst) integer sum — the classic distributed
+PageRank step.  Edges are the big side and are never replicated; the
+rank table is node-sized.  At 100 TB of edges, pre-partition both
+edges and ranks by node id (bucketing) so every iteration's join and
+aggregation reuse one partitioning with zero extra shuffles; AQE
+coalesces the tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000
+
+
+def symmetric_edges(e: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected closure: add the reverse of every edge and distinct.
+    Guarantees every node has out-degree >= 1, so no dangling-mass
+    term is needed in the PageRank update."""
+    fwd = e.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return fwd.union(
+        e.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    ).distinct()
+
+
+def pagerank_fixed(
+    edges: DataFrame, n_nodes: int, iters: int = 5, damping_pct: int = 85
+) -> DataFrame:
+    """``iters`` fixed-point PageRank sweeps over a symmetric edge
+    table (columns src, dst; every node must appear as a src).
+
+    Update (all integer):
+        r0(v)     = SCALE div N
+        r_t+1(v)  = (100-damping_pct)%*SCALE div 100 div N
+                    + (damping_pct * sum_{u->v} (r_t(u) div deg(u))) div 100
+
+    ``n_nodes`` is the distinct node count — a scalar the caller
+    obtains with one count() (driver state is one integer; the same
+    constant is spliced into the DuckDB oracle).
+
+    Returns (node, r) with r the 1e9-scaled rank.
+    """
+    base = (100 - damping_pct) * SCALE // 100 // n_nodes
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.withColumn("r", F.lit(SCALE // n_nodes).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("r div d").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "node",
+                (F.lit(base) + F.expr(f"({damping_pct} * s) div 100"))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return ranks

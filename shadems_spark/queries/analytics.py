@@ -865,3 +865,68 @@ def q_latency_tdigest(spark, sf_dir):
         F.round(F.percentile_approx("value", F.lit(0.95), F.lit(10000)), 4).alias("p95"),
         F.round(F.percentile_approx("value", F.lit(0.99), F.lit(10000)), 4).alias("p99"),
     )
+
+
+def _pagerank_oracle(iters: int = 5, damping_pct: int = 85, topk: int = 20) -> str:
+    """Unrolled fixed-point PageRank: r0..r{iters} CTEs, all integer
+    arithmetic (DuckDB `//` == Spark `div` for positives), so every
+    iteration is bit-identical to operators/graph.py::pagerank_fixed
+    regardless of summation order."""
+    parts = [
+        """
+    WITH e1 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                WHERE o_orderkey % 3 = 0),
+    edges AS (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1000000000 // n AS BIGINT) AS r FROM nodes, nn)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+    r{t} AS (SELECT agg.node,
+                    CAST((100 - {damping_pct}) * CAST(1000000000 AS BIGINT) // 100 // nn.n
+                         + ({damping_pct} * agg.s) // 100 AS BIGINT) AS r
+             FROM (SELECT e.dst AS node, sum(r{t-1}.r // deg.d) AS s
+                   FROM edges e
+                   JOIN r{t-1} ON r{t-1}.node = e.src
+                   JOIN deg ON deg.src = e.src
+                   GROUP BY e.dst) agg, nn)"""
+        )
+    parts.append(
+        f"""
+    SELECT node, r FROM r{iters} ORDER BY r DESC, node LIMIT {topk}"""
+    )
+    return "".join(parts)
+
+
+@register("q_pagerank", sql=_pagerank_oracle())
+def q_pagerank(spark, sf_dir):
+    """Distributed PageRank over the symmetric customer<->supplier
+    co-purchase graph (operators/graph.py::pagerank_fixed): 5
+    fixed-point sweeps — rank-to-edge join + integer groupBy sum per
+    iteration, the canonical distributed-PageRank step.  Fixed-point
+    1e9-scaled integer arithmetic makes the whole iteration
+    summation-order-free, so the unrolled oracle matches exactly.
+    Driver state is ONE integer (the node count); top-20 exits via
+    TakeOrdered."""
+    from shadems_spark.operators.graph import pagerank_fixed, symmetric_edges
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    e1 = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = symmetric_edges(e1)
+    n_nodes = edges.select("src").distinct().count()
+    ranks = pagerank_fixed(edges, n_nodes, iters=5, damping_pct=85)
+    return ranks.orderBy(F.col("r").desc(), F.col("node")).limit(20)

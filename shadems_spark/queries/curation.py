@@ -520,3 +520,70 @@ def q_text_normalize(spark, sf_dir):
             + 1
         ).cast("long").alias("n_tokens"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_pipeline_e2e",
+    sql="""
+    WITH g AS (
+      SELECT doc_id, text, lang, n_chars,
+             len(string_split(text, ' ')) AS nw
+      FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 3 AND 100000
+        AND round(list_sum(list_transform(string_split(text, ' '),
+                                          w -> CAST(length(w) AS DOUBLE)))
+                  / len(string_split(text, ' ')), 4) BETWEEN 2.0 AND 12.0
+        AND round((length(text)
+                   - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                  / len(string_split(text, ' ')), 6) < 1.0
+        AND round(len(list_filter(string_split(text, ' '),
+                                  w -> regexp_matches(w, '[A-Za-z]')))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) >= 0.8
+    ),
+    d AS (SELECT * FROM (
+            SELECT g.*, min(doc_id) OVER (PARTITION BY text) AS keep
+            FROM g) WHERE doc_id = keep),
+    s AS (SELECT *,
+                 CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+                        THEN 'train'
+                      WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+                        THEN 'val'
+                      ELSE 'test' END AS split
+          FROM d)
+    SELECT split, lang,
+           count(*) AS n_docs,
+           CAST(sum(nw) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_pipeline_e2e(spark, sf_dir):
+    """End-to-end curation pipeline as ONE composed DAG — the "user
+    switches their pipeline to this engine" artifact: Gopher quality
+    gate -> exact dedup (keep lowest id per identical text) -> 
+    deterministic 80/10/10 hash split -> per-(split, lang) corpus
+    report.  Every stage is an existing operator
+    (operators/curation.py::gopher_rules, dedup-by-min-window,
+    operators/retrieval.py::stratified_split); Catalyst fuses the
+    quality gate into the scan, the dedup window and the final agg
+    are the only two shuffles, and the split adds zero.  The oracle
+    chains the same stages as CTEs."""
+    from shadems_spark.operators.retrieval import stratified_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_rules(docs).filter(F.col("passes_gopher") == 1)
+    w = Window.partitionBy("text")
+    d = (
+        g.withColumn("keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep"))
+    )
+    s = stratified_split(d)
+    return (
+        s.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -252,3 +252,34 @@ def test_variant_single_parse(spark):
     p = _plan(spark, "q_variant")
     assert p.count("Scan parquet") == 1
     assert "parse_json" in p or "variant_get" in p
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Spark's runtime bloom-filter join pruning (the 100-TB
+    scan-reduction lever: a selective dim filter spawns a bloom
+    filter that pre-drops fact rows BEFORE the join shuffle).  Size
+    thresholds are lowered for the fixture; at real scale defaults
+    (10 MB creation side) fire on the same shape."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "512MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan or "BloomFilter" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
