@@ -922,19 +922,32 @@ def semdedup(
         "c_cos", F.round(cosine(F.col("v"), F.col("cv")), 6)
     )
     w = Window.partitionBy("vid").orderBy(F.col("c_cos").desc(), F.col("c_id"))
-    assigned = (
+    from shadems_spark.operators.dedup import tracked_persist
+
+    # assigned feeds three consumers (both sides of the pair join and
+    # the final anti-join); persisting trades one materialization of
+    # (id, vec, cluster) rows for two recomputes of the scan+window.
+    # nv precomputes each vector's norm ONCE (bit-identical to the
+    # per-pair recompute — same fold), halving per-pair flops in the
+    # quadratic stage below.
+    assigned = tracked_persist(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vid", "v", F.col("c_id").alias("cluster_id"), "c_cos")
+        .select(
+            "vid", "v", F.col("c_id").alias("cluster_id"), "c_cos",
+            norm(F.col("v")).alias("nv"),
+        ),
+        key="semdedup_assigned",
     )
     a, b = assigned.alias("a"), assigned.alias("b")
+    pair_cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
     dropped = (
         a.join(
             b,
             (F.col("a.cluster_id") == F.col("b.cluster_id"))
             & (F.col("b.vid") < F.col("a.vid")),
         )
-        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 6) >= threshold)
+        .filter(F.round(pair_cos, 6) >= threshold)
         .select(F.col("a.vid").alias("vid"))
         .distinct()
     )

@@ -115,6 +115,22 @@ PROBE_R3 = [
     "q_recursive_cte",
 ]
 
+#: round-4 probe (--round4): all big tables xN.  Expectations:
+#: q_mmr — candidate stage is bounded (|q|*n_candidates), only the
+#: one corpus scan grows: ~linear.  q_pagerank — copies repeat the
+#: same (cust, supp) pairs, so the DISTINCT edge graph is unchanged
+#: and only the pre-distinct scan grows: sublinear.  q_pipeline_e2e /
+#: q_text_normalize / q_xml_funcs — scan-bound: ~linear.  q_semdedup
+#: is probed separately (probe_semdedup_k) because its honest scale
+#: story is "raise n_clusters with N", not fixed-k growth.
+PROBE_R4 = [
+    "q_mmr",
+    "q_pagerank",
+    "q_pipeline_e2e",
+    "q_text_normalize",
+    "q_xml_funcs",
+]
+
 #: key shift per copy — far above any real key at these scale factors.
 SHIFT = 100_000_000
 
@@ -184,12 +200,13 @@ def main() -> None:
     dedup = "--dedup" in sys.argv
     retrieval = "--retrieval" in sys.argv
     round3 = "--round3" in sys.argv
+    round4 = "--round4" in sys.argv
     docs_only = dedup or retrieval
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 10
     base = pos[1] if len(pos) > 1 else "/root/testdata/sf0.1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    suffix = "_docs" if docs_only else "_r3" if round3 else ""
+    suffix = "_docs" if docs_only else "_r3" if round3 else "_r4" if round4 else ""
     scaled = os.path.join(repo, ".scratch", f"sfx{n}" + suffix)
 
     spark = get_spark("shadems-scale-probe")
@@ -198,6 +215,7 @@ def main() -> None:
         PROBE_DEDUP if dedup
         else PROBE_RETRIEVAL if retrieval
         else PROBE_R3 if round3
+        else PROBE_R4 if round4
         else PROBE
     )
     names = [q for q in probe_set if q in registry]
