@@ -52,14 +52,27 @@ def pagerank_fixed(
 
     Returns (node, r) with r the 1e9-scaled rank.
     """
+    from pyspark import StorageLevel
+
     base = (100 - damping_pct) * SCALE // 100 // n_nodes
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     ranks = nodes.withColumn("r", F.lit(SCALE // n_nodes).cast("long"))
-    for _ in range(iters):
+    live = []
+    for i in range(iters):
+        # ranks/deg are node-sized — broadcast them so the (big,
+        # cached) edge table is never shuffled for the join; the only
+        # per-sweep shuffle is the groupBy(dst) contribution sum.
+        # Each sweep's result is persisted+materialized before the
+        # next broadcast builds on it — without this, broadcast
+        # construction (an eager sub-job) re-runs every earlier sweep
+        # and total work goes O(iters^2).  When nodes outgrow
+        # broadcast, drop the hint and pre-bucket edges by src/dst
+        # instead (one-time co-location, zero per-sweep join
+        # shuffles).
         contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
+            edges.join(F.broadcast(ranks), edges["src"] == ranks["node"])
+            .join(F.broadcast(deg), "src")
             .select(F.col("dst").alias("node"), F.expr("r div d").alias("c"))
         )
         ranks = (
@@ -72,4 +85,19 @@ def pagerank_fixed(
                 .alias("r"),
             )
         )
+        if i < iters - 1:
+            ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            ranks.count()
+            live.append(ranks)
+            if len(live) > 1:
+                live.pop(0).unpersist()
+    # materialize the final table under the keyed cache (released by
+    # the next pagerank call or an explicit release_persist), then
+    # free the remaining intermediate sweep.
+    from shadems_spark.operators.dedup import tracked_persist
+
+    ranks = tracked_persist(ranks, key="pagerank_ranks")
+    ranks.count()
+    for df in live:
+        df.unpersist()
     return ranks

@@ -926,7 +926,108 @@ def q_pagerank(spark, sf_dir):
         )
         .distinct()
     )
-    edges = symmetric_edges(e1)
+    from shadems_spark.operators.dedup import tracked_persist
+
+    # the edge table feeds every sweep (5 joins) plus deg and the node
+    # count; without a persist each iteration's lineage re-scans the
+    # orders x lineitem join — the one thing a 100-TB PageRank must
+    # never do.  The n_nodes count also materializes the cache.
+    edges = tracked_persist(symmetric_edges(e1), key="pagerank_edges")
     n_nodes = edges.select("src").distinct().count()
     ranks = pagerank_fixed(edges, n_nodes, iters=5, damping_pct=85)
     return ranks.orderBy(F.col("r").desc(), F.col("node")).limit(20)
+
+
+@register(
+    "q_theta_sets",
+    sql="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    a AS (SELECT DISTINCT user_id FROM events)
+    SELECT (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase,
+           (SELECT count(*) FROM (SELECT * FROM c UNION SELECT * FROM p))
+             AS n_union,
+           (SELECT count(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p))
+             AS n_intersect,
+           (SELECT count(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM p))
+             AS n_click_only,
+           (SELECT count(*) FROM a) AS n_all
+    """,
+)
+def q_theta_sets(spark, sf_dir):
+    """Theta-sketch set algebra (DataSketches, Spark 4 builtins):
+    per-event-type user sketches, then union / intersection /
+    difference estimates WITHOUT re-touching the raw data — the
+    mergeable-sketch workflow that replaces exact distinct at 100 TB
+    (persist the per-partition sketches, answer any set-algebra
+    question later from kilobytes).  At the harness scales the
+    distinct user count (<=1500) is far below the sketch's k=4096
+    exact-mode bound, so every estimate is EXACT and the query runs
+    under the same exact-count oracle as any other — the estimate
+    semantics, not the error bound, are what is being verified.
+    [R] SURVEY §2 G11 extension."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("t")
+    )
+    c = sk.filter(F.col("event_type") == "click").select(F.col("t").alias("tc"))
+    p = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("t").alias("tp")
+    )
+    allu = sk.agg(F.expr("theta_union_agg(t)").alias("ta"))
+    return (
+        c.crossJoin(p)
+        .crossJoin(allu)
+        .select(
+            F.theta_sketch_estimate("tc").alias("n_click"),
+            F.theta_sketch_estimate("tp").alias("n_purchase"),
+            F.theta_sketch_estimate(F.expr("theta_union(tc, tp)")).alias(
+                "n_union"
+            ),
+            F.theta_sketch_estimate(
+                F.expr("theta_intersection(tc, tp)")
+            ).alias("n_intersect"),
+            F.theta_sketch_estimate(F.expr("theta_difference(tc, tp)")).alias(
+                "n_click_only"
+            ),
+            F.theta_sketch_estimate("ta").alias("n_all"),
+        )
+    )
+
+
+@register("q_kll_quantiles", sql=None)  # sketch estimates: no exact SQL form
+def q_kll_quantiles(spark, sf_dir):
+    """KLL quantile sketches (DataSketches, Spark 4 builtins): one
+    sketch per (event_type, day), then kll_merge_agg_double rolls the
+    daily sketches up per event_type — the re-mergeable fixed-size
+    quantile state that lets a 100-TB pipeline persist per-partition
+    sketches once and serve any later percentile question (or any
+    regrouping: day->week->all) from the stored bytes, never
+    re-scanning values.  Rank accuracy vs the exact per-type
+    percentiles is pinned in tests (the KLL guarantee is on rank,
+    ~1.7% at the default k=200)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(F.kll_sketch_agg_double("value").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(F.expr("kll_merge_agg_double(sk)").alias("m"))
+        .select(
+            "event_type",
+            F.round(
+                F.kll_sketch_get_quantile_double(F.col("m"), F.lit(0.5)), 4
+            ).alias("p50"),
+            F.round(
+                F.kll_sketch_get_quantile_double(F.col("m"), F.lit(0.95)), 4
+            ).alias("p95"),
+            F.round(
+                F.kll_sketch_get_quantile_double(F.col("m"), F.lit(0.99)), 4
+            ).alias("p99"),
+            F.kll_sketch_get_n_double("m").alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -208,3 +208,25 @@ def q_stream_join(spark, sf_dir):
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+
+@register(
+    "q_stream_enrich",
+    sql="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_stream_enrich(spark, sf_dir):
+    """S-extension: stream-static broadcast enrichment in its
+    batch-checkable form — event stream joined to the static customer
+    dim (broadcast; the stream side never shuffles for the join),
+    running per-segment totals.  The identical builder runs under
+    readStream + availableNow in tests/test_streaming.py with
+    batch parity asserted (streaming/windows.py::enrich)."""
+    ev = _ev(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    return SW.enrich(ev, cust).orderBy("c_mktsegment")

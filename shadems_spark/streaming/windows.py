@@ -192,3 +192,26 @@ def interval_join(
     return c.join(p, cond).select(
         "user_id", "click_id", "purchase_id", gap.alias("gap_us")
     )
+
+
+def enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static broadcast enrichment: join the event stream to
+    the (static, broadcast) customer dimension and aggregate per
+    market segment.  Under readStream this is Spark's stream-static
+    join — the dim is re-broadcast per micro-batch, the stream side
+    never shuffles for the join, and the groupBy keeps running totals
+    in (tiny, segment-keyed) state.  The same builder runs in batch
+    for the oracle."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        "c_mktsegment",
+        "c_nationkey",
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -137,3 +137,53 @@ def test_tdigest_percentiles_close_to_exact(spark, sf_dir):
             hi = sum(1 for v in vs if round(v, 4) <= a[p])
             tol = 1e-4 + 1.5 / n
             assert lo / n - tol <= q <= hi / n + tol, (day, p, a[p], lo, hi, n)
+
+
+def test_kll_quantiles_rank_accuracy(spark, sf_dir):
+    """KLL sketch quantiles (per-type, merged from daily sketches):
+    rank of the returned element within its event_type must sit
+    within the KLL k=200 rank bound (~1.7%) of the requested
+    quantile; merged n must equal the exact row count."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    approx = {
+        r["event_type"]: r
+        for r in reg["q_kll_quantiles"][0](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    assert set(approx) == set(vals)
+    for et, a in approx.items():
+        vs = sorted(vals[et])
+        n = len(vs)
+        assert a["n"] == n
+        for q, p in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            lo = sum(1 for v in vs if round(v, 4) < a[p])
+            hi = sum(1 for v in vs if round(v, 4) <= a[p])
+            tol = 0.017 + 1.5 / n  # KLL k=200 rank bound + discreteness
+            assert lo / n - tol <= q <= hi / n + tol, (et, p, a[p], lo, hi, n)
+
+
+def test_theta_sets_exact_in_exact_mode(spark, sf_dir):
+    """Below k=4096 uniques a theta sketch is a plain hash set: every
+    set-algebra estimate must equal the exact count (the regime the
+    oracle relies on)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    row = reg["q_theta_sets"][0](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    c = {r["user_id"] for r in ev.filter(F.col("event_type") == "click").select("user_id").distinct().collect()}
+    p = {r["user_id"] for r in ev.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+    al = ev.select("user_id").distinct().count()
+    assert row["n_click"] == len(c)
+    assert row["n_purchase"] == len(p)
+    assert row["n_union"] == len(c | p)
+    assert row["n_intersect"] == len(c & p)
+    assert row["n_click_only"] == len(c - p)
+    assert row["n_all"] == al

@@ -393,3 +393,30 @@ def test_foreach_batch_merge_parity(spark, sf_dir, tmp_path):
     }
     assert got == want
     shutil.rmtree(out + ".ckpt", ignore_errors=True)
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """Stream-static broadcast join: the event stream enriched with
+    the (batch) customer dim under availableNow, complete mode — the
+    per-segment running totals must equal the batch run of the same
+    builder."""
+    cust = load_table(spark, sf_dir, "customer")
+    ev_stream = SW.stream_from_parquet(spark, sf_dir)
+    q = (
+        SW.enrich(ev_stream, cust)
+        .writeStream.format("memory")
+        .queryName("t_enrich_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["c_mktsegment"]: (r["n_events"], r["sum_value"])
+        for r in spark.table("t_enrich_stream").collect()
+    }
+    want = {
+        r["c_mktsegment"]: (r["n_events"], r["sum_value"])
+        for r in SW.enrich(load_table(spark, sf_dir, "events"), cust).collect()
+    }
+    assert got == want and len(want) > 0
