@@ -54,6 +54,9 @@ HEADLINE = [
     # is unaffected — the driver record keys timings per query).
     "q_ms_main",
     "q_latency_tdigest",
+    "q_semdedup",
+    "q_pipeline_e2e",
+    "q_theta_sets",
 ]
 
 

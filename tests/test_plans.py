@@ -283,3 +283,31 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_stream_enrich_broadcasts_dim(spark):
+    """Stream-static enrichment: the dim joins by broadcast — the
+    event side must never shuffle for the join."""
+    p = _plan(spark, "q_stream_enrich")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_mmr_single_cogroup_stage(spark):
+    """MMR's greedy re-rank is exactly ONE cogrouped pandas stage
+    (the k-step driver-loop shape it replaced would show none and ~k
+    windows instead); candidate generation broadcasts the query set
+    (BroadcastNestedLoopJoin), never shuffling the corpus for it."""
+    p = _plan(spark, "q_mmr")
+    assert p.count("FlatMapCoGroupsInPandas") == 1
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_semdedup_broadcast_assign_and_cached_pairs(spark):
+    """SemDeDup: centroid assignment is a broadcast cross join (the
+    corpus is never replicated), and the assignment table is cached
+    (InMemoryTableScan) for its three consumers; the pair scan joins
+    shuffle on cluster_id only."""
+    p = _plan(spark, "q_semdedup")
+    assert "BroadcastNestedLoopJoin" in p
+    assert p.count("InMemoryTableScan") >= 2
