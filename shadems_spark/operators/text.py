@@ -195,3 +195,86 @@ def strip_accents_udf():
         return s.map(f)
 
     return _strip
+
+
+def bpe_train(
+    df: DataFrame,
+    text: str = "text",
+    n_merges: int = 50,
+    sample_docs: int = 100,
+    id_col: str = "doc_id",
+) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) on a
+    BOUNDED sample: the (word, freq) vocabulary of ``sample_docs``
+    documents is collected to the driver (codebook-sized by contract,
+    like PQ/IVF training) and the classic sequential merge loop runs
+    in Python — BPE training is inherently sequential (every merge
+    changes the pair statistics), so the distributed part of the
+    pipeline is APPLICATION, not training, exactly as in production
+    (train once on a sample, tokenize petabytes with the frozen
+    merges).  Ties break lexicographically for determinism."""
+    rows = (
+        df.filter(F.col(id_col) < sample_docs)
+        .select(F.explode(words(text)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    vocab = {tuple(r["w"]): r["n"] for r in rows if r["w"]}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, n in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges.append(best)
+        merged: dict[tuple, int] = {}
+        ab = best[0] + best[1]
+        for sym, n in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == best[0] and sym[i + 1] == best[1]:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + n
+        vocab = merged
+    return merges
+
+
+def bpe_tokenize_udf(merges: list[tuple[str, str]]):
+    """Frozen-merges BPE application as an Arrow pandas UDF: per word,
+    repeatedly merge the lowest-rank adjacent pair (the standard
+    greedy decode).  The merge table rides into the executors via
+    closure serialization (kilobytes); application is embarrassingly
+    parallel — the 100-TB-side of the tokenizer."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def _word(w: str) -> list[str]:
+        sym = list(w)
+        while len(sym) > 1:
+            cand = [
+                (ranks[(a, b)], i)
+                for i, (a, b) in enumerate(zip(sym, sym[1:]))
+                if (a, b) in ranks
+            ]
+            if not cand:
+                break
+            _, i = min(cand)
+            sym[i : i + 2] = [sym[i] + sym[i + 1]]
+        return sym
+
+    @pandas_udf("array<string>")
+    def _tok(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: [tok for w in (t or "").split(" ") if w for tok in _word(w)]
+        )
+
+    return _tok

@@ -737,3 +737,34 @@ def q_grouped_agg_pandas(spark, sf_dir):
         F.round(mean_chars("n_chars"), 4).alias("mean_chars"),
         F.round(med_chars("n_chars"), 1).alias("med_chars"),
     )
+
+
+@register("q_bpe_tokenize", sql=None)  # frozen-merge BPE: no SQL form
+def q_bpe_tokenize(spark, sf_dir):
+    """Real (mini) BPE tokenization: merges trained once on a bounded
+    document sample driver-side (training is inherently sequential —
+    the production shape is train-on-sample, apply-distributed), then
+    frozen and applied corpus-wide via an Arrow pandas UDF
+    (operators/text.py::bpe_train/bpe_tokenize_udf).  Output compares
+    BPE token counts against whitespace and char counts per doc;
+    round-trip losslessness, merge-order correctness, and determinism
+    are pinned in tests."""
+    from shadems_spark.operators.text import bpe_tokenize_udf, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=50, sample_docs=100)
+    tok = bpe_tokenize_udf(merges)
+    out = docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.length("text").cast("long").alias("n_chars_c"),
+        tok(F.col("text")).alias("toks"),
+    )
+    return out.select(
+        "doc_id",
+        "ws_tokens",
+        "n_chars_c",
+        F.size("toks").cast("long").alias("bpe_tokens"),
+        F.round(F.size("toks") / F.col("ws_tokens"), 4).alias("toks_per_word"),
+        F.slice("toks", 1, 8).alias("head_toks"),
+    ).orderBy("doc_id")

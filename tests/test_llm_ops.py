@@ -515,3 +515,51 @@ def test_nfc_and_accent_fold(spark):
     ).collect()[0]
     assert out["nfc"] == "Café über niño"
     assert out["folded"] == "Cafe uber nino"
+
+
+# ---------------------------------------------------------------- bpe
+
+
+def test_bpe_train_merge_order(spark):
+    """Hand-checkable corpus: 'aaab aaab ab' — the most frequent pair
+    is (a,a); after merging it, ('aa','ab')... ties break
+    lexicographically, so the sequence is deterministic."""
+    from pyspark.sql import Row
+
+    from shadems_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([Row(doc_id=0, text="aaab aaab ab")])
+    merges = bpe_train(df, n_merges=3, sample_docs=10)
+    assert merges[0] == ("a", "a")
+    assert len(merges) == 3
+
+
+def test_bpe_roundtrip_lossless(spark, sf_dir):
+    """Concatenating a word's BPE tokens must reproduce the word
+    exactly (merges only ever join adjacent symbols)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.text import bpe_tokenize_udf, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=30, sample_docs=50)
+    tok = bpe_tokenize_udf(merges)
+    rows = (
+        docs.filter(F.col("doc_id") < 20)
+        .select("text", tok(F.col("text")).alias("toks"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert "".join(r["toks"]) == r["text"].replace(" ", "")
+
+
+def test_bpe_compresses_vs_chars_and_is_deterministic(spark, sf_dir):
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    a = reg["q_bpe_tokenize"][0](spark, sf_dir).collect()
+    b = reg["q_bpe_tokenize"][0](spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    for r in a:
+        # fewer tokens than non-space chars, at least one per word
+        assert r["ws_tokens"] <= r["bpe_tokens"] < r["n_chars_c"]
