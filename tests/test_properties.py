@@ -261,3 +261,64 @@ def test_pq_codes_in_range(spark, vs):
     for r in pq_encode(df, cb).collect():
         assert len(r["codes"]) == m
         assert all(0 <= c < k for c in r["codes"])
+
+
+unit_angle = st.floats(min_value=0.0, max_value=math.pi, allow_nan=False)
+
+
+@given(vecs=st.lists(st.tuples(finite, finite), min_size=3, max_size=15))
+@settings(**SETTINGS)
+def test_semdedup_partition_law(spark, vecs):
+    """kept ∪ dropped == input, disjoint; the lowest id of every
+    cluster always survives (nothing precedes it)."""
+    from shadems_spark.operators.similarity import semdedup
+
+    rows = [
+        (i, [float(a), float(b), 1.0])
+        for i, (a, b) in enumerate(vecs)
+        if (a, b) != (0.0, 0.0)
+    ]
+    if len(rows) < 2:
+        return
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semdedup(df, n_clusters=2, threshold=0.999999)
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    all_ids = {r[0] for r in rows}
+    assert kept_ids <= all_ids
+    # lowest id per cluster survives: cluster of id0 keeps id0 etc.
+    clusters = {
+        r["vec_id"]: r["cluster_id"]
+        for r in semdedup(df, n_clusters=2, threshold=2.0).collect()
+    }  # threshold>1: nothing dropped -> full assignment visible
+    assert set(clusters) == all_ids
+    for cid in set(clusters.values()):
+        members = [v for v, c in clusters.items() if c == cid]
+        assert min(members) in kept_ids
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=20
+    )
+)
+@settings(**SETTINGS)
+def test_pagerank_mass_and_positivity_law(spark, edges):
+    """For ANY symmetric graph: every rank positive, total mass within
+    integer-truncation loss of SCALE, output covers every node."""
+    from shadems_spark.operators.graph import (
+        SCALE,
+        pagerank_fixed,
+        symmetric_edges,
+    )
+
+    e = [(a, b) for a, b in edges if a != b]
+    if not e:
+        return
+    df = spark.createDataFrame(e, "src long, dst long")
+    sym = symmetric_edges(df)
+    n = sym.select("src").distinct().count()
+    out = pagerank_fixed(sym, n, iters=3).collect()
+    assert len(out) == n
+    total = sum(r["r"] for r in out)
+    assert all(r["r"] > 0 for r in out)
+    assert SCALE - n * 4 * 100 <= total <= SCALE
