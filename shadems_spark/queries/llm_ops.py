@@ -768,3 +768,65 @@ def q_bpe_tokenize(spark, sf_dir):
         F.round(F.size("toks") / F.col("ws_tokens"), 4).alias("toks_per_word"),
         F.slice("toks", 1, 8).alias("head_toks"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_hard_negatives",
+    sql="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av
+          FROM e WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT a.anchor_id, a.anchor_label, e.vec_id AS neg_id,
+             e.label AS neg_label,
+             round(list_sum(list_transform(list_zip(a.av, e.v), z -> z[1]*z[2]))
+                   / (sqrt(list_sum(list_transform(a.av, t -> t*t)))
+                      * sqrt(list_sum(list_transform(e.v, t -> t*t)))), 6) AS cos
+      FROM e CROSS JOIN a WHERE e.label != a.anchor_label),
+    r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                       ORDER BY cos DESC, neg_id) rk
+          FROM scored)
+    SELECT anchor_id, anchor_label, neg_id, neg_label, cos
+    FROM r WHERE rk <= 3 ORDER BY anchor_id, cos DESC, neg_id
+    """,
+)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-3 most-similar embeddings with a DIFFERENT label — the
+    near-miss negatives that carry the gradient signal.  Same
+    broadcast-anchors / one-corpus-scan / per-anchor-window shape as
+    brute cosine top-k; the label-mismatch predicate rides the join so
+    pruned rows never reach scoring.  At 100 TB swap the exact scan
+    for the ANN candidate generators (LSH/IVF) and keep this exact
+    form as the verify-on-candidates step."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        SIM.as_double("embedding").alias("av"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        SIM.as_double("embedding").alias("cv"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        cand.crossJoin(F.broadcast(anchors))
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+        .withColumn(
+            "cos", F.round(SIM.cosine(F.col("av"), F.col("cv")), 6)
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label", "cos")
+        .orderBy("anchor_id", F.col("cos").desc(), "neg_id")
+    )

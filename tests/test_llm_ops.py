@@ -563,3 +563,18 @@ def test_bpe_compresses_vs_chars_and_is_deterministic(spark, sf_dir):
     for r in a:
         # fewer tokens than non-space chars, at least one per word
         assert r["ws_tokens"] <= r["bpe_tokens"] < r["n_chars_c"]
+
+
+def test_hard_negatives_label_mismatch_and_order(spark, sf_dir):
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    rows = reg["q_hard_negatives"][0](spark, sf_dir).collect()
+    assert rows
+    by_anchor = {}
+    for r in rows:
+        assert r["neg_label"] != r["anchor_label"]
+        by_anchor.setdefault(r["anchor_id"], []).append(r["cos"])
+    for cs in by_anchor.values():
+        assert len(cs) == 3
+        assert cs == sorted(cs, reverse=True)
