@@ -830,3 +830,97 @@ def q_hard_negatives(spark, sf_dir):
         .select("anchor_id", "anchor_label", "neg_id", "neg_label", "cos")
         .orderBy("anchor_id", F.col("cos").desc(), "neg_id")
     )
+
+
+def _qc_weights(dim: int = _FH_DIM) -> list[float]:
+    """Deterministic stand-in weights in [-1, 1] (Knuth multiplicative
+    hash of the bucket index).  A real pipeline drops trained weights
+    in here; everything downstream (broadcast application, scoring,
+    thresholding) is identical."""
+    return [
+        ((b * 2654435761) % 4294967296 % 2001 - 1000) / 1000.0
+        for b in range(dim)
+    ]
+
+
+def _qc_oracle() -> str:
+    ws = _qc_weights()
+    zmilli = " + ".join(
+        f"({int(round(w * 1000))}) * CAST(len(list_filter(bs, x -> x = {b})) AS BIGINT)"
+        for b, w in enumerate(ws)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+               FROM documents WHERE doc_id % 6 = 0),
+    b AS (SELECT doc_id, len(ws) AS nw,
+                 list_transform(ws, w ->
+                     list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                                      list_transform(string_split(w, ''),
+                                                     c -> CAST(ascii(c) AS BIGINT))),
+                         (a, c) -> (a * 31 + c) % 1000000007) % {_FH_DIM}) AS bs
+          FROM w),
+    z AS (SELECT doc_id, nw,
+                 CAST(100 + {zmilli} AS BIGINT) AS z_milli
+          FROM b),
+    s AS (SELECT doc_id, nw, z_milli,
+                 z_milli / (1000.0 * (1 + nw)) AS zr
+          FROM z)
+    SELECT doc_id,
+           z_milli,
+           round(1.0 / (1.0 + exp(-zr)), 6) AS score,
+           CAST(round(1.0 / (1.0 + exp(-zr)), 6) >= 0.5 AS INT) AS keep
+    FROM s ORDER BY doc_id
+    """
+
+
+@register("q_quality_classifier", sql=_qc_oracle())
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering, the apply side: hashed
+    bag-of-words features (the q_feature_hash projection) scored by a
+    fixed linear model + sigmoid — the fasttext-style quality-
+    classifier pass every production corpus runs, minus the training
+    (weights are deterministic stand-ins; swap in trained ones).  One
+    stateless scan: features, dot product, and threshold are all JVM
+    Column expressions; the weight vector is plan literals (a real
+    model would broadcast).  exp() is libm — rounded 6dp on both
+    engines per the harness convention."""
+    from functools import reduce
+
+    from shadems_spark.operators.text import FP_MOD, words
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0)
+    ws = F.filter(words("text"), lambda w: F.length(w) > 0)
+    word_hash = lambda w: (
+        F.aggregate(
+            F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, c: (a * F.lit(31) + c) % F.lit(FP_MOD),
+        )
+        % F.lit(_FH_DIM)
+    )
+    buckets = F.transform(ws, word_hash)
+    weights = _qc_weights()
+
+    def bucket_count(b):
+        # one-param lambda only: PySpark treats two-param HOF lambdas
+        # (even with a default) as the (element, index) form.
+        return F.size(F.filter(buckets, lambda x: x == F.lit(b)))
+
+    # exact milli-scaled integer dot product (weights are x/1000
+    # rationals): no float round() boundary can split the engines on
+    # z; only the libm sigmoid needs the 6dp rounding convention.
+    terms = [
+        F.lit(int(round(w * 1000))) * bucket_count(b).cast("long")
+        for b, w in enumerate(weights)
+    ]
+    z_milli = reduce(lambda a, c: a + c, terms, F.lit(100).cast("long"))
+    zr = z_milli / (F.lit(1000.0) * (F.lit(1) + F.size(ws)))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-zr))
+    return docs.select(
+        "doc_id",
+        z_milli.cast("long").alias("z_milli"),
+        F.round(score, 6).alias("score"),
+        (F.round(score, 6) >= 0.5).cast("int").alias("keep"),
+    ).orderBy("doc_id")
