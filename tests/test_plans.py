@@ -311,3 +311,11 @@ def test_semdedup_broadcast_assign_and_cached_pairs(spark):
     p = _plan(spark, "q_semdedup")
     assert "BroadcastNestedLoopJoin" in p
     assert p.count("InMemoryTableScan") >= 2
+
+
+def test_pipeline_e2e_two_shuffles(spark):
+    """The composed curation pipeline promises: quality gate fused
+    into the scan, dedup window + final agg as the ONLY two hash
+    shuffles (the split adds zero)."""
+    p = _plan(spark, "q_pipeline_e2e")
+    assert p.count("Exchange hashpartitioning") == 2
