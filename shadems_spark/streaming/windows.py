@@ -215,3 +215,20 @@ def enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+def curate_admission(docs: DataFrame) -> DataFrame:
+    """Streaming corpus admission: the Gopher quality gate (stateless,
+    fuses into the micro-batch scan) followed by content-hash
+    dropDuplicates — stateful across micro-batches, so a document seen
+    in ANY earlier batch is rejected on arrival.  State is one sha2
+    per admitted doc; at 100 TB bound it with
+    dropDuplicatesWithinWatermark (admission horizon) or swap in the
+    foreachBatch MERGE admission (streaming/stateful.py) when the
+    resident corpus lives in a table."""
+    from shadems_spark.operators.curation import gopher_rules
+
+    passed = gopher_rules(docs).filter(F.col("passes_gopher") == 1)
+    return passed.withColumn("h", F.sha2(F.col("text"), 256)).dropDuplicates(
+        ["h"]
+    )

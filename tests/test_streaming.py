@@ -420,3 +420,53 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir):
         for r in SW.enrich(load_table(spark, sf_dir, "events"), cust).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_corpus_admission_matches_batch(spark, tmp_path):
+    """The LLM-curation admission pipeline under a real stream:
+    Gopher gate + content-hash dedup across micro-batches.  A dup
+    planted in a LATER file must be rejected (cross-batch state);
+    the admitted text set equals the batch pipeline's."""
+    import os
+    import time
+
+    d = str(tmp_path)
+    batches = [
+        [(1, "the quick brown fox jumps over the lazy dog today ok fine"),
+         (2, "xx")],                                     # 2 fails gopher (too short)
+        [(3, "a completely different document about engines and scale here"),
+         (4, "the quick brown fox jumps over the lazy dog today ok fine")],  # dup of 1
+    ]
+
+    def to_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    os.makedirs(d + "/in", exist_ok=True)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        to_df(rows).coalesce(1).write.mode("overwrite").parquet(f"{d}/b{i}")
+        src = next(f for f in os.listdir(f"{d}/b{i}") if f.endswith(".parquet"))
+        dst = f"{d}/in/batch_{i}.parquet"
+        os.rename(f"{d}/b{i}/{src}", dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/in")
+    )
+    q = (
+        SW.curate_admission(stream)
+        .select("doc_id", "text")
+        .writeStream.format("memory")
+        .queryName("t_admission")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["text"] for r in spark.table("t_admission").collect()}
+    batch_all = to_df(batches[0] + batches[1])
+    want = {r["text"] for r in SW.curate_admission(batch_all).collect()}
+    assert got == want
+    assert len(got) == 2  # doc2 quality-rejected, doc4 dedup-rejected
