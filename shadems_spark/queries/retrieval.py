@@ -558,3 +558,101 @@ def q_mmr(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
     return R.mmr_topk(emb, queries, k=5, n_candidates=20, lam=0.7)
+
+
+_MARGIN_COS = (
+    "round(list_sum(list_transform(list_zip({x}, {y}), z -> z[1]*z[2]))"
+    " / (sqrt(list_sum(list_transform({x}, t -> t*t)))"
+    " * sqrt(list_sum(list_transform({y}, t -> t*t)))), 6)"
+)
+
+
+@register(
+    "q_bitext_margin",
+    sql=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    xs AS (SELECT vec_id AS x_id, v AS xv FROM e WHERE label = 0),
+    ys AS (SELECT vec_id AS y_id, v AS yv FROM e WHERE label = 1),
+    sc AS (SELECT x_id, y_id, {_MARGIN_COS.format(x='xv', y='yv')} AS cos
+           FROM xs CROSS JOIN ys),
+    xk AS (SELECT x_id, avg(cos) AS x_knn FROM (
+             SELECT *, row_number() OVER (PARTITION BY x_id
+                        ORDER BY cos DESC, y_id) rk FROM sc)
+           WHERE rk <= 4 GROUP BY x_id),
+    yk AS (SELECT y_id, avg(cos) AS y_knn FROM (
+             SELECT *, row_number() OVER (PARTITION BY y_id
+                        ORDER BY cos DESC, x_id) rk FROM sc)
+           WHERE rk <= 4 GROUP BY y_id),
+    top1 AS (SELECT x_id, y_id, cos FROM (
+               SELECT *, row_number() OVER (PARTITION BY x_id
+                          ORDER BY cos DESC, y_id) rk FROM sc)
+             WHERE rk = 1)
+    SELECT t.x_id, t.y_id, t.cos,
+           round(t.cos / ((xk.x_knn + yk.y_knn) / 2), 6) AS margin
+    FROM top1 t JOIN xk ON t.x_id = xk.x_id JOIN yk ON t.y_id = yk.y_id
+    ORDER BY t.x_id
+    """,
+)
+def q_bitext_margin(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019,
+    arXiv:1811.01136): candidate pair score = cos(x, y) normalized by
+    the mean of both sides' k-NN cosines — the standard mined-parallel-
+    corpus scoring that absorbs hubness.  Two label groups stand in
+    for the two languages.  Spark shape: one scored table feeds BOTH
+    k-NN means (windows keyed on either side) and the top-1 pick —
+    scored is built once; at 100 TB the cross join becomes the ANN
+    candidate generator (LSH/IVF) and this exact form verifies the
+    survivors.  avg() over exactly 4 rounded values divides by the
+    same power of two on both engines, so margins hash-match."""
+    from shadems_spark.operators.similarity import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    xs = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("x_id"), as_double("embedding").alias("xv")
+    )
+    ys = emb.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("y_id"), as_double("embedding").alias("yv")
+    )
+    sc = (
+        xs.crossJoin(ys)
+        .withColumn("cos", F.round(cosine(F.col("xv"), F.col("yv")), 6))
+        .select("x_id", "y_id", "cos")
+    )
+    from shadems_spark.operators.dedup import tracked_persist
+
+    sc = tracked_persist(sc, key="bitext_scored")
+    wx = Window.partitionBy("x_id").orderBy(F.col("cos").desc(), F.col("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.col("cos").desc(), F.col("x_id"))
+    xk = (
+        sc.withColumn("rk", F.row_number().over(wx))
+        .filter(F.col("rk") <= 4)
+        .groupBy("x_id")
+        .agg(F.avg("cos").alias("x_knn"))
+    )
+    yk = (
+        sc.withColumn("rk", F.row_number().over(wy))
+        .filter(F.col("rk") <= 4)
+        .groupBy("y_id")
+        .agg(F.avg("cos").alias("y_knn"))
+    )
+    top1 = (
+        sc.withColumn("rk", F.row_number().over(wx))
+        .filter(F.col("rk") == 1)
+        .select("x_id", "y_id", "cos")
+    )
+    return (
+        top1.join(xk, "x_id")
+        .join(yk, "y_id")
+        .select(
+            "x_id",
+            "y_id",
+            "cos",
+            F.round(
+                F.col("cos") / ((F.col("x_knn") + F.col("y_knn")) / F.lit(2)),
+                6,
+            ).alias("margin"),
+        )
+        .orderBy("x_id")
+    )

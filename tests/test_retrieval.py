@@ -410,3 +410,35 @@ def test_pq_join_plan_flat_in_query_count(spark):
         plans.append(df._jdf.queryExecution().executedPlan().toString())
     assert len(plans[1]) < 1.5 * len(plans[0])
     assert all(p.count("Window [") == 1 for p in plans)
+
+
+def test_bitext_margin_absorbs_hubness(spark):
+    """A 'hub' y close to every x gets its cos divided by a high
+    y-side k-NN mean, so a mutually-exclusive pair out-margins it."""
+    from pyspark.sql import Row
+
+    from shadems_spark.queries import load_registry
+
+    rows = [
+        # language X
+        Row(vec_id=0, label=0, embedding=[1.0, 0.0, 0.0, 0.2]),
+        Row(vec_id=1, label=0, embedding=[0.0, 1.0, 0.0, 0.2]),
+        Row(vec_id=2, label=0, embedding=[0.0, 0.0, 1.0, 0.2]),
+        # language Y: 10 is a hub (mid of everything), 11 pairs with 0
+        Row(vec_id=10, label=1, embedding=[0.5, 0.5, 0.5, 0.2]),
+        Row(vec_id=11, label=1, embedding=[0.99, 0.0, 0.0, 0.2]),
+        Row(vec_id=12, label=1, embedding=[0.0, 0.0, 0.9, -0.4]),
+    ]
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    # reuse fixture layout for the other tables via sf0.001 symlinks
+    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents"]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet")
+    reg = load_registry()
+    out = {r["x_id"]: r for r in reg["q_bitext_margin"][0](spark, d).collect()}
+    assert set(out) == {0, 1, 2}
+    # x=0 must pair with the dedicated translation 11, not the hub 10
+    assert out[0]["y_id"] == 11
+    # margins exceed 1 for true pairs (cos above the neighborhood mean)
+    assert out[0]["margin"] > 1.0
