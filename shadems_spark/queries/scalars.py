@@ -396,3 +396,35 @@ def q_xml_funcs(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_sql_sugar",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(round(sum(o_totalprice)) AS BIGINT) AS rev
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority, n, rev
+    """,
+)
+def q_sql_sugar(spark, sf_dir):
+    """Spark 4 SQL-sugar battery: GROUP BY ALL (group on every
+    non-aggregate select item), ORDER BY ALL, and SELECT * EXCEPT
+    (schema subtraction) in one statement — the analyst-surface
+    idioms a migrating SQL user expects to keep.  The oracle states
+    the same query in explicit ANSI form, proving the sugar resolves
+    to identical semantics."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("o_sugar")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (rev_raw) FROM (
+          SELECT o_orderstatus, o_orderpriority,
+                 count(*) AS n,
+                 sum(o_totalprice) AS rev_raw,
+                 CAST(round(sum(o_totalprice)) AS BIGINT) AS rev
+          FROM o_sugar GROUP BY ALL
+        ) ORDER BY ALL
+        """
+    )
