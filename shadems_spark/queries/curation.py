@@ -587,3 +587,80 @@ def q_pipeline_e2e(spark, sf_dir):
         )
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "q_bigram_lm",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    u AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+    uc AS (SELECT tok, count(*) AS n FROM u GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM uc),
+    b AS (SELECT doc_id,
+                 unnest([ws[i+1] || ' ' || ws[i+2]
+                         for i in range(len(ws) - 1)]) AS bg
+          FROM w),
+    bc AS (SELECT bg, count(*) AS nb FROM b GROUP BY 1),
+    ctx AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(nb) AS BIGINT) AS nc
+            FROM bc GROUP BY 1),
+    sc AS (SELECT b.doc_id,
+                  -ln(0.75 * (bc.nb / CAST(ctx.nc AS DOUBLE))
+                      + 0.25 * (uc.n / CAST(tot.tot AS DOUBLE))) AS nll
+           FROM b
+           JOIN bc USING (bg)
+           JOIN ctx ON string_split(b.bg, ' ')[1] = ctx.w1
+           JOIN uc ON string_split(b.bg, ' ')[2] = uc.tok
+           CROSS JOIN tot)
+    SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS avg_nll
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q_bigram_lm(spark, sf_dir):
+    """Self-trained interpolated bigram LM quality score: per-doc mean
+    NLL under 0.75*P(w2|w1) + 0.25*P(w2) — the next step up from the
+    unigram proxy (repetitive or shuffled text scores visibly
+    differently once context enters).  Scale shape: bigram and
+    context tables are vocabulary-sized aggregates joined back on
+    their own keys (one shuffle each, map-side combined); the corpus
+    total rides a broadcast 1-row aggregate.  ln is libm -> avg
+    rounded 4dp, the q_unigram_lm convention."""
+    from shadems_spark.operators.text import _sliding, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = words("text")
+    u = docs.select("doc_id", F.explode(ws).alias("tok"))
+    uc = u.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = uc.agg(F.sum("n").alias("tot"))
+    b = docs.select(
+        "doc_id",
+        F.explode(
+            _sliding(ws, 2, lambda a, x: F.concat(a, F.lit(" "), x))
+        ).alias("bg"),
+    )
+    bc = b.groupBy("bg").agg(F.count(F.lit(1)).alias("nb"))
+    ctx = (
+        bc.withColumn("w1", F.split("bg", " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("nb").alias("nc"))
+    )
+    sc = (
+        b.join(bc, "bg")
+        .withColumn("w1", F.split("bg", " ")[0])
+        .withColumn("w2", F.split("bg", " ")[1])
+        .join(ctx, "w1")
+        .join(uc.withColumnRenamed("tok", "w2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    F.lit(0.75) * (F.col("nb") / F.col("nc"))
+                    + F.lit(0.25) * (F.col("n") / F.col("tot"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+    )
