@@ -1031,3 +1031,46 @@ def q_kll_quantiles(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_ewma",
+    sql="""
+    SELECT user_id,
+           count(*) AS n,
+           round(list_reduce(list(value ORDER BY ts, event_id),
+                             (a, b) -> 0.25 * b + 0.75 * a), 6) AS ewma
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average per user (alpha=0.25,
+    seeded at the first observation) — the time-series smoothing
+    primitive windows can't express (a linear recurrence).  Batch
+    form: one shuffle to collect each key's ordered series, then a
+    JVM left fold — per-key state is the series (bounded by the
+    per-user contract here; unbounded streams use the
+    applyInPandasWithState running form in streaming/stateful.py).
+    alpha is an exact binary double and both engines fold
+    left-to-right over the identically-ordered list, so the result
+    hash-matches at 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ),
+        lambda s: s["value"],
+    )
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda a, x: F.lit(0.25) * x + F.lit(0.75) * a,
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(ewma, 6).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )

@@ -924,3 +924,71 @@ def q_quality_classifier(spark, sf_dir):
         F.round(score, 6).alias("score"),
         (F.round(score, 6) >= 0.5).cast("int").alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_triangles",
+    sql=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    h AS (SELECT vec_id, label, v,
+                 {{hp}} AS hp
+          FROM e),
+    p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+          FROM h a JOIN h b
+            ON a.label = b.label AND a.hp = b.hp AND a.vec_id < b.vec_id
+          WHERE round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+                      / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                         * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4)
+                >= 0.2)
+    SELECT (SELECT count(*) FROM p) AS n_edges,
+           (SELECT count(DISTINCT id) FROM
+              (SELECT id1 AS id FROM p UNION SELECT id2 FROM p)) AS n_nodes,
+           (SELECT count(*) FROM p e1
+              JOIN p e2 ON e2.id1 = e1.id1 AND e2.id2 > e1.id2
+              JOIN p e3 ON e3.id1 = e1.id2 AND e3.id2 = e2.id2) AS n_triangles
+    """.format(hp=SIM.hyperplane_bucket_sql("v", 2, 64)),
+)
+def q_triangles(spark, sf_dir):
+    """Triangle census over the embedding near-dup graph — triadic
+    closure of duplicate relations (a dup-cluster sanity metric: a
+    high triangle/edge ratio means near-dup sets are coherent, not
+    chains of borderline pairs).  The classic distributed triangle
+    count: orient every edge low-id -> high-id, then one two-hop
+    self-join closes wedges — candidate wedges are bounded by the
+    bucketed edge generator, never the corpus.  Reuses
+    embedding_near_dup's (label x hyperplane-bucket) edges, so the
+    oracle replays the identical plane literals."""
+    edges = (
+        SIM.embedding_near_dup(
+            load_table(spark, sf_dir, "embeddings"),
+            threshold=0.2,
+            sub_planes=2,
+        )
+        .select("id1", "id2")
+    )
+    edges = D.tracked_persist(edges, key="triangle_edges")
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e2.id1") == F.col("e1.id1")) & (F.col("e2.id2") > F.col("e1.id2")),
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("e3.id1") == F.col("e1.id2")) & (F.col("e3.id2") == F.col("e2.id2")),
+    )
+    n_edges = edges.count()
+    n_nodes = (
+        edges.select(F.col("id1").alias("id"))
+        .union(edges.select(F.col("id2").alias("id")))
+        .distinct()
+        .count()
+    )
+    n_tri = tri.count()
+    D.release_persist("triangle_edges")
+    return spark.range(1).select(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_tri).cast("long").alias("n_triangles"),
+    )
