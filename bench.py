@@ -57,6 +57,9 @@ HEADLINE = [
     "q_semdedup",
     "q_pipeline_e2e",
     "q_theta_sets",
+    "q_ewma",
+    "q_bigram_lm",
+    "q_mmr",
 ]
 
 
