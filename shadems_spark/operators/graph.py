@@ -36,7 +36,11 @@ def symmetric_edges(e: DataFrame, src: str = "src", dst: str = "dst") -> DataFra
 
 
 def pagerank_fixed(
-    edges: DataFrame, n_nodes: int, iters: int = 5, damping_pct: int = 85
+    edges: DataFrame,
+    n_nodes: int,
+    iters: int = 5,
+    damping_pct: int = 85,
+    tol: int | None = None,
 ) -> DataFrame:
     """``iters`` fixed-point PageRank sweeps over a symmetric edge
     table (columns src, dst; every node must appear as a src).
@@ -50,10 +54,14 @@ def pagerank_fixed(
     obtains with one count() (driver state is one integer; the same
     constant is spliced into the DuckDB oracle).
 
+    ``tol``: when set, ``iters`` becomes a cap and sweeps stop as
+    soon as max|delta r| <= tol (scaled units) — the production
+    termination rule.  The check is one node-sized join + max per
+    sweep, riding the materialization each sweep already does;
+    integer ranks make convergence exact and engine-independent.
+
     Returns (node, r) with r the 1e9-scaled rank.
     """
-    from pyspark import StorageLevel
-
     base = (100 - damping_pct) * SCALE // 100 // n_nodes
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
@@ -85,12 +93,27 @@ def pagerank_fixed(
                 .alias("r"),
             )
         )
-        if i < iters - 1:
-            ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
-            ranks.count()
+        if i < iters - 1 or tol is not None:
+            # localCheckpoint TRUNCATES LINEAGE, not just caches: the
+            # analyzed plan would otherwise grow a sweep-deep tree and
+            # a long run (30+ sweeps) OOMs the driver merely
+            # GENERATING the plan string.  On a real cluster swap in
+            # reliable checkpointing (localCheckpoint blocks die with
+            # an executor).
+            ranks = ranks.localCheckpoint(True)
             live.append(ranks)
-            if len(live) > 1:
-                live.pop(0).unpersist()
+        if tol is not None:
+            prev_r = (live[-2] if len(live) > 1 else
+                      nodes.withColumn("r", F.lit(SCALE // n_nodes).cast("long")))
+            delta = (
+                ranks.join(
+                    prev_r.select("node", F.col("r").alias("r0")), "node"
+                )
+                .agg(F.max(F.abs(F.col("r") - F.col("r0"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            if delta is not None and delta <= tol:
+                break
     # materialize the final table under the keyed cache (released by
     # the next pagerank call or an explicit release_persist), then
     # free the remaining intermediate sweep.
@@ -98,6 +121,4 @@ def pagerank_fixed(
 
     ranks = tracked_persist(ranks, key="pagerank_ranks")
     ranks.count()
-    for df in live:
-        df.unpersist()
     return ranks

@@ -51,3 +51,14 @@ def test_symmetric_edges_no_dangling(spark):
     e = spark.createDataFrame([Row(src=7, dst=8)], "src long, dst long")
     out = symmetric_edges(e).collect()
     assert {(r["src"], r["dst"]) for r in out} == {(7, 8), (8, 7)}
+
+
+def test_pagerank_tol_converges_early_and_matches_fixed(spark):
+    """tol-mode must stop once ranks are stable and return the same
+    table a long fixed run produces (integer ranks make convergence
+    exact)."""
+    edges = _star(spark)
+    n = edges.select("src").distinct().count()
+    fixed = {tuple(r) for r in pagerank_fixed(edges, n, iters=30).collect()}
+    conv = {tuple(r) for r in pagerank_fixed(edges, n, iters=30, tol=0).collect()}
+    assert conv == fixed
