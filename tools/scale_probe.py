@@ -123,12 +123,30 @@ PROBE_R3 = [
 #: q_text_normalize / q_xml_funcs — scan-bound: ~linear.  q_semdedup
 #: is probed separately (probe_semdedup_k) because its honest scale
 #: story is "raise n_clusters with N", not fixed-k growth.
+#: Super-linear BY WORKLOAD, not engine (measured x10: 4-7x wall):
+#: q_hard_negatives / q_bitext_margin — the probe grows BOTH the
+#: anchor/query side (% selectors) and the corpus, so the scored
+#: pairs grow x100; the operators' contracts bound one side (the
+#: docstrings' ANN-candidates-at-scale note).  q_triangles —
+#: embedding copies are IDENTICAL vectors, so planted near-dup edges
+#: (and wedges) explode exactly as the dedup-probe docstring
+#: describes for unmutated corpora.
 PROBE_R4 = [
     "q_mmr",
     "q_pagerank",
     "q_pipeline_e2e",
     "q_text_normalize",
     "q_xml_funcs",
+    "q_ewma",
+    "q_bigram_lm",
+    "q_hard_negatives",
+    "q_bitext_margin",
+    "q_quality_classifier",
+    "q_triangles",
+    "q_theta_sets",
+    "q_kll_quantiles",
+    "q_stream_enrich",
+    "q_bpe_tokenize",
 ]
 
 #: key shift per copy — far above any real key at these scale factors.
