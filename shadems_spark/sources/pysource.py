@@ -56,3 +56,59 @@ class SynthReader(DataSourceReader):
 def register_synthgen(spark) -> None:
     """Idempotent registration of the synthgen format."""
     spark.dataSource.register(SynthDataSource)
+
+
+class SynthStreamReader:
+    """Spark 4 `simpleStreamReader`: the same deterministic generator
+    as a STREAMING source.  Offsets are row counts ({"pos": n});
+    each micro-batch advances by ``batch_rows`` until ``rows`` is
+    exhausted, then the stream idles (empty batches).  Replayable by
+    construction: `readBetweenOffsets` regenerates any offset window
+    bit-identically (the exactly-once recovery contract a real
+    connector needs), because rows derive from the id by pure
+    arithmetic."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.batch_rows = int(options.get("batchRows", 100))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _gen(self, lo: int, hi: int):
+        for i in range(lo, hi):
+            h = (i * _KNUTH32) % _MOD32
+            yield (i, h % 100, (h % 1_000_000) / 1_000_000)
+
+    def read(self, start: dict):
+        # a LIST, not a generator: the runtime pickles this batch to
+        # replay it if the micro-batch restarts before commit.
+        lo = start["pos"]
+        hi = min(lo + self.batch_rows, self.rows)
+        return list(self._gen(lo, hi)), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._gen(start["pos"], end["pos"]))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SynthStreamDataSource(DataSource):
+    """`spark.readStream.format("synthstream")` — the streaming twin
+    of synthgen, same schema and row formula."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthstream"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, val double"
+
+    def simpleStreamReader(self, schema) -> "SynthStreamReader":
+        return SynthStreamReader(self.options)
+
+
+def register_synthstream(spark) -> None:
+    """Idempotent registration of the synthstream streaming format."""
+    spark.dataSource.register(SynthStreamDataSource)
