@@ -16,7 +16,14 @@ oracle mirror the source exactly from `range()`.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
 
 _KNUTH32 = 2654435761
 _MOD32 = 1 << 32
@@ -58,7 +65,7 @@ def register_synthgen(spark) -> None:
     spark.dataSource.register(SynthDataSource)
 
 
-class SynthStreamReader:
+class SynthStreamReader(SimpleDataSourceStreamReader):
     """Spark 4 `simpleStreamReader`: the same deterministic generator
     as a STREAMING source.  Offsets are row counts ({"pos": n});
     each micro-batch advances by ``batch_rows`` until ``rows`` is
@@ -112,3 +119,76 @@ class SynthStreamDataSource(DataSource):
 def register_synthstream(spark) -> None:
     """Idempotent registration of the synthstream streaming format."""
     spark.dataSource.register(SynthStreamDataSource)
+
+
+class CsvPartFile(WriterCommitMessage):
+    """Commit message: the task-local temp file + its row count."""
+
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class CsvSinkWriter(DataSourceWriter):
+    """Executor side of the Python sink: each task writes its
+    partition to a UNIQUELY-NAMED temp file and reports it in the
+    commit message; nothing is visible until the driver's commit()
+    renames the complete set into place.  That two-phase shape is
+    the real V2 commit protocol — task retries produce orphan temp
+    files (cleaned by abort()), never duplicate visible data."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(self.path, f"_tmp_{pid}_{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(",".join(str(v) for v in row) + "\n")
+                n += 1
+        return CsvPartFile(tmp, n)
+
+    def commit(self, messages):
+        import os
+
+        for i, m in enumerate(messages):
+            os.rename(m.path, os.path.join(self.path, f"part-{i:05d}.csv"))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class CsvSinkDataSource(DataSource):
+    """`df.write.format("pycsvsink").option("path", dir)` — a custom
+    Python batch sink exercising the executor-write / driver-commit
+    protocol (pyspark.sql.datasource writer API)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pycsvsink"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, val double"
+
+    def writer(self, schema, overwrite: bool) -> "CsvSinkWriter":
+        import os
+
+        path = self.options["path"]
+        os.makedirs(path, exist_ok=True)
+        return CsvSinkWriter(path)
+
+
+def register_pycsvsink(spark) -> None:
+    """Idempotent registration of the pycsvsink format."""
+    spark.dataSource.register(CsvSinkDataSource)

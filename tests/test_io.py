@@ -109,3 +109,25 @@ def test_casacore_ms_env_gate(spark):
         pass
     with pytest.raises(EnvironmentError, match="casacore"):
         CasacoreMS(spark, "/tmp/fake.ms")
+
+
+def test_python_datasource_sink_roundtrip(spark, tmp_path):
+    """Custom Python batch SINK (Spark 4 writer API): tasks write
+    uniquely-named temp files, the driver commit renames them into
+    place — read the committed CSVs back and match the source rows."""
+    import os
+
+    from shadems_spark.sources.pysource import (
+        register_pycsvsink,
+        register_synthgen,
+    )
+
+    register_synthgen(spark)
+    register_pycsvsink(spark)
+    out = str(tmp_path / "pycsv")
+    df = spark.read.format("synthgen").option("rows", 300).load()
+    df.write.format("pycsvsink").option("path", out).mode("append").save()
+    names = sorted(os.listdir(out))
+    assert names and all(n.startswith("part-") for n in names)  # no temp leftovers
+    back = spark.read.schema("id long, bucket int, val double").csv(out)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
