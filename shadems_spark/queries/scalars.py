@@ -428,3 +428,39 @@ def q_sql_sugar(spark, sf_dir):
         ) ORDER BY ALL
         """
     )
+
+
+@register(
+    "q_url_funcs",
+    sql="""
+    SELECT doc_id,
+           'www.' || source || '.example.com' AS host,
+           '/docs/' || lang || '/' || doc_id AS path,
+           'id=' || doc_id || '&ref=feed' AS query,
+           CAST(doc_id AS VARCHAR) AS id_param,
+           source || '.example.com' AS canon_host
+    FROM documents WHERE doc_id % 9 = 0 ORDER BY doc_id
+    """,
+)
+def q_url_funcs(spark, sf_dir):
+    """SF-url: URL parsing battery — build a URL from row values,
+    take it apart with Spark's parse_url (HOST / PATH / QUERY /
+    keyed QUERY param) and canonicalize the host (strip the www
+    prefix, the web-corpus dedup-key normalization).  DuckDB has no
+    URL parser, so the oracle is the identity round-trip on the
+    constructed parts — any extraction defect breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id"),
+        F.lit("?id="), F.col("doc_id"), F.lit("&ref=feed"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    return docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
+        F.regexp_replace(host, "^www\\.", "").alias("canon_host"),
+    ).orderBy("doc_id")
