@@ -102,6 +102,10 @@ def pagerank_fixed(
             # an executor).
             ranks = ranks.localCheckpoint(True)
             live.append(ranks)
+            if len(live) > 2:
+                # only the delta check needs the previous sweep; let
+                # older checkpoint blocks go (GC frees them).
+                live.pop(0)
         if tol is not None:
             prev_r = (live[-2] if len(live) > 1 else
                       nodes.withColumn("r", F.lit(SCALE // n_nodes).cast("long")))
