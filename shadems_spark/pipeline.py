@@ -1,0 +1,102 @@
+"""``python -m shadems_spark.pipeline`` — the corpus-curation CLI:
+the end-to-end LLM-training-data pipeline (quality gate -> dedup ->
+split -> optional packing) as one runnable command over a fixture
+directory, writing a curated parquet partitioned by split plus a
+one-line JSON report.
+
+This is the "switch your pipeline to this engine" entry point: every
+stage is an existing verified operator (q_pipeline_e2e is the
+oracle-checked query twin of the default path), and the whole run is
+ONE Spark application — the quality gate fuses into the scan, dedup
+and the final stats are the only wide stages, the split adds none.
+
+Usage:
+  python -m shadems_spark.pipeline SF_DIR OUT_DIR
+      [--dedup exact|semantic|none] [--min-words N]
+      [--train-pct N] [--val-pct N] [--pack SEQ_LEN]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="shadems-pipeline", description=__doc__)
+    p.add_argument("sf_dir", help="fixture dir with documents.parquet")
+    p.add_argument("out_dir", help="output dir (parquet, partitioned by split)")
+    p.add_argument("--dedup", choices=["exact", "semantic", "none"],
+                   default="exact")
+    p.add_argument("--min-words", type=int, default=3)
+    p.add_argument("--train-pct", type=int, default=80)
+    p.add_argument("--val-pct", type=int, default=10)
+    p.add_argument("--pack", type=int, default=0, metavar="SEQ_LEN",
+                   help="greedy-pack docs into sequences of this many tokens")
+    return p
+
+
+def run(argv: list[str] | None = None) -> dict:
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.curation import gopher_rules, pack_sequences
+    from shadems_spark.operators.retrieval import stratified_split
+    from shadems_spark.session import get_spark
+
+    args = build_parser().parse_args(argv)
+    spark = get_spark("shadems-pipeline")
+    docs = load_table(spark, args.sf_dir, "documents")
+    n_in = docs.count()
+
+    g = gopher_rules(docs).filter(
+        (F.col("passes_gopher") == 1) & (F.col("n_words") >= args.min_words)
+    )
+
+    if args.dedup == "exact":
+        w = Window.partitionBy("text")
+        g = (
+            g.withColumn("__keep", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("__keep"))
+            .drop("__keep")
+        )
+    elif args.dedup == "semantic":
+        from shadems_spark.operators.similarity import semdedup
+
+        emb = load_table(spark, args.sf_dir, "embeddings")
+        kept = semdedup(emb).select(F.col("vec_id").alias("doc_id"))
+        g = g.join(kept, "doc_id", "left_semi")
+
+    s = stratified_split(g, train_pct=args.train_pct, val_pct=args.val_pct)
+    s.write.mode("overwrite").partitionBy("split").parquet(args.out_dir)
+
+    out = spark.read.parquet(args.out_dir)
+    stats = {
+        r["split"]: (r["n"], r["tok"])
+        for r in out.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_words").cast("long").alias("tok"))
+        .collect()
+    }
+    report = {
+        "input_docs": n_in,
+        "curated_docs": sum(n for n, _ in stats.values()),
+        "splits": {k: {"docs": n, "tokens": t} for k, (n, t) in sorted(stats.items())},
+        "dedup": args.dedup,
+        "out": args.out_dir,
+    }
+    if args.pack:
+        packed = pack_sequences(
+            out.filter(F.col("split") == "train"),
+            budget=args.pack,
+            token_col="n_words",
+        )
+        report["train_sequences"] = (
+            packed.select("lang", "pack_id").distinct().count()
+        )
+    return report
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()))

@@ -393,3 +393,23 @@ def test_cli_figure_legend_categorical(tmp_path, spark, sf_dir):
     sx = FIG.M_LEFT + 48 + 14
     swatch = tuple(img[FIG.M_TOP + 2, sx + 2, :3])
     assert swatch in {tuple(c) for c in PALETTE}
+
+
+def test_pipeline_cli_end_to_end(spark, sf_dir, tmp_path):
+    """The curation-pipeline CLI: curated parquet partitioned by
+    split + a JSON-able report; semantic dedup route exercises the
+    semdedup join."""
+    import os
+
+    from shadems_spark.pipeline import run
+
+    out = str(tmp_path / "curated")
+    rep = run([sf_dir, out, "--dedup", "exact", "--pack", "512"])
+    assert rep["curated_docs"] <= rep["input_docs"]
+    assert set(rep["splits"]) == {"train", "val", "test"}
+    assert rep["train_sequences"] > 0
+    assert sorted(d for d in os.listdir(out) if d.startswith("split=")) == [
+        "split=test", "split=train", "split=val"
+    ]
+    rep2 = run([sf_dir, str(tmp_path / "c2"), "--dedup", "semantic"])
+    assert rep2["curated_docs"] < rep["input_docs"]  # semdedup prunes
