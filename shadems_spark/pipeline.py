@@ -29,7 +29,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="shadems-pipeline", description=__doc__)
     p.add_argument("sf_dir", help="fixture dir with documents.parquet")
     p.add_argument("out_dir", help="output dir (parquet, partitioned by split)")
-    p.add_argument("--dedup", choices=["exact", "semantic", "none"],
+    p.add_argument("--dedup", choices=["exact", "minhash", "semantic", "none"],
                    default="exact")
     p.add_argument("--min-words", type=int, default=3)
     p.add_argument("--train-pct", type=int, default=80)
@@ -61,6 +61,15 @@ def run(argv: list[str] | None = None) -> dict:
             .filter(F.col("doc_id") == F.col("__keep"))
             .drop("__keep")
         )
+    elif args.dedup == "minhash":
+        from shadems_spark.operators.dedup import minhash_dedup, release_persist
+
+        # fuzzy pairs -> drop the higher id of every near-dup pair
+        # (the conservative pairwise rule, as in semdedup)
+        pairs = minhash_dedup(docs, threshold=0.2)
+        drop = pairs.select(F.col("id2").alias("doc_id")).distinct()
+        g = g.join(drop, "doc_id", "left_anti")
+        release_persist("minhash_grams")
     elif args.dedup == "semantic":
         from shadems_spark.operators.similarity import semdedup
 
