@@ -578,3 +578,25 @@ def test_hard_negatives_label_mismatch_and_order(spark, sf_dir):
     for cs in by_anchor.values():
         assert len(cs) == 3
         assert cs == sorted(cs, reverse=True)
+
+
+def test_empty_inputs_degrade_gracefully(spark):
+    """Empty corpora flow through the extension operators without
+    error: zero rows out, empty merge tables, empty token lists."""
+    from shadems_spark.operators.dedup import exact_dedup
+    from shadems_spark.operators.graph import symmetric_edges
+    from shadems_spark.operators.retrieval import mmr_topk
+    from shadems_spark.operators.text import bpe_tokenize_udf, bpe_train
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert SIM.semdedup(empty_emb).count() == 0
+    assert SIM.brute_topk(empty_emb, empty_emb).count() == 0
+    assert mmr_topk(empty_emb, empty_emb).count() == 0
+    assert exact_dedup(empty_docs).count() == 0
+    assert bpe_train(empty_docs) == []
+    assert symmetric_edges(empty_edges).count() == 0
+    tok = bpe_tokenize_udf([("a", "b")])
+    one = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    assert one.select(tok(F.col("text")).alias("t")).collect()[0]["t"] == []
