@@ -664,3 +664,47 @@ def q_bigram_lm(spark, sf_dir):
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("nll"), 4).alias("avg_nll"),
     )
+
+
+@register(
+    "q_weighted_reservoir",
+    sql="""
+    WITH u AS (SELECT doc_id, lang, n_chars,
+                      ((doc_id * 2654435761) % 4294967296 + 1)
+                        / 4294967297.0 AS uni
+               FROM documents),
+    k AS (SELECT doc_id, lang, n_chars,
+                 round(ln(uni) / n_chars, 10) AS es_key
+          FROM u)
+    SELECT lang, doc_id, n_chars, es_key,
+           CAST(rk AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                     ORDER BY es_key DESC, doc_id) AS rk
+          FROM k)
+    WHERE rk <= 5 ORDER BY lang, rank
+    """,
+)
+def q_weighted_reservoir(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, k=5 per language
+    (Efraimidis & Spirakis 2006): key = u^(1/w) per item, take the
+    top-k keys — the one-pass, merge-friendly scheme distributed
+    samplers use (per-partition top-k merges exactly).  Here in its
+    log form ln(u)/w (same ordering, better conditioning), with u
+    hash-derived from the id so the sample is deterministic across
+    runs, retries, AND engines; ln is libm -> key rounded 10dp, rank
+    window on the rounded key (house convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1 << 32) + 1) / F.lit(
+        float((1 << 32) + 1)
+    )
+    k = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.round(F.log(uni) / F.col("n_chars"), 10).alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), F.col("doc_id"))
+    return (
+        k.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "doc_id", "n_chars", "es_key", "rank")
+        .orderBy("lang", "rank")
+    )
