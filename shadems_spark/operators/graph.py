@@ -126,3 +126,81 @@ def pagerank_fixed(
     ranks = tracked_persist(ranks, key="pagerank_ranks")
     ranks.count()
     return ranks
+
+
+def connected_components_star(
+    edges: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the published O(log^2 n)-round algorithm whose per-round
+    cost is two joins to a per-node minimum, no per-node neighbor
+    lists, no label table carried alongside the edges:
+
+      large-star: every node links its LARGER neighbors to the
+        minimum of its closed neighborhood;
+      small-star: every node links its smaller-or-equal neighbors to
+        that minimum.
+
+    Each operation is: per-node min aggregate (map-side combined) +
+    one join back to the edge table — both shuffles keyed on node id.
+    Edge tables are localCheckpointed per round (lineage truncation,
+    the same driver-OOM guard as the PageRank sweeps); convergence is
+    an edge-count + checksum comparison, one tiny agg per round.
+
+    Input: undirected edges (src, dst), any orientation, self-loops
+    ignored.  Returns (node, component) with component = the minimum
+    node id reachable — identical semantics to the min-label
+    propagation in queries/llm_ops.q_dedup_clusters, proven equal in
+    tests.
+    """
+    e = (
+        edges.select(F.col("src").cast("long").alias("u"),
+                     F.col("dst").cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # neighborhood as directed pairs (node, nbr) both ways
+        nbrs = e.select(F.col("u").alias("n"), F.col("v").alias("b")).union(
+            e.select(F.col("v").alias("n"), F.col("u").alias("b"))
+        )
+        mins = nbrs.groupBy("n").agg(F.least(F.min("b"), F.first("n")).alias("m"))
+        joined = nbrs.join(mins, "n")
+        if large:
+            out = joined.filter(F.col("b") > F.col("n")).select(
+                F.col("b").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            out = joined.filter(F.col("b") <= F.col("n")).select(
+                F.col("b").alias("u"), F.col("m").alias("v")
+            ).union(mins.select(F.col("n").alias("u"), F.col("m").alias("v")))
+        return (
+            out.filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
+
+    def sig(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # order-free, no overflow
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    e = e.localCheckpoint(True)
+    prev = sig(e)
+    for _ in range(max_iters):
+        e = star(star(e, large=True), large=False).localCheckpoint(True)
+        cur = sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: every edge is (member, root); add singleton roots
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = comp.select(F.col("component").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return comp.unionByName(roots).distinct().orderBy("node")

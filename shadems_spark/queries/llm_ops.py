@@ -992,3 +992,49 @@ def q_triangles(spark, sf_dir):
         F.lit(n_nodes).cast("long").alias("n_nodes"),
         F.lit(n_tri).cast("long").alias("n_triangles"),
     )
+
+
+@register(
+    "q_components_star",
+    sql="""
+    WITH RECURSIVE
+    w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                                       for i in range(len(ws) - 2)])) AS ng
+          FROM w),
+    s AS (SELECT doc_id, count(*) sz FROM g GROUP BY doc_id),
+    inter AS (SELECT a.doc_id id1, b.doc_id id2, count(*) c
+              FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    p AS (SELECT id1, id2 FROM inter
+          JOIN s sa ON id1 = sa.doc_id
+          JOIN s sb ON id2 = sb.doc_id
+          WHERE c / (sa.sz + sb.sz - c) >= 0.2),
+    edges AS (SELECT id1 a, id2 b FROM p UNION SELECT id2, id1 FROM p),
+    walk(v, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, wk.lbl FROM edges e JOIN walk wk ON wk.v = e.b
+    )
+    SELECT v AS node, min(lbl) AS component FROM walk GROUP BY v
+    ORDER BY node
+    """,
+)
+def q_components_star(spark, sf_dir):
+    """Connected components of the dup-pair graph by the published
+    large-star/small-star algorithm (Kiveris et al. 2014;
+    operators/graph.py::connected_components_star) — the O(log^2 n)-
+    round scale path beside q_dedup_clusters' min-label propagation.
+    Same dup graph, same min-id semantics, SAME recursive-CTE oracle:
+    two independent distributed algorithms hash-matching one ground
+    truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    from shadems_spark.operators.graph import connected_components_star
+
+    pairs = D.minhash_dedup(docs, threshold=0.2).select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    )
+    out = connected_components_star(pairs)
+    D.release_persist("minhash_grams")
+    return out

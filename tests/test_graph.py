@@ -62,3 +62,70 @@ def test_pagerank_tol_converges_early_and_matches_fixed(spark):
     fixed = {tuple(r) for r in pagerank_fixed(edges, n, iters=30).collect()}
     conv = {tuple(r) for r in pagerank_fixed(edges, n, iters=30, tol=0).collect()}
     assert conv == fixed
+
+
+def _brute_components(edges):
+    """Driver-side union-find ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_star_components_match_union_find(spark):
+    """large-star/small-star must produce exactly the min-id
+    components of a union-find ground truth on assorted graphs:
+    chain, two cliques bridged, singleton-free cycles, random."""
+    from shadems_spark.operators.graph import connected_components_star
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11)],                # chain + pair
+        [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9), (3, 7)],  # bridged cliques
+        [(5, 6), (6, 7), (7, 5)],                          # cycle
+        [(i, (i * 7) % 23 + 30) for i in range(20)],       # pseudo-random bipartite-ish
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components_star(df).collect()
+        }
+        want = _brute_components(edges)
+        assert got == want, (edges, got, want)
+
+
+def test_star_components_match_label_propagation(spark, sf_dir):
+    """On the minhash dup-pair graph, the star algorithm must agree
+    with the existing min-label propagation (q_dedup_clusters)."""
+    from shadems_spark.operators.graph import connected_components_star
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    lp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in reg["q_dedup_clusters"][0](spark, sf_dir).collect()
+    }
+    import pyspark.sql.functions as F
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.dedup import minhash_dedup, release_persist
+
+    pairs = minhash_dedup(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    ).select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components_star(pairs).collect()
+    }
+    release_persist()
+    assert star == lp and len(star) > 0
