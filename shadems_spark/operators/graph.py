@@ -204,3 +204,47 @@ def connected_components_star(
         "component", F.col("node")
     )
     return comp.unionByName(roots).distinct().orderBy("node")
+
+
+def kcore(edges: DataFrame, k: int = 2, max_iters: int = 30) -> DataFrame:
+    """k-core membership: iteratively peel nodes of degree < k until
+    stable — the standard density filter (a near-dup neighborhood
+    that survives the 2-core is a real cluster, not a chain of
+    borderline pairs).  Per round: one degree aggregate + one semi
+    join to keep qualifying endpoints; edge tables localCheckpointed
+    (lineage truncation); convergence = edge count stable.  Returns
+    the surviving (node, degree) table."""
+    e = (
+        edges.select(F.col("src").cast("long").alias("u"),
+                     F.col("dst").cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(True)
+    )
+    prev = e.count()
+    for _ in range(max_iters):
+        nbrs = e.select(F.col("u").alias("n")).union(
+            e.select(F.col("v").alias("n"))
+        )
+        deg = nbrs.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(True)
+        )
+        cur = e.count()
+        if cur == prev:
+            break
+        prev = cur
+    nbrs = e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))
+    )
+    return (
+        nbrs.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+        .orderBy("node")
+    )

@@ -129,3 +129,44 @@ def test_star_components_match_label_propagation(spark, sf_dir):
     }
     release_persist()
     assert star == lp and len(star) > 0
+
+
+def test_kcore_peels_chains_keeps_cliques(spark):
+    """2-core: a triangle survives, a pendant chain hanging off it is
+    peeled entirely (including the intermediate node whose degree
+    drops below 2 only after the leaf goes)."""
+    from shadems_spark.operators.graph import kcore
+
+    edges = [(1, 2), (2, 3), (1, 3),   # triangle
+             (3, 4), (4, 5)]           # chain: 5 then 4 peel off
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["degree"] for r in kcore(df, k=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(d == 2 for d in out.values())
+
+
+def test_kcore_brute_parity(spark):
+    """Arbitrary graph: parity with a driver-side peel."""
+    from shadems_spark.operators.graph import kcore
+
+    edges = [(i, (i * 7) % 13) for i in range(13)] + [(1, 5), (2, 9), (4, 11)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    def brute(pairs, k):
+        pairs = {(max(a, b), min(a, b)) for a, b in pairs}
+        while True:
+            deg = {}
+            for a, b in pairs:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            new = {(a, b) for a, b in pairs if a in keep and b in keep}
+            if new == pairs:
+                return deg, keep
+            pairs = new
+
+    deg, keep = brute(edges, 2)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["degree"] for r in kcore(df, k=2).collect()}
+    assert set(out) == keep
+    assert out == {n: deg[n] for n in keep}
