@@ -45,10 +45,15 @@ def run(argv: list[str] | None = None) -> dict:
     from shadems_spark.operators.retrieval import stratified_split
     from shadems_spark.session import get_spark
 
+    from pyspark.sql import Observation
+
     args = build_parser().parse_args(argv)
     spark = get_spark("shadems-pipeline")
     docs = load_table(spark, args.sf_dir, "documents")
-    n_in = docs.count()
+    # Observation counters ride the write job itself — per-stage
+    # row counts with ZERO extra actions (no separate count() jobs).
+    obs_in, obs_gate = Observation("input"), Observation("gate")
+    docs = docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
 
     g = gopher_rules(docs).filter(
         (F.col("passes_gopher") == 1) & (F.col("n_words") >= args.min_words)
@@ -77,8 +82,11 @@ def run(argv: list[str] | None = None) -> dict:
         kept = semdedup(emb).select(F.col("vec_id").alias("doc_id"))
         g = g.join(kept, "doc_id", "left_semi")
 
+    g = g.observe(obs_gate, F.count(F.lit(1)).alias("n"))
     s = stratified_split(g, train_pct=args.train_pct, val_pct=args.val_pct)
     s.write.mode("overwrite").partitionBy("split").parquet(args.out_dir)
+    n_in = obs_in.get["n"]
+    n_curated = obs_gate.get["n"]
 
     out = spark.read.parquet(args.out_dir)
     stats = {
@@ -90,7 +98,7 @@ def run(argv: list[str] | None = None) -> dict:
     }
     report = {
         "input_docs": n_in,
-        "curated_docs": sum(n for n, _ in stats.values()),
+        "curated_docs": n_curated,
         "splits": {k: {"docs": n, "tokens": t} for k, (n, t) in sorted(stats.items())},
         "dedup": args.dedup,
         "out": args.out_dir,
