@@ -12,7 +12,7 @@ and the final stats are the only wide stages, the split adds none.
 
 Usage:
   python -m shadems_spark.pipeline SF_DIR OUT_DIR
-      [--dedup exact|semantic|none] [--min-words N]
+      [--dedup exact|minhash|semantic|none] [--min-words N]
       [--train-pct N] [--val-pct N] [--pack SEQ_LEN]
 """
 
