@@ -1038,3 +1038,19 @@ def q_components_star(spark, sf_dir):
     out = connected_components_star(pairs)
     D.release_persist("minhash_grams")
     return out
+
+
+@register("q_kcore", sql=None)  # data-dependent iterative peel: no SQL form
+def q_kcore(spark, sf_dir):
+    """2-core of the embedding near-dup graph
+    (operators/graph.py::kcore): densely-duplicated neighborhoods
+    survive, chains of borderline pairs peel away — the graph-level
+    complement to q_triangles' coherence metric.  Brute-force peel
+    parity is pinned in tests/test_graph.py; rows-only here
+    (iterative deletion has no single-statement SQL form)."""
+    from shadems_spark.operators.graph import kcore
+
+    edges = SIM.embedding_near_dup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.2, sub_planes=2
+    ).select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    return kcore(edges, k=2)
