@@ -176,3 +176,62 @@ def flagship(spark, sf_dir):
     v = vis_view(load_table(spark, sf_dir, "lineitem"))
     plot = ShadePlot(x=F.col("time_day").cast("double"), y=c_amp(F.col("vis")), width=256, height=256)
     return plot.run(v)
+
+
+def _zkey_sql(bx: str, by: str, bits: int = 4) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({bx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({by} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "q_zorder",
+    sql=f"""
+    WITH b AS (
+      SELECT {R.bin_axis_sql('time_day', *TIME_RANGE, 16)} AS bx,
+             {R.bin_axis_sql('re', *PRICE_RANGE, 16)} AS by,
+             count(*) AS val
+      FROM {_VIS} v
+      WHERE time_day BETWEEN {TIME_RANGE[0]!r} AND {TIME_RANGE[1]!r}
+        AND re BETWEEN {PRICE_RANGE[0]!r} AND {PRICE_RANGE[1]!r}
+      GROUP BY 1, 2)
+    SELECT bx, by, val,
+           CAST({_zkey_sql('bx', 'by')} AS BIGINT) AS zkey
+    FROM b ORDER BY zkey
+    """,
+)
+def q_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering key over the binned raster — the
+    multi-dimensional data-layout technique (Delta/Iceberg
+    OPTIMIZE ZORDER): interleave the bin bits so 2D neighbors land
+    near each other in ONE sort order, making range predicates on
+    EITHER axis prune contiguous file runs after a sort-write.  Pure
+    integer bit arithmetic (shift/and/or Column expressions), exact
+    on both engines; locality superiority over row-major order is
+    pinned in tests.  Writing `sortWithinPartitions(zkey)` before a
+    compacted write is the deployment shape (sources/io.py)."""
+    from shadems_spark.vis import vis_view
+
+    v = vis_view(load_table(spark, sf_dir, "lineitem"))
+    bx = R.bin_axis(F.col("time_day").cast("double"), *TIME_RANGE, 16)
+    by = R.bin_axis(F.col("vis.re"), *PRICE_RANGE, 16)
+    b = (
+        v.filter(
+            F.col("time_day").cast("double").between(*TIME_RANGE)
+            & F.col("vis.re").between(*PRICE_RANGE)
+        )
+        .groupBy(bx.alias("bx"), by.alias("by"))
+        .agg(F.count(F.lit(1)).alias("val"))
+    )
+    zkey = None
+    for i in range(4):
+        for c, off in (("bx", 0), ("by", 1)):
+            term = F.shiftleft(
+                F.shiftright(F.col(c), i).bitwiseAND(F.lit(1)), 2 * i + off
+            )
+            zkey = term if zkey is None else zkey.bitwiseOR(term)
+    return b.select(
+        "bx", "by", "val", zkey.cast("long").alias("zkey")
+    ).orderBy("zkey")

@@ -187,3 +187,42 @@ def test_theta_sets_exact_in_exact_mode(spark, sf_dir):
     assert row["n_intersect"] == len(c & p)
     assert row["n_click_only"] == len(c - p)
     assert row["n_all"] == al
+
+
+def test_zorder_aligned_tiles_are_single_runs(spark, sf_dir):
+    """The pruning property: an aligned 4x4 tile of the 16x16 grid is
+    ONE contiguous zkey run (vs 4 separate row-major runs) wherever
+    the tile sits — 2D range predicates touch contiguous file spans
+    after a zkey-sorted write.  Verified with the SAME interleave the
+    query computes (Spark zkeys spot-checked against it), plus
+    sortedness/uniqueness of the query output."""
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    rows = reg["q_zorder"][0](spark, sf_dir).collect()
+    assert len(rows) > 32
+    zs = [r["zkey"] for r in rows]
+    assert zs == sorted(zs) and len(set(zs)) == len(zs)
+
+    def zkey(bx, by):
+        k = 0
+        for i in range(4):
+            k |= ((bx >> i) & 1) << (2 * i)
+            k |= ((by >> i) & 1) << (2 * i + 1)
+        return k
+
+    for r in rows[:20]:
+        assert r["zkey"] == zkey(r["bx"], r["by"])  # same formula
+
+    def runs(keys):
+        keys = sorted(keys)
+        return 1 + sum(1 for a, b in zip(keys, keys[1:]) if b != a + 1)
+
+    # an aligned 4x4 tile: ONE contiguous z-run vs 4 row-major runs —
+    # and the same holds from tile (4,8), i.e. on both axes, which is
+    # what makes zkey-sorted files prunable for 2D range predicates.
+    for ox, oy in ((0, 0), (4, 8), (12, 4)):
+        tile_z = runs([zkey(ox + i, oy + j) for i in range(4) for j in range(4)])
+        tile_rm = runs([(oy + j) * 16 + ox + i for i in range(4) for j in range(4)])
+        assert tile_z == 1
+        assert tile_rm == 4
