@@ -147,6 +147,14 @@ PROBE_R4 = [
     "q_kll_quantiles",
     "q_stream_enrich",
     "q_bpe_tokenize",
+    # late round-4 batch: weighted_reservoir / url / zorder scan-bound
+    # (~linear); components_star rounds grow with log(diameter) only;
+    # sql_sugar/quality_classifier scan-bound.
+    "q_weighted_reservoir",
+    "q_url_funcs",
+    "q_zorder",
+    "q_components_star",
+    "q_sql_sugar",
 ]
 
 #: key shift per copy — far above any real key at these scale factors.
