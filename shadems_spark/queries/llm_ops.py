@@ -47,9 +47,12 @@ def q_dedup_minhash(spark, sf_dir):
 @register("q_dedup_simhash", sql=None)  # xxhash64 bits: rows-only
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 64-bit sign-sum signatures, 16-bit-block
-    bucketed candidates, hamming distance <= 6 kept."""
+    bucketed candidates, hamming distance <= 6 kept.  Signatures are
+    persisted before the block self-join — otherwise the 64-way
+    bit-sum aggregation (the expensive stage) runs once per join
+    side."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.simhash_signatures(docs)
+    sigs = D.tracked_persist(D.simhash_signatures(docs), key="simhash_sigs")
     return D.simhash_candidates(sigs).filter(F.col("hamming") <= 6).select(
         "id1", "id2", "hamming"
     )
