@@ -1040,6 +1040,7 @@ def q_components_star(spark, sf_dir):
     )
     out = connected_components_star(pairs)
     D.release_persist("minhash_grams")
+    D.release_persist("minhash_sigs")
     return out
 
 
