@@ -348,11 +348,17 @@ def q_span_dedup(spark, sf_dir):
     joined back for a per-doc shared fraction.  All joins/aggregates
     ride 8-byte xxhash64 gram keys (operators/text.ngram_hashes) —
     counts are hash-invariant so the string-gram oracle matches."""
+    from shadems_spark.operators.dedup import tracked_persist
     from shadems_spark.operators.text import ngram_hashes, words
 
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id", F.explode(ngram_hashes(words("text"), 3)).alias("ng")
+    # g feeds both the document-frequency aggregate and the join-back;
+    # persist so the shingle scan runs once (the ngram_grams pattern).
+    g = tracked_persist(
+        docs.select(
+            "doc_id", F.explode(ngram_hashes(words("text"), 3)).alias("ng")
+        ),
+        key="span_grams",
     )
     d = g.groupBy("ng").agg(F.count(F.lit(1)).alias("nd"))
     j = g.join(d, "ng")
