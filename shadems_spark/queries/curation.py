@@ -637,11 +637,18 @@ def q_bigram_lm(spark, sf_dir):
     u = docs.select("doc_id", F.explode(ws).alias("tok"))
     uc = u.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     tot = uc.agg(F.sum("n").alias("tot"))
-    b = docs.select(
-        "doc_id",
-        F.explode(
-            _sliding(ws, 2, lambda a, x: F.concat(a, F.lit(" "), x))
-        ).alias("bg"),
+    from shadems_spark.operators.dedup import tracked_persist
+
+    # the bigram stream feeds the count aggregate AND the scored join;
+    # persist so the sliding-window explode runs once.
+    b = tracked_persist(
+        docs.select(
+            "doc_id",
+            F.explode(
+                _sliding(ws, 2, lambda a, x: F.concat(a, F.lit(" "), x))
+            ).alias("bg"),
+        ),
+        key="bigram_grams",
     )
     bc = b.groupBy("bg").agg(F.count(F.lit(1)).alias("nb"))
     ctx = (

@@ -44,8 +44,14 @@ def q_tfidf(spark, sf_dir):
     sized document-frequency aggregate joined back by broadcast; the
     corpus size N rides a broadcast 1-row aggregate, not a separate
     driver action."""
+    from shadems_spark.operators.dedup import tracked_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    return R.tf_idf(R.doc_terms(docs), top_per_doc=3)
+    # the (doc, term, tf) table feeds three consumers inside tf_idf
+    # (document frequency, corpus count, the scored join); persist so
+    # the token explode + count shuffle happens once.
+    terms = tracked_persist(R.doc_terms(docs), key="tfidf_terms")
+    return R.tf_idf(terms, top_per_doc=3)
 
 
 @register(
