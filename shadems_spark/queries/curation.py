@@ -637,18 +637,14 @@ def q_bigram_lm(spark, sf_dir):
     u = docs.select("doc_id", F.explode(ws).alias("tok"))
     uc = u.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     tot = uc.agg(F.sum("n").alias("tot"))
-    from shadems_spark.operators.dedup import tracked_persist
-
-    # the bigram stream feeds the count aggregate AND the scored join;
-    # persist so the sliding-window explode runs once.
-    b = tracked_persist(
-        docs.select(
-            "doc_id",
-            F.explode(
-                _sliding(ws, 2, lambda a, x: F.concat(a, F.lit(" "), x))
-            ).alias("bg"),
-        ),
-        key="bigram_grams",
+    # the bigram stream feeds two consumers, but ReuseExchange dedups
+    # the shared shuffle — persisting it measured slightly SLOWER
+    # (A/B at sf0.1); see q_tfidf for the rule of thumb.
+    b = docs.select(
+        "doc_id",
+        F.explode(
+            _sliding(ws, 2, lambda a, x: F.concat(a, F.lit(" "), x))
+        ).alias("bg"),
     )
     bc = b.groupBy("bg").agg(F.count(F.lit(1)).alias("nb"))
     ctx = (

@@ -44,14 +44,14 @@ def q_tfidf(spark, sf_dir):
     sized document-frequency aggregate joined back by broadcast; the
     corpus size N rides a broadcast 1-row aggregate, not a separate
     driver action."""
-    from shadems_spark.operators.dedup import tracked_persist
-
     docs = load_table(spark, sf_dir, "documents")
-    # the (doc, term, tf) table feeds three consumers inside tf_idf
-    # (document frequency, corpus count, the scored join); persist so
-    # the token explode + count shuffle happens once.
-    terms = tracked_persist(R.doc_terms(docs), key="tfidf_terms")
-    return R.tf_idf(terms, top_per_doc=3)
+    # terms feeds three consumers, but Catalyst's ReuseExchange
+    # already dedups the identical (doc, term) shuffle across them —
+    # an explicit persist MEASURED SLOWER (1.8 s vs 1.0 s warm at
+    # sf0.1: materialization + cache reads for a reuse the optimizer
+    # gives free).  Persist only pays when consumer plans diverge
+    # BEFORE the shuffle (see q_span_dedup).
+    return R.tf_idf(R.doc_terms(docs), top_per_doc=3)
 
 
 @register(
