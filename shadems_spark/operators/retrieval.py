@@ -301,6 +301,9 @@ def mmr_topk(
 
     cand = brute_topk(emb, queries, k=n_candidates, id_col=id_col, vec=vec)
     vecs = emb.select(F.col(id_col).alias("cand_id"), as_double(vec).alias("cv"))
+    # cv feeds three consumers, but A/B measured a persist as a wash
+    # here (the corpus-scan exchange is reused within the one job and
+    # the candidate table is tiny) — keep the plan stateless.
     cv = cand.join(vecs, "cand_id").select(
         "q_id", "cand_id", F.col("cos").alias("rel"), "cv"
     )
