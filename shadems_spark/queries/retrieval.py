@@ -662,3 +662,76 @@ def q_bitext_margin(spark, sf_dir):
         )
         .orderBy("x_id")
     )
+
+
+@register(
+    "q_cdc_chunk",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE doc_id % 13 = 0),
+    t AS (SELECT doc_id,
+                 unnest([{'pos': i, 'w': ws[i+1]} for i in range(len(ws))],
+                        recursive := true)
+          FROM w),
+    h AS (SELECT doc_id, pos, w,
+                 CASE WHEN list_reduce(
+                          list_prepend(CAST(0 AS BIGINT),
+                                       list_transform(string_split(w, ''),
+                                                      c -> CAST(ascii(c) AS BIGINT))),
+                          (a, c) -> (a * 31 + c) % 1000000007) % 8 = 0
+                      OR pos = 0
+                      THEN 1 ELSE 0 END AS boundary
+          FROM t),
+    c AS (SELECT doc_id, pos, w,
+                 sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+          FROM h)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           count(*) AS n_tokens,
+           string_agg(w, ' ' ORDER BY pos) AS chunk_text
+    FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id
+    """,
+)
+def q_cdc_chunk(spark, sf_dir):
+    """Content-defined chunking (the FastCDC/rsync idea at word
+    granularity): a chunk boundary falls where the word's polynomial
+    hash lands in a fixed residue class (1-in-8 -> ~8-word expected
+    chunks), NOT at fixed offsets — so inserting or deleting text
+    reshapes only the chunks around the edit while every later chunk
+    keeps its identity (pinned in tests).  The dedup-friendly
+    chunker: stable chunks make chunk-level exact dedup catch
+    near-identical revisions that fixed windows miss.  Per-doc
+    positional explode + per-word hash + running boundary sum —
+    shuffles keyed on doc_id only."""
+    from pyspark.sql import Window
+
+    from shadems_spark.operators.text import FP_MOD, words
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    t = docs.select(
+        "doc_id", F.posexplode(words("text")).alias("pos", "w")
+    )
+    whash = F.aggregate(
+        F.transform(F.split(F.col("w"), ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * F.lit(31) + c) % F.lit(FP_MOD),
+    )
+    h = t.withColumn(
+        "boundary",
+        F.when((whash % 8 == 0) | (F.col("pos") == 0), 1).otherwise(0),
+    )
+    wdw = Window.partitionBy("doc_id").orderBy("pos")
+    c = h.withColumn("chunk_id", F.sum("boundary").over(wdw))
+    return (
+        c.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

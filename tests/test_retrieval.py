@@ -442,3 +442,35 @@ def test_bitext_margin_absorbs_hubness(spark):
     assert out[0]["y_id"] == 11
     # margins exceed 1 for true pairs (cos above the neighborhood mean)
     assert out[0]["margin"] > 1.0
+
+
+def test_cdc_chunks_stable_under_insertion(spark):
+    """The content-defined property: prepending words to a document
+    changes only the chunking BEFORE the next boundary — every later
+    chunk survives verbatim (fixed-offset windows would shift every
+    chunk)."""
+    from pyspark.sql import Row
+
+    import os
+    import tempfile
+
+    from shadems_spark.queries import load_registry
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi omicron pi rho sigma tau upsilon"
+    edited = "INSERTED words here " + base
+
+    def chunks(text):
+        d = tempfile.mkdtemp()
+        spark.createDataFrame(
+            [Row(doc_id=0, text=text, lang="en", source="s", n_chars=len(text))]
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet")
+        reg = load_registry()
+        return [r["chunk_text"] for r in reg["q_cdc_chunk"][0](spark, d).collect()]
+
+    c_base, c_edit = chunks(base), chunks(edited)
+    # every base chunk except possibly the first survives the edit
+    surviving = set(c_base[1:]) & set(c_edit)
+    assert surviving == set(c_base[1:]) and len(c_base) > 2
