@@ -198,13 +198,11 @@ def minhash_dedup(
     materialization (two longs per (doc, gram)) for recomputing the
     shingle scan three times."""
     grams = tracked_persist(doc_grams(df, id_col, text), key="minhash_grams")
-    # the banding self-join consumes sigs twice; without this persist
-    # the 32-way min aggregation (the most expensive stage after the
-    # gram scan) runs once per join side.  Doc-count x 32 longs —
-    # always small relative to the gram table.
-    sigs = tracked_persist(
-        minhash_signatures_from_grams(grams, id_col), key="minhash_sigs"
-    )
+    # the banding self-join consumes sigs twice, but A/B measured an
+    # explicit sigs persist as warm-equal and bench-cold SLOWER —
+    # ReuseExchange dedups the identical signature aggregate across
+    # the join sides (see the rule in q_tfidf / BASELINE.md).
+    sigs = minhash_signatures_from_grams(grams, id_col)
     cands = lsh_candidate_pairs(sigs, id_col)
     return jaccard_verify(cands, grams, id_col, threshold)
 

@@ -75,7 +75,6 @@ def run(argv: list[str] | None = None) -> dict:
         drop = pairs.select(F.col("id2").alias("doc_id")).distinct()
         g = g.join(drop, "doc_id", "left_anti")
         release_persist("minhash_grams")
-        release_persist("minhash_sigs")
     elif args.dedup == "semantic":
         from shadems_spark.operators.similarity import semdedup
 

@@ -47,12 +47,11 @@ def q_dedup_minhash(spark, sf_dir):
 @register("q_dedup_simhash", sql=None)  # xxhash64 bits: rows-only
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 64-bit sign-sum signatures, 16-bit-block
-    bucketed candidates, hamming distance <= 6 kept.  Signatures are
-    persisted before the block self-join — otherwise the 64-way
-    bit-sum aggregation (the expensive stage) runs once per join
-    side."""
+    bucketed candidates, hamming distance <= 6 kept.  The block
+    self-join's shared signature aggregate is deduped by
+    ReuseExchange (persist A/B: wash — see BASELINE.md)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.tracked_persist(D.simhash_signatures(docs), key="simhash_sigs")
+    sigs = D.simhash_signatures(docs)
     return D.simhash_candidates(sigs).filter(F.col("hamming") <= 6).select(
         "id1", "id2", "hamming"
     )
@@ -1040,7 +1039,6 @@ def q_components_star(spark, sf_dir):
     )
     out = connected_components_star(pairs)
     D.release_persist("minhash_grams")
-    D.release_persist("minhash_sigs")
     return out
 
 
