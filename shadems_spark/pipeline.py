@@ -78,9 +78,17 @@ def run(argv: list[str] | None = None) -> dict:
     elif args.dedup == "semantic":
         from shadems_spark.operators.similarity import semdedup
 
+        # drop only documents that HAVE an embedding and were pruned
+        # by semdedup; docs without embeddings can't be semantically
+        # deduped and pass through (anti-join against the dropped
+        # set, not semi-join against the kept one).
         emb = load_table(spark, args.sf_dir, "embeddings")
         kept = semdedup(emb).select(F.col("vec_id").alias("doc_id"))
-        g = g.join(kept, "doc_id", "left_semi")
+        dropped = (
+            emb.select(F.col("vec_id").alias("doc_id"))
+            .join(kept, "doc_id", "left_anti")
+        )
+        g = g.join(dropped, "doc_id", "left_anti")
 
     g = g.observe(obs_gate, F.count(F.lit(1)).alias("n"))
     s = stratified_split(g, train_pct=args.train_pct, val_pct=args.val_pct)
