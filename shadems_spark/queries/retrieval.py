@@ -735,3 +735,62 @@ def q_cdc_chunk(spark, sf_dir):
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+_JL_OUT = 16
+
+
+def _jl_sign(i: str, j: int) -> str:
+    return f"((({i} * 2654435761 + {j} * 40503) % 4294967296) % 2 * 2 - 1)"
+
+
+def _jl_oracle() -> str:
+    cols = ",\n           ".join(
+        f"round(list_sum([v[i+1] * {_jl_sign('i', j)} for i in range(len(v))])"
+        f" / 4.0, 6) AS y{j}"
+        for j in range(_JL_OUT)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings WHERE vec_id % 3 = 0)
+    SELECT vec_id,
+           {cols}
+    FROM e ORDER BY vec_id
+    """
+
+
+@register("q_random_projection", sql=_jl_oracle())
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    deterministic {{+1,-1}} sign matrix (hash of (input, output)
+    index) scaled by 1/sqrt(16) — the cheap distance-preserving
+    reduction that shrinks every downstream ANN/dedup payload 4x
+    with bounded pairwise distortion (pinned in tests).  Pure
+    integer sign arithmetic + JVM fold per output dim: stateless,
+    no training pass (the contrast to PCA), identical on any engine
+    or executor count."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 3 == 0
+    )
+    from shadems_spark.operators.similarity import as_double
+
+    v = as_double("embedding")
+
+    def signed(j):
+        # closure factory: a `j=j` default would make PySpark treat
+        # the lambda as THREE-argument (the q_feature_hash pitfall's
+        # sibling); exactly (element, index) params here.
+        def fn(x, i):
+            s = (
+                ((i * F.lit(2654435761) + F.lit(j * 40503)) % F.lit(1 << 32))
+                % 2 * 2 - 1
+            )
+            return x * s.cast("double")
+
+        return F.transform(v, fn)
+
+    cols = []
+    for j in range(_JL_OUT):
+        y = F.aggregate(signed(j), F.lit(0.0), lambda a, x: a + x) / F.lit(4.0)
+        cols.append(F.round(y, 6).alias(f"y{j}"))
+    return emb.select("vec_id", *cols).orderBy("vec_id")

@@ -474,3 +474,38 @@ def test_cdc_chunks_stable_under_insertion(spark):
     # every base chunk except possibly the first survives the edit
     surviving = set(c_base[1:]) & set(c_edit)
     assert surviving == set(c_base[1:]) and len(c_base) > 2
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL property: 16-dim projected pairwise distances approximate
+    the 64-dim originals — median relative distortion of sampled
+    pairs bounded (the k=16 JL regime is loose; the pin is that the
+    projection is distance-CORRELATED, not metric-destroying)."""
+    import math
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    rows = reg["q_random_projection"][0](spark, sf_dir).collect()
+    proj = {r["vec_id"]: [r[f"y{j}"] for j in range(16)] for r in rows}
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") % 3 == 0) & (F.col("vec_id") < 60))
+        .collect()
+    }
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ids = sorted(emb)
+    distortions = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d0, d1 = dist(emb[a], emb[b]), dist(proj[a], proj[b])
+        assert d0 > 0
+        distortions.append(d1 / d0)
+    distortions.sort()
+    med = distortions[len(distortions) // 2]
+    assert 0.6 <= med <= 1.4, med  # centered near 1, k=16 tolerance
