@@ -155,6 +155,9 @@ PROBE_R4 = [
     "q_zorder",
     "q_components_star",
     "q_sql_sugar",
+    # scan-bound per-doc transforms: ~linear expected
+    "q_cdc_chunk",
+    "q_random_projection",
 ]
 
 #: key shift per copy — far above any real key at these scale factors.
