@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val-pct", type=int, default=10)
     p.add_argument("--pack", type=int, default=0, metavar="SEQ_LEN",
                    help="greedy-pack docs into sequences of this many tokens")
+    p.add_argument("--audit", action="store_true",
+                   help="report rule-by-rule quality-gate rejections "
+                        "and exit without writing anything")
     return p
 
 
@@ -50,6 +53,21 @@ def run(argv: list[str] | None = None) -> dict:
     args = build_parser().parse_args(argv)
     spark = get_spark("shadems-pipeline")
     docs = load_table(spark, args.sf_dir, "documents")
+    if args.audit:
+        # one pass, one aggregate: how many docs each rule rejects
+        # (rules overlap, so counts need not sum to the total).
+        r = gopher_rules(docs)
+        row = r.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_words") < args.min_words).cast("int")).alias("too_short"),
+            F.sum((~F.col("n_words").between(3, 100000)).cast("int")).alias("word_count"),
+            F.sum((~F.col("mean_word_len").between(2.0, 12.0)).cast("int")).alias("word_len"),
+            F.sum((F.col("symbol_ratio") >= 1.0).cast("int")).alias("symbols"),
+            F.sum((F.col("alpha_word_frac") < 0.8).cast("int")).alias("alpha"),
+            F.sum((F.col("passes_gopher") == 0).cast("int")).alias("rejected_any"),
+        ).collect()[0]
+        return {"audit": row.asDict()}
+
     # Observation counters ride the write job itself — per-stage
     # row counts with ZERO extra actions (no separate count() jobs).
     obs_in, obs_gate = Observation("input"), Observation("gate")

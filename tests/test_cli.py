@@ -413,3 +413,33 @@ def test_pipeline_cli_end_to_end(spark, sf_dir, tmp_path):
     ]
     rep2 = run([sf_dir, str(tmp_path / "c2"), "--dedup", "semantic"])
     assert rep2["curated_docs"] < rep["input_docs"]  # semdedup prunes
+
+
+def test_pipeline_audit_mode(spark, tmp_path):
+    """--audit reports rule-by-rule rejection counts and writes
+    nothing: a planted symbol-soup doc trips the symbol and alpha
+    rules."""
+    import os
+
+    from pyspark.sql import Row
+
+    from shadems_spark.pipeline import run
+
+    d = str(tmp_path)
+    rows = [
+        Row(doc_id=0, text="a perfectly ordinary document with enough words here",
+            lang="en", source="s", n_chars=52),
+        Row(doc_id=1, text="$$$ %%% ^^^ &&& *** $$$ %%% ^^^",
+            lang="en", source="s", n_chars=31),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet")
+    out = str(tmp_path / "never_written")
+    rep = run([d, out, "--audit"])["audit"]
+    assert rep["n_docs"] == 2
+    assert rep["rejected_any"] == 1 and rep["alpha"] == 1
+    assert not os.path.exists(out)
