@@ -717,3 +717,51 @@ def q_weighted_reservoir(spark, sf_dir):
         .select("lang", "doc_id", "n_chars", "es_key", "rank")
         .orderBy("lang", "rank")
     )
+
+
+@register(
+    "q_split_leakage",
+    sql="""
+    WITH s AS (SELECT doc_id, text,
+                      CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+                             THEN 'train'
+                           WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+                             THEN 'val'
+                           ELSE 'test' END AS split
+               FROM documents),
+    p AS (SELECT a.split AS split1, b.split AS split2
+          FROM s a JOIN s b ON a.text = b.text AND a.doc_id < b.doc_id)
+    SELECT split1, split2, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN split1 != split2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaking
+    FROM p GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_split_leakage(spark, sf_dir):
+    """Train/test leakage audit: exact-duplicate pairs whose members
+    land in DIFFERENT splits under the hash assignment — the
+    contamination every eval pipeline must check before trusting held-
+    out numbers (near-dup leakage is the fuzzy extension: swap the
+    text equi-join for the minhash pair table).  Shape: sha2 narrows
+    the self-join key, split derives per-row (no extra shuffle), the
+    report is split-pair-keyed and tiny."""
+    from shadems_spark.operators.retrieval import stratified_split
+
+    docs = stratified_split(load_table(spark, sf_dir, "documents"))
+    s = docs.select("doc_id", F.sha2("text", 256).alias("h"), "split")
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.split").alias("split1"), F.col("b.split").alias("split2")
+    )
+    return (
+        pairs.groupBy("split1", "split2")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("split1") != F.col("split2"), 1).otherwise(0)
+            ).alias("n_leaking"),
+        )
+        .orderBy("split1", "split2")
+    )
