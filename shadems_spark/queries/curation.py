@@ -765,3 +765,39 @@ def q_split_leakage(spark, sf_dir):
         )
         .orderBy("split1", "split2")
     )
+
+
+@register(
+    "q_dup_rate_by_source",
+    sql="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT text) AS n_distinct,
+           count(*) - count(DISTINCT text) AS n_dup_docs,
+           round((count(*) - count(DISTINCT text))
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q_dup_rate_by_source(spark, sf_dir):
+    """Per-source duplication dashboard: docs vs distinct texts per
+    source and the implied duplicate rate — the triage view that
+    decides WHERE dedup budget goes (a crawl source at 30% dup rate
+    gets the minhash pass first).  sha2 narrows the distinct to a
+    32-byte key, so the shuffle never carries document bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("h", F.sha2("text", 256))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_dup_docs"),
+            F.round(
+                (F.count(F.lit(1)) - F.countDistinct("h"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
