@@ -801,3 +801,53 @@ def q_dup_rate_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_oov_rate",
+    sql="""
+    WITH s AS (SELECT doc_id, text,
+                      CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+                             THEN 'train'
+                           WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+                             THEN 'val'
+                           ELSE 'test' END AS split
+               FROM documents),
+    w AS (SELECT split, unnest(string_split(text, ' ')) AS tok FROM s),
+    tv AS (SELECT DISTINCT tok FROM w WHERE split = 'train'),
+    vv AS (SELECT DISTINCT tok FROM w WHERE split = 'val'),
+    oov AS (SELECT count(*) AS n_oov FROM vv
+            WHERE tok NOT IN (SELECT tok FROM tv))
+    SELECT (SELECT count(*) FROM tv) AS train_vocab,
+           (SELECT count(*) FROM vv) AS val_vocab,
+           (SELECT n_oov FROM oov) AS val_oov,
+           round((SELECT n_oov FROM oov)
+                 / CAST((SELECT count(*) FROM vv) AS DOUBLE), 6) AS oov_rate
+    """,
+)
+def q_oov_rate(spark, sf_dir):
+    """Held-out out-of-vocabulary rate: the fraction of the val
+    split's distinct tokens unseen in train — the eval-hygiene
+    number behind tokenizer and split sanity (a high OOV rate means
+    the split starved eval of representative text).  Vocabulary
+    tables are distinct-aggregated per split (map-side combined) and
+    the OOV check is one anti-join on the token key."""
+    from shadems_spark.operators.retrieval import stratified_split
+    from shadems_spark.operators.text import words
+
+    docs = stratified_split(load_table(spark, sf_dir, "documents"))
+    w = docs.select("split", F.explode(words("text")).alias("tok"))
+    tv = w.filter(F.col("split") == "train").select("tok").distinct()
+    vv = w.filter(F.col("split") == "val").select("tok").distinct()
+    oov = vv.join(tv, "tok", "left_anti")
+    return (
+        tv.agg(F.count(F.lit(1)).alias("train_vocab"))
+        .crossJoin(vv.agg(F.count(F.lit(1)).alias("val_vocab")))
+        .crossJoin(oov.agg(F.count(F.lit(1)).alias("val_oov")))
+        .select(
+            "train_vocab",
+            "val_vocab",
+            "val_oov",
+            F.round(F.col("val_oov") / F.col("val_vocab"), 6).alias("oov_rate"),
+        )
+    )
