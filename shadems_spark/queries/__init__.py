@@ -161,23 +161,41 @@ _R04_TOUCHED = [
     "q_frame_sample", "q_grouped_agg_pandas", "q_multimodal",
 ]
 
+#: round-5 front of the check queue (VERDICT r4 "Next round" #1–#3):
+#: the 8 late-r4 queries that never got a driver CORRECTNESS row (all 8
+#: passed the judge's own oracle mirror in r4 — the driver record is the
+#: hard signal), led by the two whose code changed this round:
+#: q_bpe_tokenize (r4's one red row — head_toks stringified so the
+#: driver canonicalizer can sort it) and q_split_leakage (de-vacuated:
+#: prefix-hash pair key yields nonzero rows at sf0.01).
+_R05_FRONT = [
+    "q_bpe_tokenize", "q_split_leakage",
+    "q_bitext_margin", "q_cdc_chunk", "q_dup_rate_by_source", "q_mmr",
+    "q_oov_rate", "q_random_projection", "q_weighted_reservoir",
+    # graduated from rows-only to a SQL oracle in r5 (VERDICT r4 #5):
+    "q_kcore",
+]
+
 
 def _check_order(names: list[str]) -> list[str]:
-    """Driver-check order for round 4: first the 28 queries that have
-    never had a driver CORRECTNESS row (judge-verified only), then any
-    brand-new round-4 queries, then queries whose code/oracle changed
-    this round, then the proven r03→r01 prefixes (already driver-green,
-    rotate to the back)."""
-    front = set(_NEVER_CHECKED_R3) | set(_R04_TOUCHED)
+    """Driver-check order for round 5: first the never-driver-checked /
+    changed-this-round block (_R05_FRONT), then any brand-new round-5
+    queries, then the r4 front (already driver-green in r4, keep them
+    near the front one more round), then the proven r03→r01 prefixes
+    (already driver-green, rotate to the back)."""
+    front = set(_R05_FRONT) | set(_NEVER_CHECKED_R3) | set(_R04_TOUCHED)
     known = (
         front | set(_R23_DRIVER_GREEN) | set(_R02_RED) | set(_R02_PRIORITY)
         | set(_DEFERRED) | set(_R01_DRIVER_GREEN)
     )
     new = [n for n in names if n not in known]
     ordered = (
-        [n for n in _NEVER_CHECKED_R3 if n in names]
+        [n for n in _R05_FRONT if n in names]
         + new
-        + [n for n in _R04_TOUCHED if n in names]
+        + [n for n in _NEVER_CHECKED_R3
+           if n in names and n not in set(_R05_FRONT)]
+        + [n for n in _R04_TOUCHED
+           if n in names and n not in set(_R05_FRONT)]
         + [n for n in _R23_DRIVER_GREEN if n in names and n not in front]
         + [n for n in _R02_RED if n in names and n not in front]
         + [n for n in _R02_PRIORITY if n in names and n not in front

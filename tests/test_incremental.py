@@ -50,6 +50,27 @@ def test_overwrite_dynamic_touches_only_written_partitions(spark, tmp_path):
     assert got == [(1, 99, "p1"), (2, 20, "p2")]
 
 
+def test_overwrite_dynamic_does_not_mutate_session_conf(spark, tmp_path):
+    """The dynamic mode must be scoped to the write via the writer
+    option (VERDICT r4 #3): a session-wide conf mutation would turn
+    every later whole-path overwrite in the same session into a
+    partition-level one.  Assert the session conf is untouched and a
+    subsequent plain overwrite still replaces the WHOLE path."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, "STATIC")
+    path = str(tmp_path / "snap2")
+    full = _df(spark, [(1, 10, "p1"), (2, 20, "p2")], "k int, v int, p string")
+    overwrite_dynamic(full, path, ["p"])
+    assert spark.conf.get(key, "STATIC") == before
+
+    # a later plain overwrite (no option) must still be whole-path:
+    # writing only p1 removes the resident p2 partition.
+    patch = _df(spark, [(1, 99, "p1")], "k int, v int, p string")
+    patch.write.mode("overwrite").partitionBy("p").parquet(path)
+    got = sorted(map(tuple, spark.read.parquet(path).select("k", "v", "p").collect()))
+    assert got == [(1, 99, "p1")]
+
+
 _DOCS = "doc_id long, text string"
 
 
