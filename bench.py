@@ -83,6 +83,36 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         assert n >= 0
     total = round(time.time() - t_all, 3)
+    # host-load attribution (VERDICT r4 #9): the recurring ±30-50%
+    # per-query swing between driver runs tracks ambient machine load,
+    # not code changes — record the evidence in the artifact itself so
+    # a noisy round is attributable without a re-run.  load1/5/15 are
+    # os.getloadavg(); n_procs counts running ("R") processes sampled
+    # from /proc at exit (other benchmarks / builds sharing the box).
+    try:
+        load1, load5, load15 = os.getloadavg()
+        host = {
+            "load1": round(load1, 2),
+            "load5": round(load5, 2),
+            "load15": round(load15, 2),
+            "cpus": os.cpu_count(),
+        }
+    except OSError:  # pragma: no cover - getloadavg always works on linux
+        host = {"cpus": os.cpu_count()}
+    try:
+        running = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    if fh.read().rsplit(") ", 1)[1].split(" ", 1)[0] == "R":
+                        running += 1
+            except OSError:
+                continue
+        host["n_running_procs"] = running
+    except OSError:  # pragma: no cover
+        pass
     print(
         json.dumps(
             {
@@ -91,6 +121,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "host": host,
             }
         )
     )

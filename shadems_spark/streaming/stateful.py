@@ -233,3 +233,115 @@ def read_merged_totals(spark, table_path: str, key: str = "user_id") -> DataFram
         F.sum("n_events").alias("n_events"),
         F.round(F.sum("sum_value"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------- admission
+
+def _band_buckets(
+    docs: DataFrame, n_hashes: int, bands: int, rows: int, ngram: int
+) -> DataFrame:
+    """(doc_id, band, bucket) rows for a doc batch — the same banding
+    family as operators/dedup.py::lsh_candidate_pairs, refactored to
+    return the one-sided bucket table an admission join needs."""
+    from shadems_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=n_hashes, ngram=ngram)
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def stream_minhash_admission(
+    doc_stream: DataFrame,
+    store_path: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    rows: int = 4,
+    ngram: int = 3,
+    timeout: int = 180,
+) -> None:
+    """Streaming NEAR-dup corpus admission via foreachBatch (VERDICT r4
+    #7): the banded-minhash route, upgrading ``curate_admission``'s
+    exact-content-hash gate to fuzzy dedup against everything admitted
+    so far.
+
+    Per micro-batch:
+
+    1. minhash-band the batch docs (fixed-width signature rows — the
+       batch text is shingled once, the resident corpus never);
+    2. reject any doc sharing a (band, bucket) with the RESIDENT
+       admitted store — a band-key equi-join against narrow bucket
+       rows, never a text comparison, so the per-batch cost is
+       O(batch × bucket-collisions), independent of corpus text size;
+    3. within the batch, reject any doc sharing a bucket with a
+       smaller-id batch doc (batch-granular greedy: the smaller-id doc
+       wins the bucket whether or not the resident store also rejects
+       it — documented semantics, pinned in tests);
+    4. append the ADMITTED docs and their bucket rows to the store,
+       both partitioned by batch_id with dynamic-partition overwrite,
+       so a replayed batch — foreachBatch's at-least-once mode —
+       overwrites its own partition instead of double-admitting.
+
+    Replay safety for the admission DECISION: the resident read
+    filters ``batch_id < current`` (partition-pruned), so a replayed
+    batch never sees its own partial writes and re-decides
+    identically.  Reads: admitted docs at ``store_path + "/admitted"``,
+    bucket rows at ``store_path + "/buckets"``."""
+    buckets_path = store_path + "/buckets"
+    admitted_path = store_path + "/admitted"
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        banded = _band_buckets(batch_df, n_hashes, bands, rows, ngram)
+        try:
+            resident = spark.read.parquet(buckets_path).filter(
+                F.col("batch_id") < batch_id
+            )
+            hit_resident = (
+                banded.join(
+                    resident.select("band", "bucket"), ["band", "bucket"], "left_semi"
+                )
+                .select("doc_id")
+                .distinct()
+            )
+        except Exception:  # first batch: no store yet
+            hit_resident = None
+        w = Window.partitionBy("band", "bucket")
+        hit_batch = (
+            banded.withColumn("mn", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") > F.col("mn"))
+            .select("doc_id")
+            .distinct()
+        )
+        rejected = (
+            hit_batch if hit_resident is None
+            else hit_resident.union(hit_batch).distinct()
+        )
+        admitted = batch_df.join(rejected, "doc_id", "left_anti")
+        adm_buckets = banded.join(admitted.select("doc_id"), "doc_id", "left_semi")
+        for frame, path in ((admitted, admitted_path), (adm_buckets, buckets_path)):
+            (
+                frame.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
+
+    q = (
+        doc_stream.writeStream.foreachBatch(admit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store_path + "/.ckpt")
+        .start()
+    )
+    q.awaitTermination(timeout)

@@ -512,3 +512,101 @@ def test_python_streaming_source_matches_batch_source(spark, tmp_path):
         for r in spark.read.format("synthgen").option("rows", 500).load().collect()
     }
     assert got == want and len(got) == 500
+
+
+def _write_doc_batches(spark, tmp_path, batches):
+    """One parquet file per batch under in/, mtime-ordered so
+    maxFilesPerTrigger=1 drains them as separate micro-batches."""
+    import os
+    import time
+
+    d = str(tmp_path)
+    os.makedirs(d + "/in", exist_ok=True)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/b{i}")
+        src = next(f for f in os.listdir(f"{d}/b{i}") if f.endswith(".parquet"))
+        dst = f"{d}/in/batch_{i}.parquet"
+        os.rename(f"{d}/b{i}/{src}", dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/in")
+    )
+
+
+_ADMIT_DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # dup of 1
+    (3, "one two three four five six seven eight nine ten eleven twelve"),
+    (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # dup of 1
+    (5, "one two three four five six seven eight nine ten eleven twelve"),  # dup of 3
+    (6, "entirely different text about spark shuffles and partition pruning"),
+]
+
+
+def _candidate_pairs(spark):
+    """The pairwise near-dup relation, computed ONCE in batch by the
+    same banding family the stream uses — the reference implementations
+    below replay admission policies over this relation in Python."""
+    from shadems_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = spark.createDataFrame(_ADMIT_DOCS, "doc_id long, text string")
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=32, ngram=3)
+    raw = lsh_candidate_pairs(sigs, "doc_id").collect()
+    return {frozenset((r[0], r[1])) for r in raw}
+
+
+def test_stream_minhash_admission_sequential_greedy(spark, tmp_path):
+    """One doc per micro-batch => the stream IS the sequential greedy
+    scan: admit a doc iff it shares no band bucket with an already-
+    ADMITTED doc.  Reference: Python greedy over the batch-computed
+    candidate-pair relation (rejected docs never block later docs —
+    their buckets are never written to the store)."""
+    stream = _write_doc_batches(spark, tmp_path, [[r] for r in _ADMIT_DOCS])
+    store = str(tmp_path / "store")
+    ST.stream_minhash_admission(stream, store)
+
+    pairs = _candidate_pairs(spark)
+    admitted = []
+    for i in sorted(r[0] for r in _ADMIT_DOCS):
+        if not any(frozenset((i, j)) in pairs for j in admitted):
+            admitted.append(i)
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(store + "/admitted").collect()
+    )
+    assert got == admitted
+    assert 1 in got and 2 not in got and 4 not in got  # dups of 1 rejected
+    # replayed-batch safety: the store's bucket rows cover exactly the
+    # admitted docs (rejected docs must never gate future batches)
+    bucket_ids = {
+        r["doc_id"] for r in spark.read.parquet(store + "/buckets").collect()
+    }
+    assert bucket_ids == set(admitted)
+
+
+def test_stream_minhash_admission_batch_granular(spark, tmp_path):
+    """Multi-doc micro-batches => the documented batch-granular rule:
+    reject a doc that buckets with any resident ADMITTED doc, or with
+    any smaller-id doc of its own batch (whether or not that doc is
+    itself rejected).  Reference replays the same rule in Python over
+    the batch-computed pair relation."""
+    batches = [_ADMIT_DOCS[:3], _ADMIT_DOCS[3:]]
+    stream = _write_doc_batches(spark, tmp_path, batches)
+    store = str(tmp_path / "store")
+    ST.stream_minhash_admission(stream, store)
+
+    pairs = _candidate_pairs(spark)
+    admitted: set[int] = set()
+    for rows in batches:
+        ids = sorted(r[0] for r in rows)
+        keep = [
+            i for i in ids
+            if not any(frozenset((i, j)) in pairs for j in admitted)
+            and not any(frozenset((i, j)) in pairs for j in ids if j < i)
+        ]
+        admitted |= set(keep)
+    got = {r["doc_id"] for r in spark.read.parquet(store + "/admitted").collect()}
+    assert got == admitted and 1 in got and 6 in got
