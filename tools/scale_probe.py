@@ -160,6 +160,21 @@ PROBE_R4 = [
     "q_random_projection",
 ]
 
+#: focused x100 probe (--r4x100; VERDICT r4 #6): the round-4 extension
+#: operators that had only x10 evidence.  Builds x100 copies of
+#: documents/embeddings/lineitem/orders only; documents word-mutated,
+#: embeddings ROTATED per copy (cyclic shift by the copy index — norm
+#: and distribution preserved, copies ~orthogonal to the originals) so
+#: neither corpus plants identical payloads and the measured growth is
+#: the engine's, not a planted-duplicate explosion.  q_semdedup is
+#: probed alongside via its own k-rule (n_clusters scaled with N so
+#: n/k stays fixed — the paper's regime) rather than fixed-k.
+PROBE_R4X100 = [
+    "q_mmr",
+    "q_pagerank",
+    "q_pipeline_e2e",
+]
+
 #: key shift per copy — far above any real key at these scale factors.
 SHIFT = 100_000_000
 
@@ -167,6 +182,7 @@ SHIFT = 100_000_000
 def build_scaled(
     spark, base_dir: str, out_dir: str, n: int,
     only: list[str] | None = None, mutate_docs: bool = False,
+    mutate_embeddings: bool = False,
 ) -> None:
     """Materialize the xN fixture dir: fact tables unioned n times with
     shifted keys (so joins stay consistent copy-by-copy), dims copied
@@ -189,11 +205,27 @@ def build_scaled(
             df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
             continue
         if name in shifted_keys:
+            emb_dim = (
+                len(df.first()["embedding"])
+                if mutate_embeddings and name == "embeddings" else 0
+            )
             copies = []
             for i in range(n):
                 c = df
                 for k in shifted_keys[name]:
                     c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+                if mutate_embeddings and name == "embeddings" and i > 0:
+                    # cyclic rotation by the copy index: cheap, exact,
+                    # keeps norms/distribution, decorrelates copies.
+                    dim = emb_dim
+                    r = i % dim or 1
+                    c = c.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice("embedding", r + 1, dim - r),
+                            F.slice("embedding", 1, r),
+                        ),
+                    )
                 if mutate_docs and name == "documents" and i > 0:
                     tag = F.lit(f"_{i}")
                     c = c.withColumn(
@@ -225,17 +257,34 @@ def run_probe(
     return out
 
 
+def probe_semdedup(spark, sf_dir: str, n_clusters: int) -> dict:
+    """One semdedup run at its k-rule setting (n/k fixed as the corpus
+    grows — operators/similarity.py::semdedup's documented regime)."""
+    from shadems_spark.catalog import load_table as lt
+    from shadems_spark.operators import similarity as SIM
+
+    t0 = time.time()
+    rows = SIM.semdedup(
+        lt(spark, sf_dir, "embeddings"), n_clusters=n_clusters, threshold=0.35
+    ).count()
+    return {"sec": round(time.time() - t0, 3), "rows": rows, "k": n_clusters}
+
+
 def main() -> None:
     dedup = "--dedup" in sys.argv
     retrieval = "--retrieval" in sys.argv
     round3 = "--round3" in sys.argv
     round4 = "--round4" in sys.argv
+    r4x100 = "--r4x100" in sys.argv
     docs_only = dedup or retrieval
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 10
     base = pos[1] if len(pos) > 1 else "/root/testdata/sf0.1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    suffix = "_docs" if docs_only else "_r3" if round3 else "_r4" if round4 else ""
+    suffix = (
+        "_docs" if docs_only else "_r3" if round3 else "_r4" if round4
+        else "_r4x100" if r4x100 else ""
+    )
     scaled = os.path.join(repo, ".scratch", f"sfx{n}" + suffix)
 
     spark = get_spark("shadems-scale-probe")
@@ -245,6 +294,7 @@ def main() -> None:
         else PROBE_RETRIEVAL if retrieval
         else PROBE_R3 if round3
         else PROBE_R4 if round4
+        else PROBE_R4X100 if r4x100
         else PROBE
     )
     names = [q for q in probe_set if q in registry]
@@ -256,14 +306,21 @@ def main() -> None:
         only=(
             ["documents"] if docs_only
             else ["documents", "events"] if round3
+            else ["documents", "embeddings", "lineitem", "orders"] if r4x100
             else None
         ),
-        mutate_docs=docs_only or round3,
+        mutate_docs=docs_only or round3 or r4x100,
+        mutate_embeddings=r4x100,
     )
     build_s = round(time.time() - t0, 1)
 
     base_r = run_probe(spark, registry, base, names, warm)
     scaled_r = run_probe(spark, registry, scaled, names, warm)
+    if r4x100:
+        # semdedup under its k-rule: base k=8, scaled k=8*N (n/k fixed)
+        base_r["q_semdedup_krule"] = probe_semdedup(spark, base, 8)
+        scaled_r["q_semdedup_krule"] = probe_semdedup(spark, scaled, 8 * n)
+        names = names + ["q_semdedup_krule"]
 
     report = {}
     for q in names:
@@ -283,7 +340,12 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": ("scale_probe_dedup" if dedup else "scale_probe_retrieval" if retrieval else "scale_probe"),
+                "metric": (
+                    "scale_probe_dedup" if dedup
+                    else "scale_probe_retrieval" if retrieval
+                    else "scale_probe_r4x100" if r4x100
+                    else "scale_probe"
+                ),
                 "n": n,
                 "base": base,
                 "build_sec": build_s,
