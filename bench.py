@@ -60,6 +60,11 @@ HEADLINE = [
     "q_ewma",
     "q_bigram_lm",
     "q_mmr",
+    # round-5 additions: DSIR data selection and the distributed LR
+    # trainer (both multi-job: their wall is dominated by fixed
+    # per-job overhead at sf0.1, documented in BASELINE.md round 5).
+    "q_dsir",
+    "q_lr_train",
 ]
 
 

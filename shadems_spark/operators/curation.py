@@ -210,3 +210,172 @@ def gopher_rules(df: DataFrame, text: str = "text") -> DataFrame:
             "passes_gopher": passes.cast("int"),
         }
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    is_target,
+    d: int = 16,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, arXiv:2302.03169): score every RAW-pool document by
+    how much more likely its hashed bag-of-words features are under
+    the TARGET corpus distribution than under the raw pool's own —
+    the principled "select pretraining data that looks like the
+    quality set" operator.
+
+    Per bucket b (add-one smoothing over the full d-bucket domain):
+    lambda_b = ln(p_target(b)) - ln(p_raw(b)); per raw doc:
+    log-weight = sum_b count_b(doc) * lambda_b.  lambda is micro-
+    scaled to an integer immediately after the (libm) ln, so the
+    per-doc reduction is an EXACT integer sum — order-free across
+    partitions and engines, the same trick as the scaled-int
+    pagerank.
+
+    100-TB shape: the corpus is word-hashed ONCE into a per-(doc,
+    bucket, side) count aggregate that feeds both consumers — the
+    2*d-row bucket-total reduction AND the per-doc scoring join
+    (single shared exchange; two hash passes would double the
+    dominant char-hashing cost, measured 2x at sf0.1).  The d-row
+    lambda table broadcasts back over the counts, so no doc-side data
+    ever shuffles wider than its own bucket counts and driver state
+    is codebook-sized."""
+    from shadems_spark.operators.text import word_buckets
+
+    counts = (
+        docs.select(
+            F.col(id_col),
+            is_target.alias("is_t"),
+            F.explode(word_buckets(text, d)).alias("b"),
+        )
+        .groupBy(id_col, "is_t", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0)).alias("tc"),
+        F.sum(F.when(~F.col("is_t"), F.col("c")).otherwise(0)).alias("rc"),
+    )
+    dom = docs.sparkSession.range(d).select(F.col("id").alias("b"))
+    stats = dom.join(tot, "b", "left").fillna(0, subset=["tc", "rc"])
+    grand = stats.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("tr"))
+    lam = stats.crossJoin(F.broadcast(grand)).select(
+        "b",
+        F.round(
+            (
+                F.log((F.col("tc") + 1) / (F.col("tt") + F.lit(d)))
+                - F.log((F.col("rc") + 1) / (F.col("tr") + F.lit(d)))
+            )
+            * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("lam_micro"),
+    )
+    return (
+        counts.filter(~F.col("is_t"))
+        .join(F.broadcast(lam), "b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("c") * F.col("lam_micro")).alias("logw_micro"))
+        .select(id_col, "logw_micro")
+    )
+
+
+def train_quality_lr(
+    docs: DataFrame,
+    is_target,
+    d: int = 16,
+    iters: int = 2,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> list[int]:
+    """DISTRIBUTED quality-classifier training: full-batch logistic
+    regression on hashed bag-of-words features, each iteration ONE
+    map-side-combined aggregate over the corpus (gradient = sum of
+    per-doc contributions), weights living driver-side as a
+    codebook-sized vector — the companion to q_quality_classifier's
+    apply pass, and the same train-on-aggregates shape as
+    similarity.power_top_component (per-pass driver state = one
+    d+1-vector, never a collect of data rows).
+
+    Exactness protocol (cross-engine, cross-parallelism): weights are
+    NANO-SCALED INTEGERS throughout.  Per doc the feature vector is
+    x_b = c_b / (1 + n_words) with bias x_d = 1; the margin
+    z = (sum_b w_nano_b * c_b) / (1e9 * (1 + n_words)) + w_nano_d/1e9
+    is an exact-integer dot product divided once, the sigmoid is
+    rounded at 9dp (the libm boundary), each doc's gradient
+    contribution rounds to a nano int BEFORE summing (so the
+    distributed sum is order-free), and the weight update uses
+    floor(s/N) (floor, not round — no half-way rounding-mode
+    divergence between engines).  Every step is therefore identical
+    on Spark, DuckDB (the unrolled-CTE oracle), and any partition
+    layout.
+
+    Returns the trained weights as nano ints, [w_0..w_{d-1}, bias].
+
+    100-TB shape: the per-(doc, bucket) count table — with the bias
+    carried as a synthetic bucket-d row per doc, so every doc has
+    rows and the bias gradient rides the same aggregate — is hashed
+    ONCE, repartitioned by doc, and persisted.  Each iteration is ONE
+    job over it: the margin is a window sum within the doc partition
+    (no join, and the persisted partitioning satisfies the window's
+    Exchange, so iterations shuffle only the d+1-row gradient).  The
+    first draft (separate zsum groupBy + two joins + a second bias
+    aggregate) recomputed the chain twice per iteration and ran 15.8s
+    at sf0.1; this shape runs it in ~2s."""
+    import math
+
+    from shadems_spark.operators.text import word_buckets
+
+    base = docs.select(
+        F.col(id_col).alias("did"),
+        is_target.cast("int").alias("y"),
+        F.size(F.filter(words(text), lambda w: F.length(w) > 0)).alias("nw"),
+        F.explode(word_buckets(text, d)).alias("b"),
+    )
+    c = (
+        base.groupBy("did", "y", "nw", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .unionByName(
+            docs.select(
+                F.col(id_col).alias("did"),
+                is_target.cast("int").alias("y"),
+                F.size(
+                    F.filter(words(text), lambda w: F.length(w) > 0)
+                ).alias("nw"),
+                F.lit(d).cast("long").alias("b"),
+                F.lit(1).cast("long").alias("c"),
+            )
+        )
+        .repartition("did")
+        .persist()
+    )
+    n_docs = c.filter(F.col("b") == d).count()  # also materializes c
+    nano = F.lit(1_000_000_000.0)
+    is_bias = F.col("b") == d
+    w = [0] * (d + 1)
+    for _ in range(iters):
+        warr = F.array(*[F.lit(int(w[b])) for b in range(d)])
+        dw = Window.partitionBy("did")
+        zs = F.sum(
+            F.when(is_bias, F.lit(0).cast("long")).otherwise(
+                F.col("c") * F.element_at(warr, (F.col("b") + 1).cast("int"))
+            )
+        ).over(dw)
+        z = zs / (nano * (F.lit(1) + F.col("nw"))) + F.lit(int(w[d])) / nano
+        r = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9) - F.col("y")
+        contrib = F.round(
+            F.when(is_bias, r * nano).otherwise(
+                r * nano * F.col("c") / (F.lit(1.0) + F.col("nw"))
+            )
+        ).cast("long")
+        grads = (
+            c.select("b", contrib.alias("g"))
+            .groupBy("b")
+            .agg(F.sum("g").alias("s"))
+            .collect()
+        )
+        for row in grads:
+            w[row["b"]] -= math.floor(row["s"] / n_docs)
+    c.unpersist()
+    return w

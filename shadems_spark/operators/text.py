@@ -23,6 +23,29 @@ def words(text: Column | str) -> Column:
     return F.split(c, " ")
 
 
+def word_buckets(text: Column | str, d: int) -> Column:
+    """Hashed bag-of-words bucket per word: the 'hashing trick'
+    projection shared by the feature-hash / quality-classifier / DSIR
+    queries.  Each word folds through the 31-polynomial char hash mod
+    FP_MOD, then mod ``d`` — all JVM HOF lambdas, and the identical
+    polynomial runs in the DuckDB oracles (list_reduce), so every
+    consumer is exactly oracle-checkable.
+
+    NB: HOF lambdas here are one-parameter only — PySpark treats a
+    two-parameter lambda (even with a default) as the (element, index)
+    form and would silently bind the index."""
+    ws = F.filter(words(text), lambda w: F.length(w) > 0)
+    word_hash = lambda w: (
+        F.aggregate(
+            F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, c: (a * F.lit(31) + c) % F.lit(FP_MOD),
+        )
+        % F.lit(d)
+    )
+    return F.transform(ws, word_hash)
+
+
 def _sliding(ws: Column, n: int, combine) -> Column:
     """Sliding-window fold over ``n`` aligned shifted slices of ``ws``.
 

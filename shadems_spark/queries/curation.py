@@ -859,3 +859,157 @@ def q_oov_rate(spark, sf_dir):
             F.round(F.col("val_oov") / F.col("val_vocab"), 6).alias("oov_rate"),
         )
     )
+
+
+_DSIR_D = 16
+
+_DSIR_SQL = f"""
+    WITH w AS (SELECT doc_id, lang = 'en' AS is_t,
+                      list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+               FROM documents),
+    b AS (SELECT doc_id, is_t,
+                 unnest(list_transform(ws, w ->
+                     list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                                      list_transform(string_split(w, ''),
+                                                     c -> CAST(ascii(c) AS BIGINT))),
+                         (a, c) -> (a * 31 + c) % 1000000007) % {_DSIR_D})) AS b
+          FROM w),
+    dom AS (SELECT unnest(range({_DSIR_D})) AS b),
+    tot AS (SELECT dom.b,
+                   coalesce(sum(CASE WHEN is_t THEN 1 ELSE 0 END), 0) AS tc,
+                   coalesce(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END), 0) AS rc
+            FROM dom LEFT JOIN b ON b.b = dom.b GROUP BY dom.b),
+    g AS (SELECT sum(tc) AS tt, sum(rc) AS tr FROM tot),
+    lam AS (SELECT b,
+                   CAST(round((ln((tc + 1.0) / (tt + {_DSIR_D}))
+                               - ln((rc + 1.0) / (tr + {_DSIR_D})))
+                              * 1000000) AS BIGINT) AS lam_micro
+            FROM tot, g),
+    c AS (SELECT doc_id, b, count(*) AS c FROM b WHERE NOT is_t GROUP BY 1, 2),
+    s AS (SELECT doc_id, CAST(sum(c * lam_micro) AS BIGINT) AS logw_micro
+          FROM c JOIN lam USING (b) GROUP BY doc_id),
+    r AS (SELECT doc_id, logw_micro,
+                 row_number() OVER (ORDER BY logw_micro DESC, doc_id) AS rk
+          FROM s)
+    SELECT doc_id, logw_micro,
+           round(logw_micro / 1000000.0, 6) AS logw,
+           CAST(rk AS INT) AS rank
+    FROM r WHERE rk <= 25 ORDER BY rank
+"""
+
+
+@register("q_dsir", sql=_DSIR_SQL)
+def q_dsir(spark, sf_dir):
+    """DSIR data selection (arXiv:2302.03169;
+    operators/curation.py::dsir_logweights): hashed-feature importance
+    log-weights of every non-English pool doc against the English
+    target distribution, top-25 by weight — the "pick pretraining
+    data that looks like the quality set" selector.  The micro-scaled
+    integer lambda makes the per-doc reduction an exact integer sum
+    (order-free), so the only rounding boundary is the ln itself —
+    hash-exact against the oracle.
+
+    The final global rank is the bounded-output top-k; at corpus
+    scale it runs as TakeOrdered over the per-partition top-25s
+    (Spark's orderBy+limit already plans exactly that), never a
+    single-partition window over all docs."""
+    from shadems_spark.operators.curation import dsir_logweights
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_logweights(docs, F.col("lang") == "en", d=_DSIR_D)
+    w = Window.orderBy(F.col("logw_micro").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 25)
+        .select(
+            "doc_id",
+            "logw_micro",
+            F.round(F.col("logw_micro") / F.lit(1_000_000.0), 6).alias("logw"),
+            "rank",
+        )
+        .orderBy("rank")
+    )
+
+
+_LR_HASH = """list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                                      list_transform(string_split(t, ''),
+                                                     c -> CAST(ascii(c) AS BIGINT))),
+                         (a, c) -> (a * 31 + c) % 1000000007) % 16"""
+
+_LR_SQL = f"""
+    WITH w0 AS (SELECT doc_id,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                       list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+                FROM documents),
+    d0 AS (SELECT doc_id, y, len(ws) AS nw FROM w0),
+    b AS (SELECT doc_id, y, len(ws) AS nw,
+                 unnest(list_transform(ws, t -> {_LR_HASH})) AS b
+          FROM w0),
+    c AS (SELECT doc_id, y, nw, b, count(*) AS c FROM b GROUP BY ALL),
+    n AS (SELECT count(*) AS n FROM d0),
+    dom AS (SELECT unnest(range(16)) AS b),
+    -- iteration 1: w = 0 => sigmoid(z) = 0.5 for every doc
+    g1 AS (SELECT dom.b,
+                  coalesce(CAST(sum(CAST(round((0.5 - y) * 1000000000.0 * c
+                                                / (1.0 + nw)) AS BIGINT))
+                                AS BIGINT), 0) AS s
+           FROM dom LEFT JOIN c ON c.b = dom.b GROUP BY dom.b),
+    g1b AS (SELECT CAST(sum(CAST(round((0.5 - y) * 1000000000.0) AS BIGINT))
+                        AS BIGINT) AS s FROM d0),
+    w1 AS (SELECT b, -CAST(floor(s * 1.0 / n) AS BIGINT) AS wn FROM g1, n),
+    w1b AS (SELECT -CAST(floor(s * 1.0 / n) AS BIGINT) AS wn FROM g1b, n),
+    -- iteration 2: exact-integer margin, 9dp sigmoid boundary
+    zs AS (SELECT c.doc_id, CAST(sum(c.c * w1.wn) AS BIGINT) AS zs
+           FROM c JOIN w1 USING (b) GROUP BY c.doc_id),
+    z2 AS (SELECT d0.doc_id, d0.y, d0.nw,
+                  coalesce(zs.zs, 0) / (1000000000.0 * (1 + d0.nw))
+                  + w1b.wn / 1000000000.0 AS z
+           FROM d0 LEFT JOIN zs USING (doc_id), w1b),
+    r2 AS (SELECT doc_id, nw, round(1.0 / (1.0 + exp(-z)), 9) - y AS r
+           FROM z2),
+    g2 AS (SELECT dom.b,
+                  coalesce(CAST(sum(CAST(round(r * 1000000000.0 * c
+                                                / (1.0 + nw)) AS BIGINT))
+                                AS BIGINT), 0) AS s
+           FROM dom LEFT JOIN (SELECT c.*, r2.r FROM c JOIN r2 USING (doc_id)) cr
+             ON cr.b = dom.b
+           GROUP BY dom.b),
+    g2b AS (SELECT CAST(sum(CAST(round(r * 1000000000.0) AS BIGINT)) AS BIGINT)
+                   AS s FROM r2),
+    w2 AS (SELECT b, wn - CAST(floor(s * 1.0 / n) AS BIGINT) AS wn
+           FROM w1 JOIN g2 USING (b), n),
+    w2b AS (SELECT w1b.wn - CAST(floor(s * 1.0 / n) AS BIGINT) AS wn
+            FROM w1b, g2b, n)
+    SELECT CAST(b AS INT) AS feature, wn AS w_nano,
+           round(wn / 1000000000.0, 9) AS weight
+    FROM (SELECT b, wn FROM w2 UNION ALL SELECT 16, wn FROM w2b)
+    ORDER BY feature
+"""
+
+
+@register("q_lr_train", sql=_LR_SQL)
+def q_lr_train(spark, sf_dir):
+    """Distributed quality-classifier TRAINING
+    (operators/curation.py::train_quality_lr): 2 full-batch logistic-
+    regression iterations on hashed bag-of-words features, label =
+    (lang == 'en') — the training side q_quality_classifier's apply
+    pass was missing.  Each iteration is ONE aggregate over the
+    persisted (doc, bucket) count table; driver state is the
+    17-weight vector (codebook-sized, the power_top_component
+    precedent).  The nano-int exactness protocol (see the operator
+    docstring) makes the trained weights IDENTICAL on Spark, on the
+    unrolled-CTE DuckDB oracle, and under any partition layout — an
+    iterative-ML hash-exact row, like the scaled-int pagerank."""
+    from shadems_spark.operators.curation import train_quality_lr
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = train_quality_lr(docs, F.col("lang") == "en", d=16, iters=2)
+    vals = ", ".join(f"({b}, {int(wn)}L)" for b, wn in enumerate(w))
+    out = spark.sql(f"SELECT * FROM VALUES {vals} AS t(feature, w_nano)")
+    return out.select(
+        F.col("feature").cast("int").alias("feature"),
+        "w_nano",
+        F.round(F.col("w_nano") / F.lit(1_000_000_000.0), 9).alias("weight"),
+    ).orderBy("feature")

@@ -85,3 +85,83 @@ def test_pack_sequences_concat_then_chunk(spark):
     }
     # starting offsets 0, 300, 600, 900 -> packs 0, 0, 1, 1.
     assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+_LR_ROWS = [
+    # "english-looking" (y=1) docs share vocabulary; others diverge
+    (1, "en", "the cat sat on the mat and the dog ran"),
+    (2, "en", "the dog sat on the rug and the cat ran"),
+    (3, "en", "a cat and a dog sat on the mat"),
+    (4, "de", "der hund sitzt auf der matte und rennt weg"),
+    (5, "de", "die katze sitzt auf dem teppich und rennt"),
+    (6, "fr", "le chien est assis sur le tapis et court"),
+]
+
+
+def _lr_docs(spark):
+    return spark.createDataFrame(_LR_ROWS, "doc_id long, lang string, text string")
+
+
+def test_train_quality_lr_separates_classes(spark):
+    """Two full-batch iterations must already rank the positive-class
+    docs above the negative-class docs under the trained linear score
+    (shared vocabulary => shared hash buckets => positive weights)."""
+    from shadems_spark.operators.curation import train_quality_lr
+    from shadems_spark.operators.text import word_buckets
+
+    docs = _lr_docs(spark)
+    w = train_quality_lr(docs, F.col("lang") == "en", d=16, iters=2)
+    assert len(w) == 17 and any(v != 0 for v in w)
+
+    warr = F.array(*[F.lit(int(v)) for v in w[:16]])
+    nw = F.size(F.filter(F.split("text", " "), lambda t: F.length(t) > 0))
+    zsum = F.aggregate(
+        F.transform(
+            word_buckets("text", 16),
+            lambda b: F.element_at(warr, (b + 1).cast("int")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = docs.select(
+        "lang",
+        (
+            zsum / (F.lit(1e9) * (F.lit(1) + nw)) + F.lit(int(w[16])) / F.lit(1e9)
+        ).alias("z"),
+    ).collect()
+    z_pos = [r["z"] for r in scored if r["lang"] == "en"]
+    z_neg = [r["z"] for r in scored if r["lang"] != "en"]
+    assert min(z_pos) > max(z_neg)
+
+
+def test_train_quality_lr_partition_invariant(spark):
+    """The nano-int gradient protocol makes the trained weights exact
+    under ANY partition layout — the property that lets the same
+    training run land identical models on 1 or 1000 executors."""
+    from shadems_spark.operators.curation import train_quality_lr
+
+    docs = _lr_docs(spark)
+    w1 = train_quality_lr(docs.coalesce(1), F.col("lang") == "en")
+    w2 = train_quality_lr(docs.repartition(13), F.col("lang") == "en")
+    assert w1 == w2
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """A pool doc sharing the target's vocabulary must outweigh a pool
+    doc with disjoint vocabulary."""
+    from shadems_spark.operators.curation import dsir_logweights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t", "alpha beta gamma delta alpha beta"),
+            (2, "t", "alpha gamma epsilon beta delta"),
+            (3, "p", "alpha beta gamma delta epsilon"),   # target-like
+            (4, "p", "uno dos tres cuatro cinco seis"),   # alien
+        ],
+        "doc_id long, grp string, text string",
+    )
+    got = {
+        r["doc_id"]: r["logw_micro"]
+        for r in dsir_logweights(docs, F.col("grp") == "t").collect()
+    }
+    assert set(got) == {3, 4} and got[3] > got[4]
