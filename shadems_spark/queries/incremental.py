@@ -183,3 +183,99 @@ def q_snapshot_diff(spark, sf_dir):
             6,
         ).alias("share_delta"),
     )
+
+
+_ADMIT2_SQL = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                                       for i in range(len(ws) - 2)])) AS ng
+          FROM w),
+    s AS (SELECT doc_id, count(*) sz FROM g GROUP BY doc_id),
+    inter AS (SELECT a.doc_id id1, b.doc_id id2, count(*) c
+              FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    p AS (SELECT id1, id2 FROM inter
+          JOIN s sa ON id1 = sa.doc_id
+          JOIN s sb ON id2 = sb.doc_id
+          WHERE c / (sa.sz + sb.sz - c) >= 0.2),
+    d AS (SELECT doc_id, doc_id % 2 AS batch FROM documents),
+    rejw AS (SELECT DISTINCT id2 AS doc_id FROM p WHERE id1 % 2 = id2 % 2),
+    adm1 AS (SELECT doc_id FROM d WHERE batch = 0
+             AND doc_id NOT IN (SELECT doc_id FROM rejw)),
+    crossp AS (SELECT CASE WHEN id1 % 2 = 0 THEN id2 ELSE id1 END AS b2_id,
+                      CASE WHEN id1 % 2 = 0 THEN id1 ELSE id2 END AS b1_id
+               FROM p WHERE id1 % 2 <> id2 % 2),
+    rej2 AS (SELECT b2_id AS doc_id FROM crossp
+             WHERE b1_id IN (SELECT doc_id FROM adm1)
+             UNION SELECT doc_id FROM rejw WHERE doc_id % 2 = 1),
+    adm2 AS (SELECT doc_id FROM d WHERE batch = 1
+             AND doc_id NOT IN (SELECT doc_id FROM rej2))
+    SELECT CAST(0 AS INT) AS batch, doc_id FROM adm1
+    UNION ALL
+    SELECT CAST(1 AS INT) AS batch, doc_id FROM adm2
+    ORDER BY batch, doc_id
+"""
+
+
+@register("q_admission_2phase", sql=_ADMIT2_SQL)
+def q_admission_2phase(spark, sf_dir):
+    """Two-phase corpus admission, the BATCH twin of
+    streaming/stateful.py::stream_minhash_admission with the same
+    batch-granular semantics (reject a doc that near-dups an earlier
+    ADMITTED doc, or a smaller-id doc of its own batch whether or not
+    that doc survives): batch 0 = even doc_ids admits first, batch 1
+    admits against batch 0's survivors.  The pair relation here is
+    the EXACT n-gram Jaccard join (SQL-expressible, so the oracle is
+    exact); production admission uses the banded-minhash candidates —
+    the streaming route's parity tests pin that the two relations
+    drive identical admission decisions on planted dups."""
+    from shadems_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = D.tracked_persist(D.doc_grams(docs, ngram=3), key="admit_grams")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    g = grams.withColumnRenamed("s", "ng")
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.ng") == F.col("b.ng"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    jac = F.col("c") / (F.col("sz1") + F.col("sz2") - F.col("c"))
+    pairs = (
+        inter.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .filter(jac >= 0.2)
+        .select("id1", "id2")
+    )
+    same = F.col("id1") % 2 == F.col("id2") % 2
+    rejw = pairs.filter(same).select(F.col("id2").alias("doc_id")).distinct()
+    b1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    b2 = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id")
+    adm1 = b1.join(rejw, "doc_id", "left_anti")
+    crossp = pairs.filter(~same).select(
+        F.when(F.col("id1") % 2 == 0, F.col("id2")).otherwise(F.col("id1")).alias("b2_id"),
+        F.when(F.col("id1") % 2 == 0, F.col("id1")).otherwise(F.col("id2")).alias("b1_id"),
+    )
+    rej2_cross = (
+        crossp.join(adm1.withColumnRenamed("doc_id", "b1_id"), "b1_id", "left_semi")
+        .select(F.col("b2_id").alias("doc_id"))
+    )
+    rej2 = rej2_cross.union(
+        rejw.join(b2, "doc_id", "left_semi")
+    ).distinct()
+    adm2 = b2.join(rej2, "doc_id", "left_anti")
+    out = adm1.select(F.lit(0).cast("int").alias("batch"), "doc_id").unionByName(
+        adm2.select(F.lit(1).cast("int").alias("batch"), "doc_id")
+    )
+    # no release here: the result is returned LAZY, so the keyed
+    # persist must outlive this call — tracked_persist evicts the
+    # previous "admit_grams" occupant on the next run instead.
+    return out.orderBy("batch", "doc_id")
