@@ -1102,3 +1102,84 @@ def q_kcore(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings"), threshold=0.2, sub_planes=2
     ).select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     return kcore(edges, k=2)
+
+
+_COS6 = (
+    "round(list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x*x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x*x)))), 6)"
+)
+
+_ANN_TABS = "\n      UNION ALL ".join(
+    f"SELECT vec_id, v, {t} AS tbl, "
+    + SIM.hyperplane_bucket_sql("v", 4, 64, seed=t * 4)
+    + " AS b FROM e"
+    for t in range(6)
+)
+
+_ANN_RECALL_SQL = f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+    scored AS (SELECT q.q_id, e.vec_id AS cand_id,
+                      {_COS6.format(a="q.qv", b="e.v")} AS cos
+               FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+    brute AS (SELECT q_id, cand_id FROM (
+                SELECT q_id, cand_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cos DESC, cand_id) rk
+                FROM scored) WHERE rk <= 5),
+    tabs AS ({_ANN_TABS}),
+    cand AS (SELECT DISTINCT tq.vec_id AS q_id, tc.vec_id AS cand_id
+             FROM tabs tq JOIN tabs tc ON tq.tbl = tc.tbl AND tq.b = tc.b
+             WHERE tq.vec_id IN (0, 1, 2) AND tc.vec_id != tq.vec_id),
+    ls AS (SELECT c.q_id, c.cand_id,
+                  {_COS6.format(a="eq.v", b="ec.v")} AS cos
+           FROM cand c JOIN e eq ON eq.vec_id = c.q_id
+                       JOIN e ec ON ec.vec_id = c.cand_id),
+    lsh AS (SELECT q_id, cand_id FROM (
+              SELECT q_id, cand_id,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, cand_id) rk
+              FROM ls) WHERE rk <= 5),
+    hits AS (SELECT b.q_id, count(*) AS n_hits
+             FROM brute b JOIN lsh l ON l.q_id = b.q_id AND l.cand_id = b.cand_id
+             GROUP BY b.q_id)
+    SELECT q.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 5.0, 2) AS recall_at_5
+    FROM q LEFT JOIN hits h ON h.q_id = q.q_id
+    ORDER BY q.q_id
+"""
+
+
+@register("q_ann_recall", sql=_ANN_RECALL_SQL)
+def q_ann_recall(spark, sf_dir):
+    """ANN quality as a first-class query: recall@5 of the multi-table
+    hyperplane LSH path (operators/similarity.py::lsh_topk, 6 tables x
+    4 planes) against exact brute-force cosine top-5, per query — the
+    measurement loop every production ANN deployment runs before
+    trusting its index.  Previously this lived only as a pytest pin;
+    the oracle replays BOTH sides exactly (hyperplane_bucket_sql emits
+    the same SplitMix64 plane literals per table seed), so the recall
+    numbers hash-match — graduating the ANN family from rows-only to
+    an exactly-checked row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    brute = SIM.brute_topk(emb, queries, k=5).select("q_id", "cand_id")
+    lsh = SIM.lsh_topk(emb, queries, k=5).select("q_id", "cand_id")
+    hits = (
+        brute.join(lsh, ["q_id", "cand_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = queries.select(F.col("vec_id").alias("q_id"))
+    return (
+        qs.join(hits, "q_id", "left")
+        .fillna(0, subset=["n_hits"])
+        .select(
+            "q_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(5.0), 2).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
