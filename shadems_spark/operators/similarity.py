@@ -956,3 +956,74 @@ def semdedup(
         .select(F.col("vid").alias(id_col), "cluster_id", "c_cos")
         .orderBy(id_col)
     )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> tuple[list[list[int]], list[int]]:
+    """Distributed k-means (Lloyd) with the cross-engine exactness
+    protocol: the iterative clustering primitive behind SemDeDup-style
+    curation at scale, as train-on-aggregates (each iteration = one
+    assignment projection + ONE map-side-combined (cell, dim) integer
+    aggregate; driver state = the k x d micro-int codebook, the
+    IVF-centroid precedent).
+
+    Exactness (same family as train_quality_lr's nano-int gradients):
+    centroids are MICRO-SCALED INTEGERS.  Assignment computes squared
+    distance row-locally (sequential fold over dims — both engines
+    evaluate the identical operation order), rounds it at 6dp, and
+    argmins with ties to the lowest cell id; the update sums
+    micro-int vector components exactly (order-free) and floors the
+    mean.  Every iteration is therefore bit-identical on Spark, on
+    the unrolled-CTE DuckDB oracle, and under any partition layout.
+
+    Init = the first k vectors by id (deterministic); empty cells
+    keep their previous centroid (standard Lloyd fix).  Returns
+    (centroids as micro-int lists, final cluster sizes)."""
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        as_double(vec).alias("v"),
+    ).withColumn(
+        "vm",
+        F.transform(
+            F.col("v"), lambda x: F.round(x * F.lit(1_000_000.0)).cast("long")
+        ),
+    ).persist()
+    init = base.filter(F.col("vid") < k).orderBy("vid").select("vm").collect()
+    cents: list[list[int]] = [list(r["vm"]) for r in init]
+    sizes: list[int] = [0] * k
+    for _ in range(iters):
+        score_structs = []
+        for i, cm in enumerate(cents):
+            carr = F.array(*[F.lit(int(c)) / F.lit(1_000_000.0) for c in cm])
+            d2 = F.aggregate(
+                F.zip_with(F.col("v"), carr, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            score_structs.append(
+                F.struct(F.round(d2, 6).alias("d"), F.lit(i).alias("cell"))
+            )
+        best = F.element_at(F.array_sort(F.array(*score_structs)), 1)["cell"]
+        stats = (
+            base.withColumn("cell", best)
+            .select("cell", F.posexplode("vm").alias("pos0", "xm"))
+            .groupBy("cell", "pos0")
+            .agg(F.sum("xm").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        import math
+
+        sizes = [0] * k
+        new_cents = [list(c) for c in cents]  # empty cells keep previous
+        for r in stats:
+            cell, pos = int(r["cell"]), int(r["pos0"])
+            new_cents[cell][pos] = math.floor(r["s"] / r["n"])
+            sizes[cell] = int(r["n"])
+        cents = new_cents
+    base.unpersist()
+    return cents, sizes

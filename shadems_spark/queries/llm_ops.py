@@ -1183,3 +1183,90 @@ def q_ann_recall(spark, sf_dir):
         )
         .orderBy("q_id")
     )
+
+
+_KM_D2 = (
+    "round(list_sum(list_transform(list_zip(e.v, c.carr),"
+    " z -> (z[1] - z[2]) * (z[1] - z[2]))), 6)"
+)
+
+
+def _km_iter_sql(i: int) -> str:
+    """One unrolled Lloyd iteration: assignment vs the c{i-1} centroid
+    table, exact micro-int (cell, pos) sums, floored means, empty
+    cells inheriting the previous centroid."""
+    p, n = i - 1, i
+    return f"""
+    c{p}arr AS (SELECT cell, list(cm / 1000000.0 ORDER BY pos) AS carr
+                FROM c{p} GROUP BY cell),
+    d{n} AS (SELECT e.vec_id, c.cell, {_KM_D2} AS d2
+             FROM e CROSS JOIN c{p}arr c),
+    a{n} AS (SELECT vec_id, cell FROM (
+               SELECT vec_id, cell,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cell) rn
+               FROM d{n}) WHERE rn = 1),
+    s{n} AS (SELECT a.cell, ev.pos, CAST(sum(ev.xm) AS BIGINT) AS s,
+                    count(*) AS n
+             FROM a{n} a JOIN ev ON ev.vec_id = a.vec_id
+             GROUP BY 1, 2),
+    c{n} AS (SELECT p.cell, p.pos,
+                    coalesce(CAST(floor(s.s * 1.0 / s.n) AS BIGINT), p.cm) AS cm
+             FROM c{p} p LEFT JOIN s{n} s USING (cell, pos))"""
+
+
+_KMEANS_SQL = f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    em AS (SELECT vec_id,
+                  list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) vm
+           FROM e),
+    init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vm
+             FROM em WHERE vec_id < 8),
+    c0 AS (SELECT cell, generate_subscripts(vm, 1) AS pos, unnest(vm) AS cm
+           FROM init),
+    ev AS (SELECT vec_id, generate_subscripts(vm, 1) AS pos, unnest(vm) AS xm
+           FROM em),
+    {_km_iter_sql(1)},
+    {_km_iter_sql(2)}
+    SELECT c2.cell, CAST(c2.pos AS INT) AS pos, c2.cm AS c_micro,
+           CAST(coalesce(n2.n, 0) AS BIGINT) AS n_members
+    FROM c2 LEFT JOIN (SELECT cell, count(*) AS n FROM a2 GROUP BY cell) n2
+      USING (cell)
+    ORDER BY cell, pos
+"""
+
+
+@register("q_kmeans", sql=_KMEANS_SQL)
+def q_kmeans(spark, sf_dir):
+    """Distributed k-means, 2 Lloyd iterations over the embeddings
+    (operators/similarity.py::kmeans_lloyd) — the iterative clustering
+    primitive SemDeDup-scale curation trains its cluster structure
+    with.  Per iteration: assignment is a pure projection (centroid
+    codebook as plan literals, argmin via one array_sort — the
+    ivf_assign shape) and the update is ONE map-side-combined
+    (cell, dim) integer aggregate; no data row ever reaches the
+    driver.  The micro-int exactness protocol makes the trained
+    codebook hash-match the unrolled two-iteration DuckDB oracle —
+    like q_lr_train, an iterative-ML query with an EXACT correctness
+    row, not a rows-only waiver.  Output: k x d centroid components
+    (micro-scaled) + final cluster sizes."""
+    from shadems_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, sizes = kmeans_lloyd(emb, k=8, iters=2)
+    rows = []
+    for cell, (cm, n) in enumerate(zip(cents, sizes)):
+        for pos0, c in enumerate(cm):
+            rows.append(f"({cell}, {pos0 + 1}, {int(c)}L, {int(n)}L)")
+    out = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(rows)
+        + " AS t(cell, pos, c_micro, n_members)"
+    )
+    return out.select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("pos").cast("int").alias("pos"),
+        "c_micro",
+        "n_members",
+    ).orderBy("cell", "pos")

@@ -600,3 +600,26 @@ def test_empty_inputs_degrade_gracefully(spark):
     tok = bpe_tokenize_udf([("a", "b")])
     one = spark.createDataFrame([(1, "")], "doc_id long, text string")
     assert one.select(tok(F.col("text")).alias("t")).collect()[0]["t"] == []
+
+
+def test_kmeans_partition_invariant_and_separates(spark):
+    """The micro-int Lloyd protocol must produce identical codebooks
+    under any partition layout, and two well-separated blobs must land
+    in different cells with the blob means as centroids."""
+    from pyspark.sql import functions as F
+
+    from shadems_spark.operators.similarity import kmeans_lloyd
+
+    rows = []
+    for i in range(20):
+        # blob A near (1, 0, ...), blob B near (-1, 0.5, ...)
+        base = [1.0, 0.0] if i % 2 == 0 else [-1.0, 0.5]
+        rows.append((i, [base[0] + (i % 5) * 0.01, base[1]] + [0.0] * 6))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1, n1 = kmeans_lloyd(emb.coalesce(1), k=2, iters=3)
+    c2, n2 = kmeans_lloyd(emb.repartition(7), k=2, iters=3)
+    assert c1 == c2 and n1 == n2
+    assert sorted(n1) == [10, 10]
+    # cell centroids sit at the blob means (first component sign splits)
+    signs = sorted(c[0] > 0 for c in c1)
+    assert signs == [False, True]
