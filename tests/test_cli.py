@@ -443,3 +443,19 @@ def test_pipeline_audit_mode(spark, tmp_path):
     assert rep["n_docs"] == 2
     assert rep["rejected_any"] == 1 and rep["alpha"] == 1
     assert not os.path.exists(out)
+
+
+def test_lut_reversed_variants_and_r5_tail():
+    """Every palette must expose its matplotlib-style _r reversed
+    twin, and the r5 colorcet tail must resolve."""
+    import numpy as np
+
+    from shadems_spark.render import _CMAPS
+
+    t = lut("viridis")
+    tr = lut("viridis_r")
+    assert (tr == t[::-1]).all()
+    for name in ("kgy", "kb", "kg", "kr", "dimgray", "cwr", "gwv", "bky", "bjy"):
+        assert lut(name).shape == (256, 3)
+        assert lut(name + "_r").shape == (256, 3)
+    assert len(_CMAPS) >= 33
