@@ -134,3 +134,51 @@ def global_index(
         .withColumn(out, (F.col("__off") + F.col("__rn")).cast("long"))
         .drop("__pid", "__rn", "__off")
     )
+
+
+def heavy_hitters(items: DataFrame, col: str, m: int) -> DataFrame:
+    """EXACT phi-heavy-hitters (phi = 1/m) in two phases — the shape
+    frequency estimation takes at corpus scale, where a plain
+    GROUP BY over every distinct key would shuffle the full vocabulary
+    but only the tiny heavy tail is wanted.
+
+    Phase 1 (candidates, one scan, no shuffle of data rows): every
+    Arrow batch counts its own items vectorized (pandas value_counts)
+    and emits only those with batch_count * m > batch_size.  By
+    pigeonhole this is a SUPERSET of the true heavy hitters: an item
+    with global count > N/m must exceed n_b/m in at least one batch of
+    any partition of the stream (if it never did, summing the per-
+    batch bound gives count <= N/m).  Each batch emits fewer than m
+    items, so candidate volume is bounded by batches x m and in
+    practice by the Zipf head.  This is the Misra-Gries guarantee with
+    exact per-batch counting in place of the counter-eviction loop —
+    same bound, Arrow-vectorized instead of a per-row Python dict.
+
+    Phase 2 (exact recount): the distinct candidate set broadcasts
+    back onto the stream as a semi-join prune, the survivors get an
+    exact map-side-combined count, and the final filter
+    ``n * m > N`` runs in pure BIGINT arithmetic — so the OUTPUT is
+    exactly the true heavy-hitter set with exact counts, independent
+    of batch/partition layout (phase 1 only ever over-selects).
+    That layout-independence is what lets a sketch-shaped plan carry
+    a hash-exact SQL oracle.
+
+    Returns (col, n BIGINT, n_total BIGINT) for every item with
+    n * m > n_total."""
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    def _candidates(batches):
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            yield pd.DataFrame({col: vc[vc * m > len(pdf)].index})
+
+    cand = items.mapInPandas(_candidates, schema=f"{col} string").distinct()
+    n_total = items.agg(F.count(F.lit(1)).alias("n_total"))
+    exact = (
+        items.join(F.broadcast(cand), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return exact.crossJoin(F.broadcast(n_total)).filter(
+        F.col("n") * m > F.col("n_total")
+    )

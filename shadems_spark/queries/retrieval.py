@@ -794,3 +794,46 @@ def q_random_projection(spark, sf_dir):
         y = F.aggregate(signed(j), F.lit(0.0), lambda a, x: a + x) / F.lit(4.0)
         cols.append(F.round(y, 6).alias(f"y{j}"))
     return emb.select("vec_id", *cols).orderBy("vec_id")
+
+
+@register(
+    "q_heavy_hitters",
+    sql="""
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    b AS (SELECT unnest([ws[i+1] || ' ' || ws[i+2]
+                         for i in range(len(ws) - 1)]) AS bg
+          FROM w),
+    t AS (SELECT count(*) AS n_total FROM b),
+    c AS (SELECT bg, count(*) AS n FROM b GROUP BY 1)
+    SELECT bg, n, n_total,
+           round(n / CAST(n_total AS DOUBLE), 6) AS freq
+    FROM c, t WHERE n * 1000 > n_total
+    ORDER BY n DESC, bg
+    """,
+)
+def q_heavy_hitters(spark, sf_dir):
+    """phi-heavy-hitters over corpus word bigrams, phi = 0.1%
+    (operators/profile.py::heavy_hitters): per-Arrow-batch threshold
+    candidates (the Misra-Gries superset guarantee, vectorized) ->
+    broadcast semi-join prune -> exact recount -> pure-BIGINT final
+    filter, so the result is EXACT and layout-independent while the
+    plan never builds the full-vocabulary aggregate on the heavy path.
+    The oracle is the plain GROUP BY ... HAVING definition.  NB: this
+    fixture's bigram distribution is nearly flat (~70-90% of the 916
+    bigrams are heavy at phi=0.1%), so phase-1 pruning is modest here;
+    on a Zipfian web corpus the candidate set is orders of magnitude
+    smaller than the vocabulary, which is the point of the shape."""
+    from shadems_spark.operators.profile import heavy_hitters
+    from shadems_spark.operators.text import _sliding, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        F.explode(
+            _sliding(words("text"), 2, lambda a, x: F.concat(a, F.lit(" "), x))
+        ).alias("bg")
+    )
+    hh = heavy_hitters(bigrams, "bg", m=1000)
+    return hh.select(
+        "bg", "n", "n_total",
+        F.round(F.col("n") / F.col("n_total"), 6).alias("freq"),
+    ).orderBy(F.col("n").desc(), "bg")

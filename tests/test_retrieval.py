@@ -509,3 +509,32 @@ def test_random_projection_preserves_distances(spark, sf_dir):
     distortions.sort()
     med = distortions[len(distortions) // 2]
     assert 0.6 <= med <= 1.4, med  # centered near 1, k=16 tolerance
+
+
+def test_heavy_hitters_exact_and_layout_independent(spark):
+    """The two-phase heavy-hitter output must equal the textbook
+    GROUP BY ... HAVING n*m > N set with exact counts, and must not
+    change when the input is laid out into different partitions
+    (phase 1 only ever over-selects; phase 2 is exact)."""
+    from shadems_spark.operators.profile import heavy_hitters
+
+    vals = ["hot"] * 40 + ["warm"] * 12 + [f"cold{i}" for i in range(48)]
+    df = spark.createDataFrame([(v,) for v in vals], "w string")
+
+    def run(partitions):
+        out = heavy_hitters(df.repartition(partitions), "w", m=10)
+        return sorted((r["w"], r["n"], r["n_total"]) for r in out.collect())
+
+    expect = [("hot", 40, 100), ("warm", 12, 100)]  # n*10 > 100
+    assert run(1) == expect
+    assert run(7) == expect
+
+
+def test_heavy_hitters_threshold_is_strict(spark):
+    """An item with n*m == N exactly is NOT a phi-heavy hitter
+    (strict inequality, integer arithmetic — no float rounding)."""
+    from shadems_spark.operators.profile import heavy_hitters
+
+    vals = ["edge"] * 10 + [f"x{i}" for i in range(90)]  # 10*10 == 100
+    df = spark.createDataFrame([(v,) for v in vals], "w string")
+    assert heavy_hitters(df, "w", m=10).count() == 0
