@@ -379,3 +379,129 @@ def train_quality_lr(
             w[row["b"]] -= math.floor(row["s"] / n_docs)
     c.unpersist()
     return w
+
+
+def naive_bayes_lang(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    label: str = "lang",
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and applied
+    in ONE declarative plan: docs with ``id % holdout_mod != 0`` train
+    the model, the rest are scored.  Unlike the iterative LR trainer
+    above, NB "training" is a single pair of aggregates (per-(class,
+    word) counts + per-class token totals with Laplace smoothing), so
+    the whole train+predict composition stays inside Catalyst with no
+    driver-side loop or collect at all.
+
+    Exactness protocol (the q_lr_train nano-int convention): every
+    log-probability is rounded ONCE to a nano-scaled BIGINT
+    (round(ln(p) * 1e9)) before any summation, so per-document scores
+    are exact integer sums — identical on Spark, on the DuckDB oracle,
+    and under any partition layout — and the argmax (ties broken by
+    class name) is deterministic.  Unseen test words fall back to the
+    class's Laplace floor ln(1 / (tok_c + V)) via a left join +
+    coalesce.
+
+    100-TB shape: the model is (classes x vocab) rows — the word-keyed
+    likelihood join is the only data-sized shuffle; priors and the
+    per-class unseen floors are class-sized broadcasts, and the
+    candidate-class expansion is a broadcast cross join against a
+    classes-sized frame (5 rows here).  With a bounded vocab the
+    likelihood table itself is broadcast-able; Spark's AQE picks that
+    up from stats at runtime, so the plan degrades gracefully from
+    broadcast to shuffle join as vocab grows.
+
+    Returns (doc_id, actual, pred, score_nano, correct) for test docs.
+    """
+    nano = F.lit(1_000_000_000.0)
+    toks = docs.select(
+        F.col(id_col).alias("did"),
+        F.col(label).alias("lbl"),
+        F.explode(
+            F.filter(words(text), lambda w: F.length(w) > 0)
+        ).alias("u"),
+    )
+    is_test = F.col("did") % holdout_mod == 0
+
+    # model: per-(class, word) Laplace log-likelihoods, nano ints
+    wc = toks.filter(~is_test).groupBy("lbl", "u").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tk = wc.groupBy("lbl").agg(F.sum("n").alias("tok"))
+    v = wc.agg(F.countDistinct("u").alias("V"))
+    ll = (
+        wc.join(tk, "lbl")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "lbl",
+            "u",
+            F.round(
+                F.log((F.col("n") + 1) / (F.col("tok") + F.col("V")).cast("double"))
+                * nano
+            ).cast("long").alias("ll_nano"),
+        )
+    )
+    un = tk.crossJoin(F.broadcast(v)).select(
+        "lbl",
+        F.round(
+            F.log(F.lit(1.0) / (F.col("tok") + F.col("V")).cast("double")) * nano
+        ).cast("long").alias("un_nano"),
+    )
+    nd = (
+        docs.filter(F.col(id_col) % holdout_mod != 0)
+        .groupBy(F.col(label).alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("ndc"))
+    )
+    ntot = nd.agg(F.sum("ndc").alias("ntd"))
+    pri = nd.crossJoin(F.broadcast(ntot)).select(
+        "lbl",
+        F.round(
+            F.log(F.col("ndc") / F.col("ntd").cast("double")) * nano
+        ).cast("long").alias("prior_nano"),
+    )
+
+    # apply: candidate-class expansion + likelihood join + integer argmax
+    tc = (
+        toks.filter(is_test)
+        .groupBy(F.col("did").alias("doc_id"), F.col("lbl").alias("actual"), "u")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = pri.join(F.broadcast(un), "lbl").withColumnRenamed("lbl", "cand")
+    mll = ll.withColumnRenamed("lbl", "m_lbl").withColumnRenamed("u", "m_u")
+    sc = (
+        tc.crossJoin(F.broadcast(cand))
+        .join(
+            mll,
+            (F.col("cand") == F.col("m_lbl")) & (F.col("u") == F.col("m_u")),
+            "left",
+        )
+        .groupBy("doc_id", "actual", "cand", "prior_nano")
+        .agg(
+            F.sum(
+                F.col("c") * F.coalesce(F.col("ll_nano"), F.col("un_nano"))
+            ).alias("s")
+        )
+        .select(
+            "doc_id",
+            "actual",
+            "cand",
+            (F.col("prior_nano") + F.col("s")).alias("score_nano"),
+        )
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("score_nano").desc(), F.col("cand")
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "actual",
+            F.col("cand").alias("pred"),
+            "score_nano",
+            (F.col("cand") == F.col("actual")).cast("int").alias("correct"),
+        )
+    )

@@ -1013,3 +1013,132 @@ def q_lr_train(spark, sf_dir):
         "w_nano",
         F.round(F.col("w_nano") / F.lit(1_000_000_000.0), 9).alias("weight"),
     ).orderBy("feature")
+
+
+_NB_SQL = """
+    WITH base AS (SELECT doc_id, lang,
+                         list_filter(string_split(text, ' '),
+                                     x -> len(x) > 0) AS ws
+                  FROM documents),
+    trt AS (SELECT lang, unnest(ws) AS u FROM base WHERE doc_id % 5 <> 0),
+    wc AS (SELECT lang, u, count(*) AS n FROM trt GROUP BY ALL),
+    tk AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tok FROM wc GROUP BY 1),
+    v AS (SELECT count(DISTINCT u) AS V FROM wc),
+    ll AS (SELECT wc.lang, wc.u,
+                  CAST(round(ln((wc.n + 1) / CAST(tk.tok + v.V AS DOUBLE))
+                             * 1000000000.0) AS BIGINT) AS ll_nano
+           FROM wc JOIN tk USING (lang), v),
+    un AS (SELECT tk.lang,
+                  CAST(round(ln(1.0 / (tk.tok + v.V)) * 1000000000.0)
+                       AS BIGINT) AS un_nano
+           FROM tk, v),
+    nd AS (SELECT lang, count(*) AS ndc FROM base
+           WHERE doc_id % 5 <> 0 GROUP BY 1),
+    ntot AS (SELECT CAST(sum(ndc) AS BIGINT) AS ntd FROM nd),
+    pri AS (SELECT lang,
+                   CAST(round(ln(ndc / CAST(ntd AS DOUBLE)) * 1000000000.0)
+                        AS BIGINT) AS prior_nano
+            FROM nd, ntot),
+    tc AS (SELECT doc_id, actual, u, count(*) AS c
+           FROM (SELECT doc_id, lang AS actual, unnest(ws) AS u
+                 FROM base WHERE doc_id % 5 = 0)
+           GROUP BY ALL),
+    sc0 AS (SELECT tc.doc_id, tc.actual, pri.lang AS cand, pri.prior_nano,
+                   CAST(sum(tc.c * coalesce(ll.ll_nano, un.un_nano))
+                        AS BIGINT) AS s
+            FROM tc
+            CROSS JOIN pri
+            JOIN un ON un.lang = pri.lang
+            LEFT JOIN ll ON ll.lang = pri.lang AND ll.u = tc.u
+            GROUP BY 1, 2, 3, 4),
+    sc AS (SELECT doc_id, actual, cand, prior_nano + s AS score_nano
+           FROM sc0),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score_nano DESC, cand) AS rn
+           FROM sc)
+    SELECT doc_id, actual, cand AS pred, score_nano,
+           CAST(CASE WHEN cand = actual THEN 1 ELSE 0 END AS INT) AS correct
+    FROM rk WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+@register("q_naive_bayes", sql=_NB_SQL)
+def q_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes language ID, trained on docs with
+    doc_id %% 5 != 0 and applied to the held-out fifth
+    (operators/curation.py::naive_bayes_lang).  The whole
+    train+predict composition is one declarative plan — NB training
+    is just two aggregates — and every log-probability is a nano-int
+    (the q_lr_train exactness protocol), so per-doc scores are exact
+    integer sums and the argmax is engine- and layout-independent:
+    a full ML train+apply cycle with a HASH-EXACT SQL oracle."""
+    from shadems_spark.operators.curation import naive_bayes_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    return naive_bayes_lang(docs).orderBy("doc_id")
+
+
+@register(
+    "q_ccnet_buckets",
+    sql="""
+    WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS u
+               FROM documents),
+    uc AS (SELECT u, count(*) AS n FROM w GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM uc),
+    sc AS (SELECT w.doc_id, w.lang, -ln(uc.n / CAST(tot AS DOUBLE)) AS nll
+           FROM w JOIN uc USING (u) CROSS JOIN tot),
+    d AS (SELECT doc_id, lang, round(avg(nll), 4) AS avg_nll
+          FROM sc GROUP BY 1, 2),
+    b AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+                                   ORDER BY avg_nll, doc_id) AS t
+          FROM d)
+    SELECT doc_id, lang, avg_nll,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+               AS bucket
+    FROM b ORDER BY doc_id
+    """,
+)
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (arXiv:1911.00359 §4.3): score
+    every document with the corpus-self-trained unigram LM (the
+    q_unigram_lm mean NLL — the cheap stand-in for CCNet's external
+    KenLM), then split each LANGUAGE into head/middle/tail terciles by
+    per-lang ntile(3) — CCNet's core curation move, where 'head' is
+    the most-fluent third that survives into the training mix.
+
+    Ordering is (4dp-rounded score, doc_id), so the tercile boundary
+    is deterministic and cross-engine exact.  Scale shape: one
+    word-keyed join for scoring (the q_unigram_lm plan) plus one
+    lang-partitioned window — per-lang partitions at 100 TB are
+    corpus-sized, so the production variant would swap ntile for the
+    approx-quantile two-pass cut (q_percentile's shape); the exact
+    window form is the oracle-checkable contract."""
+    from shadems_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "lang", F.explode(words("text")).alias("u"))
+    uc = w.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
+    tot = uc.agg(F.sum("n").alias("tot"))
+    sc = (
+        w.join(uc, "u")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", "lang",
+            (-F.log(F.col("n") / F.col("tot"))).alias("nll"),
+        )
+    )
+    d = sc.groupBy("doc_id", "lang").agg(
+        F.round(F.avg("nll"), 4).alias("avg_nll")
+    )
+    win = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    return (
+        d.withColumn("t", F.ntile(3).over(win))
+        .select(
+            "doc_id", "lang", "avg_nll",
+            F.when(F.col("t") == 1, "head")
+            .when(F.col("t") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

@@ -165,3 +165,81 @@ def test_dsir_prefers_target_like_docs(spark):
         for r in dsir_logweights(docs, F.col("grp") == "t").collect()
     }
     assert set(got) == {3, 4} and got[3] > got[4]
+
+
+def _nb_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_naive_bayes_learns_separable_classes(spark):
+    """Two vocab-disjoint classes: every held-out doc (doc_id % 5 == 0)
+    must be predicted correctly, and each gets exactly one row."""
+    from shadems_spark.operators.curation import naive_bayes_lang
+
+    rows = []
+    for i in range(20):
+        rows.append((2 * i, "aa bb aa cc", "en"))
+        rows.append((2 * i + 1, "xx yy xx zz", "de"))
+    out = naive_bayes_lang(_nb_docs(spark, rows)).collect()
+    test_ids = {r[0] for r in rows if r[0] % 5 == 0}
+    assert {r["doc_id"] for r in out} == test_ids
+    assert all(r["correct"] == 1 for r in out)
+    assert all(r["pred"] == r["actual"] for r in out)
+
+
+def test_naive_bayes_unseen_word_falls_back_not_crashes(spark):
+    """A test doc made entirely of words absent from training must
+    still score via the per-class Laplace floor, not crash or drop.
+    Textbook multinomial-NB subtlety pinned here: the floor is
+    ln(1/(tok_c+V)), so the SMALLER class (de: 6 train tokens vs
+    en: 26) is less surprised by unseen words — that outweighs en's
+    larger prior (ln(13/16) vs ln(3/16)): score_de = ln(3/16) +
+    3*ln(1/10) = -8.58 > score_en = ln(13/16) + 3*ln(1/30) =
+    -10.41."""
+    from shadems_spark.operators.curation import naive_bayes_lang
+
+    rows = [(i, "aa bb", "en") for i in range(1, 17) if i % 5 != 0]
+    rows += [(i, "xx yy", "de") for i in (17, 18, 19)]
+    rows += [(0, "qq ww ee", "en")]  # test doc, all-unseen words
+    out = naive_bayes_lang(_nb_docs(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 0
+    assert out[0]["pred"] == "de" and out[0]["correct"] == 0
+
+
+def test_naive_bayes_layout_independent(spark):
+    """Nano-int scores are exact integer sums, so predictions and
+    scores must be identical under different partition layouts."""
+    from shadems_spark.operators.curation import naive_bayes_lang
+
+    rows = [
+        (i, f"w{i % 7} w{(i + 1) % 7} w{i % 3}", "en" if i % 2 else "de")
+        for i in range(40)
+    ]
+    df = _nb_docs(spark, rows)
+    a = sorted(map(tuple, naive_bayes_lang(df.repartition(1)).collect()))
+    b = sorted(map(tuple, naive_bayes_lang(df.repartition(13)).collect()))
+    assert a == b
+
+
+def test_ccnet_terciles_balanced_and_ordered(spark, sf_dir):
+    """Per language: tercile sizes differ by at most 1 (ntile
+    contract) and mean NLL is monotone head <= middle <= tail (CCNet's
+    fluency ordering)."""
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    rows = reg["q_ccnet_buckets"][0](spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {}).setdefault(r["bucket"], []).append(
+            r["avg_nll"]
+        )
+    assert len(by_lang) >= 2
+    for lang, buckets in by_lang.items():
+        sizes = [len(buckets.get(b, [])) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        mean = lambda xs: sum(xs) / len(xs)
+        assert (
+            mean(buckets["head"]) <= mean(buckets["middle"])
+            <= mean(buckets["tail"])
+        ), lang
