@@ -182,3 +182,39 @@ def heavy_hitters(items: DataFrame, col: str, m: int) -> DataFrame:
     return exact.crossJoin(F.broadcast(n_total)).filter(
         F.col("n") * m > F.col("n_total")
     )
+
+
+def bloom_bits(gram, m: int, k: int):
+    """The k bit positions a gram string sets/probes in an m-bit Bloom
+    filter, as an array<long> Column.
+
+    Cross-engine-exact by construction: the base hash is the shared
+    31-polynomial char fold mod FP_MOD (operators/text.word_buckets —
+    the hash every DuckDB oracle reproduces with list_reduce), and the
+    k probe positions derive from it with pure-integer double hashing
+    ``(h*(2j+1) + 97j) % FP_MOD % m`` — so Spark, the SQL oracle, and
+    any partition layout set the IDENTICAL bit set, false positives
+    included.  That determinism is what lets a probabilistic structure
+    carry a hash-exact oracle.
+
+    100-TB shape: the filter itself is the POINT at scale — a
+    benchmark gram set too big to broadcast collapses to m bits
+    (distinct set-bit rows here, a bitmap in a production sink), so
+    membership probing is a broadcast join however large the source
+    set was.  Spark's built-in stat.bloomFilter builds the same
+    structure JVM-side but is not reproducible outside Spark, hence
+    this declarative twin."""
+    from shadems_spark.operators.text import FP_MOD
+
+    g = F.col(gram) if isinstance(gram, str) else gram
+    h = F.aggregate(
+        F.transform(F.split(g, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * F.lit(31) + c) % F.lit(FP_MOD),
+    )
+    return F.array(
+        *[
+            (h * F.lit(2 * j + 1) + F.lit(97 * j)) % F.lit(FP_MOD) % F.lit(m)
+            for j in range(k)
+        ]
+    )

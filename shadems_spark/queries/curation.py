@@ -1142,3 +1142,108 @@ def q_ccnet_buckets(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_BLOOM_HASH = """list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(ng, ''),
+                                    c -> CAST(ascii(c) AS BIGINT))),
+        (a, c) -> (a * 31 + c) % 1000000007)"""
+
+
+@register(
+    "q_bloom_decontaminate",
+    sql=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                                       for i in range(len(ws) - 2)])) AS ng
+          FROM w),
+    gh AS (SELECT doc_id, ng, {_BLOOM_HASH} AS h FROM g),
+    bb AS (SELECT doc_id, ng,
+                  unnest([(h * 1 + 0) % 1000000007 % 4096,
+                          (h * 3 + 97) % 1000000007 % 4096,
+                          (h * 5 + 194) % 1000000007 % 4096]) AS bit
+           FROM gh),
+    bloom AS (SELECT DISTINCT bit FROM bb WHERE doc_id % 97 = 0),
+    bench_g AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0),
+    probe AS (SELECT bb.doc_id, bb.ng, count(*) AS nb
+              FROM bb JOIN bloom USING (bit)
+              WHERE bb.doc_id % 97 <> 0 GROUP BY 1, 2),
+    hit AS (SELECT doc_id, ng FROM probe WHERE nb = 3),
+    tot AS (SELECT doc_id, count(*) AS total FROM g
+            WHERE doc_id % 97 <> 0 GROUP BY 1),
+    agg AS (SELECT hit.doc_id, count(*) AS bloom_hits,
+                   CAST(sum(CASE WHEN bench_g.ng IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits
+            FROM hit LEFT JOIN bench_g USING (ng) GROUP BY 1)
+    SELECT agg.doc_id, total, bloom_hits, exact_hits,
+           bloom_hits - exact_hits AS false_pos,
+           round(bloom_hits / CAST(total AS DOUBLE), 6) AS overlap_est
+    FROM agg JOIN tot USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter benchmark decontamination
+    (operators/profile.py::bloom_bits): the held-out benchmark's
+    word-3-gram set collapses to a 4096-bit / 3-probe Bloom filter
+    (distinct set-bit rows, broadcast), and every corpus gram probes
+    it — a gram 'hits' iff all 3 of its bit positions are set.  The
+    deterministic double-hash construction makes the filter
+    cross-engine EXACT, false positives included, so a probabilistic
+    sketch gets a hash-exact SQL oracle; the exact_hits/false_pos
+    columns audit the FP rate in-query against true membership (the
+    audit join is diagnostic — production probes the bloom only).
+
+    This is q_decontaminate's scale path: there the benchmark GRAM SET
+    broadcast-joins the corpus (fine while the benchmark is small);
+    here the benchmark of ANY size ships as m bits.  At 100 TB the
+    corpus side still never shuffles — the probe is a broadcast join
+    on bit, then a per-(doc, gram) count."""
+    from shadems_spark.operators.profile import bloom_bits
+    from shadems_spark.operators.text import _sliding, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    g3 = F.array_distinct(
+        _sliding(
+            words("text"), 3,
+            lambda a, x: F.concat(a, F.lit(" "), x),
+        )
+    )
+    g = docs.select("doc_id", F.explode(g3).alias("ng"))
+    is_bench = F.col("doc_id") % 97 == 0
+    bb = g.select("doc_id", "ng", F.explode(bloom_bits("ng", 4096, 3)).alias("bit"))
+    bloom = bb.filter(is_bench).select("bit").distinct()
+    bench_g = g.filter(is_bench).select("ng").distinct()
+    probe = (
+        bb.filter(~is_bench)
+        .join(F.broadcast(bloom), "bit")
+        .groupBy("doc_id", "ng")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    hit = probe.filter(F.col("nb") == 3)
+    tot = g.filter(~is_bench).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    agg = (
+        hit.join(
+            F.broadcast(bench_g.withColumn("is_exact", F.lit(1))), "ng", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("bloom_hits"),
+            F.sum(F.coalesce(F.col("is_exact"), F.lit(0))).alias("exact_hits"),
+        )
+    )
+    return (
+        agg.join(tot, "doc_id")
+        .select(
+            "doc_id", "total", "bloom_hits", "exact_hits",
+            (F.col("bloom_hits") - F.col("exact_hits")).alias("false_pos"),
+            F.round(
+                F.col("bloom_hits") / F.col("total").cast("double"), 6
+            ).alias("overlap_est"),
+        )
+        .orderBy("doc_id")
+    )

@@ -243,3 +243,42 @@ def test_ccnet_terciles_balanced_and_ordered(spark, sf_dir):
             mean(buckets["head"]) <= mean(buckets["middle"])
             <= mean(buckets["tail"])
         ), lang
+
+
+def test_bloom_bits_shape_and_determinism(spark):
+    """k positions, each in [0, m); identical strings get identical
+    position arrays (pure integer arithmetic, no rng)."""
+    from shadems_spark.operators.profile import bloom_bits
+
+    df = spark.createDataFrame(
+        [("a b c",), ("a b c",), ("x y z",)], "ng string"
+    ).select(bloom_bits("ng", 4096, 3).alias("bits"))
+    rows = [r["bits"] for r in df.collect()]
+    assert rows[0] == rows[1] and rows[0] != rows[2]
+    for bits in rows:
+        assert len(bits) == 3 and all(0 <= b < 4096 for b in bits)
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    """The Bloom guarantee: every true benchmark gram is a bloom hit,
+    so per doc exact_hits <= bloom_hits, and the summed exact_hits
+    must equal an independently-computed exact gram-overlap count."""
+    from shadems_spark.operators.text import _sliding, words
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    rows = reg["q_bloom_decontaminate"][0](spark, sf_dir).collect()
+    assert rows and all(r["exact_hits"] <= r["bloom_hits"] for r in rows)
+    assert sum(r["false_pos"] for r in rows) >= 0
+
+    docs = load_table(spark, sf_dir, "documents")
+    g3 = F.array_distinct(
+        _sliding(words("text"), 3, lambda a, x: F.concat(a, F.lit(" "), x))
+    )
+    g = docs.select("doc_id", F.explode(g3).alias("ng"))
+    bench = g.filter(F.col("doc_id") % 97 == 0).select("ng").distinct()
+    exact = (
+        g.filter(F.col("doc_id") % 97 != 0).join(bench, "ng").count()
+    )
+    assert sum(r["exact_hits"] for r in rows) == exact
