@@ -384,3 +384,30 @@ def test_admission_2phase_broadcasts_sizes(spark):
     p = _plan(spark, "q_admission_2phase")
     assert p.count("BroadcastHashJoin") >= 2
     assert "InMemoryTableScan" in p
+
+
+def test_heavy_hitters_broadcasts_candidates(spark):
+    """Phase 2's exact recount must prune via a BROADCAST join against
+    the candidate set (never shuffle the token stream against it), and
+    phase 1 must be a mapInPandas scan, not an aggregate."""
+    p = _plan(spark, "q_heavy_hitters")
+    assert "BroadcastHashJoin" in p
+    assert "MapInPandas" in p
+
+
+def test_naive_bayes_broadcasts_model_sides(spark):
+    """Candidate-class expansion and the priors/unseen floors are
+    class-sized — they must broadcast; only the word-keyed likelihood
+    join may touch a data-sized side."""
+    p = _plan(spark, "q_naive_bayes")
+    assert "BroadcastNestedLoopJoin" in p or p.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in p
+
+
+def test_bloom_decontaminate_broadcasts_filter(spark):
+    """The m-bit filter and the diagnostic benchmark gram set must
+    both ride broadcast joins — the corpus side never shuffles for
+    the membership probe."""
+    p = _plan(spark, "q_bloom_decontaminate")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p

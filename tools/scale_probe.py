@@ -175,6 +175,31 @@ PROBE_R4X100 = [
     "q_pipeline_e2e",
 ]
 
+#: round-5 probe (--round5): the new train/score/sketch operators.
+#: Documents word-mutated, embeddings rotated (the r4x100 recipe) so
+#: growth is the engine's.  Expectations: q_dsir / q_naive_bayes /
+#: q_ccnet_buckets / q_bloom_decontaminate / q_heavy_hitters — one or
+#: two corpus scans + a word- or bit-keyed join whose right side is
+#: vocab/filter-sized: ~linear.  q_lr_train / q_kmeans — fixed
+#: iteration count, each ONE aggregate over the xN table with
+#: codebook-sized driver state: ~linear.  q_ann_recall — the recall
+#: audit joins brute-force truth against IVF candidates for a FIXED
+#: query set, so only the corpus side of both scans grows: ~linear
+#: (the truth side is the audit, not the serving path).
+#: q_admission_2phase — per-batch candidate set bounded by the batch,
+#: corpus-side gram join grows with the store: ~linear.
+PROBE_R5 = [
+    "q_dsir",
+    "q_lr_train",
+    "q_kmeans",
+    "q_ann_recall",
+    "q_heavy_hitters",
+    "q_naive_bayes",
+    "q_ccnet_buckets",
+    "q_bloom_decontaminate",
+    "q_admission_2phase",
+]
+
 #: key shift per copy — far above any real key at these scale factors.
 SHIFT = 100_000_000
 
@@ -276,6 +301,7 @@ def main() -> None:
     round3 = "--round3" in sys.argv
     round4 = "--round4" in sys.argv
     r4x100 = "--r4x100" in sys.argv
+    round5 = "--round5" in sys.argv
     docs_only = dedup or retrieval
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 10
@@ -283,7 +309,7 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     suffix = (
         "_docs" if docs_only else "_r3" if round3 else "_r4" if round4
-        else "_r4x100" if r4x100 else ""
+        else "_r4x100" if r4x100 else "_r5" if round5 else ""
     )
     scaled = os.path.join(repo, ".scratch", f"sfx{n}" + suffix)
 
@@ -295,6 +321,7 @@ def main() -> None:
         else PROBE_R3 if round3
         else PROBE_R4 if round4
         else PROBE_R4X100 if r4x100
+        else PROBE_R5 if round5
         else PROBE
     )
     names = [q for q in probe_set if q in registry]
@@ -307,10 +334,11 @@ def main() -> None:
             ["documents"] if docs_only
             else ["documents", "events"] if round3
             else ["documents", "embeddings", "lineitem", "orders"] if r4x100
+            else ["documents", "embeddings"] if round5
             else None
         ),
-        mutate_docs=docs_only or round3 or r4x100,
-        mutate_embeddings=r4x100,
+        mutate_docs=docs_only or round3 or r4x100 or round5,
+        mutate_embeddings=r4x100 or round5,
     )
     build_s = round(time.time() - t0, 1)
 
@@ -344,6 +372,7 @@ def main() -> None:
                     "scale_probe_dedup" if dedup
                     else "scale_probe_retrieval" if retrieval
                     else "scale_probe_r4x100" if r4x100
+                    else "scale_probe_r5" if round5
                     else "scale_probe"
                 ),
                 "n": n,
