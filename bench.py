@@ -65,6 +65,16 @@ HEADLINE = [
     # per-job overhead at sf0.1, documented in BASELINE.md round 5).
     "q_dsir",
     "q_lr_train",
+    # round-5 second batch: two-phase heavy hitters, one-plan NB
+    # train+predict, winnowing fingerprints, bloom decontamination,
+    # Poisson bootstrap — the new train/sketch/fingerprint surface.
+    "q_heavy_hitters",
+    "q_naive_bayes",
+    "q_winnow",
+    "q_bloom_decontaminate",
+    "q_bootstrap_ci",
+    "q_kl_drift",
+    "q_backoff_lm",
 ]
 
 

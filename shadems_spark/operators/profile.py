@@ -204,17 +204,24 @@ def bloom_bits(gram, m: int, k: int):
     set was.  Spark's built-in stat.bloomFilter builds the same
     structure JVM-side but is not reproducible outside Spark, hence
     this declarative twin."""
-    from shadems_spark.operators.text import FP_MOD
+    from shadems_spark.operators.text import FP_MOD, poly_hash
 
     g = F.col(gram) if isinstance(gram, str) else gram
-    h = F.aggregate(
-        F.transform(F.split(g, ""), lambda c: F.ascii(c).cast("long")),
-        F.lit(0).cast("long"),
-        lambda a, c: (a * F.lit(31) + c) % F.lit(FP_MOD),
-    )
+    return bloom_bits_from_hash(poly_hash(g), m, k)
+
+
+def bloom_bits_from_hash(h, m: int, k: int):
+    """The k probe positions given an ALREADY-COMPUTED base hash
+    Column.  Use this two-step form on data-sized frames: the fused
+    ``bloom_bits`` re-evaluates the char-fold hash once per probe
+    (k x; same duplication mode the winnowing operator documents) —
+    compute ``poly_hash`` in its own select, then derive the k
+    positions from the column with pure integer arithmetic."""
+    from shadems_spark.operators.text import FP_MOD as _MOD
+
     return F.array(
         *[
-            (h * F.lit(2 * j + 1) + F.lit(97 * j)) % F.lit(FP_MOD) % F.lit(m)
+            (h * F.lit(2 * j + 1) + F.lit(97 * j)) % F.lit(_MOD) % F.lit(m)
             for j in range(k)
         ]
     )

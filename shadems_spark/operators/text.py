@@ -301,3 +301,73 @@ def bpe_tokenize_udf(merges: list[tuple[str, str]]):
         )
 
     return _tok
+
+
+def poly_hash(s: Column | str) -> Column:
+    """31-polynomial char hash mod FP_MOD of a string Column — the
+    shared cross-engine hash (DuckDB replays it with list_reduce over
+    string_split(s, '')), used wherever a hash value must be IDENTICAL
+    on both engines (bloom bits, winnowing fingerprints, feature
+    buckets).  Pure HOF fold, JVM-side."""
+    c = F.col(s) if isinstance(s, str) else s
+    return F.aggregate(
+        F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, ch: (a * F.lit(31) + ch) % F.lit(FP_MOD),
+    )
+
+
+def winnow_fingerprints(ws: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word k-gram with the
+    cross-engine poly hash, slide a w-hash window, keep the MINIMUM of
+    each window, value-dedupe.  Guarantee: any two documents sharing a
+    word run of length >= w + k - 1 share at least one fingerprint,
+    while expected fingerprint density is only 2/(w+1) of the grams —
+    the contract exact-substring dedup needs at a fraction of the
+    index size.
+
+    Pure Column composition: the k-gram build and the per-window min
+    are both _sliding zip_with folds, so the whole selection is one
+    JVM-side projection — no shuffle, no UDF; documents shorter than
+    w + k - 1 words yield an empty array.
+
+    PERFORMANCE: this fused Column duplicates the (expensive) gram-
+    hash subtree once per window slice — measured 6.5x slower than
+    the two-step DataFrame form at sf0.1.  Use ``winnow`` below for
+    anything data-sized; this form is for small-data composition and
+    tests."""
+    mins = _sliding(gram_hashes_poly(ws, k), w, lambda a, b: F.least(a, b))
+    return F.array_distinct(mins)
+
+
+def gram_hashes_poly(ws: Column, k: int = 3) -> Column:
+    """Poly-hashed word k-grams (cross-engine twin of ngram_hashes,
+    non-distinct, order-preserving): hash each GRAM string with
+    poly_hash — char-identical to the DuckDB list_reduce replay."""
+    grams = _sliding(ws, k, lambda a, x: F.concat(a, F.lit(" "), x))
+    return F.transform(grams, poly_hash)
+
+
+def winnow(
+    df: DataFrame,
+    text: str = "text",
+    k: int = 3,
+    w: int = 4,
+    out: str = "fps",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """DataFrame-level winnowing: same semantics as
+    ``winnow_fingerprints`` but with the gram-hash array materialized
+    behind a PROJECTION BOUNDARY before the window-min fold.
+    CollapseProject refuses to inline a non-cheap alias referenced by
+    every one of the fold's w slices, so the hash array is computed
+    ONCE per row instead of w times — measured 6.66 s -> 1.01 s at
+    sf0.1 (the fused Column replicates the subtree per slice).
+
+    ``keep`` lists passthrough columns (default: everything except
+    ``text``)."""
+    keep = keep if keep is not None else [c for c in df.columns if c != text]
+    step = df.select(*keep, gram_hashes_poly(words(text), k).alias("__hs"))
+    mins = _sliding(F.col("__hs"), w, lambda a, b: F.least(a, b))
+    return step.select(*keep, F.array_distinct(mins).alias(out))

@@ -1074,3 +1074,73 @@ def q_ewma(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+#: Poisson(1) CDF boundaries scaled to the u-hash modulus 1000003
+#: (floor(CDF_k * 1000003) for k = 0..5; mass beyond 6 truncated,
+#: ~1e-4): the weight lookup both engines replay in exact integers.
+_POIS_T = [367880, 735761, 919701, 981014, 996343, 999408]
+_POIS_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN h < {t} THEN {k}" for k, t in enumerate(_POIS_T))
+    + " ELSE 6 END"
+)
+
+
+@register(
+    "q_bootstrap_ci",
+    sql=f"""
+    WITH reps AS (SELECT unnest(range(32)) AS r),
+    x AS (SELECT d.n_chars, reps.r,
+                 (d.doc_id * 1103515245 + reps.r * 12345 + 6789) % 1000003 AS h
+          FROM documents d CROSS JOIN reps),
+    w AS (SELECT r, n_chars, {_POIS_CASE_SQL} AS wt FROM x)
+    SELECT r, CAST(sum(wt) AS BIGINT) AS n_eff,
+           round(sum(wt * n_chars) / CAST(sum(wt) AS DOUBLE), 4) AS mean_chars
+    FROM w GROUP BY r ORDER BY r
+    """,
+)
+def q_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap of mean document length, 32 replicates in ONE
+    scan (the large-scale resampling shape: per (row, replicate) a
+    deterministic Poisson(1) weight approximates multinomial
+    resampling, so the bootstrap needs no shuffling of the data into
+    R resamples — Chamandy et al., 'Estimating uncertainty for
+    massive data streams', Google 2012).  The replicate axis is an
+    exploded literal sequence (no join); weights come from an integer
+    LCG hash of (doc_id, r) bucketed by the Poisson(1) CDF in EXACT
+    integer thresholds (_POIS_T), so every engine and layout draws the
+    identical resamples — a Monte-Carlo method with a hash-exact
+    oracle.  The 32 replicate means ARE the sampling distribution;
+    percentile CI = quantiles of this 32-row result (pinned in
+    tests).
+
+    Scale shape: rows expand x32 BEFORE a map-side-combined aggregate,
+    so the shuffle is 32 rows per partition regardless of corpus size;
+    nothing else moves.  At 100 TB this is the only practical
+    bootstrap — resample-and-recompute would be 32 full jobs."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select(
+        "doc_id", "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r"),
+    ).withColumn(
+        "h",
+        (F.col("doc_id") * F.lit(1103515245) + F.col("r") * F.lit(12345)
+         + F.lit(6789)) % F.lit(1000003),
+    )
+    wt = F.lit(6)
+    for k, t in reversed(list(enumerate(_POIS_T))):
+        wt = F.when(F.col("h") < t, F.lit(k)).otherwise(wt)
+    return (
+        x.withColumn("wt", wt)
+        .groupBy("r")
+        .agg(
+            F.sum("wt").alias("n_eff"),
+            F.round(
+                F.sum(F.col("wt") * F.col("n_chars"))
+                / F.sum("wt").cast("double"),
+                4,
+            ).alias("mean_chars"),
+        )
+        .orderBy("r")
+    )

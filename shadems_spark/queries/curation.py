@@ -1201,8 +1201,8 @@ def q_bloom_decontaminate(spark, sf_dir):
     here the benchmark of ANY size ships as m bits.  At 100 TB the
     corpus side still never shuffles — the probe is a broadcast join
     on bit, then a per-(doc, gram) count."""
-    from shadems_spark.operators.profile import bloom_bits
-    from shadems_spark.operators.text import _sliding, words
+    from shadems_spark.operators.profile import bloom_bits_from_hash
+    from shadems_spark.operators.text import _sliding, poly_hash, words
 
     docs = load_table(spark, sf_dir, "documents")
     g3 = F.array_distinct(
@@ -1213,7 +1213,14 @@ def q_bloom_decontaminate(spark, sf_dir):
     )
     g = docs.select("doc_id", F.explode(g3).alias("ng"))
     is_bench = F.col("doc_id") % 97 == 0
-    bb = g.select("doc_id", "ng", F.explode(bloom_bits("ng", 4096, 3)).alias("bit"))
+    # two-step: char-fold each gram ONCE, derive the 3 probe positions
+    # from the hash COLUMN (the fused bloom_bits re-folds per probe —
+    # the duplication mode q_winnow documents)
+    gh = g.select("doc_id", "ng", poly_hash("ng").alias("h"))
+    bb = gh.select(
+        "doc_id", "ng",
+        F.explode(bloom_bits_from_hash(F.col("h"), 4096, 3)).alias("bit"),
+    )
     bloom = bb.filter(is_bench).select("bit").distinct()
     bench_g = g.filter(is_bench).select("ng").distinct()
     probe = (
@@ -1244,6 +1251,321 @@ def q_bloom_decontaminate(spark, sf_dir):
             F.round(
                 F.col("bloom_hits") / F.col("total").cast("double"), 6
             ).alias("overlap_est"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_winnow",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 [ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                  for i in range(len(ws) - 2)] AS grams
+          FROM w),
+    h AS (SELECT doc_id,
+                 list_transform(grams, ng -> list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(string_split(ng, ''),
+                                                 c -> CAST(ascii(c) AS BIGINT))),
+                     (a, c) -> (a * 31 + c) % 1000000007)) AS hs
+           FROM g),
+    f AS (SELECT doc_id, len(hs) AS n_grams,
+                 list_distinct([list_min(hs[i+1:i+4])
+                                for i in range(len(hs) - 3)]) AS fps
+          FROM h),
+    e AS (SELECT doc_id, n_grams, unnest(fps) AS fp FROM f),
+    dfq AS (SELECT fp, count(*) AS df FROM e GROUP BY 1)
+    SELECT e.doc_id, n_grams, count(*) AS n_fp,
+           CAST(sum(CASE WHEN dfq.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared_fp,
+           round(count(*) / CAST(n_grams AS DOUBLE), 6) AS density
+    FROM e JOIN dfq USING (fp)
+    GROUP BY 1, 2 ORDER BY doc_id
+    """,
+)
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprint audit (operators/text.py::
+    winnow_fingerprints — the MOSS algorithm, Schleimer et al. SIGMOD
+    2003): per-document fingerprints = value-deduped minima of a
+    4-hash window over poly-hashed word 3-grams, then fingerprint
+    document-frequency joined back for a per-doc shared-fingerprint
+    count — the guaranteed-detection exact-substring-dedup signal
+    (any shared run >= w+k-1 = 6 words shares a fingerprint) at
+    ~2/(w+1) of q_span_dedup's index size.
+
+    Scale shape: fingerprint selection is a pure JVM projection (two
+    _sliding folds behind a projection boundary — the fused-Column
+    form re-evaluates the gram-hash subtree per window slice and
+    measured 6.5x slower at sf0.1, see operators/text.py::winnow);
+    only the SELECTED minima — not every gram — hit the doc-frequency
+    shuffle, and the join back rides the same persisted explode (the
+    span_dedup pattern)."""
+    from shadems_spark.operators.dedup import tracked_persist
+    from shadems_spark.operators.text import winnow, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    ng = docs.select(
+        "doc_id",
+        F.greatest(F.size(words("text")) - F.lit(2), F.lit(0)).alias("n_grams"),
+        "text",
+    )
+    # explode_OUTER: plain explode makes Catalyst push a size(fps)>0
+    # filter down into the parquet scan, re-evaluating the whole
+    # fingerprint expression per row a second time (measured: the
+    # entire 6.5x regression came back through that pushed filter);
+    # the outer variant generates no such filter, and the null drop
+    # happens above the Generate where it is a cheap attribute test.
+    f = (
+        winnow(ng, "text", k=3, w=4)
+        .select("doc_id", "n_grams", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+    e = tracked_persist(f, "winnow_fps")
+    dfq = e.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        e.join(dfq, "fp")
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum((F.col("df") > 1).cast("long")).alias("shared_fp"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_fp", "shared_fp",
+            F.round(
+                F.col("n_fp") / F.col("n_grams").cast("double"), 6
+            ).alias("density"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_kl_drift",
+    sql="""
+    WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS u
+               FROM documents),
+    sc AS (SELECT source, u, count(*) AS n FROM w GROUP BY 1, 2),
+    st AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM sc GROUP BY 1),
+    cc AS (SELECT u, CAST(sum(n) AS BIGINT) AS nc FROM sc GROUP BY 1),
+    ct AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM sc),
+    t AS (SELECT sc.source,
+                 CAST(round((sc.n / CAST(st.ns AS DOUBLE))
+                            * ln((sc.n / CAST(st.ns AS DOUBLE))
+                                 / (cc.nc / CAST(ct.ntot AS DOUBLE)))
+                            * 1000000000.0) AS BIGINT) AS kl_nano,
+                 CAST(round(-(sc.n / CAST(st.ns AS DOUBLE))
+                            * ln(sc.n / CAST(st.ns AS DOUBLE))
+                            * 1000000000.0) AS BIGINT) AS h_nano
+          FROM sc JOIN st USING (source) JOIN cc USING (u) CROSS JOIN ct)
+    SELECT source, count(*) AS vocab,
+           CAST(sum(kl_nano) AS BIGINT) AS kl_nano,
+           round(sum(kl_nano) / 1000000000.0, 6) AS kl,
+           round(sum(h_nano) / 1000000000.0, 6) AS entropy
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_kl_drift(spark, sf_dir):
+    """Domain-drift audit: per SOURCE, KL(source unigram dist ||
+    corpus unigram dist) plus source token entropy — the monitoring
+    signal that flags a crawl slice whose language suddenly diverges
+    from the mix.  No smoothing needed: every source word is in the
+    corpus by construction, so p_corpus > 0 wherever p_source > 0.
+
+    Exactness: each word's KL/entropy CONTRIBUTION rounds to a nano
+    int before the per-source sum (the q_lr_train protocol), so the
+    vocabulary-sized float summation is order-free — identical on
+    both engines and any layout.  Scale shape: one (source, word)
+    aggregate (map-side combined), a word-keyed join against the
+    vocab-sized corpus table, and a broadcast grand total; nothing
+    data-sized shuffles twice."""
+    from shadems_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("source", F.explode(words("text")).alias("u"))
+    sc = w.groupBy("source", "u").agg(F.count(F.lit(1)).alias("n"))
+    st = sc.groupBy("source").agg(F.sum("n").alias("ns"))
+    cc = sc.groupBy("u").agg(F.sum("n").alias("nc"))
+    ct = sc.agg(F.sum("n").alias("ntot"))
+    nano = F.lit(1_000_000_000.0)
+    ps = F.col("n") / F.col("ns").cast("double")
+    pc = F.col("nc") / F.col("ntot").cast("double")
+    t = (
+        sc.join(F.broadcast(st), "source")
+        .join(cc, "u")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "source",
+            F.round(ps * F.log(ps / pc) * nano).cast("long").alias("kl_nano"),
+            F.round(-ps * F.log(ps) * nano).cast("long").alias("h_nano"),
+        )
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum("kl_nano").alias("kl_nano"),
+            F.round(F.sum("kl_nano") / nano, 6).alias("kl"),
+            F.round(F.sum("h_nano") / nano, 6).alias("entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+_BACKOFF_SQL = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    t3 AS (SELECT doc_id,
+                  unnest([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                          for i in range(len(ws) - 2)]) AS tg
+           FROM w WHERE doc_id % 5 <> 0),
+    t3c AS (SELECT tg, count(*) AS nt FROM t3 GROUP BY 1),
+    b2 AS (SELECT doc_id,
+                  unnest([ws[i+1] || ' ' || ws[i+2]
+                          for i in range(len(ws) - 1)]) AS bg
+           FROM w WHERE doc_id % 5 <> 0),
+    b2c AS (SELECT bg, count(*) AS nb FROM b2 GROUP BY 1),
+    u1 AS (SELECT unnest(ws) AS u FROM w WHERE doc_id % 5 <> 0),
+    u1c AS (SELECT u, count(*) AS n FROM u1 GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM u1c),
+    tei AS (SELECT doc_id, unnest(range(len(ws) - 2)) AS i, ws
+            FROM w WHERE doc_id % 5 = 0 AND len(ws) >= 3),
+    te AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2, ws[i+3] AS w3
+           FROM tei),
+    sc AS (SELECT te.doc_id,
+                  CASE WHEN t3c.nt IS NOT NULL THEN 0
+                       WHEN nb23.nb IS NOT NULL THEN 1
+                       WHEN uw3.n IS NOT NULL THEN 2
+                       ELSE 3 END AS lvl,
+                  CAST(round(-ln(
+                      CASE WHEN t3c.nt IS NOT NULL
+                           THEN t3c.nt / CAST(nb12.nb AS DOUBLE)
+                           WHEN nb23.nb IS NOT NULL
+                           THEN 0.4 * (nb23.nb / CAST(uw2.n AS DOUBLE))
+                           WHEN uw3.n IS NOT NULL
+                           THEN 0.16 * (uw3.n / CAST(tot.tot AS DOUBLE))
+                           ELSE 0.064 / tot.tot END
+                  ) * 1000000000.0) AS BIGINT) AS nll_nano
+           FROM te
+           LEFT JOIN t3c ON t3c.tg = te.w1 || ' ' || te.w2 || ' ' || te.w3
+           LEFT JOIN b2c nb12 ON nb12.bg = te.w1 || ' ' || te.w2
+           LEFT JOIN b2c nb23 ON nb23.bg = te.w2 || ' ' || te.w3
+           LEFT JOIN u1c uw2 ON uw2.u = te.w2
+           LEFT JOIN u1c uw3 ON uw3.u = te.w3
+           CROSS JOIN tot)
+    SELECT doc_id, count(*) AS n_trigrams,
+           CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bo_bigram,
+           CAST(sum(CASE WHEN lvl >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS bo_unigram,
+           CAST(sum(nll_nano) AS BIGINT) AS nll_nano,
+           round(sum(nll_nano)
+                 / (CAST(count(*) AS DOUBLE) * 1000000000.0), 6) AS avg_nll
+    FROM sc GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q_backoff_lm", sql=_BACKOFF_SQL)
+def q_backoff_lm(spark, sf_dir):
+    """HELD-OUT trigram LM scoring with stupid backoff (Brants et al.
+    EMNLP'07 — the unnormalized backoff built FOR distributed LMs):
+    train trigram/bigram/unigram tables on doc_id %% 5 != 0, score the
+    held-out fifth; unseen trigrams fall to 0.4*P(w3|w2), then
+    0.4^2*P(w3), then an OOV floor 0.4^3/N.  ~40%% of held-out
+    trigrams back off in this fixture (the bo_* columns keep that
+    non-vacuity visible), which is precisely what the self-scored
+    q_bigram_lm can never exercise — there every n-gram is seen.
+
+    Exactness: per-trigram NLL rounds to a nano int BEFORE the
+    per-doc sum (the q_lr_train protocol) — order-free, cross-engine
+    identical, including which backoff branch fires (count nullness,
+    no float compare).  Scale shape: the three LM tables are
+    vocabulary-sized aggregates joined back on their own narrow keys;
+    the grand total is a broadcast; the held-out stream shuffles once
+    per key family, all map-side combined."""
+    from shadems_spark.operators.text import _sliding, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = words("text")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    concat2 = lambda a, x: F.concat(a, F.lit(" "), x)
+    t3c = (
+        train.select(F.explode(_sliding(ws, 3, concat2)).alias("tg"))
+        .groupBy("tg").agg(F.count(F.lit(1)).alias("nt"))
+    )
+    b2c = (
+        train.select(F.explode(_sliding(ws, 2, concat2)).alias("bg"))
+        .groupBy("bg").agg(F.count(F.lit(1)).alias("nb"))
+    )
+    u1c = (
+        train.select(F.explode(ws).alias("u"))
+        .groupBy("u").agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = u1c.agg(F.sum("n").alias("tot"))
+    te = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.explode(_sliding(ws, 3, concat2)).alias("tg"))
+        .select(
+            "doc_id",
+            F.split("tg", " ")[0].alias("w1"),
+            F.split("tg", " ")[1].alias("w2"),
+            F.split("tg", " ")[2].alias("w3"),
+        )
+    )
+    j = (
+        te.join(
+            t3c,
+            F.concat_ws(" ", "w1", "w2", "w3") == F.col("tg"),
+            "left",
+        )
+        .drop("tg")
+        .join(
+            b2c.select(F.col("bg").alias("bg12"), F.col("nb").alias("nb12")),
+            F.concat_ws(" ", "w1", "w2") == F.col("bg12"),
+            "left",
+        )
+        .join(
+            b2c.select(F.col("bg").alias("bg23"), F.col("nb").alias("nb23")),
+            F.concat_ws(" ", "w2", "w3") == F.col("bg23"),
+            "left",
+        )
+        .join(
+            u1c.select(F.col("u").alias("w2"), F.col("n").alias("n_w2")),
+            "w2", "left",
+        )
+        .join(
+            u1c.select(F.col("u").alias("w3"), F.col("n").alias("n_w3")),
+            "w3", "left",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    s = F.when(
+        F.col("nt").isNotNull(), F.col("nt") / F.col("nb12").cast("double")
+    ).when(
+        F.col("nb23").isNotNull(),
+        F.lit(0.4) * (F.col("nb23") / F.col("n_w2").cast("double")),
+    ).when(
+        F.col("n_w3").isNotNull(),
+        F.lit(0.16) * (F.col("n_w3") / F.col("tot").cast("double")),
+    ).otherwise(F.lit(0.064) / F.col("tot"))
+    lvl = F.when(F.col("nt").isNotNull(), 0).when(
+        F.col("nb23").isNotNull(), 1
+    ).when(F.col("n_w3").isNotNull(), 2).otherwise(3)
+    sc = j.select(
+        "doc_id",
+        lvl.alias("lvl"),
+        F.round(-F.log(s) * F.lit(1_000_000_000.0)).cast("long").alias("nll_nano"),
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum((F.col("lvl") == 1).cast("long")).alias("bo_bigram"),
+            F.sum((F.col("lvl") >= 2).cast("long")).alias("bo_unigram"),
+            F.sum("nll_nano").alias("nll_nano"),
+            F.round(
+                F.sum("nll_nano")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1_000_000_000.0)),
+                6,
+            ).alias("avg_nll"),
         )
         .orderBy("doc_id")
     )

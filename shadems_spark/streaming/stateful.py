@@ -345,3 +345,108 @@ def stream_minhash_admission(
         .start()
     )
     q.awaitTermination(timeout)
+
+
+def stream_heavy_hitters(
+    item_stream: DataFrame,
+    store_path: str,
+    col: str = "w",
+    m: int = 100,
+    timeout: int = 180,
+) -> None:
+    """Streaming phi-heavy-hitter DISCOVERY (phi = 1/m): maintain a
+    mergeable Misra-Gries summary of the item stream via foreachBatch
+    — the streaming face of operators/profile.py::heavy_hitters.
+
+    Per micro-batch: (1) exact batch item counts (one map-side-combined
+    aggregate); (2) merge with the RESIDENT summary (count sum);
+    (3) Misra-Gries compress — subtract the (m+1)-th largest merged
+    count from everything and drop the non-positives, leaving <= m
+    rows.  The compress step is the Agarwal-et-al mergeable-summaries
+    rule, so after any number of batches every item with true count
+    > N/m still has a positive counter (undercount is bounded by
+    N/(m+1) end-to-end) — the summary support is a guaranteed
+    SUPERSET of the true heavy set, same invariant as the batch
+    operator's per-Arrow-batch phase 1.
+
+    The summary snapshot is written per batch, partitioned by
+    batch_id with dynamic-partition overwrite, and each batch merges
+    against the LATEST snapshot with ``batch_id < current`` — so a
+    replayed batch (foreachBatch's at-least-once mode) re-reads the
+    same resident state and overwrites its own partition with the
+    identical result.
+
+    Driver state per batch is the (m+1)-row threshold lookup — the
+    summary itself never exceeds m rows, so every step is
+    codebook-sized however long the stream runs.  Exact final answers
+    come from ``heavy_hitters_finalize`` (one bounded recount job
+    over the at-rest corpus), which matches the batch operator
+    row-for-row."""
+    summary_path = store_path + "/summary"
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bc = batch_df.groupBy(col).agg(F.sum(F.lit(1)).alias("cnt"))
+        merged = bc
+        try:
+            snaps = spark.read.parquet(summary_path).filter(
+                F.col("batch_id") < batch_id
+            )
+            mx = snaps.agg(F.max("batch_id")).first()[0]
+            if mx is not None:
+                resident = snaps.filter(F.col("batch_id") == mx).select(col, "cnt")
+                merged = (
+                    resident.unionByName(bc)
+                    .groupBy(col)
+                    .agg(F.sum("cnt").alias("cnt"))
+                )
+        except Exception:  # first batch: no store yet
+            pass
+        # (m+1)-th largest merged count = the MG decrement (0 if <= m
+        # distinct items).  Bounded collect: m+1 rows, by construction.
+        top = merged.orderBy(F.col("cnt").desc(), col).limit(m + 1).collect()
+        d = top[m]["cnt"] if len(top) > m else 0
+        out = merged.select(
+            col, (F.col("cnt") - F.lit(int(d))).alias("cnt")
+        ).filter(F.col("cnt") > 0)
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(summary_path)
+        )
+
+    q = (
+        item_stream.writeStream.foreachBatch(step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store_path + "/.ckpt")
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
+def heavy_hitters_finalize(
+    items: DataFrame, store_path: str, col: str = "w", m: int = 100
+) -> DataFrame:
+    """Exact phase-2 recount for ``stream_heavy_hitters``: take the
+    final summary's support as the candidate set (a guaranteed
+    superset of the true heavy set — see the MG bound above), prune
+    the at-rest corpus with a broadcast semi-join, recount exactly,
+    and apply the pure-BIGINT ``n * m > N`` filter.  Because phase 1
+    only ever over-selects, the output is IDENTICAL to the batch
+    operator's (operators/profile.py::heavy_hitters) — parity is
+    pinned in tests/test_streaming.py."""
+    spark = items.sparkSession
+    snaps = spark.read.parquet(store_path + "/summary")
+    mx = snaps.agg(F.max("batch_id")).first()[0]
+    cand = snaps.filter(F.col("batch_id") == mx).select(col).distinct()
+    n_total = items.agg(F.count(F.lit(1)).alias("n_total"))
+    exact = (
+        items.join(F.broadcast(cand), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return exact.crossJoin(F.broadcast(n_total)).filter(
+        F.col("n") * m > F.col("n_total")
+    )

@@ -226,3 +226,33 @@ def test_zorder_aligned_tiles_are_single_runs(spark, sf_dir):
         tile_rm = runs([(oy + j) * 16 + ox + i for i in range(4) for j in range(4)])
         assert tile_z == 1
         assert tile_rm == 4
+
+
+def test_bootstrap_ci_brackets_true_mean(spark, sf_dir):
+    """The 32 Poisson-bootstrap replicate means must scatter AROUND the
+    true mean (it lies inside their min..max), with spread on the order
+    of the CLT standard error and per-replicate effective n within
+    ~4*sqrt(n) of n (sum of n Poisson(1) draws)."""
+    import math
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_bootstrap_ci"][0](spark, sf_dir).collect()
+    assert len(rows) == 32 and len({r["r"] for r in rows}) == 32
+
+    docs = [
+        (r["n_chars"],)
+        for r in load_table(spark, sf_dir, "documents").select("n_chars").collect()
+    ]
+    n = len(docs)
+    vals = [float(v) for (v,) in docs]
+    mu = sum(vals) / n
+    sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / n)
+    se = sd / math.sqrt(n)
+
+    means = sorted(r["mean_chars"] for r in rows)
+    assert means[0] <= mu <= means[-1]
+    assert (means[-1] - means[0]) <= 8 * se  # 32 draws span a few SEs
+    for r in rows:
+        assert abs(r["n_eff"] - n) <= 4 * math.sqrt(n) + 1, (r["r"], r["n_eff"])

@@ -282,3 +282,72 @@ def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
         g.filter(F.col("doc_id") % 97 != 0).join(bench, "ng").count()
     )
     assert sum(r["exact_hits"] for r in rows) == exact
+
+
+def test_winnow_detection_guarantee(spark):
+    """The winnowing contract (k=3, w=4): two docs sharing a word run
+    of length >= w+k-1 = 6 MUST share a fingerprint; docs with no
+    shared 3-gram at all share none."""
+    from shadems_spark.operators.text import winnow_fingerprints, words
+
+    shared_run = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, f"one two {shared_run} three four"),
+        (1, f"five six seven {shared_run} eight"),
+        (2, "p q r s t u v w x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", winnow_fingerprints(words("text"), k=3, w=4).alias("fps")
+    )
+    fps = {r["doc_id"]: set(r["fps"]) for r in df.collect()}
+    assert fps[0] & fps[1], "shared 6-word run must share a fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
+def test_winnow_density_near_theory(spark, sf_dir):
+    """Selected-fingerprint density should sit near the 2/(w+1) = 0.4
+    expectation for w=4 (value-dedup pulls it below; window overlap
+    keeps it well above 1/w)."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_winnow"][0](spark, sf_dir).collect()
+    densities = [r["density"] for r in rows]
+    med = sorted(densities)[len(densities) // 2]
+    assert 0.2 <= med <= 0.5, med
+
+
+def test_kl_drift_information_inequalities(spark, sf_dir):
+    """Gibbs' inequality: every per-source KL >= 0; entropy bounded by
+    ln(vocab); and a source identical to the corpus mix would have
+    KL ~ 0 — the fixture's sources are near-uniform slices of one
+    generator, so KL must be SMALL relative to entropy."""
+    import math
+
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_kl_drift"][0](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        # nano-rounding can push an exactly-zero term a hair negative
+        assert r["kl"] >= -1e-6, (r["source"], r["kl"])
+        assert 0.0 < r["entropy"] <= math.log(r["vocab"]) + 1e-9
+        assert r["kl"] < 0.5 * r["entropy"], (r["source"], r["kl"], r["entropy"])
+
+
+def test_backoff_lm_nonvacuous_and_sane(spark, sf_dir):
+    """Held-out stupid backoff must actually back off (the reason it
+    exists — self-scored LMs never exercise the unseen branches), and
+    NLLs must be positive with the nano-int sum consistent with the
+    rounded average."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_backoff_lm"][0](spark, sf_dir).collect()
+    assert rows
+    assert sum(r["bo_bigram"] + r["bo_unigram"] for r in rows) > 0
+    for r in rows:
+        assert r["doc_id"] % 5 == 0
+        assert r["nll_nano"] > 0 and r["avg_nll"] > 0
+        assert abs(
+            r["avg_nll"] - r["nll_nano"] / (r["n_trigrams"] * 1e9)
+        ) < 1e-6
+        assert r["bo_bigram"] + r["bo_unigram"] <= r["n_trigrams"]

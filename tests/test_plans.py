@@ -411,3 +411,33 @@ def test_bloom_decontaminate_broadcasts_filter(spark):
     p = _plan(spark, "q_bloom_decontaminate")
     assert p.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in p
+
+
+def test_kl_drift_broadcasts_totals(spark):
+    """Per-source totals and the grand total are broadcast; only the
+    (source, word) aggregate and the vocab join shuffle."""
+    p = _plan(spark, "q_kl_drift")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_winnow_selection_is_projection(spark):
+    """Fingerprint selection must be pure projection — no UDF, no
+    extra shuffle before the persisted explode — and the fingerprint
+    expression must be evaluated ONCE: neither collapsed into every
+    window slice (the projection boundary holds: one char-fold per
+    plan branch) nor duplicated into a pushed-down scan filter (the
+    explode_outer rule; both regressions measured 5-7x at sf0.1)."""
+    p = _plan(spark, "q_winnow")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "InMemoryTableScan" in p  # the persisted fp explode
+    assert "DataFilters: [(size" not in p  # no pushed fused-expr filter
+    assert p.count("ascii") <= 2  # one char-fold per cached-build branch
+
+
+def test_bootstrap_single_scan_partial_agg(spark):
+    """The x32 replicate expansion happens BEFORE a map-side-combined
+    aggregate: one scan, partial_sum visible, no join of any kind."""
+    p = _plan(spark, "q_bootstrap_ci")
+    assert "partial_sum" in p
+    assert "Join" not in p

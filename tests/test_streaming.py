@@ -610,3 +610,64 @@ def test_stream_minhash_admission_batch_granular(spark, tmp_path):
         admitted |= set(keep)
     got = {r["doc_id"] for r in spark.read.parquet(store + "/admitted").collect()}
     assert got == admitted and 1 in got and 6 in got
+
+
+def _write_word_batches(spark, tmp_path, batches):
+    """One parquet file per word batch under win/, mtime-ordered (the
+    _write_doc_batches recipe for a bare item stream)."""
+    import os
+    import time
+
+    d = str(tmp_path)
+    os.makedirs(d + "/win", exist_ok=True)
+    now = time.time()
+    for i, ws in enumerate(batches):
+        df = spark.createDataFrame([(w,) for w in ws], "w string")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/wb{i}")
+        src = next(f for f in os.listdir(f"{d}/wb{i}") if f.endswith(".parquet"))
+        dst = f"{d}/win/batch_{i}.parquet"
+        os.rename(f"{d}/wb{i}/{src}", dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    return (
+        spark.readStream.schema("w string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/win")
+    )
+
+
+def test_stream_heavy_hitters_matches_batch(spark, tmp_path):
+    """MG summary across micro-batches + exact finalize == the batch
+    two-phase operator, row for row — including a skewed item whose
+    mass is SPREAD over batches (each batch alone below threshold, so
+    only cross-batch state finds it) — and every snapshot honors the
+    <= m size bound."""
+    from shadems_spark.operators.profile import heavy_hitters
+
+    m = 5
+    # hot/hot2 are the true heavy set (24*5 and 28*5 > N=108); warm
+    # accumulates across batches but stays below phi (8*5 < 108); the
+    # cold tail is distinct per batch (vocab churn stresses MG).
+    batches = [
+        ["hot"] * 6 + ["hot2"] * 7 + ["warm"] * 2
+        + [f"c{b}_{i}" for i in range(12)]
+        for b in range(4)
+    ]
+    stream = _write_word_batches(spark, tmp_path, batches)
+    store = str(tmp_path / "hh_store")
+    ST.stream_heavy_hitters(stream, store, col="w", m=m)
+
+    allw = [w for b in batches for w in b]
+    static = spark.createDataFrame([(w,) for w in allw], "w string")
+    got = sorted(
+        map(tuple, ST.heavy_hitters_finalize(static, store, col="w", m=m).collect())
+    )
+    want = sorted(map(tuple, heavy_hitters(static, "w", m=m).collect()))
+    assert got == want
+    assert {r[0] for r in got} == {"hot", "hot2"}
+
+    # per-snapshot size bound
+    snaps = spark.read.parquet(store + "/summary")
+    sizes = (
+        snaps.groupBy("batch_id").count().collect()
+    )
+    assert sizes and all(r["count"] <= m for r in sizes)

@@ -198,6 +198,16 @@ PROBE_R5 = [
     "q_ccnet_buckets",
     "q_bloom_decontaminate",
     "q_admission_2phase",
+    # second round-5 batch.  q_winnow — selection is a projection,
+    # only minima shuffle: ~linear.  q_kl_drift — vocab-sized join
+    # tables: ~linear.  q_backoff_lm — held-out stream vs vocab-sized
+    # LM tables: ~linear (mutation grows the vocab too, the honest
+    # stress).  q_bootstrap_ci — one scan, 32-row/partition shuffle:
+    # ~linear, flat output.
+    "q_winnow",
+    "q_kl_drift",
+    "q_backoff_lm",
+    "q_bootstrap_ci",
 ]
 
 #: key shift per copy — far above any real key at these scale factors.
