@@ -1200,7 +1200,12 @@ def q_bloom_decontaminate(spark, sf_dir):
     broadcast-joins the corpus (fine while the benchmark is small);
     here the benchmark of ANY size ships as m bits.  At 100 TB the
     corpus side still never shuffles — the probe is a broadcast join
-    on bit, then a per-(doc, gram) count."""
+    on bit, then a per-(doc, gram) count.  The count's shuffle key
+    here carries the gram STRING because the exact audit join needs
+    it (SHUFFLES.md: 14 MB at sf0.1); the production bloom-only
+    variant would key on the 8-byte poly hash instead — collision-
+    safe for the verdict, since the probe bits DERIVE from that hash,
+    so equal-hash grams share a verdict by construction."""
     from shadems_spark.operators.profile import bloom_bits_from_hash
     from shadems_spark.operators.text import _sliding, poly_hash, words
 
