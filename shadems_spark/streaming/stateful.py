@@ -450,3 +450,123 @@ def heavy_hitters_finalize(
     return exact.crossJoin(F.broadcast(n_total)).filter(
         F.col("n") * m > F.col("n_total")
     )
+
+
+def stream_kl_drift(
+    doc_stream: DataFrame,
+    store_path: str,
+    text: str = "text",
+    timeout: int = 180,
+) -> None:
+    """Streaming domain-drift monitor: per micro-batch, KL(batch
+    unigram dist || resident corpus dist) — the online face of
+    q_kl_drift, the alarm that fires when a crawl slice's language
+    suddenly diverges from everything ingested so far.
+
+    Per batch: (1) batch unigram counts (one aggregate); (2) read the
+    LATEST resident count snapshot (``batch_id < current`` — replay-
+    safe like every store here); (3) if a resident exists, compute
+    the drift with Laplace-smoothed reference probabilities
+    p_ref = (n_ref + 1) / (N_ref + V_union)  (V_union = distinct
+    words across resident+batch; smoothing keeps novel words finite —
+    they are exactly the drift signal) and write ONE drift row
+    (batch_id, n_tokens, vocab, novel_words, kl_nano, kl);
+    (4) write the merged count snapshot, partitioned by batch_id with
+    dynamic overwrite.
+
+    The nano-int protocol applies: each word's KL contribution rounds
+    to round(p_b * ln(p_b/p_ref) * 1e9) BEFORE the sum, so the drift
+    value is layout-independent and the batch-replay parity test can
+    recompute it bit-for-bit in plain Python.
+
+    Scale: every frame touched is vocabulary-sized (counts, joins,
+    snapshots); the documents themselves are scanned once for the
+    count aggregate and never stored."""
+    from shadems_spark.operators.text import words
+
+    counts_path = store_path + "/counts"
+    drift_path = store_path + "/drift"
+    nano = F.lit(1_000_000_000.0)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bc = (
+            batch_df.select(F.explode(words(text)).alias("u"))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("nb"))
+        )
+        resident = None
+        try:
+            snaps = spark.read.parquet(counts_path).filter(
+                F.col("batch_id") < batch_id
+            )
+            mx = snaps.agg(F.max("batch_id")).first()[0]
+            if mx is not None:
+                resident = snaps.filter(F.col("batch_id") == mx).select("u", "nr")
+        except Exception:  # first batch: no store yet
+            pass
+        if resident is not None:
+            j = bc.join(resident, "u", "full_outer").select(
+                "u",
+                F.coalesce(F.col("nb"), F.lit(0)).alias("nb"),
+                F.coalesce(F.col("nr"), F.lit(0)).alias("nr"),
+            )
+            # n.b. aliases must not collide case-insensitively with
+            # j's nb/nr (Spark's default resolver is case-insensitive)
+            tot = j.agg(
+                F.sum("nb").alias("nb_tot"),
+                F.sum("nr").alias("nr_tot"),
+                F.count(F.lit(1)).alias("v_union"),
+                F.sum(
+                    ((F.col("nb") > 0) & (F.col("nr") == 0)).cast("long")
+                ).alias("novel"),
+            )
+            pb = F.col("nb") / F.col("nb_tot").cast("double")
+            pref = (F.col("nr") + 1) / (
+                F.col("nr_tot") + F.col("v_union")
+            ).cast("double")
+            drift = (
+                j.filter(F.col("nb") > 0)
+                .crossJoin(F.broadcast(tot))
+                .select(
+                    F.round(pb * F.log(pb / pref) * nano)
+                    .cast("long").alias("t"),
+                    "nb_tot", "v_union", "novel",
+                )
+                .groupBy("nb_tot", "v_union", "novel")
+                .agg(F.sum("t").alias("kl_nano"))
+                .select(
+                    F.lit(batch_id).alias("batch_id"),
+                    F.col("nb_tot").alias("n_tokens"),
+                    F.col("v_union").alias("vocab"),
+                    F.col("novel").alias("novel_words"),
+                    "kl_nano",
+                    F.round(F.col("kl_nano") / nano, 6).alias("kl"),
+                )
+            )
+            (
+                drift.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(drift_path)
+            )
+            merged = j.select(
+                "u", (F.col("nb") + F.col("nr")).alias("nr")
+            ).filter(F.col("nr") > 0)
+        else:
+            merged = bc.select("u", F.col("nb").alias("nr"))
+        (
+            merged.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(counts_path)
+        )
+
+    q = (
+        doc_stream.writeStream.foreachBatch(step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store_path + "/.ckpt")
+        .start()
+    )
+    q.awaitTermination(timeout)

@@ -671,3 +671,62 @@ def test_stream_heavy_hitters_matches_batch(spark, tmp_path):
         snaps.groupBy("batch_id").count().collect()
     )
     assert sizes and all(r["count"] <= m for r in sizes)
+
+
+def test_stream_kl_drift_parity_and_signal(spark, tmp_path):
+    """Replay three batches; recompute every drift row bit-for-bit in
+    plain Python (same Laplace reference, same nano-int rounding —
+    HALF_UP like Spark's round), and check the monitoring signal: an
+    in-distribution batch scores LOWER drift than a vocabulary-shifted
+    one."""
+    import math
+    from collections import Counter
+
+    base = "aa bb cc aa bb aa"
+    batches = [
+        [(0, base), (1, "aa bb cc cc")],
+        [(2, base), (3, "aa bb aa cc")],        # in-distribution
+        [(4, "xx yy zz xx yy xx zz")],          # shifted vocabulary
+    ]
+    stream = _write_doc_batches(spark, tmp_path, batches)
+    store = str(tmp_path / "drift_store")
+    ST.stream_kl_drift(stream, store)
+
+    rows = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(store + "/drift").collect()
+    }
+    assert set(rows) == {1, 2}  # batch 0 has no resident reference
+
+    def half_up(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    resident = Counter()
+    expect = {}
+    for i, b in enumerate(batches):
+        bc = Counter(w for _, t in b for w in t.split(" "))
+        if i > 0:
+            vu = len(set(resident) | set(bc))
+            nb_tot, nr_tot = sum(bc.values()), sum(resident.values())
+            kl_nano = sum(
+                half_up(
+                    (n / nb_tot)
+                    * math.log(
+                        (n / nb_tot)
+                        / ((resident[w] + 1) / (nr_tot + vu))
+                    )
+                    * 1e9
+                )
+                for w, n in bc.items()
+            )
+            novel = sum(1 for w in bc if w not in resident)
+            expect[i] = (nb_tot, vu, novel, kl_nano)
+        resident += bc
+
+    for i in (1, 2):
+        r = rows[i]
+        assert (
+            r["n_tokens"], r["vocab"], r["novel_words"], r["kl_nano"]
+        ) == expect[i], (i, dict(r.asDict()), expect[i])
+    assert rows[2]["kl"] > rows[1]["kl"]  # the shifted batch alarms
+    assert rows[2]["novel_words"] == 3 and rows[1]["novel_words"] == 0
