@@ -1574,3 +1574,52 @@ def q_backoff_lm(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register("q_ccnet_buckets_approx", sql=None)  # approx-quantile cut: engine-specific
+def q_ccnet_buckets_approx(spark, sf_dir):
+    """The PRODUCTION variant q_ccnet_buckets's docstring promises:
+    per-language tercile cuts from approx_percentile (two passes, no
+    per-lang global sort) instead of the exact ntile window.  At
+    100 TB a lang partition is corpus-sized, so sorting it for ntile
+    is the one non-scalable step in the exact form; here pass 1 is a
+    vocabulary-... rather, a LANGUAGE-sized aggregate of two quantile
+    sketches and pass 2 a broadcast-joined bucket projection — both
+    linear scans.
+
+    Rows-only (the t-digest/KLL convention): the sketch cut points
+    are engine-specific, so there is no DuckDB twin; the accuracy pin
+    lives in tests/test_curation.py — bucket agreement vs the exact
+    ntile terciles >= 90%% at sf0.01, per language."""
+    from shadems_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "lang", F.explode(words("text")).alias("u"))
+    uc = w.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
+    tot = uc.agg(F.sum("n").alias("tot"))
+    sc = (
+        w.join(uc, "u")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", "lang",
+            (-F.log(F.col("n") / F.col("tot"))).alias("nll"),
+        )
+    )
+    d = sc.groupBy("doc_id", "lang").agg(
+        F.round(F.avg("nll"), 4).alias("avg_nll")
+    )
+    cuts = d.groupBy("lang").agg(
+        F.percentile_approx("avg_nll", 1.0 / 3).alias("c1"),
+        F.percentile_approx("avg_nll", 2.0 / 3).alias("c2"),
+    )
+    return (
+        d.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id", "lang", "avg_nll",
+            F.when(F.col("avg_nll") <= F.col("c1"), "head")
+            .when(F.col("avg_nll") <= F.col("c2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

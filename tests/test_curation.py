@@ -351,3 +351,28 @@ def test_backoff_lm_nonvacuous_and_sane(spark, sf_dir):
             r["avg_nll"] - r["nll_nano"] / (r["n_trigrams"] * 1e9)
         ) < 1e-6
         assert r["bo_bigram"] + r["bo_unigram"] <= r["n_trigrams"]
+
+
+def test_ccnet_approx_agrees_with_exact(spark, sf_dir):
+    """The approx-quantile production cut must agree with the exact
+    ntile terciles on >= 90% of docs per language (sketch boundary
+    wobble moves only docs AT a cut), and must produce all three
+    buckets for every language."""
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    exact = {
+        r["doc_id"]: r["bucket"]
+        for r in reg["q_ccnet_buckets"][0](spark, sf_dir).collect()
+    }
+    approx = reg["q_ccnet_buckets_approx"][0](spark, sf_dir).collect()
+    assert set(exact) == {r["doc_id"] for r in approx}
+    by_lang: dict = {}
+    for r in approx:
+        st = by_lang.setdefault(r["lang"], {"n": 0, "ok": 0, "buckets": set()})
+        st["n"] += 1
+        st["ok"] += int(exact[r["doc_id"]] == r["bucket"])
+        st["buckets"].add(r["bucket"])
+    for lang, st in by_lang.items():
+        assert st["buckets"] == {"head", "middle", "tail"}, lang
+        assert st["ok"] / st["n"] >= 0.9, (lang, st["ok"] / st["n"])
