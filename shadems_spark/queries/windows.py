@@ -83,6 +83,51 @@ def q_norms(spark, sf_dir):
 
 
 @register(
+    "q_eq_hist_interp",
+    sql=f"""
+    WITH b AS (SELECT * FROM {_BINNED} t),
+    mm AS (SELECT min(CAST(val AS DOUBLE)) AS lo, max(CAST(val AS DOUBLE)) AS hi
+           FROM b),
+    kb AS (SELECT by, bx, CAST(val AS DOUBLE) AS v FROM b),
+    hist AS (SELECT CAST(least(greatest(floor((v - lo) / ((hi - lo) / 64.0)), 0), 63)
+                         AS INT) AS k, count(*) AS h
+             FROM kb, mm GROUP BY 1),
+    dense AS (SELECT CAST(i AS INT) AS k, coalesce(h, 0) AS h
+              FROM range(64) t(i) LEFT JOIN hist ON hist.k = i),
+    cdf AS (SELECT k, sum(h) OVER (ORDER BY k)
+                       / CAST((SELECT count(*) FROM b) AS DOUBLE) AS cdf
+            FROM dense),
+    seg AS (SELECT k, cdf AS cdf_k, lead(cdf) OVER (ORDER BY k) AS cdf_next
+            FROM cdf),
+    sj AS (SELECT by, bx, v,
+                  CAST(least(greatest(floor((v - (lo + (hi - lo) * 0.0078125))
+                                            / ((hi - lo) / 64.0)), 0), 62)
+                       AS INT) AS j,
+                  lo, hi
+           FROM kb, mm)
+    SELECT by, bx, CAST(v AS BIGINT) AS val,
+           round(cdf_k
+                 + least(greatest((v - ((lo + (hi - lo) * 0.0078125)
+                                        + j * ((hi - lo) / 64.0)))
+                                  / ((hi - lo) / 64.0), 0), 1)
+                   * (coalesce(cdf_next, cdf_k) - cdf_k), 6) AS shade
+    FROM sj JOIN seg ON seg.k = sj.j
+    """,
+)
+def q_eq_hist_interp(spark, sf_dir):
+    """W1 interpolation variant (operators/normalize.py::
+    eq_hist_interp): datashader's binned-histogram eq_hist — 64-bin
+    CDF at bin centers, piecewise-linear interpolation per pixel —
+    vs q_eq_hist's exact empirical CDF.  Deterministic arithmetic
+    end-to-end, so the interpolation itself is hash-exact against
+    the unrolled SQL mirror."""
+    out = N.eq_hist_interp(_binned(spark, sf_dir), n_bins=64)
+    return out.select(
+        "by", "bx", "val", F.round("shade", 6).alias("shade")
+    )
+
+
+@register(
     "q_rank",
     sql="""
     SELECT event_id, user_id,

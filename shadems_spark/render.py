@@ -22,7 +22,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame
 
-from shadems_spark.operators.normalize import eq_hist, norm
+from shadems_spark.operators.normalize import eq_hist, eq_hist_interp, norm
 
 #: colormap name -> anchor colors (linear-interpolated, 256-entry LUT).
 #: Names follow the colorcet/matplotlib/cmasher families shadeMS
@@ -95,6 +95,8 @@ def shade(binned: DataFrame, how: str = "eq_hist", val: str = "val") -> DataFram
     """Engine-side normalization dispatch (W1/W2): shade ∈ [0,1]."""
     if how == "eq_hist":
         return eq_hist(binned, val=val)
+    if how == "eq_hist_interp":
+        return eq_hist_interp(binned, val=val)
     return norm(binned, how, val=val)
 
 

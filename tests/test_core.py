@@ -256,3 +256,31 @@ def test_bootstrap_ci_brackets_true_mean(spark, sf_dir):
     assert (means[-1] - means[0]) <= 8 * se  # 32 draws span a few SEs
     for r in rows:
         assert abs(r["n_eff"] - n) <= 4 * math.sqrt(n) + 1, (r["r"], r["n_eff"])
+
+
+def test_eq_hist_interp_monotone_and_bounded(spark, sf_dir):
+    """The interpolated equalization must be monotone in the pixel
+    value, land in [0,1], agree with the exact-CDF form on ORDER
+    (same ranking of distinct values), and give tied values tied
+    shades."""
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    interp = reg["q_eq_hist_interp"][0](spark, sf_dir).collect()
+    exact = {
+        (r["by"], r["bx"]): r["shade"]
+        for r in reg["q_eq_hist"][0](spark, sf_dir).collect()
+    }
+    by_val: dict = {}
+    for r in interp:
+        assert 0.0 <= r["shade"] <= 1.0
+        by_val.setdefault(r["val"], set()).add(r["shade"])
+    assert all(len(s) == 1 for s in by_val.values())  # ties -> tied shade
+    vals = sorted(by_val)
+    shades = [next(iter(by_val[v])) for v in vals]
+    assert all(a <= b for a, b in zip(shades, shades[1:]))  # monotone
+    # order agreement with the exact empirical CDF
+    pairs = [(r["shade"], exact[(r["by"], r["bx"])]) for r in interp]
+    pairs.sort()
+    ex = [e for _, e in pairs]
+    assert all(a <= b + 1e-9 for a, b in zip(ex, ex[1:]))
