@@ -1623,3 +1623,101 @@ def q_ccnet_buckets_approx(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_doremi",
+    sql="""
+    WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS u
+               FROM documents),
+    uc AS (SELECT u, count(*) AS n FROM w GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM uc),
+    sc AS (SELECT w.source,
+                  CAST(round(-ln(uc.n / CAST(tot AS DOUBLE)) * 1000000000.0)
+                       AS BIGINT) AS nll_nano
+           FROM w JOIN uc USING (u) CROSS JOIN tot),
+    ls AS (SELECT source, count(*) AS n_tokens,
+                  CAST(sum(nll_nano) AS BIGINT) AS nll_sum
+           FROM sc GROUP BY 1),
+    lm AS (SELECT source, n_tokens, nll_sum,
+                  CAST(floor(nll_sum / n_tokens) AS BIGINT) AS loss_nano
+           FROM ls),
+    mn AS (SELECT min(loss_nano) AS lo, count(*) AS k FROM lm),
+    ex AS (SELECT source, n_tokens, loss_nano,
+                  loss_nano - lo AS excess_nano,
+                  CAST(round(exp(1.0 * ((loss_nano - lo) / 1000000000.0))
+                             * 1000000000.0) AS BIGINT) AS e_nano,
+                  k
+           FROM lm, mn),
+    s AS (SELECT CAST(sum(e_nano) AS BIGINT) AS se FROM ex)
+    SELECT source, n_tokens,
+           round(loss_nano / 1000000000.0, 6) AS loss,
+           round(excess_nano / 1000000000.0, 6) AS excess,
+           round(0.9 * (e_nano / CAST(se AS DOUBLE)) + 0.1 / k, 6) AS weight
+    FROM ex, s ORDER BY source
+    """,
+)
+def q_doremi(spark, sf_dir):
+    """DoReMi-style domain reweighting (arXiv:2305.10429, one
+    exponentiated-gradient step): per-SOURCE proxy loss = mean token
+    NLL under the corpus-self-trained unigram LM, excess loss vs the
+    best domain, then the EG update w ∝ exp(eta·excess) smoothed with
+    the uniform mixture ((1−eps)·softmax + eps/K, eta=1, eps=0.1) —
+    upweighting the domains the proxy model finds hardest, the
+    paper's core move with the LM-retraining loop collapsed to the
+    fixed proxy (the honest offline reduction).
+
+    Exactness protocol: per-token NLL nano-ints (order-free sums),
+    per-domain mean by integer floor division, exp rounded once to a
+    nano int per domain BEFORE the normalizing sum — so softmax
+    weights are identical on both engines and any layout.  Scale:
+    one word-keyed scoring join (the q_unigram_lm plan) + one
+    domains-sized aggregate; the EG step itself touches K rows."""
+    from shadems_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    nano = F.lit(1_000_000_000.0)
+    w = docs.select("source", F.explode(words("text")).alias("u"))
+    uc = w.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
+    tot = uc.agg(F.sum("n").alias("tot"))
+    sc = (
+        w.join(uc, "u")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(-F.log(F.col("n") / F.col("tot")) * nano)
+            .cast("long").alias("nll_nano"),
+        )
+    )
+    lm = sc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("nll_nano").alias("nll_sum"),
+    ).select(
+        "source", "n_tokens",
+        F.floor(F.col("nll_sum") / F.col("n_tokens")).cast("long")
+        .alias("loss_nano"),
+    )
+    mn = lm.agg(F.min("loss_nano").alias("lo"), F.count(F.lit(1)).alias("k"))
+    ex = lm.crossJoin(F.broadcast(mn)).select(
+        "source", "n_tokens", "loss_nano", "k",
+        (F.col("loss_nano") - F.col("lo")).alias("excess_nano"),
+        F.round(
+            F.exp(F.lit(1.0) * ((F.col("loss_nano") - F.col("lo")) / nano))
+            * nano
+        ).cast("long").alias("e_nano"),
+    )
+    se = ex.agg(F.sum("e_nano").alias("se"))
+    return (
+        ex.crossJoin(F.broadcast(se))
+        .select(
+            "source", "n_tokens",
+            F.round(F.col("loss_nano") / nano, 6).alias("loss"),
+            F.round(F.col("excess_nano") / nano, 6).alias("excess"),
+            F.round(
+                F.lit(0.9) * (F.col("e_nano") / F.col("se").cast("double"))
+                + F.lit(0.1) / F.col("k"),
+                6,
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )

@@ -376,3 +376,23 @@ def test_ccnet_approx_agrees_with_exact(spark, sf_dir):
     for lang, st in by_lang.items():
         assert st["buckets"] == {"head", "middle", "tail"}, lang
         assert st["ok"] / st["n"] >= 0.9, (lang, st["ok"] / st["n"])
+
+
+def test_doremi_weights_are_a_distribution_ordered_by_loss(spark, sf_dir):
+    """EG invariants: weights sum to 1 (within rounding), every weight
+    >= eps/K (the uniform smoothing floor), and weight order follows
+    loss order (harder domains get more weight)."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_doremi"][0](spark, sf_dir).collect()
+    k = len(rows)
+    assert k >= 2
+    total = sum(r["weight"] for r in rows)
+    assert abs(total - 1.0) < 1e-4, total
+    floor = 0.1 / k
+    for r in rows:
+        assert r["weight"] >= floor - 1e-9
+        assert r["excess"] >= 0.0
+    by_loss = sorted(rows, key=lambda r: r["loss"])
+    ws = [r["weight"] for r in by_loss]
+    assert all(a <= b + 1e-9 for a, b in zip(ws, ws[1:]))

@@ -322,3 +322,51 @@ def test_pagerank_mass_and_positivity_law(spark, edges):
     total = sum(r["r"] for r in out)
     assert all(r["r"] > 0 for r in out)
     assert SCALE - n * 4 * 100 <= total <= SCALE
+
+
+hh_words = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+    min_size=1, max_size=60,
+)
+
+
+@given(ws=hh_words, m=st.sampled_from([2, 3, 5, 10]))
+@settings(**SETTINGS)
+def test_heavy_hitters_matches_counter_law(spark, ws, m):
+    """For ANY input and threshold, the two-phase operator returns
+    exactly {w : count(w)*m > N} with exact counts — the Counter
+    reference — regardless of partitioning."""
+    from collections import Counter
+
+    from shadems_spark.operators.profile import heavy_hitters
+
+    df = spark.createDataFrame([(w,) for w in ws], "w string").repartition(3)
+    got = sorted(
+        (r["w"], r["n"]) for r in heavy_hitters(df, "w", m=m).collect()
+    )
+    c = Counter(ws)
+    want = sorted((w, n) for w, n in c.items() if n * m > len(ws))
+    assert got == want
+
+
+@given(
+    shared=st.lists(st.sampled_from("abcdef"), min_size=6, max_size=10),
+    pre=st.lists(st.sampled_from("uvwxyz"), min_size=0, max_size=5),
+    post=st.lists(st.sampled_from("nopqrs"), min_size=0, max_size=5),
+)
+@settings(**SETTINGS)
+def test_winnow_guarantee_law(spark, shared, pre, post):
+    """Winnowing detection law (k=3, w=4): any two docs sharing a
+    word run of length >= w+k-1 = 6 share at least one fingerprint,
+    wherever the run sits in either document."""
+    from shadems_spark.operators.text import winnow_fingerprints
+
+    d0 = " ".join(pre + shared)
+    d1 = " ".join(shared + post)
+    df = spark.createDataFrame(
+        [(0, d0), (1, d1)], "doc_id long, text string"
+    ).select(
+        "doc_id", winnow_fingerprints(words("text"), k=3, w=4).alias("fps")
+    )
+    fps = {r["doc_id"]: set(r["fps"]) for r in df.collect()}
+    assert fps[0] & fps[1]
