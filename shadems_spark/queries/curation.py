@@ -1721,3 +1721,61 @@ def q_doremi(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_curriculum",
+    sql="""
+    WITH q AS (SELECT doc_id, source,
+                      round((least(1.0, n_chars / 400.0)
+                             + len(list_distinct(string_split(text, ' ')))
+                               / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                            / 2.0, 6) AS quality
+               FROM documents),
+    r AS (SELECT doc_id, source, quality,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY quality DESC, doc_id) AS rn
+          FROM q),
+    d AS (SELECT *, dense_rank() OVER (ORDER BY source) AS src_rk,
+                 (SELECT count(DISTINCT source) FROM q) AS k
+          FROM r)
+    SELECT doc_id, source, quality,
+           CAST(ntile(4) OVER (ORDER BY quality DESC, doc_id) AS INT) AS stage,
+           CAST((rn - 1) * k + src_rk AS BIGINT) AS position
+    FROM d ORDER BY position
+    """,
+)
+def q_curriculum(spark, sf_dir):
+    """Curriculum data ordering: the training-order construction
+    stage — easiest/cleanest examples first (quality-descending
+    within each domain), domains INTERLEAVED round-robin so no
+    contiguous run starves the mixture (position = (rank_in_domain-1)
+    * K + domain_index), plus a 4-stage curriculum bucket over global
+    quality.  Pure window arithmetic on deterministic keys: the
+    emitted order is reproducible across engines, layouts and runs —
+    which is the whole point of a curriculum you can audit.
+
+    Scale shape: one per-domain window (domain-partitioned sort) and
+    the deterministic interleave projection; the global ntile rides
+    the same caveat as q_ccnet_buckets, with the approx-quantile cut
+    as the documented production swap."""
+    from shadems_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "source", "quality")
+    rw = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    r = q.withColumn("rn", F.row_number().over(rw))
+    k_src = q.agg(F.countDistinct("source").alias("k"))
+    d = r.withColumn(
+        "src_rk", F.dense_rank().over(Window.partitionBy(F.lit(0)).orderBy("source"))
+    ).crossJoin(F.broadcast(k_src))
+    return d.select(
+        "doc_id", "source", "quality",
+        F.ntile(4).over(
+            Window.partitionBy(F.lit(0)).orderBy(F.col("quality").desc(), "doc_id")
+        ).cast("int").alias("stage"),
+        ((F.col("rn") - 1) * F.col("k") + F.col("src_rk"))
+        .cast("long").alias("position"),
+    ).orderBy("position")

@@ -396,3 +396,27 @@ def test_doremi_weights_are_a_distribution_ordered_by_loss(spark, sf_dir):
     by_loss = sorted(rows, key=lambda r: r["loss"])
     ws = [r["weight"] for r in by_loss]
     assert all(a <= b + 1e-9 for a, b in zip(ws, ws[1:]))
+
+
+def test_curriculum_interleave_laws(spark, sf_dir):
+    """Positions are a permutation of 1..N; within each source,
+    position strictly increases as quality decreases (rank order);
+    and the first K positions contain exactly one doc per source
+    (round-robin interleave)."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_curriculum"][0](spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r["position"] for r in rows) == list(range(1, n + 1))
+    srcs = {r["source"] for r in rows}
+    k = len(srcs)
+    head = sorted(rows, key=lambda r: r["position"])[:k]
+    assert {r["source"] for r in head} == srcs
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["position"], r["quality"]))
+    for src, ps in by_src.items():
+        ps.sort()
+        qs = [q for _, q in ps]
+        assert all(a >= b for a, b in zip(qs, qs[1:])), src
+    assert {r["stage"] for r in rows} == {1, 2, 3, 4}
