@@ -1144,3 +1144,127 @@ def q_bootstrap_ci(spark, sf_dir):
         )
         .orderBy("r")
     )
+
+
+@register(
+    "q_anomaly",
+    sql="""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                          count(*) AS x
+                   FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type, count(*) AS n,
+                  CAST(sum(x) AS BIGINT) AS s,
+                  CAST(sum(x * x) AS BIGINT) AS q
+           FROM daily GROUP BY 1)
+    SELECT daily.event_type, d, x,
+           round((x - s / CAST(n AS DOUBLE))
+                 / sqrt((q - s * (s / CAST(n AS DOUBLE))) / n), 6) AS z,
+           CAST(abs((x - s / CAST(n AS DOUBLE))
+                    / sqrt((q - s * (s / CAST(n AS DOUBLE))) / n)) >= 2.0
+                AS INT) AS is_anomaly
+    FROM daily JOIN st USING (event_type)
+    ORDER BY event_type, d
+    """,
+)
+def q_anomaly(spark, sf_dir):
+    """Daily-count anomaly scoring per event type: z-score of each
+    day's volume against the type's own mean/std — the first-line
+    volume-monitoring alert.  Mean and variance come from EXACT
+    integer sums (S, Q over daily counts), so the float arithmetic is
+    a fixed expression both engines evaluate identically; every daily
+    row is emitted with its z and flag (non-vacuous regardless of
+    whether the fixture contains a true spike).  One groupBy over
+    events, one type-sized join."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("d", F.to_date("ts"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    mean = F.col("s") / F.col("n").cast("double")
+    std = F.sqrt(
+        (F.col("q") - F.col("s") * (F.col("s") / F.col("n").cast("double")))
+        / F.col("n")
+    )
+    z = (F.col("x") - mean) / std
+    return (
+        daily.join(F.broadcast(st), "event_type")
+        .select(
+            "event_type", "d", "x",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) >= 2.0).cast("int").alias("is_anomaly"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+@register(
+    "q_cusum",
+    sql="""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                          count(*) AS x
+                   FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS s
+           FROM daily GROUP BY 1),
+    c AS (SELECT daily.event_type, d, n,
+                 sum(x) OVER (PARTITION BY daily.event_type ORDER BY d)
+                 - (row_number() OVER (PARTITION BY daily.event_type
+                                       ORDER BY d))
+                   * (s / CAST(n AS DOUBLE)) AS cusum
+          FROM daily JOIN st USING (event_type)),
+    r AS (SELECT event_type, d, n, cusum,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY abs(cusum) DESC, d) AS rk
+          FROM c)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days, d AS cp_day,
+           round(cusum, 6) AS cusum_at_cp
+    FROM r WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def q_cusum(spark, sf_dir):
+    """CUSUM changepoint detection per event type: cumulative sum of
+    deviations from the series mean over the daily-count series, with
+    the candidate changepoint at argmax |CUSUM| (earliest day on
+    ties) — the classic level-shift detector behind pipeline-volume
+    regression alarms.  Prefix sums are exact integers; the mean
+    enters once as a fixed double expression, so the argmax and its
+    magnitude are engine- and layout-exact.  One groupBy + one
+    type-partitioned window over a days×types-sized frame."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("d", F.to_date("ts"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    ow = Window.partitionBy("event_type").orderBy("d")
+    c = (
+        daily.join(F.broadcast(st), "event_type")
+        .withColumn(
+            "cusum",
+            F.sum("x").over(ow)
+            - F.row_number().over(ow)
+            * (F.col("s") / F.col("n").cast("double")),
+        )
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "d"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("d").alias("cp_day"),
+            F.round("cusum", 6).alias("cusum_at_cp"),
+        )
+        .orderBy("event_type")
+    )

