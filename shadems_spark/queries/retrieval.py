@@ -837,3 +837,95 @@ def q_heavy_hitters(spark, sf_dir):
         "bg", "n", "n_total",
         F.round(F.col("n") / F.col("n_total"), 6).alias("freq"),
     ).orderBy(F.col("n").desc(), "bg")
+
+
+@register(
+    "q_centroid_sim",
+    sql="""
+    WITH e AS (SELECT label, k, CAST(round(CAST(v AS DOUBLE) * 1000000.0)
+                                     AS BIGINT) AS vi
+               FROM (SELECT label, unnest(embedding) AS v,
+                            generate_subscripts(embedding, 1) - 1 AS k
+                     FROM embeddings)),
+    s AS (SELECT label, k, CAST(sum(vi) AS BIGINT) AS sv, count(*) AS n
+          FROM e GROUP BY 1, 2),
+    c AS (SELECT label, list(sv / (1000000.0 * n) ORDER BY k) AS cen,
+                 any_value(n) AS n
+          FROM s GROUP BY 1),
+    p AS (SELECT a.label AS label_a, b.label AS label_b,
+                 a.n AS n_a, b.n AS n_b,
+                 list_reduce(list_prepend(0.0,
+                     [a.cen[i+1] * b.cen[i+1] for i in range(64)]),
+                     (x, y) -> x + y) AS dot,
+                 sqrt(list_reduce(list_prepend(0.0,
+                     [a.cen[i+1] * a.cen[i+1] for i in range(64)]),
+                     (x, y) -> x + y)) AS na,
+                 sqrt(list_reduce(list_prepend(0.0,
+                     [b.cen[i+1] * b.cen[i+1] for i in range(64)]),
+                     (x, y) -> x + y)) AS nb
+          FROM c a JOIN c b ON a.label < b.label)
+    SELECT label_a, label_b, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(dot / (na * nb), 6) AS cos_sim
+    FROM p ORDER BY label_a, label_b
+    """,
+)
+def q_centroid_sim(spark, sf_dir):
+    """Cluster-separation audit: cosine similarity between per-LABEL
+    embedding centroids — the dashboard that tells you whether your
+    class/domain clusters are collapsing (centroids drifting
+    together) before you waste a training run.
+
+    Exactness for float aggregation: each float32 component rounds to
+    a MICRO int before the cross-row sum (order-free exact integers);
+    the centroid mean divides once, and the 64-term cosine folds in
+    component order on both engines — so a floating-point vector
+    statistic gets a hash-exact oracle.  Scale: one posexplode +
+    (label, k) aggregate (map-side combined, labels×64 rows out);
+    the pairwise step touches a labels-sized table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("k", "v")
+    ).select(
+        "label", "k",
+        F.round(F.col("v").cast("double") * F.lit(1_000_000.0))
+        .cast("long").alias("vi"),
+    )
+    s = e.groupBy("label", "k").agg(
+        F.sum("vi").alias("sv"), F.count(F.lit(1)).alias("n")
+    )
+    c = s.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("k", "sv", "n"))),
+            lambda x: x["sv"] / (F.lit(1_000_000.0) * x["n"]),
+        ).alias("cen"),
+        F.first("n").alias("n"),
+    )
+    a = c.select(
+        F.col("label").alias("label_a"), F.col("cen").alias("ca"),
+        F.col("n").alias("n_a"),
+    )
+    b = c.select(
+        F.col("label").alias("label_b"), F.col("cen").alias("cb"),
+        F.col("n").alias("n_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nrm = lambda col: F.sqrt(
+        F.aggregate(
+            F.zip_with(col, col, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a", "label_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(dot / (nrm("ca") * nrm("cb")), 6).alias("cos_sim"),
+        )
+        .orderBy("label_a", "label_b")
+    )

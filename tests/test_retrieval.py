@@ -538,3 +538,21 @@ def test_heavy_hitters_threshold_is_strict(spark):
     vals = ["edge"] * 10 + [f"x{i}" for i in range(90)]  # 10*10 == 100
     df = spark.createDataFrame([(v,) for v in vals], "w string")
     assert heavy_hitters(df, "w", m=10).count() == 0
+
+
+def test_centroid_sim_bounds_and_self_separation(spark, sf_dir):
+    """Cosine values in [-1, 1]; all label pairs present exactly once
+    (K choose 2 rows); and the fixture's labeled clusters are
+    separated — mean inter-centroid cosine stays below 0.9 (collapse
+    would push everything toward 1)."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_centroid_sim"][0](spark, sf_dir).collect()
+    labels = {r["label_a"] for r in rows} | {r["label_b"] for r in rows}
+    k = len(labels)
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["cos_sim"] <= 1.0 + 1e-9
+        assert r["label_a"] < r["label_b"]
+    mean = sum(r["cos_sim"] for r in rows) / len(rows)
+    assert mean < 0.9, mean
