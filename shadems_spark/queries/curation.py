@@ -1779,3 +1779,53 @@ def q_curriculum(spark, sf_dir):
         ((F.col("rn") - 1) * F.col("k") + F.col("src_rk"))
         .cast("long").alias("position"),
     ).orderBy("position")
+
+
+@register(
+    "q_dedup_keep_best",
+    sql="""
+    WITH q AS (SELECT doc_id, source, left(text, 100) AS k,
+                      round((least(1.0, n_chars / 400.0)
+                             + len(list_distinct(string_split(text, ' ')))
+                               / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                            / 2.0, 6) AS quality
+               FROM documents),
+    g AS (SELECT k FROM q GROUP BY k HAVING count(*) > 1),
+    d AS (SELECT q.doc_id, q.source, q.quality,
+                 row_number() OVER (PARTITION BY q.k
+                                    ORDER BY quality DESC, doc_id) AS rk,
+                 count(*) OVER (PARTITION BY q.k) AS n_dups
+          FROM q JOIN g USING (k))
+    SELECT doc_id, source, quality, CAST(n_dups AS BIGINT) AS n_dups,
+           CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM d ORDER BY doc_id
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Dup-group representative selection — the production KEEP
+    POLICY: within each duplicate group (100-char-prefix key, the
+    q_split_leakage non-vacuous relation), keep the HIGHEST-quality
+    member (tie: smallest doc_id) instead of q_dedup_exact's
+    keep-smallest-id; every group member is emitted with its verdict
+    so the drop set is auditable.  Shape: one group-keyed window over
+    only the duplicated groups (the semi-join prunes the unique ~99%
+    before the window), quality fused into the scan."""
+    from shadems_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select(
+        "doc_id", "source", F.substring("text", 1, 100).alias("k"), "quality"
+    )
+    g = q.groupBy("k").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") > 1
+    ).select("k")
+    kw = Window.partitionBy("k")
+    d = q.join(g, "k", "left_semi").withColumn(
+        "rk",
+        F.row_number().over(kw.orderBy(F.col("quality").desc(), "doc_id")),
+    ).withColumn("n_dups", F.count(F.lit(1)).over(kw))
+    return d.select(
+        "doc_id", "source", "quality",
+        F.col("n_dups").cast("long").alias("n_dups"),
+        (F.col("rk") == 1).cast("int").alias("keep"),
+    ).orderBy("doc_id")

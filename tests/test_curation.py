@@ -420,3 +420,18 @@ def test_curriculum_interleave_laws(spark, sf_dir):
         qs = [q for _, q in ps]
         assert all(a >= b for a, b in zip(qs, qs[1:])), src
     assert {r["stage"] for r in rows} == {1, 2, 3, 4}
+
+
+def test_dedup_keep_best_policy_laws(spark, sf_dir):
+    """Exactly one keeper per dup group; the keeper has max quality in
+    its group (tie: smallest doc_id); singletons never appear."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_dedup_keep_best"][0](spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_dups"] >= 2 for r in rows)
+    kept = sum(r["keep"] for r in rows)
+    groups = sum(1 / r["n_dups"] for r in rows)  # each group sums to 1
+    assert abs(groups - kept) < 1e-9
+    best_q = max(r["quality"] for r in rows)
+    assert any(r["keep"] == 1 and r["quality"] == best_q for r in rows)

@@ -208,6 +208,18 @@ PROBE_R5 = [
     "q_kl_drift",
     "q_backoff_lm",
     "q_bootstrap_ci",
+    # third round-5 batch.  q_doremi / q_kl_drift-shaped: vocab-sized
+    # joins, K-row EG step: ~linear.  q_curriculum — per-domain window
+    # + global ntile: the ntile caveat (documented production swap).
+    # q_anomaly / q_cusum — days x types frames after one aggregate:
+    # ~linear in the scan.  q_centroid_sim — (label, k) aggregate then
+    # labels-sized pairs: ~linear.  q_eq_hist_interp — raster-bounded.
+    "q_doremi",
+    "q_curriculum",
+    "q_anomaly",
+    "q_cusum",
+    "q_centroid_sim",
+    "q_eq_hist_interp",
 ]
 
 #: key shift per copy — far above any real key at these scale factors.
@@ -344,7 +356,7 @@ def main() -> None:
             ["documents"] if docs_only
             else ["documents", "events"] if round3
             else ["documents", "embeddings", "lineitem", "orders"] if r4x100
-            else ["documents", "embeddings"] if round5
+            else ["documents", "embeddings", "events"] if round5
             else None
         ),
         mutate_docs=docs_only or round3 or r4x100 or round5,
