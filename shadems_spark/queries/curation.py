@@ -1829,3 +1829,38 @@ def q_dedup_keep_best(spark, sf_dir):
         F.col("n_dups").cast("long").alias("n_dups"),
         (F.col("rk") == 1).cast("int").alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_kanon",
+    sql="""
+    WITH q AS (SELECT doc_id, source, lang,
+                      CAST(n_chars // 100 AS BIGINT) AS len_bucket
+               FROM documents),
+    g AS (SELECT source, lang, len_bucket, count(*) AS k
+          FROM q GROUP BY 1, 2, 3)
+    SELECT source, lang, len_bucket, CAST(k AS BIGINT) AS k,
+           CAST(CASE WHEN k < 5 THEN 1 ELSE 0 END AS INT) AS suppress
+    FROM g ORDER BY source, lang, len_bucket
+    """,
+)
+def q_kanon(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier tuple (source,
+    lang, length-bucket): any equivalence class with k < 5 members is
+    re-identification-risky and flagged for suppression — the
+    small-cell check privacy review runs before a corpus ships.
+    One map-side-combined aggregate; the class table is
+    quasi-identifier-domain-sized, never row-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "source", "lang",
+            (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        )
+        .groupBy("source", "lang", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return g.select(
+        "source", "lang", "len_bucket", F.col("k").cast("long").alias("k"),
+        (F.col("k") < 5).cast("int").alias("suppress"),
+    ).orderBy("source", "lang", "len_bucket")

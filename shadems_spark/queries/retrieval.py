@@ -929,3 +929,73 @@ def q_centroid_sim(spark, sf_dir):
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@register(
+    "q_embed_outliers",
+    sql="""
+    WITH e AS (SELECT vec_id, label, k,
+                      CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS vi
+               FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                            generate_subscripts(embedding, 1) - 1 AS k
+                     FROM embeddings)),
+    c AS (SELECT label, k, CAST(sum(vi) AS BIGINT) AS sv, count(*) AS n
+          FROM e GROUP BY 1, 2),
+    d AS (SELECT e.vec_id, e.label,
+                 sum((e.vi / 1000000.0 - c.sv / (1000000.0 * c.n))
+                     * (e.vi / 1000000.0 - c.sv / (1000000.0 * c.n))) AS d2
+          FROM e JOIN c USING (label, k) GROUP BY 1, 2),
+    r AS (SELECT vec_id, label, round(sqrt(d2), 6) AS dist,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY round(sqrt(d2), 6) DESC,
+                                             vec_id) AS rk
+          FROM d)
+    SELECT vec_id, label, dist FROM r WHERE rk <= 3
+    ORDER BY label, dist DESC, vec_id
+    """,
+)
+def q_embed_outliers(spark, sf_dir):
+    """Embedding outlier detection: per LABEL, the 3 vectors farthest
+    (euclidean) from their own label centroid — the mislabeled-or-
+    garbage screen run before fine-tuning on labeled embeddings.
+
+    Exactness (the q_centroid_sim protocol, one step weaker):
+    components micro-int-rounded once and centroids from exact
+    integer sums, but the per-vector d2 is a 64-term float sum whose
+    ORDER a hash aggregate does not fix — so the comparison surface
+    is the 6dp-ROUNDED distance (with vec_id tie-break): 64-term sums
+    at these magnitudes agree to ~1e-12 across summation orders, far
+    inside the rounding, and both the ranking and the driver hash use
+    only the rounded column.  Scale: one posexplode, a (label, k)
+    centroid aggregate, one join back; top-3 via label-partitioned
+    window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("k", "v")
+    ).select(
+        "vec_id", "label", "k",
+        F.round(F.col("v").cast("double") * F.lit(1_000_000.0))
+        .cast("long").alias("vi"),
+    )
+    c = e.groupBy("label", "k").agg(
+        F.sum("vi").alias("sv"), F.count(F.lit(1)).alias("n")
+    )
+    diff = (
+        F.col("vi") / F.lit(1_000_000.0)
+        - F.col("sv") / (F.lit(1_000_000.0) * F.col("n"))
+    )
+    d = (
+        e.join(c, ["label", "k"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    rk = Window.partitionBy("label").orderBy(
+        F.round(F.sqrt("d2"), 6).desc(), "vec_id"
+    )
+    return (
+        d.withColumn("dist", F.round(F.sqrt("d2"), 6))
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 3)
+        .select("vec_id", "label", "dist")
+        .orderBy("label", F.col("dist").desc(), "vec_id")
+    )

@@ -556,3 +556,47 @@ def test_centroid_sim_bounds_and_self_separation(spark, sf_dir):
         assert r["label_a"] < r["label_b"]
     mean = sum(r["cos_sim"] for r in rows) / len(rows)
     assert mean < 0.9, mean
+
+
+def test_embed_outliers_planted_far_vector(spark):
+    """A vector far from its label's cluster must rank as that
+    label's #1 outlier (operator logic replayed on a synthetic
+    frame via the same SQL the query registers)."""
+    from shadems_spark.queries import load_registry  # noqa: F401
+
+    rows = [(i, 0, [0.1] * 4) for i in range(8)]
+    rows.append((99, 0, [5.0, -5.0, 5.0, -5.0]))  # planted outlier
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    e = df.select(
+        "vec_id", "label", F.posexplode("embedding").alias("k", "v")
+    ).select(
+        "vec_id", "label", "k",
+        F.round(F.col("v").cast("double") * 1_000_000.0).cast("long").alias("vi"),
+    )
+    c = e.groupBy("label", "k").agg(
+        F.sum("vi").alias("sv"), F.count(F.lit(1)).alias("n")
+    )
+    diff = F.col("vi") / 1_000_000.0 - F.col("sv") / (1_000_000.0 * F.col("n"))
+    d = (
+        e.join(c, ["label", "k"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    top = d.orderBy(F.col("d2").desc()).first()
+    assert top["vec_id"] == 99
+
+
+def test_kanon_flags_small_cells(spark, sf_dir):
+    """Every class with k < 5 (and only those) carries suppress=1, and
+    class sizes sum to the table's row count."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_kanon"][0](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["k"] for r in rows) == n
+    for r in rows:
+        assert r["suppress"] == (1 if r["k"] < 5 else 0)
+    assert any(r["suppress"] == 1 for r in rows)  # fixture has small cells
