@@ -1864,3 +1864,37 @@ def q_kanon(spark, sf_dir):
         "source", "lang", "len_bucket", F.col("k").cast("long").alias("k"),
         (F.col("k") < 5).cast("int").alias("suppress"),
     ).orderBy("source", "lang", "len_bucket")
+
+
+@register(
+    "q_group_folds",
+    sql="""
+    WITH s AS (SELECT doc_id, left(text, 100) AS k FROM documents),
+    g AS (SELECT k, min(doc_id) AS rep FROM s GROUP BY 1),
+    a AS (SELECT s.doc_id, g.rep,
+                 CAST((g.rep * 2654435761) % 4294967296 % 5 AS INT) AS fold
+          FROM s JOIN g USING (k))
+    SELECT doc_id, rep, fold FROM a ORDER BY doc_id
+    """,
+)
+def q_group_folds(spark, sf_dir):
+    """Leakage-safe GROUP k-fold assignment — the FIX for what
+    q_split_leakage audits: fold membership derives from the dup
+    GROUP's representative (min doc_id over the 100-char-prefix key),
+    not the document, so near-identical documents can never straddle
+    folds and contaminate cross-validation.  The Knuth-hash fold
+    assignment is the same deterministic scheme q_split_leakage's
+    splits use — auditable, engine-exact, reproducible.  Shape: one
+    group aggregate + one key join; the assignment is a projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select("doc_id", F.substring("text", 1, 100).alias("k"))
+    g = s.groupBy("k").agg(F.min("doc_id").alias("rep"))
+    return (
+        s.join(g, "k")
+        .select(
+            "doc_id", "rep",
+            ((F.col("rep") * 2654435761) % 4294967296 % 5)
+            .cast("int").alias("fold"),
+        )
+        .orderBy("doc_id")
+    )

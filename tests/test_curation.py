@@ -435,3 +435,26 @@ def test_dedup_keep_best_policy_laws(spark, sf_dir):
     assert abs(groups - kept) < 1e-9
     best_q = max(r["quality"] for r in rows)
     assert any(r["keep"] == 1 and r["quality"] == best_q for r in rows)
+
+
+def test_group_folds_never_split_a_dup_group(spark, sf_dir):
+    """The law q_split_leakage can only audit, this assignment
+    guarantees: every member of a prefix-dup group lands in the SAME
+    fold; folds are reasonably balanced (each within 2x of uniform)."""
+    from collections import Counter
+
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_group_folds"][0](spark, sf_dir).collect()
+    by_rep: dict = {}
+    for r in rows:
+        by_rep.setdefault(r["rep"], set()).add(r["fold"])
+    assert all(len(folds) == 1 for folds in by_rep.values())
+    assert any(
+        sum(1 for r in rows if r["rep"] == rep) > 1 for rep in by_rep
+    )  # non-vacuous: at least one multi-member group exists
+    sizes = Counter(r["fold"] for r in rows)
+    assert set(sizes) == {0, 1, 2, 3, 4}
+    uniform = len(rows) / 5
+    for f, n in sizes.items():
+        assert uniform / 2 <= n <= uniform * 2, (f, n)
