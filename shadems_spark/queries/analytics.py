@@ -1268,3 +1268,84 @@ def q_cusum(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_khop",
+    sql="""
+    WITH RECURSIVE e0 AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey % 3 = 0),
+    e AS (SELECT src, dst FROM e0
+          UNION SELECT dst, src FROM e0),
+    seeds AS (SELECT DISTINCT src AS node FROM e
+              WHERE src % 2 = 0 AND (src // 2) % 50 = 0),
+    r AS (
+        SELECT node, 0 AS d FROM seeds
+        UNION
+        SELECT e.dst AS node, r.d + 1 AS d
+        FROM r JOIN e ON e.src = r.node WHERE r.d < 3
+    ),
+    m AS (SELECT node, min(d) AS dist FROM r GROUP BY 1)
+    SELECT dist, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_sum
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_khop(spark, sf_dir):
+    """Bounded BFS reachability: nodes within 3 hops of the seed set
+    (every 50th customer) over the symmetric co-purchase graph — the
+    neighborhood-expansion primitive under graph sampling and
+    influence audits.  Level-synchronous frontier expansion: per hop
+    one edge join + distinct + anti-join against the visited set, so
+    the frontier is NODE-bounded per level (never path-enumerated —
+    the oracle's recursive CTE gets the same property from UNION
+    dedup on (node, d)).  Min-hop distance falls out of visiting
+    order; per-level counts and exact node-id sums are the integer
+    comparison surface.
+
+    Scale: 3 bounded self-joins on the persisted edge table (the
+    pagerank edge cache pattern); at 100 TB the frontier join
+    partitions by src and the visited anti-join by node — both
+    narrow-key shuffles bounded by the reachable set."""
+    from shadems_spark.operators.dedup import tracked_persist
+    from shadems_spark.operators.graph import symmetric_edges
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    e1 = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = tracked_persist(symmetric_edges(e1), key="khop_edges")
+    seeds = (
+        edges.select("src")
+        .filter((F.col("src") % 2 == 0) & F.expr("(src div 2) % 50 = 0"))
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    visited = seeds.withColumn("dist", F.lit(0))
+    frontier = seeds
+    for d in range(1, 4):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        visited = visited.unionByName(nxt.withColumn("dist", F.lit(d)))
+        frontier = nxt
+    return (
+        visited.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("node").alias("node_sum"),
+        )
+        .orderBy("dist")
+    )

@@ -999,3 +999,68 @@ def q_embed_outliers(spark, sf_dir):
         .select("vec_id", "label", "dist")
         .orderBy("label", F.col("dist").desc(), "vec_id")
     )
+
+
+@register(
+    "q_inverted_index",
+    sql="""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM w GROUP BY 1, 2),
+    agg AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+                   string_agg(doc_id || ':' || tf, '|'
+                              ORDER BY tf DESC, doc_id) AS all_postings
+            FROM tf GROUP BY 1)
+    SELECT term, CAST(df AS BIGINT) AS df, cf,
+           CASE WHEN len(string_split(all_postings, '|')) <= 5
+                THEN all_postings
+                ELSE array_to_string(string_split(all_postings, '|')[1:5], '|')
+           END AS postings_head
+    FROM agg WHERE df >= 3 ORDER BY term
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build — the retrieval-infrastructure primitive
+    under q_bm25: per term, document frequency, collection frequency,
+    and the posting list head (top-5 by tf, doc_id tie-break,
+    serialized 'doc:tf|...' — a STRING, not an array, because the
+    driver's result canonicalizer cannot sort array cells; the full
+    list shape is the same expression unbounded).  df >= 3 prunes the
+    hapax tail the way real indexes shard it out.
+
+    Scale shape: one (term, doc) aggregate (map-side combined), one
+    term-keyed aggregate with an ordered collect bounded per term —
+    the posting shuffle carries (term, doc, tf) triples once; at
+    100 TB the same plan partitions by term into posting-list shards,
+    which IS the index layout."""
+    from shadems_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(words("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    agg = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.slice(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct((-F.col("tf")).alias("ntf"), "doc_id"))
+                ),
+                lambda x: F.concat_ws(
+                    ":", x["doc_id"].cast("string"), (-x["ntf"]).cast("string")
+                ),
+            ),
+            1, 5,
+        ).alias("head"),
+    )
+    return (
+        agg.filter(F.col("df") >= 3)
+        .select(
+            "term", F.col("df").cast("long").alias("df"), "cf",
+            F.concat_ws("|", "head").alias("postings_head"),
+        )
+        .orderBy("term")
+    )

@@ -170,3 +170,32 @@ def test_kcore_brute_parity(spark):
     out = {r["node"]: r["degree"] for r in kcore(df, k=2).collect()}
     assert set(out) == keep
     assert out == {n: deg[n] for n in keep}
+
+
+def test_khop_bfs_levels_on_known_graph(spark):
+    """BFS level law on a path graph 0-1-2-3-4-5 seeded at 0: levels
+    are exactly {0:[0], 1:[1], 2:[2], 3:[3]} within 3 hops (4 and 5
+    unreachable), replayed through the same frontier-expansion shape
+    the query uses."""
+    from pyspark.sql import functions as F
+
+    from shadems_spark.operators.graph import symmetric_edges
+
+    e1 = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    edges = symmetric_edges(e1)
+    seeds = spark.createDataFrame([(0,)], "node long")
+    visited = seeds.withColumn("dist", F.lit(0))
+    frontier = seeds
+    for d in range(1, 4):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        visited = visited.unionByName(nxt.withColumn("dist", F.lit(d)))
+        frontier = nxt
+    got = {r["node"]: r["dist"] for r in visited.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
