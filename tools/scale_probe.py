@@ -220,6 +220,11 @@ PROBE_R5 = [
     "q_cusum",
     "q_centroid_sim",
     "q_eq_hist_interp",
+    # late round-5: group-keyed projection / index build / bounded
+    # BFS — all ~linear in the scan (khop's frontier is node-bounded).
+    "q_group_folds",
+    "q_inverted_index",
+    "q_khop",
 ]
 
 #: key shift per copy — far above any real key at these scale factors.
