@@ -570,3 +570,104 @@ def stream_kl_drift(
         .start()
     )
     q.awaitTermination(timeout)
+
+
+def stream_bootstrap(
+    doc_stream: DataFrame,
+    store_path: str,
+    val: str = "n_chars",
+    id_col: str = "doc_id",
+    n_reps: int = 32,
+    timeout: int = 180,
+) -> None:
+    """Streaming Poisson bootstrap — the mergeable-statistic face of
+    q_bootstrap_ci: each micro-batch contributes exact-integer partial
+    sums (sum of weights, sum of weight*value) per replicate, merged
+    into the resident snapshot.  Because the per-(row, replicate)
+    Poisson(1) weight is a pure function of (id, r) — the same
+    integer-LCG + CDF-threshold lookup the batch query uses — and the
+    partials are BIGINT sums, the final replicate means are
+    BIT-IDENTICAL to the batch operator's however the stream is
+    batched (parity pinned in tests).  This is why the Poisson
+    bootstrap, and not resample-and-recompute, is the streaming /
+    distributed bootstrap: the whole state is n_reps rows of two
+    integers.
+
+    Snapshots land partitioned by batch_id with dynamic overwrite
+    (replay-idempotent, the house store recipe); read the final
+    means with ``bootstrap_finalize``."""
+    from shadems_spark.queries.analytics import _POIS_T
+
+    sums_path = store_path + "/sums"
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        x = batch_df.select(
+            F.col(id_col).alias("rid"), F.col(val).alias("x"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("r"),
+        ).withColumn(
+            "h",
+            (F.col("rid") * F.lit(1103515245) + F.col("r") * F.lit(12345)
+             + F.lit(6789)) % F.lit(1000003),
+        )
+        wt = F.lit(6)
+        for k, t in reversed(list(enumerate(_POIS_T))):
+            wt = F.when(F.col("h") < t, F.lit(k)).otherwise(wt)
+        part = (
+            x.withColumn("wt", wt)
+            .groupBy("r")
+            .agg(
+                F.sum("wt").alias("sw"),
+                F.sum(F.col("wt") * F.col("x")).alias("swx"),
+            )
+        )
+        merged = part
+        try:
+            snaps = spark.read.parquet(sums_path).filter(
+                F.col("batch_id") < batch_id
+            )
+            mx = snaps.agg(F.max("batch_id")).first()[0]
+            if mx is not None:
+                resident = snaps.filter(F.col("batch_id") == mx).select(
+                    "r", "sw", "swx"
+                )
+                merged = (
+                    resident.unionByName(part)
+                    .groupBy("r")
+                    .agg(F.sum("sw").alias("sw"), F.sum("swx").alias("swx"))
+                )
+        except Exception:  # first batch
+            pass
+        (
+            merged.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sums_path)
+        )
+
+    q = (
+        doc_stream.writeStream.foreachBatch(step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store_path + "/.ckpt")
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
+def bootstrap_finalize(spark, store_path: str) -> DataFrame:
+    """Replicate means from the final ``stream_bootstrap`` snapshot:
+    (r, n_eff, mean) with the same rounding as q_bootstrap_ci."""
+    snaps = spark.read.parquet(store_path + "/sums")
+    mx = snaps.agg(F.max("batch_id")).first()[0]
+    return (
+        snaps.filter(F.col("batch_id") == mx)
+        .select(
+            "r",
+            F.col("sw").alias("n_eff"),
+            F.round(F.col("swx") / F.col("sw").cast("double"), 4).alias(
+                "mean_chars"
+            ),
+        )
+        .orderBy("r")
+    )

@@ -730,3 +730,50 @@ def test_stream_kl_drift_parity_and_signal(spark, tmp_path):
         ) == expect[i], (i, dict(r.asDict()), expect[i])
     assert rows[2]["kl"] > rows[1]["kl"]  # the shifted batch alarms
     assert rows[2]["novel_words"] == 3 and rows[1]["novel_words"] == 0
+
+
+def test_stream_bootstrap_matches_batch_bitwise(spark, tmp_path, sf_dir):
+    """Mergeable-statistic parity: streaming the documents table in 3
+    micro-batches must reproduce q_bootstrap_ci's 32 replicate rows
+    BIT-FOR-BIT (integer partial sums + a pure (id, r) weight
+    function make batching irrelevant)."""
+    import os
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    rows = docs.collect()
+    third = len(rows) // 3
+    batches = [rows[:third], rows[third:2 * third], rows[2 * third:]]
+
+    d = str(tmp_path)
+    os.makedirs(d + "/bin", exist_ok=True)
+    import time as _t
+    now = _t.time()
+    for i, b in enumerate(batches):
+        df = spark.createDataFrame(b, "doc_id long, n_chars long")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/bb{i}")
+        src = next(
+            f for f in os.listdir(f"{d}/bb{i}") if f.endswith(".parquet")
+        )
+        dst = f"{d}/bin/batch_{i}.parquet"
+        os.rename(f"{d}/bb{i}/{src}", dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema("doc_id long, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/bin")
+    )
+    store = str(tmp_path / "bs_store")
+    ST.stream_bootstrap(stream, store)
+
+    got = [
+        (r["r"], r["n_eff"], r["mean_chars"])
+        for r in ST.bootstrap_finalize(spark, store).collect()
+    ]
+    want = [
+        (r["r"], r["n_eff"], r["mean_chars"])
+        for r in load_registry()["q_bootstrap_ci"][0](spark, sf_dir).collect()
+    ]
+    assert got == want and len(got) == 32
