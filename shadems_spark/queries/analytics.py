@@ -1349,3 +1349,50 @@ def q_khop(spark, sf_dir):
         )
         .orderBy("dist")
     )
+
+
+@register(
+    "q_rollup_routing",
+    sql="""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                          count(*) AS n,
+                          CAST(sum(CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS cents
+                   FROM events GROUP BY 1, 2)
+    SELECT event_type, date_trunc('month', d) AS m,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(sum(cents) / 100.0, 2) AS total_value
+    FROM daily GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_rollup_routing(spark, sf_dir):
+    """Materialized-rollup ROUTING: the monthly report computed FROM
+    the daily rollup instead of re-scanning raw events — the
+    pre-aggregation pattern that turns a 100 TB fact re-scan into a
+    days×types-sized read for every coarser grain.  Values aggregate
+    as CENTS (round(value*100) per event, then BIGINT sums at both
+    levels), so re-aggregation is lossless by construction — the
+    rollup-routed answer EQUALS the direct-from-raw answer exactly,
+    which the companion test asserts; floats rounded per level would
+    not compose.  Two map-side-combined aggregates, the second over
+    the already-tiny rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("d", F.to_date("ts"))
+        .groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    return (
+        daily.withColumn("m", F.date_trunc("month", "d").cast("date"))
+        .groupBy("event_type", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("cents") / F.lit(100.0), 2).alias("total_value"),
+        )
+        .orderBy("event_type", "m")
+    )

@@ -318,3 +318,34 @@ def test_cusum_detects_planted_level_shift(spark):
     # pre-shift day (day index 9)
     assert got["d"] == base + datetime.timedelta(days=9)
     assert abs(got["cusum"]) == 100.0  # 10 days * |10 - 20|
+
+
+def test_rollup_routing_is_lossless(spark, sf_dir):
+    """The monthly answer routed through the daily rollup must EQUAL
+    the direct-from-raw monthly aggregate — the integer-cents design
+    makes re-aggregation lossless (per-level float rounding would
+    not compose)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    routed = sorted(
+        map(tuple, load_registry()["q_rollup_routing"][0](spark, sf_dir).collect())
+    )
+    ev = load_table(spark, sf_dir, "events")
+    direct = sorted(
+        map(
+            tuple,
+            ev.withColumn("m", F.date_trunc("month", F.to_date("ts")).cast("date"))
+            .groupBy("event_type", "m")
+            .agg(
+                F.countDistinct(F.to_date("ts")).alias("n_days"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(
+                    F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0), 2
+                ).alias("total_value"),
+            )
+            .orderBy("event_type", "m")
+            .collect(),
+        )
+    )
+    assert routed == direct
