@@ -1396,3 +1396,175 @@ def q_rollup_routing(spark, sf_dir):
         )
         .orderBy("event_type", "m")
     )
+
+
+@register(
+    "q_abtest",
+    sql="""
+    WITH u AS (SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+                      CAST(max(CASE WHEN event_type = 'purchase'
+                                    AND value > 95
+                               THEN 1 ELSE 0 END) AS INT) AS converted
+               FROM events GROUP BY 1),
+    g AS (SELECT variant, count(*) AS n,
+                 CAST(sum(converted) AS BIGINT) AS conv
+          FROM u GROUP BY 1),
+    w AS (SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+                 max(CASE WHEN variant = 0 THEN conv END) AS c0,
+                 max(CASE WHEN variant = 1 THEN n END) AS n1,
+                 max(CASE WHEN variant = 1 THEN conv END) AS c1
+          FROM g)
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+           CAST(n1 AS BIGINT) AS n_treat, CAST(c1 AS BIGINT) AS conv_treat,
+           round(c0 / CAST(n0 AS DOUBLE), 6) AS rate_control,
+           round(c1 / CAST(n1 AS DOUBLE), 6) AS rate_treat,
+           round((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+                 / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                        * (1 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z
+    FROM w
+    """,
+)
+def q_abtest(spark, sf_dir):
+    """Two-proportion A/B z-test: per-user conversion (a high-value
+    purchase — every user has SOME purchase in this fixture, which
+    would degenerate the pooled proportion to 1 and the z denominator
+    to 0) split by the deterministic variant hash (user_id parity —
+    the assignment IS the experiment bucketing at scale), pooled-
+    proportion z statistic.  All inputs are exact integer counts; the
+    z expression is one fixed float formula, so the statistic is
+    engine-exact at 6dp.  One per-user aggregate + one 2-row pivot —
+    the per-user shuffle is the only data-sized move."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") > 95)
+            ).cast("int")
+        ).alias("converted")
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    g = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0").cast("double")
+    p1 = F.col("c1") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1")).cast("double")
+    z = (p1 - p0) / F.sqrt(
+        pp * (1 - pp) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("c0").cast("long").alias("conv_control"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("c1").cast("long").alias("conv_treat"),
+        F.round(p0, 6).alias("rate_control"),
+        F.round(p1, 6).alias("rate_treat"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+@register(
+    "q_dq_checks",
+    sql="""
+    WITH checks AS (
+        SELECT 'lineitem_qty_range' AS chk,
+               (SELECT count(*) FROM lineitem) AS n_checked,
+               (SELECT count(*) FROM lineitem
+                WHERE l_quantity < 1 OR l_quantity > 50) AS n_failed
+        UNION ALL
+        SELECT 'lineitem_orphan_orderkey',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        UNION ALL
+        SELECT 'orders_custkey_not_null',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+        UNION ALL
+        SELECT 'orders_orderkey_unique',
+               (SELECT count(*) FROM orders),
+               (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                FROM orders)
+        UNION ALL
+        SELECT 'docs_nchars_matches_text',
+               (SELECT count(*) FROM documents),
+               (SELECT count(*) FROM documents
+                WHERE n_chars != length(text))
+        UNION ALL
+        SELECT 'events_value_nonneg',
+               (SELECT count(*) FROM events),
+               (SELECT count(*) FROM events WHERE value < 0))
+    SELECT chk, CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_failed AS BIGINT) AS n_failed,
+           CAST(CASE WHEN n_failed = 0 THEN 1 ELSE 0 END AS INT) AS passed
+    FROM checks ORDER BY chk
+    """,
+)
+def q_dq_checks(spark, sf_dir):
+    """Data-contract validation battery (the dbt-test / Deequ shape):
+    range, referential-integrity, not-null, uniqueness, derived-column
+    consistency, and sign constraints — one row per check with checked
+    /failed counts.  The battery is ONE declarative plan: every check
+    collapses to a single-row aggregate (fail predicates as summed
+    indicators; the orphan check rides a broadcast left join's null
+    marker; uniqueness is count - countDistinct) unioned together —
+    no driver-side count loop, so at 100 TB the whole battery is a
+    handful of map-side-combined scans in one job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+
+    def agg_check(name, df, fail_cond):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(fail_cond.cast("long")).alias("n_failed"),
+        ).select(F.lit(name).alias("chk"), "n_checked", "n_failed")
+
+    orphan = li.join(
+        F.broadcast(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.lit(1).alias("__hit"),
+            )
+        ),
+        "l_orderkey", "left",
+    )
+    checks = [
+        agg_check(
+            "lineitem_qty_range", li,
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        ),
+        agg_check("lineitem_orphan_orderkey", orphan, F.col("__hit").isNull()),
+        agg_check(
+            "orders_custkey_not_null", orders, F.col("o_custkey").isNull()
+        ),
+        orders.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+            .alias("n_failed"),
+        ).select(
+            F.lit("orders_orderkey_unique").alias("chk"),
+            "n_checked", "n_failed",
+        ),
+        agg_check(
+            "docs_nchars_matches_text", docs,
+            F.col("n_chars") != F.length("text"),
+        ),
+        agg_check("events_value_nonneg", ev, F.col("value") < 0),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "chk",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_failed").cast("long").alias("n_failed"),
+        (F.col("n_failed") == 0).cast("int").alias("passed"),
+    ).orderBy("chk")

@@ -349,3 +349,18 @@ def test_rollup_routing_is_lossless(spark, sf_dir):
         )
     )
     assert routed == direct
+
+
+def test_dq_checks_all_pass_on_fixtures_and_plan_is_one_job(spark, sf_dir):
+    """The generated fixtures satisfy every contract (all passed=1);
+    the battery must be a single declarative plan with no Python
+    evaluation nodes and a broadcast orphan join."""
+    from shadems_spark.queries import load_registry
+
+    df = load_registry()["q_dq_checks"][0](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 6
+    assert all(r["passed"] == 1 and r["n_failed"] == 0 for r in rows)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
