@@ -1898,3 +1898,59 @@ def q_group_folds(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_edit_verify",
+    sql="""
+    WITH s AS (SELECT doc_id, text, left(text, 100) AS k FROM documents),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.text AS ta, b.text AS tb
+          FROM s a JOIN s b ON a.k = b.k AND a.doc_id < b.doc_id),
+    d AS (SELECT id_a, id_b,
+                 CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist,
+                 CAST(greatest(length(ta), length(tb)) AS BIGINT) AS max_len
+          FROM p)
+    SELECT id_a, id_b, edit_dist, max_len,
+           round(edit_dist / CAST(max_len AS DOUBLE), 6) AS edit_ratio,
+           CAST(CASE WHEN edit_dist * 5 <= max_len THEN 1 ELSE 0 END AS INT)
+               AS is_dup
+    FROM d ORDER BY id_a, id_b
+    """,
+)
+def q_edit_verify(spark, sf_dir):
+    """Edit-distance VERIFICATION of dup candidates — the third
+    verify metric beside n-gram Jaccard (q_ngram_jaccard) and
+    within-cluster cosine (q_semdedup): candidate pairs from the
+    100-char-prefix relation, exact Levenshtein distance (both
+    engines implement the same unit-cost DP, so the integer distance
+    is hash-exact), normalized by the longer text, dup verdict at
+    ratio <= 0.2 in pure integer arithmetic (dist*5 <= max_len).
+
+    Scale contract (same as q_ngram_jaccard's): Levenshtein is
+    O(|a|·|b|) PER PAIR — it only ever runs on CANDIDATES from a
+    bucketed generator (prefix key here, minhash bands in
+    production), never corpus-wide."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", "text", F.substring("text", 1, 100).alias("k")
+    )
+    a = s.select(
+        F.col("k"), F.col("doc_id").alias("id_a"), F.col("text").alias("ta")
+    )
+    b = s.select(
+        F.col("k"), F.col("doc_id").alias("id_b"), F.col("text").alias("tb")
+    )
+    p = a.join(b, "k").filter(F.col("id_a") < F.col("id_b"))
+    d = p.select(
+        "id_a", "id_b",
+        F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
+        F.greatest(F.length("ta"), F.length("tb")).cast("long").alias("max_len"),
+    )
+    return d.select(
+        "id_a", "id_b", "edit_dist", "max_len",
+        F.round(
+            F.col("edit_dist") / F.col("max_len").cast("double"), 6
+        ).alias("edit_ratio"),
+        (F.col("edit_dist") * 5 <= F.col("max_len")).cast("int").alias("is_dup"),
+    ).orderBy("id_a", "id_b")

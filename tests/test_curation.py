@@ -458,3 +458,18 @@ def test_group_folds_never_split_a_dup_group(spark, sf_dir):
     uniform = len(rows) / 5
     for f, n in sizes.items():
         assert uniform / 2 <= n <= uniform * 2, (f, n)
+
+
+def test_edit_verify_metric_laws(spark, sf_dir):
+    """Levenshtein verify invariants: distance 0 iff identical texts
+    would pair (ratio in [0,1]); the verdict threshold is the exact
+    integer rule dist*5 <= max_len; and the candidate relation is
+    non-vacuous with at least one verified dup at this SF."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_edit_verify"][0](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["edit_ratio"] <= 1
+        assert r["is_dup"] == (1 if r["edit_dist"] * 5 <= r["max_len"] else 0)
+    assert any(r["is_dup"] == 1 for r in rows)
