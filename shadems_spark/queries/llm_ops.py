@@ -1270,3 +1270,102 @@ def q_kmeans(spark, sf_dir):
         "c_micro",
         "n_members",
     ).orderBy("cell", "pos")
+
+
+def _calib_oracle() -> str:
+    ws = _qc_weights()
+    zmilli = " + ".join(
+        f"({int(round(w * 1000))}) * CAST(len(list_filter(bs, x -> x = {b})) AS BIGINT)"
+        for b, w in enumerate(ws)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, lang,
+                      list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+               FROM documents),
+    b AS (SELECT doc_id, lang, len(ws) AS nw,
+                 list_transform(ws, w ->
+                     list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                                      list_transform(string_split(w, ''),
+                                                     c -> CAST(ascii(c) AS BIGINT))),
+                         (a, c) -> (a * 31 + c) % 1000000007) % {_FH_DIM}) AS bs
+          FROM w),
+    s AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 round(1.0 / (1.0 + exp(-((100 + {zmilli})
+                                          / (1000.0 * (1 + nw))))), 6) AS score
+          FROM b),
+    g AS (SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+                 count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+                 round(avg(score), 6) AS mean_score
+          FROM s GROUP BY 1)
+    SELECT bin, CAST(n AS BIGINT) AS n, n_pos,
+           mean_score,
+           round(n_pos / CAST(n AS DOUBLE), 6) AS frac_pos,
+           round(abs(mean_score - n_pos / CAST(n AS DOUBLE)), 6) AS gap
+    FROM g ORDER BY bin
+    """
+
+
+@register("q_calibration", sql=_calib_oracle())
+def q_calibration(spark, sf_dir):
+    """Reliability diagram for the quality classifier: decile bins of
+    the 6dp-rounded sigmoid score vs the empirical positive rate
+    (label = lang=='en') — the calibration audit run before trusting
+    a classifier's scores as KEEP probabilities; sum(gap * n)/N over
+    these rows IS the expected calibration error (asserted in tests).
+    Bin assignment uses the ROUNDED score, so binning is
+    engine-deterministic; per-bin means follow the avg-then-round
+    convention.  One stateless scoring scan + a 10-row aggregate."""
+    from functools import reduce
+
+    from shadems_spark.operators.text import FP_MOD, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(words("text"), lambda w: F.length(w) > 0)
+    word_hash = lambda w: (
+        F.aggregate(
+            F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, c: (a * F.lit(31) + c) % F.lit(FP_MOD),
+        )
+        % F.lit(_FH_DIM)
+    )
+    buckets = F.transform(ws, word_hash)
+    weights = _qc_weights()
+
+    def bucket_count(b):
+        return F.size(F.filter(buckets, lambda x: x == F.lit(b)))
+
+    terms = [
+        F.lit(int(round(w * 1000))) * bucket_count(b).cast("long")
+        for b, w in enumerate(weights)
+    ]
+    z_milli = reduce(lambda a, c: a + c, terms, F.lit(100).cast("long"))
+    zr = z_milli / (F.lit(1000.0) * (F.lit(1) + F.size(ws)))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zr)), 6)
+    s = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        score.alias("score"),
+    )
+    g = (
+        s.withColumn(
+            "bin",
+            F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("int"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+        )
+    )
+    return g.select(
+        "bin", F.col("n").cast("long").alias("n"), "n_pos", "mean_score",
+        F.round(F.col("n_pos") / F.col("n").cast("double"), 6).alias("frac_pos"),
+        F.round(
+            F.abs(
+                F.col("mean_score") - F.col("n_pos") / F.col("n").cast("double")
+            ),
+            6,
+        ).alias("gap"),
+    ).orderBy("bin")

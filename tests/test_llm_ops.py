@@ -623,3 +623,22 @@ def test_kmeans_partition_invariant_and_separates(spark):
     # cell centroids sit at the blob means (first component sign splits)
     signs = sorted(c[0] > 0 for c in c1)
     assert signs == [False, True]
+
+
+def test_calibration_ece_and_conservation(spark, sf_dir):
+    """Bin counts conserve the corpus; per-bin mean score lies inside
+    the bin's nominal range (rounded-bin edges +/- rounding); ECE =
+    sum(gap*n)/N is a finite value in [0, 1]."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_calibration"][0](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    for r in rows:
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0
+        if r["bin"] == 9:
+            hi = 1.0 + 1e-9
+        assert lo - 1e-6 <= r["mean_score"] <= hi + 1e-6, dict(r.asDict())
+    ece = sum(r["gap"] * r["n"] for r in rows) / n_docs
+    assert 0.0 <= ece <= 1.0
