@@ -1369,3 +1369,136 @@ def q_calibration(spark, sf_dir):
             6,
         ).alias("gap"),
     ).orderBy("bin")
+
+
+def _auc_oracle() -> str:
+    ws = _qc_weights()
+    zmilli = " + ".join(
+        f"({int(round(w * 1000))}) * CAST(len(list_filter(bs, x -> x = {b})) AS BIGINT)"
+        for b, w in enumerate(ws)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, lang,
+                      list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+               FROM documents),
+    b AS (SELECT doc_id, lang, len(ws) AS nw,
+                 list_transform(ws, w ->
+                     list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                                      list_transform(string_split(w, ''),
+                                                     c -> CAST(ascii(c) AS BIGINT))),
+                         (a, c) -> (a * 31 + c) % 1000000007) % {_FH_DIM}) AS bs
+          FROM w),
+    s AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 round(1.0 / (1.0 + exp(-((100 + {zmilli})
+                                          / (1000.0 * (1 + nw))))), 6) AS score
+          FROM b),
+    r AS (SELECT y, avg(rn) OVER (PARTITION BY score) AS arank
+          FROM (SELECT y, score, row_number() OVER (ORDER BY score) AS rn
+                FROM s)),
+    agg AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+                   sum(CASE WHEN y = 1 THEN arank ELSE 0 END) AS rank_pos
+            FROM r)
+    SELECT n_pos, n_neg,
+           round((rank_pos - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * CAST(n_neg AS DOUBLE)), 6) AS auc
+    FROM agg
+    """
+
+
+@register("q_auc", sql=_auc_oracle())
+def q_auc(spark, sf_dir):
+    """Exact ROC-AUC for the quality classifier via the Mann-Whitney
+    rank-sum identity AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg)
+    with midrank tie correction — ties are real here because scores
+    are 6dp-rounded, and midranks on the ROUNDED score are what make
+    the statistic engine-deterministic.  One global sort window over
+    the scored table (rank assignment is THE sort-bound step; at
+    100 TB swap in the binned approximation — a histogram AUC over
+    q_calibration's deciles — as the documented production variant).
+    Single-row output."""
+    from functools import reduce
+
+    from shadems_spark.operators.text import FP_MOD, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(words("text"), lambda w: F.length(w) > 0)
+    word_hash = lambda w: (
+        F.aggregate(
+            F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, c: (a * F.lit(31) + c) % F.lit(FP_MOD),
+        )
+        % F.lit(_FH_DIM)
+    )
+    buckets = F.transform(ws, word_hash)
+    weights = _qc_weights()
+
+    def bucket_count(b):
+        return F.size(F.filter(buckets, lambda x: x == F.lit(b)))
+
+    terms = [
+        F.lit(int(round(w * 1000))) * bucket_count(b).cast("long")
+        for b, w in enumerate(weights)
+    ]
+    z_milli = reduce(lambda a, c: a + c, terms, F.lit(100).cast("long"))
+    zr = z_milli / (F.lit(1000.0) * (F.lit(1) + F.size(ws)))
+    s = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zr)), 6).alias("score"),
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy(F.lit(0)).orderBy("score", "y"))
+    # midrank needs ties broken ONLY for numbering; average over the
+    # score partition restores the tie-corrected rank.  NB: rn's
+    # tie-break by y is irrelevant to the average within a score.
+    r = s.withColumn("rn", rn).withColumn(
+        "arank", F.avg("rn").over(W.partitionBy("score"))
+    )
+    agg = r.agg(
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+        F.sum(F.when(F.col("y") == 1, F.col("arank")).otherwise(0.0)).alias(
+            "rank_pos"
+        ),
+    )
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("rank_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg").cast("double")),
+            6,
+        ).alias("auc"),
+    )
+
+
+from shadems_spark.queries.curation import _NB_SQL as _NB_SQL_FULL
+
+_NB_CORE = _NB_SQL_FULL.replace("ORDER BY doc_id", "")
+
+
+@register(
+    "q_confusion",
+    sql=f"""
+    WITH nb AS ({_NB_CORE}) SELECT actual, pred, count(*) AS n
+    FROM nb GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_confusion(spark, sf_dir):
+    """Confusion matrix of the held-out Naive Bayes language
+    classifier (q_naive_bayes's exact predictions aggregated to
+    (actual, pred) counts) — the standard eval surface over an
+    exactly-reproducible ML apply pass.  Tiny aggregate over the NB
+    output; exactness inherits from the nano-int NB protocol."""
+    from shadems_spark.operators.curation import naive_bayes_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    nb = naive_bayes_lang(docs)
+    return (
+        nb.groupBy("actual", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual", "pred")
+    )

@@ -642,3 +642,24 @@ def test_calibration_ece_and_conservation(spark, sf_dir):
         assert lo - 1e-6 <= r["mean_score"] <= hi + 1e-6, dict(r.asDict())
     ece = sum(r["gap"] * r["n"] for r in rows) / n_docs
     assert 0.0 <= ece <= 1.0
+
+
+def test_auc_reference_and_confusion_conservation(spark, sf_dir):
+    """AUC invariants (exactness itself is the oracle's job): counts
+    conserve the corpus and the statistic is a valid probability; the
+    confusion matrix conserves the held-out doc count and its
+    diagonal matches q_naive_bayes's correct count."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    row = reg["q_auc"][0](spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").count()
+    assert row["n_pos"] + row["n_neg"] == docs
+    assert 0.0 <= row["auc"] <= 1.0
+
+    conf = reg["q_confusion"][0](spark, sf_dir).collect()
+    nb = reg["q_naive_bayes"][0](spark, sf_dir).collect()
+    assert sum(r["n"] for r in conf) == len(nb)
+    diag = sum(r["n"] for r in conf if r["actual"] == r["pred"])
+    assert diag == sum(r["correct"] for r in nb)
