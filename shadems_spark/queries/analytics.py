@@ -1568,3 +1568,41 @@ def q_dq_checks(spark, sf_dir):
         F.col("n_failed").cast("long").alias("n_failed"),
         (F.col("n_failed") == 0).cast("int").alias("passed"),
     ).orderBy("chk")
+
+
+@register(
+    "q_seasonality",
+    sql="""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS x
+                   FROM events GROUP BY 1, 2)
+    SELECT event_type, CAST(dayofweek(d) + 1 AS INT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(x) AS BIGINT) AS n_events,
+           round(sum(x) / CAST(count(*) AS DOUBLE), 6) AS mean_daily
+    FROM daily GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_seasonality(spark, sf_dir):
+    """Day-of-week seasonality profile per event type (mean daily
+    volume by weekday) — the baseline every volume-anomaly alarm
+    normalizes against before flagging a quiet Sunday.  Integer daily
+    counts -> one fixed division; NB Spark's dayofweek is
+    1=Sunday..7 while DuckDB's is 0-based — the oracle shifts by 1.  Two tiny aggregates."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("d", F.to_date("ts"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return (
+        daily.withColumn("dow", F.dayofweek("d").cast("int"))
+        .groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("x").alias("n_events"),
+            F.round(
+                F.sum("x") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_daily"),
+        )
+        .orderBy("event_type", "dow")
+    )

@@ -1954,3 +1954,81 @@ def q_edit_verify(spark, sf_dir):
         ).alias("edit_ratio"),
         (F.col("edit_dist") * 5 <= F.col("max_len")).cast("int").alias("is_dup"),
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_memorization_risk",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                      CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+                             THEN 'train' ELSE 'heldout' END AS split
+               FROM documents),
+    g AS (SELECT doc_id, split,
+                 [ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                  for i in range(len(ws) - 2)] AS grams
+          FROM w),
+    h AS (SELECT doc_id, split,
+                 list_transform(grams, ng -> list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(string_split(ng, ''),
+                                                 c -> CAST(ascii(c) AS BIGINT))),
+                     (a, c) -> (a * 31 + c) % 1000000007)) AS hs
+           FROM g),
+    f AS (SELECT doc_id, split,
+                 unnest(list_distinct([list_min(hs[i+1:i+4])
+                                       for i in range(len(hs) - 3)])) AS fp
+          FROM h),
+    tr AS (SELECT DISTINCT fp FROM f WHERE split = 'train'),
+    he AS (SELECT doc_id, count(*) AS n_fp,
+                  CAST(sum(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS in_train
+           FROM f LEFT JOIN tr USING (fp)
+           WHERE split = 'heldout' GROUP BY 1)
+    SELECT doc_id, n_fp, in_train,
+           round(in_train / CAST(n_fp AS DOUBLE), 6) AS overlap
+    FROM he WHERE in_train > 0 ORDER BY doc_id
+    """,
+)
+def q_memorization_risk(spark, sf_dir):
+    """Memorization-risk audit: per HELD-OUT document, the fraction
+    of its winnowing fingerprints that also occur in the TRAIN split
+    (same 80/20 hash assignment as q_split_leakage) — the
+    fingerprint-level 'will the model have seen this eval text?'
+    screen; a high overlap means the held-out doc shares >= 6-word
+    runs with training data (the winnowing guarantee) and its eval
+    score is contaminated.  Reuses the boundary-protected winnow
+    selection; the train fingerprint set joins back on the 8-byte
+    hash — at 100 TB that set collapses to a bloom filter
+    (q_bloom_decontaminate's move)."""
+    from shadems_spark.operators.text import winnow
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        (F.col("doc_id") * 2654435761) % 4294967296 % 100 < 80, "train"
+    ).otherwise("heldout")
+    f = (
+        winnow(docs.select("doc_id", "text"), "text", k=3, w=4)
+        .select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .withColumn("split", split)
+    )
+    tr = f.filter(F.col("split") == "train").select("fp").distinct()
+    he = (
+        f.filter(F.col("split") == "heldout")
+        .join(tr.withColumn("hit", F.lit(1)), "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("in_train"),
+        )
+    )
+    return (
+        he.filter(F.col("in_train") > 0)
+        .select(
+            "doc_id", "n_fp", "in_train",
+            F.round(
+                F.col("in_train") / F.col("n_fp").cast("double"), 6
+            ).alias("overlap"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1502,3 +1502,81 @@ def q_confusion(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("actual", "pred")
     )
+
+
+@register(
+    "q_precision_recall",
+    sql=f"""
+    WITH nb AS ({_NB_CORE}),
+    cm AS (SELECT actual, pred, count(*) AS n FROM nb GROUP BY 1, 2),
+    cls AS (SELECT actual AS cls FROM cm UNION SELECT pred FROM cm),
+    tp AS (SELECT cls, coalesce((SELECT sum(n) FROM cm
+                                 WHERE actual = cls AND pred = cls), 0) AS tp,
+                  coalesce((SELECT sum(n) FROM cm WHERE pred = cls), 0) AS pp,
+                  coalesce((SELECT sum(n) FROM cm WHERE actual = cls), 0) AS ap
+           FROM cls)
+    SELECT cls, CAST(tp AS BIGINT) AS tp, CAST(pp AS BIGINT) AS pred_pos,
+           CAST(ap AS BIGINT) AS actual_pos,
+           round(CASE WHEN pp = 0 THEN 0 ELSE tp / CAST(pp AS DOUBLE) END, 6)
+               AS precision,
+           round(CASE WHEN ap = 0 THEN 0 ELSE tp / CAST(ap AS DOUBLE) END, 6)
+               AS recall,
+           round(CASE WHEN tp = 0 THEN 0
+                      ELSE 2.0 * tp / CAST(pp + ap AS DOUBLE) END, 6) AS f1
+    FROM tp ORDER BY cls
+    """,
+)
+def q_precision_recall(spark, sf_dir):
+    """Per-class precision / recall / F1 from the held-out NB
+    confusion counts — completing the eval family (calibration, AUC,
+    confusion, P/R/F1) over an exactly-reproducible classifier.
+    F1 computed as 2·tp/(pred_pos+actual_pos) — one division, no
+    compounding of rounded P and R.  Class-count-sized arithmetic on
+    top of one NB apply pass."""
+    from shadems_spark.operators.curation import naive_bayes_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    cm = (
+        naive_bayes_lang(docs)
+        .groupBy("actual", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cls = cm.select(F.col("actual").alias("cls")).union(
+        cm.select("pred")
+    ).distinct()
+    tp = cm.filter(F.col("actual") == F.col("pred")).select(
+        F.col("actual").alias("cls"), F.col("n").alias("tp")
+    )
+    pp = cm.groupBy(F.col("pred").alias("cls")).agg(F.sum("n").alias("pp"))
+    ap = cm.groupBy(F.col("actual").alias("cls")).agg(F.sum("n").alias("ap"))
+    j = (
+        cls.join(tp, "cls", "left")
+        .join(pp, "cls", "left")
+        .join(ap, "cls", "left")
+        .fillna(0, ["tp", "pp", "ap"])
+    )
+    return j.select(
+        "cls",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("pp").cast("long").alias("pred_pos"),
+        F.col("ap").cast("long").alias("actual_pos"),
+        F.round(
+            F.when(F.col("pp") == 0, 0.0).otherwise(
+                F.col("tp") / F.col("pp").cast("double")
+            ),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("ap") == 0, 0.0).otherwise(
+                F.col("tp") / F.col("ap").cast("double")
+            ),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("tp") == 0, 0.0).otherwise(
+                F.lit(2.0) * F.col("tp")
+                / (F.col("pp") + F.col("ap")).cast("double")
+            ),
+            6,
+        ).alias("f1"),
+    ).orderBy("cls")

@@ -473,3 +473,17 @@ def test_edit_verify_metric_laws(spark, sf_dir):
         assert 0 <= r["edit_ratio"] <= 1
         assert r["is_dup"] == (1 if r["edit_dist"] * 5 <= r["max_len"] else 0)
     assert any(r["is_dup"] == 1 for r in rows)
+
+
+def test_memorization_risk_winnow_guarantee(spark, sf_dir):
+    """Every flagged held-out doc shares >= one fingerprint with
+    train (in_train >= 1 by the output filter) and overlap is a valid
+    fraction; the audit is non-vacuous at this SF (the fixture's
+    planted near-dups straddle the 80/20 split)."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_memorization_risk"][0](spark, sf_dir).collect()
+    assert rows  # non-vacuous
+    for r in rows:
+        assert 1 <= r["in_train"] <= r["n_fp"]
+        assert 0.0 < r["overlap"] <= 1.0

@@ -663,3 +663,21 @@ def test_auc_reference_and_confusion_conservation(spark, sf_dir):
     assert sum(r["n"] for r in conf) == len(nb)
     diag = sum(r["n"] for r in conf if r["actual"] == r["pred"])
     assert diag == sum(r["correct"] for r in nb)
+
+
+def test_precision_recall_identities(spark, sf_dir):
+    """Micro-averaged identities: sum(tp) = NB correct count;
+    sum(pred_pos) = sum(actual_pos) = held-out size; F1 between
+    min(P,R) and max(P,R) for every class with tp > 0."""
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    rows = reg["q_precision_recall"][0](spark, sf_dir).collect()
+    nb = reg["q_naive_bayes"][0](spark, sf_dir).collect()
+    assert sum(r["tp"] for r in rows) == sum(r["correct"] for r in nb)
+    assert sum(r["pred_pos"] for r in rows) == len(nb)
+    assert sum(r["actual_pos"] for r in rows) == len(nb)
+    for r in rows:
+        if r["tp"] > 0:
+            lo, hi = sorted((r["precision"], r["recall"]))
+            assert lo - 1e-6 <= r["f1"] <= hi + 1e-6
