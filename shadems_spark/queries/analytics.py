@@ -1606,3 +1606,138 @@ def q_seasonality(spark, sf_dir):
         )
         .orderBy("event_type", "dow")
     )
+
+
+@register(
+    "q_markov",
+    sql="""
+    WITH s AS (SELECT user_id, event_type, ts, event_id,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS nxt
+               FROM events),
+    t AS (SELECT event_type AS src, nxt AS dst, count(*) AS n
+          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM t GROUP BY 1)
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           round(n / CAST(out_n AS DOUBLE), 6) AS p
+    FROM t JOIN r USING (src) ORDER BY src, dst
+    """,
+)
+def q_markov(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (event-time order, event_id tie-break): the behavioral
+    model behind next-action prediction and funnel simulation.
+    Transition counts are exact integers from one lead() window per
+    user; row-normalized probabilities are one fixed division.  The
+    user-partitioned window is the only data-sized operation — the
+    matrix itself is event-type² rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn("nxt", F.lead("event_type").over(w))
+    t = (
+        s.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r = t.groupBy("src").agg(F.sum("n").alias("out_n"))
+    return (
+        t.join(F.broadcast(r), "src")
+        .select(
+            "src", "dst", F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("out_n").cast("double"), 6).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+@register(
+    "q_survival",
+    sql="""
+    WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_d,
+                 max(CAST(ts AS DATE)) AS last_d
+          FROM events GROUP BY 1),
+    fe AS (SELECT user_id, min(CAST(ts AS DATE)) AS err_d
+           FROM events WHERE event_type = 'error' GROUP BY 1),
+    l AS (SELECT u.user_id,
+                 CAST(CASE WHEN fe.err_d IS NOT NULL
+                      THEN fe.err_d - u.first_d
+                      ELSE u.last_d - u.first_d END AS BIGINT) AS t,
+                 CAST(CASE WHEN fe.err_d IS NOT NULL THEN 1 ELSE 0 END
+                      AS INT) AS had_event
+          FROM u LEFT JOIN fe USING (user_id)),
+    d AS (SELECT t, count(*) AS at_t,
+                 CAST(sum(had_event) AS BIGINT) AS d_t
+          FROM l GROUP BY 1),
+    k AS (SELECT t, d_t,
+                 CAST(sum(at_t) OVER (ORDER BY t DESC) AS BIGINT) AS n_t
+          FROM d),
+    s AS (SELECT t, d_t, n_t,
+                 round(exp(sum(ln(1.0 - d_t / CAST(n_t AS DOUBLE)))
+                           OVER (ORDER BY t)), 6) AS survival
+          FROM k WHERE d_t < n_t)
+    SELECT t, n_t AS n_at_risk, d_t AS n_churned, survival
+    FROM s WHERE d_t > 0 ORDER BY t
+    """,
+)
+def q_survival(spark, sf_dir):
+    """Kaplan-Meier time-to-first-'error' curve: per-user time from
+    first activity to first error event, CENSORED at last activity
+    for users who never error (the estimator's whole point — a
+    churn-based lifetime is degenerate in this fixture: every user
+    stays active to the study end), risk sets by reverse-cumulative
+    counts, survival as the ordered cumulative product over event
+    times — computed as
+    exp(cumsum(ln(1-d/n))) because Spark has no product aggregate;
+    the window's ORDER BY t makes the float summation order
+    deterministic on both engines, and 6dp rounding absorbs the libm
+    boundary (the q_unigram_lm convention).  One per-user aggregate +
+    a lifetimes-sized window."""
+    ev = load_table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    u = ev.groupBy("user_id").agg(
+        F.min("d").alias("first_d"), F.max("d").alias("last_d")
+    )
+    fe = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.min("d").alias("err_d"))
+    )
+    l = u.join(fe, "user_id", "left").select(
+        F.when(
+            F.col("err_d").isNotNull(), F.datediff("err_d", "first_d")
+        ).otherwise(F.datediff("last_d", "first_d"))
+        .cast("long").alias("t"),
+        F.col("err_d").isNotNull().cast("int").alias("had_event"),
+    )
+    d = l.groupBy("t").agg(
+        F.count(F.lit(1)).alias("at_t"), F.sum("had_event").alias("d_t")
+    )
+    wdesc = Window.partitionBy(F.lit(0)).orderBy(F.col("t").desc())
+    k = d.withColumn("n_t", F.sum("at_t").over(wdesc))
+    wasc = Window.partitionBy(F.lit(0)).orderBy("t")
+    s = (
+        k.filter(F.col("d_t") < F.col("n_t"))
+        .withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.lit(1.0)
+                            - F.col("d_t") / F.col("n_t").cast("double")
+                        )
+                    ).over(wasc)
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        s.filter(F.col("d_t") > 0)
+        .select(
+            "t",
+            F.col("n_t").cast("long").alias("n_at_risk"),
+            F.col("d_t").alias("n_churned"),
+            "survival",
+        )
+        .orderBy("t")
+    )

@@ -364,3 +364,37 @@ def test_dq_checks_all_pass_on_fixtures_and_plan_is_one_job(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_markov_rows_are_distributions(spark, sf_dir):
+    """Every source row's outgoing probabilities sum to ~1 and counts
+    conserve the total transition count (n_events - n_users)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_markov"][0](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_events - n_users
+    by_src: dict = {}
+    for r in rows:
+        by_src[r["src"]] = by_src.get(r["src"], 0.0) + r["p"]
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-4, (src, total)
+
+
+def test_survival_monotone_and_bounded(spark, sf_dir):
+    """Kaplan-Meier laws: survival is nonincreasing in t, stays in
+    (0, 1], and risk sets shrink as t grows."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_survival"][0](spark, sf_dir).collect()
+    assert rows
+    prev_s, prev_n = 1.0 + 1e-9, None
+    for r in sorted(rows, key=lambda r: r["t"]):
+        assert 0.0 < r["survival"] <= prev_s + 1e-9
+        prev_s = r["survival"]
+        if prev_n is not None:
+            assert r["n_at_risk"] <= prev_n
+        prev_n = r["n_at_risk"]
