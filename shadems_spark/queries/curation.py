@@ -2032,3 +2032,139 @@ def q_memorization_risk(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_topic_words",
+    sql="""
+    WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS u
+               FROM documents),
+    sc AS (SELECT source, u, count(*) AS n FROM w GROUP BY 1, 2),
+    st AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM sc GROUP BY 1),
+    cc AS (SELECT u, CAST(sum(n) AS BIGINT) AS nc FROM sc GROUP BY 1),
+    ct AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM sc),
+    lo AS (SELECT sc.source, sc.u,
+                  CAST(round((ln((sc.n + 0.01 * cc.nc)
+                                 / (st.ns + 0.01 * ct.ntot - sc.n
+                                    - 0.01 * cc.nc))
+                              - ln((cc.nc - sc.n + 0.01 * cc.nc)
+                                   / (ct.ntot - st.ns
+                                      + 0.01 * ct.ntot
+                                      - cc.nc + sc.n
+                                      - 0.01 * cc.nc)))
+                             * 1000000000.0) AS BIGINT) AS lor_nano
+           FROM sc JOIN st USING (source) JOIN cc USING (u) CROSS JOIN ct),
+    r AS (SELECT source, u, lor_nano,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY lor_nano DESC, u) AS rk
+          FROM lo)
+    SELECT source, u AS word, lor_nano,
+           round(lor_nano / 1000000000.0, 6) AS log_odds
+    FROM r WHERE rk <= 5 ORDER BY source, lor_nano DESC, word
+    """,
+)
+def q_topic_words(spark, sf_dir):
+    """Characteristic words per SOURCE by log-odds ratio with an
+    informative Dirichlet prior (Monroe-Colaresi-Quinn 2008, the
+    'Fightin' Words' estimator, prior scale 0.01·corpus counts):
+    which words distinguish this domain from the rest of the corpus —
+    the standard corpus-exploration surface.  Each word's log-odds is
+    a fixed float expression over exact integer counts, nano-rounded
+    once, so per-source top-5 ranking (lor desc, word tie-break) is
+    engine-exact.  One (source, word) aggregate + vocab-sized joins,
+    then a source-partitioned top-k window."""
+    from shadems_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    nano = F.lit(1_000_000_000.0)
+    w = docs.select("source", F.explode(words("text")).alias("u"))
+    sc = w.groupBy("source", "u").agg(F.count(F.lit(1)).alias("n"))
+    st = sc.groupBy("source").agg(F.sum("n").alias("ns"))
+    cc = sc.groupBy("u").agg(F.sum("n").alias("nc"))
+    ct = sc.agg(F.sum("n").alias("ntot"))
+    a = F.lit(0.01)
+    j = (
+        sc.join(F.broadcast(st), "source")
+        .join(cc, "u")
+        .crossJoin(F.broadcast(ct))
+    )
+    p_in = (F.col("n") + a * F.col("nc")) / (
+        F.col("ns") + a * F.col("ntot") - F.col("n") - a * F.col("nc")
+    )
+    p_out = (F.col("nc") - F.col("n") + a * F.col("nc")) / (
+        F.col("ntot") - F.col("ns") + a * F.col("ntot")
+        - F.col("nc") + F.col("n") - a * F.col("nc")
+    )
+    lo = j.select(
+        "source", "u",
+        F.round((F.log(p_in) - F.log(p_out)) * nano)
+        .cast("long").alias("lor_nano"),
+    )
+    rk = Window.partitionBy("source").orderBy(
+        F.col("lor_nano").desc(), "u"
+    )
+    return (
+        lo.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source", F.col("u").alias("word"), "lor_nano",
+            F.round(F.col("lor_nano") / nano, 6).alias("log_odds"),
+        )
+        .orderBy("source", F.col("lor_nano").desc(), "word")
+    )
+
+
+@register(
+    "q_gini",
+    sql="""
+    WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS u
+               FROM documents),
+    sc AS (SELECT source, u, count(*) AS n FROM w GROUP BY 1, 2),
+    r AS (SELECT source, n,
+                 row_number() OVER (PARTITION BY source ORDER BY n, u) AS i,
+                 count(*) OVER (PARTITION BY source) AS k,
+                 CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS tot
+          FROM sc)
+    SELECT source, CAST(k AS BIGINT) AS vocab, tot AS n_tokens,
+           round((2.0 * sum(i * n) / (k * CAST(tot AS DOUBLE))
+                  - (k + 1.0) / k), 6) AS gini
+    FROM r GROUP BY source, k, tot ORDER BY source
+    """,
+)
+def q_gini(spark, sf_dir):
+    """Vocabulary-concentration Gini coefficient per source (how
+    unequal is token mass across the vocabulary — near 0 = uniform
+    usage, near 1 = a few words dominate): the inequality summary
+    behind repetitive-corpus triage, complementing q_zipf's slope.
+    The rank-sum identity G = 2·Σ(i·x_i)/(k·Σx) − (k+1)/k over
+    counts sorted ascending (word tie-break → deterministic ranks,
+    exact integer Σ(i·x_i)); one (source, word) aggregate + one
+    source-partitioned sort window."""
+    from shadems_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("source", F.explode(words("text")).alias("u"))
+    sc = w.groupBy("source", "u").agg(F.count(F.lit(1)).alias("n"))
+    win = Window.partitionBy("source").orderBy("n", "u")
+    pw = Window.partitionBy("source")
+    r = sc.select(
+        "source", "n",
+        F.row_number().over(win).alias("i"),
+        F.count(F.lit(1)).over(pw).alias("k"),
+        F.sum("n").over(pw).alias("tot"),
+    )
+    return (
+        r.groupBy("source", "k", "tot")
+        .agg(F.sum(F.col("i") * F.col("n")).alias("ixn"))
+        .select(
+            "source",
+            F.col("k").cast("long").alias("vocab"),
+            F.col("tot").alias("n_tokens"),
+            F.round(
+                F.lit(2.0) * F.col("ixn") / (F.col("k") * F.col("tot").cast("double"))
+                - (F.col("k") + 1.0) / F.col("k"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )

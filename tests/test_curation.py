@@ -487,3 +487,54 @@ def test_memorization_risk_winnow_guarantee(spark, sf_dir):
     for r in rows:
         assert 1 <= r["in_train"] <= r["n_fp"]
         assert 0.0 < r["overlap"] <= 1.0
+
+
+def test_gini_bounds_and_degenerate_cases(spark):
+    """Gini laws on synthetic frames: uniform counts -> ~0; extreme
+    concentration -> approaches (k-1)/k; always in [0, 1)."""
+    from pyspark.sql import Window
+
+    def gini(rows):
+        df = spark.createDataFrame(rows, "source string, u string, n long")
+        win = Window.partitionBy("source").orderBy("n", "u")
+        pw = Window.partitionBy("source")
+        r = df.select(
+            "source", "n",
+            F.row_number().over(win).alias("i"),
+            F.count(F.lit(1)).over(pw).alias("k"),
+            F.sum("n").over(pw).alias("tot"),
+        )
+        out = (
+            r.groupBy("source", "k", "tot")
+            .agg(F.sum(F.col("i") * F.col("n")).alias("ixn"))
+            .select(
+                (
+                    F.lit(2.0) * F.col("ixn")
+                    / (F.col("k") * F.col("tot").cast("double"))
+                    - (F.col("k") + 1.0) / F.col("k")
+                ).alias("g")
+            )
+            .collect()[0]["g"]
+        )
+        return out
+
+    uniform = [("s", f"w{i}", 10) for i in range(20)]
+    assert abs(gini(uniform)) < 1e-9
+    skewed = [("s", "big", 10_000)] + [(f"s", f"w{i}", 1) for i in range(19)]
+    assert 0.9 < gini(skewed) < 1.0
+
+
+def test_topic_words_top5_and_distinctiveness(spark, sf_dir):
+    """Exactly 5 words per source, strictly ordered; a source's top
+    word has above-global-average relative frequency in that source
+    (the log-odds estimator's defining property)."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_topic_words"][0](spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["lor_nano"])
+    for src, lors in by_src.items():
+        assert len(lors) == 5
+        assert lors == sorted(lors, reverse=True)
+        assert lors[0] > 0  # the top word IS overrepresented
