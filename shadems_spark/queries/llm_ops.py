@@ -1580,3 +1580,103 @@ def q_precision_recall(spark, sf_dir):
             6,
         ).alias("f1"),
     ).orderBy("cls")
+
+
+#: nano-scaled 1/log2(rank+1) gain constants for ranks 1..5, and the
+#: ideal-DCG prefix sums for 0..5 relevant hits — with binary
+#: relevance, NDCG@5 is PURE INTEGER arithmetic on these.
+_DCG_C = [1000000000, 630929754, 500000000, 430676558, 386852807]
+_IDCG = [0, 1000000000, 1630929754, 2130929754, 2561606312, 2948459119]
+
+
+@register(
+    "q_ndcg",
+    sql=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id % 25 = 0),
+    scored AS (
+        SELECT q.q_id, q.q_label, e.label AS c_label,
+               round(list_sum(list_transform(list_zip(q.qv, e.v),
+                                             z -> z[1] * z[2]))
+                     / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+                        * sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6)
+                   AS cos,
+               e.vec_id AS cand_id
+        FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+    top AS (SELECT q_id, q_label, c_label,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, cand_id)
+                        AS INT) AS rank
+            FROM scored QUALIFY rank <= 5),
+    g AS (SELECT q_id,
+                 CAST(sum(CASE WHEN c_label = q_label THEN
+                     CASE rank WHEN 1 THEN {_DCG_C[0]}
+                               WHEN 2 THEN {_DCG_C[1]}
+                               WHEN 3 THEN {_DCG_C[2]}
+                               WHEN 4 THEN {_DCG_C[3]}
+                               ELSE {_DCG_C[4]} END
+                     ELSE 0 END) AS BIGINT) AS dcg_nano,
+                 CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_rel
+          FROM top GROUP BY 1)
+    SELECT q_id, n_rel, dcg_nano,
+           round(CASE WHEN n_rel = 0 THEN 0.0
+                 ELSE dcg_nano / CAST(CASE n_rel
+                     WHEN 1 THEN {_IDCG[1]} WHEN 2 THEN {_IDCG[2]}
+                     WHEN 3 THEN {_IDCG[3]} WHEN 4 THEN {_IDCG[4]}
+                     ELSE {_IDCG[5]} END AS DOUBLE) END, 6) AS ndcg
+    FROM g ORDER BY q_id
+    """,
+)
+def q_ndcg(spark, sf_dir):
+    """NDCG@5 for brute cosine retrieval with binary label relevance
+    (cand label == query label) — the ranking-quality half of the
+    eval family beside q_ann_recall's set recall.  With 0/1 gains the
+    position discounts 1/log2(rank+1) are CONSTANTS, so DCG is an
+    exact integer dot product against _DCG_C and the ideal DCG a
+    prefix-sum lookup by hit count: a float-free NDCG, identical on
+    both engines.  One broadcast-query scan + per-query rank window
+    (the q_cosine_topk plan) + a queries-sized aggregate."""
+    from shadems_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    top = SIM.brute_topk(emb, queries, k=5)
+    lbl = emb.select("vec_id", "label")
+    j = (
+        top.join(
+            F.broadcast(
+                lbl.select(F.col("vec_id").alias("q_id"),
+                           F.col("label").alias("q_label"))
+            ),
+            "q_id",
+        )
+        .join(
+            lbl.select(F.col("vec_id").alias("cand_id"),
+                       F.col("label").alias("c_label")),
+            "cand_id",
+        )
+    )
+    gain = F.element_at(
+        F.array(*[F.lit(c) for c in _DCG_C]), F.col("rank")
+    )
+    rel = (F.col("c_label") == F.col("q_label")).cast("int")
+    g = j.groupBy("q_id").agg(
+        F.sum(rel * gain).cast("long").alias("dcg_nano"),
+        F.sum(rel).cast("long").alias("n_rel"),
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(x) for x in _IDCG]), (F.col("n_rel") + 1).cast("int")
+    )
+    return g.select(
+        "q_id", "n_rel", "dcg_nano",
+        F.round(
+            F.when(F.col("n_rel") == 0, 0.0).otherwise(
+                F.col("dcg_nano") / idcg.cast("double")
+            ),
+            6,
+        ).alias("ndcg"),
+    ).orderBy("q_id")

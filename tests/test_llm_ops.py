@@ -681,3 +681,20 @@ def test_precision_recall_identities(spark, sf_dir):
         if r["tp"] > 0:
             lo, hi = sorted((r["precision"], r["recall"]))
             assert lo - 1e-6 <= r["f1"] <= hi + 1e-6
+
+
+def test_ndcg_laws(spark, sf_dir):
+    """NDCG invariants: in [0,1]; =1 iff every relevant hit is ranked
+    before every miss (in particular n_rel=5 -> ndcg=1); =0 iff
+    n_rel=0; and the labeled clusters make retrieval informative
+    (mean ndcg well above the ~0.1 random-labels baseline)."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_ndcg"][0](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ndcg"] <= 1.0
+        if r["n_rel"] == 5 or r["n_rel"] == 0:
+            assert r["ndcg"] == (1.0 if r["n_rel"] == 5 else 0.0)
+    mean = sum(r["ndcg"] for r in rows) / len(rows)
+    assert mean > 0.3, mean
