@@ -1680,3 +1680,124 @@ def q_ndcg(spark, sf_dir):
             6,
         ).alias("ndcg"),
     ).orderBy("q_id")
+
+
+@register(
+    "q_mrr",
+    sql="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id % 25 = 0),
+    scored AS (
+        SELECT q.q_id, q.q_label, e.label AS c_label,
+               round(list_sum(list_transform(list_zip(q.qv, e.v),
+                                             z -> z[1] * z[2]))
+                     / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+                        * sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6)
+                   AS cos,
+               e.vec_id AS cand_id
+        FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+    top AS (SELECT q_id, q_label, c_label,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, cand_id)
+                        AS INT) AS rank
+            FROM scored QUALIFY rank <= 10),
+    fr AS (SELECT q_id, min(rank) AS first_rel
+           FROM top WHERE c_label = q_label GROUP BY 1)
+    SELECT q.q_id, coalesce(fr.first_rel, 0) AS first_rel,
+           round(CASE WHEN fr.first_rel IS NULL THEN 0.0
+                 ELSE 1.0 / fr.first_rel END, 6) AS rr
+    FROM q LEFT JOIN fr USING (q_id) ORDER BY q_id
+    """,
+)
+def q_mrr(spark, sf_dir):
+    """Reciprocal rank at 10 per query (label relevance) — the third
+    leg of the retrieval-eval family (q_ann_recall set recall,
+    q_ndcg graded ranking, q_mrr first-hit): rr = 1/min rank of a
+    same-label candidate in the brute top-10, 0 if none (first_rel=0
+    marks the miss).  Rank and min are exact integers; 1/r is one
+    division.  Same broadcast-scan plan as q_cosine_topk."""
+    from shadems_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    top = SIM.brute_topk(emb, queries, k=10)
+    lbl = emb.select("vec_id", "label")
+    j = (
+        top.join(
+            F.broadcast(
+                lbl.select(F.col("vec_id").alias("q_id"),
+                           F.col("label").alias("q_label"))
+            ),
+            "q_id",
+        )
+        .join(
+            lbl.select(F.col("vec_id").alias("cand_id"),
+                       F.col("label").alias("c_label")),
+            "cand_id",
+        )
+    )
+    fr = (
+        j.filter(F.col("c_label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(F.min("rank").alias("first_rel"))
+    )
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id")
+    )
+    return (
+        qs.join(fr, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("first_rel"), F.lit(0)).cast("int").alias("first_rel"),
+            F.round(
+                F.when(F.col("first_rel").isNull(), 0.0).otherwise(
+                    F.lit(1.0) / F.col("first_rel")
+                ),
+                6,
+            ).alias("rr"),
+        )
+        .orderBy("q_id")
+    )
+
+
+@register(
+    "q_token_histogram",
+    sql="""
+    WITH t AS (SELECT CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks
+               FROM documents),
+    b AS (SELECT CAST(floor(ln(toks) / ln(2)) AS INT) AS bucket FROM t)
+    SELECT bucket,
+           CAST(power(2, bucket) AS BIGINT) AS bucket_lo,
+           CAST(power(2, bucket + 1) - 1 AS BIGINT) AS bucket_hi,
+           count(*) AS n_docs
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_token_histogram(spark, sf_dir):
+    """Power-of-two token-length histogram — the context-packing
+    planning view (which bucket dominates decides the seq_pack budget
+    and padding waste).  Bucket = floor(log2(tokens)) computed as
+    ln/ln(2) identically on both engines over exact integer token
+    estimates; one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("toks")
+    )
+    b = t.select(
+        F.floor(F.log("toks") / F.log(F.lit(2.0))).cast("int").alias("bucket")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "bucket",
+            F.pow(F.lit(2.0), F.col("bucket")).cast("long").alias("bucket_lo"),
+            (F.pow(F.lit(2.0), F.col("bucket") + 1) - 1)
+            .cast("long").alias("bucket_hi"),
+            "n_docs",
+        )
+        .orderBy("bucket")
+    )

@@ -698,3 +698,21 @@ def test_ndcg_laws(spark, sf_dir):
             assert r["ndcg"] == (1.0 if r["n_rel"] == 5 else 0.0)
     mean = sum(r["ndcg"] for r in rows) / len(rows)
     assert mean > 0.3, mean
+
+
+def test_mrr_consistent_with_ndcg(spark, sf_dir):
+    """Cross-metric law: a query with rr == 1 (top hit relevant) must
+    have ndcg > 0; a query with first_rel == 0 within top-10 implies
+    n_rel == 0 in the top-5 too; rr in {0} U (0.1, 1]."""
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    mrr = {r["q_id"]: r for r in reg["q_mrr"][0](spark, sf_dir).collect()}
+    ndcg = {r["q_id"]: r for r in reg["q_ndcg"][0](spark, sf_dir).collect()}
+    assert set(mrr) == set(ndcg)
+    for q, r in mrr.items():
+        assert r["rr"] == 0.0 or 0.1 <= r["rr"] <= 1.0
+        if r["rr"] == 1.0:
+            assert ndcg[q]["ndcg"] > 0
+        if r["first_rel"] == 0:
+            assert ndcg[q]["n_rel"] == 0
