@@ -2168,3 +2168,69 @@ def q_gini(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_distinct_n",
+    sql="""
+    WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+    u1 AS (SELECT source, unnest(ws) AS g FROM w),
+    u2 AS (SELECT source, unnest([ws[i+1] || ' ' || ws[i+2]
+                                  for i in range(len(ws) - 1)]) AS g FROM w),
+    u3 AS (SELECT source, unnest([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                                  for i in range(len(ws) - 2)]) AS g FROM w),
+    a1 AS (SELECT source, count(*) AS t1, count(DISTINCT g) AS d1
+           FROM u1 GROUP BY 1),
+    a2 AS (SELECT source, count(*) AS t2, count(DISTINCT g) AS d2
+           FROM u2 GROUP BY 1),
+    a3 AS (SELECT source, count(*) AS t3, count(DISTINCT g) AS d3
+           FROM u3 GROUP BY 1)
+    SELECT source,
+           CAST(t1 AS BIGINT) AS n_tokens,
+           round(d1 / CAST(t1 AS DOUBLE), 6) AS distinct_1,
+           round(d2 / CAST(t2 AS DOUBLE), 6) AS distinct_2,
+           round(d3 / CAST(t3 AS DOUBLE), 6) AS distinct_3
+    FROM a1 JOIN a2 USING (source) JOIN a3 USING (source)
+    ORDER BY source
+    """,
+)
+def q_distinct_n(spark, sf_dir):
+    """Distinct-n diversity per source (Li et al. 2016's generation-
+    diversity metric, corpus-level): the fraction of 1/2/3-gram
+    TOKENS that are distinct — low distinct-n flags templated or
+    model-generated slices before they pollute a training mix
+    (natural text sits high on distinct-3; boilerplate collapses).
+    Exact integer distinct/total counts per n, one division each;
+    three map-side-combined aggregates over gram streams (8-byte
+    hashed grams in the production variant — the string grams here
+    keep the oracle char-identical)."""
+    from shadems_spark.operators.text import _sliding, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = words("text")
+    concat2 = lambda a, x: F.concat(a, F.lit(" "), x)
+
+    def diversity(col, n):
+        g = docs.select("source", F.explode(col).alias("g"))
+        return g.groupBy("source").agg(
+            F.count(F.lit(1)).alias(f"t{n}"),
+            F.countDistinct("g").alias(f"d{n}"),
+        )
+
+    a1 = diversity(ws, 1)
+    a2 = diversity(_sliding(ws, 2, concat2), 2)
+    a3 = diversity(_sliding(ws, 3, concat2), 3)
+    return (
+        a1.join(a2, "source").join(a3, "source")
+        .select(
+            "source",
+            F.col("t1").alias("n_tokens"),
+            F.round(F.col("d1") / F.col("t1").cast("double"), 6)
+            .alias("distinct_1"),
+            F.round(F.col("d2") / F.col("t2").cast("double"), 6)
+            .alias("distinct_2"),
+            F.round(F.col("d3") / F.col("t3").cast("double"), 6)
+            .alias("distinct_3"),
+        )
+        .orderBy("source")
+    )

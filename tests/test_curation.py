@@ -538,3 +538,14 @@ def test_topic_words_top5_and_distinctiveness(spark, sf_dir):
         assert len(lors) == 5
         assert lors == sorted(lors, reverse=True)
         assert lors[0] > 0  # the top word IS overrepresented
+
+
+def test_distinct_n_monotone_in_n(spark, sf_dir):
+    """Diversity law: distinct-n is nondecreasing in n (longer grams
+    repeat less), and all ratios live in (0, 1]."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_distinct_n"][0](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["distinct_1"] <= r["distinct_2"] <= r["distinct_3"] <= 1.0
