@@ -1741,3 +1741,117 @@ def q_survival(spark, sf_dir):
         )
         .orderBy("t")
     )
+
+
+_CMS_W, _CMS_D, _CMS_Q = 512, 3, 20
+
+
+def _cms_hash_sql(col: str) -> str:
+    """DuckDB replay of operators/text.py::poly_hash over ``col``."""
+    return f"""list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split({col}, ''),
+                                    c -> CAST(ascii(c) AS BIGINT))),
+        (a, c) -> (a * 31 + c) % 1000000007)"""
+
+
+def _cms_buckets_sql() -> str:
+    """The d probe buckets off an ``h`` column — the identical affine
+    family operators/profile.py::bloom_bits_from_hash derives."""
+    return ", ".join(
+        f"(h * {2 * j + 1} + {97 * j}) % 1000000007 % {_CMS_W}"
+        for j in range(_CMS_D)
+    )
+
+
+@register(
+    "q_countmin",
+    sql=f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+    oh AS (SELECT t, {_cms_hash_sql('t')} AS h FROM w),
+    cells AS (SELECT j, bucket, count(*) AS c
+              FROM (SELECT unnest([{', '.join(str(j) for j in range(_CMS_D))}]) AS j,
+                           unnest([{_cms_buckets_sql()}]) AS bucket
+                    FROM oh)
+              GROUP BY 1, 2),
+    truth AS (SELECT t, count(*) AS n FROM w GROUP BY 1),
+    topq AS (SELECT t, n FROM truth ORDER BY n DESC, t LIMIT {_CMS_Q}),
+    qh AS (SELECT t, n, {_cms_hash_sql('t')} AS h FROM topq),
+    probes AS (SELECT t, n,
+                      unnest([{', '.join(str(j) for j in range(_CMS_D))}]) AS j,
+                      unnest([{_cms_buckets_sql()}]) AS bucket
+               FROM qh),
+    est AS (SELECT t, n, min(c) AS est
+            FROM probes JOIN cells USING (j, bucket) GROUP BY 1, 2)
+    SELECT t AS token, CAST(n AS BIGINT) AS n, CAST(est AS BIGINT) AS est,
+           CAST(est - n AS BIGINT) AS overcount
+    FROM est ORDER BY n DESC, token
+    """,
+)
+def q_countmin(spark, sf_dir):
+    """Count-Min sketch frequency estimation (Cormode & Muthukrishnan
+    2005) over corpus word occurrences — the last member of the
+    mergeable-sketch family (HLL / theta / KLL / t-digest / bloom all
+    registered): d=3 rows x w=512 buckets, point query =
+    MIN over the d counters a token hashes to.  Because the hash
+    family is the deterministic bloom affine family over the
+    cross-engine poly hash, the sketch — collisions, overcounts and
+    all — is bit-identical on any engine, so a probabilistic
+    structure gets a hash-exact SQL oracle (q_bloom_decontaminate's
+    trick, applied to counting).
+
+    Scale shape: the sketch build is ONE map-side-combined aggregate
+    whose key space is d*w = fixed 1,536 cells — per-partition
+    combiners emit at most that many rows regardless of corpus size,
+    the defining property that lets CMS count 100 TB of tokens
+    through a KB-sized shuffle; the probe side broadcast-joins the
+    cell table.  The exact ``truth``/top-q aggregate here is the
+    in-query AUDIT (and deterministic query-token pick) — production
+    probes the sketch only, never building the vocabulary aggregate
+    (q_heavy_hitters documents the same contrast).  The CMS
+    guarantee est >= n (never undercounts) and the eps*N overcount
+    bound are pinned in tests/test_analytics.py."""
+    from shadems_spark.operators.profile import bloom_bits_from_hash
+    from shadems_spark.operators.text import poly_hash, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(words("text")).alias("t"))
+    # two-step: char-fold each occurrence ONCE, derive the d buckets
+    # from the hash COLUMN (the q_bloom_decontaminate duplication note)
+    oh = occ.select(poly_hash("t").alias("h"))
+    cells = (
+        oh.select(
+            F.posexplode(
+                bloom_bits_from_hash(F.col("h"), _CMS_W, _CMS_D)
+            ).alias("j", "bucket")
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = occ.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    topq = (
+        truth.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), "t")
+            ),
+        )
+        .filter(F.col("r") <= _CMS_Q)
+        .drop("r")
+    )
+    probes = topq.select(
+        "t", "n",
+        F.posexplode(
+            bloom_bits_from_hash(poly_hash("t"), _CMS_W, _CMS_D)
+        ).alias("j", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("t", "n")
+        .agg(F.min("c").alias("est"))
+        .select(
+            F.col("t").alias("token"), "n", "est",
+            (F.col("est") - F.col("n")).alias("overcount"),
+        )
+        .orderBy(F.col("n").desc(), "token")
+    )

@@ -398,3 +398,23 @@ def test_survival_monotone_and_bounded(spark, sf_dir):
         if prev_n is not None:
             assert r["n_at_risk"] <= prev_n
         prev_n = r["n_at_risk"]
+
+
+def test_countmin_never_undercounts_and_bounds_error(spark, sf_dir):
+    """The two CMS laws: est >= n always (each of the d counters holds
+    n plus nonnegative collision mass, min preserves that), and the
+    total overcount across probes stays within a loose multiple of
+    the eps*N bound (eps = e/512, N = total token occurrences)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.text import words
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_countmin"][0](spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.select(F.explode(words("text"))).count()
+    for r in rows:
+        assert r["est"] >= r["n"], (r["token"], r["est"], r["n"])
+        assert r["overcount"] == r["est"] - r["n"]
+        # eps*N with w=512 is ~N/188; allow 4x slack for the tiny w
+        assert r["overcount"] <= 4 * 2.718 * n_total / 512, r
