@@ -363,3 +363,116 @@ def bottomk_jaccard(
         .filter(F.col("jaccard_est") >= threshold)
         .select("id1", "id2", "jaccard_est")
     )
+
+
+def prefix_filter_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    t_num: int = 3,
+    t_den: int = 5,
+    ngram: int = 3,
+) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered set-similarity self-join
+    (Bayardo et al. WWW'07; Xiao et al. WWW'08): ALL pairs of
+    documents whose distinct word-``ngram``-shingle-set Jaccard >= t
+    (= t_num/t_den), found without comparing all pairs.  Shingles,
+    not raw words, are the token universe by default: word SETS on a
+    shared-vocabulary corpus put most pairs over any useful
+    threshold (measured: 71k of 125k possible pairs at t=0.6 on the
+    sf0.01 fixture), while 3-gram sets are discriminative.
+
+    The filter stack, every layer LOSSLESS for the threshold:
+    - **Global ordering**: each doc's word set sorts by ascending
+      document frequency (rarest first; ties by word) — any fixed
+      total order preserves correctness, df-ascending makes the
+      candidate join key on the RAREST tokens, which both minimizes
+      candidates and kills join skew by construction (a stopword can
+      never be a prefix token of a long document).
+    - **Prefix filter**: two sets with |A∩B| >= ceil(t·max(|A|,|B|))
+      must share a token within their first |s| - ceil(t·|s|) + 1
+      tokens, so joining PREFIXES only loses nothing (the theorem the
+      oracle's brute-force definition verifies end-to-end).
+    - **Length filter**: Jaccard >= t forces t·|A| <= |B| <= |A|/t —
+      rides the join as a pure integer predicate.
+    - **Exact verify**: array_intersect on the full ordered sets;
+      final test 5·inter >= 3·union in integers (no float compare).
+
+    Threshold arithmetic is exact rationals: ceil(t·n) =
+    (t_num·n + t_den - 1) div t_den.  Scale shape: one vocab
+    aggregate (df), one per-doc sort, a prefix-token equi-join whose
+    keys are rare by construction, then verification on candidates
+    only — the canonical exact set-similarity join for corpus-scale
+    dedup where LSH's recall loss is unacceptable.
+
+    Shingles join as STRINGS so the DuckDB oracle is char-identical;
+    the production variant keys the candidate join on the 8-byte
+    ngram hash instead (q_ngram_jaccard's trade, same verdict since
+    the verify step re-checks the full sets)."""
+    from shadems_spark.operators.text import _sliding
+
+    ws = words(text)
+    base = ws if ngram == 1 else _sliding(
+        ws, ngram, lambda a, x: F.concat(a, F.lit(" "), x)
+    )
+    tok = df.select(id_col, F.explode(F.array_distinct(base)).alias("w"))
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ceil_tn = lambda n: F.floor(
+        (F.lit(t_num) * n + F.lit(t_den - 1)) / F.lit(t_den)
+    ).cast("int")
+    ordered = tracked_persist(
+        tok.join(dfreq, "w")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "w"))),
+                lambda x: x["w"],
+            ).alias("ws")
+        )
+        .withColumn("n", F.size("ws"))
+        .withColumn("p", F.col("n") - ceil_tn(F.col("n")) + F.lit(1)),
+        key="ppjoin_ordered",
+    )
+    pre = ordered.select(
+        id_col, "n", F.explode(F.slice("ws", 1, F.col("p"))).alias("w")
+    )
+    a = pre.select(
+        F.col(id_col).alias("doc_a"), F.col("n").alias("na"), "w"
+    )
+    b = pre.select(
+        F.col(id_col).alias("doc_b"), F.col("n").alias("nb"), "w"
+    )
+    cand = (
+        a.join(b, "w")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.lit(t_den) * F.col("nb") >= F.lit(t_num) * F.col("na"))
+            & (F.lit(t_den) * F.col("na") >= F.lit(t_num) * F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = ordered.select(
+        F.col(id_col).alias("doc_a"), F.col("ws").alias("wsa"),
+        F.col("n").alias("na"),
+    )
+    sb = ordered.select(
+        F.col(id_col).alias("doc_b"), F.col("ws").alias("wsb"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("wsa", "wsb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", inter)
+        .withColumn("un", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.lit(t_den) * F.col("inter") >= F.lit(t_num) * F.col("un"))
+        .select(
+            "doc_a", "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("un").cast("long").alias("un"),
+            F.round(
+                F.col("inter") / F.col("un").cast("double"), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -1801,3 +1801,44 @@ def q_token_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_ppjoin",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS raw FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct([raw[i+1] || ' ' || raw[i+2] || ' ' || raw[i+3]
+                                for i in range(len(raw) - 2)]) AS ws
+          FROM w),
+    tok AS (SELECT doc_id, unnest(ws) AS g FROM s),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM tok a JOIN tok b USING (g) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(ws) AS n FROM s)
+    SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+           CAST(na.n + nb.n - inter AS BIGINT) AS un,
+           round(inter / CAST(na.n + nb.n - inter AS DOUBLE), 6) AS jaccard
+    FROM p JOIN sz na ON doc_a = na.doc_id JOIN sz nb ON doc_b = nb.doc_id
+    WHERE 5 * inter >= 3 * (na.n + nb.n - inter)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_ppjoin(spark, sf_dir):
+    """EXACT set-similarity self-join at 3-gram-shingle-set Jaccard
+    >= 0.6 via the AllPairs/PPJoin prefix filter
+    (operators/dedup.py::prefix_filter_join) — the third candidate-
+    generation strategy beside LSH banding (probabilistic recall) and
+    SimHash blocks: exact answer, subquadratic work.  The ORACLE is
+    the brute-force definition (all pairs sharing ANY shingle, exact
+    Jaccard, threshold) — so the hash match doesn't just check
+    arithmetic, it verifies the prefix-filter theorem itself: joining
+    only each doc's (|s| - ceil(0.6|s|) + 1)-shingle rarest-first
+    prefix loses no qualifying pair.  All thresholds compare as
+    integer rationals (5·inter >= 3·union) — no float boundary.
+    Same metric space as q_ngram_jaccard's all-pairs-sharing-a-gram
+    plan: this is the subquadratic high-threshold route, that one
+    the low-threshold (t=0.2 admits no useful prefix) verify."""
+    return D.prefix_filter_join(
+        load_table(spark, sf_dir, "documents"), t_num=3, t_den=5, ngram=3
+    ).orderBy("doc_a", "doc_b")

@@ -716,3 +716,42 @@ def test_mrr_consistent_with_ndcg(spark, sf_dir):
             assert ndcg[q]["ndcg"] > 0
         if r["first_rel"] == 0:
             assert ndcg[q]["n_rel"] == 0
+
+
+def test_ppjoin_matches_brute_force_and_prunes(spark, sf_dir):
+    """The prefix-filter theorem, checked against the in-Spark brute
+    force at sf0.001: identical pair sets, and the prefix join's
+    candidate-pair count strictly below the sharing-any-gram pair
+    count (the pruning that makes it subquadratic)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.dedup import prefix_filter_join
+    from shadems_spark.operators.text import _sliding, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["un"])
+        for r in prefix_filter_join(docs, t_num=3, t_den=5, ngram=3).collect()
+    }
+    g3 = F.array_distinct(
+        _sliding(words("text"), 3, lambda a, x: F.concat(a, F.lit(" "), x))
+    )
+    g = docs.select("doc_id", F.explode(g3).alias("g"))
+    a = g.select(F.col("doc_id").alias("ia"), "g")
+    b = g.select(F.col("doc_id").alias("ib"), "g")
+    allp = (
+        a.join(b, "g")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    brute = {}
+    n_by = {r["doc_id"]: r["n"] for r in sz.collect()}
+    n_sharing = 0
+    for r in allp.collect():
+        n_sharing += 1
+        un = n_by[r["ia"]] + n_by[r["ib"]] - r["inter"]
+        if 5 * r["inter"] >= 3 * un:
+            brute[(r["ia"], r["ib"])] = (r["inter"], un)
+    assert got == brute and got  # theorem: no pair lost, none invented
+    assert len(got) < n_sharing  # and the threshold actually prunes
