@@ -1855,3 +1855,78 @@ def q_countmin(spark, sf_dir):
         )
         .orderBy(F.col("n").desc(), "token")
     )
+
+
+@register(
+    "q_ks_test",
+    sql="""
+    WITH s AS (SELECT value,
+                      CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2
+               FROM events WHERE event_type IN ('click', 'purchase')),
+    v AS (SELECT value, sum(g1) AS a1, sum(g2) AS a2 FROM s GROUP BY 1),
+    c AS (SELECT value,
+                 sum(a1) OVER (ORDER BY value) AS c1,
+                 sum(a2) OVER (ORDER BY value) AS c2
+          FROM v),
+    t AS (SELECT sum(g1) AS n1, sum(g2) AS n2 FROM s),
+    d AS (SELECT value, abs(c1 * n2 - c2 * n1) AS dnum FROM c, t)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(dnum AS BIGINT) AS d_num,
+           round(dnum / (n1 * CAST(n2 AS DOUBLE)), 6) AS ks_d,
+           round(value, 6) AS at_value
+    FROM d, t ORDER BY dnum DESC, value LIMIT 1
+    """,
+)
+def q_ks_test(spark, sf_dir):
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the
+    click and purchase value distributions — the distribution-drift
+    gate beside q_kl_drift (binned, streaming) and q_abtest (mean
+    shift): KS catches ANY CDF divergence, not just mean/bin moves.
+
+    Exactness: at every pooled observation the CDF gap is the pure
+    INTEGER |c1*N2 - c2*N1| (cross-multiplied empirical CDFs), so
+    sup-finding involves no float comparison; the one division
+    happens after the argmax.  Emits the witness point (at_value =
+    smallest value attaining the sup) — the actionable part of a
+    drift alarm.  Scale: the per-value aggregate is map-side
+    combined; the single global cumsum window runs over DISTINCT
+    values only (bounded by value cardinality, not rows) — at 100 TB
+    with high-cardinality values you'd pre-bin (the q_kl_drift
+    shape) or KLL-sketch both sides; this exact form is the
+    oracle-checkable contract."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.select(
+        "value",
+        (F.col("event_type") == "click").cast("long").alias("g1"),
+        (F.col("event_type") == "purchase").cast("long").alias("g2"),
+    )
+    v = s.groupBy("value").agg(
+        F.sum("g1").alias("a1"), F.sum("g2").alias("a2")
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("value")
+    c = v.select(
+        "value",
+        F.sum("a1").over(w).alias("c1"),
+        F.sum("a2").over(w).alias("c2"),
+    )
+    t = s.agg(F.sum("g1").alias("n1"), F.sum("g2").alias("n2"))
+    d = c.crossJoin(F.broadcast(t)).select(
+        "value", "n1", "n2",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+        .alias("dnum"),
+    )
+    return (
+        d.orderBy(F.col("dnum").desc(), "value")
+        .limit(1)
+        .select(
+            "n1", "n2",
+            F.col("dnum").alias("d_num"),
+            F.round(
+                F.col("dnum") / (F.col("n1") * F.col("n2").cast("double")), 6
+            ).alias("ks_d"),
+            F.round("value", 6).alias("at_value"),
+        )
+    )

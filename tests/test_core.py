@@ -418,3 +418,36 @@ def test_countmin_never_undercounts_and_bounds_error(spark, sf_dir):
         assert r["overcount"] == r["est"] - r["n"]
         # eps*N with w=512 is ~N/188; allow 4x slack for the tiny w
         assert r["overcount"] <= 4 * 2.718 * n_total / 512, r
+
+
+def test_ks_statistic_bounds_and_self_zero(spark, sf_dir):
+    """KS laws: 0 <= D <= 1 on the real pair, and D == 0 when both
+    samples are the SAME distribution (click vs click relabeled) —
+    the null calibration a drift alarm must satisfy."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_ks_test"][0](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["ks_d"] <= 1.0
+    assert r["d_num"] <= r["n1"] * r["n2"]
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    s = ev.select(
+        "value",
+        F.lit(1).cast("long").alias("g1"),
+        F.lit(1).cast("long").alias("g2"),
+    )
+    v = s.groupBy("value").agg(F.sum("g1").alias("a1"), F.sum("g2").alias("a2"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.lit(0)).orderBy("value")
+    mx = (
+        v.select(
+            (F.abs(F.sum("a1").over(w) - F.sum("a2").over(w))).alias("d")
+        )
+        .agg(F.max("d").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert mx == 0
