@@ -1930,3 +1930,89 @@ def q_ks_test(spark, sf_dir):
             F.round("value", 6).alias("at_value"),
         )
     )
+
+
+@register(
+    "q_mannwhitney",
+    sql="""
+    WITH s AS (SELECT value,
+                      CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2
+               FROM events WHERE event_type IN ('click', 'purchase')),
+    v AS (SELECT value, sum(g1) AS a1, sum(g2) AS a2, count(*) AS t
+          FROM s GROUP BY 1),
+    c AS (SELECT a1, a2, t,
+                 sum(t) OVER (ORDER BY value) - t AS cb
+          FROM v),
+    agg AS (SELECT sum(a1) AS n1, sum(a2) AS n2,
+                   sum(a1 * (2 * cb + t + 1)) AS r1x2,
+                   sum(t * t * t - t) AS ties
+            FROM c)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * n1 * n2 - (r1x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+           round((r1x2 - n1 * (n1 + 1)) / (2.0 * (n1 * n2)), 6) AS auc,
+           round(((r1x2 - n1 * (n1 + 1)) - CAST(n1 * n2 AS DOUBLE)) /
+                 (2.0 * sqrt((CAST(n1 * n2 AS DOUBLE) / 12.0) *
+                             ((n1 + n2 + 1) -
+                              CAST(ties AS DOUBLE) /
+                              ((n1 + n2) * (n1 + n2 - 1.0))))), 6) AS z
+    FROM agg
+    """,
+)
+def q_mannwhitney(spark, sf_dir):
+    """Tie-aware Mann-Whitney U rank-sum test between the click and
+    purchase value distributions — the nonparametric drift gate
+    beside q_ks_test (sup-CDF-gap) and q_abtest (mean z-test): U
+    detects stochastic dominance (P(X>Y) != 1/2) where KS may be
+    diluted and a mean test is fooled by outliers.
+
+    Exactness: doubled midranks (2*cum_before + t + 1 per tie group)
+    keep every rank sum a pure INTEGER, so U1, U2 and the tie term
+    sum(t^3 - t) are engine-exact; AUC (= U1/(n1*n2), the common-
+    language effect size — same quantity q_auc computes for the
+    classifier) and the tie-corrected normal z are each ONE fixed
+    float formula over those integers, identical at 6dp on any
+    IEEE-754 engine (the q_abtest protocol).  Scale: the per-value
+    aggregate is map-side combined; the single global cumsum window
+    runs over DISTINCT values only (value cardinality, not rows) —
+    at 100 TB pre-bin or KLL-sketch both sides as with q_ks_test."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.select(
+        "value",
+        (F.col("event_type") == "click").cast("long").alias("g1"),
+        (F.col("event_type") == "purchase").cast("long").alias("g2"),
+    )
+    v = s.groupBy("value").agg(
+        F.sum("g1").alias("a1"),
+        F.sum("g2").alias("a2"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    w = Window.orderBy("value")
+    c = v.select(
+        "a1", "a2", "t",
+        (F.sum("t").over(w) - F.col("t")).alias("cb"),
+    )
+    agg = c.agg(
+        F.sum("a1").alias("n1"),
+        F.sum("a2").alias("n2"),
+        F.sum(F.col("a1") * (2 * F.col("cb") + F.col("t") + 1)).alias("r1x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1x2 = F.col("r1x2") - n1 * (n1 + 1)
+    nn = (n1 * n2).cast("double")
+    sigma2 = (nn / 12.0) * (
+        (n1 + n2 + 1)
+        - F.col("ties").cast("double") / ((n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return agg.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        u1x2.cast("long").alias("u1_x2"),
+        (2 * n1 * n2 - u1x2).cast("long").alias("u2_x2"),
+        F.round(u1x2 / (2.0 * (n1 * n2)), 6).alias("auc"),
+        F.round((u1x2 - nn) / (2.0 * F.sqrt(sigma2)), 6).alias("z"),
+    )

@@ -451,3 +451,30 @@ def test_ks_statistic_bounds_and_self_zero(spark, sf_dir):
         .collect()[0]["m"]
     )
     assert mx == 0
+
+
+def test_mannwhitney_brute_parity_and_null_laws(spark, sf_dir):
+    """U laws: u1_x2 + u2_x2 == 2*n1*n2 (partition identity), AUC in
+    [0,1], and u1_x2 equals the BRUTE pairwise count 2*#(x>y) + #(x==y)
+    over all (click, purchase) pairs — the definition the rank-sum
+    formula must reproduce, ties included."""
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_mannwhitney"][0](spark, sf_dir).collect()[0]
+    assert r["u1_x2"] + r["u2_x2"] == 2 * r["n1"] * r["n2"]
+    assert 0.0 <= r["auc"] <= 1.0
+
+    from shadems_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    x = [
+        row["value"]
+        for row in ev.filter(F.col("event_type") == "click").collect()
+    ]
+    y = [
+        row["value"]
+        for row in ev.filter(F.col("event_type") == "purchase").collect()
+    ]
+    assert len(x) == r["n1"] and len(y) == r["n2"]
+    brute = sum(2 if a > b else (1 if a == b else 0) for a in x for b in y)
+    assert brute == r["u1_x2"]
