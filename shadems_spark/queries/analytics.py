@@ -2016,3 +2016,81 @@ def q_mannwhitney(spark, sf_dir):
         F.round(u1x2 / (2.0 * (n1 * n2)), 6).alias("auc"),
         F.round((u1x2 - nn) / (2.0 * F.sqrt(sigma2)), 6).alias("z"),
     )
+
+
+@register(
+    "q_freq_pairs",
+    sql="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
+    i AS (SELECT pk, count(*) AS s FROM b GROUP BY 1),
+    p AS (SELECT a.pk AS pa, c.pk AS pb, count(*) AS s
+          FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+          GROUP BY 1, 2
+          HAVING count(*) >= 3)
+    SELECT p.pa, p.pb, p.s AS pair_support,
+           ia.s AS support_a, ib.s AS support_b,
+           round(p.s / CAST(ia.s AS DOUBLE), 6) AS conf_a_to_b,
+           round(p.s / CAST(ib.s AS DOUBLE), 6) AS conf_b_to_a,
+           round(p.s * CAST(n_orders AS DOUBLE) / (ia.s * ib.s), 6) AS lift
+    FROM p CROSS JOIN n
+    JOIN i ia ON ia.pk = p.pa
+    JOIN i ib ON ib.pk = p.pb
+    ORDER BY lift DESC, pa, pb
+    """,
+)
+def q_freq_pairs(spark, sf_dir):
+    """Apriori frequent-pairs market-basket mining over lineitem
+    baskets (Agrawal-Srikant VLDB'94): distinct (order, part) baskets
+    -> item supports -> PRUNE to frequent items (downward closure: a
+    pair with support >= minsup can only contain items with support
+    >= minsup) -> within-basket pair self-join -> support/confidence/
+    lift.  The oracle is the UNPRUNED brute definition, so the hash
+    match proves the Apriori prune lossless (the q_ppjoin pattern).
+
+    Exactness: support counts are integers; confidence and lift are
+    one division each from integers, engine-exact at 6dp.  Scale:
+    pair generation is O(k^2) per basket (k <= 13 here; bounded in
+    retail schemas — cap or sample mega-baskets at 100 TB), the
+    frequent-item table shrinks with minsup and is broadcast to both
+    join sides, and the self-join shuffles on the basket key only —
+    the classic distributed-Apriori shape; raise minsup with corpus
+    size to keep the pair table sublinear."""
+    MINSUP = 3
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    i = b.groupBy("pk").agg(F.count(F.lit(1)).alias("s"))
+    fi = i.filter(F.col("s") >= MINSUP).select("pk")
+    fb = b.join(F.broadcast(fi), "pk")
+    p = (
+        fb.alias("a")
+        .join(fb.alias("c"), "ok")
+        .filter(F.col("a.pk") < F.col("c.pk"))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("c.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= MINSUP)
+    )
+    n = b.agg(F.count_distinct("ok").alias("n_orders"))
+    ia = i.select(F.col("pk").alias("pa"), F.col("s").alias("support_a"))
+    ib = i.select(F.col("pk").alias("pb"), F.col("s").alias("support_b"))
+    return (
+        p.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa", "pb",
+            F.col("s").alias("pair_support"),
+            "support_a", "support_b",
+            F.round(F.col("s") / F.col("support_a").cast("double"), 6)
+            .alias("conf_a_to_b"),
+            F.round(F.col("s") / F.col("support_b").cast("double"), 6)
+            .alias("conf_b_to_a"),
+            F.round(
+                F.col("s") * F.col("n_orders").cast("double")
+                / (F.col("support_a") * F.col("support_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+    )

