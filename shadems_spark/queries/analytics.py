@@ -2094,3 +2094,90 @@ def q_freq_pairs(spark, sf_dir):
         )
         .orderBy(F.col("lift").desc(), "pa", "pb")
     )
+
+
+@register(
+    "q_rfm",
+    sql="""
+    WITH cust AS (
+        SELECT o_custkey,
+               max(CAST(o_orderdate AS DATE)) AS last_order,
+               count(*) AS freq,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+    a AS (SELECT max(last_order) AS anchor FROM cust),
+    s AS (SELECT datediff('day', last_order, anchor) AS recency_days,
+                 freq, cents,
+                 ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+                 ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+                 ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS m_score
+          FROM cust CROSS JOIN a)
+    SELECT r_score, f_score, m_score,
+           CASE WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2
+                THEN 'champion'
+                WHEN r_score >= 4 AND m_score <= 2 THEN 'at_risk_spender'
+                WHEN r_score >= 4 AND f_score >= 4 THEN 'hibernating'
+                ELSE 'core' END AS segment,
+           count(*) AS customers,
+           CAST(max(recency_days) AS BIGINT) AS max_recency_days,
+           CAST(sum(freq) AS BIGINT) AS orders_total,
+           CAST(sum(cents) AS BIGINT) AS monetary_cents
+    FROM s GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3
+    """,
+)
+def q_rfm(spark, sf_dir):
+    """RFM (recency/frequency/monetary) customer segmentation — the
+    classic retention-marketing cube (Hughes 1994): per-customer last
+    order, order count, lifetime spend -> quintile scores (1 = best)
+    -> 5x5x5 segment grid with named action buckets.
+
+    Exactness: spend is folded to INTEGER cents before any ordering
+    or re-aggregation (o_totalprice values are exact cents, so the
+    float sum is within 1e-9 of an integer and round() recovers it
+    exactly — no float-order sensitivity anywhere); ntile runs over a
+    total order (metric, custkey), so bucket assignment is
+    deterministic and both engines share the floor-based ntile fill.
+    Scale: the per-customer aggregate is the only data-sized shuffle;
+    the three quintile windows sort a CUSTOMER-cardinality table — at
+    100 TB replace exact ntile with KLL quantile cutpoints (the
+    q_ccnet_buckets_approx shape) and keep the grid aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    a = cust.agg(F.max("last_order").alias("anchor"))
+    s = cust.crossJoin(F.broadcast(a)).select(
+        F.datediff("anchor", "last_order").alias("recency_days"),
+        "freq", "cents",
+        F.ntile(5).over(
+            Window.orderBy(F.col("last_order").desc(), "o_custkey")
+        ).alias("r_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.col("freq").desc(), "o_custkey")
+        ).alias("f_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.col("cents").desc(), "o_custkey")
+        ).alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2)
+            & (F.col("m_score") <= 2),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("m_score") <= 2), "at_risk_spender")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "hibernating")
+        .otherwise("core")
+    )
+    return (
+        s.groupBy("r_score", "f_score", "m_score", seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.max("recency_days").cast("long").alias("max_recency_days"),
+            F.sum("freq").alias("orders_total"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

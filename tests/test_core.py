@@ -493,3 +493,24 @@ def test_freq_pairs_support_laws(spark, sf_dir):
         assert 0.0 < r["conf_a_to_b"] <= 1.0
         assert 0.0 < r["conf_b_to_a"] <= 1.0
         assert r["pa"] < r["pb"]
+
+
+def test_rfm_quintiles_balanced_and_exhaustive(spark, sf_dir):
+    """RFM laws: every quintile axis partitions ALL customers into 5
+    near-equal buckets (ntile fill law: sizes differ by at most 1),
+    and the grid total equals the customer count."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_rfm"][0](spark, sf_dir).collect()
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r["customers"] for r in rows) == n_cust
+    for axis in ("r_score", "f_score", "m_score"):
+        per = {}
+        for r in rows:
+            per[r[axis]] = per.get(r[axis], 0) + r["customers"]
+        assert set(per) == {1, 2, 3, 4, 5}
+        assert max(per.values()) - min(per.values()) <= 1
