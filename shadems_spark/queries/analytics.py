@@ -2181,3 +2181,80 @@ def q_rfm(spark, sf_dir):
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+_BENFORD = [
+    (1, 0.3010299957), (2, 0.1760912591), (3, 0.1249387366),
+    (4, 0.0969100130), (5, 0.0791812460), (6, 0.0669467896),
+    (7, 0.0579919470), (8, 0.0511525224), (9, 0.0457574906),
+]
+
+
+@register(
+    "q_benford",
+    sql="""
+    WITH exp AS (SELECT * FROM (VALUES
+        (1, 0.3010299957), (2, 0.1760912591), (3, 0.1249387366),
+        (4, 0.0969100130), (5, 0.0791812460), (6, 0.0669467896),
+        (7, 0.0579919470), (8, 0.0511525224), (9, 0.0457574906))
+        AS t(digit, p)),
+    obs AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                          AS BIGINT) AS VARCHAR), 1, 1)
+                        AS INTEGER) AS digit,
+                   count(*) AS observed
+            FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+    n AS (SELECT sum(observed) AS total FROM obs)
+    SELECT e.digit,
+           coalesce(o.observed, 0) AS observed,
+           round(n.total * e.p, 6) AS expected,
+           CAST(round((coalesce(o.observed, 0) - n.total * e.p)
+                      * (coalesce(o.observed, 0) - n.total * e.p)
+                      / (n.total * e.p) * 1e9) AS BIGINT) AS chi2_nano
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN n
+    ORDER BY e.digit
+    """,
+)
+def q_benford(spark, sf_dir):
+    """Benford's-law first-significant-digit audit over order totals
+    — the classic fraud / synthetic-data / unit-mixing screen
+    (Newcomb 1881, Benford 1938; Nigrini's audit practice): digit
+    1..9 observed counts vs N*log10(1+1/d), with per-digit chi-square
+    contributions.
+
+    Exactness: the first significant digit is read from the STRING of
+    the integer-cents value (round(x*100) is exact for cent-valued
+    prices, and BIGINT-to-string is identical on every engine) — NO
+    log10/pow on data, so there is no libm or power-of-ten boundary
+    risk; the expected probabilities are shared 10dp literals, and
+    each chi-square contribution is nano-int rounded (one float
+    formula from an integer count and a literal).  Scale: one
+    map-side-combined 9-key aggregate over a single pruned column +
+    a broadcast of the 9-row expectation table — embarrassingly
+    parallel at any corpus size."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    obs = (
+        o.select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                1, 1,
+            ).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    exp = spark.createDataFrame(_BENFORD, "digit int, p double")
+    n = obs.agg(F.sum("observed").alias("total"))
+    dev = F.coalesce(F.col("observed"), F.lit(0)) - F.col("total") * F.col("p")
+    return (
+        F.broadcast(exp)
+        .join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("observed"), F.lit(0)).alias("observed"),
+            F.round(F.col("total") * F.col("p"), 6).alias("expected"),
+            F.round(dev * dev / (F.col("total") * F.col("p")) * 1e9)
+            .cast("long").alias("chi2_nano"),
+        )
+        .orderBy("digit")
+    )

@@ -514,3 +514,32 @@ def test_rfm_quintiles_balanced_and_exhaustive(spark, sf_dir):
             per[r[axis]] = per.get(r[axis], 0) + r["customers"]
         assert set(per) == {1, 2, 3, 4, 5}
         assert max(per.values()) - min(per.values()) <= 1
+
+
+def test_benford_totals_and_scale_invariance(spark, sf_dir):
+    """Benford laws: observed digits cover every positive order
+    (sum == N), expected mass sums to ~N (probs sum to 1 at 10dp),
+    and the digit histogram is invariant under a x10 rescale of the
+    underlying values (the defining property the audit relies on —
+    unit changes must not move the statistic)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_benford"][0](spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    n = o.count()
+    assert sum(r["observed"] for r in rows) == n
+    assert abs(sum(r["expected"] for r in rows) - n) < 1e-3 * n
+
+    def hist(scale):
+        return dict(
+            o.select(
+                F.substring(
+                    F.round(F.col("o_totalprice") * scale)
+                    .cast("long").cast("string"), 1, 1,
+                ).cast("int").alias("d")
+            )
+            .groupBy("d").count().collect()
+        )
+
+    assert hist(100) == hist(1000)
