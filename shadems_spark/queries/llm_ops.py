@@ -1842,3 +1842,95 @@ def q_ppjoin(spark, sf_dir):
     return D.prefix_filter_join(
         load_table(spark, sf_dir, "documents"), t_num=3, t_den=5, ngram=3
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "q_link_predict",
+    sql="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    h AS (SELECT vec_id, label, v,
+                 {hp} AS hp
+          FROM e),
+    p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+          FROM h a JOIN h b
+            ON a.label = b.label AND a.hp = b.hp AND a.vec_id < b.vec_id
+          WHERE round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+                      / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                         * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4)
+                >= 0.2),
+    sym AS (SELECT id1 AS u, id2 AS v FROM p
+            UNION ALL SELECT id2, id1 FROM p),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY 1),
+    cn AS (SELECT a.u AS u1, b.u AS u2, count(*) AS common
+           FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+           GROUP BY 1, 2),
+    nl AS (SELECT cn.u1, cn.u2, cn.common FROM cn
+           LEFT JOIN p ON p.id1 = cn.u1 AND p.id2 = cn.u2
+           WHERE p.id1 IS NULL)
+    SELECT u1, u2, common, da.d AS deg1, db.d AS deg2,
+           round(common / CAST(da.d + db.d - common AS DOUBLE), 6) AS jaccard
+    FROM nl JOIN deg da ON da.u = nl.u1 JOIN deg db ON db.u = nl.u2
+    ORDER BY common DESC, jaccard DESC, u1, u2
+    """.format(hp=SIM.hyperplane_bucket_sql("v", 2, 64)),
+)
+def q_link_predict(spark, sf_dir):
+    """Common-neighbor / Jaccard link prediction over the embedding
+    near-dup graph (Liben-Nowell & Kleinberg CIKM'03): pairs NOT yet
+    joined by an edge, ranked by shared neighborhood — the
+    missed-duplicate review queue a dedup pipeline feeds to human or
+    model adjudication (two docs that share many near-dup neighbors
+    but weren't bucketed together are likely dups the LSH missed).
+
+    Shape: symmetric closure -> wedge self-join keyed on the CENTER
+    node (the standard skew point: cap or sample super-nodes at 100
+    TB), integer common counts, anti-join removes known edges,
+    degree attach is a node-sized broadcastable join; jaccard =
+    cn/(d1+d2-cn) is one division from integers, engine-exact at
+    6dp.  Reuses embedding_near_dup's (label x hyperplane-bucket)
+    edges so the oracle replays the identical plane literals (the
+    q_triangles pattern)."""
+    edges = (
+        SIM.embedding_near_dup(
+            load_table(spark, sf_dir, "embeddings"),
+            threshold=0.2,
+            sub_planes=2,
+        )
+        .select("id1", "id2")
+    )
+    edges = D.tracked_persist(edges, key="linkpred_edges")
+    sym = edges.select(
+        F.col("id1").alias("u"), F.col("id2").alias("v")
+    ).unionAll(edges.select(F.col("id2").alias("u"), F.col("id1").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    cn = (
+        sym.alias("a")
+        .join(sym.alias("b"), "v")
+        .filter(F.col("a.u") < F.col("b.u"))
+        .groupBy(F.col("a.u").alias("u1"), F.col("b.u").alias("u2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    nl = cn.join(
+        edges,
+        (F.col("id1") == F.col("u1")) & (F.col("id2") == F.col("u2")),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("u1"), F.col("d").alias("deg1"))
+    db = deg.select(F.col("u").alias("u2"), F.col("d").alias("deg2"))
+    # persist stays live under its key; the next tracked_persist with
+    # the same key (or release_persist in a pipeline) reclaims it —
+    # the q_ngram_jaccard convention, so the result stays a lazy plan.
+    return (
+        nl.join(F.broadcast(da), "u1")
+        .join(F.broadcast(db), "u2")
+        .select(
+            "u1", "u2", "common", "deg1", "deg2",
+            F.round(
+                F.col("common")
+                / (F.col("deg1") + F.col("deg2") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("common").desc(), F.col("jaccard").desc(), "u1", "u2")
+    )

@@ -755,3 +755,25 @@ def test_ppjoin_matches_brute_force_and_prunes(spark, sf_dir):
             brute[(r["ia"], r["ib"])] = (r["inter"], un)
     assert got == brute and got  # theorem: no pair lost, none invented
     assert len(got) < n_sharing  # and the threshold actually prunes
+
+
+def test_link_predict_excludes_edges_and_bounds(spark, sf_dir):
+    """Link-prediction laws: no predicted pair is an existing edge,
+    common <= min(deg) (a shared neighbor is a neighbor of both),
+    and jaccard in (0, 1] with the cn/(d1+d2-cn) identity."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators import similarity as SIM
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_link_predict"][0](spark, sf_dir).collect()
+    edges = {
+        (r["id1"], r["id2"])
+        for r in SIM.embedding_near_dup(
+            load_table(spark, sf_dir, "embeddings"), threshold=0.2, sub_planes=2
+        ).select("id1", "id2").collect()
+    }
+    for r in rows:
+        assert (r["u1"], r["u2"]) not in edges
+        assert 1 <= r["common"] <= min(r["deg1"], r["deg2"])
+        denom = r["deg1"] + r["deg2"] - r["common"]
+        assert abs(r["jaccard"] - r["common"] / denom) < 1e-6
