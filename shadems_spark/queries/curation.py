@@ -2234,3 +2234,91 @@ def q_distinct_n(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_jsd_matrix",
+    sql="""
+    WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS u
+               FROM documents),
+    sc AS (SELECT source, u, count(*) AS n FROM w GROUP BY 1, 2),
+    st AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM sc GROUP BY 1),
+    j AS (SELECT a.source AS sa, b.source AS sb,
+                 a.n / CAST(ta.ns AS DOUBLE) AS p,
+                 b.n / CAST(tb.ns AS DOUBLE) AS q
+          FROM sc a JOIN sc b ON a.u = b.u AND a.source < b.source
+          JOIN st ta ON ta.source = a.source
+          JOIN st tb ON tb.source = b.source),
+    t AS (SELECT sa, sb,
+                 CAST(round(0.5 * p * ln(p / (p + q)) * 1000000000.0) AS BIGINT)
+               + CAST(round(0.5 * q * ln(q / (p + q)) * 1000000000.0) AS BIGINT)
+                 AS t_nano
+          FROM j)
+    SELECT sa AS source_a, sb AS source_b, count(*) AS common_vocab,
+           CAST(sum(t_nano) AS BIGINT) AS inner_nano,
+           round(0.6931471805599453 + sum(t_nano) / 1000000000.0, 6) AS jsd
+    FROM t GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_jsd_matrix(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    unigram distributions — the bounded, symmetric domain-similarity
+    matrix that drives mixture design (which corpora are near-
+    duplicates of each other vs genuinely complementary), beside
+    q_kl_drift's per-source-vs-corpus view and q_doremi's reweighting.
+
+    Identity that makes it one INNER join: exclusive-support tokens
+    contribute exactly (p/2)ln2, and summing those with the ln2 from
+    the shared terms gives JSD = ln2 + (1/2)sum_common[p ln(p/(p+q)) +
+    q ln(q/(p+q))] -- tokens seen in only one source never need an
+    outer join (the 1/2 factors are folded into the nano rounding of
+    each half-term).  Every term is nano-int rounded before the
+    cross-row sum (summation-order-free); JSD lands in [0, ln 2] by
+    construction.  Scale: the self-join is keyed on token with
+    fan-out bounded by n_sources^2 per token (20 sources here) — at
+    1000s of domains, band the pair space or sketch each side
+    (KLL over token hashes); the 20-row totals table broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("u")
+    )
+    sc = w.groupBy("source", "u").agg(F.count(F.lit(1)).alias("n"))
+    st = sc.groupBy("source").agg(F.sum("n").alias("ns"))
+    a = sc.alias("a").join(
+        F.broadcast(st.alias("ta")), F.col("a.source") == F.col("ta.source")
+    ).select(
+        F.col("a.source").alias("sa"), F.col("a.u").alias("u"),
+        (F.col("a.n") / F.col("ta.ns").cast("double")).alias("p"),
+    )
+    b = sc.alias("b").join(
+        F.broadcast(st.alias("tb")), F.col("b.source") == F.col("tb.source")
+    ).select(
+        F.col("b.source").alias("sb"), F.col("b.u").alias("u"),
+        (F.col("b.n") / F.col("tb.ns").cast("double")).alias("q"),
+    )
+    j = a.join(b, "u").filter(F.col("sa") < F.col("sb"))
+    t_nano = (
+        F.round(0.5 * F.col("p") * F.log(F.col("p") / (F.col("p") + F.col("q")))
+                * 1000000000.0).cast("long")
+        + F.round(0.5 * F.col("q") * F.log(F.col("q") / (F.col("p") + F.col("q")))
+                  * 1000000000.0).cast("long")
+    )
+    return (
+        j.select("sa", "sb", t_nano.alias("t_nano"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).alias("common_vocab"),
+            F.sum("t_nano").alias("inner_nano"),
+        )
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "common_vocab",
+            F.col("inner_nano").cast("long").alias("inner_nano"),
+            F.round(
+                F.lit(0.6931471805599453)
+                + F.col("inner_nano") / 1000000000.0, 6
+            ).alias("jsd"),
+        )
+        .orderBy("source_a", "source_b")
+    )

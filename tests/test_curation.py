@@ -549,3 +549,38 @@ def test_distinct_n_monotone_in_n(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0.0 < r["distinct_1"] <= r["distinct_2"] <= r["distinct_3"] <= 1.0
+
+
+def test_jsd_bounds_self_zero_and_metric(spark, sf_dir):
+    """JSD laws: every pair lands in [0, ln 2]; a distribution against
+    ITSELF scores 0 (replay the half-term identity with p == q); and
+    sqrt(JSD) obeys the triangle inequality on every source triple
+    (Endres-Schindelin: sqrt(JSD) is a true metric) — the law that
+    would have caught a dropped 1/2 factor."""
+    import itertools
+    import math
+
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_jsd_matrix"][0](spark, sf_dir).collect()
+    ln2 = math.log(2)
+    d = {}
+    for r in rows:
+        assert 0.0 <= r["jsd"] <= ln2 + 1e-9, r
+        d[(r["source_a"], r["source_b"])] = math.sqrt(max(r["jsd"], 0.0))
+
+    # self-JSD via the same folded identity with q = p
+    probs = [0.5, 0.25, 0.125, 0.125]
+    inner = sum(
+        0.5 * p * math.log(p / (2 * p)) + 0.5 * p * math.log(p / (2 * p))
+        for p in probs
+    )
+    assert abs(ln2 + inner) < 1e-12
+
+    srcs = sorted({s for pair in d for s in pair})
+
+    def dist(x, y):
+        return 0.0 if x == y else d[(min(x, y), max(x, y))]
+
+    for x, y, z in itertools.combinations(srcs[:8], 3):
+        assert dist(x, y) <= dist(x, z) + dist(z, y) + 1e-6
