@@ -2258,3 +2258,186 @@ def q_benford(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "q_trend_ols",
+    sql="""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS y,
+                      CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+               FROM orders GROUP BY 1),
+    m AS (SELECT min(day) AS day0 FROM d),
+    xy AS (SELECT datediff('day', day0, day) AS x, y FROM d CROSS JOIN m),
+    s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+          FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS var_num,
+           round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+               AS slope_per_day,
+           round((sy - sx * ((n * sxy - sx * sy)
+                             / CAST(n * sxx - sx * sx AS DOUBLE))) / n, 6)
+               AS intercept,
+           round((CAST(n * sxy - sx * sy AS DOUBLE)
+                  * (n * sxy - sx * sy))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def q_trend_ols(spark, sf_dir):
+    """Exact OLS trend of daily order volume — slope/intercept/R^2 of
+    the classic is-traffic-growing dashboard line, computed from the
+    closed-form normal equations.
+
+    Exactness: x (day index from the corpus min date) and y (daily
+    count) are INTEGERS, so all five sufficient statistics (sx, sy,
+    sxx, sxy, syy) and the covariance/variance numerators n*sxy-sx*sy
+    and n*sxx-sx^2 are engine-exact bigints; slope, intercept and R^2
+    are each one fixed float formula over those integers (R^2 stays
+    in factored double form because the bigint product of the two
+    variance numerators can overflow 2^63).  Scale: the daily
+    aggregate is map-side combined to DATE-cardinality; the
+    sufficient-stats reduce is a single 6-value row — the textbook
+    distributed-regression shape (per-partition partial sums, one
+    combine), embarrassingly parallel at any corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("y"),
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m = d.agg(F.min("day").alias("day0"))
+    xy = d.crossJoin(F.broadcast(m)).select(
+        F.datediff("day", "day0").cast("long").alias("x"), "y"
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    cov = n * sxy - sx * sy
+    var = n * sxx - sx * sx
+    slope = cov / var.cast("double")
+    return s.select(
+        n.cast("long").alias("n_days"),
+        cov.cast("long").alias("cov_num"),
+        var.cast("long").alias("var_num"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((sy - sx * slope) / n, 6).alias("intercept"),
+        F.round(
+            (cov.cast("double") * cov) / (var.cast("double") * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "q_psi",
+    sql="""
+    WITH ref AS (SELECT value, event_id FROM events
+                 WHERE event_type = 'click' AND value IS NOT NULL),
+    rk AS (SELECT value,
+                  row_number() OVER (ORDER BY value, event_id) AS rn,
+                  count(*) OVER () AS n
+           FROM ref),
+    cut AS (SELECT CAST(ceil(rk.n * k.k / 10.0) AS BIGINT) AS r
+            FROM (SELECT unnest(generate_series(1, 9)) AS k) k
+            CROSS JOIN (SELECT max(n) AS n FROM rk) rk),
+    e AS (SELECT list(value ORDER BY value) AS edges
+          FROM rk WHERE rn IN (SELECT r FROM cut)),
+    s AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_ref,
+                 1 + len(list_filter(e.edges, x -> x < value)) AS bin
+          FROM events CROSS JOIN e
+          WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+    c AS (SELECT b.bin,
+                 coalesce(sum(s.is_ref), 0) AS ref_n,
+                 coalesce(sum(1 - s.is_ref), 0) AS cmp_n
+          FROM (SELECT unnest(generate_series(1, 10)) AS bin) b
+          LEFT JOIN s ON s.bin = b.bin GROUP BY 1),
+    t AS (SELECT sum(ref_n) AS nr, sum(cmp_n) AS nc FROM c)
+    SELECT bin, CAST(ref_n AS BIGINT) AS ref_n, CAST(cmp_n AS BIGINT) AS cmp_n,
+           CAST(round(((ref_n + 1) / CAST(nr + 10 AS DOUBLE)
+                       - (cmp_n + 1) / CAST(nc + 10 AS DOUBLE))
+                      * ln(((ref_n + 1) / CAST(nr + 10 AS DOUBLE))
+                           / ((cmp_n + 1) / CAST(nc + 10 AS DOUBLE)))
+                      * 1000000000.0) AS BIGINT) AS psi_nano
+    FROM c CROSS JOIN t ORDER BY bin
+    """,
+)
+def q_psi(spark, sf_dir):
+    """Population Stability Index between the click (reference) and
+    purchase (comparison) value distributions — the industry-standard
+    model-monitoring drift score (credit-risk practice; PSI > 0.25 =
+    investigate), complementing q_ks_test (sup gap), q_mannwhitney
+    (rank shift) and q_kl_drift (token KL): PSI localizes WHICH
+    decile of the reference distribution the shift lives in.
+
+    Shape: decile edges are exact order statistics of the reference
+    (rank ceil(N*k/10) under the deterministic (value, event_id)
+    order), carried as ONE broadcast array row — bin assignment is a
+    pure expression (count of edges below the value), no per-row
+    join fan-out and no second shuffle; add-one smoothing keeps
+    empty comparison bins finite (and is what you want at 100 TB
+    where a decile CAN empty out under real drift).  Each bin's
+    contribution is nano-int rounded from one fixed float formula
+    over integer counts.  At scale, swap the exact rank edges for
+    KLL cutpoints (q_ccnet_buckets_approx shape); the binned
+    aggregate itself is map-side combined and 10-key."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    ref = ev.filter(F.col("event_type") == "click")
+    wrk = Window.orderBy("value", "event_id")
+    rk = ref.select(
+        "value",
+        F.row_number().over(wrk).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(0))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    cut = (
+        spark.range(1, 10)
+        .crossJoin(F.broadcast(rk.agg(F.max("n").alias("n"))))
+        .select(F.ceil(F.col("n") * F.col("id") / 10.0).alias("r"))
+    )
+    e = (
+        rk.join(F.broadcast(cut), rk["rn"] == cut["r"])
+        .agg(F.sort_array(F.collect_list("value")).alias("edges"))
+    )
+    s = ev.crossJoin(F.broadcast(e)).select(
+        (F.col("event_type") == "click").cast("long").alias("is_ref"),
+        (
+            1 + F.size(F.filter("edges", lambda x: x < F.col("value")))
+        ).alias("bin"),
+    )
+    c = (
+        spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
+        .join(s, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(F.sum("is_ref"), F.lit(0)).alias("ref_n"),
+            F.coalesce(F.sum(1 - F.col("is_ref")), F.lit(0)).alias("cmp_n"),
+        )
+    )
+    t = c.agg(F.sum("ref_n").alias("nr"), F.sum("cmp_n").alias("nc"))
+    p = (F.col("ref_n") + 1) / (F.col("nr") + 10).cast("double")
+    q = (F.col("cmp_n") + 1) / (F.col("nc") + 10).cast("double")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            F.col("ref_n").cast("long").alias("ref_n"),
+            F.col("cmp_n").cast("long").alias("cmp_n"),
+            F.round((p - q) * F.log(p / q) * 1000000000.0)
+            .cast("long").alias("psi_nano"),
+        )
+        .orderBy("bin")
+    )

@@ -543,3 +543,52 @@ def test_benford_totals_and_scale_invariance(spark, sf_dir):
         )
 
     assert hist(100) == hist(1000)
+
+
+def test_trend_ols_matches_numpy_and_laws(spark, sf_dir):
+    """OLS laws: slope/intercept/R^2 agree with numpy.polyfit on the
+    same (x, y) series, and 0 <= R^2 <= 1."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_trend_ols"][0](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["r2"] <= 1.0
+
+    o = load_table(spark, sf_dir, "orders")
+    days = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .count().orderBy("day").collect()
+    )
+    d0 = days[0]["day"]
+    x = np.array([(row["day"] - d0).days for row in days], dtype=float)
+    y = np.array([row["count"] for row in days], dtype=float)
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(r["slope_per_day"] - slope) < 1e-5
+    assert abs(r["intercept"] - intercept) < 1e-4
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert abs(r["r2"] - r2) < 1e-5
+    assert r["n_days"] == len(days)
+
+
+def test_psi_nonnegative_terms_and_decile_balance(spark, sf_dir):
+    """PSI laws: every bin contribution is >= 0 ((p-q)ln(p/q) is
+    nonnegative for any p,q > 0 — sign-definiteness is what makes PSI
+    a divergence), reference deciles are near-balanced (exact order-
+    statistic edges: sizes differ only through ties), and counts
+    cover both populations."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_psi"][0](spark, sf_dir).collect()
+    assert [r["bin"] for r in rows] == list(range(1, 11))
+    for r in rows:
+        assert r["psi_nano"] >= 0
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(r["ref_n"] for r in rows) == n_click
+    assert sum(r["cmp_n"] for r in rows) == n_purch
+    sizes = [r["ref_n"] for r in rows]
+    assert max(sizes) - min(sizes) <= max(2, n_click // 50)
