@@ -2441,3 +2441,110 @@ def q_psi(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "q_acf",
+    sql="""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS y
+               FROM orders GROUP BY 1),
+    m AS (SELECT min(day) AS d0, datediff('day', min(day), max(day)) AS span
+          FROM d),
+    grid AS (SELECT t.x, coalesce(d.y, 0) AS y
+             FROM (SELECT unnest(generate_series(0, (SELECT span FROM m)))
+                          AS x) t
+             LEFT JOIN d ON d.day = (SELECT d0 FROM m) + INTERVAL (t.x) DAY),
+    g AS (SELECT count(*) AS n, sum(y) AS sy, sum(y * y) AS syy FROM grid),
+    k AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    p AS (SELECT k.lag,
+                 count(*) AS n_pairs,
+                 sum(a.y * b.y) AS axy,
+                 sum(a.y) AS s1, sum(b.y) AS s2
+          FROM k JOIN grid a ON true
+          JOIN grid b ON b.x = a.x + k.lag
+          GROUP BY 1)
+    SELECT p.lag, CAST(p.n_pairs AS BIGINT) AS n_pairs,
+           CAST(g.n * g.n * p.axy - g.n * g.sy * (p.s1 + p.s2)
+                + p.n_pairs * g.sy * g.sy AS BIGINT) AS num,
+           CAST(g.n * (g.n * g.syy - g.sy * g.sy) AS BIGINT) AS den,
+           round((g.n * g.n * p.axy - g.n * g.sy * (p.s1 + p.s2)
+                  + p.n_pairs * g.sy * g.sy)
+                 / CAST(g.n * (g.n * g.syy - g.sy * g.sy) AS DOUBLE), 6)
+               AS acf
+    FROM p CROSS JOIN g ORDER BY p.lag
+    """,
+)
+def q_acf(spark, sf_dir):
+    """Exact autocorrelation function of the ZERO-FILLED daily order
+    series at lags 1..7 — the weekly-seasonality / burst-structure
+    detector beside q_seasonality's weekday means and q_cusum's
+    changepoints (a spike at lag 7 = weekly cycle; slow decay =
+    trend/bursts).
+
+    Exactness: with integer daily counts on a dense calendar grid,
+    the biased-estimator numerator scaled by n^2 is the pure INTEGER
+    n^2*sum(y_t*y_{t+k}) - n*sy*(S1_k+S2_k) + (n-k)*sy^2 (the
+    cross-multiplied mean-centering identity — no float ybar ever
+    touches a cross-row sum), and the denominator n*(n*syy - sy^2)
+    is likewise integer; acf is ONE division.  Gaps are zero-filled
+    from a generated calendar spine, so the lag join is on exact
+    integer day indices.  Scale: daily aggregate is map-side
+    combined to date cardinality; the 7 lag joins run on the
+    DATE-cardinality grid (a few k rows at any corpus size) — the
+    heavy input never joins itself."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    m = d.agg(
+        F.min("day").alias("d0"),
+        F.datediff(F.max("day"), F.min("day")).alias("span"),
+    )
+    grid = (
+        m.select(F.explode(F.sequence(F.lit(0), F.col("span"))).alias("x"), "d0")
+        .join(
+            d,
+            F.expr("date_add(d0, CAST(x AS INT))") == F.col("day"),
+            "left",
+        )
+        .select("x", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    # no persist: the grid is DATE-cardinality (a few k rows); its three
+    # consumers recompute a tiny agg+join rather than hold a cache slot.
+    g = grid.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    k = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a, b = grid.alias("a"), grid.alias("b")
+    p = (
+        F.broadcast(k)
+        .join(a)
+        .join(b, F.col("b.x") == F.col("a.x") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("a.y") * F.col("b.y")).alias("axy"),
+            F.sum(F.col("a.y")).alias("s1"),
+            F.sum(F.col("b.y")).alias("s2"),
+        )
+    )
+    n, sy, syy = F.col("n"), F.col("sy"), F.col("syy")
+    num = (
+        n * n * F.col("axy")
+        - n * sy * (F.col("s1") + F.col("s2"))
+        + F.col("n_pairs") * sy * sy
+    )
+    den = n * (n * syy - sy * sy)
+    return (
+        p.crossJoin(F.broadcast(g))
+        .select(
+            "lag",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            num.cast("long").alias("num"),
+            den.cast("long").alias("den"),
+            F.round(num / den.cast("double"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )

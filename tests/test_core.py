@@ -592,3 +592,35 @@ def test_psi_nonnegative_terms_and_decile_balance(spark, sf_dir):
     assert sum(r["cmp_n"] for r in rows) == n_purch
     sizes = [r["ref_n"] for r in rows]
     assert max(sizes) - min(sizes) <= max(2, n_click // 50)
+
+
+def test_acf_matches_numpy_and_bounds(spark, sf_dir):
+    """ACF laws: |r_k| <= 1 for every lag, and each r_k equals the
+    numpy biased-estimator autocorrelation of the same zero-filled
+    daily series."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_acf"][0](spark, sf_dir).collect()
+    assert [r["lag"] for r in rows] == list(range(1, 8))
+
+    o = load_table(spark, sf_dir, "orders")
+    days = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .count().orderBy("day").collect()
+    )
+    d0 = days[0]["day"]
+    span = (days[-1]["day"] - d0).days
+    y = np.zeros(span + 1)
+    for row in days:
+        y[(row["day"] - d0).days] = row["count"]
+    yc = y - y.mean()
+    den = (yc * yc).sum()
+    for r in rows:
+        assert abs(r["acf"]) <= 1.0
+        k = r["lag"]
+        ref = (yc[:-k] * yc[k:]).sum() / den
+        assert abs(r["acf"] - ref) < 1e-5, (k, r["acf"], ref)
+        assert r["n_pairs"] == span + 1 - k
