@@ -1272,7 +1272,9 @@ def q_kmeans(spark, sf_dir):
     ).orderBy("cell", "pos")
 
 
-def _calib_oracle() -> str:
+def _score_cte() -> str:
+    """Shared WITH-prefix computing per-doc (y, score) for the quality
+    classifier — reused by the calibration and isotonic oracles."""
     ws = _qc_weights()
     zmilli = " + ".join(
         f"({int(round(w * 1000))}) * CAST(len(list_filter(bs, x -> x = {b})) AS BIGINT)"
@@ -1293,7 +1295,11 @@ def _calib_oracle() -> str:
     s AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
                  round(1.0 / (1.0 + exp(-((100 + {zmilli})
                                           / (1000.0 * (1 + nw))))), 6) AS score
-          FROM b),
+          FROM b)"""
+
+
+def _calib_oracle() -> str:
+    return _score_cte() + """,
     g AS (SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
                  count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
                  round(avg(score), 6) AS mean_score
@@ -1933,4 +1939,129 @@ def q_link_predict(spark, sf_dir):
             ).alias("jaccard"),
         )
         .orderBy(F.col("common").desc(), F.col("jaccard").desc(), "u1", "u2")
+    )
+
+
+def _qc_score_col():
+    """Spark Column computing the quality-classifier sigmoid score of
+    ``text`` — the expression q_quality_classifier/q_calibration score
+    with; shared so reusers (isotonic) bin the identical 6dp value."""
+    from functools import reduce
+
+    from shadems_spark.operators.text import FP_MOD, words
+
+    ws = F.filter(words("text"), lambda w: F.length(w) > 0)
+    word_hash = lambda w: (
+        F.aggregate(
+            F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, c: (a * F.lit(31) + c) % F.lit(FP_MOD),
+        )
+        % F.lit(_FH_DIM)
+    )
+    buckets = F.transform(ws, word_hash)
+    weights = _qc_weights()
+    terms = [
+        F.lit(int(round(w * 1000)))
+        * F.size(F.filter(buckets, lambda x: x == F.lit(b))).cast("long")
+        for b, w in enumerate(weights)
+    ]
+    z_milli = reduce(lambda a, c: a + c, terms, F.lit(100).cast("long"))
+    zr = z_milli / (F.lit(1000.0) * (F.lit(1) + F.size(ws)))
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zr)), 6)
+
+
+def _iso_oracle() -> str:
+    return _score_cte() + """,
+    g AS (SELECT CAST(least(floor(score * 50), 49) AS INT) AS bin,
+                 count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+          FROM s GROUP BY 1),
+    r AS (SELECT bin, n, pos,
+                 row_number() OVER (ORDER BY bin) AS t,
+                 sum(n) OVER (ORDER BY bin) AS cw,
+                 sum(pos) OVER (ORDER BY bin) AS cp
+          FROM g),
+    mm AS (SELECT ti.t AS t, ri.t AS i,
+                  min((rj.cp - (ri.cp - ri.pos))
+                      / CAST(rj.cw - (ri.cw - ri.n) AS DOUBLE)) AS mn
+           FROM r ti JOIN r ri ON ri.t <= ti.t
+           JOIN r rj ON rj.t >= ti.t
+           GROUP BY 1, 2),
+    iso AS (SELECT t, max(mn) AS fit FROM mm GROUP BY 1)
+    SELECT r.bin, CAST(r.n AS BIGINT) AS n, r.pos,
+           round(r.pos / CAST(r.n AS DOUBLE), 6) AS frac_pos,
+           round(iso.fit, 6) AS iso
+    FROM r JOIN iso ON iso.t = r.t ORDER BY r.bin
+    """
+
+
+@register("q_isotonic", sql=_iso_oracle())
+def q_isotonic(spark, sf_dir):
+    """Isotonic (PAV) calibration of the quality classifier — the
+    monotone score->probability map (Zadrozny-Elkan KDD'02) that
+    turns raw sigmoid scores into honest KEEP probabilities, the
+    step after q_calibration's reliability diagram shows deciles
+    out of calibration.
+
+    PAV is textbook-sequential (pool adjacent violators), but the
+    fit has a closed MINIMAX form: fit_t = max_{i<=t} min_{j>=t}
+    weightedAvg(y[i..j]) — and over 50 score bins with integer
+    (count, positives) prefix sums every candidate average is the
+    exact rational (cp_j - cp_{i-1})/(cw_j - cw_{i-1}), so the whole
+    fit is a bounded triple self-join of a 50-row table (≤ 50^3/6
+    combinations, CONSTANT in corpus size) with no iteration and no
+    driver loop.  Scale: the only data-sized step is the one
+    map-side-combined bin aggregate; the minimax runs on bin
+    cardinality regardless of corpus — the same shape at 100 TB.
+    Laws pinned: monotone fit, weighted-mean conservation
+    (sum n*fit == sum pos, the PAV invariant), pure-python PAV
+    parity."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        _qc_score_col().alias("score"),
+    )
+    g = (
+        s.select(
+            F.least(F.floor(F.col("score") * 50), F.lit(49))
+            .cast("int").alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    wb = Window.orderBy("bin")
+    r = g.select(
+        "bin", "n", "pos",
+        F.row_number().over(wb).alias("t"),
+        F.sum("n").over(wb).alias("cw"),
+        F.sum("pos").over(wb).alias("cp"),
+    )
+    ti, ri, rj = r.alias("ti"), r.alias("ri"), r.alias("rj")
+    mm = (
+        ti.join(F.broadcast(ri), F.col("ri.t") <= F.col("ti.t"))
+        .join(F.broadcast(rj), F.col("rj.t") >= F.col("ti.t"))
+        .groupBy(F.col("ti.t").alias("t"), F.col("ri.t").alias("i"))
+        .agg(
+            F.min(
+                (F.col("rj.cp") - (F.col("ri.cp") - F.col("ri.pos")))
+                / (F.col("rj.cw") - (F.col("ri.cw") - F.col("ri.n")))
+                .cast("double")
+            ).alias("mn")
+        )
+    )
+    iso = mm.groupBy("t").agg(F.max("mn").alias("fit"))
+    return (
+        r.join(F.broadcast(iso), "t")
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("pos") / F.col("n").cast("double"), 6)
+            .alias("frac_pos"),
+            F.round("fit", 6).alias("iso"),
+        )
+        .orderBy("bin")
     )

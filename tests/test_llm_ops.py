@@ -777,3 +777,43 @@ def test_link_predict_excludes_edges_and_bounds(spark, sf_dir):
         assert 1 <= r["common"] <= min(r["deg1"], r["deg2"])
         denom = r["deg1"] + r["deg2"] - r["common"]
         assert abs(r["jaccard"] - r["common"] / denom) < 1e-6
+
+
+def test_isotonic_monotone_conserving_and_pav_parity(spark, sf_dir):
+    """PAV laws: fit is monotone nondecreasing in bin, conserves the
+    weighted mean (sum n*fit == sum pos up to rounding), and matches
+    a pure-python pool-adjacent-violators run on the same bins."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_isotonic"][0](spark, sf_dir).collect()
+    for a, b in zip(rows, rows[1:]):
+        assert a["iso"] <= b["iso"] + 1e-9
+    tot_n = sum(r["n"] for r in rows)
+    assert abs(
+        sum(r["n"] * r["iso"] for r in rows) - sum(r["pos"] for r in rows)
+    ) <= 1e-5 * tot_n
+
+    # pure-python PAV: pool adjacent violating blocks
+    blocks = [[r["pos"], r["n"]] for r in rows]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] * blocks[i + 1][1] > blocks[i + 1][0] * blocks[i][1]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    # expand blocks back over their member bins
+    expanded = []
+    bi = 0
+    for pos, n in blocks:
+        covered = 0
+        while covered < n:
+            covered += rows[bi]["n"]
+            expanded.append(pos / n)
+            bi += 1
+        assert covered == n
+    assert len(expanded) == len(rows)
+    for r, f in zip(rows, expanded):
+        assert abs(r["iso"] - f) < 1e-6, (r["bin"], r["iso"], f)
