@@ -2322,3 +2322,103 @@ def q_jsd_matrix(spark, sf_dir):
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "q_readability",
+    sql="""
+    WITH d AS (SELECT source,
+                      list_filter(string_split(lower(text), ' '),
+                                  w -> len(w) > 0) AS ws,
+                      greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                          AS n_sent
+               FROM documents),
+    c AS (SELECT source, n_sent,
+                 len(ws) AS n_words,
+                 list_sum(list_transform(ws,
+                     w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+                     AS n_syll
+          FROM d WHERE len(ws) > 0),
+    n AS (SELECT source, n_words, n_syll, n_sent,
+                 CAST(round((206.835
+                             - 1.015 * (n_words / CAST(n_sent AS DOUBLE))
+                             - 84.6 * (n_syll / CAST(n_words AS DOUBLE)))
+                            * 1000000000.0) AS BIGINT) AS flesch_nano,
+                 CAST(round((0.39 * (n_words / CAST(n_sent AS DOUBLE))
+                             + 11.8 * (n_syll / CAST(n_words AS DOUBLE))
+                             - 15.59) * 1000000000.0) AS BIGINT) AS grade_nano
+          FROM c)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS words_total,
+           CAST(sum(n_syll) AS BIGINT) AS syllables_total,
+           CAST(sum(n_sent) AS BIGINT) AS sentences_total,
+           round(sum(flesch_nano) / (count(*) * 1000000000.0), 6)
+               AS flesch_avg,
+           round(sum(grade_nano) / (count(*) * 1000000000.0), 6)
+               AS fk_grade_avg
+    FROM n GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease + Flesch-Kincaid grade per source — the
+    readability slice of corpus quality profiling (simple-English vs
+    technical domains mix differently into a pretraining batch),
+    beside q_quality_score's length/punct ratios and q_text_stats.
+
+    Determinism: syllables use the vowel-group heuristic
+    max(1, count of [aeiouy]+ runs per word) — a REGEX on both
+    engines, probe-verified identical; words/sentences are integer
+    counts, each doc's Flesch/grade is one fixed float formula over
+    them, nano-int rounded BEFORE the per-source sum
+    (summation-order-free), and the per-source average is one final
+    division.  Scale: stateless row expressions + a source-keyed
+    map-side-combined aggregate; no shuffle carries text."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), " "), lambda w: F.length(w) > 0)
+    d = docs.select(
+        "source",
+        ws.alias("ws"),
+        F.greatest(
+            F.lit(1), F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0))
+        ).alias("n_sent"),
+    ).filter(F.size("ws") > 0)
+    c = d.select(
+        "source", "n_sent",
+        F.size("ws").alias("n_words"),
+        F.aggregate(
+            F.transform(
+                "ws",
+                lambda w: F.greatest(
+                    F.lit(1),
+                    F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)),
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("n_syll"),
+    )
+    wps = F.col("n_words") / F.col("n_sent").cast("double")
+    spw = F.col("n_syll") / F.col("n_words").cast("double")
+    n = c.select(
+        "source", "n_words", "n_syll", "n_sent",
+        F.round((206.835 - 1.015 * wps - 84.6 * spw) * 1000000000.0)
+        .cast("long").alias("flesch_nano"),
+        F.round((0.39 * wps + 11.8 * spw - 15.59) * 1000000000.0)
+        .cast("long").alias("grade_nano"),
+    )
+    return (
+        n.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("words_total"),
+            F.sum("n_syll").alias("syllables_total"),
+            F.sum("n_sent").alias("sentences_total"),
+            F.round(
+                F.sum("flesch_nano") / (F.count(F.lit(1)) * 1000000000.0), 6
+            ).alias("flesch_avg"),
+            F.round(
+                F.sum("grade_nano") / (F.count(F.lit(1)) * 1000000000.0), 6
+            ).alias("fk_grade_avg"),
+        )
+        .orderBy("source")
+    )

@@ -584,3 +584,43 @@ def test_jsd_bounds_self_zero_and_metric(spark, sf_dir):
 
     for x, y, z in itertools.combinations(srcs[:8], 3):
         assert dist(x, y) <= dist(x, z) + dist(z, y) + 1e-6
+
+
+def test_readability_hand_computed_and_laws(spark, sf_dir):
+    """Readability laws: syllables >= words (every word counts at
+    least 1), sentences >= 1 per doc, and a hand-computed Flesch on a
+    known sentence matches the engine formula."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_readability"][0](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["syllables_total"] >= r["words_total"]
+        assert r["sentences_total"] >= r["n_docs"]
+
+    # hand check: "the cat sat. it was happy." -> words=6, sents=2,
+    # syllables: the=1 cat=1 sat=1 it=1 was=1 happy=2 -> 7
+    w, s, sy = 6, 2, 7
+    flesch = 206.835 - 1.015 * (w / s) - 84.6 * (sy / w)
+    df = spark.createDataFrame(
+        [(0, "the cat sat. it was happy.", "en", "srcX", 26)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import shadems_spark.catalog as cat
+
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda sp, d, t: df
+        import shadems_spark.queries.curation as cur
+
+        orig2 = cur.load_table
+        cur.load_table = lambda sp, d, t: df
+        try:
+            r = load_registry()["q_readability"][0](spark, "ignored").collect()[0]
+        finally:
+            cur.load_table = orig2
+    finally:
+        cat.load_table = orig
+    assert r["words_total"] == w and r["sentences_total"] == s
+    assert r["syllables_total"] == sy
+    assert abs(r["flesch_avg"] - flesch) < 1e-6
