@@ -2548,3 +2548,105 @@ def q_acf(spark, sf_dir):
         )
         .orderBy("lag")
     )
+
+
+@register(
+    "q_best_split",
+    sql="""
+    WITH s AS (SELECT value,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+               FROM events
+               WHERE event_type IN ('click', 'purchase')
+                 AND value IS NOT NULL),
+    v AS (SELECT value, count(*) AS n, sum(y) AS pos FROM s GROUP BY 1),
+    c AS (SELECT value,
+                 sum(n) OVER (ORDER BY value) AS nl,
+                 sum(pos) OVER (ORDER BY value) AS pl
+          FROM v),
+    t AS (SELECT sum(n) AS nt, sum(pos) AS pt FROM v),
+    g AS (SELECT value, nl, pl, nt - nl AS nr, pt - pl AS pr, nt, pt
+          FROM c CROSS JOIN t WHERE nl < nt),
+    sc AS (SELECT value, nl, pl, nr, pr,
+                 ((pl * pl + (nl - pl) * (nl - pl)) / CAST(nl AS DOUBLE)
+                  + (pr * pr + (nr - pr) * (nr - pr)) / CAST(nr AS DOUBLE))
+                     AS s_sum,
+                 (pt * CAST(pt AS DOUBLE) + (nt - pt) * CAST(nt - pt AS DOUBLE))
+                     / nt AS s_parent,
+                 nt
+          FROM g)
+    SELECT round(value, 6) AS split_value,
+           CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+           CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
+           round((s_sum - s_parent) / nt, 6) AS gini_gain
+    FROM sc ORDER BY (s_sum - s_parent) / nt DESC, value LIMIT 1
+    """,
+)
+def q_best_split(spark, sf_dir):
+    """Exact best binary split (value <= v) for predicting purchase
+    vs click by Gini impurity decrease — the split-finding primitive
+    inside every distributed decision-tree / GBDT learner (XGBoost's
+    exact greedy algorithm): ONE sorted cumulative scan over distinct
+    feature values scores every candidate threshold.
+
+    Exactness: left/right positive/negative counts at every candidate
+    are integer prefix sums; the Gini objective is maximized through
+    the equivalent integer-product score S = (posL^2+negL^2)/nL +
+    (posR^2+negR^2)/nR (all products < 2^53, so the doubles are
+    EXACT integers until the two divisions), and the reported gain =
+    (S - S_parent)/N is one fixed float formula; argmax ties break on
+    the smallest value.  Scale: the per-value aggregate is map-side
+    combined; the single cumsum window runs over DISTINCT values —
+    at 100 TB this is exactly the quantile-sketch-vs-exact-greedy
+    trade: swap in KLL candidate cutpoints and keep the same
+    prefix-sum scoring (the approximate variant every planet-scale
+    GBDT uses)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    s = ev.select(
+        "value", (F.col("event_type") == "purchase").cast("long").alias("y")
+    )
+    v = s.groupBy("value").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("value")
+    c = v.select(
+        "value",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+    )
+    t = v.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))
+    g = (
+        c.crossJoin(F.broadcast(t))
+        .filter(F.col("nl") < F.col("nt"))
+        .select(
+            "value", "nl", "pl", "nt", "pt",
+            (F.col("nt") - F.col("nl")).alias("nr"),
+            (F.col("pt") - F.col("pl")).alias("pr"),
+        )
+    )
+    nl, pl, nr, pr = F.col("nl"), F.col("pl"), F.col("nr"), F.col("pr")
+    nt, pt = F.col("nt"), F.col("pt")
+    s_sum = (pl * pl + (nl - pl) * (nl - pl)) / nl.cast("double") + (
+        pr * pr + (nr - pr) * (nr - pr)
+    ) / nr.cast("double")
+    s_parent = (
+        pt * pt.cast("double") + (nt - pt) * (nt - pt).cast("double")
+    ) / nt
+    gain = (s_sum - s_parent) / nt
+    return (
+        g.select(
+            F.round("value", 6).alias("split_value"),
+            nl.cast("long").alias("n_left"),
+            pl.cast("long").alias("pos_left"),
+            nr.cast("long").alias("n_right"),
+            pr.cast("long").alias("pos_right"),
+            F.round(gain, 6).alias("gini_gain"),
+            gain.alias("_g"),
+            F.col("value").alias("_v"),
+        )
+        .orderBy(F.col("_g").desc(), "_v")
+        .limit(1)
+        .drop("_g", "_v")
+    )

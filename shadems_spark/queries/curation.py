@@ -2422,3 +2422,110 @@ def q_readability(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_mi_categorical",
+    sql="""
+    WITH c AS (SELECT lang, source, count(*) AS n
+               FROM documents GROUP BY 1, 2),
+    rl AS (SELECT lang, sum(n) AS nl FROM c GROUP BY 1),
+    cs AS (SELECT source, sum(n) AS ns FROM c GROUP BY 1),
+    t AS (SELECT sum(n) AS nt FROM c),
+    x AS (SELECT c.lang, c.source, c.n, rl.nl, cs.ns, t.nt,
+                 rl.nl * CAST(cs.ns AS DOUBLE) / t.nt AS e
+          FROM c JOIN rl USING (lang) JOIN cs USING (source) CROSS JOIN t),
+    terms AS (SELECT
+        CAST(round((n / CAST(nt AS DOUBLE))
+                   * ln((n * CAST(nt AS DOUBLE)) / (nl * CAST(ns AS DOUBLE)))
+                   * 1000000000.0) AS BIGINT) AS mi_nano,
+        CAST(round((n - e) * (n - e) / e * 1000000000.0) AS BIGINT)
+            AS chi2_nano
+        FROM x),
+    dims AS (SELECT (SELECT count(*) FROM rl) AS r,
+                    (SELECT count(*) FROM cs) AS c2,
+                    (SELECT nt FROM t) AS nt)
+    SELECT CAST(nt AS BIGINT) AS n, CAST(r AS BIGINT) AS n_langs,
+           CAST(c2 AS BIGINT) AS n_sources,
+           round(sum(mi_nano) / 1000000000.0, 6) AS mi,
+           round(sum(chi2_nano) / 1000000000.0, 6) AS chi2,
+           round(sqrt((sum(chi2_nano) / 1000000000.0)
+                      / (nt * CAST(least(r - 1, c2 - 1) AS DOUBLE))), 6)
+               AS cramers_v
+    FROM terms CROSS JOIN dims GROUP BY nt, r, c2
+    """,
+)
+def q_mi_categorical(spark, sf_dir):
+    """Categorical-independence audit between the lang and source
+    metadata columns: mutual information, Pearson chi-square, and
+    Cramer's V over the contingency table — the is-my-metadata-
+    confounded check (a source that is 100% one language will leak
+    language signal through source-stratified splits; q_pmi does the
+    token analogue, this is the column-level audit).
+
+    Exactness: every contingency cell, marginal, and total is an
+    integer; each cell's MI and chi-square term is ONE float formula
+    over integers, nano-int rounded before the cross-cell sum;
+    Cramer's V is one final sqrt over the summed nanos.  MI of an
+    independent table is 0; V lands in [0,1].  Scale: one map-side-
+    combined (lang x source) aggregate — cell cardinality, not rows —
+    then marginals from the cells; embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    rl = c.groupBy("lang").agg(F.sum("n").alias("nl"))
+    cs = c.groupBy("source").agg(F.sum("n").alias("ns"))
+    t = c.agg(F.sum("n").alias("nt"))
+    dims = (
+        rl.agg(F.count(F.lit(1)).alias("r"))
+        .crossJoin(cs.agg(F.count(F.lit(1)).alias("c2")))
+    )
+    x = (
+        c.join(F.broadcast(rl), "lang")
+        .join(F.broadcast(cs), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "n", "nl", "ns", "nt",
+            (F.col("nl") * F.col("ns").cast("double") / F.col("nt")).alias("e"),
+        )
+    )
+    mi_nano = F.round(
+        (F.col("n") / F.col("nt").cast("double"))
+        * F.log(
+            (F.col("n") * F.col("nt").cast("double"))
+            / (F.col("nl") * F.col("ns").cast("double"))
+        )
+        * 1000000000.0
+    ).cast("long")
+    chi2_nano = F.round(
+        (F.col("n") - F.col("e")) * (F.col("n") - F.col("e")) / F.col("e")
+        * 1000000000.0
+    ).cast("long")
+    agg = x.select(
+        "nt",
+        mi_nano.alias("mi_nano"),
+        chi2_nano.alias("chi2_nano"),
+    ).groupBy("nt").agg(
+        F.sum("mi_nano").alias("mi_nano"),
+        F.sum("chi2_nano").alias("chi2_nano"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(dims))
+        .select(
+            F.col("nt").cast("long").alias("n"),
+            F.col("r").cast("long").alias("n_langs"),
+            F.col("c2").cast("long").alias("n_sources"),
+            F.round(F.col("mi_nano") / 1000000000.0, 6).alias("mi"),
+            F.round(F.col("chi2_nano") / 1000000000.0, 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    (F.col("chi2_nano") / 1000000000.0)
+                    / (
+                        F.col("nt")
+                        * F.least(F.col("r") - 1, F.col("c2") - 1)
+                        .cast("double")
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

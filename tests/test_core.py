@@ -624,3 +624,47 @@ def test_acf_matches_numpy_and_bounds(spark, sf_dir):
         ref = (yc[:-k] * yc[k:]).sum() / den
         assert abs(r["acf"] - ref) < 1e-5, (k, r["acf"], ref)
         assert r["n_pairs"] == span + 1 - k
+
+
+def test_best_split_brute_parity(spark, sf_dir):
+    """Split-finding law: the reported threshold and gain match a
+    brute-force scan over every candidate split in python, and the
+    gain is nonnegative (splitting can never increase Gini)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_best_split"][0](spark, sf_dir).collect()[0]
+    assert r["gini_gain"] >= 0.0
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
+        .select("value", (F.col("event_type") == "purchase").cast("long").alias("y"))
+        .collect()
+    )
+    pts = sorted((row["value"], row["y"]) for row in ev)
+    nt = len(pts)
+    pt = sum(y for _, y in pts)
+    best = None
+    nl = pl = 0
+    i = 0
+    while i < nt:
+        j = i
+        while j < nt and pts[j][0] == pts[i][0]:
+            pl += pts[j][1]
+            nl += 1
+            j += 1
+        if nl < nt:
+            nr, pr = nt - nl, pt - pl
+            s = (pl * pl + (nl - pl) ** 2) / nl + (pr * pr + (nr - pr) ** 2) / nr
+            sp = (pt * pt + (nt - pt) ** 2) / nt
+            gain = (s - sp) / nt
+            if best is None or gain > best[1] + 0:
+                best = (pts[i][0], gain, nl, pl)
+        i = j
+    assert abs(best[0] - r["split_value"]) < 1e-6
+    assert abs(best[1] - r["gini_gain"]) < 1e-6
+    assert best[2] == r["n_left"] and best[3] == r["pos_left"]

@@ -624,3 +624,47 @@ def test_readability_hand_computed_and_laws(spark, sf_dir):
     assert r["words_total"] == w and r["sentences_total"] == s
     assert r["syllables_total"] == sy
     assert abs(r["flesch_avg"] - flesch) < 1e-6
+
+
+def test_mi_categorical_laws_and_independent_zero(spark, sf_dir):
+    """MI laws: mi >= 0, V in [0,1], mi <= min(H(lang), H(source)),
+    and a perfectly INDEPENDENT synthetic table scores mi == chi2 ==
+    v == 0 (the null calibration)."""
+    import math
+
+    from shadems_spark.queries import load_registry
+
+    fn = load_registry()["q_mi_categorical"][0]
+    r = fn(spark, sf_dir).collect()[0]
+    assert r["mi"] >= 0.0
+    assert 0.0 <= r["cramers_v"] <= 1.0
+
+    from shadems_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    def entropy(col):
+        counts = [x["count"] for x in docs.groupBy(col).count().collect()]
+        n = sum(counts)
+        return -sum(c / n * math.log(c / n) for c in counts)
+
+    assert r["mi"] <= min(entropy("lang"), entropy("source")) + 1e-6
+
+    # independent 2x2: every (lang, source) combo equally frequent
+    rows = [
+        (i, "t", lang, src, 1)
+        for i, (lang, src) in enumerate(
+            [(l, s) for l in ("aa", "bb") for s in ("s1", "s2")] * 5
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import shadems_spark.queries.curation as cur
+
+    orig = cur.load_table
+    cur.load_table = lambda sp, d, t: df
+    try:
+        ri = fn(spark, "ignored").collect()[0]
+    finally:
+        cur.load_table = orig
+    assert ri["mi"] == 0.0 and ri["chi2"] == 0.0 and ri["cramers_v"] == 0.0
