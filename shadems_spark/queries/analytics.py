@@ -2650,3 +2650,111 @@ def q_best_split(spark, sf_dir):
         .limit(1)
         .drop("_g", "_v")
     )
+
+
+@register(
+    "q_theilsen",
+    sql="""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS y
+               FROM orders GROUP BY 1),
+    m AS (SELECT min(day) AS d0, datediff('day', min(day), max(day)) AS span
+          FROM d),
+    grid AS (SELECT t.x, coalesce(d.y, 0) AS y
+             FROM (SELECT unnest(generate_series(0, (SELECT span FROM m)))
+                          AS x) t
+             LEFT JOIN d ON d.day = (SELECT d0 FROM m) + INTERVAL (t.x) DAY),
+    p AS (SELECT a.x AS x1, b.x AS x2,
+                 (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS sl
+          FROM grid a JOIN grid b ON b.x > a.x),
+    r AS (SELECT sl, row_number() OVER (ORDER BY sl, x1, x2) AS rn,
+                 count(*) OVER () AS np
+          FROM p),
+    med AS (SELECT avg(sl) AS slope, max(np) AS np FROM r
+            WHERE rn IN (CAST(floor((np + 1) / 2.0) AS BIGINT),
+                         CAST(ceil((np + 1) / 2.0) AS BIGINT))),
+    ic AS (SELECT g.x, g.y - med.slope * g.x AS resid
+           FROM grid g CROSS JOIN med),
+    r2 AS (SELECT resid, row_number() OVER (ORDER BY resid, x) AS rn,
+                  count(*) OVER () AS n
+           FROM ic),
+    med2 AS (SELECT avg(resid) AS intercept FROM r2
+             WHERE rn IN (CAST(floor((n + 1) / 2.0) AS BIGINT),
+                          CAST(ceil((n + 1) / 2.0) AS BIGINT)))
+    SELECT CAST(med.np AS BIGINT) AS n_pairs,
+           round(med.slope, 6) AS slope_per_day,
+           round(med2.intercept, 6) AS intercept
+    FROM med CROSS JOIN med2
+    """,
+)
+def q_theilsen(spark, sf_dir):
+    """Theil-Sen robust trend of the zero-filled daily order series —
+    the median of ALL pairwise slopes (29.3% breakdown point): the
+    robust twin of q_trend_ols, immune to the outlier days that drag
+    a least-squares line (Sen 1968).
+
+    Exactness: every pairwise slope is one division of integers (the
+    same double on any IEEE engine), the median is the exact order
+    statistic under the deterministic (slope, x1, x2) order (mean of
+    the two middles when the pair count is even — a single float
+    add/divide), and the intercept is the exact median residual.
+    Scale: pairs grow as days^2 — fine for a DATE-cardinality series
+    (2.9M pairs here; still only ~1e9 at a decade of days); at finer
+    grains switch to the standard sampled Theil-Sen (random pair
+    subsample) or per-partition partial medians.  The heavy input
+    table itself never self-joins — only the daily grid does."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    m = d.agg(
+        F.min("day").alias("d0"),
+        F.datediff(F.max("day"), F.min("day")).alias("span"),
+    )
+    grid = (
+        m.select(F.explode(F.sequence(F.lit(0), F.col("span"))).alias("x"), "d0")
+        .join(d, F.expr("date_add(d0, CAST(x AS INT))") == F.col("day"), "left")
+        .select("x", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    p = a.join(b, F.col("b.x") > F.col("a.x")).select(
+        F.col("a.x").alias("x1"),
+        F.col("b.x").alias("x2"),
+        (
+            (F.col("b.y") - F.col("a.y"))
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("sl"),
+    )
+    wr = Window.orderBy("sl", "x1", "x2")
+    wn = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = p.select(
+        "sl",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("np"),
+    )
+    med = r.filter(
+        (F.col("rn") == F.floor((F.col("np") + 1) / 2.0).cast("long"))
+        | (F.col("rn") == F.ceil((F.col("np") + 1) / 2.0).cast("long"))
+    ).agg(F.avg("sl").alias("slope"), F.max("np").alias("np"))
+    ic = grid.crossJoin(F.broadcast(med)).select(
+        "x", (F.col("y") - F.col("slope") * F.col("x")).alias("resid")
+    )
+    wr2 = Window.orderBy("resid", "x")
+    r2 = ic.select(
+        "resid",
+        F.row_number().over(wr2).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med2 = r2.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2.0).cast("long"))
+        | (F.col("rn") == F.ceil((F.col("n") + 1) / 2.0).cast("long"))
+    ).agg(F.avg("resid").alias("intercept"))
+    return (
+        med.crossJoin(F.broadcast(med2))
+        .select(
+            F.col("np").cast("long").alias("n_pairs"),
+            F.round("slope", 6).alias("slope_per_day"),
+            F.round("intercept", 6).alias("intercept"),
+        )
+    )

@@ -668,3 +668,36 @@ def test_best_split_brute_parity(spark, sf_dir):
     assert abs(best[0] - r["split_value"]) < 1e-6
     assert abs(best[1] - r["gini_gain"]) < 1e-6
     assert best[2] == r["n_left"] and best[3] == r["pos_left"]
+
+
+def test_theilsen_matches_numpy_median_of_slopes(spark, sf_dir):
+    """Theil-Sen law: the reported slope equals the numpy median of
+    all pairwise slopes of the same zero-filled series, and the
+    robust slope is finite and bounded by the extreme pairwise
+    slopes."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_theilsen"][0](spark, sf_dir).collect()[0]
+
+    o = load_table(spark, sf_dir, "orders")
+    days = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .count().orderBy("day").collect()
+    )
+    d0 = days[0]["day"]
+    span = (days[-1]["day"] - d0).days
+    y = np.zeros(span + 1)
+    for row in days:
+        y[(row["day"] - d0).days] = row["count"]
+    x = np.arange(span + 1, dtype=float)
+    dy = y[None, :] - y[:, None]
+    dx = x[None, :] - x[:, None]
+    iu = np.triu_indices(len(x), k=1)
+    slopes = dy[iu] / dx[iu]
+    assert r["n_pairs"] == len(slopes)
+    assert abs(r["slope_per_day"] - np.median(slopes)) < 1e-6
+    resid = y - np.median(slopes) * x
+    assert abs(r["intercept"] - np.median(resid)) < 1e-5
