@@ -2758,3 +2758,92 @@ def q_theilsen(spark, sf_dir):
             F.round("intercept", 6).alias("intercept"),
         )
     )
+
+
+@register(
+    "q_did",
+    sql="""
+    WITH s AS (SELECT CAST(user_id % 2 AS INT) AS treat,
+                      CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                           THEN 1 ELSE 0 END AS post,
+                      CAST(round(value * 1000000000.0) AS BIGINT) AS v_nano
+               FROM events WHERE value IS NOT NULL),
+    c AS (SELECT treat, post, count(*) AS n, sum(v_nano) AS sv
+          FROM s GROUP BY 1, 2),
+    p AS (SELECT
+            max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n00,
+            max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n01,
+            max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n10,
+            max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n11,
+            max(CASE WHEN treat = 0 AND post = 0 THEN sv END) AS s00,
+            max(CASE WHEN treat = 0 AND post = 1 THEN sv END) AS s01,
+            max(CASE WHEN treat = 1 AND post = 0 THEN sv END) AS s10,
+            max(CASE WHEN treat = 1 AND post = 1 THEN sv END) AS s11
+          FROM c)
+    SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+           CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+           round(s00 / (n00 * 1000000000.0), 6) AS mean00,
+           round(s01 / (n01 * 1000000000.0), 6) AS mean01,
+           round(s10 / (n10 * 1000000000.0), 6) AS mean10,
+           round(s11 / (n11 * 1000000000.0), 6) AS mean11,
+           round((s11 / (n11 * 1000000000.0) - s10 / (n10 * 1000000000.0))
+                 - (s01 / (n01 * 1000000000.0) - s00 / (n00 * 1000000000.0)),
+                 6) AS did
+    FROM p
+    """,
+)
+def q_did(spark, sf_dir):
+    """Difference-in-differences point estimate of the treatment
+    effect on event value: treatment = deterministic user-id parity
+    (the q_abtest bucketing), post-period = the fixture's mid-month
+    cutoff — DiD nets out both the stable group gap and the common
+    time shock, the workhorse causal estimator for launch analysis
+    (Card-Krueger 1994).
+
+    Exactness: each value is nano-int rounded BEFORE the cell sums
+    (summation-order-free integer cells), the four cell means are one
+    division each, and the DiD contrast is one fixed float formula —
+    engine-exact at 6dp.  Invariance laws pinned: adding a constant
+    to every value, or any additive group/period effect, leaves DiD
+    unchanged.  Scale: one map-side-combined 4-cell aggregate; the
+    timestamp predicate rides the scan (partition-prunable on a
+    date-partitioned layout)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cutoff_us = 1705363200000000  # 2024-01-16 00:00:00 UTC
+    s = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("treat"),
+        (F.expr("ts_ns div 1000") >= F.lit(cutoff_us))
+        .cast("int").alias("post"),
+        F.round(F.col("value") * 1000000000.0).cast("long").alias("v_nano"),
+    )
+    c = s.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v_nano").alias("sv")
+    )
+
+    def cell(t, p, col):
+        return F.max(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    p = c.agg(
+        cell(0, 0, "n").alias("n00"), cell(0, 1, "n").alias("n01"),
+        cell(1, 0, "n").alias("n10"), cell(1, 1, "n").alias("n11"),
+        cell(0, 0, "sv").alias("s00"), cell(0, 1, "sv").alias("s01"),
+        cell(1, 0, "sv").alias("s10"), cell(1, 1, "sv").alias("s11"),
+    )
+    mean = lambda s_, n_: F.col(s_) / (F.col(n_) * 1000000000.0)
+    return p.select(
+        F.col("n00").cast("long").alias("n00"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n11").cast("long").alias("n11"),
+        F.round(mean("s00", "n00"), 6).alias("mean00"),
+        F.round(mean("s01", "n01"), 6).alias("mean01"),
+        F.round(mean("s10", "n10"), 6).alias("mean10"),
+        F.round(mean("s11", "n11"), 6).alias("mean11"),
+        F.round(
+            (mean("s11", "n11") - mean("s10", "n10"))
+            - (mean("s01", "n01") - mean("s00", "n00")),
+            6,
+        ).alias("did"),
+    )

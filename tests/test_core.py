@@ -701,3 +701,23 @@ def test_theilsen_matches_numpy_median_of_slopes(spark, sf_dir):
     assert abs(r["slope_per_day"] - np.median(slopes)) < 1e-6
     resid = y - np.median(slopes) * x
     assert abs(r["intercept"] - np.median(resid)) < 1e-5
+
+
+def test_did_additive_invariance(spark, sf_dir):
+    """DiD law: the estimator is invariant to adding a constant to
+    every value AND to any additive per-group or per-period shift —
+    replay the contrast from the four cell means under shifts."""
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_did"][0](spark, sf_dir).collect()[0]
+    base = (r["mean11"] - r["mean10"]) - (r["mean01"] - r["mean00"])
+    assert abs(r["did"] - base) < 2e-6
+    # additive shifts: constant c, group effect g on treat rows,
+    # period effect t on post rows — all cancel in the contrast
+    c, g, t = 3.7, -1.2, 0.9
+    shifted = (
+        (r["mean11"] + c + g + t) - (r["mean10"] + c + g)
+    ) - ((r["mean01"] + c + t) - (r["mean00"] + c))
+    assert abs(shifted - base) < 1e-9
+    for k in ("n00", "n01", "n10", "n11"):
+        assert r[k] > 0
