@@ -2024,10 +2024,12 @@ def q_mannwhitney(spark, sf_dir):
     WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
     n AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
     i AS (SELECT pk, count(*) AS s FROM b GROUP BY 1),
+    ms AS (SELECT greatest(3, CAST(ceil(0.0002 * n_orders) AS BIGINT))
+                      AS minsup FROM n),
     p AS (SELECT a.pk AS pa, c.pk AS pb, count(*) AS s
           FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
           GROUP BY 1, 2
-          HAVING count(*) >= 3)
+          HAVING count(*) >= (SELECT minsup FROM ms))
     SELECT p.pa, p.pb, p.s AS pair_support,
            ia.s AS support_a, ib.s AS support_b,
            round(p.s / CAST(ia.s AS DOUBLE), 6) AS conf_a_to_b,
@@ -2056,13 +2058,26 @@ def q_freq_pairs(spark, sf_dir):
     join sides, and the self-join shuffles on the basket key only —
     the classic distributed-Apriori shape; raise minsup with corpus
     size to keep the pair table sublinear."""
-    MINSUP = 3
+    # minsup is a FRACTION of baskets (floored at 3): an absolute
+    # threshold lets the frequent-pair table grow with corpus
+    # replication; the x10 probe measured exactly that (2 -> 1.2M
+    # rows at minsup=3), and fractional support restores the flat-
+    # output property the Apriori contract wants at scale.
     li = load_table(spark, sf_dir, "lineitem")
     b = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
+    n = b.agg(F.count_distinct("ok").alias("n_orders"))
+    ms = n.select(
+        F.greatest(F.lit(3), F.ceil(0.0002 * F.col("n_orders")))
+        .cast("long").alias("minsup")
+    )
     i = b.groupBy("pk").agg(F.count(F.lit(1)).alias("s"))
-    fi = i.filter(F.col("s") >= MINSUP).select("pk")
+    fi = (
+        i.crossJoin(F.broadcast(ms))
+        .filter(F.col("s") >= F.col("minsup"))
+        .select("pk")
+    )
     fb = b.join(F.broadcast(fi), "pk")
     p = (
         fb.alias("a")
@@ -2070,9 +2085,10 @@ def q_freq_pairs(spark, sf_dir):
         .filter(F.col("a.pk") < F.col("c.pk"))
         .groupBy(F.col("a.pk").alias("pa"), F.col("c.pk").alias("pb"))
         .agg(F.count(F.lit(1)).alias("s"))
-        .filter(F.col("s") >= MINSUP)
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("s") >= F.col("minsup"))
+        .drop("minsup")
     )
-    n = b.agg(F.count_distinct("ok").alias("n_orders"))
     ia = i.select(F.col("pk").alias("pa"), F.col("s").alias("support_a"))
     ib = i.select(F.col("pk").alias("pb"), F.col("s").alias("support_b"))
     return (
@@ -2846,4 +2862,141 @@ def q_did(spark, sf_dir):
             - (mean("s01", "n01") - mean("s00", "n00")),
             6,
         ).alias("did"),
+    )
+
+
+@register(
+    "q_hill",
+    sql="""
+    WITH top AS (SELECT o_totalprice AS x FROM orders
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 101),
+    k1 AS (SELECT min(x) AS xk1, count(*) AS n FROM top),
+    t AS (SELECT CAST(round(ln(top.x / k1.xk1) * 1000000000.0) AS BIGINT)
+                     AS l_nano
+          FROM top CROSS JOIN k1)
+    SELECT (SELECT n FROM k1) - 1 AS k,
+           round((SELECT xk1 FROM k1), 6) AS x_kplus1,
+           CAST(sum(l_nano) AS BIGINT) AS sum_ln_nano,
+           round(((SELECT n FROM k1) - 1) * 1000000000.0 / sum(l_nano), 6)
+               AS hill_alpha
+    FROM t
+    """,
+)
+def q_hill(spark, sf_dir):
+    """Hill estimator of the power-law tail index over the top-100
+    order totals — the heavy-tail gate (Hill 1975): alpha ~< 2 means
+    infinite variance (plan for skew: salting, talking to q_salted_
+    join/q_skew_split), alpha > 3 means means and variances behave.
+    The tail-heaviness twin of q_zipf's rank-frequency fit.
+
+    Shape: the ONLY data-sized step is a distributed top-k
+    (TakeOrderedAndProject — per-partition heaps, no global sort);
+    everything after runs on k+1 = 101 rows.  The tied-minimum trick
+    makes the k+1-st row contribute ln(1) = 0, so no rank window is
+    needed at all.  Each log-ratio is nano-int rounded before the
+    sum; alpha is one division.  Scale: k is constant — the probe
+    cost at 100 TB is the scan behind the top-k heap."""
+    o = load_table(spark, sf_dir, "orders")
+    top = (
+        o.select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.col("x").desc(), "o_orderkey")
+        .limit(101)
+    )
+    k1 = top.agg(F.min("x").alias("xk1"), F.count(F.lit(1)).alias("n"))
+    t = top.crossJoin(F.broadcast(k1)).select(
+        "n", "xk1",
+        F.round(F.log(F.col("x") / F.col("xk1")) * 1000000000.0)
+        .cast("long").alias("l_nano"),
+    )
+    return t.groupBy("n", "xk1").agg(
+        F.sum("l_nano").alias("sum_ln_nano")
+    ).select(
+        (F.col("n") - 1).cast("long").alias("k"),
+        F.round("xk1", 6).alias("x_kplus1"),
+        F.col("sum_ln_nano").cast("long").alias("sum_ln_nano"),
+        F.round(
+            (F.col("n") - 1) * 1000000000.0 / F.col("sum_ln_nano"), 6
+        ).alias("hill_alpha"),
+    )
+
+
+@register(
+    "q_attribution",
+    sql="""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+                      CAST(round(coalesce(value, 0) * 1000000000.0) AS BIGINT)
+                          AS v_nano
+               FROM events
+               WHERE event_type IN ('click', 'view', 'purchase')),
+    w AS (SELECT user_id, event_type, v_nano,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                                 THEN event_type END IGNORE NULLS)
+                     OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS touch
+          FROM e),
+    c AS (SELECT coalesce(touch, 'none') AS touch_type,
+                 count(*) AS n_conversions,
+                 sum(v_nano) AS sv
+          FROM w WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT touch_type, CAST(n_conversions AS BIGINT) AS n_conversions,
+           round(sv / 1000000000.0, 6) AS attributed_value
+    FROM c ORDER BY touch_type
+    """,
+)
+def q_attribution(spark, sf_dir):
+    """Last-touch revenue attribution: each purchase's value is
+    credited to the user's most recent PRIOR click or view — the
+    marketing-analytics workhorse beside q_funnel (ordered steps)
+    and q_sessionize; 'none' rows are direct conversions with no
+    preceding touch.
+
+    Shape: ONE per-user window ordered by (ts, event_id) with a
+    conditional last_value(IGNORE NULLS) over the preceding frame —
+    the standard streaming-compatible attribution plan (no self-join
+    of conversions to touches; state per user is one value).  The
+    purchase values are nano-int rounded before the group sum.
+    Scale: the window shuffles once on user_id (millions of small
+    per-user partitions — the healthy high-cardinality window case),
+    then a 3-key aggregate; at 100 TB this is exactly the
+    sessionization shuffle shape, and the same plan runs under
+    transformWithState for continuous attribution."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    e = ev.select(
+        "user_id", "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_type",
+        F.round(F.coalesce("value", F.lit(0)) * 1000000000.0)
+        .cast("long").alias("v_nano"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = e.select(
+        "event_type", "v_nano",
+        F.last(
+            F.when(
+                F.col("event_type").isin("click", "view"), F.col("event_type")
+            ),
+            ignorenulls=True,
+        ).over(w).alias("touch"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("v_nano").alias("sv"),
+        )
+        .select(
+            "touch_type",
+            F.col("n_conversions").cast("long").alias("n_conversions"),
+            F.round(F.col("sv") / 1000000000.0, 6).alias("attributed_value"),
+        )
+        .orderBy("touch_type")
     )

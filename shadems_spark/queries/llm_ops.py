@@ -1878,7 +1878,7 @@ def q_ppjoin(spark, sf_dir):
     SELECT u1, u2, common, da.d AS deg1, db.d AS deg2,
            round(common / CAST(da.d + db.d - common AS DOUBLE), 6) AS jaccard
     FROM nl JOIN deg da ON da.u = nl.u1 JOIN deg db ON db.u = nl.u2
-    ORDER BY common DESC, jaccard DESC, u1, u2
+    ORDER BY common DESC, jaccard DESC, u1, u2 LIMIT 500
     """.format(hp=SIM.hyperplane_bucket_sql("v", 2, 64)),
 )
 def q_link_predict(spark, sf_dir):
@@ -1927,6 +1927,11 @@ def q_link_predict(spark, sf_dir):
     # persist stays live under its key; the next tracked_persist with
     # the same key (or release_persist in a pipeline) reclaims it —
     # the q_ngram_jaccard convention, so the result stays a lazy plan.
+    # Top-500 cap: a review queue is bounded by reviewer capacity, not
+    # graph size — the x10 probe measured 9.8k -> 4M uncapped rows
+    # (wedge growth is quadratic inside buckets); the deterministic
+    # total order makes the cap engine-exact, and Spark executes it
+    # as TakeOrdered, never a full sort.
     return (
         nl.join(F.broadcast(da), "u1")
         .join(F.broadcast(db), "u2")
@@ -1939,6 +1944,7 @@ def q_link_predict(spark, sf_dir):
             ).alias("jaccard"),
         )
         .orderBy(F.col("common").desc(), F.col("jaccard").desc(), "u1", "u2")
+        .limit(500)
     )
 
 

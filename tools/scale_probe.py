@@ -227,6 +227,38 @@ PROBE_R5 = [
     "q_khop",
 ]
 
+#: round-5 statistics/analytics batch (--r5stats): the drift, causal,
+#: trend, and mining operators added in the closing session.  Scale
+#: claims: q_ks_test / q_mannwhitney / q_psi / q_best_split — one
+#: map-side value aggregate then DISTINCT-value windows (value
+#: cardinality, not rows): sublinear-to-linear.  q_did /
+#: q_mi_categorical — fixed-cell aggregates: ~linear scan.
+#: q_trend_ols / q_acf / q_theilsen — date-cardinality grids: scan-
+#: linear (same days, xN rows per day).  q_freq_pairs — per-basket
+#: O(k^2) pairs with broadcast frequent-item prune: ~linear in
+#: baskets.  q_rfm / q_benford — customer/9-digit aggregates.
+#: q_jsd_matrix / q_readability — token-keyed joins / stateless row
+#: exprs.  q_isotonic — bin-bounded minimax (constant past the bin
+#: agg).  q_link_predict — wedge join on the bucketed near-dup graph.
+PROBE_R5STATS = [
+    "q_ks_test",
+    "q_mannwhitney",
+    "q_psi",
+    "q_best_split",
+    "q_did",
+    "q_mi_categorical",
+    "q_trend_ols",
+    "q_acf",
+    "q_theilsen",
+    "q_freq_pairs",
+    "q_rfm",
+    "q_benford",
+    "q_jsd_matrix",
+    "q_readability",
+    "q_isotonic",
+    "q_link_predict",
+]
+
 #: key shift per copy — far above any real key at these scale factors.
 SHIFT = 100_000_000
 
@@ -329,6 +361,7 @@ def main() -> None:
     round4 = "--round4" in sys.argv
     r4x100 = "--r4x100" in sys.argv
     round5 = "--round5" in sys.argv
+    r5stats = "--r5stats" in sys.argv
     docs_only = dedup or retrieval
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 10
@@ -336,7 +369,8 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     suffix = (
         "_docs" if docs_only else "_r3" if round3 else "_r4" if round4
-        else "_r4x100" if r4x100 else "_r5" if round5 else ""
+        else "_r4x100" if r4x100 else "_r5" if round5
+        else "_r5stats" if r5stats else ""
     )
     scaled = os.path.join(repo, ".scratch", f"sfx{n}" + suffix)
 
@@ -349,6 +383,7 @@ def main() -> None:
         else PROBE_R4 if round4
         else PROBE_R4X100 if r4x100
         else PROBE_R5 if round5
+        else PROBE_R5STATS if r5stats
         else PROBE
     )
     names = [q for q in probe_set if q in registry]
@@ -362,10 +397,12 @@ def main() -> None:
             else ["documents", "events"] if round3
             else ["documents", "embeddings", "lineitem", "orders"] if r4x100
             else ["documents", "embeddings", "events"] if round5
+            else ["documents", "embeddings", "events", "orders", "lineitem"]
+            if r5stats
             else None
         ),
-        mutate_docs=docs_only or round3 or r4x100 or round5,
-        mutate_embeddings=r4x100 or round5,
+        mutate_docs=docs_only or round3 or r4x100 or round5 or r5stats,
+        mutate_embeddings=r4x100 or round5 or r5stats,
     )
     build_s = round(time.time() - t0, 1)
 
@@ -400,6 +437,7 @@ def main() -> None:
                     else "scale_probe_retrieval" if retrieval
                     else "scale_probe_r4x100" if r4x100
                     else "scale_probe_r5" if round5
+                    else "scale_probe_r5stats" if r5stats
                     else "scale_probe"
                 ),
                 "n": n,
