@@ -2024,7 +2024,7 @@ def q_mannwhitney(spark, sf_dir):
     WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
     n AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
     i AS (SELECT pk, count(*) AS s FROM b GROUP BY 1),
-    ms AS (SELECT greatest(3, CAST(ceil(0.0002 * n_orders) AS BIGINT))
+    ms AS (SELECT greatest(3, CAST(ceil(0.00002 * n_orders) AS BIGINT))
                       AS minsup FROM n),
     p AS (SELECT a.pk AS pa, c.pk AS pb, count(*) AS s
           FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
@@ -2060,16 +2060,18 @@ def q_freq_pairs(spark, sf_dir):
     size to keep the pair table sublinear."""
     # minsup is a FRACTION of baskets (floored at 3): an absolute
     # threshold lets the frequent-pair table grow with corpus
-    # replication; the x10 probe measured exactly that (2 -> 1.2M
-    # rows at minsup=3), and fractional support restores the flat-
-    # output property the Apriori contract wants at scale.
+    # replication (the x10 probe measured 2 -> 1.2M rows at
+    # minsup=3); fractional support restores the flat-output Apriori
+    # contract.  The fraction is small (2e-5) because TPC-H baskets
+    # are uniform-random — co-occurrence dilutes as the part catalog
+    # grows with SF; real basket data concentrates instead.
     li = load_table(spark, sf_dir, "lineitem")
     b = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
     n = b.agg(F.count_distinct("ok").alias("n_orders"))
     ms = n.select(
-        F.greatest(F.lit(3), F.ceil(0.0002 * F.col("n_orders")))
+        F.greatest(F.lit(3), F.ceil(0.00002 * F.col("n_orders")))
         .cast("long").alias("minsup")
     )
     i = b.groupBy("pk").agg(F.count(F.lit(1)).alias("s"))

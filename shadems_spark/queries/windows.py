@@ -342,3 +342,119 @@ def q_range_frame(spark, sf_dir):
         F.round(F.sum("value").over(w), 2).alias("rolling_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
+
+
+@register(
+    "q_winsorized",
+    sql="""
+    WITH s AS (SELECT event_type, value, event_id FROM events
+               WHERE value IS NOT NULL),
+    r AS (SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM s),
+    b AS (SELECT event_type, max(n) AS n,
+                 max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                          THEN value END) AS lo,
+                 max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                          THEN value END) AS hi
+          FROM r GROUP BY 1),
+    w AS (SELECT r.event_type, b.n, b.lo, b.hi,
+                 CAST(round(value * 1000000000.0) AS BIGINT) AS v_nano,
+                 CAST(round(least(greatest(value, b.lo), b.hi)
+                            * 1000000000.0) AS BIGINT) AS wz_nano,
+                 CASE WHEN rn > CAST(ceil(0.05 * b.n) AS BIGINT)
+                       AND rn <= CAST(ceil(0.95 * b.n) AS BIGINT)
+                      THEN 1 ELSE 0 END AS kept
+          FROM r JOIN b USING (event_type))
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           round(max(lo), 6) AS p05, round(max(hi), 6) AS p95,
+           round(sum(v_nano) / (max(n) * 1000000000.0), 6) AS mean_raw,
+           round(sum(wz_nano) / (max(n) * 1000000000.0), 6) AS mean_winsor,
+           CAST(sum(kept) AS BIGINT) AS n_trimmed,
+           round(sum(CASE WHEN kept = 1 THEN v_nano ELSE 0 END)
+                 / (sum(kept) * 1000000000.0), 6) AS mean_trimmed
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_winsorized(spark, sf_dir):
+    """Winsorized and trimmed means per event type at the exact
+    5th/95th order statistics — the robust-location battery beside
+    q_outliers' MAD z-scores: winsorizing clamps the tails (keeps n),
+    trimming drops them (keeps the middle 90%) — the difference
+    between the two and the raw mean IS the tail-influence
+    diagnostic.
+
+    Exactness: cut points are exact order statistics under the
+    deterministic (value, event_id) order (rank ceil(0.05n) /
+    ceil(0.95n) — no interpolating percentile whose definition could
+    differ between engines); every clamped/kept value is nano-int
+    rounded before its group sum; means are one division each.
+    Scale: one per-type rank window (the per-group-cardinality
+    shuffle), then a 5-key aggregate; at 100 TB swap exact ranks for
+    KLL cutpoints and keep the clamp/filter pass identical."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select("event_type", "value", "event_id")
+    wp = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = s.select(
+        "event_type", "value",
+        F.row_number().over(wp).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    b = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.05 * F.col("n")).cast("long"),
+                F.col("value"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"),
+                F.col("value"),
+            )
+        ).alias("hi"),
+    )
+    w = r.join(F.broadcast(b.withColumnRenamed("n", "nb")), "event_type").select(
+        "event_type", "nb", "lo", "hi",
+        F.round(F.col("value") * 1000000000.0).cast("long").alias("v_nano"),
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+            * 1000000000.0
+        ).cast("long").alias("wz_nano"),
+        (
+            (F.col("rn") > F.ceil(0.05 * F.col("nb")).cast("long"))
+            & (F.col("rn") <= F.ceil(0.95 * F.col("nb")).cast("long"))
+        ).cast("long").alias("kept"),
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.max("nb").alias("n_"),
+            F.round(F.max("lo"), 6).alias("p05"),
+            F.round(F.max("hi"), 6).alias("p95"),
+            F.round(
+                F.sum("v_nano") / (F.max("nb") * 1000000000.0), 6
+            ).alias("mean_raw"),
+            F.round(
+                F.sum("wz_nano") / (F.max("nb") * 1000000000.0), 6
+            ).alias("mean_winsor"),
+            F.sum("kept").alias("n_trimmed"),
+            F.round(
+                F.sum(F.when(F.col("kept") == 1, F.col("v_nano")).otherwise(0))
+                / (F.sum("kept") * 1000000000.0),
+                6,
+            ).alias("mean_trimmed"),
+        )
+        .select(
+            "event_type",
+            F.col("n_").cast("long").alias("n"),
+            "p05", "p95", "mean_raw", "mean_winsor",
+            F.col("n_trimmed").cast("long").alias("n_trimmed"),
+            "mean_trimmed",
+        )
+        .orderBy("event_type")
+    )
