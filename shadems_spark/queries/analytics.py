@@ -3002,3 +3002,122 @@ def q_attribution(spark, sf_dir):
         )
         .orderBy("touch_type")
     )
+
+
+@register(
+    "q_cuped",
+    sql="""
+    WITH u AS (SELECT user_id, CAST(user_id % 2 AS INT) AS treat,
+                      sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                               THEN CAST(round(value * 1000.0) AS BIGINT)
+                               ELSE 0 END) AS x_milli,
+                      sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                               THEN CAST(round(value * 1000.0) AS BIGINT)
+                               ELSE 0 END) AS y_milli
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    g AS (SELECT count(*) AS n, sum(x_milli) AS sx, sum(y_milli) AS sy,
+                 sum(x_milli * y_milli) AS sxy,
+                 sum(x_milli * x_milli) AS sxx,
+                 sum(y_milli * y_milli) AS syy
+          FROM u),
+    a AS (SELECT treat, count(*) AS na, sum(x_milli) AS sxa,
+                 sum(y_milli) AS sya
+          FROM u GROUP BY 1),
+    p AS (SELECT
+            max(CASE WHEN treat = 0 THEN na END) AS n0,
+            max(CASE WHEN treat = 1 THEN na END) AS n1,
+            max(CASE WHEN treat = 0 THEN sxa END) AS sx0,
+            max(CASE WHEN treat = 1 THEN sxa END) AS sx1,
+            max(CASE WHEN treat = 0 THEN sya END) AS sy0,
+            max(CASE WHEN treat = 1 THEN sya END) AS sy1
+          FROM a)
+    SELECT CAST(g.n AS BIGINT) AS n_users,
+           CAST(p.n0 AS BIGINT) AS n0, CAST(p.n1 AS BIGINT) AS n1,
+           round((g.n * g.sxy - g.sx * g.sy)
+                 / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE), 6) AS theta,
+           round((p.sy1 / (p.n1 * 1000.0) - p.sy0 / (p.n0 * 1000.0)), 6)
+               AS diff_raw,
+           round((p.sy1 / (p.n1 * 1000.0) - p.sy0 / (p.n0 * 1000.0))
+                 - ((g.n * g.sxy - g.sx * g.sy)
+                    / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE))
+                   * (p.sx1 / (p.n1 * 1000.0) - p.sx0 / (p.n0 * 1000.0)), 6)
+               AS diff_cuped,
+           round((CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                  * (g.n * g.sxy - g.sx * g.sy))
+                 / (CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)
+                    * (g.n * g.syy - g.sy * g.sy)), 6) AS var_reduction
+    FROM g CROSS JOIN p
+    """,
+)
+def q_cuped(spark, sf_dir):
+    """CUPED variance-reduced experiment readout (Deng et al.
+    WSDM'13): per-user PRE-period spend is the control covariate for
+    the POST-period metric; theta = cov(X,Y)/var(X) over all users,
+    adjusted lift = raw lift - theta * covariate imbalance, and
+    var_reduction = rho^2 is the fraction of metric variance the
+    covariate removes — the estimator every experimentation platform
+    runs on top of the q_abtest/q_did bucketing.
+
+    Exactness: per-user period sums are milli-int (so squares and
+    cross-products stay far inside 2^63 at user cardinality), the
+    five sufficient statistics are engine-exact integers, and theta /
+    lifts / rho^2 are fixed float formulas over them (rho^2 kept in
+    factored double form, the q_trend_ols overflow dodge).  X-bar
+    cancels in the between-arm contrast, so no mean-centering ever
+    touches a cross-row sum.  Scale: ONE user-keyed map-side-combined
+    aggregate then two constant-size reductions — the canonical
+    two-pass-free CUPED shape; the user aggregate is the same shuffle
+    q_sessionize already pays."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cutoff_us = 1705363200000000
+    pre = F.expr("ts_ns div 1000") < F.lit(cutoff_us)
+    v_milli = F.round(F.col("value") * 1000.0).cast("long")
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("treat")
+    ).agg(
+        F.sum(F.when(pre, v_milli).otherwise(0)).alias("x_milli"),
+        F.sum(F.when(~pre, v_milli).otherwise(0)).alias("y_milli"),
+    )
+    g = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_milli").alias("sx"),
+        F.sum("y_milli").alias("sy"),
+        F.sum(F.col("x_milli") * F.col("y_milli")).alias("sxy"),
+        F.sum(F.col("x_milli") * F.col("x_milli")).alias("sxx"),
+        F.sum(F.col("y_milli") * F.col("y_milli")).alias("syy"),
+    )
+    a = u.groupBy("treat").agg(
+        F.count(F.lit(1)).alias("na"),
+        F.sum("x_milli").alias("sxa"),
+        F.sum("y_milli").alias("sya"),
+    )
+
+    def cell(t, col):
+        return F.max(F.when(F.col("treat") == t, F.col(col)))
+
+    p = a.agg(
+        cell(0, "na").alias("n0"), cell(1, "na").alias("n1"),
+        cell(0, "sxa").alias("sx0"), cell(1, "sxa").alias("sx1"),
+        cell(0, "sya").alias("sy0"), cell(1, "sya").alias("sy1"),
+    )
+    j = g.crossJoin(F.broadcast(p))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    theta = cov / varx.cast("double")
+    ybar = lambda s_, n_: F.col(s_) / (F.col(n_) * 1000.0)
+    diff_raw = ybar("sy1", "n1") - ybar("sy0", "n0")
+    diff_x = ybar("sx1", "n1") - ybar("sx0", "n0")
+    return j.select(
+        n.cast("long").alias("n_users"),
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.round(theta, 6).alias("theta"),
+        F.round(diff_raw, 6).alias("diff_raw"),
+        F.round(diff_raw - theta * diff_x, 6).alias("diff_cuped"),
+        F.round(
+            (cov.cast("double") * cov) / (varx.cast("double") * (n * syy - sy * sy)),
+            6,
+        ).alias("var_reduction"),
+    )

