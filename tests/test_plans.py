@@ -441,3 +441,49 @@ def test_bootstrap_single_scan_partial_agg(spark):
     p = _plan(spark, "q_bootstrap_ci")
     assert "partial_sum" in p
     assert "Join" not in p
+
+
+def test_hill_distributed_topk_not_global_sort(spark):
+    """The only data-sized step must be a TakeOrderedAndProject
+    (per-partition heaps); a global Sort before a Limit would be the
+    100-TB killer."""
+    p = _plan(spark, "q_hill")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_freq_pairs_broadcast_prune_no_cartesian(spark):
+    """The frequent-item prune and the support lookups must broadcast;
+    the only equi-join shuffle key is the basket id.  No cartesian
+    product anywhere (the minsup scalar arrives via broadcast nested
+    loop of a 1-row frame, which is fine)."""
+    p = _plan(spark, "q_freq_pairs")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_attribution_single_user_shuffle_no_join(spark):
+    """Attribution must be window-only: one user-keyed exchange, no
+    conversion-to-touch join of any kind."""
+    p = _plan(spark, "q_attribution")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct"):
+        assert j not in p
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_psi_and_cuped_no_data_sized_joins(spark):
+    """PSI's decile edges and CUPED's arm cells ride broadcast 1-row/
+    9-row frames — the event scan must never hit a SortMergeJoin or
+    cartesian product."""
+    for q in ("q_psi", "q_cuped"):
+        p = _plan(spark, q)
+        assert "SortMergeJoin" not in p, q
+        assert "CartesianProduct" not in p, q
+
+
+def test_isotonic_bin_bounded_joins(spark):
+    """Everything past the score-bin aggregate runs on <= 50-row
+    frames: joins must be broadcast, never sort-merge."""
+    p = _plan(spark, "q_isotonic")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
