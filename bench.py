@@ -75,6 +75,15 @@ HEADLINE = [
     "q_bootstrap_ci",
     "q_kl_drift",
     "q_backoff_lm",
+    # round-5 closing statistics batch: drift (psi/ks), segmentation
+    # (rfm), attribution, and the Benford audit — each a distinct
+    # plan family (broadcast-array binning, customer ntile windows,
+    # per-user IGNORE NULLS window, digit-string aggregate).
+    "q_psi",
+    "q_ks_test",
+    "q_rfm",
+    "q_attribution",
+    "q_benford",
 ]
 
 
