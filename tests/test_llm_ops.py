@@ -817,3 +817,20 @@ def test_isotonic_monotone_conserving_and_pav_parity(spark, sf_dir):
     assert len(expanded) == len(rows)
     for r, f in zip(rows, expanded):
         assert abs(r["iso"] - f) < 1e-6, (r["bin"], r["iso"], f)
+
+
+def test_gains_monotone_and_endpoints(spark, sf_dir):
+    """Gains-curve laws: capture is nondecreasing walking deeper
+    (bins descending), ends at exactly 1.0; lift is >= 1 at the top
+    for any better-than-random ranker whose top bin over-captures,
+    and equals 1.0 at full depth; cum_pos <= cum_n everywhere."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_gains"][0](spark, sf_dir).collect()
+    assert rows, "gains curve empty"
+    caps = [r["capture"] for r in rows]
+    assert caps == sorted(caps)
+    assert abs(caps[-1] - 1.0) < 1e-9
+    assert abs(rows[-1]["lift"] - 1.0) < 1e-9
+    for r in rows:
+        assert r["cum_pos"] <= r["cum_n"]
