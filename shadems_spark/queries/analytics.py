@@ -3121,3 +3121,94 @@ def q_cuped(spark, sf_dir):
             6,
         ).alias("var_reduction"),
     )
+
+
+@register(
+    "q_burstiness",
+    sql="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+               FROM events GROUP BY 1, 2),
+    b AS (SELECT min(day) AS d0,
+                 datediff('day', min(day), max(day)) AS span
+          FROM d),
+    types AS (SELECT DISTINCT event_type FROM d),
+    grid AS (SELECT t.event_type, g.x, coalesce(d.y, 0) AS y
+             FROM types t
+             CROSS JOIN (SELECT unnest(generate_series(0,
+                                (SELECT span FROM b))) AS x) g
+             LEFT JOIN d ON d.event_type = t.event_type
+                        AND d.day = (SELECT d0 FROM b) + INTERVAL (g.x) DAY),
+    s AS (SELECT event_type, count(*) AS n, sum(y) AS sy,
+                 sum(y * y) AS syy
+          FROM grid GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(sy AS BIGINT) AS total,
+           CAST(n * syy - sy * sy AS BIGINT) AS var_num,
+           round((n * syy - sy * sy) / CAST(n * sy AS DOUBLE), 6)
+               AS fano,
+           round(CAST(n * syy - sy * sy AS DOUBLE) * n
+                 / ((n - 1) * (sy * CAST(sy AS DOUBLE)))
+                 - 1.0 / (sy / CAST(n AS DOUBLE)), 6) AS cv2_minus_inv_mean
+    FROM s ORDER BY event_type
+    """,
+)
+def q_burstiness(spark, sf_dir):
+    """Fano factor (index of dispersion) of daily event counts per
+    type over the zero-filled calendar — the burstiness gate: a
+    Poisson-arrival stream has fano == 1; fano >> 1 means bursty
+    traffic (size partitions and state stores for peaks, not means),
+    fano << 1 means regularized arrivals.  cv2_minus_inv_mean is the
+    companion excess-variability measure (CV^2 - 1/mean, zero for
+    Poisson) on the same integer sums.
+
+    Exactness: integer daily counts on a dense calendar grid; the
+    variance numerator n*syy - sy^2 is a pure integer (cross-
+    multiplied centering, the q_acf identity) and each output is one
+    fixed float formula.  Scale: one (type, day)-key map-side
+    aggregate, then per-type constant-size reductions — the grid is
+    types x days regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    b = d.agg(
+        F.min("day").alias("d0"),
+        F.datediff(F.max("day"), F.min("day")).alias("span"),
+    )
+    types = d.select("event_type").distinct()
+    spine = b.select(
+        F.explode(F.sequence(F.lit(0), F.col("span"))).alias("x"), "d0"
+    )
+    grid = (
+        types.crossJoin(F.broadcast(spine))
+        .join(
+            d,
+            (F.expr("date_add(d0, CAST(x AS INT))") == F.col("day"))
+            & (types["event_type"] == d["event_type"]),
+            "left",
+        )
+        .select(
+            types["event_type"].alias("event_type"),
+            "x",
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    s = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sy, syy = F.col("n"), F.col("sy"), F.col("syy")
+    var_num = n * syy - sy * sy
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        sy.cast("long").alias("total"),
+        var_num.cast("long").alias("var_num"),
+        F.round(var_num / (n * sy).cast("double"), 6).alias("fano"),
+        F.round(
+            var_num.cast("double") * n / ((n - 1) * (sy * sy.cast("double")))
+            - 1.0 / (sy / n.cast("double")),
+            6,
+        ).alias("cv2_minus_inv_mean"),
+    ).orderBy("event_type")

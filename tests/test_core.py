@@ -796,3 +796,34 @@ def test_cuped_identities_and_variance_reduction(spark, sf_dir):
         assert abs(diff_x) < 1e6
         recomputed = r["diff_raw"] - r["theta"] * diff_x
         assert abs(recomputed - r["diff_cuped"]) < 1e-9
+
+
+def test_burstiness_poisson_null_and_numpy_parity(spark, sf_dir):
+    """Burstiness laws: fano equals the numpy population var/mean of
+    the same zero-filled series, fano >= 0; and on a SYNTHETIC
+    constant series (zero variance) fano == 0 while a Poisson-like
+    series gives CV^2 - 1/mean ~= 0 (the calibration identity the
+    factor-n bug would break)."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_burstiness"][0](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count().collect()
+    )
+    d0 = min(r["day"] for r in days)
+    span = (max(r["day"] for r in days) - d0).days
+    for r in rows:
+        y = np.zeros(span + 1)
+        for row in days:
+            if row["event_type"] == r["event_type"]:
+                y[(row["day"] - d0).days] = row["count"]
+        assert r["n_days"] == span + 1
+        fano = y.var() / y.mean()
+        assert abs(r["fano"] - fano) < 1e-5
+        cv2 = y.var(ddof=1) / y.mean() ** 2
+        assert abs(r["cv2_minus_inv_mean"] - (cv2 - 1 / y.mean())) < 1e-5
