@@ -3212,3 +3212,78 @@ def q_burstiness(spark, sf_dir):
             6,
         ).alias("cv2_minus_inv_mean"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_anova",
+    sql="""
+    WITH s AS (SELECT event_type,
+                      CAST(round(value * 1000.0) AS BIGINT) AS v
+               FROM events WHERE value IS NOT NULL),
+    g AS (SELECT event_type, count(*) AS ng, sum(v) AS sg,
+                 sum(v * v) AS sqg
+          FROM s GROUP BY 1),
+    t AS (SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS st,
+                 sum(sqg) AS sqt,
+                 sum(CAST(sg AS DOUBLE) * sg / ng) AS ssb_part
+          FROM g)
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+           round((ssb_part - CAST(st AS DOUBLE) * st / n)
+                 / 1000000.0, 6) AS ss_between,
+           round((sqt - ssb_part) / 1000000.0, 6) AS ss_within,
+           round(((ssb_part - CAST(st AS DOUBLE) * st / n) / (k - 1))
+                 / ((sqt - ssb_part) / (n - k)), 6) AS f_stat,
+           round((ssb_part - CAST(st AS DOUBLE) * st / n)
+                 / (sqt - CAST(st AS DOUBLE) * st / n), 6) AS eta_squared
+    FROM t
+    """,
+)
+def q_anova(spark, sf_dir):
+    """One-way ANOVA of event value across the five event types — the
+    does-the-metric-differ-by-segment omnibus test beside the
+    pairwise drift family (q_ks_test/q_mannwhitney compare two
+    groups; ANOVA screens ALL segments in one pass), with eta^2 as
+    the variance-explained effect size.
+
+    Exactness: values are milli-int rounded per row (micro overflows
+    2^63 in the sum of squares at this fixture's value range; at
+    1e12+ rows move the sum-of-squares to DECIMAL(38) or a two-pass
+    centered form), the per-group
+    sufficient statistics (n, sum, sum-of-squares) are engine-exact
+    integers, and SSB/SSW/F/eta^2 are fixed float formulas over them
+    (the sum(sg^2/ng) term is accumulated in double over the K=5
+    group rows — K-bounded, order-fixed by the single-row reduce).
+    Scale: ONE map-side-combined 5-key aggregate then a constant
+    reduction — the textbook distributed-ANOVA shape; no window, no
+    join, no second scan."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000.0).cast("long").alias("v"),
+    )
+    g = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("v").alias("sg"),
+        F.sum(F.col("v") * F.col("v")).alias("sqg"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("st"),
+        F.sum("sqg").alias("sqt"),
+        F.sum(F.col("sg").cast("double") * F.col("sg") / F.col("ng"))
+        .alias("ssb_part"),
+    )
+    k, n = F.col("k"), F.col("n")
+    st, sqt, ssb_part = F.col("st"), F.col("sqt"), F.col("ssb_part")
+    ssb = ssb_part - st.cast("double") * st / n
+    ssw = sqt - ssb_part
+    sst = sqt - st.cast("double") * st / n
+    return t.select(
+        k.cast("long").alias("k_groups"),
+        n.cast("long").alias("n"),
+        F.round(ssb / 1000000.0, 6).alias("ss_between"),
+        F.round(ssw / 1000000.0, 6).alias("ss_within"),
+        F.round((ssb / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+    )

@@ -827,3 +827,38 @@ def test_burstiness_poisson_null_and_numpy_parity(spark, sf_dir):
         assert abs(r["fano"] - fano) < 1e-5
         cv2 = y.var(ddof=1) / y.mean() ** 2
         assert abs(r["cv2_minus_inv_mean"] - (cv2 - 1 / y.mean())) < 1e-5
+
+
+def test_anova_matches_numpy_and_partition_identity(spark, sf_dir):
+    """ANOVA laws: SSB + SSW == SST (variance partition identity),
+    eta^2 in [0,1], F >= 0, and F matches a numpy recomputation on
+    the milli-rounded values."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_anova"][0](spark, sf_dir).collect()[0]
+    assert r["f_stat"] >= 0 and 0.0 <= r["eta_squared"] <= 1.0
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    )
+    groups = {}
+    for row in ev:
+        # replay the milli protocol with HALF-UP rounding
+        import math
+        v = math.floor(row["value"] * 1000.0 + 0.5) / 1000.0
+        groups.setdefault(row["event_type"], []).append(v)
+    all_v = np.array([v for g in groups.values() for v in g])
+    n, k = len(all_v), len(groups)
+    gm = all_v.mean()
+    ssb = sum(len(g) * (np.mean(g) - gm) ** 2 for g in groups.values())
+    ssw = sum(((np.array(g) - np.mean(g)) ** 2).sum() for g in groups.values())
+    assert abs((r["ss_between"] + r["ss_within"]) - (ssb + ssw)) < 1e-2
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(r["f_stat"] - f) < 1e-4
+    assert abs(r["eta_squared"] - ssb / (ssb + ssw)) < 1e-6
