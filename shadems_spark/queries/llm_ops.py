@@ -2148,3 +2148,112 @@ def q_gains(spark, sf_dir):
         )
         .orderBy(F.col("bin").desc())
     )
+
+
+@register(
+    "q_clustering_coeff",
+    sql="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    h AS (SELECT vec_id, label, v,
+                 {hp} AS hp
+          FROM e),
+    p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+          FROM h a JOIN h b
+            ON a.label = b.label AND a.hp = b.hp AND a.vec_id < b.vec_id
+          WHERE round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+                      / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                         * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4)
+                >= 0.2),
+    tri AS (SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+            FROM p e1
+            JOIN p e2 ON e2.id1 = e1.id1 AND e2.id2 > e1.id2
+            JOIN p e3 ON e3.id1 = e1.id2 AND e3.id2 = e2.id2),
+    tv AS (SELECT node, count(*) AS tri_count FROM (
+               SELECT a AS node FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri) GROUP BY 1),
+    deg AS (SELECT node, count(*) AS d FROM (
+               SELECT id1 AS node FROM p
+               UNION ALL SELECT id2 FROM p) GROUP BY 1)
+    SELECT deg.node, coalesce(tv.tri_count, 0) AS tri_count,
+           CAST(deg.d AS BIGINT) AS degree,
+           round(2.0 * coalesce(tv.tri_count, 0)
+                 / (deg.d * (deg.d - 1.0)), 6) AS lcc
+    FROM deg LEFT JOIN tv ON tv.node = deg.node
+    WHERE deg.d >= 2
+    ORDER BY lcc DESC, deg.node
+    """.format(hp=SIM.hyperplane_bucket_sql("v", 2, 64)),
+)
+def q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per node of the embedding
+    near-dup graph — the node-level refinement of q_triangles'
+    global census: lcc(v) = 2*tri(v)/(deg(v)*(deg(v)-1)) separates
+    docs sitting inside coherent duplicate CLIQUES (lcc ~ 1: safe to
+    keep one representative) from hub docs bridging unrelated
+    near-dup chains (lcc ~ 0: the false-merge risk a dedup pipeline
+    must adjudicate before collapsing a cluster).
+
+    Shape: the same oriented low-id->high-id wedge-close join as
+    q_triangles (candidates bounded by the bucketed edge generator),
+    then a 3-way node unnest counts triangle incidences — integer
+    counts, one division for lcc.  Scale: triangle enumeration is the
+    standard skew-safe oriented join; degree and incidence aggregates
+    are node-cardinality.  Laws pinned: 0 <= lcc <= 1, incidence sum
+    equals 3x the q_triangles global count, tri(v) <= C(deg,2)."""
+    edges = (
+        SIM.embedding_near_dup(
+            load_table(spark, sf_dir, "embeddings"),
+            threshold=0.2,
+            sub_planes=2,
+        )
+        .select("id1", "id2")
+    )
+    edges = D.tracked_persist(edges, key="lcc_edges")
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.id1") == F.col("e1.id1"))
+            & (F.col("e2.id2") > F.col("e1.id2")),
+        )
+        .join(
+            e3,
+            (F.col("e3.id1") == F.col("e1.id2"))
+            & (F.col("e3.id2") == F.col("e2.id2")),
+        )
+        .select(
+            F.col("e1.id1").alias("a"),
+            F.col("e1.id2").alias("b"),
+            F.col("e2.id2").alias("c"),
+        )
+    )
+    tv = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_count"))
+    )
+    deg = (
+        edges.select(F.col("id1").alias("node"))
+        .unionAll(edges.select(F.col("id2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.join(tv, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "node",
+            F.coalesce("tri_count", F.lit(0)).alias("tri_count"),
+            F.col("d").cast("long").alias("degree"),
+            F.round(
+                2.0 * F.coalesce("tri_count", F.lit(0))
+                / (F.col("d") * (F.col("d") - 1.0)),
+                6,
+            ).alias("lcc"),
+        )
+        .orderBy(F.col("lcc").desc(), "node")
+    )

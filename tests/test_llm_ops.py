@@ -834,3 +834,19 @@ def test_gains_monotone_and_endpoints(spark, sf_dir):
     assert abs(rows[-1]["lift"] - 1.0) < 1e-9
     for r in rows:
         assert r["cum_pos"] <= r["cum_n"]
+
+
+def test_clustering_coeff_laws_and_triangle_consistency(spark, sf_dir):
+    """LCC laws: 0 <= lcc <= 1, tri(v) <= C(deg,2), and the sum of
+    per-node triangle incidences equals exactly 3x the global
+    triangle count q_triangles reports on the SAME edge set."""
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    rows = reg["q_clustering_coeff"][0](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["lcc"] <= 1.0
+        assert r["tri_count"] <= r["degree"] * (r["degree"] - 1) // 2
+    tri_global = reg["q_triangles"][0](spark, sf_dir).collect()[0]["n_triangles"]
+    assert sum(r["tri_count"] for r in rows) == 3 * tri_global
