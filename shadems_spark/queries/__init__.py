@@ -177,32 +177,56 @@ _R05_FRONT = [
 ]
 
 
+#: round-6 front of the check queue.  First the queries whose CODE
+#: changed this round (the VERDICT r5 #1/#4 two-phase/pre-rounding
+#: rewires — they must re-earn driver rows), then the 41 queries that
+#: have never had a driver CORRECTNESS row in r01–r05 (the late-r5
+#: stats/analytics batch; all judge-verified green in r5, but the
+#: driver record is the hard signal — VERDICT r5 #3).  46 names < the
+#: ~50-per-round sample, so the backlog drains in one round.
+_R06_TOUCHED = [
+    "q_ks_test", "q_mannwhitney", "q_best_split", "q_psi", "q_rfm",
+]
+_NEVER_CHECKED_R5 = [
+    "q_ann_recall", "q_kmeans", "q_calibration", "q_auc", "q_dsir",
+    "q_lr_train", "q_naive_bayes", "q_ccnet_buckets",
+    "q_bloom_decontaminate", "q_winnow", "q_kl_drift", "q_backoff_lm",
+    "q_ccnet_buckets_approx", "q_doremi", "q_curriculum",
+    "q_dedup_keep_best", "q_kanon", "q_group_folds", "q_edit_verify",
+    "q_memorization_risk", "q_topic_words", "q_gini", "q_distinct_n",
+    "q_jsd_matrix", "q_readability", "q_mi_categorical", "q_confusion",
+    "q_precision_recall", "q_ndcg", "q_mrr", "q_token_histogram",
+    "q_ppjoin", "q_link_predict", "q_isotonic", "q_gains",
+    "q_clustering_coeff", "q_admission_2phase", "q_heavy_hitters",
+    "q_centroid_sim", "q_embed_outliers", "q_inverted_index",
+]
+
+
 def _check_order(names: list[str]) -> list[str]:
-    """Driver-check order for round 5: first the never-driver-checked /
-    changed-this-round block (_R05_FRONT), then any brand-new round-5
-    queries, then the r4 front (already driver-green in r4, keep them
-    near the front one more round), then the proven r03→r01 prefixes
-    (already driver-green, rotate to the back)."""
-    front = set(_R05_FRONT) | set(_NEVER_CHECKED_R3) | set(_R04_TOUCHED)
+    """Driver-check order for round 6: changed-this-round first, then
+    the never-driver-checked r5 backlog, then any brand-new round-6
+    queries, then the proven r05→r01 blocks (already driver-green,
+    rotate to the back)."""
     known = (
-        front | set(_R23_DRIVER_GREEN) | set(_R02_RED) | set(_R02_PRIORITY)
+        set(_R06_TOUCHED) | set(_NEVER_CHECKED_R5) | set(_R05_FRONT)
+        | set(_NEVER_CHECKED_R3) | set(_R04_TOUCHED)
+        | set(_R23_DRIVER_GREEN) | set(_R02_RED) | set(_R02_PRIORITY)
         | set(_DEFERRED) | set(_R01_DRIVER_GREEN)
     )
     new = [n for n in names if n not in known]
-    ordered = (
-        [n for n in _R05_FRONT if n in names]
-        + new
-        + [n for n in _NEVER_CHECKED_R3
-           if n in names and n not in set(_R05_FRONT)]
-        + [n for n in _R04_TOUCHED
-           if n in names and n not in set(_R05_FRONT)]
-        + [n for n in _R23_DRIVER_GREEN if n in names and n not in front]
-        + [n for n in _R02_RED if n in names and n not in front]
-        + [n for n in _R02_PRIORITY if n in names and n not in front
-           and n not in set(_R02_RED)]
-        + [n for n in _DEFERRED if n in names and n not in front]
-        + [n for n in _R01_DRIVER_GREEN if n in names and n not in front]
-    )
+    blocks = [
+        _R06_TOUCHED, _NEVER_CHECKED_R5, new, _R05_FRONT,
+        _NEVER_CHECKED_R3, _R04_TOUCHED, _R23_DRIVER_GREEN, _R02_RED,
+        _R02_PRIORITY, _DEFERRED, _R01_DRIVER_GREEN,
+    ]
+    seen: set[str] = set()
+    ordered: list[str] = []
+    in_reg = set(names)
+    for block in blocks:
+        for n in block:
+            if n in in_reg and n not in seen:
+                seen.add(n)
+                ordered.append(n)
     assert len(ordered) == len(names), "registry reorder dropped a query"
     return ordered
 

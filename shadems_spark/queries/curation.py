@@ -1755,10 +1755,15 @@ def q_curriculum(spark, sf_dir):
     emitted order is reproducible across engines, layouts and runs —
     which is the whole point of a curriculum you can audit.
 
-    Scale shape: one per-domain window (domain-partitioned sort) and
-    the deterministic interleave projection; the global ntile rides
-    the same caveat as q_ccnet_buckets, with the approx-quantile cut
-    as the documented production swap."""
+    Scale shape (the VERDICT r5 #1 production path): one per-domain
+    window (domain-partitioned sort); the global curriculum stage
+    rides the TWO-PHASE exact ntile (operators/profile.global_ntile —
+    bit-identical to the global-window ntile, no single-partition
+    stage at any doc cardinality); and the domain index comes from a
+    dense_rank over the DISTINCT-source table (codebook-sized by
+    construction — domains, not documents) broadcast back, so no
+    global window ever sees a data-sized input."""
+    from shadems_spark.operators.profile import global_ntile
     from shadems_spark.operators.text import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1767,15 +1772,24 @@ def q_curriculum(spark, sf_dir):
         F.col("quality").desc(), "doc_id"
     )
     r = q.withColumn("rn", F.row_number().over(rw))
-    k_src = q.agg(F.countDistinct("source").alias("k"))
-    d = r.withColumn(
-        "src_rk", F.dense_rank().over(Window.partitionBy(F.lit(0)).orderBy("source"))
-    ).crossJoin(F.broadcast(k_src))
-    return d.select(
+    # domain index from ONE broadcast row: the sorted distinct-source
+    # array (codebook-sized — domains, not documents); dense_rank ==
+    # array_position on a distinct sorted key set, k == its size.  No
+    # WindowExec, no extra join stage.
+    srcs = q.select("source").distinct().agg(
+        F.sort_array(F.collect_list("source")).alias("__srcs")
+    )
+    d = r.crossJoin(F.broadcast(srcs)).select(
+        "doc_id", "source", "quality", "rn",
+        F.expr("array_position(__srcs, source)").cast("long").alias("src_rk"),
+        F.size("__srcs").alias("k"),
+    )
+    staged = global_ntile(
+        d, 4, [F.col("quality").desc(), "doc_id"], "stage"
+    )
+    return staged.select(
         "doc_id", "source", "quality",
-        F.ntile(4).over(
-            Window.partitionBy(F.lit(0)).orderBy(F.col("quality").desc(), "doc_id")
-        ).cast("int").alias("stage"),
+        F.col("stage").cast("int").alias("stage"),
         ((F.col("rn") - 1) * F.col("k") + F.col("src_rk"))
         .cast("long").alias("position"),
     ).orderBy("position")

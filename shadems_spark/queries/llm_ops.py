@@ -1419,11 +1419,12 @@ def q_auc(spark, sf_dir):
     rank-sum identity AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg)
     with midrank tie correction — ties are real here because scores
     are 6dp-rounded, and midranks on the ROUNDED score are what make
-    the statistic engine-deterministic.  One global sort window over
-    the scored table (rank assignment is THE sort-bound step; at
-    100 TB swap in the binned approximation — a histogram AUC over
-    q_calibration's deciles — as the documented production variant).
-    Single-row output."""
+    the statistic engine-deterministic.  Rank assignment rides the
+    two-phase range-partitioned numbering (operators/profile.
+    global_index) — no single-partition window over the scored table
+    at any cardinality; the remaining per-score window partitions on
+    the 6dp score (<= 1e6 distinct keys by construction).  Single-row
+    output."""
     from functools import reduce
 
     from shadems_spark.operators.text import FP_MOD, words
@@ -1456,13 +1457,25 @@ def q_auc(spark, sf_dir):
     )
     from pyspark.sql import Window as W
 
-    rn = F.row_number().over(W.partitionBy(F.lit(0)).orderBy("score", "y"))
+    from shadems_spark.operators.profile import global_index
+
     # midrank needs ties broken ONLY for numbering; average over the
-    # score partition restores the tie-corrected rank.  NB: rn's
-    # tie-break by y is irrelevant to the average within a score.
-    r = s.withColumn("rn", rn).withColumn(
-        "arank", F.avg("rn").over(W.partitionBy("score"))
-    )
+    # score partition restores the tie-corrected rank, so ANY
+    # consistent numbering in score order works — including the
+    # two-phase range-partitioned one, where a score group always
+    # occupies a contiguous rank block (score is the primary range
+    # key).  No single-partition window over the scored table.  The
+    # scored table is persisted because the range exchange's SAMPLING
+    # pass re-executes its child (and an interposed repartition is
+    # removed as redundant by EnsureRequirements) — without the cache
+    # the per-doc scoring HOF, the dominant cost, runs ~2.5x (the r5
+    # HOF-reuse trap, shuffle-boundary edition; measured 8.6s vs 4.1s
+    # at sf0.1).  Cached rows are 2 narrow columns.
+    from shadems_spark.operators.dedup import tracked_persist
+
+    r = global_index(
+        tracked_persist(s, key="auc_scored"), ["score", "y"], out="rn"
+    ).withColumn("arank", F.avg("rn").over(W.partitionBy("score")))
     agg = r.agg(
         F.sum("y").alias("n_pos"),
         (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),

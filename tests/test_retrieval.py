@@ -600,3 +600,64 @@ def test_kanon_flags_small_cells(spark, sf_dir):
     for r in rows:
         assert r["suppress"] == (1 if r["k"] < 5 else 0)
     assert any(r["suppress"] == 1 for r in rows)  # fixture has small cells
+
+
+def test_global_cumsum_matches_global_window(spark):
+    """Two-phase prefix sums equal the single-partition window form
+    (including negative addends — the offsets join must add partition
+    TOTALS, not maxima)."""
+    from pyspark.sql import Window
+
+    from shadems_spark.operators.profile import global_cumsum
+
+    df = spark.range(500).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 101 - 50).alias("v"),
+        ((F.col("id") * 13) % 7).alias("c"),
+    )
+    got = {
+        r["id"]: (r["cv"], r["cc"])
+        for r in global_cumsum(df, ["id"], {"cv": "v", "cc": "c"}, n_parts=7)
+        .collect()
+    }
+    w = Window.partitionBy(F.lit(0)).orderBy("id")
+    want = {
+        r["id"]: (r["cv"], r["cc"])
+        for r in df.select(
+            "id", F.sum("v").over(w).alias("cv"), F.sum("c").over(w).alias("cc")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """The closed-form tile fill must be bit-identical to window
+    ntile(k) for asc/desc orders, k dividing and not dividing n, and
+    the n < k degenerate case."""
+    from pyspark.sql import Window
+
+    from shadems_spark.operators.profile import global_ntile
+
+    df = spark.range(103).select(
+        F.col("id"), ((F.col("id") * 31) % 997).alias("v")
+    )
+    for k, order in [
+        (4, [F.col("v").desc(), "id"]),
+        (5, ["v", "id"]),
+        (7, [F.col("v").desc(), "id"]),
+        (500, ["v", "id"]),  # n < k: tile == rank
+    ]:
+        got = {
+            r["id"]: r["t"]
+            for r in global_ntile(df, k, order, "t", n_parts=6).collect()
+        }
+        want = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id",
+                F.ntile(k).over(
+                    Window.partitionBy(F.lit(0)).orderBy(*order)
+                ).alias("t"),
+            ).collect()
+        }
+        assert got == want, f"k={k}"
