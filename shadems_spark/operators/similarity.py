@@ -875,12 +875,162 @@ def pq_refine(
     return centroids
 
 
+def exemplar_assign(
+    e: DataFrame,
+    n_clusters: int,
+    brute: bool = False,
+) -> DataFrame:
+    """EXACT nearest-exemplar assignment for :func:`semdedup` — every
+    row of ``e`` (columns vid, v) gets its max-cosine exemplar among
+    the rows with vid < n_clusters.  Returns (vid, v, cluster_id,
+    c_cos, nv) with c_cos 6dp-rounded and ties broken to the smallest
+    exemplar id, bit-identical to the brute argmax at ANY scale.
+
+    The scale path (default) is the IVF probe shape with an
+    Elkan-style triangle-inequality filter (Elkan ICML'03; the same
+    bound IVF implementations use for exact re-ranking), so it stays
+    EXACT — the oracle contract — while pruning most exemplar
+    comparisons when the space is clustered:
+
+    - a deterministic ~sqrt(k) subset of the exemplars becomes the
+      coarse quantizer (collected driver-side: <= sqrt(k) rows even at
+      the paper's k=50k — codebook-sized driver state);
+    - exemplars are assigned to their nearest coarse cell by angle
+      (literal-array projection, O(k*sqrt(k)) on the k-row table) and
+      each cell's angular RADIUS r_c = max angle(center, member) rides
+      one broadcast map row;
+    - each data row computes its angle to every coarse center
+      (O(sqrt(k)) literal dots), a reachable LOWER bound on its best
+      cosine, LB = max_c cos(theta_c + r_c) (every cell is nonempty —
+      its center is its own member), and keeps only cells whose UPPER
+      bound cos(max(0, theta_c - r_c)) >= LB - 1e-6 (the 1e-6 slack
+      covers the 6dp output rounding, so an exemplar that ties the
+      best AFTER rounding is never pruned);
+    - candidates = (row x exemplars of surviving cells) via a
+      broadcast join, reduced by map-side-combined max_by — no n*k-row
+      shuffle and no window sort anywhere (the r5 brute form pushed
+      n*k rows through a per-vid row_number window: the measured
+      115x at the x100/k=800 probe).
+
+    acos/cos here are pruning-internal only — they never reach the
+    output, so libm differences cannot move the result (the filter is
+    conservative on both engines' IEEE doubles: inputs are clamped to
+    [-1, 1] and the bound is relaxed by the rounding slack).
+
+    ``brute=True`` keeps the all-pairs broadcast-join + max_by form
+    (no window, still no n*k shuffle) — the parity twin the tests
+    compare against."""
+    import math
+
+    k = n_clusters
+    e = e.withColumn("nv", norm(F.col("v")))
+    cents = e.filter(F.col("vid") < k).select(
+        F.col("vid").alias("c_id"), F.col("v").alias("cv"),
+        F.col("nv").alias("cnv"),
+    )
+
+    def reduce_best(pairs: DataFrame) -> DataFrame:
+        sel = F.max_by(
+            F.struct("c_id", "c_cos", "v", "nv"),
+            F.struct(F.col("c_cos"), (-F.col("c_id")).alias("nid")),
+        ).alias("b")
+        return pairs.groupBy("vid").agg(sel).select(
+            "vid", F.col("b.v").alias("v"),
+            F.col("b.c_id").alias("cluster_id"),
+            F.col("b.c_cos").alias("c_cos"), F.col("b.nv").alias("nv"),
+        )
+
+    c_cos = F.round(
+        dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("cnv")), 6
+    )
+    if brute:
+        return reduce_best(
+            e.join(F.broadcast(cents), F.lit(True)).withColumn("c_cos", c_cos)
+        )
+
+    n_coarse = max(1, math.isqrt(k))
+    step = -(-k // n_coarse)
+    coarse_rows = sorted(
+        (int(r["vid"]), list(r["v"]))
+        for r in e.filter(
+            F.col("vid").isin(list(range(0, k, step)))
+        ).select("vid", "v").collect()
+    )
+    coarse = [_unit([float(x) for x in v]) for _, v in coarse_rows]
+
+    def theta_arr(vcol: Column, nvcol: Column) -> Column:
+        """array<struct<th double, cell int>>: clamped angle to every
+        coarse center (centers unit-normalized driver-side)."""
+        return F.array(*[
+            F.struct(
+                F.acos(
+                    F.greatest(
+                        F.lit(-1.0),
+                        F.least(
+                            F.lit(1.0),
+                            dot(vcol, F.array(*[F.lit(x) for x in cv]))
+                            / nvcol,
+                        ),
+                    )
+                ).alias("th"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci, cv in enumerate(coarse)
+        ])
+
+    eassign = cents.withColumn(
+        "__best",
+        F.element_at(F.array_sort(F.transform(
+            theta_arr(F.col("cv"), F.col("cnv")),
+            lambda t: F.struct(t["th"].alias("th"), t["cell"].alias("cell")),
+        )), 1),
+    ).select(
+        "c_id", "cv", "cnv",
+        F.col("__best.cell").alias("cell"), F.col("__best.th").alias("th"),
+    )
+    radii = eassign.groupBy("cell").agg(F.max("th").alias("r")).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("cell", "r"))
+        ).alias("__rmap")
+    )
+    ta = theta_arr(F.col("v"), F.col("nv"))
+    rm = F.col("__rmap")
+    # cos is decreasing only on [0, pi]: cap the summed angle there,
+    # else a sum past pi would RAISE the bound and wrongly prune.
+    lb = F.array_max(F.transform(
+        "__ta",
+        lambda t: F.cos(F.least(
+            t["th"] + F.element_at(rm, t["cell"]), F.lit(math.pi)
+        )),
+    ))
+    cand = F.filter(
+        "__ta",
+        lambda t: F.cos(
+            F.greatest(t["th"] - F.element_at(rm, t["cell"]), F.lit(0.0))
+        ) >= F.col("__lb") - F.lit(1e-6),
+    )
+    probed = (
+        e.crossJoin(F.broadcast(radii))
+        .withColumn("__ta", ta)
+        .withColumn("__lb", lb)
+        .select(
+            "vid", "v", "nv",
+            F.explode(F.transform(cand, lambda t: t["cell"])).alias("cell"),
+        )
+    )
+    pairs = probed.join(
+        F.broadcast(eassign.select("cell", "c_id", "cv", "cnv")), "cell"
+    ).withColumn("c_cos", c_cos)
+    return reduce_best(pairs)
+
+
 def semdedup(
     emb: DataFrame,
     n_clusters: int = 8,
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    brute_assign: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then drop any
@@ -894,10 +1044,13 @@ def semdedup(
       DuckDB oracle; production runs swap in ``sample_centroids`` +
       ``refine_centroids`` (the IVF Lloyd step) where cross-engine
       bit-parity is not required;
-    - assignment is one broadcast cross join against the
-      codebook-sized centroid table + a per-row rank window: the
-      corpus is scanned once and shuffled only by its own id for the
-      window (AQE-coalesced), never replicated;
+    - assignment rides the IVF probe path (:func:`exemplar_assign`):
+      an Elkan triangle-inequality filter over a ~sqrt(k) coarse
+      quantizer prunes exemplar comparisons while staying EXACT (the
+      oracle contract), and the candidate reduction is a map-side-
+      combined max_by — the corpus is scanned once, never pushed
+      through an n*k-row window (the r5 115x at the x100/k=800
+      probe);
     - the near-dup scan self-joins ONLY within a cluster (shuffle
       key = cluster_id), so candidate pairs are O(sum cluster_size^2)
       — the SemDeDup trade.  At 100 TB you bound cluster size by
@@ -915,28 +1068,16 @@ def semdedup(
     rounded cosine to the assigned exemplar.
     """
     e = emb.select(F.col(id_col).alias("vid"), as_double(vec).alias("v"))
-    cents = e.filter(F.col("vid") < n_clusters).select(
-        F.col("vid").alias("c_id"), F.col("v").alias("cv")
-    )
-    scored = e.crossJoin(F.broadcast(cents)).withColumn(
-        "c_cos", F.round(cosine(F.col("v"), F.col("cv")), 6)
-    )
-    w = Window.partitionBy("vid").orderBy(F.col("c_cos").desc(), F.col("c_id"))
     from shadems_spark.operators.dedup import tracked_persist
 
     # assigned feeds three consumers (both sides of the pair join and
     # the final anti-join); persisting trades one materialization of
-    # (id, vec, cluster) rows for two recomputes of the scan+window.
-    # nv precomputes each vector's norm ONCE (bit-identical to the
-    # per-pair recompute — same fold), halving per-pair flops in the
-    # quadratic stage below.
+    # (id, vec, cluster) rows for two recomputes of the assignment.
+    # nv carries each vector's norm from the assignment pass
+    # (bit-identical to the per-pair recompute — same fold), halving
+    # per-pair flops in the quadratic stage below.
     assigned = tracked_persist(
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vid", "v", F.col("c_id").alias("cluster_id"), "c_cos",
-            norm(F.col("v")).alias("nv"),
-        ),
+        exemplar_assign(e, n_clusters, brute=brute_assign),
         key="semdedup_assigned",
     )
     a, b = assigned.alias("a"), assigned.alias("b")
