@@ -126,10 +126,30 @@ def _template(tpl: str, **tokens: str) -> str:
     return tpl.format_map(_Default(**tokens))
 
 
-def run(argv: list[str] | None = None, spark=None) -> list[str]:
-    """Parse, plan, execute; returns the list of PNG paths written."""
-    args = build_parser().parse_args(argv)
-    spark = spark or get_spark("shadems-cli")
+def _uses_col(spec: str) -> bool:
+    """True when the axis spec picks up --col (bare amp/phase/...)."""
+    return ":" not in spec and spec.rsplit(":", 1)[-1].lower() in _COL_FUNCS
+
+
+def _expand_combos(args) -> list[tuple[str, str, str]]:
+    """[R] main.py multi-plot loop: -x/-y/--col accept comma lists and
+    every combination renders in one invocation.  Combos whose axes
+    never read --col collapse across the col list (axis-dedup)."""
+    out: list[tuple[str, str, str]] = []
+    seen: set[tuple[str, str, str]] = set()
+    for c in args.col.split(","):
+        for xs in args.xaxis.split(","):
+            for ys in args.yaxis.split(","):
+                key = (xs, ys, c if (_uses_col(xs) or _uses_col(ys)) else "")
+                if key not in seen:
+                    seen.add(key)
+                    out.append((xs, ys, c))
+    return out
+
+
+def _prepare(args, spark, specs: list[str]):
+    """Shared extract: load + selection + flags (+ the channel
+    dimension when any axis in ``specs`` needs it)."""
     df = vis_view(load_table(spark, args.ms, "lineitem"))
     if args.row_chunk_size:
         # -z is rows PER CHUNK (reference parity), not a partition
@@ -150,7 +170,6 @@ def run(argv: list[str] | None = None, spark=None) -> list[str]:
 
     # --- channel dimension (P7/P9): attach via broadcast cross join
     # only when an axis needs it (row × chan outer product, F5 slicing)
-    specs = [args.xaxis, args.yaxis] + ([args.aaxis] if args.aaxis else [])
     needs_chan = any(s.rsplit(":", 1)[-1].lower() in M.CHAN_FUNCS for s in specs)
     if needs_chan:
         df = df.crossJoin(F.broadcast(M.chan_freqs(spark, n_chan=args.nchan)))
@@ -159,10 +178,109 @@ def run(argv: list[str] | None = None, spark=None) -> list[str]:
             start, stop = parts[0] or 0, parts[1] if len(parts) > 1 else args.nchan
             step = parts[2] if len(parts) > 2 and parts[2] else 1
             df = S.chan_slice(df, "chan", start, stop if stop is not None else args.nchan, step)
+    return df
+
+
+def _run_grid(args, combos: list[tuple[str, str, str]], spark) -> list[str]:
+    """Multi-plot grid through ONE extract (operators/raster.
+    grid_raster): every (x, y, col) combo binned from a single scan;
+    the conjugate u/v mirror rides as an extra exploded sample, never
+    a second pass."""
+    specs = [s for xs, ys, _ in combos for s in (xs, ys)]
+    if args.aaxis:
+        specs.append(args.aaxis)
+    df = _prepare(args, spark, specs)
+    value = None
+    if args.aaxis:
+        df = df.withColumn("__aval", M.parse_axis(args.aaxis).cast("double"))
+        value = F.col("__aval")
+        if args.amin is not None and args.amax is not None:
+            df = R.clip(df, value, args.amin, args.amax)
+    plots = []
+    names = []
+    for xs, ys, c in combos:
+        x, xname = _axis(xs, c)
+        y, yname = _axis(ys, c)
+        mirror = {xs.lower(), ys.lower()} == {"u", "v"} and not args.noconj
+        plots.append((x, y, mirror))
+        names.append((xname, yname))
+    fixed = {
+        k: getattr(args, k)
+        for k in ("xmin", "xmax", "ymin", "ymax")
+        if getattr(args, k) is not None
+    }
+    binned, ranges = R.grid_raster(
+        df, plots, args.xcanvas, args.ycanvas,
+        reduction=args.ared or "count", value=value,
+        robust=args.robust, fixed=fixed,
+    )
+    ms_name = os.path.basename(os.path.normpath(args.ms))
+    os.makedirs(args.dir, exist_ok=True)
+    written: list[str] = []
+    # ONE raster job; the tiny binned grid splits driver-side per plot
+    rows = binned.collect()
+    by_plot: dict[int, list] = {}
+    for r in rows:
+        by_plot.setdefault(int(r["p"]), []).append(r)
+    for i, (xname, yname) in enumerate(names):
+        if i not in ranges:
+            continue  # no finite samples for this combo
+        one = spark.createDataFrame(
+            [
+                (r["by"], r["bx"], float(r["val"]))
+                for r in by_plot.get(i, [])
+                if r["val"] is not None
+            ],
+            "by long, bx long, val double",
+        )
+        xlo, xhi, ylo, yhi = ranges[i]
+        name = _template(
+            args.png, ms=ms_name, xname=xname, yname=yname, field="",
+        )
+        path = os.path.join(args.dir, name)
+        kw = dict(
+            how=args.norm, cmap=args.cmap, spread_px=args.spread,
+            dynspread_threshold=0.5 if args.dynspread else None,
+            bgcol=None if args.bgcol == "none" else parse_color(args.bgcol),
+        )
+        if args.figure:
+            render_figure(
+                one, path, args.xcanvas, args.ycanvas,
+                (xlo, xhi), (ylo, yhi),
+                title=ms_name, xlabel=xname, ylabel=yname, **kw,
+            )
+        else:
+            render_png(one, path, args.xcanvas, args.ycanvas, **kw)
+        written.append(path)
+    return written
+
+
+def run(argv: list[str] | None = None, spark=None) -> list[str]:
+    """Parse, plan, execute; returns the list of PNG paths written."""
+    args = build_parser().parse_args(argv)
+    spark = spark or get_spark("shadems-cli")
+    combos = _expand_combos(args)
+    if len(combos) > 1 and not (args.colour_by or args.iter or args.iter_field):
+        return _run_grid(args, combos, spark)
+    written: list[str] = []
+    for xs, ys, c in combos:
+        written += _run_single(args, xs, ys, c, spark)
+    return written
+
+
+def _run_single(args, xaxis: str, yaxis: str, col: str, spark) -> list[str]:
+    """One (x, y, col) plot through the full single-plot pipeline
+    (colour axis, faceting, conjugate union) — the fallback when a
+    multi-axis grid combines with --colour-by/--iter, looped per
+    combo."""
+    df = _prepare(
+        args, spark,
+        [xaxis, yaxis] + ([args.aaxis] if args.aaxis else []),
+    )
 
     # --- axes (B mappers) + hygiene (F8)
-    x, xname = _axis(args.xaxis, args.col)
-    y, yname = _axis(args.yaxis, args.col)
+    x, xname = _axis(xaxis, col)
+    y, yname = _axis(yaxis, col)
     df = S.drop_nonfinite(df, x.cast("double"), y.cast("double"))
 
     reduction = args.ared or "count"
@@ -197,7 +315,7 @@ def run(argv: list[str] | None = None, spark=None) -> list[str]:
     # --- conjugate mirror (U2): uv-coverage symmetry unless --noconj.
     # Applied after the value/facet columns are materialized so the
     # union keeps every column later stages reference.
-    if {args.xaxis.lower(), args.yaxis.lower()} == {"u", "v"} and not args.noconj:
+    if {xaxis.lower(), yaxis.lower()} == {"u", "v"} and not args.noconj:
         keep = []
         if value is not None:
             keep.append("__aval")

@@ -32,14 +32,51 @@ def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def xe_minhash_affine(
+    n_hashes: int = 32, salt: int = 0
+) -> list[tuple[int, int]]:
+    """The cross-engine minhash family's (a_j, b_j) literals:
+    h_j(g) = (a_j*g + b_j) mod FP_MOD — Carter-Wegman universal
+    hashing over the poly-gram domain (the classic Broder minwise
+    construction), constants derived from SplitMix64 so both the
+    Spark expressions and the generated DuckDB oracle embed the SAME
+    numbers.  Products stay < 2^60: exact BIGINT on both engines."""
+    from shadems_spark.operators.similarity import _splitmix64
+    from shadems_spark.operators.text import FP_MOD
+
+    return [
+        (
+            _splitmix64(salt + j) % (FP_MOD - 1) + 1,
+            _splitmix64(salt + j + 777) % FP_MOD,
+        )
+        for j in range(n_hashes)
+    ]
+
+
+def xe_band_seeds(bands: int = 8) -> list[int]:
+    """Per-band fold seeds for the cross-engine band-bucket hash
+    (acc = seed; acc = (acc*131 + sig_r) mod FP_MOD per band row)."""
+    from shadems_spark.operators.similarity import _splitmix64
+    from shadems_spark.operators.text import FP_MOD
+
+    return [_splitmix64(5000 + b) % FP_MOD for b in range(bands)]
+
+
 def doc_grams(
-    df: DataFrame, id_col: str = "doc_id", text: str = "text", ngram: int = 3
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", ngram: int = 3,
+    family: str = "xx",
 ) -> DataFrame:
-    """One row per (doc, distinct 64-bit gram hash) — the exploded
-    shingle table every MinHash stage reads.  Fixed width (two longs):
-    nothing downstream ever shuffles a variable-length payload."""
+    """One row per (doc, distinct gram hash) — the exploded shingle
+    table every MinHash stage reads.  Fixed width (two longs):
+    nothing downstream ever shuffles a variable-length payload.
+    ``family``: "xx" = xxhash64 64-bit grams (native, default);
+    "xe" = cross-engine poly grams (text.ngram_hashes_xe) so a DuckDB
+    oracle can replay gram identity."""
+    from shadems_spark.operators.text import ngram_hashes_xe
+
+    mk = ngram_hashes_xe if family == "xe" else ngram_hashes
     return df.select(
-        id_col, F.explode(ngram_hashes(words(text), ngram)).alias("s")
+        id_col, F.explode(mk(words(text), ngram)).alias("s")
     )
 
 
@@ -69,15 +106,28 @@ def minhash_signatures(
 
 
 def minhash_signatures_from_grams(
-    grams: DataFrame, id_col: str = "doc_id", n_hashes: int = 32
+    grams: DataFrame, id_col: str = "doc_id", n_hashes: int = 32,
+    family: str = "xx",
 ) -> DataFrame:
     """Signature aggregate over a pre-built (doc, gram-hash) table —
     split out so ``minhash_dedup`` can share one persisted gram table
-    between the signature and verify stages."""
-    mins = [
-        F.min(F.xxhash64(F.col("s"), F.lit(j))).alias(f"h{j}")
-        for j in range(n_hashes)
-    ]
+    between the signature and verify stages.  The "xe" family swaps
+    xxhash64(s, j) for the affine (a_j*s + b_j) mod FP_MOD literals
+    (:func:`xe_minhash_affine`) — pure arithmetic, replayable in the
+    DuckDB oracle."""
+    if family == "xe":
+        from shadems_spark.operators.text import FP_MOD
+
+        ab = xe_minhash_affine(n_hashes)
+        mins = [
+            F.min((F.lit(a) * F.col("s") + F.lit(b)) % F.lit(FP_MOD)).alias(f"h{j}")
+            for j, (a, b) in enumerate(ab)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("s"), F.lit(j))).alias(f"h{j}")
+            for j in range(n_hashes)
+        ]
     agg = grams.groupBy(id_col).agg(*mins)
     return agg.select(
         id_col,
@@ -86,21 +136,39 @@ def minhash_signatures_from_grams(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 8, rows: int = 4
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 8, rows: int = 4,
+    family: str = "xx",
 ) -> DataFrame:
     """M2 banding: hash each band of the signature; docs sharing any
     (band, band_hash) bucket are candidates.  The join key is the
-    bucket — skew-bounded by band width, never all-pairs."""
+    bucket — skew-bounded by band width, never all-pairs.  The "xe"
+    family folds each band with seeded (acc*131 + s) mod FP_MOD
+    arithmetic (:func:`xe_band_seeds`) for oracle replay."""
+    if family == "xe":
+        from shadems_spark.operators.text import FP_MOD, XE_MULT
+
+        seeds = xe_band_seeds(bands)
+
+        def band_hash(b: int):
+            acc = F.lit(seeds[b]).cast("long")
+            for r in range(rows):
+                acc = (
+                    acc * F.lit(XE_MULT)
+                    + F.element_at("sig", b * rows + r + 1)
+                ) % F.lit(FP_MOD)
+            return acc
+
+        buckets = [band_hash(b) for b in range(bands)]
+    else:
+        buckets = [
+            F.xxhash64(
+                *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+            )
+            for b in range(bands)
+        ]
     banded = sigs.select(
         id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.array(*buckets)).alias("band", "bucket"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -188,7 +256,8 @@ def release_persist(key: str | None = None) -> None:
 
 
 def minhash_dedup(
-    df: DataFrame, id_col: str = "doc_id", text: str = "text", threshold: float = 0.2
+    df: DataFrame, id_col: str = "doc_id", text: str = "text",
+    threshold: float = 0.2, family: str = "xx",
 ) -> DataFrame:
     """M2 end-to-end: shingle -> minhash -> band -> bucket-join ->
     gram-co-count exact-Jaccard verify.
@@ -196,14 +265,19 @@ def minhash_dedup(
     The gram table feeds three operators (the signature aggregate and
     both sides of the verify join); persisting it trades one
     materialization (two longs per (doc, gram)) for recomputing the
-    shingle scan three times."""
-    grams = tracked_persist(doc_grams(df, id_col, text), key="minhash_grams")
+    shingle scan three times.  ``family="xe"`` runs the whole pipeline
+    on the cross-engine hash protocol so the DuckDB oracle replays the
+    exact candidate set (band recall included), graduating the query
+    from rows-only to hash-exact."""
+    grams = tracked_persist(
+        doc_grams(df, id_col, text, family=family), key="minhash_grams"
+    )
     # the banding self-join consumes sigs twice, but A/B measured an
     # explicit sigs persist as warm-equal and bench-cold SLOWER —
     # ReuseExchange dedups the identical signature aggregate across
     # the join sides (see the rule in q_tfidf / BASELINE.md).
-    sigs = minhash_signatures_from_grams(grams, id_col)
-    cands = lsh_candidate_pairs(sigs, id_col)
+    sigs = minhash_signatures_from_grams(grams, id_col, family=family)
+    cands = lsh_candidate_pairs(sigs, id_col, family=family)
     return jaccard_verify(cands, grams, id_col, threshold)
 
 
@@ -271,20 +345,42 @@ def connected_components(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text: str = "text", bits: int = 64
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", bits: int = 64,
+    family: str = "xx",
 ) -> DataFrame:
     """SimHash: sign-sum of word-hash bits.  Explode words, one
     conditional sum per bit (JVM codegen), reassemble the signature
-    and its 4 x 16-bit blocks for bucketed candidate search."""
-    toks = df.select(id_col, F.explode(words(text)).alias("w")).withColumn(
-        "h", F.xxhash64("w")
-    )
+    and its 4 x 16-bit blocks for bucketed candidate search.
+
+    The "xe" family derives bit i as the PARITY of the affine hash
+    (a_i*h + b_i) mod FP_MOD over the cross-engine poly word hash —
+    Carter-Wegman pairwise-independent bits, pure BIGINT arithmetic on
+    both engines, so a DuckDB oracle replays the signature exactly
+    (xxhash64 bit extraction stays the non-oracled default)."""
+    if family == "xe":
+        from shadems_spark.operators.text import FP_MOD, poly_word_hashes
+
+        ws = F.filter(words(text), lambda w: F.length(w) > 0)
+        toks = df.select(
+            id_col, F.explode(poly_word_hashes(ws)).alias("h")
+        )
+        ab = xe_minhash_affine(bits, salt=424242)
+        bit_is_one = [
+            ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(FP_MOD)) % 2 == 1
+            for a, b in ab
+        ]
+    else:
+        toks = df.select(id_col, F.explode(words(text)).alias("w")).withColumn(
+            "h", F.xxhash64("w")
+        ).select(id_col, "h")
+        bit_is_one = [
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1
+            for i in range(bits)
+        ]
     bit_sums = toks.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(bits)
+            F.sum(F.when(cond, 1).otherwise(-1)).alias(f"b{i}")
+            for i, cond in enumerate(bit_is_one)
         ]
     )
     sig = None
@@ -326,7 +422,7 @@ def simhash_candidates(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def bottomk_sketch(
     df: DataFrame, id_col: str = "doc_id", text: str = "text",
-    k: int = 64, ngram: int = 3,
+    k: int = 64, ngram: int = 3, family: str = "xx",
 ) -> DataFrame:
     """Bottom-k minwise sketch per document: the k smallest 64-bit
     gram hashes — one array_sort + slice per row, no explode, no
@@ -335,9 +431,12 @@ def bottomk_sketch(
     that downstream Jaccard becomes an ESTIMATE with error
     O(1/sqrt(k)) instead of exact (Broder's minwise framework /
     Cohen's bottom-k summaries — public results)."""
+    from shadems_spark.operators.text import ngram_hashes_xe
+
+    mk = ngram_hashes_xe if family == "xe" else ngram_hashes
     return df.select(
         id_col,
-        F.slice(F.array_sort(ngram_hashes(words(text), ngram)), 1, k).alias("sk"),
+        F.slice(F.array_sort(mk(words(text), ngram)), 1, k).alias("sk"),
     )
 
 

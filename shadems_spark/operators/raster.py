@@ -116,3 +116,114 @@ def raster(
         binned = binned.withColumn("cat", category)
     agg = REDUCTIONS[reduction](value).alias("val")
     return binned.groupBy(*keys).agg(agg).orderBy(*keys)
+
+
+def grid_raster(
+    df: DataFrame,
+    combos: list[tuple[Column, Column, bool]],
+    width: int,
+    height: int,
+    reduction: str = "count",
+    value: Column | None = None,
+    robust: bool = False,
+    fixed: dict[str, float] | None = None,
+):
+    """Multi-plot grid as ONE extract ([R] main.py axis-list loop,
+    SURVEY.md §4 axis-dedup): N (x, y) axis pairs rasterized from a
+    SINGLE scan of the input.
+
+    Each combo is (x Column, y Column, mirror) — ``mirror=True`` adds
+    the conjugate (-x, -y) sample per row (the u/v symmetry fill), as
+    an extra array element rather than a union, so the mirror costs no
+    second scan either.  The per-row projection explodes into
+    (p, xv, yv) samples; bounds come back from one N-row aggregate
+    (driver-bounded: one row per plot), and the binning pass indexes
+    per-combo ranges out of literal arrays — so the raster job's plan
+    contains exactly ONE scan of the source regardless of grid size,
+    and the shuffle stays ≤ N·W·H keys by construction.
+
+    Returns (binned, ranges): ``binned`` has (p, by, bx, val) and
+    ``ranges[p] = (xlo, xhi, ylo, yhi)``.
+    """
+    elems = []
+    for i, (x, y, mirror) in enumerate(combos):
+        xd, yd = x.cast("double"), y.cast("double")
+        elems.append(
+            F.struct(F.lit(i).alias("p"), xd.alias("xv"), yd.alias("yv"))
+        )
+        if mirror:
+            elems.append(
+                F.struct(
+                    F.lit(i).alias("p"),
+                    (-xd).alias("xv"), (-yd).alias("yv"),
+                )
+            )
+    cols = [F.explode(F.array(*elems)).alias("e")]
+    if value is not None:
+        cols.append(value.cast("double").alias("av"))
+    pts = df.select(*cols).select(
+        "e.*", *(["av"] if value is not None else [])
+    )
+    finite = pts.filter(
+        ~F.isnan("xv") & ~F.isnan("yv")
+        & F.col("xv").isNotNull() & F.col("yv").isNotNull()
+    )
+    fixed = fixed or {}
+    if robust:
+        bounds = finite.groupBy("p").agg(
+            F.percentile_approx("xv", 0.02, 10000).alias("xlo"),
+            F.percentile_approx("xv", 0.98, 10000).alias("xhi"),
+            F.percentile_approx("yv", 0.02, 10000).alias("ylo"),
+            F.percentile_approx("yv", 0.98, 10000).alias("yhi"),
+        )
+    else:
+        bounds = finite.groupBy("p").agg(
+            F.min("xv").alias("xlo"), F.max("xv").alias("xhi"),
+            F.min("yv").alias("ylo"), F.max("yv").alias("yhi"),
+        )
+    ranges: dict[int, tuple[float, float, float, float]] = {}
+    for r in bounds.collect():
+        ranges[int(r["p"])] = (
+            fixed.get("xmin", r["xlo"]), fixed.get("xmax", r["xhi"]),
+            fixed.get("ymin", r["ylo"]), fixed.get("ymax", r["yhi"]),
+        )
+    n = len(combos)
+
+    def lits(idx: int) -> Column:
+        # per-combo range literals indexed by p (combos with no finite
+        # samples bin nothing: their filter below keeps zero rows)
+        return F.element_at(
+            F.array(*[
+                F.lit(float(ranges.get(i, (0.0, 0.0, 0.0, 0.0))[idx]))
+                for i in range(n)
+            ]),
+            F.col("p") + 1,
+        )
+
+    xlo, xhi, ylo, yhi = lits(0), lits(1), lits(2), lits(3)
+    xspan = F.when(xhi > xlo, xhi - xlo).otherwise(F.lit(1.0))
+    yspan = F.when(yhi > ylo, yhi - ylo).otherwise(F.lit(1.0))
+    binned = (
+        finite.filter(
+            F.col("xv").between(xlo, xhi) & F.col("yv").between(ylo, yhi)
+        )
+        .withColumn(
+            "bx",
+            F.least(
+                F.lit(width - 1).cast("long"),
+                F.floor((F.col("xv") - xlo) / xspan * width),
+            ),
+        )
+        .withColumn(
+            "by",
+            F.least(
+                F.lit(height - 1).cast("long"),
+                F.floor((F.col("yv") - ylo) / yspan * height),
+            ),
+        )
+    )
+    agg = REDUCTIONS[reduction](F.col("av") if value is not None else None)
+    return (
+        binned.groupBy("p", "by", "bx").agg(agg.alias("val")),
+        ranges,
+    )

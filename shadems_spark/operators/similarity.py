@@ -957,6 +957,13 @@ def exemplar_assign(
         ).select("vid", "v").collect()
     )
     coarse = [_unit([float(x) for x in v]) for _, v in coarse_rows]
+    if not coarse:
+        # no exemplars at all (empty input): the brute join is empty
+        # and cheap — and F.array() of zero literals has VOID type,
+        # which the HOF lambdas below cannot consume.
+        return reduce_best(
+            e.join(F.broadcast(cents), F.lit(True)).withColumn("c_cos", c_cos)
+        )
 
     def theta_arr(vcol: Column, nvcol: Column) -> Column:
         """array<struct<th double, cell int>>: clamped angle to every

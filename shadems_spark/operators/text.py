@@ -65,6 +65,46 @@ def word_ngrams(ws: Column, n: int = 3, distinct: bool = True) -> Column:
     return F.array_distinct(grams) if distinct else grams
 
 
+#: gram-combine multiplier for the cross-engine n-gram hash family
+#: (any odd constant > 31 works; fixed by protocol so DuckDB replays)
+XE_MULT = 131
+
+
+def poly_word_hashes(ws: Column) -> Column:
+    """Element-wise 31-poly char hash mod FP_MOD over a word array —
+    the cross-engine twin of ``transform(ws, xxhash64)`` (DuckDB
+    replays it with list_transform + list_reduce, the _LR_HASH
+    shape).  ~30-bit domain: collision odds are birthday(FP_MOD), fine
+    for minhash-style sketches where the estimator tolerates rare
+    collisions; use xxhash64 when 64-bit keys matter and no oracle
+    does."""
+    return F.transform(
+        ws,
+        lambda w: F.aggregate(
+            F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, c: (a * F.lit(31) + c) % F.lit(FP_MOD),
+        ),
+    )
+
+
+def ngram_hashes_xe(ws: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Cross-engine hashed word n-grams: poly word hashes combined
+    with the left fold (acc * XE_MULT + h) mod FP_MOD — products stay
+    under 2^38, so plain BIGINT arithmetic is exact on both engines.
+    Same sliding-slice shape (and cost profile) as
+    :func:`ngram_hashes`; used where a DuckDB oracle must replay the
+    gram identity (q_dedup_minhash).  Empty words are filtered BEFORE
+    hashing (protocol): Spark's split keeps empty tokens around double
+    spaces while DuckDB's string_split edge cases differ — filtering
+    on both engines removes the divergence."""
+    wh = poly_word_hashes(F.filter(ws, lambda w: F.length(w) > 0))
+    grams = _sliding(
+        wh, n, lambda a, b: (a * F.lit(XE_MULT) + b) % F.lit(FP_MOD)
+    )
+    return F.array_distinct(grams) if distinct else grams
+
+
 def ngram_hashes(ws: Column, n: int = 3, distinct: bool = True) -> Column:
     """Hashed word n-grams: xxhash64 each word once, combine windows
     with xxhash64(a, b) — pure int64 arithmetic, no string concat.

@@ -36,24 +36,196 @@ def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
-@register("q_dedup_minhash", sql=None)  # xxhash64 banding: rows-only
+def _minhash_xe_sql(
+    threshold: float = 0.2, n_hashes: int = 32, bands: int = 8,
+    rows: int = 4, ngram: int = 3,
+) -> str:
+    """DuckDB replay of the ENTIRE cross-engine minhash pipeline —
+    poly grams, affine signature family, seeded band buckets,
+    bucket-join candidates, exact-Jaccard verify — with the same
+    SplitMix64-derived literals the Spark expressions embed
+    (operators/dedup.xe_minhash_affine / xe_band_seeds).  Every hash
+    is BIGINT arithmetic mod FP_MOD, exact on both engines, so the
+    oracle checks the exact candidate set (band recall included), not
+    just the verify stage."""
+    from shadems_spark.operators.dedup import xe_band_seeds, xe_minhash_affine
+    from shadems_spark.operators.text import FP_MOD, XE_MULT
+
+    return f"""
+    WITH {_xe_gram_ctes(ngram)},
+    {_xe_cand_ctes(n_hashes, bands, rows)},
+    sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+    inter AS (SELECT c.id1, c.id2, count(*) AS c
+              FROM cand c JOIN g g1 ON g1.doc_id = c.id1
+                          JOIN g g2 ON g2.doc_id = c.id2 AND g2.s = g1.s
+              GROUP BY 1, 2)
+    SELECT i.id1, i.id2,
+           round(i.c / CAST(s1.sz + s2.sz - i.c AS DOUBLE), 6) AS jaccard
+    FROM inter i JOIN sz s1 ON s1.doc_id = i.id1
+                 JOIN sz s2 ON s2.doc_id = i.id2
+    WHERE i.c / CAST(s1.sz + s2.sz - i.c AS DOUBLE) >= {threshold}
+    ORDER BY id1, id2
+    """
+
+
+_XE_WORDHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(w, ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, c) -> (a * 31 + c) % {M})"
+)
+
+
+def _xe_gram_ctes(ngram: int = 3) -> str:
+    """Shared DuckDB CTEs (w0/wh/g0/g) replaying the cross-engine
+    gram identity (text.ngram_hashes_xe): filtered words -> poly word
+    hashes -> left-fold n-gram combine -> distinct grams -> exploded
+    (doc, gram) rows."""
+    from shadems_spark.operators.text import FP_MOD, XE_MULT
+
+    M, K = FP_MOD, XE_MULT
+    gram = "hs[i]"
+    for t in range(1, ngram):
+        gram = f"({gram} * {K} + hs[i+{t}]) % {M}"
+    return f"""w0 AS (SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> len(x) > 0) AS ws
+                FROM documents),
+    wh AS (SELECT doc_id, list_transform(ws, w -> {_XE_WORDHASH.format(M=M)}) AS hs
+           FROM w0),
+    g0 AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                      range(1, len(hs) - {ngram - 2}), i -> {gram})) AS gs
+           FROM wh WHERE len(hs) >= {ngram}),
+    g AS (SELECT doc_id, unnest(gs) AS s FROM g0)"""
+
+
+def _xe_cand_ctes(n_hashes: int = 32, bands: int = 8, rows: int = 4) -> str:
+    """Shared DuckDB CTEs (sig/band/cand) replaying the cross-engine
+    minhash signature family and the seeded band buckets over the
+    ``g`` gram rows from :func:`_xe_gram_ctes`."""
+    from shadems_spark.operators.dedup import xe_band_seeds, xe_minhash_affine
+    from shadems_spark.operators.text import FP_MOD, XE_MULT
+
+    M, K = FP_MOD, XE_MULT
+    ab = xe_minhash_affine(n_hashes)
+    seeds = xe_band_seeds(bands)
+    mins = ",\n           ".join(
+        f"min(({a} * s + {b}) % {M}) AS h{j}"
+        for j, (a, b) in enumerate(ab)
+    )
+
+    def band_expr(b: int) -> str:
+        acc = f"CAST({seeds[b]} AS BIGINT)"
+        for r in range(rows):
+            acc = f"({acc} * {K} + h{b * rows + r}) % {M}"
+        return acc
+
+    bands_sql = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {band_expr(b)} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""sig AS (SELECT doc_id,
+           {mins}
+            FROM g GROUP BY doc_id),
+    band AS ({bands_sql}),
+    cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+             FROM band a JOIN band b
+               ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id)"""
+
+
+@register("q_dedup_minhash", sql=_minhash_xe_sql())
 def q_dedup_minhash(spark, sf_dir):
     """M2: MinHash+LSH fuzzy dedup (shingle -> minhash -> band ->
     bucket-join -> exact-Jaccard verify).  Candidate generation is
-    bucket-bounded — never all-pairs."""
-    return D.minhash_dedup(load_table(spark, sf_dir, "documents"), threshold=0.2)
+    bucket-bounded — never all-pairs.  Runs the cross-engine hash
+    family (poly grams + affine minhash + seeded band folds, all
+    BIGINT-mod arithmetic), so the DuckDB oracle replays the EXACT
+    pipeline including which pairs the bands surface — graduated from
+    rows-only to hash-exact in r6 (VERDICT r5 #6).  The xxhash64
+    family stays the default for non-oracled consumers
+    (q_dedup_clusters, streaming admission, the pipeline CLI)."""
+    return D.minhash_dedup(
+        load_table(spark, sf_dir, "documents"), threshold=0.2, family="xe"
+    )
 
 
-@register("q_dedup_simhash", sql=None)  # xxhash64 bits: rows-only
+def _simhash_xe_sql(bits: int = 64, max_hamming: int = 6) -> str:
+    """DuckDB replay of the cross-engine SimHash: poly word hashes,
+    bit i = parity of the affine (a_i*h + b_i) mod FP_MOD (salt
+    424242 — a family disjoint from the minhash one), sign-sum bits,
+    4 x 16-bit block buckets, per-block bit_count(xor) hamming.  The
+    hamming is summed over BLOCKS so no 64-bit signature assembly
+    (and no sign-bit shift semantics) is ever needed in SQL."""
+    from shadems_spark.operators.dedup import xe_minhash_affine
+    from shadems_spark.operators.text import FP_MOD
+
+    M = FP_MOD
+    ab = xe_minhash_affine(bits, salt=424242)
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN (({a} * h + {b}) % {M}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{i}"
+        for i, (a, b) in enumerate(ab)
+    )
+    blks = ",\n           ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN s{16 * j + i} > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(16)
+        )
+        + f") AS blk{j}"
+        for j in range(bits // 16)
+    )
+    blk_tables = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {j} AS blk, blk{j} AS blk_val FROM blk"
+        for j in range(bits // 16)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.blk{j}, b.blk{j}))" for j in range(bits // 16)
+    )
+    return f"""
+    WITH w0 AS (SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> len(x) > 0) AS ws
+                FROM documents),
+    toks AS (SELECT doc_id,
+                    unnest(list_transform(ws, w -> {_XE_WORDHASH.format(M=M)}))
+                        AS h
+             FROM w0),
+    bits AS (SELECT doc_id,
+           {sums}
+             FROM toks GROUP BY doc_id),
+    blk AS (SELECT doc_id,
+           {blks}
+            FROM bits),
+    bt AS ({blk_tables}),
+    cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+             FROM bt x JOIN bt y
+               ON x.blk = y.blk AND x.blk_val = y.blk_val
+              AND x.doc_id < y.doc_id)
+    SELECT c.id1, c.id2, CAST({ham} AS BIGINT) AS hamming
+    FROM cand c JOIN blk a ON a.doc_id = c.id1
+                JOIN blk b ON b.doc_id = c.id2
+    WHERE {ham} <= {max_hamming}
+    ORDER BY id1, id2
+    """
+
+
+@register("q_dedup_simhash", sql=_simhash_xe_sql())
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 64-bit sign-sum signatures, 16-bit-block
     bucketed candidates, hamming distance <= 6 kept.  The block
     self-join's shared signature aggregate is deduped by
-    ReuseExchange (persist A/B: wash — see BASELINE.md)."""
+    ReuseExchange (persist A/B: wash — see BASELINE.md).  Runs the
+    cross-engine bit family (parity of affine hashes over poly word
+    hashes), so the DuckDB oracle replays signatures, buckets and
+    hamming exactly — graduated from rows-only to hash-exact in r6
+    (VERDICT r5 #6)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.simhash_signatures(docs)
+    sigs = D.simhash_signatures(docs, family="xe")
     return D.simhash_candidates(sigs).filter(F.col("hamming") <= 6).select(
-        "id1", "id2", "hamming"
+        "id1", "id2", F.col("hamming").cast("long").alias("hamming")
     )
 
 
@@ -281,11 +453,47 @@ def q_cosine_topk_blas(spark, sf_dir):
     return SIM.brute_topk_vectorized(emb, queries, k=5)
 
 
-@register("q_ann_lsh", sql=None)  # hash-derived planes: rows-only
+_COS6 = (
+    "round(list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x*x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x*x)))), 6)"
+)
+
+_ANN_TABS = "\n      UNION ALL ".join(
+    f"SELECT vec_id, v, {t} AS tbl, "
+    + SIM.hyperplane_bucket_sql("v", 4, 64, seed=t * 4)
+    + " AS b FROM e"
+    for t in range(6)
+)
+
+_ANN_LSH_SQL = f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    tabs AS ({_ANN_TABS}),
+    cand AS (SELECT DISTINCT tq.vec_id AS q_id, tc.vec_id AS cand_id
+             FROM tabs tq JOIN tabs tc ON tq.tbl = tc.tbl AND tq.b = tc.b
+             WHERE tq.vec_id IN (0, 1, 2) AND tc.vec_id != tq.vec_id),
+    ls AS (SELECT c.q_id, c.cand_id, {_COS6.format(a="eq.v", b="ec.v")} AS cos
+           FROM cand c JOIN e eq ON eq.vec_id = c.q_id
+                       JOIN e ec ON ec.vec_id = c.cand_id)
+    SELECT q_id, cand_id, cos, rank FROM (
+      SELECT q_id, cand_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, cand_id)
+                  AS INTEGER) AS rank
+      FROM ls) WHERE rank <= 5
+"""
+
+
+@register("q_ann_lsh", sql=_ANN_LSH_SQL)
 def q_ann_lsh(spark, sf_dir):
     """M3 scale path: random-hyperplane LSH bucketing — candidates
     restricted to the query's bucket (join on bucket id, not a full
-    cross join)."""
+    cross join).  The planes are SplitMix64-derived LITERALS
+    (operators/similarity.hyperplane_bucket / hyperplane_bucket_sql),
+    so the DuckDB oracle replays the exact table/bucket assignment —
+    graduated from rows-only to hash-exact in r6 (the q_ann_recall
+    seed-replay trick, VERDICT r5 #6)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
     return SIM.lsh_topk(emb, queries, k=5)
@@ -561,19 +769,50 @@ def q_pandas_udf(spark, sf_dir):
     )
 
 
-@register("q_dedup_bottomk", sql=None)  # xxhash sketches: rows-only
+def _bottomk_xe_sql(k: int = 64, threshold: float = 0.2) -> str:
+    """DuckDB replay of the bottom-k pipeline on the cross-engine
+    hash family: xe gram CTEs + xe banding candidates, then the
+    minwise estimate |bottomk(A∪B) ∩ A_k ∩ B_k| / |bottomk(A∪B)|
+    from the two k-smallest-gram sketches."""
+    return f"""
+    WITH {_xe_gram_ctes()},
+    {_xe_cand_ctes()},
+    sk AS (SELECT doc_id,
+                  list_slice(list_sort(gs), 1, {k}) AS sk
+           FROM g0),
+    j AS (SELECT c.id1, c.id2,
+                 list_slice(list_sort(list_distinct(
+                     list_concat(a.sk, b.sk))), 1, {k}) AS ub,
+                 a.sk AS sk1, b.sk AS sk2
+          FROM cand c JOIN sk a ON a.doc_id = c.id1
+                      JOIN sk b ON b.doc_id = c.id2)
+    SELECT id1, id2,
+           round(len(list_intersect(list_intersect(ub, sk1), sk2))
+                 / CAST(len(ub) AS DOUBLE), 6) AS jaccard_est
+    FROM j
+    WHERE len(list_intersect(list_intersect(ub, sk1), sk2))
+          / CAST(len(ub) AS DOUBLE) >= {threshold}
+    ORDER BY id1, id2
+    """
+
+
+@register("q_dedup_bottomk", sql=_bottomk_xe_sql())
 def q_dedup_bottomk(spark, sf_dir):
     """M2 variant with bounded-width verification: LSH banding for
     candidates, then a bottom-k (k=64) minwise Jaccard ESTIMATE
     instead of the exact gram co-count — every join payload is ≤ k
     longs, the documented trade for corpus-scale verify stages.
     Estimator accuracy is pinned against the exact join in
-    tests/test_llm_ops.py."""
+    tests/test_llm_ops.py.  Runs the cross-engine hash family, so the
+    DuckDB oracle replays grams, banding AND the sketch estimate —
+    graduated from rows-only to hash-exact in r6 (VERDICT r5 #6)."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = D.tracked_persist(D.doc_grams(docs), key="bottomk_grams")
-    sigs = D.minhash_signatures_from_grams(grams)
-    cands = D.lsh_candidate_pairs(sigs)
-    sketches = D.bottomk_sketch(docs, k=64)
+    grams = D.tracked_persist(
+        D.doc_grams(docs, family="xe"), key="bottomk_grams"
+    )
+    sigs = D.minhash_signatures_from_grams(grams, family="xe")
+    cands = D.lsh_candidate_pairs(sigs, family="xe")
+    sketches = D.bottomk_sketch(docs, k=64, family="xe")
     return D.bottomk_jaccard(cands, sketches, k=64, threshold=0.2)
 
 
@@ -1103,19 +1342,6 @@ def q_kcore(spark, sf_dir):
     ).select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     return kcore(edges, k=2)
 
-
-_COS6 = (
-    "round(list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))"
-    " / (sqrt(list_sum(list_transform({a}, x -> x*x)))"
-    " * sqrt(list_sum(list_transform({b}, x -> x*x)))), 6)"
-)
-
-_ANN_TABS = "\n      UNION ALL ".join(
-    f"SELECT vec_id, v, {t} AS tbl, "
-    + SIM.hyperplane_bucket_sql("v", 4, 64, seed=t * 4)
-    + " AS b FROM e"
-    for t in range(6)
-)
 
 _ANN_RECALL_SQL = f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
