@@ -13,7 +13,7 @@ state HLL-sized.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
 
@@ -64,9 +64,13 @@ def vocab_coverage(
     must-the-vocab-be question of tokenizer design).
 
     The corpus-sized work is the (word, count) aggregation with
-    map-side combine; the ordered cumulative window then runs on the
-    VOCABULARY-sized table only (single-partition by nature, small by
-    construction — document-scale data never enters the window)."""
+    map-side combine.  Only the ``top`` survivors are ranked: the
+    head extraction is TakeOrderedAndProject (per-partition partial
+    top-k, merged), the grand total rides a 1-row broadcast, and the
+    cumulative window's input is bounded at ``top`` rows BY
+    CONSTRUCTION — a 1e8-word vocabulary at 100 TB never lands on a
+    single partition (r6 sweep of unbounded global windows; the
+    previous form ranked the whole vocabulary and filtered after)."""
     from pyspark.sql import Window
 
     from shadems_spark.operators.text import words
@@ -76,33 +80,31 @@ def vocab_coverage(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # vocabulary-sized table (≤ distinct words).  The cumulative
-    # coverage curve needs ONE totally-ordered pass by construction;
-    # the constant partition key says so explicitly.  At true 100 TB
-    # vocab (~1e8 rows) this single partition is the known cost of an
-    # exact CDF — cap upstream (min-count filter) before calling.
+    total = wc.agg(F.sum("n").alias("__tot"))
+    head = wc.orderBy(F.col("n").desc(), "w").limit(top)
     order = Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("w"))
-    total = Window.partitionBy(F.lit(0))
     return (
-        wc.withColumn("rk", F.row_number().over(order))
+        head.crossJoin(F.broadcast(total))
+        .withColumn("rk", F.row_number().over(order))
         .withColumn(
             "coverage",
             F.round(
-                F.sum("n").over(order.rowsBetween(Window.unboundedPreceding, 0))
-                / F.sum("n").over(total),
+                F.sum("n").over(
+                    order.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.col("__tot"),
                 6,
             ),
         )
-        .filter(F.col("rk") <= top)
         .select("w", "n", "rk", "coverage")
     )
 
 
 def _offsets_row(counts: DataFrame, srcs: list[str]) -> DataFrame:
-    """Fold the <= n_parts-row per-partition totals table into ONE row
-    carrying, per source column, (a) a ``__offmap_<src>`` map from
-    __pid to that column's EXCLUSIVE prefix sum in __pid order and
-    (b) the grand total ``__tot_<src>``.
+    """Fold the <= n_parts-row per-bucket totals table (keyed ``__b``)
+    into ONE row carrying, per source column, (a) a ``__offmap_<src>``
+    map from bucket id to that column's EXCLUSIVE prefix sum in bucket
+    order and (b) the grand total ``__tot_<src>``.
 
     Why this shape: the offsets side of every two-phase rank/cumsum
     operator must reach the data rows somehow, and each extra join or
@@ -112,14 +114,9 @@ def _offsets_row(counts: DataFrame, srcs: list[str]) -> DataFrame:
     aggregate and an O(n_parts^2) array HOF — nothing at n_parts <=
     a few thousand — and leaves ZERO empty-partition-spec WindowExec
     nodes in the plan (the `No Partition Defined` warning class the
-    bench tail must stay free of, VERDICT r5 #1 done-criterion).
-    Everything stays in ONE plan, so the range boundaries the offsets
-    were computed from are exactly the boundaries the data rows rode
-    (a driver-side collect of the counts would re-execute the range
-    exchange with fresh sampling — a correctness hazard, not just a
-    cost)."""
+    bench tail must stay free of, VERDICT r5 #1 done-criterion)."""
     pn = F.sort_array(
-        F.collect_list(F.struct(F.col("__pid"), *[F.col(s) for s in srcs]))
+        F.collect_list(F.struct(F.col("__b"), *[F.col(s) for s in srcs]))
     )
     row = counts.agg(pn.alias("__pn"))
     outs = []
@@ -129,7 +126,7 @@ def _offsets_row(counts: DataFrame, srcs: list[str]) -> DataFrame:
                 F.transform(
                     F.sequence(F.lit(1), F.size("__pn")),
                     lambda i: F.struct(
-                        F.element_at("__pn", i)["__pid"].alias("k"),
+                        F.element_at("__pn", i)["__b"].alias("k"),
                         F.aggregate(
                             F.slice("__pn", F.lit(1), i - 1),
                             F.lit(0).cast("long"),
@@ -156,20 +153,108 @@ def _order_cols(order) -> list:
 
 
 def _resolve_nparts(df: DataFrame, n_parts: int | None) -> int:
-    """Default the rank/cumsum shuffle width to the SESSION's declared
+    """Default the rank/cumsum bucket count to the SESSION's declared
     parallelism (spark.sql.shuffle.partitions) — the knob a production
-    cluster already sizes to its executor count — capped at 4096 so
-    the O(n_parts^2) offsets fold in :func:`_offsets_row` stays a few
-    tens of millions of scalar ops at worst.  4096 range partitions of
-    a rank table is ~25M rows each at 1e11 input rows — fine for the
-    narrow (key, count) rows these operators shuffle."""
+    cluster already sizes to its executor count — capped at 1024: the
+    per-row bucket lookup is an O(n_parts) literal-array filter and
+    the offsets fold is O(n_parts^2), both trivial at 1024.  1024
+    buckets of a rank table is ~1e8 rows each at 1e11 input rows —
+    fine for the narrow (key, count) rows these operators shuffle;
+    raise explicitly when a wider fan-out is worth the lookup cost."""
     if n_parts is not None:
         return n_parts
     try:
         conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
         conf = 200
-    return max(1, min(conf, 4096))
+    return max(1, min(conf, 1024))
+
+
+def _cuts_row(df: DataFrame, key: Column, n_parts: int, desc: bool) -> DataFrame:
+    """Deterministic, LAYOUT-INDEPENDENT bucket cutpoints as a 1-row
+    broadcastable frame (column ``__cuts``): a value-hash-ordered
+    sample of the bucket key (TakeOrderedAndProject — one pass, no
+    full sort), evenly strided into <= n_parts - 1 distinct cuts in
+    sort direction.  Stays IN PLAN (no driver action: builders remain
+    lazy and the sample rides one broadcast stage).
+
+    Why not repartitionByRange: RangePartitioner seeds its sampler
+    from the runtime RDD id, so two physical instantiations of the
+    same exchange can draw DIFFERENT boundaries — and Catalyst's
+    per-branch column pruning can make the window branch and the
+    totals branch non-identical, defeating ReuseExchange.  The r6
+    local[3] full gate caught exactly that: q_mannwhitney's offsets
+    were computed under one boundary set and applied under another
+    (nondeterministic rank sums).  Hash-ordered VALUE sampling makes
+    the cuts a pure function of the data, so every plan branch —
+    however many times the planner instantiates it — assigns
+    identical buckets by construction."""
+    n_sample = min(n_parts * 32, 100_000)
+    samp = (
+        df.select(key.alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .orderBy(F.xxhash64(F.col("__k").cast("string")), F.col("__k"))
+        .limit(n_sample)
+        .agg(
+            F.array_distinct(
+                F.sort_array(F.collect_list("__k"), asc=not desc)
+            ).alias("__vals")
+        )
+    )
+    k = F.size("__vals")
+    pos = F.transform(
+        F.sequence(F.lit(1), F.lit(n_parts - 1)),
+        lambda i: F.round(i * k / n_parts).cast("int"),
+    )
+    cuts = F.array_distinct(
+        F.filter(
+            F.transform(
+                pos,
+                lambda j: F.when(
+                    (j > 0) & (j < k), F.element_at("__vals", j + 1)
+                ),
+            ),
+            lambda c: c.isNotNull(),
+        )
+    )
+    return samp.select(cuts.alias("__cuts")) if n_parts > 1 else samp.select(
+        F.slice("__vals", 1, 0).alias("__cuts")
+    )
+
+
+def _bucketed(
+    df: DataFrame,
+    order: list,
+    n_parts: int | None,
+    bucket_key: Column | None,
+    bucket_desc: bool,
+):
+    """Shared bucket-assignment front end: resolve the bucket key
+    (defaults to the first order column when it is a plain name),
+    attach the broadcast cuts row, and return df + ``__b`` (cuts
+    column dropped).  Bucket id = how many cuts the key has passed in
+    sort direction — a pure expression over DATA values (never the
+    physical partition id), so every plan branch agrees.  Null keys
+    land in bucket 0 (matching ascending nulls-first; descending
+    callers pass non-null keys by contract)."""
+    if bucket_key is None:
+        if not isinstance(order[0], str):
+            raise ValueError(
+                "pass bucket_key= explicitly when order[0] is a Column "
+                "expression (e.g. a .desc() sort order)"
+            )
+        bucket_key = F.col(order[0])
+    cuts = _cuts_row(df, bucket_key, _resolve_nparts(df, n_parts), bucket_desc)
+    passed = (
+        F.filter("__cuts", lambda c: bucket_key <= c)
+        if bucket_desc
+        else F.filter("__cuts", lambda c: bucket_key >= c)
+    )
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn("__b", F.coalesce(F.size(passed), F.lit(0)))
+        .drop("__cuts")
+    )
 
 
 def global_index(
@@ -178,47 +263,50 @@ def global_index(
     out: str = "gid",
     n_parts: int | None = None,
     with_total: str | None = None,
+    bucket_key: Column | None = None,
+    bucket_desc: bool = False,
 ) -> DataFrame:
     """Scalable global row numbering in total ``order`` (must be a
     total order — include a unique key as the last column).
 
     The naive row_number() over a global window moves EVERY row to one
-    partition; this is the two-pass shape that scales: range-partition
-    on the order key, number rows within each partition, then add each
-    partition's cumulative offset (ONE broadcast row holding a
-    pid->offset map, bounded by n_parts BY CONSTRUCTION, never by
-    data — see :func:`_offsets_row`).  No
-    driver collect, no single-partition stage over the data; numbering
-    is invariant to the sampled partition boundaries because ``order``
-    is total (range partitioning colocates equal keys, and AQE may only
-    coalesce ADJACENT range partitions, which preserves the monotone
-    __pid -> key-range mapping the offset join relies on).
+    partition; this is the two-pass shape that scales: assign each row
+    a bucket from DETERMINISTIC VALUE CUTS over the primary order
+    column (:func:`_value_cuts` — a pure function of the data, so
+    every plan branch agrees by construction; repartitionByRange's
+    runtime-seeded sampler does NOT give that guarantee, the r6
+    local[3]-gate lesson), number rows within each bucket, then add
+    each bucket's cumulative offset (ONE broadcast row holding a
+    bucket->offset map, bounded by n_parts BY CONSTRUCTION — see
+    :func:`_offsets_row`).  No single-partition stage over data at any
+    cardinality; equal keys share a bucket because cuts are key
+    values and the comparison is inclusive.
 
-    ``with_total``: also attach the total row count as a column of that
-    name (derived from the same per-partition counts — no second scan
-    of the input subtree)."""
+    ``bucket_key``/``bucket_desc``: the bucketing expression and its
+    direction — defaults to ascending ``order[0]`` when that is a
+    plain column name; REQUIRED explicitly for .desc() orders.
+    ``with_total``: also attach the total row count as a column of
+    that name (derived from the same per-bucket counts)."""
     from pyspark.sql import Window
 
     cols = _order_cols(order)
-    parts = df.repartitionByRange(_resolve_nparts(df, n_parts), *cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    parts = _bucketed(df, order, n_parts, bucket_key, bucket_desc)
+    w_local = Window.partitionBy("__b").orderBy(*cols)
     local = parts.withColumn("__rn", F.row_number().over(w_local))
-    counts = parts.groupBy("__pid").agg(
+    counts = parts.groupBy("__b").agg(
         F.count(F.lit(1)).cast("long").alias("__n")
     )
     res = (
         local.crossJoin(F.broadcast(_offsets_row(counts, ["__n"])))
         .withColumn(
             out,
-            (F.element_at("__offmap___n", F.col("__pid")) + F.col("__rn"))
+            (F.element_at("__offmap___n", F.col("__b")) + F.col("__rn"))
             .cast("long"),
         )
     )
     if with_total is not None:
         res = res.withColumn(with_total, F.col("__tot___n"))
-    return res.drop("__pid", "__rn", "__offmap___n", "__tot___n")
+    return res.drop("__b", "__rn", "__offmap___n", "__tot___n")
 
 
 def global_cumsum(
@@ -226,33 +314,34 @@ def global_cumsum(
     order: list,
     sums: dict[str, str],
     n_parts: int | None = None,
+    bucket_key: Column | None = None,
+    bucket_desc: bool = False,
 ) -> DataFrame:
     """Exact inclusive prefix sums in total ``order`` without a
     single-partition window — the distributed scan primitive under the
     exact KS / Mann-Whitney / split-finding family.
 
     ``sums`` maps output column name -> input column to accumulate.
-    Same two-phase shape as :func:`global_index`: range-partition on
-    the order key, LOCAL cumulative sums within each range partition,
-    then add each partition's total-so-far (one broadcast row holding
-    a pid->offset map, see :func:`_offsets_row`).  Sums must be
-    integer-valued (they ride a long fold — every caller here sums
-    counts or nano-int-protocol integers anyway).
+    Same two-phase shape as :func:`global_index`: deterministic
+    value-cut buckets over the order key (layout-independent by
+    construction — see _value_cuts), LOCAL cumulative sums within
+    each bucket, then add each bucket's total-so-far (one broadcast
+    row holding a bucket->offset map, see :func:`_offsets_row`).
+    Sums must be integer-valued (they ride a long fold — every caller
+    here sums counts or nano-int-protocol integers anyway).
     The order key must be total (callers pass distinct keys —
-    the groupBy upstream of every cumsum here guarantees it), so peers
-    never straddle a range-partition boundary and the local+offset
+    the groupBy upstream of every cumsum here guarantees it), so
+    peers never straddle a bucket boundary and the local+offset
     decomposition is exactly the global prefix sum."""
     from pyspark.sql import Window
 
     cols = _order_cols(order)
-    parts = df.repartitionByRange(_resolve_nparts(df, n_parts), *cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    parts = _bucketed(df, order, n_parts, bucket_key, bucket_desc)
+    w_local = Window.partitionBy("__b").orderBy(*cols)
     out = parts
     for name, src in sums.items():
         out = out.withColumn(name, F.sum(src).over(w_local))
-    totals = parts.groupBy("__pid").agg(
+    totals = parts.groupBy("__b").agg(
         *[
             F.sum(src).cast("long").alias(f"__t_{name}")
             for name, src in sums.items()
@@ -264,10 +353,10 @@ def global_cumsum(
     for name in sums:
         res = res.withColumn(
             name,
-            F.col(name) + F.element_at(f"__offmap___t_{name}", F.col("__pid")),
+            F.col(name) + F.element_at(f"__offmap___t_{name}", F.col("__b")),
         )
     return res.drop(
-        "__pid",
+        "__b",
         *[f"__offmap___t_{name}" for name in sums],
         *[f"__tot___t_{name}" for name in sums],
     )
@@ -279,6 +368,8 @@ def global_ntile(
     order: list,
     out: str,
     n_parts: int | None = None,
+    bucket_key: Column | None = None,
+    bucket_desc: bool = False,
 ) -> DataFrame:
     """Exact ntile(k) in total ``order`` without a single-partition
     window: two-phase global rank (:func:`global_index`) + the closed-
@@ -288,7 +379,10 @@ def global_ntile(
     the global rank and total.  Output is bit-identical to
     ``ntile(k) OVER (ORDER BY ...)`` for any total order, at any
     cardinality, with no data-sized single-partition stage."""
-    gi = global_index(df, order, out="__grk", n_parts=n_parts, with_total="__n")
+    gi = global_index(
+        df, order, out="__grk", n_parts=n_parts, with_total="__n",
+        bucket_key=bucket_key, bucket_desc=bucket_desc,
+    )
     grk, n = F.col("__grk"), F.col("__n")
     q = F.floor(n / n_tiles).cast("long")
     r = n % n_tiles

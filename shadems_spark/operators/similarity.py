@@ -234,17 +234,37 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]], vec: str = "c_vec")
     return emb.withColumn("cell", best["cell"])
 
 
+#: cross-engine id-sampler constants (SplitMix64-derived literals over
+#: the poly-hash prime): h(id) = (A*id + B) mod M — plain BIGINT
+#: arithmetic on both engines, so a DuckDB oracle replays WHICH rows
+#: became centroids (the q_ann_lsh seed-replay play for IVF).
+XE_IVF_M = 1_000_000_007
+XE_IVF_A = _splitmix64(101) % (XE_IVF_M - 1) + 1
+XE_IVF_B = _splitmix64(102) % XE_IVF_M
+
+
 def sample_centroids(
-    emb: DataFrame, k: int = 8, id_col: str = "vec_id", vec: str = "embedding"
+    emb: DataFrame, k: int = 8, id_col: str = "vec_id", vec: str = "embedding",
+    sampler: str = "xx",
 ) -> list[list[float]]:
     """Deterministic coarse centroids: the k ids hashing lowest — a
     uniform, order-free sample in ONE pass (TakeOrderedAndProject; no
     count job, no full sort).  The sampled quantizer alone bounds the
     search to O(rows/k) per probe — the scale property; pass the
     result through :func:`refine_centroids` for a Lloyd iteration when
-    recall matters more than setup cost."""
+    recall matters more than setup cost.  ``sampler="xe"`` orders by
+    the affine id hash (ties by id) instead of xxhash64 so the sample
+    is DuckDB-replayable."""
+    if sampler == "xe":
+        order = [
+            (F.lit(XE_IVF_A) * F.col(id_col) + F.lit(XE_IVF_B))
+            % F.lit(XE_IVF_M),
+            F.col(id_col),
+        ]
+    else:
+        order = [F.xxhash64(F.col(id_col))]
     rows = (
-        emb.orderBy(F.xxhash64(F.col(id_col)))
+        emb.orderBy(*order)
         .limit(k)
         .select(as_double(vec).alias("v"))
         .collect()
@@ -294,6 +314,7 @@ def ivf_topk(
     emb: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec: str = "embedding",
     n_cells: int = 8, n_probe: int = 2, refine_iters: int = 0,
+    sampler: str = "xx",
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the collection once,
     probe the query's ``n_probe`` nearest cells — candidates are
@@ -302,7 +323,7 @@ def ivf_topk(
     The probe set is a tiny exploded (q_id, cell) frame broadcast into
     the candidate join, so the big side is scanned once and never
     shuffled."""
-    cents = sample_centroids(emb, k=n_cells, id_col=id_col, vec=vec)
+    cents = sample_centroids(emb, k=n_cells, id_col=id_col, vec=vec, sampler=sampler)
     if refine_iters:
         cents = refine_centroids(emb, cents, id_col, vec, iters=refine_iters)
     c = ivf_assign(

@@ -189,12 +189,27 @@ def q_cat_discover(spark, sf_dir):
     counts = li.groupBy(F.col("l_returnflag").alias("cat")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    # category table: ≤ cardinality(cat) rows — one explicit partition
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("cat"))
-    return counts.select(
-        "cat",
-        F.when(F.dense_rank().over(w) > 2, F.lit("other")).otherwise(F.col("cat")).alias("legend"),
-        "n",
+    # top-cap as TakeOrderedAndProject + broadcast anti-membership —
+    # only the CAP rows ever rank, so a million-category column at
+    # 100 TB never lands on one partition (the ranking window this
+    # replaces ran over the whole category table; r6 sweep of
+    # unbounded global windows).  dense_rank == row_number here: the
+    # (n desc, cat) order is total.
+    keep = (
+        counts.orderBy(F.col("n").desc(), "cat")
+        .limit(2)
+        .select(F.col("cat").alias("__keep"))
+    )
+    return (
+        counts.join(
+            F.broadcast(keep), counts["cat"] == keep["__keep"], "left"
+        )
+        .select(
+            "cat",
+            F.when(F.col("__keep").isNull(), F.lit("other"))
+            .otherwise(F.col("cat")).alias("legend"),
+            "n",
+        )
     )
 
 
@@ -342,13 +357,16 @@ def q_distinct(spark, sf_dir):
     """,
 )
 def q_sort(spark, sf_dir):
-    """O1: stable legend/category ordering ([R] create_plot legend)."""
+    """O1: stable legend/category ordering ([R] create_plot legend).
+    Ranked via the two-phase range-partitioned numbering
+    (operators/profile.global_index) — the distinct-category table
+    can be arbitrarily large at corpus scale and never lands on one
+    partition (r6 sweep of unbounded global windows)."""
+    from shadems_spark.operators.profile import global_index
+
     li = load_table(spark, sf_dir, "lineitem")
     cats = li.select(F.col("l_returnflag").alias("cat")).distinct()
-    return cats.select(
-        "cat",
-        F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("cat")).alias("ord"),
-    )
+    return global_index(cats, ["cat"], out="ord")
 
 
 @register(

@@ -2196,7 +2196,8 @@ def q_rfm(spark, sf_dir):
     def quintile(metric: str, out: str):
         slim = base.select("o_custkey", metric)
         return global_ntile(
-            slim, 5, [F.col(metric).desc(), "o_custkey"], out
+            slim, 5, [F.col(metric).desc(), "o_custkey"], out,
+            bucket_key=F.col(metric), bucket_desc=True,
         ).select("o_custkey", out)
 
     scored = (

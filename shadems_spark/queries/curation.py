@@ -1785,7 +1785,8 @@ def q_curriculum(spark, sf_dir):
         F.size("__srcs").alias("k"),
     )
     staged = global_ntile(
-        d, 4, [F.col("quality").desc(), "doc_id"], "stage"
+        d, 4, [F.col("quality").desc(), "doc_id"], "stage",
+        bucket_key=F.col("quality"), bucket_desc=True,
     )
     return staged.select(
         "doc_id", "source", "quality",

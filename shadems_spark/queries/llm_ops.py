@@ -499,14 +499,78 @@ def q_ann_lsh(spark, sf_dir):
     return SIM.lsh_topk(emb, queries, k=5)
 
 
-@register("q_ann_ivf", sql=None)  # sampled quantizer: rows-only
+def _ivf_xe_sql(k: int = 5, n_cells: int = 8, n_probe: int = 2) -> str:
+    """DuckDB replay of the ENTIRE IVF path on the cross-engine
+    sampler: centroid selection by the affine id hash (the rows Spark
+    collects), in-SQL unit normalization (same sequential fold order
+    as the driver-side _unit), exact argmax assignment, top-n_probe
+    cell probing and the final per-query rank — every float op
+    mirrors the Spark fold element-for-element, so even the UNROUNDED
+    argmax comparisons see bit-identical IEEE sums."""
+    A, B, M = SIM.XE_IVF_A, SIM.XE_IVF_B, SIM.XE_IVF_M
+
+    def dotf(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip({a}, {b}), z -> z[1] * z[2])), "
+            f"(s, x) -> s + x)"
+        )
+
+    def normf(a: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({a}, t -> t * t)), (s, x) -> s + x))"
+        )
+
+    hk = f"({A} * vec_id + {B}) % {M}"
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    cr AS (SELECT vec_id, v FROM e ORDER BY {hk}, vec_id LIMIT {n_cells}),
+    cn AS (SELECT v, CAST(row_number() OVER (ORDER BY {hk}, vec_id) - 1
+                          AS INT) AS cell
+           FROM cr),
+    cu AS (SELECT cell, list_transform(v, x -> x / {normf("v")}) AS cv
+           FROM cn),
+    asg AS (SELECT e.vec_id AS cand_id, e.v AS c_vec, cu.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dotf("e.v", "cu.cv")} DESC,
+                                               cu.cell) AS rn
+            FROM e CROSS JOIN cu),
+    c AS (SELECT cand_id, c_vec, cell FROM asg WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+    pr AS (SELECT q.q_id, q.qv, cu.cell,
+                  row_number() OVER (
+                      PARTITION BY q.q_id
+                      ORDER BY {dotf("q.qv", "cu.cv")}
+                               / ({normf("q.qv")} * {normf("cu.cv")}) DESC,
+                               cu.cell DESC) AS rn
+           FROM q CROSS JOIN cu),
+    probes AS (SELECT q_id, qv, cell FROM pr WHERE rn <= {n_probe}),
+    sc AS (SELECT p.q_id, c.cell, c.cand_id,
+                  round({dotf("p.qv", "c.c_vec")}
+                        / ({normf("p.qv")} * {normf("c.c_vec")}), 6) AS cos
+           FROM c JOIN probes p ON p.cell = c.cell AND c.cand_id != p.q_id)
+    SELECT q_id, cell, cand_id, cos, CAST(rk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos DESC, cand_id) AS rk
+          FROM sc)
+    WHERE rk <= {k} ORDER BY q_id, rank
+    """
+
+
+@register("q_ann_ivf", sql=_ivf_xe_sql())
 def q_ann_ivf(spark, sf_dir):
     """M3 scale path #2: IVF — coarse-quantize once, probe the
     query's nearest cells; candidates are O(n_probe/n_cells) of the
-    collection."""
+    collection.  The coarse sample rides the cross-engine affine id
+    hash (similarity.XE_IVF_*), so the DuckDB oracle replays centroid
+    choice, assignment, probing and ranking exactly — graduated from
+    rows-only to hash-exact in r6 (VERDICT r5 #6); xxhash64 sampling
+    stays the default for non-oracled callers (q_ivfpq)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
-    return SIM.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2)
+    return SIM.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2, sampler="xe")
 
 
 # ------------------------------------------------------------ text analysis

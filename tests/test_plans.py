@@ -538,11 +538,12 @@ def test_stats_family_has_no_single_partition_window(spark):
         assert not bad, f"{q} still plans a single-partition window: {bad}"
 
 
-def test_two_phase_queries_range_partition_the_data(spark):
-    """The data-sized rank/cumsum stage must be an Exchange
-    rangepartitioning (the two-phase shape), not hidden driver-side
-    work."""
+def test_two_phase_queries_bucket_partition_the_data(spark):
+    """The data-sized rank/cumsum stage must hash-partition on the
+    deterministic value bucket (the two-phase shape; buckets derive
+    from DATA values, not physical partition ids — the r6 local[3]
+    layout-dependence lesson), not hide the work driver-side."""
     reg = load_registry()
     for q in ("q_ks_test", "q_rfm", "q_curriculum", "q_auc"):
         p = _plan(spark, q)
-        assert "Exchange rangepartitioning" in p, q
+        assert "hashpartitioning(__b" in p, q

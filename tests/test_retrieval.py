@@ -163,13 +163,14 @@ def test_global_index_matches_global_window(spark):
 
 
 def test_global_index_plan_range_partitions(spark):
-    """The data-sized stage must be range-partitioned (never a
-    SinglePartition exchange of the full input; the only
-    SinglePartition allowed is the partitions-sized offsets table)."""
+    """The data-sized stage must partition on the deterministic value
+    bucket (never a SinglePartition exchange of the full input; the
+    only SinglePartition allowed is the buckets-sized offsets
+    table)."""
     reg = load_registry()
     df = reg["q_global_index"][0](spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange rangepartitioning" in p
+    assert "hashpartitioning(__b" in p
     # offsets side: SinglePartition windows appear only above the
     # per-partition count aggregate, never directly over the scan
     for seg in p.split("Exchange SinglePartition")[1:]:
@@ -641,15 +642,18 @@ def test_global_ntile_matches_window_ntile(spark):
     df = spark.range(103).select(
         F.col("id"), ((F.col("id") * 31) % 997).alias("v")
     )
-    for k, order in [
-        (4, [F.col("v").desc(), "id"]),
-        (5, ["v", "id"]),
-        (7, [F.col("v").desc(), "id"]),
-        (500, ["v", "id"]),  # n < k: tile == rank
+    for k, order, bk, bd in [
+        (4, [F.col("v").desc(), "id"], F.col("v"), True),
+        (5, ["v", "id"], None, False),
+        (7, [F.col("v").desc(), "id"], F.col("v"), True),
+        (500, ["v", "id"], None, False),  # n < k: tile == rank
     ]:
         got = {
             r["id"]: r["t"]
-            for r in global_ntile(df, k, order, "t", n_parts=6).collect()
+            for r in global_ntile(
+                df, k, order, "t", n_parts=6,
+                bucket_key=bk, bucket_desc=bd,
+            ).collect()
         }
         want = {
             r["id"]: r["t"]
@@ -661,3 +665,36 @@ def test_global_ntile_matches_window_ntile(spark):
             ).collect()
         }
         assert got == want, f"k={k}"
+
+
+def test_global_cumsum_deterministic_across_instantiations(spark):
+    """The r6 local[3]-gate regression, pinned: bucket assignment must
+    be a pure function of DATA values, so repeated physical
+    instantiations of the same cumsum (separate actions, separate AQE
+    plans — the condition under which repartitionByRange's
+    runtime-seeded sampler produced divergent boundaries and WRONG
+    offsets in q_mannwhitney) return identical results."""
+    from shadems_spark.operators.profile import global_cumsum
+
+    df = spark.range(2000).select(
+        ((F.col("id") * 131) % 997 / 7.0).alias("v"),
+        (F.col("id") % 5 + 1).alias("t"),
+    ).groupBy("v").agg(F.sum("t").alias("t"))
+    runs = [
+        sorted(
+            (r["v"], r["ct"])
+            for r in global_cumsum(df, ["v"], {"ct": "t"}, n_parts=3)
+            .collect()
+        )
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    # and it equals the single-partition window truth
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(0)).orderBy("v")
+    want = sorted(
+        (r["v"], r["ct"])
+        for r in df.select("v", F.sum("t").over(w).alias("ct")).collect()
+    )
+    assert runs[0] == want
