@@ -1044,7 +1044,97 @@ def q_grouped_agg_pandas(spark, sf_dir):
     )
 
 
-@register("q_bpe_tokenize", sql=None)  # frozen-merge BPE: no SQL form
+def _bpe_xe_sql(n_merges: int = 50, sample_docs: int = 100) -> str:
+    """DuckDB replay of the ENTIRE BPE pipeline — training included.
+
+    Training (text.bpe_train) is a sequential merge loop; sequential
+    does not mean un-replayable: each iteration is (pair-count ->
+    argmax -> re-segment), so ``n_merges`` unrolled CTE triples replay
+    it exactly.  The argmax tie-break mirrors Python's
+    ``max(items, key=(count, pair))`` — count DESC then pair
+    lexicographically LARGEST (a DESC, b DESC; VARCHAR binary order ==
+    code-point order).  Re-segmentation is one left-to-right
+    list_reduce fold per symbol sequence: merge when the accumulated
+    tail equals ``a`` and the incoming symbol is ``b`` — equivalent to
+    the trainer's skip-ahead loop because a merged token is strictly
+    longer than its left constituent, so it can never re-match.
+
+    Application replays merges in RANK ORDER (one fold per merge),
+    which equals the UDF's lowest-rank-greedy decode: a merge's
+    constituents always carry LOWER ranks (they must exist before the
+    pair can be counted), so by the time rank r applies, every
+    lower-rank merge inside the word is already complete.
+
+    The oracle assumes the sample yields the full ``n_merges`` merges
+    (true for the fixture corpora; the trainer breaks early only when
+    a tiny sample runs out of pairs)."""
+    M = "1000000007"  # unused numerically; kept naming parity with xe family
+    step = (
+        "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = m.a "
+        "AND x[1] = m.b "
+        "THEN list_append(acc[1:len(acc)-1], m.a || m.b) "
+        "ELSE list_concat(acc, x) END"
+    )
+
+    def fold(sym_expr: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+            f"list_transform({sym_expr}, s -> [s])), {step})"
+        )
+
+    ctes = [
+        f"""w0 AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                     x -> len(x) > 0)) AS w
+            FROM documents WHERE doc_id < {sample_docs})""",
+        """v0 AS MATERIALIZED (SELECT string_split(w, '') AS sym, count(*) AS n
+            FROM w0 GROUP BY 1)""",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (SELECT sym[j] AS a, sym[j + 1] AS b, sum(n) AS c
+            FROM v{i - 1}, unnest(range(1, len(sym))) t(j)
+            GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""b{i} AS MATERIALIZED (SELECT a, b FROM p{i}
+            ORDER BY c DESC, a DESC, b DESC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""v{i} AS MATERIALIZED (SELECT sym2 AS sym, sum(n) AS n FROM (
+                SELECT {fold("v.sym")} AS sym2, v.n
+                FROM v{i - 1} v CROSS JOIN b{i} m)
+            GROUP BY 1)"""
+        )
+    ctes.append(
+        """s0 AS MATERIALIZED (SELECT doc_id,
+                   list_transform(list_filter(string_split(text, ' '),
+                                              x -> len(x) > 0),
+                                  w -> string_split(w, '')) AS syms
+            FROM documents WHERE doc_id % 11 = 0)"""
+    )
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (SELECT doc_id,
+                   list_transform(syms, sym -> {fold("sym")}) AS syms
+            FROM s{i - 1} CROSS JOIN b{i} m)"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    toks AS (SELECT doc_id, flatten(syms) AS toks FROM s{n_merges})
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(d.text) AS BIGINT) AS n_chars_c,
+           CAST(len(t.toks) AS BIGINT) AS bpe_tokens,
+           round(len(t.toks) / CAST(len(string_split(d.text, ' '))
+                                    AS DOUBLE), 4) AS toks_per_word,
+           array_to_string(t.toks[1:8], '|') AS head_toks
+    FROM toks t JOIN documents d USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@register("q_bpe_tokenize", sql=_bpe_xe_sql())
 def q_bpe_tokenize(spark, sf_dir):
     """Real (mini) BPE tokenization: merges trained once on a bounded
     document sample driver-side (training is inherently sequential —
@@ -1053,7 +1143,8 @@ def q_bpe_tokenize(spark, sf_dir):
     (operators/text.py::bpe_train/bpe_tokenize_udf).  Output compares
     BPE token counts against whitespace and char counts per doc;
     round-trip losslessness, merge-order correctness, and determinism
-    are pinned in tests."""
+    are pinned in tests.  Graduated from rows-only to hash-exact in r6:
+    the oracle replays TRAINING AND APPLICATION (see _bpe_xe_sql)."""
     from shadems_spark.operators.text import bpe_tokenize_udf, bpe_train
 
     docs = load_table(spark, sf_dir, "documents")
