@@ -424,9 +424,16 @@ def power_top_component(
     no shuffle beyond the final partial-agg merge, so the shape holds
     at any corpus size; iters bounds total passes.
 
-    Deterministic: fixed uniform init, fixed iteration count, and a
-    canonical sign (first non-tiny coordinate positive) so the +/-v
-    ambiguity of eigenvectors never flips between runs/engines.
+    Deterministic AND engine/layout-exact (the nano-int protocol, r6):
+    every cross-row float sum — the per-dim mean numerators and the
+    per-iteration A·v partial sums — rounds its contributions to
+    nano-ints BEFORE summation, so the fitted (mean, component) are
+    bit-identical on any partition layout and replayable by the DuckDB
+    oracle (the q_lr_train play for iterative linear algebra).  The
+    previous F.avg/F.sum float aggregates were summation-order-
+    dependent — a latent layout nondeterminism this rewrite removes.
+    Fixed uniform init, fixed iteration count, and a canonical sign
+    (first non-tiny coordinate positive) pin the +/-v ambiguity.
     """
     import math
 
@@ -438,8 +445,15 @@ def power_top_component(
     # the d accesses would re-run the transform per access (O(d^2)/row)
     dv = emb.select(as_double(vec).alias("__v"))
     xs = [F.element_at(F.col("__v"), i + 1) for i in range(d)]
-    mu_row = dv.agg(*[F.avg(x).alias(f"m{i}") for i, x in enumerate(xs)]).first()
-    mu = [float(mu_row[i]) for i in range(d)]
+    mu_row = dv.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.round(x * 1e9).cast("long")).alias(f"m{i}")
+            for i, x in enumerate(xs)
+        ],
+    ).first()
+    n_rows = int(mu_row["__n"]) or 1
+    mu = [float(mu_row[f"m{i}"] or 0) / 1e9 / n_rows for i in range(d)]
     v = [1.0 / math.sqrt(d)] * d
     centered = dv.select(*[(xs[i] - F.lit(mu[i])).alias(f"c{i}") for i in range(d)])
     for _ in range(iters):
@@ -448,9 +462,14 @@ def power_top_component(
             t = t + F.col(f"c{i}") * F.lit(v[i])
         proj = centered.withColumn("__t", t)
         srow = proj.agg(
-            *[F.sum(F.col("__t") * F.col(f"c{i}")).alias(f"s{i}") for i in range(d)]
+            *[
+                F.sum(
+                    F.round(F.col("__t") * F.col(f"c{i}") * 1e9).cast("long")
+                ).alias(f"s{i}")
+                for i in range(d)
+            ]
         ).first()
-        s = [float(srow[i]) for i in range(d)]
+        s = [float(srow[i] or 0) / 1e9 for i in range(d)]
         nrm = math.sqrt(sum(x * x for x in s)) or 1.0
         v = [x / nrm for x in s]
     for x in v:

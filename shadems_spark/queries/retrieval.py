@@ -436,7 +436,83 @@ def q_pmi(spark, sf_dir):
     )
 
 
-@register("q_pca", sql=None)  # iterative fit: no single-statement SQL form
+def _pca_xe_sql(d: int = 64, iters: int = 8) -> str:
+    """DuckDB replay of the FULL power-iteration PCA (fit + project):
+    the r6 nano-int protocol makes every cross-row sum an integer
+    (per-dim mean numerators, per-iteration A·v partials), so the
+    evolving state vector is bit-identical on both engines and the
+    sequential-fold dot products mirror Spark's HOF folds
+    element-for-element.  Iterations unroll as MATERIALIZED CTE
+    triples (projection, nano partial sums, normalize) — the
+    q_lr_train play for iterative linear algebra, extended to
+    vector-valued state."""
+    import math
+
+    def fold(terms: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), "
+            f"(s, x) -> s + x)"
+        )
+
+    def dotz(a: str, b: str) -> str:
+        return fold(f"list_transform(list_zip({a}, {b}), z -> z[1] * z[2])")
+
+    init = repr(1.0 / math.sqrt(d))
+    ctes = [
+        """e AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)""",
+        "nn AS (SELECT count(*) AS c FROM e)",
+        f"""muN AS MATERIALIZED (SELECT j,
+                  sum(CAST(round(v[j + 1] * 1000000000.0) AS BIGINT)) AS s
+            FROM e, unnest(range({d})) t(j) GROUP BY 1)""",
+        """mu AS MATERIALIZED (SELECT list(s / 1000000000.0 / nn.c ORDER BY j)
+                  AS m
+            FROM muN, nn GROUP BY nn.c)""",
+        """ce AS MATERIALIZED (SELECT e.vec_id,
+                  list_transform(list_zip(e.v, mu.m), z -> z[1] - z[2]) AS cv
+            FROM e, mu)""",
+        f"w0 AS (SELECT list_transform(range({d}), i -> {init}) AS v)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (SELECT c.vec_id, c.cv,
+                  {dotz("c.cv", "w.v")} AS t
+            FROM ce c, w{i - 1} w)"""
+        )
+        ctes.append(
+            f"""sN{i} AS MATERIALIZED (SELECT j,
+                  sum(CAST(round(t * cv[j + 1] * 1000000000.0) AS BIGINT)) AS s
+            FROM t{i}, unnest(range({d})) u(j) GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (SELECT list_transform(sl, x -> x / nrm)
+                  AS v
+            FROM (SELECT sl, CASE WHEN nrm0 = 0 THEN 1.0 ELSE nrm0 END AS nrm
+                  FROM (SELECT sl,
+                               sqrt({fold("list_transform(sl, x -> x * x)")})
+                                   AS nrm0
+                        FROM (SELECT list(s / 1000000000.0 ORDER BY j) AS sl
+                              FROM sN{i}))))"""
+        )
+    ctes.append(
+        f"""wf AS (SELECT list_transform(v, x -> x * flip) AS v
+            FROM (SELECT v,
+                         CASE WHEN coalesce(
+                                  list_filter(v, x -> abs(x) > 1e-9)[1],
+                                  1.0) < 0
+                              THEN -1.0 ELSE 1.0 END AS flip
+                  FROM w{iters}))"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT c.vec_id, round({dotz("c.cv", "w.v")}, 4) AS pc1
+    FROM ce c, wf w ORDER BY c.vec_id
+    """
+
+
+@register("q_pca", sql=_pca_xe_sql())
 def q_pca(spark, sf_dir):
     """Distributed PCA (top principal component) over the embedding
     table by power iteration — d-vector driver state only, one
@@ -444,8 +520,10 @@ def q_pca(spark, sf_dir):
     scan (operators/similarity.power_top_component).  Verified in
     tests/test_retrieval.py against a local numpy run of the same
     algorithm (agreement ~1e-6) plus a Rayleigh-quotient bound vs the
-    exact top eigenvalue; rows-only here because the fit is iterative,
-    not a single SQL statement."""
+    exact top eigenvalue — and, since r6's nano-int rewrite of the
+    fit's cross-row sums, hash-exact against a DuckDB replay of the
+    full iteration (_pca_xe_sql); the fit is also layout-independent
+    now (float partial sums were summation-order-dependent)."""
     from shadems_spark.operators.similarity import pca_project, power_top_component
 
     emb = load_table(spark, sf_dir, "embeddings")
