@@ -698,3 +698,24 @@ def test_global_cumsum_deterministic_across_instantiations(spark):
         for r in df.select("v", F.sum("t").over(w).alias("ct")).collect()
     )
     assert runs[0] == want
+
+
+def test_global_index_degenerate_constant_key(spark):
+    """All-equal primary keys: no cuts exist, every row lands in one
+    bucket, and the numbering must still equal the window truth (the
+    tie-break column does the ordering)."""
+    from pyspark.sql import Window
+
+    from shadems_spark.operators.profile import global_index
+
+    df = spark.range(300).select(F.lit(7).alias("k"), F.col("id"))
+    got = {
+        r["id"]: r["g"]
+        for r in global_index(df, ["k", "id"], out="g", n_parts=8).collect()
+    }
+    w = Window.partitionBy(F.lit(0)).orderBy("k", "id")
+    want = {
+        r["id"]: r["g"]
+        for r in df.select("id", F.row_number().over(w).alias("g")).collect()
+    }
+    assert got == want
