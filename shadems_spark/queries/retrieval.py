@@ -1142,3 +1142,106 @@ def q_inverted_index(spark, sf_dir):
         )
         .orderBy("term")
     )
+
+
+_RRF_SQL = """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    hits AS (SELECT doc_id, term FROM toks
+             WHERE term IN ('spark', 'hash', 'window')),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+    lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+             FROM documents),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+    bscore AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             ), 6) AS score
+      FROM tf JOIN dfreq USING (term)
+              JOIN lens ON tf.doc_id = lens.doc_id
+              CROSS JOIN stats
+      GROUP BY tf.doc_id),
+    lex AS (SELECT doc_id AS id, r_lex FROM (
+              SELECT doc_id, CAST(row_number() OVER
+                (ORDER BY score DESC, doc_id) AS INTEGER) AS r_lex
+              FROM bscore) WHERE r_lex <= 20),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+          FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cscore AS (
+      SELECT e.vec_id,
+             round(list_sum(list_transform(list_zip(qv, e.v), z -> z[1] * z[2]))
+                   / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+                      * sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6) AS cos
+      FROM e CROSS JOIN q WHERE e.vec_id != 0),
+    sem AS (SELECT vec_id AS id, r_sem FROM (
+              SELECT vec_id, CAST(row_number() OVER
+                (ORDER BY cos DESC, vec_id) AS INTEGER) AS r_sem
+              FROM cscore) WHERE r_sem <= 20),
+    fused AS (
+      SELECT id,
+             COALESCE(r_lex, 0) AS r_lex,
+             COALESCE(r_sem, 0) AS r_sem,
+             COALESCE(CAST(floor(1000000000.0 / (60 + r_lex)) AS BIGINT), 0)
+             + COALESCE(CAST(floor(1000000000.0 / (60 + r_sem)) AS BIGINT), 0)
+               AS rrf
+      FROM lex FULL JOIN sem USING (id))
+    SELECT id, r_lex, r_sem, rrf, fused_rank FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER)
+                  AS fused_rank
+      FROM fused)
+    WHERE fused_rank <= 10
+"""
+
+
+@register("q_rrf_fusion", sql=_RRF_SQL)
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    SIGIR'09): the BM25 top-20 for the fixed term query and the
+    cosine top-20 for the vec_id=0 embedding query fuse by
+    RRF(d) = sum_r 1/(60 + rank_r(d)) over the rankers that returned
+    d — the standard lexical+dense hybrid-search combiner (rank-only,
+    so no score calibration between incomparable scales is needed).
+
+    Exactness: each contribution is floor(1e9/(60+rank)) — an integer
+    from an integer rank, identical on both engines — so the fused
+    score is an exact BIGINT sum and the fused order is engine- and
+    layout-independent.
+
+    Scale shape: both rankers end in candidate-bounded top-k (BM25 via
+    TakeOrderedAndProject, cosine via the broadcast-query brute scan),
+    so the fusion join and its rank window touch <= 40 rows by
+    construction regardless of corpus size; the two corpus scans are
+    the only data-sized work and run independently."""
+    from shadems_spark.operators import similarity as SIM
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = R.bm25(docs, _BM25_TERMS, k=20).select(
+        F.col("doc_id").alias("id"), F.col("rank").alias("r_lex")
+    )
+    sem = SIM.brute_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("cand_id").alias("id"), F.col("rank").alias("r_sem")
+    )
+
+    def contrib(r):
+        return F.coalesce(
+            F.floor(F.lit(1000000000.0) / (F.lit(60) + r)).cast("long"),
+            F.lit(0).cast("long"),
+        )
+
+    fused = lex.join(sem, ["id"], "full_outer").select(
+        "id",
+        F.coalesce(F.col("r_lex"), F.lit(0)).alias("r_lex"),
+        F.coalesce(F.col("r_sem"), F.lit(0)).alias("r_sem"),
+        (contrib(F.col("r_lex")) + contrib(F.col("r_sem"))).alias("rrf"),
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("rrf").desc(), F.col("id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= 10)
+        .select("id", "r_lex", "r_sem", "rrf", "fused_rank")
+    )

@@ -719,3 +719,27 @@ def test_global_index_degenerate_constant_key(spark):
         for r in df.select("id", F.row_number().over(w).alias("g")).collect()
     }
     assert got == want
+
+
+def test_rrf_fusion_laws(spark):
+    """RRF invariants: every fused row appeared in at least one
+    ranker's top-20 (a zero rank means 'absent from that ranker', so
+    both-zero is impossible); the fused score is exactly the sum of
+    the two integer contributions; and a doc present in BOTH lists
+    outscores a doc holding the same best rank in only one."""
+    from shadems_spark.queries.retrieval import q_rrf_fusion
+
+    rows = q_rrf_fusion(spark, SF).collect()
+    assert len(rows) == 10
+    assert len({r["id"] for r in rows}) == 10
+
+    def c(rank):
+        return 10**9 // (60 + rank) if rank > 0 else 0
+
+    for r in rows:
+        assert r["r_lex"] > 0 or r["r_sem"] > 0
+        assert r["rrf"] == c(r["r_lex"]) + c(r["r_sem"])
+    both = [r for r in rows if r["r_lex"] > 0 and r["r_sem"] > 0]
+    for r in both:
+        best = min(x for x in (r["r_lex"], r["r_sem"]) if x > 0)
+        assert r["rrf"] > c(best)
