@@ -3327,3 +3327,138 @@ def q_anova(spark, sf_dir):
         F.round((ssb / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),
         F.round(ssb / sst, 6).alias("eta_squared"),
     )
+
+
+_STL_SQL = """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+               FROM events GROUP BY 1, 2),
+    b AS (SELECT min(day) AS d0,
+                 datediff('day', min(day), max(day)) AS span
+          FROM d),
+    types AS (SELECT DISTINCT event_type FROM d),
+    grid AS (SELECT t.event_type, g.x, coalesce(d.y, 0) AS y
+             FROM types t
+             CROSS JOIN (SELECT unnest(generate_series(0,
+                                (SELECT span FROM b))) AS x) g
+             LEFT JOIN d ON d.event_type = t.event_type
+                        AND d.day = (SELECT d0 FROM b) + INTERVAL (g.x) DAY),
+    tr AS (SELECT event_type, x, y,
+                  sum(y) OVER w AS s7, count(*) OVER w AS c7
+           FROM grid
+           WINDOW w AS (PARTITION BY event_type ORDER BY x
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    t2 AS (SELECT event_type, x, y, x % 7 AS dow,
+                  CASE WHEN c7 = 7 THEN s7 / 7.0 END AS trend,
+                  CASE WHEN c7 = 7 THEN
+                    CAST(round((y - s7 / 7.0) * 1e9) AS BIGINT) END AS detr_n
+           FROM tr),
+    sr AS (SELECT event_type, dow,
+                  CAST(round(sum(detr_n) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                      AS s_rn
+           FROM t2 WHERE detr_n IS NOT NULL GROUP BY 1, 2),
+    adj AS (SELECT event_type,
+                   CAST(round(sum(s_rn) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                       AS a_n
+            FROM sr GROUP BY 1),
+    sea AS (SELECT sr.event_type, sr.dow, sr.s_rn - adj.a_n AS seasonal_n
+            FROM sr JOIN adj USING (event_type))
+    SELECT t2.event_type AS event_type,
+           CAST((SELECT d0 FROM b) + INTERVAL (t2.x) DAY AS DATE) AS day,
+           CAST(t2.y AS BIGINT) AS y,
+           round(t2.trend, 6) AS trend,
+           round(sea.seasonal_n / 1e9, 6) AS seasonal,
+           round((t2.detr_n - sea.seasonal_n) / 1e9, 6) AS resid
+    FROM t2 JOIN sea ON t2.event_type = sea.event_type AND t2.dow = sea.dow
+    ORDER BY 1, 2
+"""
+
+
+@register("q_stl_decompose", sql=_STL_SQL)
+def q_stl_decompose(spark, sf_dir):
+    """Classical additive seasonal-trend decomposition (the moving-
+    average core of STL, period 7) of the zero-filled daily event
+    series per type: trend = centered 7-day moving average (full
+    windows only), seasonal = mean-centered day-of-week means of the
+    detrended series, residual = the rest — the decomposition behind
+    q_seasonality's weekday profile and q_anomaly's alerts (alert on
+    RESIDUALS, not raw counts, and weekly cycles stop paging).
+
+    Exactness: trend is an integer window sum divided by exactly 7;
+    every detrended value is nano-int-rounded BEFORE the day-of-week
+    mean (order-free sums), seasonal offsets stay BIGINT through the
+    centering, and y = trend + seasonal + resid holds exactly in nano
+    space (pinned).  dow = x % 7 is a grid index, so no engine
+    dayofweek() convention is involved.
+
+    Scale shape: one (type, day)-key map-side aggregate, then every
+    window/join runs on the types x days grid (date cardinality, not
+    corpus cardinality) with the 7-row-per-type seasonal table
+    broadcast back — same footprint as q_acf/q_burstiness at any
+    corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    b = d.agg(
+        F.min("day").alias("d0"),
+        F.datediff(F.max("day"), F.min("day")).alias("span"),
+    )
+    types = d.select("event_type").distinct()
+    spine = b.select(
+        F.explode(F.sequence(F.lit(0), F.col("span"))).alias("x"), "d0"
+    )
+    grid = (
+        types.crossJoin(F.broadcast(spine))
+        .join(
+            d,
+            (F.expr("date_add(d0, CAST(x AS INT))") == F.col("day"))
+            & (types["event_type"] == d["event_type"]),
+            "left",
+        )
+        .select(
+            types["event_type"].alias("event_type"),
+            "x",
+            "d0",
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    w7 = Window.partitionBy("event_type").orderBy("x").rowsBetween(-3, 3)
+    trend = F.when(
+        F.count(F.lit(1)).over(w7) == 7, F.sum("y").over(w7) / F.lit(7.0)
+    )
+    t2 = grid.select(
+        "event_type", "x", "d0", "y",
+        (F.col("x") % 7).alias("dow"),
+        trend.alias("trend"),
+        F.round((F.col("y") - trend) * F.lit(1e9)).cast("long").alias("detr_n"),
+    )
+    sr = (
+        t2.filter(F.col("detr_n").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(
+            F.round(
+                F.sum("detr_n") / F.count(F.lit(1)).cast("double")
+            ).cast("long").alias("s_rn")
+        )
+    )
+    adj = sr.groupBy("event_type").agg(
+        F.round(F.sum("s_rn") / F.count(F.lit(1)).cast("double"))
+        .cast("long").alias("a_n")
+    )
+    sea = sr.join(adj, "event_type").select(
+        "event_type", "dow", (F.col("s_rn") - F.col("a_n")).alias("seasonal_n")
+    )
+    return (
+        t2.join(F.broadcast(sea), ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.expr("date_add(d0, CAST(x AS INT))").alias("day"),
+            F.col("y").cast("long").alias("y"),
+            F.round("trend", 6).alias("trend"),
+            F.round(F.col("seasonal_n") / F.lit(1e9), 6).alias("seasonal"),
+            F.round(
+                (F.col("detr_n") - F.col("seasonal_n")) / F.lit(1e9), 6
+            ).alias("resid"),
+        )
+        .orderBy("event_type", "day")
+    )

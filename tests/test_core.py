@@ -862,3 +862,33 @@ def test_anova_matches_numpy_and_partition_identity(spark, sf_dir):
     f = (ssb / (k - 1)) / (ssw / (n - k))
     assert abs(r["f_stat"] - f) < 1e-4
     assert abs(r["eta_squared"] - ssb / (ssb + ssw)) < 1e-6
+
+
+def test_stl_decomposition_identity(spark, sf_dir):
+    """STL laws: (1) y == trend + seasonal + resid to within 1e-5
+    wherever trend is defined (the nano-space identity surfaced
+    through 6dp rounding); (2) per type, the 7 day-of-week seasonal
+    offsets sum to ~0 (mean-centered); (3) trend is null on exactly
+    the 3 edge days at each end of every series and nowhere else."""
+    from collections import defaultdict
+
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_stl_decompose"][0](spark, sf_dir).collect()
+    assert rows
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["day"])
+        n = len(rs)
+        for i, r in enumerate(rs):
+            if 3 <= i < n - 3:
+                assert r["trend"] is not None, (t, i)
+                assert abs(r["y"] - (r["trend"] + r["seasonal"] + r["resid"])) < 1e-5
+            else:
+                assert r["trend"] is None and r["resid"] is None, (t, i)
+            assert r["seasonal"] is not None
+        week = {r["day"].toordinal() % 7: r["seasonal"] for r in rs}
+        assert len(week) == 7
+        assert abs(sum(week.values())) < 1e-5 * 7
