@@ -3462,3 +3462,126 @@ def q_stl_decompose(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+_HOLT_SQL = """
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+      FROM events GROUP BY 1, 2),
+    bnd AS (SELECT min(day) AS d0,
+                   datediff('day', min(day), max(day)) AS span
+            FROM d),
+    types AS (SELECT DISTINCT event_type FROM d),
+    ser AS (SELECT t.event_type, g.x + 1 AS t,
+                   CAST(coalesce(d.y, 0) AS DOUBLE) AS y
+            FROM types t
+            CROSS JOIN (SELECT unnest(generate_series(0,
+                               (SELECT span FROM bnd))) AS x) g
+            LEFT JOIN d ON d.event_type = t.event_type
+                       AND d.day = (SELECT d0 FROM bnd) + INTERVAL (g.x) DAY),
+    nn AS (SELECT event_type, count(*) AS n FROM ser GROUP BY 1),
+    r AS (
+      SELECT s1.event_type AS event_type, 1 AS t,
+             s1.y AS l, s2.y - s1.y AS b
+      FROM ser s1 JOIN ser s2
+        ON s1.event_type = s2.event_type AND s1.t = 1 AND s2.t = 2
+      UNION ALL
+      SELECT r.event_type, r.t + 1,
+             0.5 * s.y + 0.5 * (r.l + r.b),
+             0.25 * (0.5 * s.y + 0.5 * (r.l + r.b) - r.l) + 0.75 * r.b
+      FROM r JOIN ser s
+        ON s.event_type = r.event_type AND s.t = r.t + 1)
+    SELECT r.event_type AS event_type,
+           CAST(nn.n AS BIGINT) AS n_days,
+           round(r.l, 6) AS level,
+           round(r.b, 6) AS trend,
+           round(r.l + 7.0 * r.b, 6) AS forecast_7
+    FROM r JOIN nn ON r.event_type = nn.event_type AND r.t = nn.n
+    ORDER BY 1
+"""
+
+
+@register("q_holt", sql=_HOLT_SQL)
+def q_holt(spark, sf_dir):
+    """Holt double-exponential smoothing (level + linear trend,
+    alpha=0.5, beta=0.25) of the zero-filled daily event series per
+    type, with the 7-day-ahead forecast l_n + 7*b_n — the forecasting
+    companion to q_ewma's flat smoother (a trending series needs the
+    trend state or the forecast always lags) and to
+    q_stl_decompose's descriptive split.
+
+    The recurrence l_t = a*y_t + (1-a)*(l+b); b_t = B*(l_t-l) +
+    (1-B)*b is a linear fold that windows cannot express: batch form
+    collects each type's ordered series (bounded: date cardinality)
+    and runs ONE JVM struct-accumulator fold; initialization l_1=y_1,
+    b_1=y_2-y_1.  alpha/beta are exact binary doubles and the DuckDB
+    oracle's recursive CTE replays the identical IEEE operation
+    sequence step-for-step, so results hash-match at 6dp — same
+    protocol as q_ewma, extended to a 2-component state.
+
+    Scale shape: one (type, day)-key map-side aggregate, then
+    per-type state is 2 doubles over a date-cardinality list; for
+    unbounded streams the same recurrence runs incrementally in
+    applyInPandasWithState (streaming/stateful.py pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    b = d.agg(
+        F.min("day").alias("d0"),
+        F.datediff(F.max("day"), F.min("day")).alias("span"),
+    )
+    types = d.select("event_type").distinct()
+    spine = b.select(
+        F.explode(F.sequence(F.lit(0), F.col("span"))).alias("x"), "d0"
+    )
+    grid = (
+        types.crossJoin(F.broadcast(spine))
+        .join(
+            d,
+            (F.expr("date_add(d0, CAST(x AS INT))") == F.col("day"))
+            & (types["event_type"] == d["event_type"]),
+            "left",
+        )
+        .select(
+            types["event_type"].alias("event_type"),
+            "x",
+            F.coalesce("y", F.lit(0)).cast("double").alias("y"),
+        )
+    )
+    ys = F.transform(
+        F.sort_array(F.collect_list(F.struct("x", "y"))), lambda s: s["y"]
+    )
+    agg = grid.groupBy("event_type").agg(ys.alias("ys"))
+
+    y1 = F.element_at(F.col("ys"), 1)
+    y2 = F.element_at(F.col("ys"), 2)
+    init = F.struct(y1.alias("l"), (y2 - y1).alias("b"))
+
+    def step(acc, y):
+        l_new = F.lit(0.5) * y + F.lit(0.5) * (acc["l"] + acc["b"])
+        b_new = F.lit(0.25) * (l_new - acc["l"]) + F.lit(0.75) * acc["b"]
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    state = F.aggregate(
+        F.slice(F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))),
+        init,
+        step,
+    )
+    return (
+        agg.select(
+            "event_type",
+            F.size("ys").cast("long").alias("n_days"),
+            state.alias("st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.col("st.l"), 6).alias("level"),
+            F.round(F.col("st.b"), 6).alias("trend"),
+            F.round(F.col("st.l") + F.lit(7.0) * F.col("st.b"), 6).alias(
+                "forecast_7"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -892,3 +892,62 @@ def test_stl_decomposition_identity(spark, sf_dir):
         week = {r["day"].toordinal() % 7: r["seasonal"] for r in rs}
         assert len(week) == 7
         assert abs(sum(week.values())) < 1e-5 * 7
+
+
+def test_holt_python_replay_and_linear_law(spark, sf_dir):
+    """Holt laws: (1) the engine's per-type (level, trend) equals a
+    pure-Python replay of the identical IEEE fold over the same
+    zero-filled series; (2) on an exactly linear series y_t = c + m*t
+    the smoother is exact — l_t = y_t, b_t = m, so the 7-day forecast
+    is y_n + 7m (induction from l1=y1, b1=y2-y1)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    got = {
+        r["event_type"]: r
+        for r in load_registry()["q_holt"][0](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count().collect()
+    )
+    d0 = min(r["day"] for r in daily)
+    span = (max(r["day"] for r in daily) - d0).days
+    for t in {r["event_type"] for r in daily}:
+        by_day = {(r["day"] - d0).days: r["count"] for r in daily if r["event_type"] == t}
+        ys = [float(by_day.get(x, 0)) for x in range(span + 1)]
+        l, b = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            l_new = 0.5 * y + 0.5 * (l + b)
+            b = 0.25 * (l_new - l) + 0.75 * b
+            l = l_new
+        r = got[t]
+        assert r["n_days"] == span + 1
+        assert abs(r["level"] - l) < 1e-6
+        assert abs(r["trend"] - b) < 1e-6
+        assert abs(r["forecast_7"] - (l + 7.0 * b)) < 1e-6
+
+    # linear-series exactness on a synthetic frame through the same fold
+    from pyspark.sql import Row
+    n, c, m = 12, 5.0, 3.0
+    rows = [Row(event_type="lin", x=t, y=c + m * t) for t in range(n)]
+    df = spark.createDataFrame(rows)
+    ys_col = F.transform(
+        F.sort_array(F.collect_list(F.struct("x", "y"))), lambda s: s["y"]
+    )
+    agg = df.groupBy("event_type").agg(ys_col.alias("ys"))
+    y1, y2 = F.element_at("ys", 1), F.element_at("ys", 2)
+    init = F.struct(y1.alias("l"), (y2 - y1).alias("b"))
+
+    def step(acc, y):
+        l_new = F.lit(0.5) * y + F.lit(0.5) * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (F.lit(0.25) * (l_new - acc["l"]) + F.lit(0.75) * acc["b"]).alias("b"),
+        )
+
+    st = F.aggregate(F.slice("ys", 2, F.size("ys") - 1), init, step)
+    out = agg.select(F.col("event_type"), st["l"].alias("l"), st["b"].alias("b")).collect()[0]
+    assert out["l"] == c + m * (n - 1)
+    assert out["b"] == m
