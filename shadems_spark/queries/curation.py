@@ -2544,3 +2544,103 @@ def q_mi_categorical(spark, sf_dir):
             ).alias("cramers_v"),
         )
     )
+
+
+#: Two-sided geometric mechanism (alpha = e^-eps = 1/2, eps = ln 2),
+#: truncated at +-10, as EXACT integer CDF thresholds over the modulus
+#: 3 * 2^20: P(0) = 1/3 -> 2^20, P(+-k) = (1/3) * 2^-k -> 2^(20-k),
+#: residual tail mass folded into the +-10 extremes so the masses sum
+#: to the modulus exactly.  Both engines bucket the same hash-uniform
+#: u by the same literals, so the "noise" draw is cross-engine exact.
+_DP_K = 10
+_DP_M = 3 * 2**20
+
+
+def _dp_cums() -> list[tuple[int, int]]:
+    masses = {0: 2**20}
+    for k in range(1, _DP_K + 1):
+        masses[k] = 2 ** (20 - k)
+        masses[-k] = 2 ** (20 - k)
+    resid = _DP_M - sum(masses.values())
+    masses[_DP_K] += resid // 2
+    masses[-_DP_K] += resid - resid // 2
+    out, c = [], 0
+    for n in range(-_DP_K, _DP_K + 1):
+        c += masses[n]
+        out.append((n, c))
+    return out
+
+
+_DP_CASE = (
+    "CASE "
+    + " ".join(f"WHEN {{u}} < {c} THEN ({n})" for n, c in _dp_cums()[:-1])
+    + f" ELSE {_DP_K} END"
+)
+
+_DP_SQL = f"""
+    WITH cell AS (SELECT source, lang, count(*) AS n_docs
+                  FROM documents GROUP BY 1, 2),
+    h AS (SELECT source, lang, n_docs,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(source || '|' || lang, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                   (a, c) -> (a * 31 + c) % 1000000007) % {_DP_M} AS u
+          FROM cell),
+    z AS (SELECT source, lang, n_docs,
+                 {_DP_CASE.format(u="u")} AS noise
+          FROM h)
+    SELECT source, lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(noise AS BIGINT) AS noise,
+           CAST(n_docs + noise AS BIGINT) AS dp_count,
+           (n_docs + noise) >= 5 AS released
+    FROM z ORDER BY 1, 2
+"""
+
+
+@register("q_dp_count", sql=_DP_SQL)
+def q_dp_count(spark, sf_dir):
+    """Differentially-private histogram release of (source, lang) doc
+    counts via the two-sided geometric mechanism (Ghosh-Roughgarden-
+    Sundararajan, the discrete Laplace; eps = ln 2, sensitivity 1 for
+    add/remove of one document), with the small-cell release gate
+    dp_count >= 5 — the private-statistics workflow for sharing corpus
+    composition dashboards without exposing rare cells.
+
+    The noise draw is the exact inverse-CDF of the truncated (+-10)
+    geometric over integer thresholds (_DP_CASE) applied to a
+    hash-uniform u — so this registered form is the deterministic
+    REPLAY harness of the mechanism (both engines draw bit-identical
+    noise and the oracle hash-matches).  Production DP requires an
+    unpredictable seed: swap u for a secret-seeded PRG draw per
+    release; everything else (thresholds, gate, sensitivity argument)
+    is unchanged.  Truncation at +-10 costs total mass 2^-9/3 (folded
+    into the extremes), the standard bounded-noise variant.
+
+    Scale shape: one map-side-combined (source, lang) aggregate; the
+    mechanism is a stateless expression over cell-cardinality rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    from shadems_spark.operators.text import poly_hash
+
+    cell = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    u = poly_hash(F.concat_ws("|", "source", "lang")) % F.lit(_DP_M)
+    cums = _dp_cums()
+    noise = F.lit(_DP_K)
+    expr = None
+    for n, c in cums[:-1]:
+        cond = u < F.lit(c)
+        expr = F.when(cond, F.lit(n)) if expr is None else expr.when(cond, F.lit(n))
+    # first matching WHEN wins, mirroring the SQL CASE ladder
+    noise = expr.otherwise(noise).cast("long")
+    return (
+        cell.select(
+            "source", "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            noise.alias("noise"),
+            (F.col("n_docs") + noise).cast("long").alias("dp_count"),
+            ((F.col("n_docs") + noise) >= 5).alias("released"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -668,3 +668,39 @@ def test_mi_categorical_laws_and_independent_zero(spark, sf_dir):
     finally:
         cur.load_table = orig
     assert ri["mi"] == 0.0 and ri["chi2"] == 0.0 and ri["cramers_v"] == 0.0
+
+
+def test_dp_count_mechanism_laws(spark, sf_dir):
+    """DP geometric-mechanism laws: the CDF mass table is an exact
+    partition of the modulus with the geometric halving shape; every
+    emitted noise is in [-10, 10]; dp_count = n_docs + noise; the
+    release gate is dp_count >= 5; and a pure-Python inverse-CDF
+    replay of the poly-hash u reproduces every noise draw."""
+    from shadems_spark.queries import load_registry
+    from shadems_spark.queries.curation import _DP_K, _DP_M, _dp_cums
+
+    cums = _dp_cums()
+    assert cums[-1][1] == _DP_M
+    masses = {}
+    prev = 0
+    for n, c in cums:
+        masses[n] = c - prev
+        prev = c
+    assert masses[0] == 2**20
+    for k in range(1, _DP_K):
+        assert masses[k] == masses[-k] == 2 ** (20 - k)
+    assert masses[_DP_K] == masses[-_DP_K]
+
+    rows = load_registry()["q_dp_count"][0](spark, sf_dir).collect()
+    assert rows
+    mod = 1_000_000_007
+    for r in rows:
+        assert -_DP_K <= r["noise"] <= _DP_K
+        assert r["dp_count"] == r["n_docs"] + r["noise"]
+        assert r["released"] == (r["dp_count"] >= 5)
+        h = 0
+        for ch in f"{r['source']}|{r['lang']}":
+            h = (h * 31 + ord(ch)) % mod
+        u = h % _DP_M
+        want = next((n for n, c in cums if u < c), _DP_K)
+        assert r["noise"] == want, (r["source"], r["lang"])
