@@ -2644,3 +2644,72 @@ def q_dp_count(spark, sf_dir):
         )
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "q_ldiversity",
+    sql="""
+    WITH q AS (SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+                      lang
+               FROM documents),
+    cell AS (SELECT source, len_bucket, lang, count(*) AS n_l
+             FROM q GROUP BY 1, 2, 3),
+    cls AS (SELECT source, len_bucket,
+                   CAST(sum(n_l) AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS l_distinct,
+                   CAST(max(n_l) AS BIGINT) AS max_lang,
+                   CAST(sum(CAST(round(n_l * ln(n_l) * 1e9) AS BIGINT))
+                        AS BIGINT) AS e_n
+            FROM cell GROUP BY 1, 2)
+    SELECT source, len_bucket, k, l_distinct,
+           round(max_lang / CAST(k AS DOUBLE), 6) AS max_share,
+           round(ln(k) - e_n / (k * 1e9), 6) AS lang_entropy,
+           CAST(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END AS INT)
+               AS at_risk
+    FROM cls ORDER BY source, len_bucket
+    """,
+)
+def q_ldiversity(spark, sf_dir):
+    """l-diversity audit (Machanavajjhala et al., the successor check
+    to q_kanon's k-anonymity): within each quasi-identifier class
+    (source, length-bucket), the SENSITIVE attribute (lang) must take
+    at least l = 3 distinct values — a class can be large enough to
+    pass k-anonymity yet reveal every member's language because all
+    its rows share one value.  Emits distinct-value count, the
+    majority share (the recursive-(c,l) signal), and the lang
+    entropy (entropy-l-diversity: diverse iff entropy >= ln l).
+
+    Exactness: entropy uses the identity H = ln N - (1/N) sum n_i ln
+    n_i with each n_i*ln(n_i) term nano-int-rounded BEFORE the
+    cross-row sum (order-free); one fixed float formula at the end.
+    Scale: two map-side-combined aggregates over (QI, lang) cells —
+    attribute-domain-sized, never row-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = (
+        docs.select(
+            "source",
+            (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+            "lang",
+        )
+        .groupBy("source", "len_bucket", "lang")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+    )
+    cls = cell.groupBy("source", "len_bucket").agg(
+        F.sum("n_l").cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        F.max("n_l").cast("long").alias("max_lang"),
+        F.sum(
+            F.round(F.col("n_l") * F.log(F.col("n_l")) * F.lit(1e9))
+            .cast("long")
+        ).cast("long").alias("e_n"),
+    )
+    return cls.select(
+        "source", "len_bucket", "k", "l_distinct",
+        F.round(F.col("max_lang") / F.col("k").cast("double"), 6).alias(
+            "max_share"
+        ),
+        F.round(
+            F.log(F.col("k")) - F.col("e_n") / (F.col("k") * F.lit(1e9)), 6
+        ).alias("lang_entropy"),
+        (F.col("l_distinct") < 3).cast("int").alias("at_risk"),
+    ).orderBy("source", "len_bucket")

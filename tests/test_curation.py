@@ -704,3 +704,30 @@ def test_dp_count_mechanism_laws(spark, sf_dir):
         u = h % _DP_M
         want = next((n for n, c in cums if u < c), _DP_K)
         assert r["noise"] == want, (r["source"], r["lang"])
+
+
+def test_ldiversity_laws(spark, sf_dir):
+    """l-diversity laws: classes partition the corpus (sum k == total
+    docs); 1 <= l_distinct <= min(k, #langs); max_share >= 1/l_distinct;
+    entropy in [0, ln l_distinct] with zero iff one lang; at_risk
+    exactly when l_distinct < 3; entropy-diverse classes
+    (H >= ln 3) are never at_risk."""
+    import math
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_ldiversity"][0](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    n_langs = docs.select("lang").distinct().count()
+    assert sum(r["k"] for r in rows) == total
+    for r in rows:
+        assert 1 <= r["l_distinct"] <= min(r["k"], n_langs)
+        assert r["max_share"] >= 1.0 / r["l_distinct"] - 1e-6
+        assert -1e-6 <= r["lang_entropy"] <= math.log(r["l_distinct"]) + 1e-6
+        if r["l_distinct"] == 1:
+            assert abs(r["lang_entropy"]) < 1e-6
+        assert r["at_risk"] == (1 if r["l_distinct"] < 3 else 0)
+        if r["lang_entropy"] >= math.log(3):
+            assert r["at_risk"] == 0
