@@ -671,3 +671,87 @@ def bootstrap_finalize(spark, store_path: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Holt smoothing (the online twin of queries/analytics.q_holt)
+
+HOLT_OUT_SCHEMA = (
+    "event_type string, n_days long, level double, trend double,"
+    " forecast_7 double"
+)
+HOLT_STATE_SCHEMA = "days array<long>, counts array<long>"
+
+
+def _round6_half_up(x: float) -> float:
+    """HALF_UP at 6dp (engine round semantics; Python round() is
+    banker's and would diverge on exact .5 boundaries)."""
+    import math
+
+    s = math.floor(abs(x) * 1e6 + 0.5) / 1e6
+    return -s if x < 0 else s
+
+
+def holt_fit(day_counts: dict) -> tuple[int, float, float, float]:
+    """The shared Holt fold (alpha=0.5, beta=0.25), zero-filling the
+    key's own [min_day, max_day] span — the identical IEEE operation
+    sequence as q_holt's JVM fold (which zero-fills the GLOBAL span:
+    per-key results coincide whenever the key's first/last active day
+    touch the global bounds, pinned in tests)."""
+    d0, d1 = min(day_counts), max(day_counts)
+    ys = [float(day_counts.get(d, 0)) for d in range(d0, d1 + 1)]
+    l = ys[0]
+    b = ys[1] - ys[0] if len(ys) > 1 else 0.0
+    for y in ys[1:]:
+        l_new = 0.5 * y + 0.5 * (l + b)
+        b = 0.25 * (l_new - l) + 0.75 * b
+        l = l_new
+    return len(ys), l, b, l + 7.0 * b
+
+
+def _holt_update(key, pdfs: Iterator, state: GroupState):
+    import pandas as pd
+
+    if state.exists:
+        days, counts = state.get
+        acc = dict(zip(days, counts))
+    else:
+        acc = {}
+    for pdf in pdfs:
+        for d, c in pdf.groupby("day_idx").size().items():
+            acc[int(d)] = acc.get(int(d), 0) + int(c)
+    state.update((list(acc.keys()), list(acc.values())))
+    n, level, trend, f7 = holt_fit(acc)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_days": [n],
+            "level": [_round6_half_up(level)],
+            "trend": [_round6_half_up(trend)],
+            "forecast_7": [_round6_half_up(f7)],
+        }
+    )
+
+
+def stream_holt(ev_stream: DataFrame) -> DataFrame:
+    """Streaming Holt level+trend forecast per event type — the
+    applyInPandasWithState form the q_holt docstring prescribes for
+    unbounded streams: state is the key's per-DAY count map (date
+    cardinality — bounded the same way the batch query's grid is,
+    NOT event cardinality), refolded per micro-batch so every
+    emission is the exact fit of all data so far.  Late events are
+    handled for free: a late row bumps its day's count and the next
+    refold repairs the whole fit (an incremental-state variant would
+    have to rewind).  Replay-idempotent: counts merge additively and
+    the fold is a pure function of the merged state."""
+    src = ev_stream.select(
+        "event_type",
+        F.expr("ts_ns div 86400000000000").alias("day_idx"),
+    )
+    return src.groupBy("event_type").applyInPandasWithState(
+        _holt_update,
+        HOLT_OUT_SCHEMA,
+        HOLT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

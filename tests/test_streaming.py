@@ -777,3 +777,59 @@ def test_stream_bootstrap_matches_batch_bitwise(spark, tmp_path, sf_dir):
         for r in load_registry()["q_bootstrap_ci"][0](spark, sf_dir).collect()
     ]
     assert got == want and len(got) == 32
+
+
+def test_stream_holt_matches_replay_and_batch(spark, sf_dir):
+    """Streaming Holt twin: drain the events source with availableNow;
+    the final per-type emission must equal the pure-Python fold over
+    that type's own daily-count span (holt_fit), and — for types whose
+    first/last active day touch the global span — equal q_holt's
+    batch result exactly."""
+    from shadems_spark.queries import load_registry
+    from shadems_spark.streaming import stateful as ST
+
+    ev_stream = SW.stream_from_parquet(spark, sf_dir).select(
+        "event_type", "ts_ns"
+    )
+    q = (
+        ST.stream_holt(ev_stream)
+        .writeStream.format("memory")
+        .queryName("t_holt")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_holt").collect()
+    got = {}
+    for r in rows:  # update mode re-emits per batch; keep the fullest fit
+        cur = got.get(r["event_type"])
+        if cur is None or r["n_days"] >= cur["n_days"]:
+            got[r["event_type"]] = r
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.expr("ts_ns div 86400000000000").alias("d")
+        ).count().collect()
+    )
+    acc = {}
+    for r in daily:
+        acc.setdefault(r["event_type"], {})[r["d"]] = r["count"]
+    g0 = min(min(m) for m in acc.values())
+    g1 = max(max(m) for m in acc.values())
+    batch = {
+        r["event_type"]: r
+        for r in load_registry()["q_holt"][0](spark, sf_dir).collect()
+    }
+    for t, m in acc.items():
+        n, level, trend, f7 = ST.holt_fit(m)
+        r = got[t]
+        assert r["n_days"] == n
+        assert abs(r["level"] - level) < 1e-6
+        assert abs(r["trend"] - trend) < 1e-6
+        assert abs(r["forecast_7"] - f7) < 1e-6
+        if min(m) == g0 and max(m) == g1:
+            assert r["n_days"] == batch[t]["n_days"]
+            assert abs(r["level"] - batch[t]["level"]) < 2e-6
+            assert abs(r["trend"] - batch[t]["trend"]) < 2e-6
