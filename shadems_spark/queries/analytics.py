@@ -3585,3 +3585,109 @@ def q_holt(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_PSM_SQL = """
+    WITH u AS (
+      SELECT user_id,
+             count(*) AS n,
+             count(DISTINCT CAST(ts AS DATE)) AS days,
+             sum(CAST(round(coalesce(value, 0) * 1000) AS BIGINT)) AS total_m
+      FROM events GROUP BY 1),
+    s AS (SELECT user_id, CAST(user_id % 2 AS INT) AS treat,
+                 round(1.0 / (1.0 + exp(-(-2.0 + 0.05 * n + 0.1 * days))), 3)
+                     AS score3,
+                 CAST(round(total_m * 1000.0 / n) AS BIGINT) AS y_mm
+          FROM u),
+    cell AS (SELECT treat, score3, count(*) AS n_u,
+                    sum(y_mm) AS y_sum
+             FROM s GROUP BY 1, 2),
+    t AS (SELECT score3, n_u, y_sum FROM cell WHERE treat = 1),
+    c AS (SELECT score3 AS c_score3, n_u AS nc, y_sum AS yc_sum
+          FROM cell WHERE treat = 0),
+    m AS (SELECT t.score3, t.n_u, t.y_sum, c.c_score3, c.nc, c.yc_sum,
+                 row_number() OVER (PARTITION BY t.score3
+                   ORDER BY abs(t.score3 - c.c_score3), c.c_score3) AS rn
+          FROM t CROSS JOIN c)
+    SELECT score3,
+           CAST(n_u AS BIGINT) AS n_treated,
+           round(y_sum / (n_u * 1e6), 6) AS y_treat,
+           c_score3 AS ctrl_score3,
+           CAST(nc AS BIGINT) AS n_ctrl,
+           round(yc_sum / (nc * 1e6), 6) AS y_ctrl,
+           round(y_sum / (n_u * 1e6) - yc_sum / (nc * 1e6), 6) AS att_cell
+    FROM m WHERE rn = 1 ORDER BY score3
+"""
+
+
+@register("q_propensity_match", sql=_PSM_SQL)
+def q_propensity_match(spark, sf_dir):
+    """Propensity-score matching at score-cell granularity (Rosenbaum-
+    Rubin): users get a deterministic stand-in propensity
+    sigmoid(-2 + 0.05*n_events + 0.1*active_days) ROUNDED TO 3dp, and
+    every treated score cell is matched to its nearest control cell
+    by |score gap| (tie -> lower control score); att_cell is the
+    treated-minus-matched-control outcome contrast, completing the
+    causal family beside q_abtest (randomized), q_did (parallel
+    trends) and q_cuped (variance reduction) for the observational
+    case.  Treatment = user parity (the fixture convention); outcome
+    = the user's mean event value.
+
+    Exactness: outcomes ride the milli->micro integer ladder (value
+    rounded to milli BEFORE the per-user sum, the per-user mean
+    rounded to a micro BIGINT before the cell sum), so cell sums are
+    order-free; the sigmoid is libm but 3dp rounding absorbs ulp
+    variance (the q_quality_classifier precedent).
+
+    Scale shape: the 3dp rounding BOUNDS the matching problem by
+    construction — at most 1001 score values per arm regardless of
+    user cardinality (the VERDICT r5 #4 protocol: cardinality bounded
+    by pre-rounding, not by data).  The match is a broadcast
+    cells x cells join + per-cell rank window over <= ~1e6 bounded
+    pairs; user-sized data only flows through two map-side-combined
+    aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col("ts").cast("date")).alias("days"),
+        F.sum(
+            F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1000)
+            .cast("long")
+        ).alias("total_m"),
+    )
+    z = F.lit(-2.0) + F.lit(0.05) * F.col("n") + F.lit(0.1) * F.col("days")
+    s = u.select(
+        (F.col("user_id") % 2).cast("int").alias("treat"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 3).alias("score3"),
+        F.round(F.col("total_m") * F.lit(1000.0) / F.col("n"))
+        .cast("long").alias("y_mm"),
+    )
+    cell = s.groupBy("treat", "score3").agg(
+        F.count(F.lit(1)).alias("n_u"), F.sum("y_mm").alias("y_sum")
+    )
+    t = cell.filter(F.col("treat") == 1).select("score3", "n_u", "y_sum")
+    c = cell.filter(F.col("treat") == 0).select(
+        F.col("score3").alias("c_score3"),
+        F.col("n_u").alias("nc"),
+        F.col("y_sum").alias("yc_sum"),
+    )
+    m = t.crossJoin(F.broadcast(c))
+    w = Window.partitionBy("score3").orderBy(
+        F.abs(F.col("score3") - F.col("c_score3")), F.col("c_score3")
+    )
+    yt = F.col("y_sum") / (F.col("n_u") * F.lit(1e6))
+    yc = F.col("yc_sum") / (F.col("nc") * F.lit(1e6))
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "score3",
+            F.col("n_u").cast("long").alias("n_treated"),
+            F.round(yt, 6).alias("y_treat"),
+            F.col("c_score3").alias("ctrl_score3"),
+            F.col("nc").cast("long").alias("n_ctrl"),
+            F.round(yc, 6).alias("y_ctrl"),
+            F.round(yt - yc, 6).alias("att_cell"),
+        )
+        .orderBy("score3")
+    )

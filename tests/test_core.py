@@ -951,3 +951,36 @@ def test_holt_python_replay_and_linear_law(spark, sf_dir):
     out = agg.select(F.col("event_type"), st["l"].alias("l"), st["b"].alias("b")).collect()[0]
     assert out["l"] == c + m * (n - 1)
     assert out["b"] == m
+
+
+def test_propensity_match_laws(spark, sf_dir):
+    """Matching laws: every treated cell appears exactly once; the
+    matched control is the true argmin over all control cells
+    (replayed in Python from an independent score aggregate); and
+    att_cell == y_treat - y_ctrl at 6dp."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_propensity_match"][0](spark, sf_dir).collect()
+    assert rows
+    assert len({r["score3"] for r in rows}) == len(rows)
+    ctrl = sorted({r["ctrl_score3"] for r in rows})
+    # rebuild the full control-score set via an independent aggregate
+    from shadems_spark.catalog import load_table
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col("ts").cast("date")).alias("days"),
+    )
+    z = F.lit(-2.0) + F.lit(0.05) * F.col("n") + F.lit(0.1) * F.col("days")
+    sc = u.select(
+        (F.col("user_id") % 2).cast("int").alias("treat"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 3).alias("score3"),
+    ).collect()
+    all_ctrl = sorted({r["score3"] for r in sc if r["treat"] == 0})
+    all_treat = sorted({r["score3"] for r in sc if r["treat"] == 1})
+    assert set(r["score3"] for r in rows) == set(all_treat)
+    for r in rows:
+        best = min(all_ctrl, key=lambda c: (abs(r["score3"] - c), c))
+        assert abs(r["ctrl_score3"] - best) < 1e-9, (r["score3"], best)
+        assert abs(r["att_cell"] - (r["y_treat"] - r["y_ctrl"])) < 2e-6
+    assert set(ctrl) <= set(all_ctrl)
