@@ -3691,3 +3691,147 @@ def q_propensity_match(spark, sf_dir):
         )
         .orderBy("score3")
     )
+
+
+#: Abramowitz-Stegun 7.1.26 erf polynomial constants — the shared
+#: closed-form normal tail both engines evaluate identically (only
+#: +,-,*,/ and exp; the result is rounded before any comparison).
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _as_p_sql(z: str) -> str:
+    """two-sided p = erfc(|z|/sqrt(2)) via the A-S 7.1.26 polynomial:
+    p = (a1 t + a2 t^2 + ... + a5 t^5) * exp(-x^2), t = 1/(1 + p*x),
+    x = |z|/sqrt(2)."""
+    x = f"(abs({z}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    poly = " + ".join(
+        f"({a}) * " + " * ".join([t] * (i + 1))
+        for i, a in enumerate(_AS_A)
+    )
+    return f"round(({poly}) * exp(-({x} * {x})), 9)"
+
+
+_BH_SQL = f"""
+    WITH v AS (SELECT event_type,
+                      CAST(round(coalesce(value, 0) * 1000) AS BIGINT) AS vm
+               FROM events),
+    g AS (SELECT event_type, count(*) AS n, sum(vm) AS s,
+                 sum(vm * vm) AS q
+          FROM v GROUP BY 1),
+    tot AS (SELECT sum(n) AS n_all, sum(s) AS s_all, sum(q) AS q_all,
+                   count(*) AS m
+            FROM g),
+    z AS (SELECT g.event_type, g.n, tot.m,
+                 round((g.s / CAST(g.n AS DOUBLE)
+                        - (tot.s_all - g.s) / CAST(tot.n_all - g.n AS DOUBLE))
+                       / sqrt(
+                    (g.q - g.s * (g.s / CAST(g.n AS DOUBLE)))
+                        / (CAST(g.n AS DOUBLE) * (g.n - 1))
+                    + ((tot.q_all - g.q)
+                       - (tot.s_all - g.s)
+                         * ((tot.s_all - g.s) / CAST(tot.n_all - g.n AS DOUBLE)))
+                        / (CAST(tot.n_all - g.n AS DOUBLE)
+                           * (tot.n_all - g.n - 1))), 6)
+                 + 0.0 AS z_raw
+          FROM g CROSS JOIN tot),
+    p AS (SELECT event_type, n, m, z_raw AS z,
+                 {_as_p_sql('z_raw')} AS p
+          FROM z),
+    r AS (SELECT *, CAST(row_number() OVER (ORDER BY p, event_type)
+                         AS INTEGER) AS rk
+          FROM p),
+    d AS (SELECT *, round(rk * 0.1 / m, 9) AS bh_thresh,
+                 CASE WHEN p <= rk * 0.1 / m THEN rk END AS pass_rk
+          FROM r),
+    mx AS (SELECT coalesce(max(pass_rk), 0) AS k FROM d)
+    SELECT event_type, CAST(n AS BIGINT) AS n, z, p, rk, bh_thresh,
+           CAST(CASE WHEN rk <= mx.k THEN 1 ELSE 0 END AS INT) AS discovery
+    FROM d CROSS JOIN mx ORDER BY rk
+"""
+
+
+@register("q_bh_fdr", sql=_BH_SQL)
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR control (q = 0.1) over the per-type
+    mean-value contrast tests (each event type vs the rest, Welch z
+    from integer sufficient statistics) — the multiple-testing
+    discipline the stats battery needs: run q_abtest-style tests per
+    segment and WITHOUT a correction ~10% of null segments "alert"
+    at p<0.1; BH keeps the expected false-discovery RATE at q.
+    discovery = 1 for every rank up to the largest k with
+    p_(k) <= k*q/m (the step-up rule: ranks below a passing rank are
+    discoveries even if their own threshold check failed).
+
+    Exactness: values ride the milli-int ladder (S, Q, n per group are
+    exact integers); z is one fixed float formula rounded 6dp; the
+    normal tail is the Abramowitz-Stegun 7.1.26 erfc polynomial
+    (+,-,*,/,exp only — no engine erf() dependence) rounded 9dp
+    BEFORE ranking, so p-order and every BH comparison are
+    engine-identical.
+
+    Scale shape: one map-side-combined per-type aggregate; everything
+    after runs on m = type-cardinality rows (the rank window included
+    — bounded by the segment domain, not the corpus)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1000)
+        .cast("long").alias("vm"),
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vm").alias("s"),
+        F.sum(F.col("vm") * F.col("vm")).alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("n_all"), F.sum("s").alias("s_all"),
+        F.sum("q").alias("q_all"), F.count(F.lit(1)).alias("m"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    n2 = F.col("n_all") - n
+    s2 = F.col("s_all") - s
+    q2 = F.col("q_all") - q
+    m1 = s / n.cast("double")
+    m2 = s2 / n2.cast("double")
+    var1 = (q - s * m1) / (n.cast("double") * (n - 1))
+    var2 = (q2 - s2 * m2) / (n2.cast("double") * (n2 - 1))
+    z_raw = F.round(
+        (m1 - m2) / F.sqrt(var1 + var2), 6
+    ) + F.lit(0.0)
+    zt = g.crossJoin(F.broadcast(tot)).select(
+        "event_type", "n", "m", z_raw.alias("z_raw")
+    )
+
+    x = F.abs(F.col("z_raw")) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    poly = None
+    tp = t
+    for a in _AS_A:
+        term = F.lit(a) * tp
+        poly = term if poly is None else poly + term
+        tp = tp * t
+    p_col = F.round(poly * F.exp(-(x * x)), 9)
+    p = zt.select(
+        "event_type", "n", "m", F.col("z_raw").alias("z"), p_col.alias("p")
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("p", "event_type")
+    r = p.withColumn("rk", F.row_number().over(w).cast("int"))
+    d = r.select(
+        "event_type", "n", "m", "z", "p", "rk",
+        F.round(F.col("rk") * F.lit(0.1) / F.col("m"), 9).alias("bh_thresh"),
+        F.when(
+            F.col("p") <= F.col("rk") * F.lit(0.1) / F.col("m"), F.col("rk")
+        ).alias("pass_rk"),
+    )
+    mx = d.agg(F.coalesce(F.max("pass_rk"), F.lit(0)).alias("k"))
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type", F.col("n").cast("long").alias("n"), "z", "p",
+            "rk", "bh_thresh",
+            (F.col("rk") <= F.col("k")).cast("int").alias("discovery"),
+        )
+        .orderBy("rk")
+    )

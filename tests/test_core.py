@@ -984,3 +984,61 @@ def test_propensity_match_laws(spark, sf_dir):
         assert abs(r["ctrl_score3"] - best) < 1e-9, (r["score3"], best)
         assert abs(r["att_cell"] - (r["y_treat"] - r["y_ctrl"])) < 2e-6
     assert set(ctrl) <= set(all_ctrl)
+
+
+def test_bh_fdr_erfc_parity_and_step_up(spark, sf_dir, tmp_path):
+    """BH laws on the fixture: ranks are a permutation 1..m ordered by
+    p; every p equals erfc(|z|/sqrt(2)) within the A-S 7.1.26 bound
+    (1.5e-7); discovery replays the step-up rule.  Then a PLANTED
+    shifted segment in a synthetic events table must be discovered
+    (non-vacuous step-up: the planted type passes, nulls don't)."""
+    import datetime
+    import math
+
+    from pyspark.sql import Row
+
+    from shadems_spark.queries import load_registry
+
+    qfn = load_registry()["q_bh_fdr"][0]
+    rows = qfn(spark, sf_dir).collect()
+    m = len(rows)
+    assert sorted(r["rk"] for r in rows) == list(range(1, m + 1))
+    ps = [r["p"] for r in sorted(rows, key=lambda r: r["rk"])]
+    assert ps == sorted(ps)
+    k = max((r["rk"] for r in rows if r["p"] <= r["rk"] * 0.1 / m), default=0)
+    for r in rows:
+        assert abs(r["p"] - math.erfc(abs(r["z"]) / math.sqrt(2))) < 1.5e-7
+        assert abs(r["bh_thresh"] - r["rk"] * 0.1 / m) < 1e-9
+        assert r["discovery"] == (1 if r["rk"] <= k else 0)
+
+    # planted effect: 9 null types share the IDENTICAL value multiset
+    # (their one-vs-rest z reflects only the planted type's small
+    # contamination of "rest"); the planted type is shifted by +1.0.
+    base = datetime.datetime(2024, 1, 1)
+    recs = []
+    eid = 0
+    types = [f"null{i}" for i in range(9)] + ["shifted"]
+    for t in types:
+        for i in range(200):
+            eid += 1
+            val = 10.0 + ((i * 2654435761) % 1000) / 250.0 + (
+                1.0 if t == "shifted" else 0.0
+            )
+            recs.append(
+                Row(
+                    event_id=eid,
+                    ts=base + datetime.timedelta(minutes=eid),
+                    user_id=eid % 50,
+                    event_type=t,
+                    value=val,
+                    props="{}",
+                )
+            )
+    spark.createDataFrame(recs).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    planted = {r["event_type"]: r for r in qfn(spark, str(tmp_path)).collect()}
+    assert planted["shifted"]["discovery"] == 1
+    assert planted["shifted"]["rk"] == 1
+    for i in range(9):
+        assert planted[f"null{i}"]["discovery"] == 0
