@@ -484,3 +484,76 @@ def bloom_bits_from_hash(h, m: int, k: int):
             for j in range(k)
         ]
     )
+
+
+def _offsets_row_max(maxima: DataFrame, src: str) -> DataFrame:
+    """Max-scan sibling of :func:`_offsets_row`: fold the <= n_parts
+    per-bucket maxima (keyed ``__b``) into one broadcast row with a
+    ``__offmap_<src>`` map from bucket id to the EXCLUSIVE prefix MAX
+    over prior buckets (null for the first bucket / all-prior-null —
+    the scan identity, since max has no integer zero).  Same shape
+    and the same zero-empty-partition-window property."""
+    pn = F.sort_array(
+        F.collect_list(F.struct(F.col("__b"), F.col(src)))
+    )
+    row = maxima.agg(pn.alias("__pn"))
+    offmap = F.map_from_entries(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__pn")),
+            lambda i: F.struct(
+                F.element_at("__pn", i)["__b"].alias("k"),
+                F.aggregate(
+                    F.slice("__pn", F.lit(1), i - 1),
+                    F.lit(None).cast("long"),
+                    lambda a, x: F.greatest(a, x[src]),
+                ).alias("v"),
+            ),
+        )
+    )
+    return row.select(offmap.alias(f"__offmap_{src}"))
+
+
+def global_cummax(
+    df: DataFrame,
+    order: list,
+    src: str,
+    out: str,
+    n_parts: int | None = None,
+    bucket_key: Column | None = None,
+) -> DataFrame:
+    """EXCLUSIVE prefix maximum of ``src`` (long) in total ``order``
+    without a single-partition window — the scan primitive under the
+    skyline/staircase family (dominance tests reduce to "max of a
+    measure over everything strictly before me").
+
+    Two-phase like :func:`global_cumsum`: deterministic value-cut
+    buckets, a LOCAL exclusive running max within each bucket
+    (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING), then greatest() with
+    the prior buckets' max from one broadcast offsets row.  ``out``
+    is null when nothing precedes the row (the scan identity).
+    The order must be total (callers pass distinct keys), so peers
+    never straddle the exclusive boundary."""
+    from pyspark.sql import Window
+
+    cols = _order_cols(order)
+    parts = _bucketed(df, order, n_parts, bucket_key, False)
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn("__lm", F.max(src).over(w_local))
+    maxima = parts.groupBy("__b").agg(
+        F.max(src).cast("long").alias("__m")
+    )
+    res = (
+        local.crossJoin(F.broadcast(_offsets_row_max(maxima, "__m")))
+        .withColumn(
+            out,
+            F.greatest(
+                F.col("__lm"),
+                F.element_at("__offmap___m", F.col("__b")),
+            ),
+        )
+    )
+    return res.drop("__b", "__lm", "__offmap___m")

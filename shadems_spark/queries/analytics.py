@@ -3835,3 +3835,76 @@ def q_bh_fdr(spark, sf_dir):
         )
         .orderBy("rk")
     )
+
+
+_SKY_SQL = """
+    WITH pr AS (SELECT round(o_totalprice, 2) AS p,
+                       datediff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS d_ep
+                FROM orders),
+    cand AS (SELECT p, CAST(max(d_ep) AS BIGINT) AS d FROM pr GROUP BY 1),
+    m AS (SELECT p, d,
+                 max(d) OVER (ORDER BY p
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS m_lt
+          FROM cand),
+    sky AS (SELECT p, d FROM m WHERE m_lt IS NULL OR m_lt < d),
+    cnt AS (SELECT p, d_ep AS d, count(*) AS n FROM pr GROUP BY 1, 2)
+    SELECT sky.p AS price,
+           CAST(DATE '1970-01-01' + INTERVAL (sky.d) DAY AS DATE) AS day,
+           CAST(cnt.n AS BIGINT) AS n_at_point
+    FROM sky JOIN cnt ON sky.p = cnt.p AND sky.d = cnt.d
+    ORDER BY 1
+"""
+
+
+@register("q_skyline", sql=_SKY_SQL)
+def q_skyline(spark, sf_dir):
+    """2-D skyline (Pareto front) of orders under (minimize price,
+    maximize recency) — the classic dominance operator (Borzsony-
+    Kossmann-Stocker ICDE'01): an order point survives iff nothing is
+    both cheaper-or-equal and at-least-as-recent (one strict).  The
+    result is the Pareto staircase (cheaper survivors are strictly
+    older, pricier ones strictly more recent), with
+    the multiplicity of each surviving (price, day) point attached.
+
+    2-D reduction: collapse to per-distinct-price max-recency
+    candidates (same-price points with smaller d are dominated by
+    their own group max; equal (p, d) duplicates merge into one
+    multiplicity row), then a point survives iff the EXCLUSIVE prefix
+    max of recency over all strictly-cheaper prices is below its own
+    — i.e. skyline = one distributed exclusive max-scan
+    (operators/profile.global_cummax, the two-phase value-cut shape:
+    no single-partition window even though distinct prices grow
+    linearly with the corpus).
+
+    Exactness: prices pre-rounded to cents (the cardinality-bounding
+    pre-round is NOT needed for correctness here — the scan is
+    two-phase — but keeps float equality grouping deterministic);
+    recency is an epoch-day integer; the dominance test is pure
+    integer/rounded-double comparison."""
+    from shadems_spark.operators.profile import global_cummax
+
+    o = load_table(spark, sf_dir, "orders")
+    pr = o.select(
+        F.round("o_totalprice", 2).alias("p"),
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias(
+            "d_ep"
+        ),
+    )
+    cand = pr.groupBy("p").agg(F.max("d_ep").cast("long").alias("d"))
+    sky = global_cummax(cand, ["p"], "d", "m_lt").filter(
+        F.col("m_lt").isNull() | (F.col("m_lt") < F.col("d"))
+    )
+    cnt = pr.groupBy("p", F.col("d_ep").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_at_point")
+    )
+    return (
+        sky.join(cnt, ["p", "d"])
+        .select(
+            F.col("p").alias("price"),
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")).alias("day"),
+            "n_at_point",
+        )
+        .orderBy("price")
+    )

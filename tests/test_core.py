@@ -1042,3 +1042,40 @@ def test_bh_fdr_erfc_parity_and_step_up(spark, sf_dir, tmp_path):
     assert planted["shifted"]["rk"] == 1
     for i in range(9):
         assert planted[f"null{i}"]["discovery"] == 0
+
+
+def test_skyline_brute_parity_and_staircase(spark, sf_dir):
+    """Skyline laws: result equals the brute-force dominance
+    definition replayed in Python over all (price, day) points, and
+    the front is a strict staircase — under (min price, max recency)
+    a MORE expensive survivor must be strictly MORE recent than every
+    cheaper one, so price ascending => day strictly ascending."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_skyline"][0](spark, sf_dir).collect()
+    assert rows
+    days = [r["day"] for r in sorted(rows, key=lambda r: r["price"])]
+    assert all(a < b for a, b in zip(days, days[1:]))
+
+    o = load_table(spark, sf_dir, "orders")
+    pts = [
+        (r["p"], r["d"])
+        for r in o.select(
+            F.round("o_totalprice", 2).alias("p"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        ).collect()
+    ]
+    uniq = set(pts)
+    sky = {
+        (p, d)
+        for (p, d) in uniq
+        if not any(
+            p2 <= p and d2 >= d and (p2 < p or d2 > d) for (p2, d2) in uniq
+        )
+    }
+    got = {(r["price"], r["day"]) for r in rows}
+    assert got == sky
+    from collections import Counter
+    mult = Counter(pts)
+    for r in rows:
+        assert r["n_at_point"] == mult[(r["price"], r["day"])]

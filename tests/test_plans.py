@@ -498,7 +498,7 @@ def test_isotonic_bin_bounded_joins(spark):
 #: windows partition on __pid / bounded keys.
 _NO_GLOBAL_WINDOW = [
     "q_ks_test", "q_mannwhitney", "q_best_split", "q_psi", "q_rfm",
-    "q_curriculum", "q_auc", "q_global_index",
+    "q_curriculum", "q_auc", "q_global_index", "q_skyline",
 ]
 
 
