@@ -3908,3 +3908,202 @@ def q_skyline(spark, sf_dir):
         )
         .orderBy("price")
     )
+
+
+_MA_SWEEPS = 12
+
+
+def _ma_sql(sweeps: int = _MA_SWEEPS) -> str:
+    """Unrolled DuckDB replay of the Markov removal-effect solve:
+    the same journey/transition CTEs, then `sweeps` value-iteration
+    steps for the base chain (b1..bN) and the per-channel removal
+    chains (r1..rN, channel as a data dimension) with every step's
+    per-edge contribution round()ed to a nano int before the sum —
+    bit-parity with the engine's HOF fold."""
+    head = """
+    WITH e AS (SELECT user_id, event_type, ts, event_id,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+    fp AS (SELECT user_id, min(rn) AS prn FROM e
+           WHERE event_type = 'purchase' GROUP BY 1),
+    j AS (SELECT e.user_id, e.event_type, e.rn
+          FROM e LEFT JOIN fp USING (user_id)
+          WHERE fp.prn IS NULL OR e.rn <= fp.prn),
+    j2 AS (SELECT user_id, event_type, rn,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY rn) AS nxt
+           FROM j),
+    trans AS (
+      SELECT event_type AS s, coalesce(nxt, 'NULL') AS t
+      FROM j2 WHERE event_type != 'purchase'
+      UNION ALL
+      SELECT 'START' AS s, event_type AS t FROM j2 WHERE rn = 1),
+    cnts AS (SELECT s, t, count(*) AS cnt FROM trans GROUP BY 1, 2),
+    outd AS (SELECT s, sum(cnt) AS out_n FROM cnts GROUP BY 1),
+    mat AS MATERIALIZED (SELECT c.s, c.t, c.cnt, o.out_n
+            FROM cnts c JOIN outd o USING (s) WHERE c.t != 'NULL'),
+    states AS (SELECT DISTINCT s FROM mat),
+    chans AS (SELECT s AS ch FROM states WHERE s != 'START'),
+    b0 AS (SELECT s, CAST(0 AS BIGINT) AS p FROM states),
+    r0 AS (SELECT c.ch, s.s, CAST(0 AS BIGINT) AS p
+           FROM chans c CROSS JOIN states s)"""
+    parts = [head]
+    for k in range(1, sweeps + 1):
+        parts.append(f""",
+    b{k} AS (SELECT m.s,
+      CAST(sum(round(m.cnt * (CASE WHEN m.t = 'purchase'
+                                   THEN 1000000000
+                                   ELSE coalesce(p.p, 0) END)
+                     / m.out_n)) AS BIGINT) AS p
+      FROM mat m LEFT JOIN b{k - 1} p ON p.s = m.t GROUP BY m.s),
+    r{k} AS (SELECT c.ch, m.s,
+      CAST(sum(round(m.cnt * (CASE WHEN m.t = 'purchase'
+                                   THEN 1000000000
+                                   WHEN m.t = c.ch THEN 0
+                                   ELSE coalesce(p.p, 0) END)
+                     / m.out_n)) AS BIGINT) AS p
+      FROM chans c JOIN mat m ON true
+      LEFT JOIN r{k - 1} p ON p.ch = c.ch AND p.s = m.t
+      GROUP BY c.ch, m.s)""")
+    parts.append(f""",
+    base AS (SELECT p AS base_n FROM b{sweeps} WHERE s = 'START'),
+    rem AS (SELECT ch, p AS removed_n FROM r{sweeps} WHERE s = 'START'),
+    re AS (SELECT ch AS channel, base_n, removed_n,
+                  greatest(base_n - removed_n, 0) AS re_nano
+           FROM rem CROSS JOIN base),
+    tt AS (SELECT sum(re_nano) AS re_tot FROM re)
+    SELECT channel,
+           round(base_n / 1e9, 6) AS base_conv,
+           round(removed_n / 1e9, 6) AS removed_conv,
+           CAST(re_nano AS BIGINT) AS re_nano,
+           CASE WHEN tt.re_tot > 0
+                THEN round(re_nano / CAST(tt.re_tot AS DOUBLE), 6)
+           END AS share
+    FROM re CROSS JOIN tt ORDER BY channel""")
+    return "".join(parts)
+
+
+@register("q_markov_attribution", sql=_ma_sql())
+def q_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution (Anderl et al. 2016 — the
+    data-driven successor to q_attribution's last-touch rule): model
+    per-user journeys START -> events -> first purchase (absorbing) /
+    NULL (journey end), then each channel's credit is its REMOVAL
+    EFFECT — how much the absorption (conversion) probability drops
+    when all mass entering that channel is redirected to NULL.
+    Shares normalize the removal effects over channels.
+
+    The absorption probability is 12 fixed value-iteration sweeps of
+    p(s) <- sum_t P(s, t) * p(t) with p(purchase) = 1 (the pagerank
+    fixed-sweep protocol); removing channel c is exactly "force
+    p(c) = 0 in every sweep".  Every per-edge contribution
+    round(cnt * p_t / out) is a nano int BEFORE the sum, so sweeps
+    are engine/layout-exact and the unrolled-CTE oracle (_ma_sql)
+    hash-matches.
+
+    Scale shape: journeys/transitions are per-user windows (keyed,
+    data-sized — the only heavy stage); the matrix collapses to
+    event-type^2 rows gathered into ONE in-plan row, and ALL 12x5
+    sweep evaluations run as higher-order-function folds inside a
+    single projection over that row — no per-iteration shuffles, no
+    driver-side solve."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    j = e.join(fp, "user_id", "left").filter(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    j2 = j.withColumn("nxt", F.lead("event_type").over(w2))
+    steps = j2.filter(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("s"),
+        F.coalesce("nxt", F.lit("NULL")).alias("t"),
+    )
+    starts = j2.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("s"), F.col("event_type").alias("t")
+    )
+    counts = (
+        steps.unionByName(starts)
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = counts.groupBy("s").agg(F.sum("cnt").alias("out_n"))
+    mat = counts.filter(F.col("t") != "NULL").join(F.broadcast(out), "s")
+    one = mat.agg(
+        F.sort_array(
+            F.collect_list(F.struct("s", "t", "cnt", "out_n"))
+        ).alias("m"),
+        F.array_sort(F.collect_set("s")).alias("states"),
+    )
+
+    zero = F.lit(0).cast("long")
+
+    def p_of(acc, t, ch):
+        base = F.when(t == F.lit("purchase"), F.lit(10**9).cast("long"))
+        if ch is not None:
+            base = base.when(t == ch, zero)
+        return base.otherwise(F.coalesce(F.element_at(acc, t), zero))
+
+    def solve(ch):
+        init = F.map_from_arrays(
+            F.col("states"), F.transform(F.col("states"), lambda s: zero)
+        )
+
+        def step(acc, _):
+            vals = F.transform(
+                F.col("states"),
+                lambda s: F.aggregate(
+                    F.filter(F.col("m"), lambda m: m["s"] == s),
+                    zero,
+                    lambda a, m: a
+                    + F.round(
+                        m["cnt"] * p_of(acc, m["t"], ch) / m["out_n"]
+                    ).cast("long"),
+                ),
+            )
+            return F.map_from_arrays(F.col("states"), vals)
+
+        final = F.aggregate(
+            F.sequence(F.lit(1), F.lit(_MA_SWEEPS)), init, step
+        )
+        return F.coalesce(F.element_at(final, F.lit("START")), zero)
+
+    row = one.select(
+        F.explode(F.array_remove("states", "START")).alias("channel"),
+        "m", "states",
+    )
+    sc = row.select(
+        "channel",
+        solve(None).alias("base_n"),
+        solve(F.col("channel")).alias("removed_n"),
+    ).withColumn(
+        "re_nano",
+        F.greatest(F.col("base_n") - F.col("removed_n"), zero),
+    )
+    tt = sc.agg(F.sum("re_nano").alias("re_tot"))
+    return (
+        sc.crossJoin(F.broadcast(tt))
+        .select(
+            "channel",
+            F.round(F.col("base_n") / F.lit(1e9), 6).alias("base_conv"),
+            F.round(F.col("removed_n") / F.lit(1e9), 6).alias(
+                "removed_conv"
+            ),
+            F.col("re_nano").cast("long").alias("re_nano"),
+            F.when(
+                F.col("re_tot") > 0,
+                F.round(
+                    F.col("re_nano") / F.col("re_tot").cast("double"), 6
+                ),
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )

@@ -1079,3 +1079,79 @@ def test_skyline_brute_parity_and_staircase(spark, sf_dir):
     mult = Counter(pts)
     for r in rows:
         assert r["n_at_point"] == mult[(r["price"], r["day"])]
+
+
+def test_markov_attribution_python_replay(spark, sf_dir):
+    """Full independent replay: rebuild journeys (truncate at first
+    purchase), transition counts, and the 12 nano-int value-iteration
+    sweeps (base + per-channel removal) in pure Python from the raw
+    events; every engine column must match.  Plus the model laws:
+    removal never increases conversion, and shares are a distribution
+    over channels."""
+    import math
+
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_markov_attribution"][0](spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns", "event_id"
+    ).collect()
+    seqs = {}
+    # engine windows order by the µs-truncated ts with event_id
+    # tie-break — replay must truncate the same way
+    for r in sorted(
+        ev, key=lambda r: (r["user_id"], r["ts_ns"] // 1000, r["event_id"])
+    ):
+        seqs.setdefault(r["user_id"], []).append(r["event_type"])
+    trans = {}
+    for seq in seqs.values():
+        if "purchase" in seq:
+            seq = seq[: seq.index("purchase") + 1]
+        path = ["START"] + seq + ([] if seq[-1] == "purchase" else ["NULL"])
+        for s, t in zip(path, path[1:]):
+            if s != "purchase":
+                trans[(s, t)] = trans.get((s, t), 0) + 1
+    out = {}
+    for (s, _), c in trans.items():
+        out[s] = out.get(s, 0) + c
+    mat = [(s, t, c, out[s]) for (s, t), c in trans.items() if t != "NULL"]
+    states = sorted({s for s, *_ in mat})
+
+    def rnd(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    def solve(forced=None):
+        p = {s: 0 for s in states}
+        for _ in range(12):
+            np_ = {}
+            for s in states:
+                tot = 0
+                for s2, t, c, o in mat:
+                    if s2 != s:
+                        continue
+                    pt = (
+                        10**9 if t == "purchase"
+                        else 0 if t == forced
+                        else p.get(t, 0)
+                    )
+                    tot += rnd(c * pt / o)
+                np_[s] = tot
+            p = np_
+        return p.get("START", 0)
+
+    base = solve()
+    chans = [s for s in states if s != "START"]
+    re = {c: max(base - solve(c), 0) for c in chans}
+    re_tot = sum(re.values())
+    got = {r["channel"]: r for r in rows}
+    assert set(got) == set(chans)
+    for c in chans:
+        r = got[c]
+        assert abs(r["base_conv"] - base / 1e9) < 1e-6
+        assert r["re_nano"] == re[c]
+        assert r["removed_conv"] <= r["base_conv"] + 1e-9
+        if re_tot > 0:
+            assert abs(r["share"] - re[c] / re_tot) < 1e-6
+    if re_tot > 0:
+        assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-5
