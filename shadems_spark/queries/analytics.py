@@ -4107,3 +4107,202 @@ def q_markov_attribution(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+_SHAP_FACT = [(0, 1), (1, 1), (2, 2), (3, 6), (4, 24), (5, 120),
+              (6, 720), (7, 5040), (8, 40320)]
+
+_SHAP_SQL = f"""
+    WITH e AS (SELECT user_id, event_type, ts, event_id,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+    fp AS (SELECT user_id, min(rn) AS prn FROM e
+           WHERE event_type = 'purchase' GROUP BY 1),
+    j AS (SELECT e.user_id, e.event_type, e.rn
+          FROM e LEFT JOIN fp USING (user_id)
+          WHERE fp.prn IS NULL OR e.rn <= fp.prn),
+    users AS (SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS conv
+              FROM j GROUP BY 1),
+    touched AS (SELECT DISTINCT user_id, event_type
+                FROM j WHERE event_type != 'purchase'),
+    tb AS (SELECT event_type,
+                  CAST(row_number() OVER (ORDER BY event_type) - 1 AS INT)
+                      AS b
+           FROM (SELECT DISTINCT event_type FROM touched)),
+    kk AS (SELECT count(*) AS k FROM tb),
+    um AS (SELECT t.user_id, bit_or(1 << tb.b) AS mask
+           FROM touched t JOIN tb USING (event_type) GROUP BY 1),
+    mk AS (SELECT coalesce(um.mask, 0) AS mask, u.conv
+           FROM users u LEFT JOIN um USING (user_id)),
+    magg AS MATERIALIZED (SELECT mask, count(*) AS n, sum(conv) AS nc
+                          FROM mk GROUP BY 1),
+    subs AS (SELECT unnest(range(0, (SELECT 1 << k FROM kk))) AS s),
+    v AS MATERIALIZED (
+      SELECT s.s,
+             CASE WHEN coalesce(sum(m.n), 0) > 0
+                  THEN CAST(round(1e9 * sum(m.nc) / sum(m.n)) AS BIGINT)
+                  ELSE 0 END AS v
+      FROM subs s LEFT JOIN magg m ON (m.mask & s.s) = m.mask
+      GROUP BY s.s),
+    fct AS (SELECT * FROM (VALUES
+            {", ".join(f"({n}, {f})" for n, f in _SHAP_FACT)}) AS t(n, v)),
+    con AS (SELECT c.event_type AS channel,
+                   CAST(sum(f1.v * f2.v * (vc.v - vs.v)) AS BIGINT) AS num
+            FROM tb c
+            JOIN v vs ON (vs.s & (1 << c.b)) = 0
+            JOIN v vc ON vc.s = (vs.s | (1 << c.b))
+            JOIN fct f1 ON f1.n = bit_count(vs.s)
+            JOIN fct f2 ON f2.n = (SELECT k FROM kk) - 1 - bit_count(vs.s)
+            GROUP BY 1),
+    tot AS (SELECT sum(num) AS t FROM con),
+    fk AS (SELECT v AS fkv FROM fct WHERE n = (SELECT k FROM kk))
+    SELECT channel,
+           CAST(num AS BIGINT) AS num_nano,
+           round(num / fkv / 1e9, 6) AS shapley,
+           CASE WHEN tot.t != 0
+                THEN round(num / CAST(tot.t AS DOUBLE), 6)
+           END AS share
+    FROM con CROSS JOIN fk CROSS JOIN tot ORDER BY channel
+"""
+
+
+@register("q_shapley_attribution", sql=_SHAP_SQL)
+def q_shapley_attribution(spark, sf_dir):
+    """Shapley-value channel attribution (the game-theoretic twin of
+    q_markov_attribution — together the two canonical data-driven
+    attribution models): the coalition value v(S) is the conversion
+    rate of journeys whose touched-channel set is CONTAINED in S, and
+    each channel's credit is its exact Shapley value
+    sum_S |S|! (k-1-|S|)! / k! * (v(S+c) - v(S)).
+
+    Exactness: v(S) is nano-int-rounded from exact conversion/user
+    counts; Shapley numerators are pure BIGINT sums of
+    fact*fact*(delta-v) terms (|num| <= 8! * 1e9 * 2^k — inside long
+    for the k <= 8 contract this query documents); the two divisions
+    (k!, 1e9) happen once at the end.  The efficiency law
+    sum shapley = v(full) - v(empty) is pinned in tests.
+
+    Scale shape: journeys/touch-sets are per-user keyed aggregates
+    (the only data-sized stages); everything after runs on <= 2^k
+    coalition masks folded in-plan (broadcast one-row tables) — no
+    driver-side solve, no per-coalition scan of the data (the naive
+    formulation rescans per coalition; the mask aggregate + subset
+    zeta-sum gets all 2^k values from ONE pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    j = e.join(fp, "user_id", "left").filter(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    )
+    users = j.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    touched = (
+        j.filter(F.col("event_type") != "purchase")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    wb = Window.partitionBy(F.lit(0)).orderBy("event_type")
+    tb = (
+        touched.select("event_type")
+        .distinct()
+        .withColumn("b", (F.row_number().over(wb) - 1).cast("int"))
+    )
+    um = (
+        touched.join(F.broadcast(tb), "event_type")
+        .groupBy("user_id")
+        .agg(F.bit_or(F.expr("shiftleft(1, b)")).alias("mask"))
+    )
+    mk = users.join(um, "user_id", "left").select(
+        F.coalesce("mask", F.lit(0)).alias("mask"), "conv"
+    )
+    magg = mk.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("nc")
+    )
+    chs = tb.agg(
+        F.sort_array(F.collect_list(F.struct("event_type", "b"))).alias(
+            "chs"
+        )
+    )
+    one = magg.agg(
+        F.sort_array(F.collect_list(F.struct("mask", "n", "nc"))).alias("ms")
+    ).crossJoin(F.broadcast(chs))
+
+    zero = F.lit(0).cast("long")
+
+    def fact(c):
+        e_ = F.when(c == 0, F.lit(1).cast("long"))
+        for n, f in _SHAP_FACT[1:]:
+            e_ = e_.when(c == n, F.lit(f).cast("long"))
+        return e_
+
+    k = F.size("chs")
+    subsets = F.expr("sequence(0, shiftleft(1, size(chs)) - 1)")
+    v_map = F.map_from_entries(
+        F.transform(
+            subsets,
+            lambda s: F.struct(
+                s.alias("k"),
+                F.aggregate(
+                    F.filter(
+                        F.col("ms"),
+                        lambda m: m["mask"].bitwiseAND(s) == m["mask"],
+                    ),
+                    F.struct(zero.alias("n"), zero.alias("nc")),
+                    lambda a, m: F.struct(
+                        (a["n"] + m["n"]).alias("n"),
+                        (a["nc"] + m["nc"]).alias("nc"),
+                    ),
+                    lambda a: F.when(
+                        a["n"] > 0,
+                        F.round(F.lit(1e9) * a["nc"] / a["n"]).cast("long"),
+                    ).otherwise(zero),
+                ).alias("v"),
+            ),
+        )
+    )
+    row = one.select(
+        F.explode("chs").alias("ch"), "ms", "chs", v_map.alias("vm")
+    )
+    bit = F.expr("shiftleft(1, ch.b)")
+    num = F.aggregate(
+        F.filter(
+            F.expr("sequence(0, shiftleft(1, size(chs)) - 1)"),
+            lambda s: s.bitwiseAND(bit) == 0,
+        ),
+        zero,
+        lambda a, s: a
+        + fact(F.bit_count(s))
+        * fact(k - 1 - F.bit_count(s))
+        * (
+            F.element_at(F.col("vm"), s.bitwiseOR(bit))
+            - F.element_at(F.col("vm"), s)
+        ),
+    )
+    sc = row.select(
+        F.col("ch")["event_type"].alias("channel"),
+        num.cast("long").alias("num_nano"),
+        F.round(num / fact(k) / F.lit(1e9), 6).alias("shapley"),
+    )
+    tot = sc.agg(F.sum("num_nano").alias("t"))
+    return (
+        sc.crossJoin(F.broadcast(tot))
+        .select(
+            "channel", "num_nano", "shapley",
+            F.when(
+                F.col("t") != 0,
+                F.round(F.col("num_nano") / F.col("t").cast("double"), 6),
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )

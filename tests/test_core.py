@@ -1155,3 +1155,71 @@ def test_markov_attribution_python_replay(spark, sf_dir):
             assert abs(r["share"] - re[c] / re_tot) < 1e-6
     if re_tot > 0:
         assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-5
+
+
+def test_shapley_attribution_replay_and_efficiency(spark, sf_dir):
+    """Full Python replay of the coalition model (journeys truncated
+    at first purchase, touched-set masks, nano-int v(S), exact
+    integer Shapley numerators) plus the efficiency law:
+    sum of Shapley values == v(full) - v(empty) exactly in the
+    integer domain (num_nano sums to fact(k) * (v_full - v_empty))."""
+    import math
+    from itertools import combinations
+
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_shapley_attribution"][0](spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns", "event_id"
+    ).collect()
+    seqs = {}
+    for r in sorted(
+        ev, key=lambda r: (r["user_id"], r["ts_ns"] // 1000, r["event_id"])
+    ):
+        seqs.setdefault(r["user_id"], []).append(r["event_type"])
+    users = []
+    for seq in seqs.values():
+        if "purchase" in seq:
+            seq = seq[: seq.index("purchase") + 1]
+            conv = 1
+        else:
+            conv = 0
+        users.append((frozenset(t for t in seq if t != "purchase"), conv))
+    chans = sorted({c for s, _ in users for c in s})
+    k = len(chans)
+    bit = {c: 1 << i for i, c in enumerate(chans)}
+
+    def mask(s):
+        return sum(bit[c] for c in s)
+
+    magg = {}
+    for s, conv in users:
+        m = mask(s)
+        n, nc = magg.get(m, (0, 0))
+        magg[m] = (n + 1, nc + conv)
+
+    def rnd(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    def v(S):
+        n = sum(nn for m, (nn, _) in magg.items() if (m & S) == m)
+        nc = sum(cc for m, (_, cc) in magg.items() if (m & S) == m)
+        return rnd(1e9 * nc / n) if n > 0 else 0
+
+    f = [math.factorial(i) for i in range(k + 1)]
+    got = {r["channel"]: r for r in rows}
+    assert set(got) == set(chans)
+    nums = {}
+    for c in chans:
+        num = 0
+        for S in range(1 << k):
+            if S & bit[c]:
+                continue
+            s_sz = bin(S).count("1")
+            num += f[s_sz] * f[k - 1 - s_sz] * (v(S | bit[c]) - v(S))
+        nums[c] = num
+        assert got[c]["num_nano"] == num, c
+        assert abs(got[c]["shapley"] - num / f[k] / 1e9) < 1e-6
+    # efficiency: sum num == k! * (v(full) - v(empty))
+    assert sum(nums.values()) == f[k] * (v((1 << k) - 1) - v(0))
