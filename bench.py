@@ -85,6 +85,18 @@ HEADLINE = [
     "q_rfm",
     "q_attribution",
     "q_benford",
+    # round-6 session additions: hybrid retrieval fusion, the
+    # time-series decomposition/forecast pair, the skyline max-scan,
+    # and the two data-driven attribution models (each a distinct
+    # plan family: dual-ranker fusion join, grid windows + HOF fold,
+    # two-phase exclusive max-scan, in-plan value-iteration /
+    # coalition-zeta folds).
+    "q_rrf_fusion",
+    "q_stl_decompose",
+    "q_holt",
+    "q_skyline",
+    "q_markov_attribution",
+    "q_shapley_attribution",
 ]
 
 

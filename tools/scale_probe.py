@@ -259,6 +259,22 @@ PROBE_R5STATS = [
     "q_link_predict",
 ]
 
+#: round-6 session probe (--round6): fusion retrieval, time-series
+#: decomposition/forecast, privacy audits, causal matching, FDR,
+#: skyline and the two attribution models.
+PROBE_R6 = [
+    "q_rrf_fusion",
+    "q_stl_decompose",
+    "q_holt",
+    "q_skyline",
+    "q_markov_attribution",
+    "q_shapley_attribution",
+    "q_propensity_match",
+    "q_bh_fdr",
+    "q_dp_count",
+    "q_ldiversity",
+]
+
 #: key shift per copy — far above any real key at these scale factors.
 SHIFT = 100_000_000
 
@@ -362,6 +378,7 @@ def main() -> None:
     r4x100 = "--r4x100" in sys.argv
     round5 = "--round5" in sys.argv
     r5stats = "--r5stats" in sys.argv
+    round6 = "--round6" in sys.argv
     docs_only = dedup or retrieval
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 10
@@ -370,7 +387,7 @@ def main() -> None:
     suffix = (
         "_docs" if docs_only else "_r3" if round3 else "_r4" if round4
         else "_r4x100" if r4x100 else "_r5" if round5
-        else "_r5stats" if r5stats else ""
+        else "_r5stats" if r5stats else "_r6" if round6 else ""
     )
     scaled = os.path.join(repo, ".scratch", f"sfx{n}" + suffix)
 
@@ -384,6 +401,7 @@ def main() -> None:
         else PROBE_R4X100 if r4x100
         else PROBE_R5 if round5
         else PROBE_R5STATS if r5stats
+        else PROBE_R6 if round6
         else PROBE
     )
     names = [q for q in probe_set if q in registry]
@@ -397,6 +415,7 @@ def main() -> None:
             else ["documents", "events"] if round3
             else ["documents", "embeddings", "lineitem", "orders"] if r4x100
             else ["documents", "embeddings", "events"] if round5
+            else ["documents", "embeddings", "events", "orders"] if round6
             else ["documents", "embeddings", "events", "orders", "lineitem"]
             if r5stats
             else None
