@@ -2713,3 +2713,189 @@ def q_ldiversity(spark, sf_dir):
         ).alias("lang_entropy"),
         (F.col("l_distinct") < 3).cast("int").alias("at_risk"),
     ).orderBy("source", "len_bucket")
+
+
+def _als_solve_sql(src: str, key: str, f1: str, f2: str, out_k: str) -> str:
+    """One ALS half-sweep in DuckDB: per-``key`` 2x2 normal equations
+    from exact integer sufficient statistics over ``src`` (which
+    carries r and the fixed side's micro factors f1/f2), solved by the
+    closed-form inverse with ridge 0.1 — the identical expression
+    sequence the Spark side builds, so factors match bit-for-bit."""
+    return f"""
+      SELECT {key} AS {out_k},
+             CAST(round(((a22 / 1e12 + 0.1) * (b1 / 1e6)
+                         - (a12 / 1e12) * (b2 / 1e6))
+                        / ((a11 / 1e12 + 0.1) * (a22 / 1e12 + 0.1)
+                           - (a12 / 1e12) * (a12 / 1e12)) * 1e6)
+                  AS BIGINT) AS X1,
+             CAST(round(((a11 / 1e12 + 0.1) * (b2 / 1e6)
+                         - (a12 / 1e12) * (b1 / 1e6))
+                        / ((a11 / 1e12 + 0.1) * (a22 / 1e12 + 0.1)
+                           - (a12 / 1e12) * (a12 / 1e12)) * 1e6)
+                  AS BIGINT) AS X2
+      FROM (SELECT {key},
+                   sum({f1} * {f1}) AS a11, sum({f1} * {f2}) AS a12,
+                   sum({f2} * {f2}) AS a22,
+                   sum(r * {f1}) AS b1, sum(r * {f2}) AS b2
+            FROM {src} GROUP BY {key})"""
+
+
+_ALS_SQL = f"""
+    WITH p AS MATERIALIZED (
+      SELECT user_id AS u, event_type AS t, count(*) AS r
+      FROM events GROUP BY 1, 2),
+    tb AS (SELECT t, CAST(row_number() OVER (ORDER BY t) - 1 AS INT) AS b
+           FROM (SELECT DISTINCT t FROM p)),
+    y0 AS (SELECT t, CAST(1000000 AS BIGINT) AS Y1,
+                  CAST(100000 * (b + 1) AS BIGINT) AS Y2
+           FROM tb),
+    py0 AS (SELECT p.u, p.t, p.r, y0.Y1, y0.Y2 FROM p JOIN y0 USING (t)),
+    x1 AS MATERIALIZED ({_als_solve_sql("py0", "u", "Y1", "Y2", "u")}),
+    px1 AS (SELECT p.u, p.t, p.r, x1.X1 AS Y1, x1.X2 AS Y2
+            FROM p JOIN x1 USING (u)),
+    yn1 AS MATERIALIZED ({_als_solve_sql("px1", "t", "Y1", "Y2", "t")}),
+    py1 AS (SELECT p.u, p.t, p.r, yn1.X1 AS Y1, yn1.X2 AS Y2
+            FROM p JOIN yn1 USING (t)),
+    x2 AS MATERIALIZED ({_als_solve_sql("py1", "u", "Y1", "Y2", "u")}),
+    px2 AS (SELECT p.u, p.t, p.r, x2.X1 AS Y1, x2.X2 AS Y2
+            FROM p JOIN x2 USING (u)),
+    yn2 AS MATERIALIZED ({_als_solve_sql("px2", "t", "Y1", "Y2", "t")}),
+    err AS (SELECT p.t,
+                   CAST(round((p.r - (x2.X1 * y.X1 + x2.X2 * y.X2) / 1e12)
+                              * (p.r - (x2.X1 * y.X1 + x2.X2 * y.X2) / 1e12)
+                              * 1e6) AS BIGINT) AS e2
+            FROM p JOIN x2 USING (u) JOIN yn2 y USING (t)),
+    stats AS (SELECT t, count(*) AS n_users, sum(e2) AS se FROM err
+              GROUP BY 1)
+    SELECT s.t AS event_type,
+           CAST(s.n_users AS BIGINT) AS n_users,
+           round(y.X1 / 1e6, 6) AS y1,
+           round(y.X2 / 1e6, 6) AS y2,
+           round(sqrt(s.se / (s.n_users * 1e6)), 6) AS rmse
+    FROM stats s JOIN yn2 y USING (t) ORDER BY 1
+"""
+
+
+@register("q_als", sql=_ALS_SQL)
+def q_als(spark, sf_dir):
+    """Distributed ALS matrix factorization (rank 2, ridge 0.1, two
+    alternating sweeps) of the user x event-type interaction-count
+    matrix — the collaborative-filtering trainer beside q_lr_train /
+    q_kmeans in the iterative-ML family.  Each half-sweep solves
+    closed-form 2x2 ridge normal equations per entity over its
+    OBSERVED pairs (explicit-feedback ALS); output is the item-factor
+    table with per-type reconstruction RMSE.
+
+    Exactness protocol: factors live as MICRO ints; every sufficient
+    statistic (sum f_i*f_j, sum r*f_i) is an exact BIGINT sum of
+    micro-int products (order-free: |terms| <= 1e14, sums <= ~1e17 at
+    fixture user counts — at billions of users the A-matrix
+    accumulation would outgrow long and ride doubles or 128-bit,
+    documented trade); the 2x2 solve is one fixed float expression
+    sequence mirrored token-for-token in the oracle, re-rounded to
+    micro after each solve, so both engines and any layout produce
+    bit-identical factors.
+
+    Scale shape: the pair matrix (distinct (user, type)) is the only
+    data-sized table and is persisted once for all 4 half-sweeps + the
+    error pass; user-side solves are ONE map-side-combinable aggregate
+    after a BROADCAST join with the type-domain factor table; the
+    type-side solves shuffle only (user-key -> type-key) sufficient
+    statistics.  Per-sweep driver state: nothing — factors stay
+    distributed DataFrames end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.groupBy(
+            F.col("user_id").alias("u"), F.col("event_type").alias("t")
+        )
+        .agg(F.count(F.lit(1)).alias("r"))
+        .persist()
+    )
+    wb = Window.partitionBy(F.lit(0)).orderBy("t")
+    y0 = (
+        p.select("t").distinct()
+        .withColumn("b", F.row_number().over(wb) - 1)
+        .select(
+            "t",
+            F.lit(1_000_000).cast("long").alias("Y1"),
+            (F.lit(100_000) * (F.col("b") + 1)).cast("long").alias("Y2"),
+        )
+    )
+
+    def solve(src, key, out_k):
+        g = src.groupBy(F.col(key).alias(out_k)).agg(
+            F.sum(F.col("Y1") * F.col("Y1")).alias("a11"),
+            F.sum(F.col("Y1") * F.col("Y2")).alias("a12"),
+            F.sum(F.col("Y2") * F.col("Y2")).alias("a22"),
+            F.sum(F.col("r") * F.col("Y1")).alias("b1"),
+            F.sum(F.col("r") * F.col("Y2")).alias("b2"),
+        )
+        A11 = F.col("a11") / F.lit(1e12) + F.lit(0.1)
+        A12 = F.col("a12") / F.lit(1e12)
+        A22 = F.col("a22") / F.lit(1e12) + F.lit(0.1)
+        B1 = F.col("b1") / F.lit(1e6)
+        B2 = F.col("b2") / F.lit(1e6)
+        det = A11 * A22 - A12 * A12
+        x1 = (A22 * B1 - A12 * B2) / det
+        x2 = (A11 * B2 - A12 * B1) / det
+        return g.select(
+            out_k,
+            F.round(x1 * F.lit(1e6)).cast("long").alias("X1"),
+            F.round(x2 * F.lit(1e6)).cast("long").alias("X2"),
+        )
+
+    def attach(fact, key):
+        cols = (
+            F.broadcast(fact) if key == "t" else fact
+        )
+        return p.join(
+            cols.select(
+                F.col(key), F.col("X1").alias("Y1"), F.col("X2").alias("Y2")
+            ),
+            key,
+        )
+
+    py0 = p.join(F.broadcast(y0), "t")
+    x1 = solve(py0, "u", "u")
+    yn1 = solve(attach(x1, "u"), "t", "t")
+    x2 = solve(attach(yn1, "t"), "u", "u")
+    yn2 = solve(attach(x2, "u"), "t", "t")
+
+    pred = (F.col("X1") * F.col("YY1") + F.col("X2") * F.col("YY2")) / F.lit(
+        1e12
+    )
+    err = (
+        p.join(x2, "u")
+        .join(
+            F.broadcast(
+                yn2.select(
+                    "t",
+                    F.col("X1").alias("YY1"),
+                    F.col("X2").alias("YY2"),
+                )
+            ),
+            "t",
+        )
+        .select(
+            "t",
+            F.round((F.col("r") - pred) * (F.col("r") - pred) * F.lit(1e6))
+            .cast("long")
+            .alias("e2"),
+        )
+    )
+    stats = err.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("e2").alias("se")
+    )
+    return (
+        stats.join(yn2, "t")
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(F.col("X1") / F.lit(1e6), 6).alias("y1"),
+            F.round(F.col("X2") / F.lit(1e6), 6).alias("y2"),
+            F.round(
+                F.sqrt(F.col("se") / (F.col("n_users") * F.lit(1e6))), 6
+            ).alias("rmse"),
+        )
+        .orderBy("event_type")
+    )

@@ -731,3 +731,69 @@ def test_ldiversity_laws(spark, sf_dir):
         assert r["at_risk"] == (1 if r["l_distinct"] < 3 else 0)
         if r["lang_entropy"] >= math.log(3):
             assert r["at_risk"] == 0
+
+
+def test_als_numpy_replay(spark, sf_dir):
+    """Full replay of the 2-sweep micro-int ALS in numpy/python from
+    the raw pair counts: per-entity 2x2 ridge solves with the
+    identical expression order and micro re-rounding must reproduce
+    the engine's factor table and per-type RMSE exactly (1e-6)."""
+    import math
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_als"][0](spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events").groupBy(
+        "user_id", "event_type"
+    ).count().collect()
+    pairs = [(r["user_id"], r["event_type"], r["count"]) for r in ev]
+    types = sorted({t for _, t, _ in pairs})
+    Y = {t: (1_000_000, 100_000 * (i + 1)) for i, t in enumerate(types)}
+
+    def rnd(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    def solve(by_key, fixed):
+        out = {}
+        for k, prs in by_key.items():
+            a11 = sum(fixed[o][0] * fixed[o][0] for o, _ in prs)
+            a12 = sum(fixed[o][0] * fixed[o][1] for o, _ in prs)
+            a22 = sum(fixed[o][1] * fixed[o][1] for o, _ in prs)
+            b1 = sum(r * fixed[o][0] for o, r in prs)
+            b2 = sum(r * fixed[o][1] for o, r in prs)
+            A11 = a11 / 1e12 + 0.1
+            A12 = a12 / 1e12
+            A22 = a22 / 1e12 + 0.1
+            B1 = b1 / 1e6
+            B2 = b2 / 1e6
+            det = A11 * A22 - A12 * A12
+            out[k] = (
+                rnd((A22 * B1 - A12 * B2) / det * 1e6),
+                rnd((A11 * B2 - A12 * B1) / det * 1e6),
+            )
+        return out
+
+    by_u = {}
+    by_t = {}
+    for u, t, r in pairs:
+        by_u.setdefault(u, []).append((t, r))
+        by_t.setdefault(t, []).append((u, r))
+    X = solve(by_u, Y)
+    Y = solve(by_t, X)
+    X = solve(by_u, Y)
+    Y = solve(by_t, X)
+    se = {}
+    n = {}
+    for u, t, r in pairs:
+        pred = (X[u][0] * Y[t][0] + X[u][1] * Y[t][1]) / 1e12
+        se[t] = se.get(t, 0) + rnd((r - pred) * (r - pred) * 1e6)
+        n[t] = n.get(t, 0) + 1
+    got = {r["event_type"]: r for r in rows}
+    assert set(got) == set(types)
+    for t in types:
+        assert abs(got[t]["y1"] - Y[t][0] / 1e6) < 1e-6
+        assert abs(got[t]["y2"] - Y[t][1] / 1e6) < 1e-6
+        assert got[t]["n_users"] == n[t]
+        assert abs(got[t]["rmse"] - math.sqrt(se[t] / (n[t] * 1e6))) < 1e-6
