@@ -2651,3 +2651,108 @@ def q_clustering_coeff(spark, sf_dir):
         )
         .orderBy(F.col("lcc").desc(), "node")
     )
+
+
+def _dedup_eval_sql(threshold: float = 0.2) -> str:
+    """DuckDB replay of the candidate-quality evaluation: the exact
+    all-pairs gram-Jaccard relation is the ground truth, the xe
+    banding candidate set is the prediction, and the metrics row
+    counts their overlap — same gram/signature/band literals as
+    _minhash_xe_sql, so both sides see identical pair sets."""
+    return f"""
+    WITH {_xe_gram_ctes()},
+    {_xe_cand_ctes()},
+    sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+    ia AS (SELECT g1.doc_id AS id1, g2.doc_id AS id2, count(*) AS c
+           FROM g g1 JOIN g g2 ON g2.s = g1.s AND g1.doc_id < g2.doc_id
+           GROUP BY 1, 2),
+    truth AS (SELECT ia.id1, ia.id2
+              FROM ia JOIN sz s1 ON s1.doc_id = ia.id1
+                      JOIN sz s2 ON s2.doc_id = ia.id2
+              WHERE ia.c / CAST(s1.sz + s2.sz - ia.c AS DOUBLE)
+                    >= {threshold}),
+    tp AS (SELECT count(*) AS tp
+           FROM truth t JOIN cand c ON c.id1 = t.id1 AND c.id2 = t.id2),
+    nt AS (SELECT count(*) AS n_truth FROM truth),
+    nc AS (SELECT count(*) AS n_cand FROM cand)
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(tp AS BIGINT) AS tp,
+           round(tp / CAST(n_cand AS DOUBLE), 6) AS precision,
+           round(tp / CAST(n_truth AS DOUBLE), 6) AS recall,
+           round(2.0 * tp / (n_cand + n_truth), 6) AS f1
+    FROM tp CROSS JOIN nt CROSS JOIN nc
+    """
+
+
+@register("q_dedup_eval", sql=_dedup_eval_sql())
+def q_dedup_eval(spark, sf_dir):
+    """Candidate-generation quality of the MinHash banding index —
+    the dedup twin of q_ann_recall's retrieval measurement loop:
+    ground truth is the EXACT all-pairs 3-gram-Jaccard relation at
+    the pipeline threshold (0.2), prediction is the xe banding
+    candidate set, and the row reports candidate precision / recall /
+    F1.  Recall here is what banding can lose (missed dup pairs stay
+    in the corpus forever); precision is pure verify-stage cost
+    (false candidates are filtered, not shipped) — the knob the
+    (bands, rows) trade-off tunes.
+
+    Exactness: both pair sets are engine-exact (integer gram/affine
+    hashes; the exact side is the same co-count join the verify stage
+    runs); the metrics are integer counts and three one-shot
+    divisions (f1 via the 2tp/(pred+truth) identity — no compounded
+    rounding).
+
+    Scale shape: the banding side is bucket-bounded as in production;
+    the exact all-pairs side is the EVALUATION cost — gram-cooccur
+    joins are quadratic in hot grams, so at corpus scale this query
+    runs on a sampled slice (the measurement, not the pipeline,
+    samples)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = D.tracked_persist(
+        D.doc_grams(docs, family="xe"), key="dedup_eval_grams"
+    )
+    sigs = D.minhash_signatures_from_grams(grams, family="xe")
+    cand = D.lsh_candidate_pairs(sigs, family="xe")
+    sz = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    g1 = grams.select(F.col("doc_id").alias("id1"), "s")
+    g2 = grams.select(F.col("doc_id").alias("id2"), "s")
+    ia = (
+        g1.join(g2, "s")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = (
+        ia.join(sz.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1")), "id1")
+        .join(sz.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2")), "id2")
+        .filter(
+            F.col("c") / (F.col("sz1") + F.col("sz2") - F.col("c")).cast("double")
+            >= 0.2
+        )
+        .select("id1", "id2")
+    )
+    tp = truth.join(cand, ["id1", "id2"]).agg(
+        F.count(F.lit(1)).alias("tp")
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    return (
+        tp.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            F.col("tp").cast("long").alias("tp"),
+            F.round(F.col("tp") / F.col("n_cand").cast("double"), 6).alias(
+                "precision"
+            ),
+            F.round(F.col("tp") / F.col("n_truth").cast("double"), 6).alias(
+                "recall"
+            ),
+            F.round(
+                F.lit(2.0) * F.col("tp") / (F.col("n_cand") + F.col("n_truth")),
+                6,
+            ).alias("f1"),
+        )
+    )

@@ -872,3 +872,23 @@ def test_clustering_coeff_laws_and_triangle_consistency(spark, sf_dir):
         assert r["tri_count"] <= r["degree"] * (r["degree"] - 1) // 2
     tri_global = reg["q_triangles"][0](spark, sf_dir).collect()[0]["n_triangles"]
     assert sum(r["tri_count"] for r in rows) == 3 * tri_global
+
+
+def test_dedup_eval_metric_laws(spark, sf_dir):
+    """Candidate-eval laws: tp <= min(n_truth, n_cand); metrics are
+    the exact count ratios; non-vacuous (the fixture has dup pairs);
+    and the banding candidate set is consistent with q_dedup_minhash
+    (every verified dup pair was a candidate, so tp == n_truth
+    implies recall 1.0 and the verified-output size equals n_truth)."""
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    r = reg["q_dedup_eval"][0](spark, sf_dir).collect()[0]
+    assert r["n_truth"] > 0
+    assert r["tp"] <= min(r["n_truth"], r["n_cand"])
+    assert abs(r["precision"] - r["tp"] / r["n_cand"]) < 1e-6
+    assert abs(r["recall"] - r["tp"] / r["n_truth"]) < 1e-6
+    assert abs(r["f1"] - 2 * r["tp"] / (r["n_cand"] + r["n_truth"])) < 1e-6
+    if r["recall"] == 1.0:
+        verified = reg["q_dedup_minhash"][0](spark, sf_dir).count()
+        assert verified == r["n_truth"]
