@@ -2756,3 +2756,68 @@ def q_dedup_eval(spark, sf_dir):
             ).alias("f1"),
         )
     )
+
+
+_FERT_SQL = f"""
+    WITH base AS ({_bpe_xe_sql()}),
+    l AS (SELECT b.doc_id, d.lang, b.ws_tokens, b.n_chars_c, b.bpe_tokens
+          FROM base b JOIN documents d USING (doc_id))
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS words,
+           CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+           round(sum(bpe_tokens) / CAST(sum(ws_tokens) AS DOUBLE), 6)
+               AS fertility,
+           round(sum(n_chars_c) / CAST(sum(bpe_tokens) AS DOUBLE), 6)
+               AS chars_per_token
+    FROM l GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q_tokenizer_fertility", sql=_FERT_SQL)
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language (tokens produced per
+    whitespace word) and compression (chars per BPE token) under the
+    corpus-trained mini-BPE — the multilingual-fairness measurement
+    for tokenizer choice (a language with 2x fertility pays 2x the
+    sequence length, so its documents cost double the training
+    compute and halve their effective context window).  Uses the same
+    train-on-sample / apply-distributed tokenizer as q_bpe_tokenize
+    over the same 1/11 sample; metrics are per-language ratios of
+    exact integer token/char sums, and the oracle replays BPE
+    training AND application (the q_bpe_tokenize graduation) before
+    aggregating.
+
+    Scale shape: training state is the 50-merge table (driver-sized
+    by contract); application is one stateless Arrow pass; the
+    fertility report is a language-domain-sized aggregate."""
+    from shadems_spark.operators.text import bpe_tokenize_udf, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=50, sample_docs=100)
+    tok = bpe_tokenize_udf(merges)
+    sample = docs.filter(F.col("doc_id") % 11 == 0).select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.length("text").cast("long").alias("n_chars_c"),
+        F.size(tok(F.col("text"))).cast("long").alias("bpe_tokens"),
+    )
+    return (
+        sample.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws_tokens").cast("long").alias("words"),
+            F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
+            F.sum("n_chars_c").cast("long").alias("chars"),
+        )
+        .select(
+            "lang", "n_docs", "words", "bpe_tokens",
+            F.round(
+                F.col("bpe_tokens") / F.col("words").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("chars") / F.col("bpe_tokens").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

@@ -892,3 +892,37 @@ def test_dedup_eval_metric_laws(spark, sf_dir):
     if r["recall"] == 1.0:
         verified = reg["q_dedup_minhash"][0](spark, sf_dir).count()
         assert verified == r["n_truth"]
+
+
+def test_tokenizer_fertility_laws(spark, sf_dir):
+    """Fertility laws: BPE can only SPLIT whitespace words (fertility
+    >= 1 — a merge never crosses a space because words are segmented
+    independently); chars_per_token >= 1 once separators count;
+    per-lang sums reconcile with the q_bpe_tokenize per-doc table
+    joined to document languages."""
+    from collections import defaultdict
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    rows = reg["q_tokenizer_fertility"][0](spark, sf_dir).collect()
+    assert rows
+    per_doc = reg["q_bpe_tokenize"][0](spark, sf_dir).collect()
+    lang_of = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang").collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in per_doc:
+        a = agg[lang_of[r["doc_id"]]]
+        a[0] += 1
+        a[1] += r["ws_tokens"]
+        a[2] += r["bpe_tokens"]
+    assert {r["lang"] for r in rows} == set(agg)
+    for r in rows:
+        n, w, b = agg[r["lang"]]
+        assert (r["n_docs"], r["words"], r["bpe_tokens"]) == (n, w, b)
+        assert r["fertility"] >= 1.0
+        assert r["chars_per_token"] >= 1.0
