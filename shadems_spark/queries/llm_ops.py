@@ -2821,3 +2821,162 @@ def q_tokenizer_fertility(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+def _coverage_xe_sql(n_cells: int = 8) -> str:
+    """DuckDB replay of the coverage audit: xe-sampled TRAIN-side
+    centroids (same affine-hash rows Spark collects), the same
+    sequential-fold unit normalization and exact argmax assignment as
+    _ivf_xe_sql, then per-cell train/val occupancy."""
+    A, B, M = SIM.XE_IVF_A, SIM.XE_IVF_B, SIM.XE_IVF_M
+
+    def dotf(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip({a}, {b}), z -> z[1] * z[2])), "
+            f"(s, x) -> s + x)"
+        )
+
+    def normf(a: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({a}, t -> t * t)), (s, x) -> s + x))"
+        )
+
+    hk = f"({A} * vec_id + {B}) % {M}"
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    cr AS (SELECT vec_id, v FROM e WHERE vec_id % 5 != 0
+           ORDER BY {hk}, vec_id LIMIT {n_cells}),
+    cn AS (SELECT v, CAST(row_number() OVER (ORDER BY {hk}, vec_id) - 1
+                          AS INT) AS cell
+           FROM cr),
+    cu AS (SELECT cell, list_transform(v, x -> x / {normf("v")}) AS cv
+           FROM cn),
+    asg AS (SELECT e.vec_id AS cand_id, cu.cell,
+                   round({dotf("e.v", "cu.cv")} / {normf("e.v")}, 6) AS cos,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dotf("e.v", "cu.cv")} DESC,
+                                               cu.cell) AS rn
+            FROM e CROSS JOIN cu),
+    c AS (SELECT cand_id, cell, CAST(round(cos * 1e6) AS BIGINT) AS ci
+          FROM asg WHERE rn = 1),
+    g AS (SELECT cell,
+                 sum(CASE WHEN cand_id % 5 != 0 THEN 1 ELSE 0 END)
+                     AS n_train,
+                 sum(CASE WHEN cand_id % 5 = 0 THEN 1 ELSE 0 END) AS n_val,
+                 sum(CASE WHEN cand_id % 5 != 0 THEN ci ELSE 0 END)
+                     AS ci_train,
+                 sum(CASE WHEN cand_id % 5 = 0 THEN ci ELSE 0 END) AS ci_val
+          FROM c GROUP BY 1)
+    SELECT cell, CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_val AS BIGINT) AS n_val,
+           round(n_val / CAST(n_train + n_val AS DOUBLE), 6) AS val_share,
+           CASE WHEN n_train > 0
+                THEN round(ci_train / (n_train * 1e6), 6) END AS fit_train,
+           CASE WHEN n_val > 0
+                THEN round(ci_val / (n_val * 1e6), 6) END AS fit_val,
+           CAST(CASE WHEN n_train = 0 AND n_val > 0 THEN 1 ELSE 0 END
+                AS INT) AS ood
+    FROM g ORDER BY cell
+    """
+
+
+def coverage_assign(emb, centroids):
+    """ivf_assign plus the winning assignment cosine as a micro int
+    (ci): same literal-unit-centroid argmax, with the row's own norm
+    dividing the winning dot — low ci = the vector fits NO cell well,
+    the per-row out-of-distribution signal the coverage audit
+    aggregates."""
+    from shadems_spark.operators.similarity import _unit, dot, norm
+
+    scores = F.array(
+        *[
+            F.struct(
+                (
+                    -dot(
+                        F.col("c_vec"),
+                        F.array(*[F.lit(x) for x in _unit(c)]),
+                    )
+                ).alias("neg"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.element_at(F.array_sort(scores), 1)
+    cos6 = F.round(-best["neg"] / norm(F.col("c_vec")), 6)
+    return emb.select(
+        "cand_id",
+        best["cell"].alias("cell"),
+        F.round(cos6 * F.lit(1e6)).cast("long").alias("ci"),
+    )
+
+
+@register("q_embedding_coverage", sql=_coverage_xe_sql())
+def q_embedding_coverage(spark, sf_dir):
+    """Embedding-space coverage audit: quantize the WHOLE corpus into
+    coarse cells sampled from the TRAIN split only (vec_id % 5 != 0),
+    then report each cell's train/val occupancy — a val-heavy or
+    train-empty (ood = 1) cell is a region of embedding space the
+    training data never covered, the geometric out-of-distribution
+    screen run before trusting held-out metrics (q_oov_rate's
+    token-space twin, in vector space).  Because centroids come from
+    train only, a val-only REGION cannot mint its own cell — it
+    crowds into the nearest train cell instead — so the audit also
+    carries fit_train/fit_val (mean assignment cosine per split): a
+    cell whose fit_val trails fit_train is absorbing vectors that fit
+    no centroid well, the signal the ood flag alone cannot see
+    (pinned with a planted orthogonal cluster in tests).
+
+    Runs the cross-engine IVF protocol end-to-end (affine id-hash
+    centroid sample, sequential-fold unit norms, exact argmax cells —
+    the q_ann_ivf graduation machinery), so the oracle replays cell
+    assignment bit-for-bit.
+
+    Scale shape: assignment is a stateless projection against k
+    literal centroids (no shuffle); occupancy is one cell-cardinality
+    aggregate.  At production scale k grows to 2^10+ cells and the
+    centroid sample feeds through refine_centroids — the audit shape
+    is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    cents = SIM.sample_centroids(train, k=8, sampler="xe")
+    asg = coverage_assign(
+        emb.select(
+            F.col("vec_id").alias("cand_id"),
+            SIM.as_double("embedding").alias("c_vec"),
+        ),
+        cents,
+    )
+    is_t = (F.col("cand_id") % 5 != 0).cast("long")
+    g = asg.groupBy("cell").agg(
+        F.sum(is_t).alias("n_train"),
+        F.sum(1 - is_t).alias("n_val"),
+        F.sum(F.when(F.col("cand_id") % 5 != 0, F.col("ci")).otherwise(0))
+        .alias("ci_train"),
+        F.sum(F.when(F.col("cand_id") % 5 == 0, F.col("ci")).otherwise(0))
+        .alias("ci_val"),
+    )
+    return g.select(
+        "cell",
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_val").cast("long").alias("n_val"),
+        F.round(
+            F.col("n_val")
+            / (F.col("n_train") + F.col("n_val")).cast("double"),
+            6,
+        ).alias("val_share"),
+        F.when(
+            F.col("n_train") > 0,
+            F.round(F.col("ci_train") / (F.col("n_train") * F.lit(1e6)), 6),
+        ).alias("fit_train"),
+        F.when(
+            F.col("n_val") > 0,
+            F.round(F.col("ci_val") / (F.col("n_val") * F.lit(1e6)), 6),
+        ).alias("fit_val"),
+        ((F.col("n_train") == 0) & (F.col("n_val") > 0))
+        .cast("int")
+        .alias("ood"),
+    ).orderBy("cell")

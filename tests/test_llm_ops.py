@@ -926,3 +926,62 @@ def test_tokenizer_fertility_laws(spark, sf_dir):
         assert (r["n_docs"], r["words"], r["bpe_tokens"]) == (n, w, b)
         assert r["fertility"] >= 1.0
         assert r["chars_per_token"] >= 1.0
+
+
+def test_embedding_coverage_conservation_and_planted_ood(spark, sf_dir):
+    """Coverage laws: cell occupancies partition the corpus (sums
+    equal split sizes); val_share consistent.  Then a PLANTED far-off
+    val-only cluster must surface: append vectors orthogonal to the
+    corpus (val ids only) and re-run the same operators — some cell
+    containing planted vectors must be train-empty (ood = 1)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators import similarity as SIM
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_embedding_coverage"][0](spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_train = emb.filter(F.col("vec_id") % 5 != 0).count()
+    n_val = emb.filter(F.col("vec_id") % 5 == 0).count()
+    assert sum(r["n_train"] for r in rows) == n_train
+    assert sum(r["n_val"] for r in rows) == n_val
+    for r in rows:
+        tot = r["n_train"] + r["n_val"]
+        assert abs(r["val_share"] - r["n_val"] / tot) < 1e-6
+        assert r["ood"] == (1 if r["n_train"] == 0 and r["n_val"] > 0 else 0)
+
+    # planted orthogonal val-only cluster: it cannot mint a cell
+    # (centroids are train-only), so the signal is assignment FIT —
+    # every planted vector's best-centroid cosine must sit far below
+    # the corpus's typical fit.
+    from shadems_spark.queries.llm_ops import coverage_assign
+
+    # centroids are train-only and planted ids are val, so the
+    # quantizer is unchanged by planting — compute it first and plant
+    # the NEGATED centroid sum: its dot with every centroid is
+    # negative, the worst possible fit.
+    from shadems_spark.operators.similarity import _unit
+
+    pre = SIM.sample_centroids(
+        emb.filter(F.col("vec_id") % 5 != 0), k=8, sampler="xe"
+    )
+    units = [_unit(c) for c in pre]
+    anti = [-50.0 * sum(u[i] for u in units) for i in range(len(units[0]))]
+    planted = spark.createDataFrame(
+        [(10_000_000 + 5 * i, anti, 0) for i in range(4)],
+        emb.schema,
+    )
+    aug = emb.unionByName(planted)
+    cents = SIM.sample_centroids(
+        aug.filter(F.col("vec_id") % 5 != 0), k=8, sampler="xe"
+    )
+    asg = coverage_assign(
+        aug.select(
+            F.col("vec_id").alias("cand_id"),
+            SIM.as_double("embedding").alias("c_vec"),
+        ),
+        cents,
+    ).collect()
+    planted_ci = [r["ci"] for r in asg if r["cand_id"] >= 10_000_000]
+    corpus_ci = sorted(r["ci"] for r in asg if r["cand_id"] < 10_000_000)
+    p10 = corpus_ci[len(corpus_ci) // 10]
+    assert planted_ci and all(ci < p10 for ci in planted_ci)
