@@ -2899,3 +2899,125 @@ def q_als(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_SLICE_GROUP_CTE = """
+      SELECT CASE WHEN grouping(source) = 1 THEN '*' ELSE source END AS src,
+             CASE WHEN grouping(lang) = 1 THEN '*' ELSE lang END AS lng,
+             CASE WHEN grouping(len_bucket) = 1 THEN '*'
+                  ELSE CAST(len_bucket AS STRING) END AS bucket,
+             count(*) AS n, sum(wl_m) AS s, sum(wl_m * wl_m) AS q
+      FROM {src}
+      GROUP BY GROUPING SETS ((source), (lang), (len_bucket),
+                              (source, lang), (source, len_bucket),
+                              (lang, len_bucket))
+"""
+
+_SLICE_GROUPQ = (
+    "WITH g AS (" + _SLICE_GROUP_CTE + """),
+    tot AS (SELECT sum(n) AS gn, sum(s) AS gs, sum(q) AS gq
+            FROM g WHERE lng = '*' AND bucket = '*'),
+    z AS (SELECT src, lng, bucket, n,
+                 round(s / CAST(n * 1000 AS DOUBLE), 6) AS mean_wl,
+                 round((s / CAST(n AS DOUBLE) - gs / CAST(gn AS DOUBLE))
+                       / sqrt(((gq - gs * (gs / CAST(gn AS DOUBLE)))
+                               / (gn - 1)) / n), 6) AS z
+          FROM g CROSS JOIN tot WHERE n >= 20)
+    SELECT src, lng, bucket, CAST(n AS BIGINT) AS n, mean_wl, z,
+           CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY abs(z) DESC,
+                                       src, lng, bucket) AS rk
+          FROM z)
+    WHERE rk <= 10
+"""
+)
+
+_SLICE_BASE_DUCK = """base AS (
+      SELECT source, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+             CAST(round(
+               round(list_sum(list_transform(string_split(text, ' '),
+                                             w -> CAST(length(w) AS DOUBLE)))
+                     / len(string_split(text, ' ')), 4) * 1000)
+                  AS BIGINT) AS wl_m
+      FROM documents)"""
+
+_SLICE_SQL = (
+    "WITH "
+    + _SLICE_BASE_DUCK
+    + ",\n"
+    + _SLICE_GROUPQ.format(src="base").strip().removeprefix("WITH ")
+)
+
+
+@register("q_slice_finder", sql=_SLICE_SQL)
+def q_slice_finder(spark, sf_dir):
+    """Automatic deviant-slice detection (the SliceFinder /
+    model-monitoring shape, Chung et al. ICDE'19): compute the mean
+    word length — the boilerplate/tokenization drift signal from the
+    Gopher battery — over EVERY 1-D and 2-D slice of (source, lang,
+    length-bucket) in ONE Aggregate(Expand) pass (GROUPING SETS, not
+    a per-dimension loop), then rank slices by the z-score of their
+    mean against the corpus and keep the top 10 with support n >= 20.
+    The dashboard answer to "WHERE is the corpus drifting":
+    aggregated-out dimensions print as '*'.
+
+    Exactness: each doc's 4dp mean word length becomes a MILLI int
+    before any cross-row sum (order-free; no libm anywhere), the
+    global variance comes from integer sufficient statistics, and z /
+    mean are fixed float formulas rounded 6dp; rank ties break on the
+    slice labels.
+
+    Scale shape: Expand multiplies the scan x6 BEFORE a map-side-
+    combined aggregate (surviving rows = slice-domain cardinality);
+    the rank window sees only those slices — domain-bounded, never
+    corpus-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    mean_wl = F.round(
+        F.aggregate(
+            ws, F.lit(0.0), lambda a, w: a + F.length(w).cast("double")
+        )
+        / F.size(ws),
+        4,
+    )
+    base = docs.select(
+        "source", "lang",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        F.round(mean_wl * 1000).cast("long").alias("wl_m"),
+    )
+    base.createOrReplaceTempView("slice_base")
+    # persist the slice-domain table so the totals pass reuses it
+    # instead of re-scanning the corpus (Spark inlines a CTE that is
+    # referenced twice; the table is domain-sized, so caching is free)
+    g = spark.sql(_SLICE_GROUP_CTE.format(src="slice_base")).persist()
+    tot = g.filter((F.col("lng") == "*") & (F.col("bucket") == "*")).agg(
+        F.sum("n").alias("gn"), F.sum("s").alias("gs"),
+        F.sum("q").alias("gq"),
+    )
+    n, s = F.col("n"), F.col("s")
+    gn, gs, gq = F.col("gn"), F.col("gs"), F.col("gq")
+    z = F.round(
+        (s / n.cast("double") - gs / gn.cast("double"))
+        / F.sqrt(
+            ((gq - gs * (gs / gn.cast("double"))) / (gn - 1)) / n
+        ),
+        6,
+    )
+    zt = (
+        g.crossJoin(F.broadcast(tot))
+        .filter(n >= 20)
+        .select(
+            "src", "lng", "bucket", n.cast("long").alias("n"),
+            F.round(s / (n * F.lit(1000)).cast("double"), 6).alias(
+                "mean_wl"
+            ),
+            z.alias("z"),
+        )
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.abs(F.col("z")).desc(), "src", "lng", "bucket"
+    )
+    return (
+        zt.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 10)
+    )

@@ -797,3 +797,56 @@ def test_als_numpy_replay(spark, sf_dir):
         assert abs(got[t]["y2"] - Y[t][1] / 1e6) < 1e-6
         assert got[t]["n_users"] == n[t]
         assert abs(got[t]["rmse"] - math.sqrt(se[t] / (n[t] * 1e6))) < 1e-6
+
+
+def test_slice_finder_replay_and_plan(spark, sf_dir):
+    """Slice-finder laws: a Python replay of every 1-D/2-D slice from
+    the per-doc milli word lengths reproduces each reported slice's n,
+    mean and z; ranks order by |z| desc; and the plan is ONE
+    Aggregate over an Expand node (grouping sets), not six scans."""
+    import math
+    from collections import defaultdict
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_slice_finder"][0](spark, sf_dir).collect()
+    assert len(rows) == 10
+    zs = [abs(r["z"]) for r in sorted(rows, key=lambda r: r["rk"])]
+    assert all(a >= b - 1e-9 for a, b in zip(zs, zs[1:]))
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", "n_chars", "text"
+    ).collect()
+    base = []
+    for d in docs:
+        ws = d["text"].split(" ")
+        mw = round(sum(len(w) for w in ws) / len(ws), 4)
+        wl_m = int(math.floor(mw * 1000 + 0.5))
+        base.append((d["source"], d["lang"], d["n_chars"] // 100, wl_m))
+    gn = len(base)
+    gs = sum(b[3] for b in base)
+    gq = sum(b[3] * b[3] for b in base)
+    var_g = (gq - gs * (gs / gn)) / (gn - 1)
+    slices = defaultdict(lambda: [0, 0])
+    for s, l, b, wl in base:
+        for key in [(s, "*", "*"), ("*", l, "*"), ("*", "*", str(b)),
+                    (s, l, "*"), (s, "*", str(b)), ("*", l, str(b))]:
+            slices[key][0] += 1
+            slices[key][1] += wl
+    for r in rows:
+        n, sm = slices[(r["src"], r["lng"], r["bucket"])]
+        assert n == r["n"] and n >= 20
+        assert abs(float(r["mean_wl"]) - sm / (n * 1000)) < 1e-6
+        z = (sm / n - gs / gn) / math.sqrt(var_g / n)
+        assert abs(r["z"] - z) < 1e-5
+
+    plan = (
+        load_registry()["q_slice_finder"][0](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in plan
+    # the slice table is persisted: both consumers (slices + totals)
+    # read the InMemoryRelation; the FileScan text appearing inside
+    # the cached subtree's description does not re-execute.
+    assert "InMemoryTableScan" in plan
