@@ -97,6 +97,8 @@ HEADLINE = [
     "q_skyline",
     "q_markov_attribution",
     "q_shapley_attribution",
+    "q_als",
+    "q_slice_finder",
 ]
 
 
