@@ -4306,3 +4306,630 @@ def q_shapley_attribution(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "q_chisq",
+    sql="""
+    WITH c AS (SELECT event_type,
+                      (datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       + 4) % 7 AS dow,
+                      count(*) AS obs
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, dow, obs,
+                 sum(obs) OVER (PARTITION BY event_type) AS rt,
+                 sum(obs) OVER (PARTITION BY dow) AS ct
+          FROM c),
+    t AS (SELECT sum(obs) AS n,
+                 (count(DISTINCT event_type) - 1)
+                 * (count(DISTINCT dow) - 1) AS dof
+          FROM c),
+    x AS (SELECT event_type, dow, obs, rt, ct, n, dof,
+                 rt * CAST(ct AS DOUBLE) / n AS e
+          FROM w CROSS JOIN t),
+    y AS (SELECT *,
+                 CAST(round((obs - e) * (obs - e) / e * 1e9) AS BIGINT)
+                     AS contrib_n
+          FROM x),
+    z AS (SELECT sum(contrib_n) AS chi2_n FROM y)
+    SELECT event_type, CAST(dow AS BIGINT) AS dow,
+           CAST(obs AS BIGINT) AS obs,
+           round(e, 6) AS expected,
+           round(contrib_n / 1e9, 6) AS contrib,
+           round(chi2_n / 1e9, 6) AS chi2,
+           CAST(dof AS BIGINT) AS dof
+    FROM y CROSS JOIN z
+    ORDER BY event_type, dow
+    """,
+)
+def q_chisq(spark, sf_dir):
+    """Chi-square test of independence over the event_type x
+    day-of-week contingency table — the categorical drift screen
+    beside the value-distribution family (q_ks_test/q_mannwhitney
+    compare numeric samples; chi-square asks whether traffic MIX
+    depends on weekday).  Emits the full cell table (observed,
+    expected, per-cell contribution) plus the omnibus statistic and
+    degrees of freedom on every row.
+
+    Exactness: observed counts are integers; day-of-week derives
+    arithmetically from epoch days ((d + 4) % 7 — no engine dow()
+    convention involved); each cell's (o-e)^2/e is nano-int-rounded
+    BEFORE the cross-cell sum, so chi2 is an order-free integer sum.
+    Scale: one map-side-combined aggregate to |types| x 7 cells, then
+    windows and reductions over that bounded cell table — never
+    row-sized; the 1-row totals frame joins back via broadcast."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type",
+            F.pmod(
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+                )
+                + 4,
+                F.lit(7),
+            ).alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    w = c.select(
+        "event_type", "dow", "obs",
+        F.sum("obs").over(W.partitionBy("event_type")).alias("rt"),
+        F.sum("obs").over(W.partitionBy("dow")).alias("ct"),
+    )
+    t = c.agg(
+        F.sum("obs").alias("n"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("dow") - 1)
+        ).alias("dof"),
+    )
+    x = w.crossJoin(F.broadcast(t)).withColumn(
+        "e", F.col("rt") * F.col("ct").cast("double") / F.col("n")
+    )
+    y = x.withColumn(
+        "contrib_n",
+        F.round(
+            (F.col("obs") - F.col("e")) * (F.col("obs") - F.col("e"))
+            / F.col("e") * F.lit(1e9)
+        ).cast("long"),
+    )
+    z = y.agg(F.sum("contrib_n").alias("chi2_n"))
+    return (
+        y.crossJoin(F.broadcast(z))
+        .select(
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            F.col("obs").cast("long").alias("obs"),
+            F.round("e", 6).alias("expected"),
+            F.round(F.col("contrib_n") / 1e9, 6).alias("contrib"),
+            F.round(F.col("chi2_n") / 1e9, 6).alias("chi2"),
+            F.col("dof").cast("long").alias("dof"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+@register(
+    "q_spearman",
+    sql="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      count(*) AS x,
+                      sum(CAST(round(coalesce(value, 0) * 1000)
+                          AS BIGINT)) AS y
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, x, y,
+                 2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+                 + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx2,
+                 2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+                 + count(*) OVER (PARTITION BY event_type, y) - 1 AS ry2
+          FROM d),
+    s AS (SELECT event_type, count(*) AS n,
+                 sum(rx2) AS sx, sum(ry2) AS sy,
+                 sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy,
+                 sum(rx2 * ry2) AS sxy,
+                 sum(x) AS vx, sum(y) AS vy,
+                 sum(x * x) AS vxx, sum(y * y) AS vyy,
+                 sum(x * y) AS vxy
+          FROM r GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                 6) AS rho_spearman,
+           round((n * CAST(vxy AS DOUBLE) - CAST(vx AS DOUBLE) * vy)
+                 / sqrt((n * CAST(vxx AS DOUBLE) - CAST(vx AS DOUBLE) * vx)
+                        * (n * CAST(vyy AS DOUBLE) - CAST(vy AS DOUBLE) * vy)),
+                 6) AS r_pearson
+    FROM s ORDER BY event_type
+    """,
+)
+def q_spearman(spark, sf_dir):
+    """Spearman rank correlation (with its Pearson companion) between
+    daily event count and daily value volume, per event type — the
+    monotone-association screen of the drift family: Pearson answers
+    "linear?", Spearman answers "monotone?" and is outlier-robust.
+    Tied ranks use the textbook average-rank correction.
+
+    Exactness: average ranks are carried as exact integer HALF-ranks
+    (2*rank + ties - 1 — rank() min-rank plus the tie-count shift, no
+    fractional rank ever materializes); Pearson inputs are integer
+    daily counts and milli-int value sums; every cross-row sum is an
+    integer sum, and each coefficient is one fixed float formula per
+    group.  (At >=1e9-scale daily value volume, move the y*y sums to
+    DECIMAL(38) — documented bound, the q_anova discipline.)
+    Scale: a (type, day) map-side aggregate bounds the series by the
+    calendar, rank windows partition per type over that bounded
+    series, and the final reduce is 5 rows."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(
+            F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1000).cast("long")
+        ).alias("y"),
+    )
+    rx2 = (
+        2 * F.rank().over(W.partitionBy("event_type").orderBy("x"))
+        + F.count(F.lit(1)).over(W.partitionBy("event_type", "x")) - 1
+    )
+    ry2 = (
+        2 * F.rank().over(W.partitionBy("event_type").orderBy("y"))
+        + F.count(F.lit(1)).over(W.partitionBy("event_type", "y")) - 1
+    )
+    r = d.select("event_type", "x", "y", rx2.alias("rx2"), ry2.alias("ry2"))
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"), F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        F.sum("x").alias("vx"), F.sum("y").alias("vy"),
+        F.sum(F.col("x") * F.col("x")).alias("vxx"),
+        F.sum(F.col("y") * F.col("y")).alias("vyy"),
+        F.sum(F.col("x") * F.col("y")).alias("vxy"),
+    )
+
+    def pearson(n, sx, sy, sxx, syy, sxy):
+        num = n * sxy.cast("double") - sx.cast("double") * sy
+        den = F.sqrt(
+            (n * sxx.cast("double") - sx.cast("double") * sx)
+            * (n * syy.cast("double") - sy.cast("double") * sy)
+        )
+        return F.round(num / den, 6)
+
+    c = F.col
+    return s.select(
+        "event_type",
+        c("n").cast("long").alias("n_days"),
+        pearson(c("n"), c("sx"), c("sy"), c("sxx"), c("syy"), c("sxy"))
+        .alias("rho_spearman"),
+        pearson(c("n"), c("vx"), c("vy"), c("vxx"), c("vyy"), c("vxy"))
+        .alias("r_pearson"),
+    ).orderBy("event_type")
+
+
+_RIDGE_LAM = "1000.0"
+_RIDGE_SQL = f"""
+    WITH s AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+                      CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                      CAST(round(l_extendedprice * 10) AS BIGINT) AS y
+               FROM lineitem),
+    g AS (SELECT count(*) AS n,
+                 sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+                 sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+                 sum(x2 * x2) AS s22,
+                 sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
+                 sum(y * y) AS syy
+          FROM s),
+    a AS (SELECT CAST(n AS DOUBLE) AS a11, CAST(s1 AS DOUBLE) AS a12,
+                 CAST(s2 AS DOUBLE) AS a13,
+                 CAST(s11 AS DOUBLE) + {_RIDGE_LAM} AS a22,
+                 CAST(s12 AS DOUBLE) AS a23,
+                 CAST(s22 AS DOUBLE) + {_RIDGE_LAM} AS a33,
+                 CAST(sy AS DOUBLE) AS b1, CAST(s1y AS DOUBLE) AS b2,
+                 CAST(s2y AS DOUBLE) AS b3,
+                 n, s1, s2, s11, s12, s22, s1y, s2y, sy, syy
+          FROM g),
+    d AS (SELECT *,
+                 a11 * (a22 * a33 - a23 * a23)
+                 - a12 * (a12 * a33 - a23 * a13)
+                 + a13 * (a12 * a23 - a22 * a13) AS det
+          FROM a),
+    b AS (SELECT *,
+                 (b1 * (a22 * a33 - a23 * a23)
+                  - a12 * (b2 * a33 - a23 * b3)
+                  + a13 * (b2 * a23 - a22 * b3)) / det AS b0,
+                 (a11 * (b2 * a33 - a23 * b3)
+                  - b1 * (a12 * a33 - a23 * a13)
+                  + a13 * (a12 * b3 - b2 * a13)) / det AS bb1,
+                 (a11 * (a22 * b3 - b2 * a23)
+                  - a12 * (a12 * b3 - b2 * a13)
+                  + b1 * (a12 * a23 - a22 * a13)) / det AS bb2
+          FROM d)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(b0, 6) AS beta0, round(bb1, 6) AS beta1,
+           round(bb2, 6) AS beta2,
+           round((CAST(syy AS DOUBLE)
+                  - 2 * (b0 * sy + bb1 * s1y + bb2 * s2y)
+                  + (b0 * b0 * n + bb1 * bb1 * s11 + bb2 * bb2 * s22
+                     + 2 * b0 * bb1 * s1 + 2 * b0 * bb2 * s2
+                     + 2 * bb1 * bb2 * s12)) / n, 4) AS mse,
+           round(1.0 - (CAST(syy AS DOUBLE)
+                        - 2 * (b0 * sy + bb1 * s1y + bb2 * s2y)
+                        + (b0 * b0 * n + bb1 * bb1 * s11
+                           + bb2 * bb2 * s22
+                           + 2 * b0 * bb1 * s1 + 2 * b0 * bb2 * s2
+                           + 2 * bb1 * bb2 * s12))
+                      / (CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * sy / n), 6) AS r2
+    FROM b
+"""
+
+
+@register("q_ridge", sql=_RIDGE_SQL)
+def q_ridge(spark, sf_dir):
+    """Closed-form ridge regression (2 features + intercept) of
+    deci-dollar extended price on quantity and centi-discount — the
+    normal-equations companion to the iterative q_lr_train: X'X and
+    X'y are ONE aggregate pass of integer sufficient statistics, the
+    3x3 system (ridge lambda=1000 on the feature diagonal, intercept
+    unpenalized) is solved by Cramer's rule in a fixed scalar formula,
+    and train MSE / R^2 come from the SAME statistics (no second
+    scoring scan: sse = y'y - 2 b'X'y + b'X'Xb).
+
+    Exactness: units are chosen so every sufficient statistic is an
+    exact int64 (deci-dollar y keeps sum(y^2) < 2^63 through sf10;
+    beyond that the squared sums move to DECIMAL(38) — the q_anova
+    bound); both engines then evaluate the identical operation
+    sequence over identical integers.  Scale: one map-side-combined
+    full scan producing a single 10-number row; everything after is
+    constant work.  Beats gradient descent at any scale when the
+    design matrix is this small."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 10).cast("long").alias("y"),
+    )
+    c = F.col
+    g = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(c("x1") * c("x1")).alias("s11"),
+        F.sum(c("x1") * c("x2")).alias("s12"),
+        F.sum(c("x2") * c("x2")).alias("s22"),
+        F.sum(c("x1") * c("y")).alias("s1y"),
+        F.sum(c("x2") * c("y")).alias("s2y"),
+        F.sum(c("y") * c("y")).alias("syy"),
+    )
+    lam = float(_RIDGE_LAM)
+    a = g.select(
+        "*",
+        c("n").cast("double").alias("a11"),
+        c("s1").cast("double").alias("a12"),
+        c("s2").cast("double").alias("a13"),
+        (c("s11").cast("double") + lam).alias("a22"),
+        c("s12").cast("double").alias("a23"),
+        (c("s22").cast("double") + lam).alias("a33"),
+        c("sy").cast("double").alias("b1"),
+        c("s1y").cast("double").alias("b2"),
+        c("s2y").cast("double").alias("b3"),
+    )
+    det = (
+        c("a11") * (c("a22") * c("a33") - c("a23") * c("a23"))
+        - c("a12") * (c("a12") * c("a33") - c("a23") * c("a13"))
+        + c("a13") * (c("a12") * c("a23") - c("a22") * c("a13"))
+    )
+    d = a.withColumn("det", det)
+    b0 = (
+        c("b1") * (c("a22") * c("a33") - c("a23") * c("a23"))
+        - c("a12") * (c("b2") * c("a33") - c("a23") * c("b3"))
+        + c("a13") * (c("b2") * c("a23") - c("a22") * c("b3"))
+    ) / c("det")
+    bb1 = (
+        c("a11") * (c("b2") * c("a33") - c("a23") * c("b3"))
+        - c("b1") * (c("a12") * c("a33") - c("a23") * c("a13"))
+        + c("a13") * (c("a12") * c("b3") - c("b2") * c("a13"))
+    ) / c("det")
+    bb2 = (
+        c("a11") * (c("a22") * c("b3") - c("b2") * c("a23"))
+        - c("a12") * (c("a12") * c("b3") - c("b2") * c("a13"))
+        + c("b1") * (c("a12") * c("a23") - c("a22") * c("a13"))
+    ) / c("det")
+    b = d.withColumn("b0", b0).withColumn("bb1", bb1).withColumn("bb2", bb2)
+    sse = (
+        c("syy").cast("double")
+        - 2 * (c("b0") * c("sy") + c("bb1") * c("s1y") + c("bb2") * c("s2y"))
+        + (
+            c("b0") * c("b0") * c("n")
+            + c("bb1") * c("bb1") * c("s11")
+            + c("bb2") * c("bb2") * c("s22")
+            + 2 * c("b0") * c("bb1") * c("s1")
+            + 2 * c("b0") * c("bb2") * c("s2")
+            + 2 * c("bb1") * c("bb2") * c("s12")
+        )
+    )
+    sst = c("syy").cast("double") - c("sy").cast("double") * c("sy") / c("n")
+    return b.select(
+        c("n").cast("long").alias("n"),
+        F.round("b0", 6).alias("beta0"),
+        F.round("bb1", 6).alias("beta1"),
+        F.round("bb2", 6).alias("beta2"),
+        F.round(sse / c("n"), 4).alias("mse"),
+        F.round(F.lit(1.0) - sse / sst, 6).alias("r2"),
+    )
+
+
+@register(
+    "q_interval_coverage",
+    sql="""
+    WITH iv AS (SELECT user_id, event_type, event_id,
+                       epoch_us(ts) AS s_us,
+                       epoch_us(ts)
+                       + CAST(round(abs(value) * 1e6) AS BIGINT) AS e_us
+                FROM events WHERE value IS NOT NULL),
+    m AS (SELECT *,
+                 max(e_us) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY s_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_end
+          FROM iv),
+    f AS (SELECT *,
+                 CASE WHEN prev_end IS NULL OR prev_end < s_us
+                      THEN 1 ELSE 0 END AS new_island
+          FROM m),
+    i AS (SELECT *,
+                 sum(new_island) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY s_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS island
+          FROM f),
+    g AS (SELECT user_id, event_type, island,
+                 count(*) AS n_iv,
+                 max(e_us) - min(s_us) AS cov_us
+          FROM i GROUP BY 1, 2, 3)
+    SELECT event_type,
+           CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(cov_us) AS BIGINT) AS covered_us,
+           CAST(max(cov_us) AS BIGINT) AS max_island_us
+    FROM g GROUP BY 1 ORDER BY event_type
+    """,
+)
+def q_interval_coverage(spark, sf_dir):
+    """Interval-union coverage (sweep-line gaps-and-islands): each
+    event opens an interval of |value| seconds; per (user, type) the
+    overlapping intervals merge into islands and the query reports
+    union-covered time per event type — the classic "total engaged
+    time" / sensor-uptime operator that a naive sum(duration) double-
+    counts.  The running max(end) over preceding rows detects overlap
+    chains; an island's union length is exactly max(end)-min(start)
+    by construction (every member starts before the running max).
+
+    Exactness: all arithmetic in integer epoch-microseconds.  Scale:
+    the sweep windows partition by (user, type) — per-key sequence
+    lengths, never global; the island reduce is a map-side-combinable
+    aggregate and the output is |types| rows."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    iv = ev.select(
+        "user_id", "event_type", "event_id",
+        F.expr("ts_ns div 1000").alias("s_us"),
+        (
+            F.expr("ts_ns div 1000")
+            + F.round(F.abs(F.col("value")) * 1e6).cast("long")
+        ).alias("e_us"),
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("s_us", "event_id")
+    m = iv.withColumn(
+        "prev_end",
+        F.max("e_us").over(w.rowsBetween(W.unboundedPreceding, -1)),
+    )
+    f = m.withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_end").isNull() | (F.col("prev_end") < F.col("s_us")), 1
+        ).otherwise(0),
+    )
+    i = f.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    g = i.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).alias("n_iv"),
+        (F.max("e_us") - F.min("s_us")).alias("cov_us"),
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.sum("n_iv").cast("long").alias("n_intervals"),
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.sum("cov_us").cast("long").alias("covered_us"),
+            F.max("cov_us").cast("long").alias("max_island_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_path_analysis",
+    sql="""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      epoch_us(ts) AS ts_us
+               FROM events),
+    g AS (SELECT *,
+                 CASE WHEN ts_us - lag(ts_us) OVER
+                          (PARTITION BY user_id ORDER BY ts_us, event_id)
+                      > 1800000000 OR lag(ts_us) OVER
+                          (PARTITION BY user_id ORDER BY ts_us, event_id)
+                      IS NULL THEN 1 ELSE 0 END AS new_sess
+          FROM e),
+    s AS (SELECT *,
+                 sum(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+          FROM g),
+    t AS (SELECT event_type AS t1,
+                 lead(event_type, 1) OVER w AS t2,
+                 lead(event_type, 2) OVER w AS t3
+          FROM s
+          WINDOW w AS (PARTITION BY user_id, sess
+                       ORDER BY ts_us, event_id)),
+    p AS (SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS cnt
+          FROM t WHERE t3 IS NOT NULL GROUP BY 1)
+    SELECT path, CAST(cnt AS BIGINT) AS cnt
+    FROM p ORDER BY cnt DESC, path LIMIT 20
+    """,
+)
+def q_path_analysis(spark, sf_dir):
+    """Top-20 within-session event-type trigrams (user-path mining):
+    sessionize with the 30-minute gap rule (q_sessionize's gaps-and-
+    islands), slide a 3-step window down each session with lead(),
+    and count path frequencies — the "what do users do next"
+    exploration behind funnel design, feeding q_markov with its
+    higher-order context check.
+
+    Exactness: counts are integers; the global top-20 breaks ties on
+    the path string.  Scale: all windows partition by user (then by
+    session) — bounded per-key sequences; path counts map-side
+    combine to a |types|^3-bounded key space and the final top-20
+    compiles to TakeOrderedAndProject, never a global sort of the
+    counts table."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    wu = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(wu)
+    s = ev.withColumn(
+        "sess",
+        F.sum(
+            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+        ).over(wu.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    ws = W.partitionBy("user_id", "sess").orderBy("ts_us", "event_id")
+    t = s.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(ws).alias("t2"),
+        F.lead("event_type", 2).over(ws).alias("t3"),
+    )
+    p = (
+        t.filter(F.col("t3").isNotNull())
+        .select(F.concat_ws(">", "t1", "t2", "t3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return p.orderBy(F.desc("cnt"), "path").limit(20)
+
+
+@register(
+    "q_changepoint",
+    sql="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      count(*) AS y
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, day, y,
+                 CAST(row_number() OVER w AS BIGINT) AS t,
+                 sum(y) OVER (w ROWS UNBOUNDED PRECEDING) AS cy,
+                 sum(y * y) OVER (w ROWS UNBOUNDED PRECEDING) AS cyy,
+                 sum(y) OVER (PARTITION BY event_type) AS sy,
+                 sum(y * y) OVER (PARTITION BY event_type) AS syy,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    c AS (SELECT *,
+                 CAST(round((CAST(cyy AS DOUBLE)
+                             - CAST(cy AS DOUBLE) * cy / t
+                             + CAST(syy - cyy AS DOUBLE)
+                             - CAST(sy - cy AS DOUBLE) * (sy - cy) / (n - t))
+                            * 1e9) AS BIGINT) AS cost_n
+          FROM r WHERE t < n),
+    b AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY cost_n, t) AS rk
+          FROM c)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days, t AS split_t,
+           day AS split_day,
+           round(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n, 4)
+               AS sse_total,
+           round(cost_n / 1e9, 4) AS sse_split,
+           round((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                 - cost_n / 1e9, 4) AS gain,
+           round(CAST(cy AS DOUBLE) / t, 4) AS mean_left,
+           round(CAST(sy - cy AS DOUBLE) / (n - t), 4) AS mean_right
+    FROM b WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def q_changepoint(spark, sf_dir):
+    """Single-changepoint detection (binary segmentation, the first
+    split of PELT/CUSUM-style segmenters) on the daily count series
+    per event type: choose the split minimizing SSE_left + SSE_right,
+    report the day, the variance explained (gain) and the two segment
+    means — the level-shift detector beside q_cusum's sequential
+    drift alarm.
+
+    Exactness: every candidate cost is a fixed float formula over
+    exact integer prefix sums (cumsum of y and y^2 down the per-type
+    day series), nano-int-rounded so the argmin compares integers
+    with a deterministic tie-break on earlier t.  Scale: the day
+    series is calendar-bounded per type, so the cumsum windows and
+    the O(n) candidate sweep stay constant-size regardless of row
+    count; the only data-sized work is the (type, day) map-side
+    aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wo = W.partitionBy("event_type").orderBy("day")
+    wc = wo.rowsBetween(W.unboundedPreceding, 0)
+    wp = W.partitionBy("event_type")
+    r = d.select(
+        "event_type", "day", "y",
+        F.row_number().over(wo).cast("long").alias("t"),
+        F.sum("y").over(wc).alias("cy"),
+        F.sum(F.col("y") * F.col("y")).over(wc).alias("cyy"),
+        F.sum("y").over(wp).alias("sy"),
+        F.sum(F.col("y") * F.col("y")).over(wp).alias("syy"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    c = F.col
+    cost = (
+        c("cyy").cast("double") - c("cy").cast("double") * c("cy") / c("t")
+        + (c("syy") - c("cyy")).cast("double")
+        - (c("sy") - c("cy")).cast("double") * (c("sy") - c("cy"))
+        / (c("n") - c("t"))
+    )
+    cc = r.filter(c("t") < c("n")).withColumn(
+        "cost_n", F.round(cost * F.lit(1e9)).cast("long")
+    )
+    b = cc.withColumn(
+        "rk", F.row_number().over(W.partitionBy("event_type").orderBy("cost_n", "t"))
+    )
+    sst = c("syy").cast("double") - c("sy").cast("double") * c("sy") / c("n")
+    return (
+        b.filter(c("rk") == 1)
+        .select(
+            "event_type",
+            c("n").cast("long").alias("n_days"),
+            c("t").alias("split_t"),
+            c("day").alias("split_day"),
+            F.round(sst, 4).alias("sse_total"),
+            F.round(c("cost_n") / 1e9, 4).alias("sse_split"),
+            F.round(sst - c("cost_n") / 1e9, 4).alias("gain"),
+            F.round(c("cy").cast("double") / c("t"), 4).alias("mean_left"),
+            F.round(
+                (c("sy") - c("cy")).cast("double") / (c("n") - c("t")), 4
+            ).alias("mean_right"),
+        )
+        .orderBy("event_type")
+    )

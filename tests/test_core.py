@@ -1223,3 +1223,210 @@ def test_shapley_attribution_replay_and_efficiency(spark, sf_dir):
         assert abs(got[c]["shapley"] - num / f[k] / 1e9) < 1e-6
     # efficiency: sum num == k! * (v(full) - v(empty))
     assert sum(nums.values()) == f[k] * (v((1 << k) - 1) - v(0))
+
+
+def test_chisq_laws_and_numpy_parity(spark, sf_dir):
+    """Chi-square laws: per-cell contributions sum to the reported
+    chi2, expected totals match observed totals (margins preserved),
+    dof = (R-1)(C-1), and chi2 matches a numpy recomputation from the
+    observed contingency table."""
+    import numpy as np
+
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_chisq"][0](spark, sf_dir).collect()
+    chi2 = rows[0]["chi2"]
+    assert abs(sum(r["contrib"] for r in rows) - chi2) < 1e-3
+    types = sorted({r["event_type"] for r in rows})
+    dows = sorted({r["dow"] for r in rows})
+    assert rows[0]["dof"] == (len(types) - 1) * (len(dows) - 1)
+    obs = np.zeros((len(types), len(dows)))
+    for r in rows:
+        obs[types.index(r["event_type"]), dows.index(r["dow"])] = r["obs"]
+    e = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+    assert abs(((obs - e) ** 2 / e).sum() - chi2) < 1e-3
+    tot_e = sum(r["expected"] for r in rows)
+    assert abs(tot_e - obs.sum()) < 1e-3
+
+
+def test_spearman_matches_pandas_rank_pearson(spark, sf_dir):
+    """Spearman = Pearson over average ranks: replay the daily series
+    in pandas (rank method='average') and compare both coefficients;
+    both must lie in [-1, 1]."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_spearman"][0](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1000)
+                .cast("long")
+            ).alias("y"),
+        )
+        .toPandas()
+    )
+    for r in rows:
+        g = d[d.event_type == r["event_type"]]
+        assert r["n_days"] == len(g)
+        rho = np.corrcoef(
+            g.x.rank(method="average"), g.y.rank(method="average")
+        )[0, 1]
+        assert abs(r["rho_spearman"] - rho) < 1e-5
+        assert abs(r["r_pearson"] - np.corrcoef(g.x, g.y)[0, 1]) < 1e-5
+        assert -1.0 <= r["rho_spearman"] <= 1.0
+
+
+def test_ridge_matches_numpy_solve(spark, sf_dir):
+    """Closed-form ridge parity: rebuild the penalized normal
+    equations from the same integer-unit columns and solve with
+    numpy.linalg; coefficients, MSE and R^2 must match, and the
+    unpenalized-SST bound keeps r2 <= 1."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_ridge"][0](spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 10).cast("long").alias("y"),
+    ).toPandas()
+    X = np.column_stack([np.ones(len(li)), li.x1, li.x2])
+    A = X.T @ X + np.diag([0.0, 1000.0, 1000.0])
+    beta = np.linalg.solve(A, X.T @ li.y.to_numpy(dtype=float))
+    assert abs(r["beta0"] - beta[0]) < 1e-3
+    assert abs(r["beta1"] - beta[1]) < 1e-4
+    assert abs(r["beta2"] - beta[2]) < 1e-4
+    pred = X @ beta
+    mse = ((li.y - pred) ** 2).mean()
+    assert abs(r["mse"] - mse) / mse < 1e-6
+    assert r["r2"] <= 1.0 and r["mse"] >= 0.0
+
+
+def test_interval_coverage_brute_force_parity(spark, sf_dir):
+    """Sweep-line laws, replayed brute-force in Python: per event
+    type, covered_us equals the union length of the literal interval
+    set, never exceeds the duration sum (overlap never double-counts)
+    and never undercuts the longest single interval."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = {
+        r["event_type"]: r
+        for r in load_registry()["q_interval_coverage"][0](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id", "event_type",
+            F.expr("ts_ns div 1000").alias("s"),
+            F.round(F.abs(F.col("value")) * 1e6).cast("long").alias("d"),
+        )
+        .collect()
+    )
+    per_key: dict = {}
+    for e in ev:
+        per_key.setdefault((e["user_id"], e["event_type"]), []).append(
+            (e["s"], e["s"] + e["d"])
+        )
+    cov: dict = {}
+    dur: dict = {}
+    for (u, t), ivs in per_key.items():
+        ivs.sort()
+        hi = None
+        for s, e in ivs:
+            dur[t] = dur.get(t, 0) + (e - s)
+            if hi is None or s > hi[1]:
+                cov[t] = cov.get(t, 0) + (e - s)
+                hi = [s, e]
+            elif e > hi[1]:
+                cov[t] = cov.get(t, 0) + (e - hi[1])
+                hi[1] = e
+    for t, r in rows.items():
+        assert r["covered_us"] == cov[t]
+        assert r["covered_us"] <= dur[t]
+        assert r["n_islands"] <= r["n_intervals"]
+
+
+def test_path_analysis_pandas_replay(spark, sf_dir):
+    """Trigram path counts replayed in pandas (30-min sessionization,
+    sliding 3-window): the Spark top-20 must agree with the brute
+    recount on every returned path, and counts must be non-
+    increasing."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_path_analysis"][0](spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_id", "event_type",
+            F.expr("ts_ns div 1000").alias("ts_us"),
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+    )
+    counts: dict = {}
+    for _, g in ev.groupby("user_id"):
+        sess, last = 0, None
+        keys = []
+        for ts in g.ts_us:
+            if last is None or ts - last > 1800 * 1_000_000:
+                sess += 1
+            keys.append(sess)
+            last = ts
+        g = g.assign(sess=keys)
+        for _, sg in g.groupby("sess"):
+            ts_ = list(sg.event_type)
+            for i in range(len(ts_) - 2):
+                p = ">".join(ts_[i : i + 3])
+                counts[p] = counts.get(p, 0) + 1
+    prev = None
+    for r in rows:
+        assert counts.get(r["path"], 0) == r["cnt"]
+        assert prev is None or r["cnt"] <= prev
+        prev = r["cnt"]
+
+
+def test_changepoint_brute_force_argmin(spark, sf_dir):
+    """Changepoint laws: the reported split minimizes SSE_left +
+    SSE_right over all candidate splits of the daily series (brute
+    numpy sweep), gain >= 0, and the two segment means bracket the
+    level shift."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_changepoint"][0](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .toPandas()
+        .sort_values(["event_type", "day"])
+    )
+    for r in rows:
+        y = d[d.event_type == r["event_type"]]["count"].to_numpy(dtype=float)
+        assert r["n_days"] == len(y)
+        best, bt = None, None
+        for t in range(1, len(y)):
+            l, rt_ = y[:t], y[t:]
+            sse = ((l - l.mean()) ** 2).sum() + ((rt_ - rt_.mean()) ** 2).sum()
+            if best is None or sse < best - 1e-9:
+                best, bt = sse, t
+        assert r["split_t"] == bt
+        assert abs(r["sse_split"] - best) < 1e-2
+        assert r["gain"] >= 0
+        sst = ((y - y.mean()) ** 2).sum()
+        assert abs(r["sse_total"] - sst) < 1e-2
