@@ -4933,3 +4933,107 @@ def q_changepoint(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+def _ams_coeffs(n_est: int = 16) -> list[tuple[int, int, int, int]]:
+    """4-wise-independent sign-hash coefficients (cubic over GF(p)),
+    SplitMix64-derived so the Spark expressions and the generated
+    DuckDB SQL embed the SAME literals (the xe protocol)."""
+    from shadems_spark.operators.similarity import _splitmix64
+    from shadems_spark.operators.text import FP_MOD
+
+    out = []
+    for r in range(n_est):
+        a = _splitmix64(9100 + 4 * r) % (FP_MOD - 1) + 1
+        b = _splitmix64(9101 + 4 * r) % FP_MOD
+        c = _splitmix64(9102 + 4 * r) % FP_MOD
+        d = _splitmix64(9103 + 4 * r) % FP_MOD
+        out.append((a, b, c, d))
+    return out
+
+
+def _ams_sql() -> str:
+    from shadems_spark.operators.text import FP_MOD
+
+    p = FP_MOD
+    sign_terms = []
+    for r, (a, b, c, d) in enumerate(_ams_coeffs()):
+        h = f"CAST({a} AS BIGINT)"
+        for coef in (b, c, d):
+            h = f"(({h}) * u + {coef}) % {p}"
+        sign_terms.append(
+            f"sum((1 - 2 * (({h}) % 2)) * cnt) AS y{r}"
+        )
+    ys = ",\n                 ".join(sign_terms)
+    est_list = ", ".join(
+        f"(y{4 * g} * y{4 * g} + y{4 * g + 1} * y{4 * g + 1}"
+        f" + y{4 * g + 2} * y{4 * g + 2} + y{4 * g + 3} * y{4 * g + 3})"
+        for g in range(4)
+    )
+    return f"""
+    WITH g AS (SELECT user_id % {p} AS u, count(*) AS cnt
+               FROM events GROUP BY 1),
+    s AS (SELECT count(*) AS n_users,
+                 sum(cnt * cnt) AS f2,
+                 {ys}
+          FROM g),
+    m AS (SELECT *, list_sort([{est_list}]) AS sums FROM s)
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(f2 AS BIGINT) AS exact_f2,
+           round((sums[2] + sums[3]) / 8.0, 1) AS ams_f2,
+           round(abs((sums[2] + sums[3]) / 8.0 - f2) / f2, 6) AS rel_err
+    FROM m
+    """
+
+
+@register("q_ams_f2", sql=_ams_sql())
+def q_ams_f2(spark, sf_dir):
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy '96)
+    of the per-user event counts, beside the exact F2 = sum(cnt^2) it
+    estimates: 16 independent {-1,+1} sign hashes (4-wise via a cubic
+    over GF(1e9+7)) fold the whole stream into 16 integers Y_r;
+    median-of-4-means of Y_r^2 is the estimate.  F2 drives join-size
+    and self-join-cardinality planning at scale, where the sketch is
+    one map-side-combined pass of 16 counters while the exact form
+    needs the full per-key aggregate.
+
+    Exactness: both engines fold the SAME SplitMix64-derived literals
+    through the same Horner chain (products < p * p fit int64), Y_r
+    and the exact F2 are integer sums, and the median-of-means is an
+    integer half-sum — the whole output is determined before the two
+    final divisions.  Scale: the sketch path is a constant-width
+    aggregate (16 ints); the per-user pre-aggregate here only serves
+    the exact-F2 comparison column."""
+    from shadems_spark.operators.text import FP_MOD
+
+    p = FP_MOD
+    g = (
+        load_table(spark, sf_dir, "events")
+        .select((F.col("user_id") % p).alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("f2"),
+    ]
+    for r, (a, b, c, d) in enumerate(_ams_coeffs()):
+        h = F.lit(a)
+        for coef in (b, c, d):
+            h = (h * F.col("u") + F.lit(coef)) % F.lit(p)
+        aggs.append(F.sum((1 - 2 * (h % 2)) * F.col("cnt")).alias(f"y{r}"))
+    s = g.agg(*aggs)
+    est = [
+        sum(F.col(f"y{4 * gi + j}") * F.col(f"y{4 * gi + j}") for j in range(4))
+        for gi in range(4)
+    ]
+    m = s.withColumn("sums", F.sort_array(F.array(*est)))
+    med2 = F.element_at("sums", 2) + F.element_at("sums", 3)
+    return m.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("f2").cast("long").alias("exact_f2"),
+        F.round(med2 / 8.0, 1).alias("ams_f2"),
+        F.round(F.abs(med2 / 8.0 - F.col("f2")) / F.col("f2"), 6).alias(
+            "rel_err"
+        ),
+    )

@@ -3021,3 +3021,168 @@ def q_slice_finder(spark, sf_dir):
         zt.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= 10)
     )
+
+
+@register(
+    "q_tcloseness",
+    sql="""
+    WITH q AS (SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+                      lang
+               FROM documents),
+    cell AS (SELECT source, len_bucket, lang, count(*) AS n_cs,
+                    sum(count(*)) OVER (PARTITION BY source, len_bucket)
+                        AS n_c
+             FROM q GROUP BY 1, 2, 3),
+    lt AS (SELECT lang, count(*) AS n_s FROM q GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM q),
+    cls AS (SELECT c.source, c.len_bucket,
+                   max(c.n_c) AS n_c,
+                   count(*) AS n_langs,
+                   sum(abs(CAST(c.n_cs AS HUGEINT) * t.n
+                           - CAST(lt.n_s AS HUGEINT) * c.n_c))
+                       AS tv_present,
+                   sum(lt.n_s) AS ns_present
+            FROM cell c JOIN lt USING (lang) CROSS JOIN tot t
+            GROUP BY 1, 2, t.n),
+    r AS (SELECT cls.*, t.n,
+                 tv_present + CAST(t.n - ns_present AS HUGEINT) * n_c
+                     AS tv_num
+          FROM cls CROSS JOIN tot t)
+    SELECT source, len_bucket,
+           CAST(n_c AS BIGINT) AS n_c,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           round(CAST(tv_num AS DOUBLE) / (2.0 * n_c * n), 6)
+               AS tv_distance,
+           CAST(CASE WHEN CAST(tv_num AS DOUBLE) / (2.0 * n_c * n) > 0.35
+                THEN 1 ELSE 0 END AS INT) AS t_violation
+    FROM r ORDER BY source, len_bucket
+    """,
+)
+def q_tcloseness(spark, sf_dir):
+    """t-closeness audit (Li, Li & Venkatasubramanian '07 — the
+    refinement after q_kanon and q_ldiversity): a QI class leaks when
+    its SENSITIVE-value distribution diverges from the global one,
+    even if the class is large and diverse.  Distance here is total
+    variation over the categorical sensitive attribute (lang):
+    TV = (1/2) sum_s |n_cs/n_c - N_s/N|, with absent-from-class
+    languages contributing their full global mass.
+
+    Exactness: every |p - q| term is carried as the exact integer
+    cross-product |n_cs*N - N_s*n_c| (no per-term division), absent
+    languages fold in as one (N - sum_present N_s)*n_c term, and only
+    the final TV performs a division — bit-identical on both engines.
+    Scale: aggregates over (QI, lang) cells with a broadcast |langs|
+    totals table; never row-sized past the first map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "source",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        "lang",
+    )
+    cell = q.groupBy("source", "len_bucket", "lang").agg(
+        F.count(F.lit(1)).alias("n_cs")
+    )
+    lt = q.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = q.agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    wcls = W.partitionBy("source", "len_bucket")
+    j = (
+        cell.join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n_c", F.sum("n_cs").over(wcls))
+    )
+    cls = j.groupBy("source", "len_bucket").agg(
+        F.max("n_c").alias("n_c"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(
+            F.abs(
+                F.col("n_cs").cast("decimal(38,0)") * F.col("n")
+                - F.col("n_s").cast("decimal(38,0)") * F.col("n_c")
+            )
+        ).alias("tv_present"),
+        F.sum("n_s").alias("ns_present"),
+        F.max("n").alias("n"),
+    )
+    tv_num = (
+        F.col("tv_present")
+        + (F.col("n") - F.col("ns_present")).cast("decimal(38,0)")
+        * F.col("n_c")
+    )
+    tv = tv_num.cast("double") / (2.0 * F.col("n_c") * F.col("n"))
+    return cls.select(
+        "source", "len_bucket",
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.round(tv, 6).alias("tv_distance"),
+        (tv > 0.35).cast("int").alias("t_violation"),
+    ).orderBy("source", "len_bucket")
+
+
+_FD_CANDIDATES = [
+    # (fd label, table, lhs col, rhs col)
+    ("nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+    ("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey",
+     "o_orderpriority"),
+    ("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("documents.source->lang", "documents", "source", "lang"),
+]
+
+
+def _fd_sql() -> str:
+    parts = []
+    for label, tbl, lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+        SELECT '{label}' AS fd,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS viol_groups,
+               CAST(max(d) AS BIGINT) AS max_rhs,
+               CAST(sum(n) - count(*) AS BIGINT) AS extra_rows,
+               CAST(CASE WHEN max(d) = 1 THEN 1 ELSE 0 END AS INT) AS holds
+        FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS d, count(*) AS n
+              FROM {tbl} GROUP BY 1)""")
+    u = "\n        UNION ALL".join(parts)
+    return f"SELECT * FROM ({u}) ORDER BY fd"
+
+
+@register("q_fd_discovery", sql=_fd_sql())
+def q_fd_discovery(spark, sf_dir):
+    """Functional-dependency validation over a candidate list (the
+    TANE/metanome-style profiling primitive, scoped to declared
+    candidates rather than lattice search): FD lhs->rhs holds iff no
+    lhs group sees more than one distinct rhs.  Emits per candidate
+    the group count, violating-group count, the worst group's rhs
+    cardinality, and redundancy (rows beyond one per group) — the
+    signals schema-normalization and data-quality gates key on.
+
+    Exactness: all outputs are integer counts.  Scale: one
+    (lhs, rhs)-combinable distinct-aggregate per candidate, each
+    map-side partial; candidates run as a union of independent plans
+    so Spark schedules their stages concurrently — no cross-candidate
+    shuffle, and adding a candidate never touches the others."""
+    outs = []
+    for label, tbl, lhs, rhs in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        g = t.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("d"), F.count(F.lit(1)).alias("n")
+        )
+        outs.append(
+            g.agg(
+                F.lit(label).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum((F.col("d") > 1).cast("int")).cast("long").alias(
+                    "viol_groups"
+                ),
+                F.max("d").cast("long").alias("max_rhs"),
+                (F.sum("n") - F.count(F.lit(1))).cast("long").alias(
+                    "extra_rows"
+                ),
+                (F.max("d") == 1).cast("int").alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fd")

@@ -2980,3 +2980,138 @@ def q_embedding_coverage(spark, sf_dir):
         .cast("int")
         .alias("ood"),
     ).orderBy("cell")
+
+
+@register(
+    "q_map_eval",
+    sql="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id % 25 = 0),
+    lc AS (SELECT label, count(*) AS n_lbl FROM e GROUP BY 1),
+    scored AS (
+        SELECT q.q_id, q.q_label, e.label AS c_label,
+               round(list_sum(list_transform(list_zip(q.qv, e.v),
+                                             z -> z[1] * z[2]))
+                     / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+                        * sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6)
+                   AS cos,
+               e.vec_id AS cand_id
+        FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+    top AS (SELECT q_id, q_label, c_label,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, cand_id)
+                        AS INT) AS rank
+            FROM scored QUALIFY rank <= 10),
+    pr AS (SELECT q_id, q_label, rank,
+                  CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS rel,
+                  sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY q_id ORDER BY rank
+                            ROWS UNBOUNDED PRECEDING) AS cum_rel
+           FROM top),
+    ap AS (SELECT q_id, q_label,
+                  CAST(max(cum_rel) AS BIGINT) AS n_rel_top10,
+                  sum(CASE WHEN rel = 1 THEN
+                      CAST(round(cum_rel * 1e9 / rank) AS BIGINT)
+                      ELSE 0 END) AS ap_n
+           FROM pr GROUP BY 1, 2),
+    j AS (SELECT ap.q_id, ap.n_rel_top10,
+                 CAST(least(lc.n_lbl - 1, 10) AS BIGINT) AS n_rel_corpus,
+                 CASE WHEN least(lc.n_lbl - 1, 10) > 0
+                      THEN CAST(ap_n AS DOUBLE) / 1e9
+                           / least(lc.n_lbl - 1, 10)
+                      ELSE 0.0 END AS ap
+          FROM ap JOIN lc ON lc.label = ap.q_label),
+    m AS (SELECT sum(CAST(round(ap * 1e9) AS BIGINT)) AS map_n,
+                 count(*) AS nq FROM j)
+    SELECT q_id, n_rel_corpus, n_rel_top10, round(ap, 6) AS ap,
+           round(map_n / 1e9 / nq, 6) AS map
+    FROM j CROSS JOIN m ORDER BY q_id
+    """,
+)
+def q_map_eval(spark, sf_dir):
+    """Mean average precision at 10 — the fourth leg of the
+    retrieval-eval family (q_ann_recall set recall, q_ndcg graded,
+    q_mrr first-hit, MAP order-sensitive full-list): AP sums
+    precision@k at each relevant rank, normalized by the best
+    achievable hit count min(corpus relevant, 10); MAP averages AP
+    over the query set and rides every row.
+
+    Exactness: each precision@k term cum_rel/rank is nano-int-rounded
+    before the per-query sum (order-free); relevance and ranks are
+    exact integers from the brute top-10 (6dp-rounded cosine with id
+    tie-break, the q_mrr contract); MAP re-rounds the per-query AP
+    average through nano space.  Scale: same broadcast-queries
+    corpus-scan as q_cosine_topk — the corpus never shuffles; the
+    label-prior table joins broadcast."""
+    from pyspark.sql import Window as W
+
+    from shadems_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    top = SIM.brute_topk(emb, queries, k=10)
+    lbl = emb.select("vec_id", "label")
+    lc = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_lbl"))
+    j = (
+        top.join(
+            F.broadcast(
+                lbl.select(
+                    F.col("vec_id").alias("q_id"),
+                    F.col("label").alias("q_label"),
+                )
+            ),
+            "q_id",
+        )
+        .join(
+            lbl.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("label").alias("c_label"),
+            ),
+            "cand_id",
+        )
+    )
+    rel = (F.col("c_label") == F.col("q_label")).cast("int")
+    w = W.partitionBy("q_id").orderBy("rank").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    pr = j.select(
+        "q_id", "q_label", "rank",
+        rel.alias("rel"),
+        F.sum(rel).over(w).alias("cum_rel"),
+    )
+    ap = pr.groupBy("q_id", "q_label").agg(
+        F.max("cum_rel").cast("long").alias("n_rel_top10"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.round(F.col("cum_rel") * 1e9 / F.col("rank")).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("ap_n"),
+    )
+    denom = F.least(F.col("n_lbl") - 1, F.lit(10))
+    jj = ap.join(
+        F.broadcast(lc.select(F.col("label").alias("q_label"), "n_lbl")),
+        "q_label",
+    ).select(
+        "q_id", "n_rel_top10",
+        denom.cast("long").alias("n_rel_corpus"),
+        F.when(
+            denom > 0, F.col("ap_n").cast("double") / 1e9 / denom
+        ).otherwise(F.lit(0.0)).alias("ap"),
+    )
+    m = jj.agg(
+        F.sum(F.round(F.col("ap") * 1e9).cast("long")).alias("map_n"),
+        F.count(F.lit(1)).alias("nq"),
+    )
+    return (
+        jj.crossJoin(F.broadcast(m))
+        .select(
+            "q_id", "n_rel_corpus", "n_rel_top10",
+            F.round("ap", 6).alias("ap"),
+            F.round(F.col("map_n") / 1e9 / F.col("nq"), 6).alias("map"),
+        )
+        .orderBy("q_id")
+    )

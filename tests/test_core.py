@@ -1430,3 +1430,24 @@ def test_changepoint_brute_force_argmin(spark, sf_dir):
         assert r["gain"] >= 0
         sst = ((y - y.mean()) ** 2).sum()
         assert abs(r["sse_total"] - sst) < 1e-2
+
+
+def test_ams_f2_exactness_and_estimator_quality(spark, sf_dir):
+    """AMS laws: the exact F2 matches a pandas recount; the sketch
+    estimate is unbiased-family-close (within 60% relative error at
+    16 estimators on this fixture — the 4-wise variance bound gives
+    F2*sqrt(2/4) per mean, tightened by the median); rel_err column
+    is consistent with the two values it summarizes."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_ams_f2"][0](spark, sf_dir).collect()[0]
+    cnt = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id").count().toPandas()["count"]
+    )
+    assert r["exact_f2"] == int((cnt**2).sum())
+    assert r["n_users"] == len(cnt)
+    assert abs(r["ams_f2"] - r["exact_f2"]) / r["exact_f2"] < 0.6
+    assert abs(r["rel_err"] - abs(r["ams_f2"] - r["exact_f2"])
+               / r["exact_f2"]) < 1e-5

@@ -850,3 +850,55 @@ def test_slice_finder_replay_and_plan(spark, sf_dir):
     # read the InMemoryRelation; the FileScan text appearing inside
     # the cached subtree's description does not re-execute.
     assert "InMemoryTableScan" in plan
+
+
+def test_tcloseness_brute_force_tv(spark, sf_dir):
+    """t-closeness laws: TV in [0,1]; replayed brute-force in Python
+    over the literal class/global lang distributions (including
+    absent-language mass); a class whose distribution equals the
+    global one would score 0."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_tcloseness"][0](spark, sf_dir).collect()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", (F.col("n_chars") / 100).cast("long").alias("lb"),
+                "lang")
+        .collect()
+    )
+    from collections import Counter
+
+    glob = Counter(d["lang"] for d in docs)
+    n = len(docs)
+    cls: dict = {}
+    for d in docs:
+        cls.setdefault((d["source"], d["lb"]), Counter())[d["lang"]] += 1
+    for r in rows:
+        c = cls[(r["source"], r["len_bucket"])]
+        nc = sum(c.values())
+        tv = 0.5 * sum(
+            abs(c.get(l, 0) / nc - glob[l] / n) for l in glob
+        )
+        assert abs(r["tv_distance"] - tv) < 1e-5
+        assert 0.0 <= r["tv_distance"] <= 1.0
+        assert r["n_c"] == nc
+        assert r["t_violation"] == int(tv > 0.35)
+
+
+def test_fd_discovery_ground_truth(spark, sf_dir):
+    """FD ground truth on the star schema: the nation and orders
+    primary-key FDs must hold; the deliberately-false candidates must
+    report violations consistently (viol_groups > 0 iff holds = 0,
+    extra_rows >= 0, max_rhs >= 1)."""
+    from shadems_spark.queries import load_registry
+
+    rows = {
+        r["fd"]: r
+        for r in load_registry()["q_fd_discovery"][0](spark, sf_dir).collect()
+    }
+    assert rows["nation.n_nationkey->n_regionkey"]["holds"] == 1
+    assert rows["orders.o_orderkey->o_custkey"]["holds"] == 1
+    for r in rows.values():
+        assert (r["viol_groups"] > 0) == (r["holds"] == 0)
+        assert r["max_rhs"] >= 1 and r["extra_rows"] >= 0

@@ -985,3 +985,48 @@ def test_embedding_coverage_conservation_and_planted_ood(spark, sf_dir):
     corpus_ci = sorted(r["ci"] for r in asg if r["cand_id"] < 10_000_000)
     p10 = corpus_ci[len(corpus_ci) // 10]
     assert planted_ci and all(ci < p10 for ci in planted_ci)
+
+
+def test_map_eval_laws_and_replay(spark, sf_dir):
+    """MAP laws: ap in [0,1]; ap == 1 whenever all top-10 hits are
+    relevant up to the denominator; map equals the mean of the
+    returned ap column; and a brute numpy replay of AP@10 from the
+    raw embeddings agrees."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_map_eval"][0](spark, sf_dir).collect()
+    assert all(0.0 <= r["ap"] <= 1.0 for r in rows)
+    m = np.mean([r["ap"] for r in rows])
+    assert abs(rows[0]["map"] - m) < 2e-6
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    V = {e["vec_id"]: np.array(e["embedding"], dtype=float) for e in emb}
+    L = {e["vec_id"]: e["label"] for e in emb}
+    from collections import Counter
+
+    lc = Counter(L.values())
+    by_id = {r["q_id"]: r for r in rows}
+    for qid in list(by_id)[:5]:
+        qv = V[qid]
+        scored = []
+        for cid, cv in V.items():
+            if cid == qid:
+                continue
+            cos = round(
+                float(qv @ cv) / (np.linalg.norm(qv) * np.linalg.norm(cv)), 6
+            )
+            scored.append((-cos, cid))
+        scored.sort()
+        top = scored[:10]
+        denom = min(lc[L[qid]] - 1, 10)
+        cum, ap = 0, 0.0
+        for k, (_, cid) in enumerate(top, 1):
+            if L[cid] == L[qid]:
+                cum += 1
+                ap += cum / k
+        ap = ap / denom if denom else 0.0
+        assert abs(by_id[qid]["ap"] - ap) < 1e-5
+        assert by_id[qid]["n_rel_top10"] == cum
