@@ -5037,3 +5037,102 @@ def q_ams_f2(spark, sf_dir):
             "rel_err"
         ),
     )
+
+
+_CM_VARS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_sql() -> str:
+    cols = ", ".join(
+        f"CAST(round({v} * 100) AS BIGINT) AS v{i}"
+        for i, v in enumerate(_CM_VARS)
+    )
+    stats = []
+    for i in range(len(_CM_VARS)):
+        stats.append(f"sum(v{i}) AS s{i}")
+        for j in range(i, len(_CM_VARS)):
+            stats.append(f"sum(v{i} * v{j}) AS s{i}_{j}")
+    pairs = []
+    for i, vi in enumerate(_CM_VARS):
+        for j, vj in enumerate(_CM_VARS):
+            a, b = min(i, j), max(i, j)
+            pairs.append(
+                f"""SELECT '{vi}' AS var_x, '{vj}' AS var_y,
+                round((n * CAST(s{a}_{b} AS DOUBLE)
+                       - CAST(s{a} AS DOUBLE) * s{b})
+                      / sqrt((n * CAST(s{a}_{a} AS DOUBLE)
+                              - CAST(s{a} AS DOUBLE) * s{a})
+                             * (n * CAST(s{b}_{b} AS DOUBLE)
+                                - CAST(s{b} AS DOUBLE) * s{b})), 6)
+                    AS corr FROM g"""
+            )
+    u = "\n            UNION ALL ".join(pairs)
+    return f"""
+    WITH s AS (SELECT {cols} FROM lineitem),
+    g AS (SELECT count(*) AS n, {", ".join(stats)} FROM s)
+    SELECT * FROM ({u}) ORDER BY var_x, var_y
+    """
+
+
+@register("q_corr_matrix", sql=_corr_matrix_sql())
+def q_corr_matrix(spark, sf_dir):
+    """Full pairwise Pearson correlation matrix over the lineitem
+    numeric measures in ONE scan — the profiling primitive behind
+    feature selection and multicollinearity checks: k variables need
+    k + k(k+1)/2 sufficient statistics, all gathered by a single
+    map-side-combined aggregate, never k^2 passes or a driver loop.
+
+    Exactness: inputs are centi-int rounded per row, every cross sum
+    is an exact integer, and each coefficient is the fixed
+    (n*sxy - sx*sy)/sqrt(...) formula over them; the matrix unpivots
+    from the single stats row, so symmetry and unit diagonal are
+    structural.  Scale: one scan, one 1-row reduce, 16 output rows —
+    adding a variable grows the aggregate width, not the pass
+    count.  (Centi-int squared sums stay < 2^63 through ~sf10 at
+    this value range; beyond, promote to DECIMAL(38) — the q_anova
+    bound.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        *[
+            F.round(F.col(v) * 100).cast("long").alias(f"v{i}")
+            for i, v in enumerate(_CM_VARS)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(len(_CM_VARS)):
+        aggs.append(F.sum(F.col(f"v{i}")).alias(f"s{i}"))
+        for j in range(i, len(_CM_VARS)):
+            aggs.append(
+                F.sum(F.col(f"v{i}") * F.col(f"v{j}")).alias(f"s{i}_{j}")
+            )
+    g = s.agg(*aggs)
+    c = F.col
+    cells = []
+    for i, vi in enumerate(_CM_VARS):
+        for j, vj in enumerate(_CM_VARS):
+            a, b = min(i, j), max(i, j)
+            num = c("n") * c(f"s{a}_{b}").cast("double") - c(
+                f"s{a}"
+            ).cast("double") * c(f"s{b}")
+            den = F.sqrt(
+                (
+                    c("n") * c(f"s{a}_{a}").cast("double")
+                    - c(f"s{a}").cast("double") * c(f"s{a}")
+                )
+                * (
+                    c("n") * c(f"s{b}_{b}").cast("double")
+                    - c(f"s{b}").cast("double") * c(f"s{b}")
+                )
+            )
+            cells.append(
+                F.struct(
+                    F.lit(vi).alias("var_x"),
+                    F.lit(vj).alias("var_y"),
+                    F.round(num / den, 6).alias("corr"),
+                )
+            )
+    return (
+        g.select(F.explode(F.array(*cells)).alias("c"))
+        .select("c.var_x", "c.var_y", "c.corr")
+        .orderBy("var_x", "var_y")
+    )

@@ -3186,3 +3186,315 @@ def q_fd_discovery(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("fd")
+
+
+@register(
+    "q_kn_lm",
+    sql="""
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    b AS (SELECT unnest([ws[i+1] || ' ' || ws[i+2]
+                         for i in range(len(ws) - 1)]) AS bg
+          FROM w),
+    bc AS (SELECT string_split(bg, ' ')[1] AS w1,
+                  string_split(bg, ' ')[2] AS w2, count(*) AS nb
+           FROM b GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS nc,
+                   CAST(count(*) AS BIGINT) AS n1f
+            FROM bc GROUP BY 1),
+    rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p FROM bc GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bg FROM bc)
+    SELECT bc.w1, bc.w2, CAST(bc.nb AS BIGINT) AS nb,
+           ctx.nc AS c_w1, ctx.n1f AS n1plus_fwd, rgt.n1p AS n1plus_bwd,
+           round(greatest(bc.nb - 0.75, 0.0) / ctx.nc
+                 + 0.75 * ctx.n1f / ctx.nc * rgt.n1p
+                   / CAST(t.n_bg AS DOUBLE), 6) AS p_kn,
+           round(CAST(bc.nb AS DOUBLE) / ctx.nc, 6) AS p_mle
+    FROM bc JOIN ctx USING (w1) JOIN rgt USING (w2) CROSS JOIN tot t
+    ORDER BY nb DESC, w1, w2 LIMIT 30
+    """,
+)
+def q_kn_lm(spark, sf_dir):
+    """Kneser-Ney smoothed bigram LM (absolute discount D = 0.75,
+    continuation-count backoff) — the production n-gram smoother
+    beside q_bigram_lm's simple interpolation: KN backs off to HOW
+    MANY contexts a word completes (N1+(.w)), not how often it
+    occurs, which is what makes 'Francisco' unlikely outside 'San'.
+    p_kn(w2|w1) = max(c-D,0)/c(w1.) + D*N1+(w1.)/c(w1.) * p_cont(w2),
+    p_cont = N1+(.w2)/N1+(..).  Emits the top-30 bigrams with their
+    raw, forward- and backward-continuation counts and both the KN
+    and MLE probabilities (tests pin the sum-to-1 law per context).
+
+    Exactness: all five count families are integer aggregates over
+    the bigram table; p_kn is one fixed float formula per row.
+    Scale: the bigram count table is vocabulary^2-bounded and every
+    derived table groups ON its own keys (one map-side-combined
+    shuffle each); the top-30 compiles to TakeOrderedAndProject."""
+    from shadems_spark.operators.text import _sliding, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = words("text")
+    b = docs.select(
+        F.explode(
+            _sliding(ws, 2, lambda a, x: F.concat(a, F.lit(" "), x))
+        ).alias("bg")
+    )
+    bc = (
+        b.select(
+            F.split("bg", " ")[0].alias("w1"),
+            F.split("bg", " ")[1].alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    ctx = bc.groupBy("w1").agg(
+        F.sum("nb").cast("long").alias("c_w1"),
+        F.count(F.lit(1)).cast("long").alias("n1plus_fwd"),
+    )
+    rgt = bc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1plus_bwd")
+    )
+    tot = bc.agg(F.count(F.lit(1)).cast("long").alias("n_bg"))
+    j = (
+        bc.join(ctx, "w1")
+        .join(rgt, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_kn = (
+        F.greatest(F.col("nb") - 0.75, F.lit(0.0)) / F.col("c_w1")
+        + 0.75 * F.col("n1plus_fwd") / F.col("c_w1")
+        * F.col("n1plus_bwd") / F.col("n_bg").cast("double")
+    )
+    return (
+        j.select(
+            "w1", "w2", F.col("nb").cast("long").alias("nb"),
+            "c_w1", "n1plus_fwd", "n1plus_bwd",
+            F.round(p_kn, 6).alias("p_kn"),
+            F.round(F.col("nb").cast("double") / F.col("c_w1"), 6).alias(
+                "p_mle"
+            ),
+        )
+        .orderBy(F.desc("nb"), "w1", "w2")
+        .limit(30)
+    )
+
+
+_ADA_T = 3  # boosting rounds
+_ADA_FEATS = 3  # binned features
+_ADA_THRESH = list(range(1, 10))
+
+
+def _ada_sql() -> str:
+    """Full 3-round AdaBoost replay in DuckDB CTEs: the same binned
+    features, the same integer nano-weights, the same argmin/update
+    formulas — training itself is oracle-verified, not just the
+    apply step."""
+    cands = ", ".join(
+        f"({fi}, {t})" for fi in range(_ADA_FEATS) for t in _ADA_THRESH
+    )
+    sql = f"""
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+                      len(list_filter(string_split(text, ' '),
+                                      x -> len(x) > 0)) AS nw,
+                      n_chars
+               FROM documents),
+    f AS (SELECT doc_id, y,
+                 [least(n_chars // 200, 9),
+                  least(nw // 20, 9),
+                  least(n_chars // (nw + 1), 9)] AS fv
+          FROM d),
+    cand(fi, th) AS (VALUES {cands}),
+    w0 AS (SELECT doc_id, y, fv, CAST(1000000000 AS BIGINT) AS wn FROM f)
+    """
+    prev = "w0"
+    for r in range(_ADA_T):
+        sql += f""",
+    e{r} AS (SELECT c.fi, c.th,
+                    sum(CASE WHEN (CASE WHEN w.fv[c.fi + 1] >= c.th
+                                   THEN 1 ELSE -1 END) != w.y
+                        THEN w.wn ELSE 0 END) AS werr,
+                    sum(w.wn) AS tot
+             FROM {prev} w CROSS JOIN cand c GROUP BY 1, 2),
+    b{r} AS (SELECT fi, th,
+                    CASE WHEN werr * 2 <= tot THEN 1 ELSE -1 END AS pol,
+                    CAST(least(werr, tot - werr) AS BIGINT) AS ew,
+                    CAST(tot AS BIGINT) AS tot
+             FROM e{r}
+             ORDER BY least(werr, tot - werr), fi, th LIMIT 1),
+    a{r} AS (SELECT *,
+                    0.5 * ln((tot - ew) / CAST(ew AS DOUBLE)) AS alpha
+             FROM b{r}),
+    w{r + 1} AS (SELECT w.doc_id, w.y, w.fv,
+                        CAST(round(w.wn * CASE WHEN
+                            a.pol * (CASE WHEN w.fv[a.fi + 1] >= a.th
+                                     THEN 1 ELSE -1 END) = w.y
+                            THEN sqrt(a.ew / CAST(a.tot - a.ew AS DOUBLE))
+                            ELSE sqrt((a.tot - a.ew) / CAST(a.ew AS DOUBLE))
+                            END) AS BIGINT) AS wn
+                 FROM {prev} w CROSS JOIN a{r} a)
+    """
+        prev = f"w{r + 1}"
+    hsum = " + ".join(
+        f"""(SELECT alpha * pol * (CASE WHEN f.fv[fi + 1] >= th
+             THEN 1 ELSE -1 END) FROM a{r})"""
+        for r in range(_ADA_T)
+    )
+    rounds = " UNION ALL ".join(
+        f"SELECT {r} AS round, fi, th, pol, "
+        f"round(ew / CAST(tot AS DOUBLE), 6) AS err, "
+        f"round(alpha, 6) AS alpha FROM a{r}"
+        for r in range(_ADA_T)
+    )
+    sql += f""",
+    acc AS (SELECT round(sum(CASE WHEN ({hsum}) * f.y > 0
+                          THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS train_acc
+            FROM f)
+    SELECT r.round, CAST(r.fi AS INT) AS feature_idx,
+           CAST(r.th AS INT) AS threshold, CAST(r.pol AS INT) AS polarity,
+           r.err, r.alpha, acc.train_acc
+    FROM ({rounds}) r CROSS JOIN acc ORDER BY r.round
+    """
+    return sql
+
+
+@register("q_adaboost_stumps", sql=_ada_sql())
+def q_adaboost_stumps(spark, sf_dir):
+    """AdaBoost (Freund & Schapire '97) over decision stumps on three
+    binned document features (char bucket, word bucket, avg-word-len
+    bucket; label en-vs-rest) — the boosting member of the classifier
+    battery (q_lr_train gradient, q_naive_bayes generative,
+    q_best_split single stump): each round re-weights documents by
+    the exponential loss and picks the weighted-error-minimizing
+    stump, polarity included.
+
+    Exactness: sample weights are nano-ints re-rounded after each
+    multiplicative update, so every weighted error is an exact
+    integer sum and the per-round argmin compares integers with a
+    (feature, threshold) tie-break; alpha and the update factors are
+    fixed float formulas over those integers, identical on both
+    engines — the DuckDB oracle replays the full training loop, not
+    just the final model.  Scale: each round is ONE map-side-combined
+    aggregate with |features|x|thresholds| conditional-sum columns
+    (no row explosion), the chosen stump broadcasts back as a 1-row
+    frame, and the feature table is computed once and persisted —
+    T rounds cost T cheap passes over 4 narrow columns."""
+    from shadems_spark.operators.dedup import tracked_persist
+    from shadems_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    nw = F.size(F.filter(words("text"), lambda w: F.length(w) > 0))
+    f = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+        F.array(
+            F.least(F.expr("n_chars div 200"), F.lit(9)).cast("long"),
+            F.least(nw.cast("long") / F.lit(20), F.lit(9.0)).cast("long"),
+            F.least(
+                F.col("n_chars") / (nw.cast("long") + 1), F.lit(9.0)
+            ).cast("long"),
+        ).alias("fv"),
+    )
+    f = tracked_persist(f, key="ada_features")
+    w = f.withColumn("wn", F.lit(1_000_000_000).cast("long"))
+    choices = []
+    for _r in range(_ADA_T):
+        aggs = [F.sum("wn").alias("tot")]
+        for fi in range(_ADA_FEATS):
+            for t in _ADA_THRESH:
+                pred = F.when(
+                    F.element_at("fv", fi + 1) >= t, 1
+                ).otherwise(-1)
+                aggs.append(
+                    F.sum(
+                        F.when(pred != F.col("y"), F.col("wn")).otherwise(0)
+                    ).alias(f"we_{fi}_{t}")
+                )
+        e = w.agg(*aggs)
+        structs = [
+            F.struct(
+                F.least(
+                    F.col(f"we_{fi}_{t}"), F.col("tot") - F.col(f"we_{fi}_{t}")
+                ).alias("ew"),
+                F.lit(fi).alias("fi"),
+                F.lit(t).alias("th"),
+                F.col(f"we_{fi}_{t}").alias("werr"),
+            )
+            for fi in range(_ADA_FEATS)
+            for t in _ADA_THRESH
+        ]
+        best = e.select(
+            "tot", F.sort_array(F.array(*structs))[0].alias("b")
+        ).select(
+            F.col("b.fi").alias("fi"), F.col("b.th").alias("th"),
+            F.when(F.col("b.werr") * 2 <= F.col("tot"), 1)
+            .otherwise(-1).alias("pol"),
+            F.col("b.ew").alias("ew"), F.col("tot").alias("tot"),
+        ).withColumn(
+            "alpha",
+            0.5 * F.log(
+                (F.col("tot") - F.col("ew")) / F.col("ew").cast("double")
+            ),
+        )
+        choices.append(best)
+        pred = F.when(
+            F.element_at("fv", F.col("fi") + 1) >= F.col("th"), 1
+        ).otherwise(-1)
+        w = (
+            w.crossJoin(F.broadcast(best))
+            .withColumn(
+                "wn",
+                F.round(
+                    F.col("wn")
+                    * F.when(
+                        F.col("pol") * pred == F.col("y"),
+                        F.sqrt(
+                            F.col("ew")
+                            / (F.col("tot") - F.col("ew")).cast("double")
+                        ),
+                    ).otherwise(
+                        F.sqrt(
+                            (F.col("tot") - F.col("ew"))
+                            / F.col("ew").cast("double")
+                        )
+                    )
+                ).cast("long"),
+            )
+            .select("doc_id", "y", "fv", "wn")
+        )
+    # ensemble accuracy: sum of alpha * pol * h_r(x) over the 3 stumps
+    hf = f
+    for r, ch in enumerate(choices):
+        c = F.broadcast(
+            ch.select(
+                F.col("fi").alias(f"fi{r}"), F.col("th").alias(f"th{r}"),
+                F.col("pol").alias(f"pol{r}"),
+                F.col("alpha").alias(f"al{r}"),
+            )
+        )
+        hf = hf.crossJoin(c)
+    hsum = None
+    for r in range(_ADA_T):
+        hr = F.col(f"al{r}") * F.col(f"pol{r}") * F.when(
+            F.element_at("fv", F.col(f"fi{r}") + 1) >= F.col(f"th{r}"), 1
+        ).otherwise(-1)
+        hsum = hr if hsum is None else hsum + hr
+    acc = hf.agg(
+        F.round(
+            F.sum((hsum * F.col("y") > 0).cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("train_acc")
+    )
+    rounds = None
+    for r, ch in enumerate(choices):
+        row = ch.select(
+            F.lit(r).alias("round"),
+            F.col("fi").cast("int").alias("feature_idx"),
+            F.col("th").cast("int").alias("threshold"),
+            F.col("pol").cast("int").alias("polarity"),
+            F.round(F.col("ew") / F.col("tot").cast("double"), 6).alias("err"),
+            F.round("alpha", 6).alias("alpha"),
+        )
+        rounds = row if rounds is None else rounds.unionByName(row)
+    return rounds.crossJoin(F.broadcast(acc)).orderBy("round")

@@ -3115,3 +3115,131 @@ def q_map_eval(spark, sf_dir):
         )
         .orderBy("q_id")
     )
+
+
+def _pr_auc_oracle() -> str:
+    ws = _qc_weights()
+    zmilli = " + ".join(
+        f"({int(round(w * 1000))}) * CAST(len(list_filter(bs, x -> x = {b})) AS BIGINT)"
+        for b, w in enumerate(ws)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, lang,
+                      list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+               FROM documents),
+    b AS (SELECT doc_id, lang, len(ws) AS nw,
+                 list_transform(ws, w ->
+                     list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                                      list_transform(string_split(w, ''),
+                                                     c -> CAST(ascii(c) AS BIGINT))),
+                         (a, c) -> (a * 31 + c) % 1000000007) % {_FH_DIM}) AS bs
+          FROM w),
+    s AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 round(1.0 / (1.0 + exp(-((100 + {zmilli})
+                                          / (1000.0 * (1 + nw))))), 6) AS score
+          FROM b),
+    g AS (SELECT score, count(*) AS n, sum(y) AS np FROM s GROUP BY 1),
+    c AS (SELECT score, n, np,
+                 sum(n) OVER (ORDER BY score DESC
+                              ROWS UNBOUNDED PRECEDING) AS cum_n,
+                 sum(np) OVER (ORDER BY score DESC
+                               ROWS UNBOUNDED PRECEDING) AS cum_tp
+          FROM g),
+    t AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                 CAST(sum(n) - sum(np) AS BIGINT) AS n_neg
+          FROM g),
+    ap AS (SELECT sum(CAST(round(1e9 * np * (CAST(cum_tp AS DOUBLE) / cum_n)
+                                 / t.n_pos) AS BIGINT)) AS ap_n
+           FROM c CROSS JOIN t GROUP BY t.n_pos)
+    SELECT n_pos, n_neg,
+           round(ap_n / 1e9, 6) AS pr_auc,
+           round(n_pos / CAST(n_pos + n_neg AS DOUBLE), 6) AS prevalence
+    FROM t CROSS JOIN ap
+    """
+
+
+@register("q_pr_auc", sql=_pr_auc_oracle())
+def q_pr_auc(spark, sf_dir):
+    """Precision-recall AUC (average precision over descending score
+    thresholds) for the quality classifier — the imbalance-honest
+    companion to q_auc's ROC: AP = sum_s (tp_s/n_pos) * P@s, stepping
+    once per DISTINCT 6dp score, so a model is judged by precision
+    where recall is actually gained; prevalence is the random-
+    classifier baseline ROC-AUC hides.
+
+    Exactness: per-score counts are integers, each AP term is
+    nano-int-rounded before the cross-threshold sum, and the cumsum
+    window orders by the 6dp-rounded score — <= 1e6 distinct keys by
+    construction (the q_auc cardinality bound), so the single ordered
+    window runs over a bounded table, never the row-sized one.
+    Scale: one scoring scan, one score-keyed map-side-combined
+    aggregate, constant tail."""
+    from functools import reduce
+
+    from shadems_spark.operators.text import FP_MOD, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(words("text"), lambda w: F.length(w) > 0)
+    word_hash = lambda w: (
+        F.aggregate(
+            F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, c: (a * F.lit(31) + c) % F.lit(FP_MOD),
+        )
+        % F.lit(_FH_DIM)
+    )
+    buckets = F.transform(ws, word_hash)
+    weights = _qc_weights()
+
+    def bucket_count(b):
+        return F.size(F.filter(buckets, lambda x: x == F.lit(b)))
+
+    terms = [
+        F.lit(int(round(w * 1000))) * bucket_count(b).cast("long")
+        for b, w in enumerate(weights)
+    ]
+    z_milli = reduce(lambda a, c: a + c, terms, F.lit(100).cast("long"))
+    zr = z_milli / (F.lit(1000.0) * (F.lit(1) + F.size(ws)))
+    s = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zr)), 6).alias("score"),
+    )
+    g = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("np")
+    ).withColumn("nscore", -F.col("score"))
+    # descending-score prefix sums WITHOUT a single-partition window:
+    # the two-phase value-cut scan (order by negated score is total —
+    # scores are distinct group keys)
+    from shadems_spark.operators.profile import global_cumsum
+
+    c = global_cumsum(
+        g, ["nscore"], {"cum_n": "n", "cum_tp": "np"}
+    )
+    t = g.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        (F.sum("n") - F.sum("np")).cast("long").alias("n_neg"),
+    )
+    ap = (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.round(
+                F.lit(1e9) * F.col("np")
+                * (F.col("cum_tp").cast("double") / F.col("cum_n"))
+                / F.col("n_pos")
+            ).cast("long").alias("term_n")
+        )
+        .agg(F.sum("term_n").alias("ap_n"))
+    )
+    return (
+        t.crossJoin(F.broadcast(ap))
+        .select(
+            "n_pos", "n_neg",
+            F.round(F.col("ap_n") / 1e9, 6).alias("pr_auc"),
+            F.round(
+                F.col("n_pos")
+                / (F.col("n_pos") + F.col("n_neg")).cast("double"),
+                6,
+            ).alias("prevalence"),
+        )
+    )

@@ -1451,3 +1451,33 @@ def test_ams_f2_exactness_and_estimator_quality(spark, sf_dir):
     assert abs(r["ams_f2"] - r["exact_f2"]) / r["exact_f2"] < 0.6
     assert abs(r["rel_err"] - abs(r["ams_f2"] - r["exact_f2"])
                / r["exact_f2"]) < 1e-5
+
+
+def test_corr_matrix_numpy_parity_and_symmetry(spark, sf_dir):
+    """Correlation-matrix laws: unit diagonal, symmetry, and every
+    cell matches numpy.corrcoef on the same centi-rounded columns."""
+    import math
+
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+    from shadems_spark.queries.analytics import _CM_VARS
+
+    rows = {
+        (r["var_x"], r["var_y"]): r["corr"]
+        for r in load_registry()["q_corr_matrix"][0](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(*_CM_VARS).toPandas()
+    X = np.column_stack(
+        [
+            np.floor(li[v].to_numpy() * 100 + 0.5)  # HALF_UP like F.round
+            for v in _CM_VARS
+        ]
+    )
+    C = np.corrcoef(X.T)
+    for i, vi in enumerate(_CM_VARS):
+        for j, vj in enumerate(_CM_VARS):
+            assert math.isclose(rows[(vi, vj)], rows[(vj, vi)], abs_tol=1e-9)
+            assert abs(rows[(vi, vj)] - C[i, j]) < 1e-5
+        assert rows[(vi, vi)] == 1.0

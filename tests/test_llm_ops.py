@@ -1030,3 +1030,59 @@ def test_map_eval_laws_and_replay(spark, sf_dir):
         ap = ap / denom if denom else 0.0
         assert abs(by_id[qid]["ap"] - ap) < 1e-5
         assert by_id[qid]["n_rel_top10"] == cum
+
+
+def test_pr_auc_laws_and_brute_replay(spark, sf_dir):
+    """PR-AUC laws: in (0, 1]; at least the prevalence baseline for
+    this better-than-random classifier; equals the brute numpy
+    average-precision over descending distinct 6dp scores."""
+    import numpy as np
+
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    r = reg["q_pr_auc"][0](spark, sf_dir).collect()[0]
+    assert 0.0 < r["pr_auc"] <= 1.0
+    assert abs(
+        r["prevalence"] - r["n_pos"] / (r["n_pos"] + r["n_neg"])
+    ) < 1e-6
+
+    # brute replay: rebuild the identical (y, score) frame via the
+    # same module-level scorer pieces, then compute AP in numpy over
+    # descending distinct scores
+    from functools import reduce
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.text import FP_MOD, words
+    from shadems_spark.queries.llm_ops import _FH_DIM, _qc_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(words("text"), lambda w: F.length(w) > 0)
+    word_hash = lambda w: (
+        F.aggregate(
+            F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, c: (a * F.lit(31) + c) % F.lit(FP_MOD),
+        )
+        % F.lit(_FH_DIM)
+    )
+    buckets = F.transform(ws, word_hash)
+    terms = [
+        F.lit(int(round(w * 1000)))
+        * F.size(F.filter(buckets, lambda x: x == F.lit(b))).cast("long")
+        for b, w in enumerate(_qc_weights())
+    ]
+    z = reduce(lambda a, c: a + c, terms, F.lit(100).cast("long"))
+    zr = z / (F.lit(1000.0) * (F.lit(1) + F.size(ws)))
+    s = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zr)), 6).alias("score"),
+    ).toPandas()
+    g = s.groupby("score").agg(n=("y", "size"), np=("y", "sum"))
+    g = g.sort_index(ascending=False)
+    cum_tp = g.np.cumsum()
+    cum_n = g.n.cumsum()
+    n_pos = g.np.sum()
+    ap = float(((g.np / n_pos) * (cum_tp / cum_n)).sum())
+    assert abs(r["pr_auc"] - ap) < 1e-5
+    assert r["n_pos"] == n_pos
