@@ -5136,3 +5136,386 @@ def q_corr_matrix(spark, sf_dir):
         .select("c.var_x", "c.var_y", "c.corr")
         .orderBy("var_x", "var_y")
     )
+
+
+@register(
+    "q_apriori",
+    sql="""
+    WITH b AS (SELECT DISTINCT l_orderkey,
+                      l_partkey % 50 AS item
+               FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    ic AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+    p AS (SELECT a.item AS item_a, c.item AS item_b, count(*) AS n_pair
+          FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                           AND a.item < c.item
+          GROUP BY 1, 2
+          HAVING count(*) >= 5),
+    r AS (SELECT p.item_a, p.item_b, p.n_pair,
+                 ia.n_item AS n_a, ib.n_item AS n_b, n.n_orders,
+                 round(p.n_pair / CAST(n.n_orders AS DOUBLE), 6) AS support,
+                 round(p.n_pair / CAST(ia.n_item AS DOUBLE), 6)
+                     AS confidence,
+                 round(p.n_pair * CAST(n.n_orders AS DOUBLE)
+                       / (ia.n_item * CAST(ib.n_item AS DOUBLE)), 6)
+                     AS lift
+          FROM p JOIN ic ia ON ia.item = p.item_a
+                 JOIN ic ib ON ib.item = p.item_b
+                 CROSS JOIN n)
+    SELECT CAST(item_a AS BIGINT) AS item_a,
+           CAST(item_b AS BIGINT) AS item_b,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           support, confidence, lift
+    FROM r ORDER BY lift DESC, item_a, item_b LIMIT 25
+    """,
+)
+def q_apriori(spark, sf_dir):
+    """Frequent-itemset pair mining (the Apriori/market-basket
+    primitive): baskets are orders, items are part classes
+    (l_partkey % 50 — the category proxy); emits the top-25 pairs by
+    lift with support and confidence, min-support-pruned at 5
+    baskets.  The shape generalizes to co-occurrence mining over any
+    (container, token) relation — docs x shingles, users x domains.
+
+    Exactness: supports are integer basket counts (DISTINCT per
+    basket so multiplicity never inflates them); support/confidence/
+    lift are fixed single-division formulas.  Scale: the pair join
+    self-joins the DEDUPED basket-item table on the basket key — per-
+    basket fan-out is (lines per basket choose 2), bounded by basket
+    size, not corpus size; min-support HAVING prunes before the
+    metric joins, and item totals join broadcast (item vocabulary is
+    capped at 50 by the class mapping)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_orderkey", (F.col("l_partkey") % 50).alias("item")
+    ).distinct()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ic = b.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a2 = b.select(F.col("l_orderkey"), F.col("item").alias("item_b"))
+    p = (
+        b.join(a2, "l_orderkey")
+        .filter(F.col("item") < F.col("item_b"))
+        .groupBy(F.col("item").alias("item_a"), "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 5)
+    )
+    r = (
+        p.join(
+            F.broadcast(
+                ic.select(F.col("item").alias("item_a"),
+                          F.col("n_item").alias("n_a"))
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                ic.select(F.col("item").alias("item_b"),
+                          F.col("n_item").alias("n_b"))
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        r.select(
+            F.col("item_a").cast("long").alias("item_a"),
+            F.col("item_b").cast("long").alias("item_b"),
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_pair") / F.col("n_orders").cast("double"), 6
+            ).alias("support"),
+            F.round(
+                F.col("n_pair") / F.col("n_a").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("n_pair") * F.col("n_orders").cast("double")
+                / (F.col("n_a") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(25)
+    )
+
+
+@register(
+    "q_moments",
+    sql="""
+    WITH s AS (SELECT event_type,
+                      CAST(round(value) AS BIGINT) AS v
+               FROM events WHERE value IS NOT NULL),
+    g AS (SELECT event_type, count(*) AS n, sum(v) AS s1,
+                 sum(v * v) AS s2, sum(v * v * v) AS s3,
+                 sum(v * v * v * v) AS s4
+          FROM s GROUP BY 1),
+    m AS (SELECT event_type, n,
+                 CAST(s1 AS DOUBLE) / n AS m1,
+                 CAST(s2 AS DOUBLE) / n AS r2,
+                 CAST(s3 AS DOUBLE) / n AS r3,
+                 CAST(s4 AS DOUBLE) / n AS r4
+          FROM g),
+    c AS (SELECT event_type, n, m1,
+                 r2 - m1 * m1 AS mu2,
+                 r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS mu3,
+                 r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
+                    - 3 * m1 * m1 * m1 * m1 AS mu4
+          FROM m)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(m1, 6) AS mean,
+           round(sqrt(mu2), 6) AS std_pop,
+           round(mu3 / (mu2 * sqrt(mu2)), 6) AS skewness,
+           round(mu4 / (mu2 * mu2) - 3.0, 6) AS excess_kurtosis
+    FROM c ORDER BY event_type
+    """,
+)
+def q_moments(spark, sf_dir):
+    """Higher-moment profile (skewness, excess kurtosis) of event
+    value per type from ONE pass of raw power sums — the tail-shape
+    screen the mean/variance profile misses: skew > 0 flags the
+    long-right-tail metrics that need log transforms, kurtosis >> 0
+    flags outlier-dominated ones where winsorization matters.
+
+    Exactness: values are unit-int rounded per row (the 4th-power
+    sum bounds int64 through ~1e12 rows at this value range — finer
+    rounding would overflow at the 4th power, the documented
+    precision/headroom trade; DECIMAL(38) buys finer units), all four
+    power sums are exact integers, and central moments come from the
+    fixed raw-to-central identities.  Scale: one map-side-combined
+    |types|-key aggregate; nothing else."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(
+        "event_type", F.round(F.col("value")).cast("long").alias("v")
+    )
+    v = F.col("v")
+    g = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    c = F.col
+    m = g.select(
+        "event_type", "n",
+        (c("s1").cast("double") / c("n")).alias("m1"),
+        (c("s2").cast("double") / c("n")).alias("r2"),
+        (c("s3").cast("double") / c("n")).alias("r3"),
+        (c("s4").cast("double") / c("n")).alias("r4"),
+    )
+    mu2 = c("r2") - c("m1") * c("m1")
+    mu3 = c("r3") - 3 * c("m1") * c("r2") + 2 * c("m1") * c("m1") * c("m1")
+    mu4 = (
+        c("r4") - 4 * c("m1") * c("r3")
+        + 6 * c("m1") * c("m1") * c("r2")
+        - 3 * c("m1") * c("m1") * c("m1") * c("m1")
+    )
+    cc = m.select(
+        "event_type", "n", "m1",
+        mu2.alias("mu2"), mu3.alias("mu3"), mu4.alias("mu4"),
+    )
+    return cc.select(
+        "event_type", c("n").cast("long").alias("n"),
+        F.round("m1", 6).alias("mean"),
+        F.round(F.sqrt(c("mu2")), 6).alias("std_pop"),
+        F.round(c("mu3") / (c("mu2") * F.sqrt(c("mu2"))), 6).alias("skewness"),
+        F.round(c("mu4") / (c("mu2") * c("mu2")) - 3.0, 6).alias(
+            "excess_kurtosis"
+        ),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_kendall",
+    sql="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      count(*) AS x,
+                      sum(CAST(round(coalesce(value, 0) * 1000)
+                          AS BIGINT)) AS y
+               FROM events GROUP BY 1, 2),
+    p AS (SELECT a.event_type,
+                 sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                     THEN 1 ELSE 0 END) AS conc,
+                 sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                     THEN 1 ELSE 0 END) AS disc,
+                 sum(CASE WHEN a.x = b.x AND a.y != b.y
+                     THEN 1 ELSE 0 END) AS tie_x,
+                 sum(CASE WHEN a.y = b.y AND a.x != b.x
+                     THEN 1 ELSE 0 END) AS tie_y,
+                 sum(CASE WHEN a.x = b.x AND a.y = b.y
+                     THEN 1 ELSE 0 END) AS tie_xy,
+                 count(*) AS n_pairs
+          FROM d a JOIN d b ON a.event_type = b.event_type
+                           AND a.day < b.day
+          GROUP BY 1)
+    SELECT event_type,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           round((conc - disc)
+                 / sqrt((n_pairs - tie_x - tie_xy)
+                        * CAST(n_pairs - tie_y - tie_xy AS DOUBLE)), 6)
+               AS tau_b
+    FROM p ORDER BY event_type
+    """,
+)
+def q_kendall(spark, sf_dir):
+    """Kendall tau-b rank correlation between daily event count and
+    daily value volume per type — the third association measure
+    beside q_spearman (tau counts pairwise order inversions, so it
+    is the most outlier-robust and has the cleanest confidence
+    interpretation; tau-b corrects for ties in either series).
+
+    Exactness: concordant/discordant/tie counts are exact integer
+    pair sums over the bounded day series; tau-b is one fixed float
+    formula per type.  Scale: the O(days^2) pair join is calendar-
+    bounded per type (366 days -> 67k pairs) regardless of corpus
+    size — the row-sized work is only the (type, day) map-side
+    aggregate; at multi-decade calendars switch to the O(n log n)
+    merge-sort inversion count."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(
+            F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1000)
+            .cast("long")
+        ).alias("y"),
+    )
+    b = d.select(
+        "event_type",
+        F.col("day").alias("day2"), F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    j = d.join(b, "event_type").filter(F.col("day") < F.col("day2"))
+    dx = F.col("x") - F.col("x2")
+    dy = F.col("y") - F.col("y2")
+    p = j.groupBy("event_type").agg(
+        F.sum((dx * dy > 0).cast("int")).alias("conc"),
+        F.sum((dx * dy < 0).cast("int")).alias("disc"),
+        F.sum(((dx == 0) & (dy != 0)).cast("int")).alias("tie_x"),
+        F.sum(((dy == 0) & (dx != 0)).cast("int")).alias("tie_y"),
+        F.sum(((dx == 0) & (dy == 0)).cast("int")).alias("tie_xy"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    c = F.col
+    return p.select(
+        "event_type",
+        c("n_pairs").cast("long").alias("n_pairs"),
+        c("conc").cast("long").alias("concordant"),
+        c("disc").cast("long").alias("discordant"),
+        F.round(
+            (c("conc") - c("disc"))
+            / F.sqrt(
+                (c("n_pairs") - c("tie_x") - c("tie_xy"))
+                * (c("n_pairs") - c("tie_y") - c("tie_xy")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_motif",
+    sql="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+    a AS (SELECT event_type,
+                 list(y ORDER BY day) AS ys,
+                 list(day ORDER BY day) AS days,
+                 count(*) AS n
+          FROM d GROUP BY 1),
+    w AS (SELECT event_type, days, i,
+                 list_slice(ys, i, i + 6) AS v
+          FROM a, unnest(range(1, CAST(n AS INT) - 5)) AS t(i)),
+    p AS (SELECT x.event_type,
+                 x.i AS i, z.i AS j, x.days AS days,
+                 list_sum(list_transform(list_zip(x.v, z.v),
+                          q -> (q[1] - q[2]) * (q[1] - q[2]))) AS ssd
+          FROM w x JOIN w z ON x.event_type = z.event_type
+                           AND z.i >= x.i + 7),
+    b AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY ssd, i, j) AS rk
+          FROM p)
+    SELECT event_type,
+           CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           days[CAST(i AS INT)] AS day_i, days[CAST(j AS INT)] AS day_j,
+           CAST(ssd AS BIGINT) AS ssd
+    FROM b WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def q_motif(spark, sf_dir):
+    """Time-series motif discovery (matrix-profile-lite): the most
+    similar pair of non-overlapping 7-day windows in each type's
+    daily count series by sum-of-squared-differences — the recurring-
+    pattern detector behind anomaly triage ('this week looks exactly
+    like the outage week').
+
+    Exactness: window vectors are integer daily counts assembled from
+    a sort_array'd per-type collect (deterministic order), SSD is an
+    exact integer, and the per-type argmin tie-breaks on (i, j).
+    Scale: the series is calendar-bounded per type, so windows
+    (n-6 per type) and the O(n^2) pair join are constant-size
+    regardless of corpus rows; production matrix profile (STOMP)
+    drops in when calendars grow to 1e5+ points."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = d.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "y"))),
+            lambda s: s["y"],
+        ).alias("ys"),
+        F.sort_array(F.collect_list("day")).alias("days"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = a.select(
+        "event_type", "days",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - 6),
+                lambda i: F.struct(
+                    i.alias("i"), F.slice("ys", i, 7).alias("v")
+                ),
+            )
+        ).alias("win"),
+    ).select("event_type", "days", F.col("win.i").alias("i"),
+             F.col("win.v").alias("v"))
+    z = w.select(
+        "event_type", F.col("i").alias("j"), F.col("v").alias("v2")
+    )
+    ssd = F.aggregate(
+        F.zip_with("v", "v2", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    p = (
+        w.join(z, "event_type")
+        .filter(F.col("j") >= F.col("i") + 7)
+        .select("event_type", "i", "j", "days", ssd.alias("ssd"))
+    )
+    from pyspark.sql import Window as W
+
+    b = p.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("ssd", "i", "j")
+        ),
+    )
+    return (
+        b.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.element_at("days", F.col("i").cast("int")).alias("day_i"),
+            F.element_at("days", F.col("j").cast("int")).alias("day_j"),
+            F.col("ssd").cast("long").alias("ssd"),
+        )
+        .orderBy("event_type")
+    )

@@ -1481,3 +1481,150 @@ def test_corr_matrix_numpy_parity_and_symmetry(spark, sf_dir):
             assert math.isclose(rows[(vi, vj)], rows[(vj, vi)], abs_tol=1e-9)
             assert abs(rows[(vi, vj)] - C[i, j]) < 1e-5
         assert rows[(vi, vi)] == 1.0
+
+
+def test_apriori_pandas_replay(spark, sf_dir):
+    """Market-basket laws: support*n_orders == n_pair, confidence and
+    support in (0,1], pair counts match a pandas basket replay, and
+    lift == confidence / (n_b / n_orders)."""
+    from itertools import combinations
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_apriori"][0](spark, sf_dir).collect()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", (F.col("l_partkey") % 50).alias("item"))
+        .collect()
+    )
+    baskets: dict = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["item"])
+    from collections import Counter
+
+    pc = Counter()
+    icnt = Counter()
+    for items in baskets.values():
+        for it in items:
+            icnt[it] += 1
+        for a, b in combinations(sorted(items), 2):
+            pc[(a, b)] += 1
+    n_orders = len(baskets)
+    for r in rows:
+        assert pc[(r["item_a"], r["item_b"])] == r["n_pair"]
+        assert r["n_pair"] >= 5
+        assert icnt[r["item_a"]] == r["n_a"]
+        assert abs(r["support"] - r["n_pair"] / n_orders) < 1e-6
+        assert abs(r["confidence"] - r["n_pair"] / r["n_a"]) < 1e-6
+        assert abs(
+            r["lift"] - r["confidence"] / (r["n_b"] / n_orders)
+        ) < 1e-4
+        assert 0 < r["confidence"] <= 1
+
+
+def test_moments_numpy_parity(spark, sf_dir):
+    """Moment laws: mean/std/skew/kurtosis match numpy on the same
+    unit-rounded values; kurtosis of any real sample >= skew^2 - 2
+    (the Pearson inequality)."""
+    import math
+
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_moments"][0](spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .toPandas()
+    )
+    ev["v"] = np.floor(ev.value + 0.5)
+    for r in rows:
+        v = ev[ev.event_type == r["event_type"]].v.to_numpy()
+        assert r["n"] == len(v)
+        assert abs(r["mean"] - v.mean()) < 1e-4
+        assert abs(r["std_pop"] - v.std()) < 1e-4
+        mu = v - v.mean()
+        sk = (mu**3).mean() / v.std() ** 3
+        ku = (mu**4).mean() / v.std() ** 4 - 3
+        assert abs(r["skewness"] - sk) < 1e-4
+        assert abs(r["excess_kurtosis"] - ku) < 1e-4
+        assert r["excess_kurtosis"] >= r["skewness"] ** 2 - 2 - 1e-9
+        assert math.isfinite(r["skewness"])
+
+
+def test_kendall_brute_pairs(spark, sf_dir):
+    """Kendall tau-b replayed by brute pairwise comparison in numpy;
+    tau in [-1, 1]; concordant+discordant <= n_pairs."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_kendall"][0](spark, sf_dir).collect()
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1000)
+                .cast("long")
+            ).alias("y"),
+        )
+        .toPandas()
+    )
+    for r in rows:
+        g = d[d.event_type == r["event_type"]].sort_values("day")
+        x, y = g.x.to_numpy(), g.y.to_numpy()
+        dx = x[:, None] - x[None, :]
+        dy = y[:, None] - y[None, :]
+        iu = np.triu_indices(len(x), 1)
+        s = dx[iu] * dy[iu]
+        conc, disc = int((s > 0).sum()), int((s < 0).sum())
+        tx = int(((dx[iu] == 0) & (dy[iu] != 0)).sum())
+        ty = int(((dy[iu] == 0) & (dx[iu] != 0)).sum())
+        txy = int(((dx[iu] == 0) & (dy[iu] == 0)).sum())
+        n0 = len(s)
+        assert (r["concordant"], r["discordant"]) == (conc, disc)
+        tau = (conc - disc) / np.sqrt((n0 - tx - txy) * (n0 - ty - txy))
+        assert abs(r["tau_b"] - tau) < 1e-5
+        assert -1.0 <= r["tau_b"] <= 1.0
+        assert r["concordant"] + r["discordant"] <= r["n_pairs"]
+
+
+def test_motif_brute_force_best_pair(spark, sf_dir):
+    """Motif laws: the reported pair is the global SSD argmin over
+    all non-overlapping 7-day window pairs (brute numpy sweep), the
+    windows do not overlap, and day labels match the indices."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_motif"][0](spark, sf_dir).collect()
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .toPandas()
+        .sort_values(["event_type", "day"])
+    )
+    for r in rows:
+        g = d[d.event_type == r["event_type"]]
+        y = g["count"].to_numpy(dtype=np.int64)
+        days = list(g.day)
+        best = None
+        for i in range(len(y) - 6):
+            for j in range(i + 7, len(y) - 6):
+                ssd = int(((y[i : i + 7] - y[j : j + 7]) ** 2).sum())
+                key = (ssd, i + 1, j + 1)
+                if best is None or key < best:
+                    best = key
+        assert (r["ssd"], r["i"], r["j"]) == best
+        assert r["j"] >= r["i"] + 7
+        assert r["day_i"] == days[r["i"] - 1]
+        assert r["day_j"] == days[r["j"] - 1]
