@@ -99,6 +99,17 @@ HEADLINE = [
     "q_shapley_attribution",
     "q_als",
     "q_slice_finder",
+    # round-6 third batch: statistics/mining/eval closure — each a
+    # distinct plan family (contingency windows + broadcast totals,
+    # one-pass k^2 sufficient stats, sweep-line islands, session
+    # trigram TakeOrdered, basket self-join, wide-aggregate boosting
+    # rounds with broadcast choice rows).
+    "q_chisq",
+    "q_corr_matrix",
+    "q_interval_coverage",
+    "q_path_analysis",
+    "q_apriori",
+    "q_adaboost_stumps",
 ]
 
 

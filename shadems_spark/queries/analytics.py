@@ -5040,12 +5040,18 @@ def q_ams_f2(spark, sf_dir):
 
 
 _CM_VARS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+#: per-variable integer units — correlation is scale-invariant, so each
+#: variable picks the coarsest unit that keeps its SQUARED sum inside
+#: int64 headroom: quantity is integral (x1), price in deci-dollars
+#: (~1.1e6 -> squared sums < 2^63 through ~sf1; DECIMAL(38) beyond),
+#: discount/tax in exact centi-units.
+_CM_SCALE = [1, 10, 100, 100]
 
 
 def _corr_matrix_sql() -> str:
     cols = ", ".join(
-        f"CAST(round({v} * 100) AS BIGINT) AS v{i}"
-        for i, v in enumerate(_CM_VARS)
+        f"CAST(round({v} * {s}) AS BIGINT) AS v{i}"
+        for i, (v, s) in enumerate(zip(_CM_VARS, _CM_SCALE))
     )
     stats = []
     for i in range(len(_CM_VARS)):
@@ -5082,20 +5088,21 @@ def q_corr_matrix(spark, sf_dir):
     k + k(k+1)/2 sufficient statistics, all gathered by a single
     map-side-combined aggregate, never k^2 passes or a driver loop.
 
-    Exactness: inputs are centi-int rounded per row, every cross sum
-    is an exact integer, and each coefficient is the fixed
-    (n*sxy - sx*sy)/sqrt(...) formula over them; the matrix unpivots
-    from the single stats row, so symmetry and unit diagonal are
-    structural.  Scale: one scan, one 1-row reduce, 16 output rows —
-    adding a variable grows the aggregate width, not the pass
-    count.  (Centi-int squared sums stay < 2^63 through ~sf10 at
-    this value range; beyond, promote to DECIMAL(38) — the q_anova
-    bound.)"""
+    Exactness: each variable is rounded to its own integer unit
+    (_CM_SCALE — correlation is scale-invariant, so every variable
+    picks the coarsest unit whose SQUARED sum keeps int64 headroom;
+    deci-dollar prices hold through ~sf1, DECIMAL(38) beyond — the
+    q_anova bound), every cross sum is an exact integer, and each
+    coefficient is the fixed (n*sxy - sx*sy)/sqrt(...) formula over
+    them; the matrix unpivots from the single stats row, so symmetry
+    and unit diagonal are structural.  Scale: one scan, one 1-row
+    reduce, 16 output rows — adding a variable grows the aggregate
+    width, not the pass count."""
     li = load_table(spark, sf_dir, "lineitem")
     s = li.select(
         *[
-            F.round(F.col(v) * 100).cast("long").alias(f"v{i}")
-            for i, v in enumerate(_CM_VARS)
+            F.round(F.col(v) * sc).cast("long").alias(f"v{i}")
+            for i, (v, sc) in enumerate(zip(_CM_VARS, _CM_SCALE))
         ]
     )
     aggs = [F.count(F.lit(1)).alias("n")]

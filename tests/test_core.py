@@ -1462,7 +1462,7 @@ def test_corr_matrix_numpy_parity_and_symmetry(spark, sf_dir):
 
     from shadems_spark.catalog import load_table
     from shadems_spark.queries import load_registry
-    from shadems_spark.queries.analytics import _CM_VARS
+    from shadems_spark.queries.analytics import _CM_SCALE, _CM_VARS
 
     rows = {
         (r["var_x"], r["var_y"]): r["corr"]
@@ -1471,8 +1471,8 @@ def test_corr_matrix_numpy_parity_and_symmetry(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(*_CM_VARS).toPandas()
     X = np.column_stack(
         [
-            np.floor(li[v].to_numpy() * 100 + 0.5)  # HALF_UP like F.round
-            for v in _CM_VARS
+            np.floor(li[v].to_numpy() * s + 0.5)  # HALF_UP like F.round
+            for v, s in zip(_CM_VARS, _CM_SCALE)
         ]
     )
     C = np.corrcoef(X.T)
