@@ -547,3 +547,81 @@ def test_two_phase_queries_bucket_partition_the_data(spark):
     for q in ("q_ks_test", "q_rfm", "q_curriculum", "q_auc"):
         p = _plan(spark, q)
         assert "hashpartitioning(__b" in p, q
+
+
+def test_path_analysis_takeordered_not_global_sort(spark):
+    """The trigram top-20 must be TakeOrderedAndProject over the
+    map-side-combined path counts, never a global sort of the counts
+    table; the sessionization windows all carry the user partition."""
+    p = _plan(spark, "q_path_analysis")
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p
+    df = load_registry()["q_path_analysis"][0](spark, SF)
+    assert not _empty_partition_windows(df)
+
+
+def test_apriori_broadcast_metrics_after_prune(spark):
+    """The pair self-join shuffles only on the basket key; the item
+    totals and the 1-row order count join broadcast AFTER the
+    min-support filter (codebook-sized sides)."""
+    p = _plan(spark, "q_apriori")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row n_orders frame
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_corr_matrix_single_scan_single_reduce(spark):
+    """k^2 sufficient statistics must come from ONE scan: exactly one
+    Exchange (the 1-row final reduce), no joins, no windows."""
+    p = _plan(spark, "q_corr_matrix")
+    assert "Join" not in p and "Window" not in p
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_ridge_one_pass_no_second_scoring_scan(spark):
+    """Closed-form ridge: MSE/R^2 derive from the same sufficient
+    statistics — the lineitem scan must appear exactly once."""
+    p = _plan(spark, "q_ridge")
+    assert p.count("lineitem.parquet") == 1
+    assert "Join" not in p
+
+
+def test_chisq_windows_partition_on_margins(spark):
+    """The margin windows partition by event_type / dow (bounded cell
+    table); the totals frames join broadcast; no single-partition
+    window anywhere."""
+    df = load_registry()["q_chisq"][0](spark, SF)
+    assert not _empty_partition_windows(df)
+    p = _plan(spark, "q_chisq")
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_pr_auc_two_phase_no_single_partition_window(spark):
+    """The descending-score prefix sums must ride the two-phase
+    value-cut scan (hashpartitioning on the __b bucket), not a
+    single-partition window."""
+    df = load_registry()["q_pr_auc"][0](spark, SF)
+    assert not _empty_partition_windows(df)
+    p = _plan(spark, "q_pr_auc")
+    assert "hashpartitioning(__b" in p
+
+
+def test_adaboost_rounds_are_wide_aggregates(spark):
+    """Each boosting round is ONE wide conditional aggregate over the
+    persisted feature table with the chosen stump broadcast back —
+    no row explosion (no Generate over the doc table), no sort-merge
+    join anywhere."""
+    p = _plan(spark, "q_adaboost_stumps")
+    assert "SortMergeJoin" not in p
+    assert "InMemoryTableScan" in p  # the persisted feature table
+    assert p.count("BroadcastNestedLoopJoin") >= 3  # 1-row choice rows
+
+
+def test_interval_coverage_windows_partition_per_key(spark):
+    """Sweep-line windows must all carry the (user, type) partition;
+    the island reduce partially aggregates map-side."""
+    df = load_registry()["q_interval_coverage"][0](spark, SF)
+    assert not _empty_partition_windows(df)
+    p = _plan(spark, "q_interval_coverage")
+    assert "partial_count" in p or "partial_sum" in p

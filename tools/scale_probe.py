@@ -275,6 +275,40 @@ PROBE_R6 = [
     "q_ldiversity",
 ]
 
+#: round-6 third batch (--r6b3).  Expectations: the calendar-bounded
+#: series family (spearman/kendall/motif/changepoint) grows ONLY its
+#: (type, day) pre-aggregate scan — the O(days^2) tails are constant;
+#: one-pass sufficient-stats queries (chisq/ridge/corr_matrix/moments/
+#: ams_f2) and the per-user-window pair (interval_coverage/
+#: path_analysis) are scan-bound ~linear; q_apriori's per-basket
+#: fan-out is fixed so the pair join grows ~linearly with baskets;
+#: q_kn_lm / q_pr_auc / q_tcloseness / q_adaboost_stumps are
+#: scan-bound aggregates (adaboost: fixed 3 rounds xN rows each).
+#: q_map_eval grows BOTH sides (the % query selector picks N times
+#: the queries on an N-times corpus -> x(N^2) scored pairs, the
+#: q_hard_negatives workload caveat) — reported for honesty; the
+#: serving-path contract bounds the query set, not the probe.
+PROBE_R6B3 = [
+    "q_chisq",
+    "q_spearman",
+    "q_kendall",
+    "q_motif",
+    "q_changepoint",
+    "q_interval_coverage",
+    "q_path_analysis",
+    "q_moments",
+    "q_ams_f2",
+    "q_ridge",
+    "q_corr_matrix",
+    "q_apriori",
+    "q_tcloseness",
+    "q_fd_discovery",
+    "q_kn_lm",
+    "q_pr_auc",
+    "q_adaboost_stumps",
+    "q_map_eval",
+]
+
 #: key shift per copy — far above any real key at these scale factors.
 SHIFT = 100_000_000
 
@@ -379,6 +413,7 @@ def main() -> None:
     round5 = "--round5" in sys.argv
     r5stats = "--r5stats" in sys.argv
     round6 = "--round6" in sys.argv
+    r6b3 = "--r6b3" in sys.argv
     docs_only = dedup or retrieval
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 10
@@ -387,7 +422,8 @@ def main() -> None:
     suffix = (
         "_docs" if docs_only else "_r3" if round3 else "_r4" if round4
         else "_r4x100" if r4x100 else "_r5" if round5
-        else "_r5stats" if r5stats else "_r6" if round6 else ""
+        else "_r5stats" if r5stats else "_r6" if round6
+        else "_r6b3" if r6b3 else ""
     )
     scaled = os.path.join(repo, ".scratch", f"sfx{n}" + suffix)
 
@@ -402,6 +438,7 @@ def main() -> None:
         else PROBE_R5 if round5
         else PROBE_R5STATS if r5stats
         else PROBE_R6 if round6
+        else PROBE_R6B3 if r6b3
         else PROBE
     )
     names = [q for q in probe_set if q in registry]
@@ -417,11 +454,12 @@ def main() -> None:
             else ["documents", "embeddings", "events"] if round5
             else ["documents", "embeddings", "events", "orders"] if round6
             else ["documents", "embeddings", "events", "orders", "lineitem"]
-            if r5stats
+            if r5stats or r6b3
             else None
         ),
-        mutate_docs=docs_only or round3 or r4x100 or round5 or r5stats,
-        mutate_embeddings=r4x100 or round5 or r5stats,
+        mutate_docs=docs_only or round3 or r4x100 or round5 or r5stats
+        or r6b3,
+        mutate_embeddings=r4x100 or round5 or r5stats or r6b3,
     )
     build_s = round(time.time() - t0, 1)
 
