@@ -3205,6 +3205,14 @@ def q_pr_auc(spark, sf_dir):
         (F.col("lang") == "en").cast("int").alias("y"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zr)), 6).alias("score"),
     )
+    # persist the scored rows (2 narrow columns): the plan fans out
+    # into several sibling branches (cut sample, cumsum main pass,
+    # totals, the n_pos reduce) that would EACH re-run the dominant
+    # HOF scoring scan — the q_auc lesson, same fix (persist the
+    # expensive subtree, re-aggregate cheaply per branch)
+    from shadems_spark.operators.dedup import tracked_persist
+
+    s = tracked_persist(s, key="pr_auc_scored")
     g = s.groupBy("score").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("np")
     ).withColumn("nscore", -F.col("score"))
@@ -3242,4 +3250,167 @@ def q_pr_auc(spark, sf_dir):
                 6,
             ).alias("prevalence"),
         )
+    )
+
+
+_GD_SEED = 77
+_GD_H = "0.5"  # cell width (literal in both engines)
+_GD_MINPTS = 5
+_GD_OFF = 2_000_000
+_GD_MUL = 4_000_000
+
+
+def _gd_planes(dim: int = 64) -> list[list[float]]:
+    from shadems_spark.operators.similarity import _splitmix64
+
+    return [
+        [
+            (_splitmix64((_GD_SEED + j) * 1024 + i) % 2001) / 1000.0 - 1.0
+            for i in range(dim)
+        ]
+        for j in range(2)
+    ]
+
+
+def _grid_dbscan_sql() -> str:
+    p0, p1 = _gd_planes()
+    l0 = "[" + ", ".join(str(c) for c in p0) + "]"
+    l1 = "[" + ", ".join(str(c) for c in p1) + "]"
+
+    def dotf(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip({a}, {b}), z -> z[1] * z[2])), "
+            f"(s, x) -> s + x)"
+        )
+
+    return f"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+          FROM embeddings),
+    pr AS (SELECT vec_id,
+                  CAST(floor(round({dotf("v", l0)}, 6) / {_GD_H}) AS BIGINT)
+                      AS cx,
+                  CAST(floor(round({dotf("v", l1)}, 6) / {_GD_H}) AS BIGINT)
+                      AS cy
+           FROM e),
+    cell AS (SELECT cx, cy, count(*) AS n,
+                    (cx + {_GD_OFF}) * {_GD_MUL} + (cy + {_GD_OFF}) AS cid
+             FROM pr GROUP BY 1, 2),
+    core AS (SELECT * FROM cell WHERE n >= {_GD_MINPTS}),
+    ed AS (SELECT a.cid AS u, b.cid AS v
+           FROM core a JOIN core b
+           ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+              AND a.cid != b.cid),
+    walk(nd, lbl) AS (
+        SELECT u, u FROM ed
+        UNION
+        SELECT ed.u, wk.lbl FROM ed JOIN walk wk ON wk.nd = ed.v
+    ),
+    comp AS (SELECT nd, min(lbl) AS component FROM walk GROUP BY nd),
+    corec AS (SELECT core.cx, core.cy, core.n, core.cid,
+                     coalesce(comp.component, core.cid) AS cluster
+              FROM core LEFT JOIN comp ON comp.nd = core.cid),
+    border AS (SELECT c.cid, min(k.cluster) AS cluster
+               FROM cell c JOIN corec k
+               ON abs(c.cx - k.cx) <= 1 AND abs(c.cy - k.cy) <= 1
+               WHERE c.n < {_GD_MINPTS}
+               GROUP BY 1)
+    SELECT c.cx, c.cy, CAST(c.n AS BIGINT) AS n_points,
+           CAST(CASE WHEN c.n >= {_GD_MINPTS} THEN 1 ELSE 0 END AS INT)
+               AS is_core,
+           CAST(coalesce(k.cluster, b.cluster, -1) AS BIGINT) AS cluster
+    FROM cell c
+    LEFT JOIN corec k ON k.cid = c.cid
+    LEFT JOIN border b ON b.cid = c.cid
+    ORDER BY c.cx, c.cy
+    """
+
+
+@register("q_grid_dbscan", sql=_grid_dbscan_sql())
+def q_grid_dbscan(spark, sf_dir):
+    """Grid-DBSCAN density clustering of the embedding corpus (the
+    GriT/cell-based DBSCAN family): project to 2-D with two fixed
+    SplitMix64 hyperplanes, bucket into 0.5-wide cells, call a cell
+    core at >= 5 points, union 8-adjacent core cells into clusters
+    (the repo's large/small-star components operator), and attach
+    border cells to their min-labeled core neighbor; everything else
+    is noise.  The density view of corpus structure beside the
+    centroid view (q_kmeans/q_semdedup): clusters of arbitrary shape,
+    no k chosen in advance.
+
+    Exactness: projections are 6dp-rounded identical sequential folds
+    (the xe dot-product protocol) so cell assignment is engine-exact;
+    cluster labels are min-cell-id components (deterministic); the
+    oracle replays clustering with a recursive min-label CTE, proven
+    equivalent to the distributed star algorithm.  Scale: the
+    row-sized work is ONE projection scan + a (cx, cy) map-side
+    aggregate; core-cell adjacency, components and border attachment
+    all run on the CELL table, bounded by the projected grid, not the
+    corpus — the DBSCAN that survives 100 TB because no point-to-
+    point neighbor search ever happens."""
+    from shadems_spark.operators.graph import connected_components_star
+    from shadems_spark.operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p0, p1 = _gd_planes()
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    h = float(_GD_H)
+    pr = emb.select(
+        F.floor(
+            F.round(dot(v, F.array(*[F.lit(c) for c in p0])), 6) / h
+        ).cast("long").alias("cx"),
+        F.floor(
+            F.round(dot(v, F.array(*[F.lit(c) for c in p1])), 6) / h
+        ).cast("long").alias("cy"),
+    )
+    cell = pr.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "cid", (F.col("cx") + _GD_OFF) * _GD_MUL + (F.col("cy") + _GD_OFF)
+    )
+    core = cell.filter(F.col("n") >= _GD_MINPTS)
+    b = core.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"),
+        F.col("cid").alias("bid"),
+    )
+    ed = core.join(
+        b,
+        (F.abs(F.col("cx") - F.col("bx")) <= 1)
+        & (F.abs(F.col("cy") - F.col("by")) <= 1)
+        & (F.col("cid") != F.col("bid")),
+    ).select(F.col("cid").alias("src"), F.col("bid").alias("dst"))
+    comp = connected_components_star(ed).select(
+        F.col("node").alias("cid"), "component"
+    )
+    corec = core.join(comp, "cid", "left").select(
+        "cx", "cy", "n", "cid",
+        F.coalesce("component", "cid").alias("cluster"),
+    )
+    k = corec.select(
+        F.col("cx").alias("kx"), F.col("cy").alias("ky"),
+        F.col("cluster").alias("kcluster"),
+    )
+    border = (
+        cell.filter(F.col("n") < _GD_MINPTS)
+        .join(
+            k,
+            (F.abs(F.col("cx") - F.col("kx")) <= 1)
+            & (F.abs(F.col("cy") - F.col("ky")) <= 1),
+        )
+        .groupBy("cid")
+        .agg(F.min("kcluster").alias("bcluster"))
+    )
+    return (
+        cell.join(
+            corec.select("cid", F.col("cluster").alias("ccluster")),
+            "cid", "left",
+        )
+        .join(border, "cid", "left")
+        .select(
+            "cx", "cy",
+            F.col("n").cast("long").alias("n_points"),
+            (F.col("n") >= _GD_MINPTS).cast("int").alias("is_core"),
+            F.coalesce("ccluster", "bcluster", F.lit(-1))
+            .cast("long").alias("cluster"),
+        )
+        .orderBy("cx", "cy")
     )

@@ -1086,3 +1086,53 @@ def test_pr_auc_laws_and_brute_replay(spark, sf_dir):
     ap = float(((g.np / n_pos) * (cum_tp / cum_n)).sum())
     assert abs(r["pr_auc"] - ap) < 1e-5
     assert r["n_pos"] == n_pos
+
+
+def test_grid_dbscan_density_laws_and_replay(spark, sf_dir):
+    """Grid-DBSCAN laws: core cells have >= minPts points; every core
+    cell gets a cluster; adjacent core cells share a cluster (brute
+    union-find replay over the returned cell table); noise cells
+    (cluster = -1) have no core neighbor; total points equal the
+    corpus size."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_grid_dbscan"][0](spark, sf_dir).collect()
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_points"] for r in rows) == n_emb
+    core = {(r["cx"], r["cy"]): r for r in rows if r["is_core"]}
+    for r in rows:
+        if r["is_core"]:
+            assert r["n_points"] >= 5 and r["cluster"] != -1
+
+    # union-find replay over core-cell 8-adjacency
+    parent = {c: c for c in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (x, y) in core:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (x + dx, y + dy)
+                if nb in core and nb != (x, y):
+                    ra, rb = find((x, y)), find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    groups: dict = {}
+    for c in core:
+        groups.setdefault(find(c), set()).add(c)
+    for comp in groups.values():
+        labels = {core[c]["cluster"] for c in comp}
+        assert len(labels) == 1  # one cluster per connected component
+    for r in rows:
+        if not r["is_core"]:
+            has_core_nb = any(
+                (r["cx"] + dx, r["cy"] + dy) in core
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            )
+            assert (r["cluster"] != -1) == has_core_nb
