@@ -5841,3 +5841,256 @@ def q_dtw(spark, sf_dir):
             4,
         ).alias("dtw_per_step"),
     ).orderBy("type_a", "type_b")
+
+
+_FBT_SQL = """
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+      FROM events GROUP BY 1, 2),
+    bnd AS (SELECT min(day) AS d0,
+                   datediff('day', min(day), max(day)) AS span
+            FROM d),
+    types AS (SELECT DISTINCT event_type FROM d),
+    ser AS (SELECT t.event_type, g.x + 1 AS t,
+                   CAST(coalesce(d.y, 0) AS DOUBLE) AS y
+            FROM types t
+            CROSS JOIN (SELECT unnest(generate_series(0,
+                               (SELECT span FROM bnd))) AS x) g
+            LEFT JOIN d ON d.event_type = t.event_type
+                       AND d.day = (SELECT d0 FROM bnd) + INTERVAL (g.x) DAY),
+    nn AS (SELECT event_type, count(*) AS n FROM ser GROUP BY 1),
+    cuts AS (SELECT event_type, unnest(generate_series(14,
+                    CAST(n - 7 AS INT), 7)) AS c
+             FROM nn WHERE n >= 21),
+    r AS (
+      SELECT s1.event_type AS event_type, cu.c AS c, 1 AS t,
+             s1.y AS l, s2.y - s1.y AS b
+      FROM ser s1
+      JOIN ser s2 ON s1.event_type = s2.event_type
+                 AND s1.t = 1 AND s2.t = 2
+      JOIN cuts cu ON cu.event_type = s1.event_type
+      UNION ALL
+      SELECT r.event_type, r.c, r.t + 1,
+             0.5 * s.y + 0.5 * (r.l + r.b),
+             0.25 * (0.5 * s.y + 0.5 * (r.l + r.b) - r.l) + 0.75 * r.b
+      FROM r JOIN ser s
+        ON s.event_type = r.event_type AND s.t = r.t + 1
+      WHERE r.t < r.c),
+    f AS (SELECT r.event_type, r.c,
+                 CAST(round(abs(r.l + 7.0 * r.b - sa.y) * 1e9) AS BIGINT)
+                     AS err_n,
+                 CAST(round(abs(sc.y - sa.y) * 1e9) AS BIGINT) AS nerr_n
+          FROM r
+          JOIN ser sa ON sa.event_type = r.event_type AND sa.t = r.c + 7
+          JOIN ser sc ON sc.event_type = r.event_type AND sc.t = r.c
+          WHERE r.t = r.c),
+    g AS (SELECT event_type, count(*) AS n_folds,
+                 sum(err_n) AS se, sum(nerr_n) AS sn
+          FROM f GROUP BY 1)
+    SELECT event_type, CAST(n_folds AS BIGINT) AS n_folds,
+           round(se / 1e9 / n_folds, 4) AS mae,
+           round(sn / 1e9 / n_folds, 4) AS mae_naive,
+           CASE WHEN sn > 0
+                THEN round(1.0 - CAST(se AS DOUBLE) / sn, 4) END AS skill
+    FROM g ORDER BY event_type
+"""
+
+
+@register("q_forecast_backtest", sql=_FBT_SQL)
+def q_forecast_backtest(spark, sf_dir):
+    """Rolling-origin backtest of the Holt forecaster (the evaluation
+    loop every production forecaster ships with): at cutoffs every 7
+    days (from day 14), refit on the prefix, forecast 7 days ahead, and score MAE
+    against the persistence baseline (skill = 1 - mae/mae_naive; a
+    forecaster that can't beat 'tomorrow = today' is noise).
+
+    Exactness: each fold replays the q_holt recurrence (exact IEEE
+    step sequence on the zero-filled integer series — the oracle's
+    recursive CTE is keyed by (type, cutoff) and iterates to each
+    cutoff); per-fold absolute errors are nano-int-rounded before the
+    cross-fold sum.  Scale: the series is calendar-bounded, so the
+    whole backtest — O(n^2/stride) fold steps — is constant work per
+    type after the one (type, day) map-side aggregate; folds ride the
+    SAME collected array, exploded per cutoff, never a second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    b = d.agg(
+        F.min("day").alias("d0"),
+        F.datediff(F.max("day"), F.min("day")).alias("span"),
+    )
+    types = d.select("event_type").distinct()
+    spine = b.select(
+        F.explode(F.sequence(F.lit(0), F.col("span"))).alias("x"), "d0"
+    )
+    grid = (
+        types.crossJoin(F.broadcast(spine))
+        .join(
+            d,
+            (F.expr("date_add(d0, CAST(x AS INT))") == F.col("day"))
+            & (types["event_type"] == d["event_type"]),
+            "left",
+        )
+        .select(
+            types["event_type"].alias("event_type"),
+            "x",
+            F.coalesce("y", F.lit(0)).cast("double").alias("y"),
+        )
+    )
+    ys = F.transform(
+        F.sort_array(F.collect_list(F.struct("x", "y"))), lambda s: s["y"]
+    )
+    agg = grid.groupBy("event_type").agg(ys.alias("ys"))
+    folds = agg.filter(F.size("ys") >= 21).select(
+        "event_type", "ys",
+        F.explode(
+            F.sequence(F.lit(14), F.size("ys") - 7, F.lit(7))
+        ).alias("c"),
+    )
+    y1 = F.element_at(F.col("ys"), 1)
+    y2 = F.element_at(F.col("ys"), 2)
+    init = F.struct(y1.alias("l"), (y2 - y1).alias("b"))
+
+    def step(acc, y):
+        l_new = F.lit(0.5) * y + F.lit(0.5) * (acc["l"] + acc["b"])
+        b_new = F.lit(0.25) * (l_new - acc["l"]) + F.lit(0.75) * acc["b"]
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    st = F.aggregate(
+        F.slice(F.col("ys"), 2, F.col("c") - 1), init, step
+    )
+    f = folds.select(
+        "event_type", "c",
+        F.round(
+            F.abs(
+                st["l"] + F.lit(7.0) * st["b"]
+                - F.element_at("ys", F.col("c") + 7)
+            ) * F.lit(1e9)
+        ).cast("long").alias("err_n"),
+        F.round(
+            F.abs(
+                F.element_at("ys", F.col("c"))
+                - F.element_at("ys", F.col("c") + 7)
+            ) * F.lit(1e9)
+        ).cast("long").alias("nerr_n"),
+    )
+    g = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_folds"),
+        F.sum("err_n").alias("se"),
+        F.sum("nerr_n").alias("sn"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n_folds").cast("long").alias("n_folds"),
+        F.round(F.col("se") / 1e9 / F.col("n_folds"), 4).alias("mae"),
+        F.round(F.col("sn") / 1e9 / F.col("n_folds"), 4).alias("mae_naive"),
+        F.when(
+            F.col("sn") > 0,
+            F.round(
+                F.lit(1.0) - F.col("se").cast("double") / F.col("sn"), 4
+            ),
+        ).alias("skill"),
+    ).orderBy("event_type")
+
+
+def _ams_join_sql() -> str:
+    from shadems_spark.operators.text import FP_MOD
+
+    p = FP_MOD
+    ya, yb = [], []
+    for r, (a, b, c, d) in enumerate(_ams_coeffs()):
+        h = f"CAST({a} AS BIGINT)"
+        for coef in (b, c, d):
+            h = f"(({h}) * u + {coef}) % {p}"
+        sgn = f"(1 - 2 * (({h}) % 2))"
+        ya.append(f"sum({sgn} * ca) AS a{r}")
+        yb.append(f"sum({sgn} * cb) AS b{r}")
+    cols = ",\n                 ".join(ya + yb)
+    est_list = ", ".join(
+        f"(a{4 * g} * b{4 * g} + a{4 * g + 1} * b{4 * g + 1}"
+        f" + a{4 * g + 2} * b{4 * g + 2} + a{4 * g + 3} * b{4 * g + 3})"
+        for g in range(4)
+    )
+    return f"""
+    WITH g AS (SELECT user_id % {p} AS u,
+                      sum(CASE WHEN event_type = 'view'
+                          THEN 1 ELSE 0 END) AS ca,
+                      sum(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS cb
+               FROM events GROUP BY 1),
+    s AS (SELECT sum(ca * cb) AS exact_sz,
+                 sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+                     AS n_shared,
+                 {cols}
+          FROM g),
+    m AS (SELECT *, list_sort([{est_list}]) AS sums FROM s)
+    SELECT CAST(n_shared AS BIGINT) AS n_shared_users,
+           CAST(exact_sz AS BIGINT) AS exact_join_size,
+           round((sums[2] + sums[3]) / 8.0, 1) AS ams_join_size,
+           round(abs((sums[2] + sums[3]) / 8.0 - exact_sz)
+                 / exact_sz, 6) AS rel_err
+    FROM m
+    """
+
+
+@register("q_ams_join", sql=_ams_join_sql())
+def q_ams_join(spark, sf_dir):
+    """AMS join-size estimation (the inner-product generalization of
+    q_ams_f2, Alon-Gibbons-Matias-Szegedy '99): |view ⋈ purchase on
+    user_id| = sum_u cA(u)*cB(u), estimated by the product of the two
+    streams' sign-sketch counters — the cardinality estimator a
+    cost-based optimizer consults BEFORE committing to a join
+    strategy, one constant-width pass per stream instead of building
+    the join.  The exact join size rides beside it for the audit.
+
+    Exactness: both sketches fold the SAME SplitMix64 cubic sign
+    hashes as q_ams_f2 (4-wise, engine-identical literals), all
+    estimator arithmetic is integer until the final two divisions,
+    and median-of-4-means is an integer half-sum.  Scale: the sketch
+    is 32 integer counters from ONE map-side-combined pass; the
+    per-user pre-aggregate serves only the exact twin."""
+    from shadems_spark.operators.text import FP_MOD
+
+    p = FP_MOD
+    g = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            (F.col("user_id") % p).alias("u"),
+            (F.col("event_type") == "view").cast("long").alias("va"),
+            (F.col("event_type") == "purchase").cast("long").alias("vb"),
+        )
+        .groupBy("u")
+        .agg(F.sum("va").alias("ca"), F.sum("vb").alias("cb"))
+    )
+    aggs = [
+        F.sum(F.col("ca") * F.col("cb")).alias("exact_sz"),
+        F.sum(((F.col("ca") > 0) & (F.col("cb") > 0)).cast("int")).alias(
+            "n_shared"
+        ),
+    ]
+    for r, (a, b, c, d) in enumerate(_ams_coeffs()):
+        h = F.lit(a)
+        for coef in (b, c, d):
+            h = (h * F.col("u") + F.lit(coef)) % F.lit(p)
+        sgn = 1 - 2 * (h % 2)
+        aggs.append(F.sum(sgn * F.col("ca")).alias(f"a{r}"))
+        aggs.append(F.sum(sgn * F.col("cb")).alias(f"b{r}"))
+    s = g.agg(*aggs)
+    est = [
+        sum(
+            F.col(f"a{4 * gi + j}") * F.col(f"b{4 * gi + j}")
+            for j in range(4)
+        )
+        for gi in range(4)
+    ]
+    m = s.withColumn("sums", F.sort_array(F.array(*est)))
+    med2 = F.element_at("sums", 2) + F.element_at("sums", 3)
+    return m.select(
+        F.col("n_shared").cast("long").alias("n_shared_users"),
+        F.col("exact_sz").cast("long").alias("exact_join_size"),
+        F.round(med2 / 8.0, 1).alias("ams_join_size"),
+        F.round(
+            F.abs(med2 / 8.0 - F.col("exact_sz")) / F.col("exact_sz"), 6
+        ).alias("rel_err"),
+    )

@@ -1751,3 +1751,75 @@ def test_dtw_metric_laws_and_numpy_replay(spark, sf_dir):
         ) < 1e-3
     t0 = list(series)[0]
     assert dtw(series[t0], series[t0]) == 0
+
+
+def test_forecast_backtest_replay_and_skill_bounds(spark, sf_dir):
+    """Backtest laws: mae >= 0; a python replay of the Holt
+    recurrence per (type, cutoff) reproduces mae/mae_naive exactly;
+    skill == 1 - mae/mae_naive."""
+    import math
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_forecast_backtest"][0](spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .toPandas()
+    )
+    d0, d1 = ev.day.min(), ev.day.max()
+    span = (d1 - d0).days
+    for r in rows:
+        g = ev[ev.event_type == r["event_type"]]
+        y = [0.0] * (span + 1)
+        for _, row in g.iterrows():
+            y[(row.day - d0).days] = float(row["count"])
+        n = len(y)
+        se = sn = folds = 0
+        for c in range(14, n - 7 + 1, 7):
+            l, b = y[0], y[1] - y[0]
+            for t in range(1, c):
+                l_new = 0.5 * y[t] + 0.5 * (l + b)
+                b = 0.25 * (l_new - l) + 0.75 * b
+                l = l_new
+            fc = l + 7.0 * b
+            se += math.floor(abs(fc - y[c + 7 - 1]) * 1e9 + 0.5)
+            sn += math.floor(abs(y[c - 1] - y[c + 7 - 1]) * 1e9 + 0.5)
+            folds += 1
+        assert r["n_folds"] == folds
+        assert abs(r["mae"] - se / 1e9 / folds) < 1e-3
+        assert abs(r["mae_naive"] - sn / 1e9 / folds) < 1e-3
+        if sn > 0:
+            assert abs(r["skill"] - (1.0 - se / sn)) < 1e-3
+        else:
+            assert r["skill"] is None
+        assert r["mae"] >= 0
+
+
+def test_ams_join_exact_twin_and_estimator(spark, sf_dir):
+    """AMS inner-product laws: the exact join size equals a pandas
+    recount of sum(view_count * purchase_count) per user; the sketch
+    estimate is within 100% relative error at 16 estimators (inner
+    products are noisier than F2); rel_err column consistent."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_ams_join"][0](spark, sf_dir).collect()[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .toPandas()
+    )
+    pv = ev[ev.event_type == "view"].groupby("user_id").size()
+    pb = ev[ev.event_type == "purchase"].groupby("user_id").size()
+    exact = int((pv * pb).dropna().sum())
+    assert r["exact_join_size"] == exact
+    assert r["n_shared_users"] == len(
+        set(pv.index) & set(pb.index)
+    )
+    assert abs(r["ams_join_size"] - exact) / exact < 1.0
+    assert abs(
+        r["rel_err"] - abs(r["ams_join_size"] - exact) / exact
+    ) < 1e-5
