@@ -755,3 +755,90 @@ def stream_holt(ev_stream: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_ams(
+    ev_stream: DataFrame,
+    store_path: str,
+    key: str = "user_id",
+    timeout: int = 180,
+) -> None:
+    """Streaming AMS F2 sketch over ``key`` — the mergeable face of
+    queries/analytics.q_ams_f2: each micro-batch folds its rows into
+    the 16 sign counters (Y_r += sum sign_r(u) per row) and ADDS them
+    to the resident counters; by linearity the merged counters equal
+    the batch sketch over the union, so the streaming estimate is
+    bit-identical to the batch one on the same data (pinned in
+    tests).  This is the whole point of linear sketches at 100 TB:
+    per-partition/per-batch sketches merge by vector addition — no
+    per-key state, no shuffle of raw keys, a 17-number snapshot at
+    any moment.
+
+    Per batch: (1) one aggregate -> (n_rows, y0..y15) deltas;
+    (2) read the LATEST snapshot (batch_id < current — replay-safe);
+    (3) write counters + deltas, partitioned by batch_id with
+    dynamic overwrite.  Estimate materializes in ams_finalize."""
+    from shadems_spark.queries.analytics import _ams_coeffs
+    from shadems_spark.operators.text import FP_MOD
+
+    p = FP_MOD
+    counters_path = store_path + "/counters"
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        u = F.col(key) % p
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for r, (a, b, c, d) in enumerate(_ams_coeffs()):
+            h = F.lit(a)
+            for coef in (b, c, d):
+                h = (h * u + F.lit(coef)) % F.lit(p)
+            aggs.append(F.sum(1 - 2 * (h % 2)).alias(f"y{r}"))
+        delta = batch_df.agg(*aggs).first()
+        prev = {f"y{r}": 0 for r in range(16)}
+        prev["n_rows"] = 0
+        try:
+            snaps = spark.read.parquet(counters_path).filter(
+                F.col("batch_id") < batch_id
+            )
+            mx = snaps.agg(F.max("batch_id")).first()[0]
+            if mx is not None:
+                row = snaps.filter(F.col("batch_id") == mx).first()
+                prev = {k: row[k] for k in prev}
+        except Exception:  # first batch: no store yet
+            pass
+        merged = {k: int(prev[k]) + int(delta[k]) for k in prev}
+        out = spark.createDataFrame(
+            [tuple([batch_id] + [merged[k] for k in sorted(merged)])],
+            ["batch_id"] + sorted(merged),
+        )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(counters_path)
+        )
+
+    q = (
+        ev_stream.writeStream.foreachBatch(step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store_path + "/.ckpt")
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
+def ams_finalize(spark, store_path: str) -> dict:
+    """Median-of-4-means F2 estimate from the latest counter
+    snapshot — the identical integer half-sum the batch query
+    computes (sums[1] + sums[2]) / 8."""
+    snaps = spark.read.parquet(store_path + "/counters")
+    mx = snaps.agg(F.max("batch_id")).first()[0]
+    row = snaps.filter(F.col("batch_id") == mx).first()
+    sums = sorted(
+        sum(row[f"y{4 * g + j}"] ** 2 for j in range(4)) for g in range(4)
+    )
+    return {
+        "n_rows": row["n_rows"],
+        "ams_f2": (sums[1] + sums[2]) / 8.0,
+        "batch_id": mx,
+    }

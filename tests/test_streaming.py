@@ -833,3 +833,62 @@ def test_stream_holt_matches_replay_and_batch(spark, sf_dir):
             assert r["n_days"] == batch[t]["n_days"]
             assert abs(r["level"] - batch[t]["level"]) < 2e-6
             assert abs(r["trend"] - batch[t]["trend"]) < 2e-6
+
+
+def test_stream_ams_merges_to_batch_sketch_bitwise(spark, tmp_path, sf_dir):
+    """Linear-sketch mergeability, pinned bit-for-bit: stream the
+    events table through stream_ams in 3 micro-batches; the merged
+    sign counters must equal one batch fold over the union (replayed
+    in python with the same coefficients), and ams_finalize's
+    estimate must equal the batch q_ams_f2's ams_f2 column on the
+    SAME rows."""
+    import os
+    import time
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.text import FP_MOD
+    from shadems_spark.queries import load_registry
+    from shadems_spark.queries.analytics import _ams_coeffs
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    pdf = ev.toPandas().sort_values("event_id")
+    third = len(pdf) // 3
+    d = str(tmp_path)
+    os.makedirs(d + "/in", exist_ok=True)
+    now = time.time()
+    for i in range(3):
+        chunk = pdf.iloc[i * third : (i + 1) * third if i < 2 else len(pdf)]
+        df = spark.createDataFrame(chunk)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/b{i}")
+        src = next(
+            f for f in os.listdir(f"{d}/b{i}") if f.endswith(".parquet")
+        )
+        dst = f"{d}/in/batch_{i}.parquet"
+        os.rename(f"{d}/b{i}/{src}", dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/in")
+    )
+    store = str(tmp_path / "ams_store")
+    ST.stream_ams(stream, store)
+
+    # python replay of the merged counters over ALL rows
+    p = FP_MOD
+    ys = [0] * 16
+    for u in pdf.user_id:
+        u = int(u) % p
+        for r, (a, b, c, dd) in enumerate(_ams_coeffs()):
+            h = a
+            for coef in (b, c, dd):
+                h = (h * u + coef) % p
+            ys[r] += 1 - 2 * (h % 2)
+    fin = ST.ams_finalize(spark, store)
+    assert fin["n_rows"] == len(pdf)
+    snaps = spark.read.parquet(store + "/counters")
+    row = snaps.filter(F.col("batch_id") == fin["batch_id"]).first()
+    assert [row[f"y{r}"] for r in range(16)] == ys
+
+    batch = load_registry()["q_ams_f2"][0](spark, sf_dir).collect()[0]
+    assert fin["ams_f2"] == batch["ams_f2"]
