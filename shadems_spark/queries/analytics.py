@@ -6119,3 +6119,236 @@ def q_ams_join(spark, sf_dir):
             F.abs(med2 / 8.0 - F.col("exact_sz")) / F.col("exact_sz"), 6
         ).alias("rel_err"),
     )
+
+
+@register(
+    "q_wilcoxon",
+    sql="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                          AS x,
+                      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                          AS y
+               FROM events GROUP BY 1),
+    f AS (SELECT day, x - y AS diff, abs(x - y) AS ad
+          FROM d WHERE x != y),
+    r AS (SELECT diff, ad,
+                 2 * rank() OVER (ORDER BY ad)
+                 + count(*) OVER (PARTITION BY ad) - 1 AS r2
+          FROM f),
+    tie AS (SELECT sum(t * t * t - t) AS t3t
+            FROM (SELECT count(*) AS t FROM f GROUP BY ad)),
+    s AS (SELECT count(*) AS n,
+                 sum(CASE WHEN diff > 0 THEN r2 ELSE 0 END) AS w2
+          FROM r)
+    SELECT CAST(s.n AS BIGINT) AS n_pairs,
+           round(s.w2 / 2.0, 1) AS w_plus,
+           round((s.w2 / 2.0 - s.n * (s.n + 1) / 4.0)
+                 / sqrt(s.n * (s.n + 1) * (2.0 * s.n + 1) / 24.0
+                        - coalesce(tie.t3t, 0) / 48.0), 6) AS z
+    FROM s CROSS JOIN tie
+    """,
+)
+def q_wilcoxon(spark, sf_dir):
+    """Wilcoxon signed-rank test on the PAIRED daily (view, click)
+    counts — the paired companion to q_mannwhitney's two-independent-
+    samples test: same days, two metrics, does one systematically
+    exceed the other?  Uses average ranks over |diff| (half-rank
+    integers, the q_spearman protocol), drops zero diffs, and applies
+    the tie-corrected normal approximation.
+
+    Exactness: diffs and half-ranks are exact integers, the tie term
+    sum(t^3 - t) is an integer aggregate, and z is one fixed float
+    formula.  The rank window is GLOBAL but over the paired-day
+    table — calendar-bounded by construction (<= days rows), the
+    documented bounded-input exemption (q_auc's per-score
+    precedent).  Scale: one conditional (day)-key aggregate is the
+    only data-sized stage."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum((F.col("event_type") == "view").cast("int")).alias("x"),
+        F.sum((F.col("event_type") == "click").cast("int")).alias("y"),
+    )
+    f = d.filter(F.col("x") != F.col("y")).select(
+        (F.col("x") - F.col("y")).alias("diff"),
+        F.abs(F.col("x") - F.col("y")).alias("ad"),
+    )
+    r2 = (
+        2 * F.rank().over(W.orderBy("ad"))
+        + F.count(F.lit(1)).over(W.partitionBy("ad")) - 1
+    )
+    r = f.select("diff", r2.alias("r2"))
+    tie = (
+        f.groupBy("ad")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("t3t")
+        )
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("diff") > 0, F.col("r2")).otherwise(0)).alias(
+            "w2"
+        ),
+    )
+    c = F.col
+    return (
+        s.crossJoin(F.broadcast(tie))
+        .select(
+            c("n").cast("long").alias("n_pairs"),
+            F.round(c("w2") / 2.0, 1).alias("w_plus"),
+            F.round(
+                (c("w2") / 2.0 - c("n") * (c("n") + 1) / 4.0)
+                / F.sqrt(
+                    c("n") * (c("n") + 1) * (2.0 * c("n") + 1) / 24.0
+                    - F.coalesce(c("t3t"), F.lit(0)) / 48.0
+                ),
+                6,
+            ).alias("z"),
+        )
+    )
+
+
+@register(
+    "q_friedman",
+    sql="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+               FROM events GROUP BY 1, 2),
+    b AS (SELECT min(day) AS d0,
+                 datediff('day', min(day), max(day)) AS span FROM d),
+    types AS (SELECT DISTINCT event_type FROM d),
+    grid AS (SELECT t.event_type, g.x AS day_i, coalesce(d.y, 0) AS y
+             FROM types t
+             CROSS JOIN (SELECT unnest(generate_series(0,
+                                (SELECT span FROM b))) AS x) g
+             LEFT JOIN d ON d.event_type = t.event_type
+                        AND d.day = (SELECT d0 FROM b) + INTERVAL (g.x) DAY),
+    r AS (SELECT event_type, day_i,
+                 2 * rank() OVER (PARTITION BY day_i ORDER BY y)
+                 + count(*) OVER (PARTITION BY day_i, y) - 1 AS r2
+          FROM grid),
+    tie AS (SELECT sum(t * t * t - t) AS t3t
+            FROM (SELECT count(*) AS t FROM grid GROUP BY day_i, y)),
+    rj AS (SELECT event_type, CAST(sum(r2) AS BIGINT) AS rj2,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM r GROUP BY 1),
+    k AS (SELECT count(*) AS k, max(n) AS n,
+                 sum(CAST(rj2 AS DOUBLE) * rj2 / 4.0) AS sr2
+          FROM rj),
+    chi AS (SELECT k.k, k.n,
+                   (12.0 / (k.n * k.k * (k.k + 1)) * k.sr2
+                    - 3.0 * k.n * (k.k + 1))
+                   / (1.0 - coalesce(tie.t3t, 0)
+                      / (CAST(k.n AS DOUBLE) * k.k * (k.k * k.k - 1)))
+                       AS chi2
+            FROM k CROSS JOIN tie)
+    SELECT rj.event_type,
+           round(rj.rj2 / 2.0 / rj.n, 4) AS mean_rank,
+           CAST(chi.k AS BIGINT) AS k_types,
+           CAST(chi.n AS BIGINT) AS n_days,
+           round(chi.chi2, 6) AS chi2_f,
+           CAST(chi.k - 1 AS BIGINT) AS dof
+    FROM rj CROSS JOIN chi ORDER BY rj.event_type
+    """,
+)
+def q_friedman(spark, sf_dir):
+    """Friedman test (the nonparametric repeated-measures ANOVA) over
+    the zero-filled day x type grid: rank the k types WITHIN each day
+    (blocks), compare mean ranks — the k-sample omnibus that, unlike
+    q_anova, never assumes normality, and unlike q_kendall/q_spearman
+    handles all types at once.  Tie-corrected (average half-ranks +
+    the (t^3 - t) denominator adjustment).
+
+    Exactness: half-ranks and the tie sum are exact integers; chi2 is
+    one fixed float formula over them.  Scale: rank windows partition
+    per DAY (k rows each — perfectly parallel); the grid is the
+    types x calendar frame; the only data-sized stage is the
+    (type, day) map-side aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    b = d.agg(
+        F.min("day").alias("d0"),
+        F.datediff(F.max("day"), F.min("day")).alias("span"),
+    )
+    types = d.select("event_type").distinct()
+    spine = b.select(
+        F.explode(F.sequence(F.lit(0), F.col("span"))).alias("day_i"), "d0"
+    )
+    grid = (
+        types.crossJoin(F.broadcast(spine))
+        .join(
+            d,
+            (F.expr("date_add(d0, CAST(day_i AS INT))") == F.col("day"))
+            & (types["event_type"] == d["event_type"]),
+            "left",
+        )
+        .select(
+            types["event_type"].alias("event_type"),
+            "day_i",
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    r2 = (
+        2 * F.rank().over(W.partitionBy("day_i").orderBy("y"))
+        + F.count(F.lit(1)).over(W.partitionBy("day_i", "y")) - 1
+    )
+    r = grid.select("event_type", "day_i", r2.alias("r2"))
+    tie = (
+        grid.groupBy("day_i", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("t3t")
+        )
+    )
+    rj = r.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("rj2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    k = rj.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("n").alias("n"),
+        F.sum(F.col("rj2").cast("double") * F.col("rj2") / 4.0).alias("sr2"),
+    )
+    c = F.col
+    chi = (
+        k.crossJoin(F.broadcast(tie))
+        .select(
+            "k", F.col("n").alias("nn"),
+            (
+                (
+                    12.0 / (c("n") * c("k") * (c("k") + 1)) * c("sr2")
+                    - 3.0 * c("n") * (c("k") + 1)
+                )
+                / (
+                    1.0
+                    - F.coalesce(c("t3t"), F.lit(0))
+                    / (
+                        c("n").cast("double") * c("k")
+                        * (c("k") * c("k") - 1)
+                    )
+                )
+            ).alias("chi2"),
+        )
+    )
+    return (
+        rj.crossJoin(F.broadcast(chi))
+        .select(
+            "event_type",
+            F.round(c("rj2") / 2.0 / c("n"), 4).alias("mean_rank"),
+            c("k").cast("long").alias("k_types"),
+            c("nn").cast("long").alias("n_days"),
+            F.round("chi2", 6).alias("chi2_f"),
+            (c("k") - 1).cast("long").alias("dof"),
+        )
+        .orderBy("event_type")
+    )

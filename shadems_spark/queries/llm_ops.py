@@ -3414,3 +3414,203 @@ def q_grid_dbscan(spark, sf_dir):
         )
         .orderBy("cx", "cy")
     )
+
+
+_EDGE_CTE = """
+    e AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+          FROM embeddings),
+    h AS (SELECT vec_id, label, v,
+                 {hp} AS hp
+          FROM e),
+    p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 a.label AS lbl1, b.label AS lbl2
+          FROM h a JOIN h b
+            ON a.label = b.label AND a.hp = b.hp AND a.vec_id < b.vec_id
+          WHERE round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+                      / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                         * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4)
+                >= 0.2)
+"""
+
+
+@register(
+    "q_modularity",
+    sql=("""
+    WITH """ + _EDGE_CTE + """,
+    m AS (SELECT count(*) AS m FROM p),
+    deg AS (SELECT node, lbl, count(*) AS d FROM (
+               SELECT id1 AS node, lbl1 AS lbl FROM p
+               UNION ALL SELECT id2, lbl2 FROM p) GROUP BY 1, 2),
+    com AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(d) AS BIGINT) AS d_c
+            FROM deg GROUP BY 1),
+    ec AS (SELECT lbl1 AS lbl, CAST(count(*) AS BIGINT) AS e_within
+           FROM p GROUP BY 1),
+    c AS (SELECT com.lbl, com.n_nodes, com.d_c,
+                 coalesce(ec.e_within, 0) AS e_within,
+                 CAST(round((coalesce(ec.e_within, 0) / CAST(m.m AS DOUBLE)
+                       - (com.d_c / (2.0 * m.m))
+                         * (com.d_c / (2.0 * m.m))) * 1e9) AS BIGINT)
+                     AS contrib_n
+          FROM com LEFT JOIN ec USING (lbl) CROSS JOIN m),
+    q AS (SELECT sum(contrib_n) AS q_n FROM c)
+    SELECT c.lbl AS label, c.n_nodes, c.e_within, c.d_c,
+           round(c.contrib_n / 1e9, 6) AS contribution,
+           round(q.q_n / 1e9, 6) AS modularity
+    FROM c CROSS JOIN q ORDER BY c.lbl
+    """).format(hp=SIM.hyperplane_bucket_sql("v", 2, 64)),
+)
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the LABEL partition over the embedding
+    near-dup graph — does the labeling actually explain the edge
+    structure?  Q = sum_c (e_c/m - (d_c/2m)^2); Q near 0 means labels
+    are no better than random at capturing near-dup neighborhoods
+    (here the bucketed edge generator only emits same-label pairs, so
+    e_c sums to m and Q measures how evenly communities split the
+    degree mass).  The community-quality audit beside q_triangles /
+    q_clustering_coeff's local structure.
+
+    Exactness: edge, degree, and community sums are exact integers;
+    each community's contribution is nano-int-rounded before the
+    cross-community sum.  Scale: the only data-sized work is the
+    bucketed edge generator; everything after is community- and
+    node-cardinality aggregates with a broadcast 1-row edge count."""
+    edges = (
+        SIM.embedding_near_dup(
+            load_table(spark, sf_dir, "embeddings"),
+            threshold=0.2,
+            sub_planes=2,
+        )
+        # the generator's blocking bucket IS the label, shared by
+        # both endpoints (it is part of the join key)
+        .select("id1", "id2", F.col("bkt").alias("lbl"))
+    )
+    edges = D.tracked_persist(edges, key="mod_edges")
+    m = edges.agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        edges.select(F.col("id1").alias("node"), "lbl")
+        .unionAll(edges.select(F.col("id2").alias("node"), "lbl"))
+        .groupBy("node", "lbl")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    com = deg.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("d").cast("long").alias("d_c"),
+    )
+    ec = edges.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("e_within")
+    )
+    c = (
+        com.join(ec, "lbl", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "lbl", "n_nodes", "d_c",
+            F.coalesce("e_within", F.lit(0)).alias("e_within"),
+            F.round(
+                (
+                    F.coalesce("e_within", F.lit(0))
+                    / F.col("m").cast("double")
+                    - (F.col("d_c") / (2.0 * F.col("m")))
+                    * (F.col("d_c") / (2.0 * F.col("m")))
+                ) * F.lit(1e9)
+            ).cast("long").alias("contrib_n"),
+        )
+    )
+    q = c.agg(F.sum("contrib_n").alias("q_n"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            F.col("lbl").alias("label"), "n_nodes", "e_within", "d_c",
+            F.round(F.col("contrib_n") / 1e9, 6).alias("contribution"),
+            F.round(F.col("q_n") / 1e9, 6).alias("modularity"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "q_assortativity",
+    sql=("""
+    WITH """ + _EDGE_CTE + """,
+    deg AS (SELECT node, count(*) AS d FROM (
+               SELECT id1 AS node FROM p
+               UNION ALL SELECT id2 FROM p) GROUP BY 1),
+    de AS (SELECT da.d AS dx, db.d AS dy
+           FROM p JOIN deg da ON da.node = p.id1
+                  JOIN deg db ON db.node = p.id2),
+    sym AS (SELECT dx, dy FROM de UNION ALL SELECT dy, dx FROM de),
+    s AS (SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+                 sum(dx * dx) AS sxx, sum(dy * dy) AS syy,
+                 sum(dx * dy) AS sxy
+          FROM sym)
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           round(CAST(sx AS DOUBLE) / n, 4) AS mean_deg_end,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                 6) AS assortativity
+    FROM s
+    """).format(hp=SIM.hyperplane_bucket_sql("v", 2, 64)),
+)
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman '02) of the embedding near-dup
+    graph: the Pearson correlation of endpoint degrees over the
+    symmetrized edge list — positive means hubs attach to hubs
+    (duplicate MEGA-clusters that will chain-merge under transitive
+    dedup), negative means hub-leaf star shapes (one template with
+    many one-off variants).  The one-number structural prior a dedup
+    adjudication pass reads before choosing cluster-collapse policy.
+
+    Exactness: degrees are integer counts, the correlation's
+    sufficient statistics are exact integer sums over the symmetrized
+    list, one fixed formula at the end.  Scale: degree table is
+    node-cardinality, the stat pass joins edges to it on its own key;
+    candidates stay bounded by the bucketed generator."""
+    edges = (
+        SIM.embedding_near_dup(
+            load_table(spark, sf_dir, "embeddings"),
+            threshold=0.2,
+            sub_planes=2,
+        )
+        .select("id1", "id2")
+    )
+    edges = D.tracked_persist(edges, key="assort_edges")
+    deg = (
+        edges.select(F.col("id1").alias("node"))
+        .unionAll(edges.select(F.col("id2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    de = (
+        edges.join(
+            deg.select(F.col("node").alias("id1"), F.col("d").alias("dx")),
+            "id1",
+        )
+        .join(
+            deg.select(F.col("node").alias("id2"), F.col("d").alias("dy")),
+            "id2",
+        )
+        .select("dx", "dy")
+    )
+    sym = de.unionAll(de.select(F.col("dy").alias("dx"), F.col("dx").alias("dy")))
+    s = sym.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"), F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    c = F.col
+    return s.select(
+        (c("n") / 2).cast("long").alias("n_edges"),
+        F.round(c("sx").cast("double") / c("n"), 4).alias("mean_deg_end"),
+        F.round(
+            (c("n") * c("sxy").cast("double") - c("sx").cast("double") * c("sy"))
+            / F.sqrt(
+                (c("n") * c("sxx").cast("double") - c("sx").cast("double") * c("sx"))
+                * (c("n") * c("syy").cast("double") - c("sy").cast("double") * c("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )

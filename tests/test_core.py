@@ -1823,3 +1823,136 @@ def test_ams_join_exact_twin_and_estimator(spark, sf_dir):
     assert abs(
         r["rel_err"] - abs(r["ams_join_size"] - exact) / exact
     ) < 1e-5
+
+
+def test_wilcoxon_scipy_free_replay(spark, sf_dir):
+    """Signed-rank replay in pandas (average ranks over |diff|,
+    zero-diff drop, tie-corrected z): W+ and z must match; W+ is
+    bounded by n(n+1)/2."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_wilcoxon"][0](spark, sf_dir).collect()[0]
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("int")).alias("x"),
+            F.sum((F.col("event_type") == "click").cast("int")).alias("y"),
+        )
+        .toPandas()
+    )
+    d = d[d.x != d.y].copy()
+    d["diff"] = d.x - d.y
+    d["ad"] = d["diff"].abs()
+    d["rk"] = d.ad.rank(method="average")
+    n = len(d)
+    w_plus = float(d.loc[d["diff"] > 0, "rk"].sum())
+    assert r["n_pairs"] == n
+    assert abs(r["w_plus"] - w_plus) < 1e-6
+    assert 0 <= r["w_plus"] <= n * (n + 1) / 2
+    import math
+
+    t3t = sum(t**3 - t for t in d.groupby("ad").size())
+    sigma = math.sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - t3t / 48.0)
+    z = (w_plus - n * (n + 1) / 4.0) / sigma
+    assert abs(r["z"] - z) < 1e-5
+
+
+def test_friedman_rank_identities(spark, sf_dir):
+    """Friedman laws: mean ranks average to (k+1)/2 across types
+    (rank-sum identity on complete blocks), chi2 >= 0, dof = k-1, and
+    a pandas replay (rank within day, tie-corrected statistic)
+    agrees."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_friedman"][0](spark, sf_dir).collect()
+    k = rows[0]["k_types"]
+    assert rows[0]["dof"] == k - 1
+    mean_of_means = sum(r["mean_rank"] for r in rows) / k
+    # each mean_rank is 4dp-rounded -> up to k*5e-5 accumulated error
+    assert abs(mean_of_means - (k + 1) / 2.0) < 5e-4
+    assert rows[0]["chi2_f"] >= 0
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .toPandas()
+    )
+    grid = d.pivot_table(
+        index="day", columns="event_type", values="count", fill_value=0
+    )
+    rk = grid.rank(axis=1, method="average")
+    n = len(grid)
+    rj = rk.sum(axis=0)
+    sr2 = float((rj**2).sum())
+    chi = 12.0 / (n * k * (k + 1)) * sr2 - 3.0 * n * (k + 1)
+    t3t = 0
+    for _, row in grid.iterrows():
+        from collections import Counter
+
+        for t in Counter(row).values():
+            t3t += t**3 - t
+    chi /= 1.0 - t3t / (n * k * (k * k - 1))
+    assert abs(rows[0]["chi2_f"] - chi) < 1e-3
+    by_type = {r["event_type"]: r["mean_rank"] for r in rows}
+    for t_, v in (rj / n).items():
+        assert abs(by_type[t_] - v) < 1e-3
+
+
+def test_modularity_and_assortativity_graph_replay(spark, sf_dir):
+    """Graph-metric replay on the literal edge list: modularity
+    contributions sum to Q and match the Newman formula per
+    community; assortativity equals numpy corrcoef over symmetrized
+    endpoint degrees; both in [-1, 1]."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators import similarity as SIM
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    mrows = reg["q_modularity"][0](spark, sf_dir).collect()
+    arow = reg["q_assortativity"][0](spark, sf_dir).collect()[0]
+    edges = (
+        SIM.embedding_near_dup(
+            load_table(spark, sf_dir, "embeddings"),
+            threshold=0.2, sub_planes=2,
+        )
+        .select("bkt", "id1", "id2")
+        .collect()
+    )
+    m = len(edges)
+    from collections import Counter
+
+    deg = Counter()
+    e_c = Counter()
+    d_c = Counter()
+    for e in edges:
+        deg[e["id1"]] += 1
+        deg[e["id2"]] += 1
+        e_c[e["bkt"]] += 1
+    # degree mass per community (labels are per-edge-shared)
+    node_lbl = {}
+    for e in edges:
+        node_lbl[e["id1"]] = e["bkt"]
+        node_lbl[e["id2"]] = e["bkt"]
+    for nd, lb in node_lbl.items():
+        d_c[lb] += deg[nd]
+    q = 0.0
+    for r in mrows:
+        contrib = e_c[r["label"]] / m - (d_c[r["label"]] / (2 * m)) ** 2
+        assert abs(r["contribution"] - contrib) < 1e-5
+        assert r["e_within"] == e_c[r["label"]]
+        assert r["d_c"] == d_c[r["label"]]
+        q += contrib
+    assert abs(mrows[0]["modularity"] - q) < 1e-4
+    assert -1.0 <= mrows[0]["modularity"] <= 1.0
+
+    dx = [deg[e["id1"]] for e in edges] + [deg[e["id2"]] for e in edges]
+    dy = [deg[e["id2"]] for e in edges] + [deg[e["id1"]] for e in edges]
+    rr = np.corrcoef(dx, dy)[0, 1]
+    assert abs(arow["assortativity"] - rr) < 1e-5
+    assert arow["n_edges"] == m
