@@ -6352,3 +6352,239 @@ def q_friedman(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_xcorr",
+    sql="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+               FROM events GROUP BY 1, 2),
+    b AS (SELECT min(day) AS d0 FROM d),
+    s AS (SELECT event_type,
+                 datediff('day', (SELECT d0 FROM b), day) AS t, y
+          FROM d),
+    lags AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+    p AS (SELECT a.event_type AS type_a, c.event_type AS type_b,
+                 l.lag,
+                 count(*) AS n,
+                 sum(a.y) AS sx, sum(c.y) AS sy,
+                 sum(a.y * a.y) AS sxx, sum(c.y * c.y) AS syy,
+                 sum(a.y * c.y) AS sxy
+          FROM s a
+          CROSS JOIN lags l
+          JOIN s c ON c.event_type != a.event_type
+                  AND c.t = a.t + l.lag
+          WHERE a.event_type = 'view' AND c.event_type = 'purchase'
+          GROUP BY 1, 2, 3),
+    r AS (SELECT *, (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                    / sqrt((n * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * sx)
+                           * (n * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * sy)) AS xc
+          FROM p),
+    best AS (SELECT CAST(lag AS BIGINT) AS best_lag,
+                    round(xc, 6) AS best_xcorr
+             FROM r ORDER BY CAST(round(xc * 1e9) AS BIGINT) DESC, lag
+             LIMIT 1)
+    SELECT r.type_a, r.type_b, CAST(r.lag AS BIGINT) AS lag,
+           CAST(r.n AS BIGINT) AS n_days,
+           round(r.xc, 6) AS xcorr,
+           best.best_lag, best.best_xcorr
+    FROM r CROSS JOIN best ORDER BY r.lag
+    """,
+)
+def q_xcorr(spark, sf_dir):
+    """Lead-lag cross-correlation between the view and purchase daily
+    series at lags -7..+7 — does engagement LEAD conversion, and by
+    how many days?  The best (most positive) lag is the actionable
+    output: a forecaster should feed x shifted by it; argmax
+    tie-breaks on the earlier lag via nano-int comparison.
+
+    Exactness: the Pearson sufficient statistics at each lag are
+    exact integer sums over the aligned day pairs (the lag join key
+    is integer day index); one fixed formula per lag.  Scale: the
+    lag join runs on the calendar-bounded per-type series (15 lags x
+    days rows), after the one data-sized (type, day) aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    b = d.agg(F.min("day").alias("d0"))
+    s = d.crossJoin(F.broadcast(b)).select(
+        "event_type", F.datediff("day", "d0").alias("t"), "y"
+    )
+    a = s.filter(F.col("event_type") == "view").select(
+        F.col("t").alias("ta"), F.col("y").alias("ya")
+    )
+    cc = s.filter(F.col("event_type") == "purchase").select(
+        F.col("t").alias("tc"), F.col("y").alias("yc")
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(cc, F.col("tc") == F.col("ta") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ya").alias("sx"), F.sum("yc").alias("sy"),
+            F.sum(F.col("ya") * F.col("ya")).alias("sxx"),
+            F.sum(F.col("yc") * F.col("yc")).alias("syy"),
+            F.sum(F.col("ya") * F.col("yc")).alias("sxy"),
+        )
+    )
+    c = F.col
+    xc = (
+        c("n") * c("sxy").cast("double") - c("sx").cast("double") * c("sy")
+    ) / F.sqrt(
+        (c("n") * c("sxx").cast("double") - c("sx").cast("double") * c("sx"))
+        * (c("n") * c("syy").cast("double") - c("sy").cast("double") * c("sy"))
+    )
+    r = p.withColumn("xc", xc)
+    best = (
+        r.orderBy(
+            F.desc(F.round(c("xc") * 1e9).cast("long")), "lag"
+        )
+        .limit(1)
+        .select(
+            c("lag").cast("long").alias("best_lag"),
+            F.round("xc", 6).alias("best_xcorr"),
+        )
+    )
+    return (
+        r.crossJoin(F.broadcast(best))
+        .select(
+            F.lit("view").alias("type_a"),
+            F.lit("purchase").alias("type_b"),
+            c("lag").cast("long").alias("lag"),
+            c("n").cast("long").alias("n_days"),
+            F.round("xc", 6).alias("xcorr"),
+            "best_lag", "best_xcorr",
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "q_granger",
+    sql="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+               FROM events GROUP BY 1, 2),
+    b AS (SELECT min(day) AS d0 FROM d),
+    s AS (SELECT event_type,
+                 datediff('day', (SELECT d0 FROM b), day) AS t, y
+          FROM d),
+    yy AS (SELECT t, y FROM s WHERE event_type = 'purchase'),
+    xx AS (SELECT t, y FROM s WHERE event_type = 'view'),
+    j AS (SELECT y0.y AS y, y1.y AS yl, x1.y AS xl
+          FROM yy y0
+          JOIN yy y1 ON y1.t = y0.t - 1
+          JOIN xx x1 ON x1.t = y0.t - 1),
+    g AS (SELECT count(*) AS n, sum(y) AS sy, sum(yl) AS s1,
+                 sum(xl) AS s2,
+                 sum(yl * yl) AS s11, sum(yl * xl) AS s12,
+                 sum(xl * xl) AS s22,
+                 sum(y * yl) AS s1y, sum(y * xl) AS s2y,
+                 sum(y * y) AS syy
+          FROM j),
+    rr AS (SELECT n,
+                  -- restricted AR(1): y ~ a + b*yl  (SSE via cov alg.)
+                  (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                  - (CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n)
+                    * (CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n)
+                    / (CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                      AS sse_r,
+                  -- full: y ~ a + b*yl + c*xl (2-var OLS on centered)
+                  (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                  - ((CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n)
+                       * (CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n)
+                       * (CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n)
+                     - 2 * (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n)
+                       * (CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n)
+                       * (CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n)
+                     + (CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                       * (CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n)
+                       * (CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n))
+                    / ((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                       * (CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n)
+                       - (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n)
+                         * (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n))
+                      AS sse_f
+           FROM g)
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(sse_r, 4) AS sse_restricted,
+           round(sse_f, 4) AS sse_full,
+           round((sse_r - sse_f) / (sse_f / (n - 3)), 6) AS f_stat,
+           round(1.0 - sse_f / sse_r, 6) AS r2_gain
+    FROM rr
+    """,
+)
+def q_granger(spark, sf_dir):
+    """Granger-causality screen (1 lag): does yesterday's VIEW count
+    improve today's PURCHASE forecast beyond yesterday's purchases?
+    F = ((SSE_r - SSE_f) / q) / (SSE_f / (n - k)) comparing the
+    restricted AR(1) against the model with the lagged exogenous
+    series — the time-series causality companion to the contemporal
+    q_corr/q_xcorr (correlation at lag 0 says nothing about
+    direction).
+
+    Exactness: both regressions solve in closed form from ONE set of
+    exact integer sufficient statistics (centered covariance algebra
+    — no data pass per model); the day-index join keys are integers.
+    Scale: the lag self-join runs on the calendar-bounded series; the
+    only data-sized stage is the (type, day) aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    b = d.agg(F.min("day").alias("d0"))
+    s = d.crossJoin(F.broadcast(b)).select(
+        "event_type", F.datediff("day", "d0").alias("t"), "y"
+    )
+    yy = s.filter(F.col("event_type") == "purchase").select("t", "y")
+    xx = s.filter(F.col("event_type") == "view").select(
+        F.col("t").alias("tx"), F.col("y").alias("xl")
+    )
+    y1 = yy.select(F.col("t").alias("t1"), F.col("y").alias("yl"))
+    j = (
+        yy.join(y1, F.col("t1") == F.col("t") - 1)
+        .join(xx, F.col("tx") == F.col("t") - 1)
+        .select("y", "yl", "xl")
+    )
+    g = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"), F.sum("yl").alias("s1"),
+        F.sum("xl").alias("s2"),
+        F.sum(F.col("yl") * F.col("yl")).alias("s11"),
+        F.sum(F.col("yl") * F.col("xl")).alias("s12"),
+        F.sum(F.col("xl") * F.col("xl")).alias("s22"),
+        F.sum(F.col("y") * F.col("yl")).alias("s1y"),
+        F.sum(F.col("y") * F.col("xl")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    c = F.col
+
+    def ctr(sab, sa, sb):
+        return sab.cast("double") - sa.cast("double") * sb / c("n")
+
+    cyy = ctr(c("syy"), c("sy"), c("sy"))
+    c11 = ctr(c("s11"), c("s1"), c("s1"))
+    c22 = ctr(c("s22"), c("s2"), c("s2"))
+    c12 = ctr(c("s12"), c("s1"), c("s2"))
+    c1y = ctr(c("s1y"), c("s1"), c("sy"))
+    c2y = ctr(c("s2y"), c("s2"), c("sy"))
+    sse_r = cyy - c1y * c1y / c11
+    sse_f = cyy - (
+        c22 * c1y * c1y - 2 * c12 * c1y * c2y + c11 * c2y * c2y
+    ) / (c11 * c22 - c12 * c12)
+    rr = g.select(
+        "n", sse_r.alias("sse_r"), sse_f.alias("sse_f")
+    )
+    return rr.select(
+        c("n").cast("long").alias("n_obs"),
+        F.round("sse_r", 4).alias("sse_restricted"),
+        F.round("sse_f", 4).alias("sse_full"),
+        F.round(
+            (c("sse_r") - c("sse_f")) / (c("sse_f") / (c("n") - 3)), 6
+        ).alias("f_stat"),
+        F.round(F.lit(1.0) - c("sse_f") / c("sse_r"), 6).alias("r2_gain"),
+    )

@@ -1956,3 +1956,94 @@ def test_modularity_and_assortativity_graph_replay(spark, sf_dir):
     rr = np.corrcoef(dx, dy)[0, 1]
     assert abs(arow["assortativity"] - rr) < 1e-5
     assert arow["n_edges"] == m
+
+
+def test_xcorr_numpy_replay_and_bounds(spark, sf_dir):
+    """Cross-correlation replay: each lag's coefficient matches a
+    numpy corrcoef over the shifted alignment; all in [-1, 1]; the
+    reported best lag is the true argmax with earlier-lag
+    tie-break."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_xcorr"][0](spark, sf_dir).collect()
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .toPandas()
+    )
+    d0 = d.day.min()
+    d["t"] = d.day.map(lambda x: (x - d0).days)
+    va = {
+        r.t: r["count"]
+        for r in d[d.event_type == "view"].itertuples()
+    }
+    vp = {
+        r.t: r["count"]
+        for r in d[d.event_type == "purchase"].itertuples()
+    }
+    best = None
+    for r in rows:
+        lag = r["lag"]
+        xs, ys = [], []
+        for t, y in va.items():
+            if t + lag in vp:
+                xs.append(y)
+                ys.append(vp[t + lag])
+        assert r["n_days"] == len(xs)
+        cc = np.corrcoef(xs, ys)[0, 1]
+        assert abs(r["xcorr"] - cc) < 1e-5
+        assert -1.0 <= r["xcorr"] <= 1.0
+        key = (-round(cc * 1e9), lag)
+        if best is None or key < best[0]:
+            best = (key, lag, cc)
+        assert r["best_lag"] == rows[0]["best_lag"]
+    assert rows[0]["best_lag"] == best[1]
+
+
+def test_granger_matches_numpy_ols(spark, sf_dir):
+    """Granger replay: SSE of both models from numpy lstsq on the
+    same aligned series; f_stat >= 0 and r2_gain in [0, 1] (adding a
+    regressor never hurts in-sample)."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_granger"][0](spark, sf_dir).collect()[0]
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .toPandas()
+    )
+    d0 = d.day.min()
+    d["t"] = d.day.map(lambda x: (x - d0).days)
+    va = {r2.t: r2["count"] for r2 in d[d.event_type == "view"].itertuples()}
+    vp = {
+        r2.t: r2["count"]
+        for r2 in d[d.event_type == "purchase"].itertuples()
+    }
+    rowsj = [
+        (vp[t], vp[t - 1], va[t - 1])
+        for t in vp
+        if t - 1 in vp and t - 1 in va
+    ]
+    y = np.array([a for a, _, _ in rowsj], dtype=float)
+    yl = np.array([b for _, b, _ in rowsj], dtype=float)
+    xl = np.array([cch for _, _, cch in rowsj], dtype=float)
+    assert r["n_obs"] == len(y)
+
+    def sse(X):
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        return float(((y - X @ beta) ** 2).sum())
+
+    one = np.ones(len(y))
+    sse_r = sse(np.column_stack([one, yl]))
+    sse_f = sse(np.column_stack([one, yl, xl]))
+    assert abs(r["sse_restricted"] - sse_r) / max(sse_r, 1) < 1e-6
+    assert abs(r["sse_full"] - sse_f) / max(sse_f, 1) < 1e-6
+    assert r["f_stat"] >= 0 and 0.0 <= r["r2_gain"] <= 1.0
