@@ -1978,12 +1978,12 @@ def test_xcorr_numpy_replay_and_bounds(spark, sf_dir):
     d0 = d.day.min()
     d["t"] = d.day.map(lambda x: (x - d0).days)
     va = {
-        r.t: r["count"]
-        for r in d[d.event_type == "view"].itertuples()
+        row["t"]: row["count"]
+        for row in d[d.event_type == "view"].to_dict("records")
     }
     vp = {
-        r.t: r["count"]
-        for r in d[d.event_type == "purchase"].itertuples()
+        row["t"]: row["count"]
+        for row in d[d.event_type == "purchase"].to_dict("records")
     }
     best = None
     for r in rows:
@@ -2022,10 +2022,13 @@ def test_granger_matches_numpy_ols(spark, sf_dir):
     )
     d0 = d.day.min()
     d["t"] = d.day.map(lambda x: (x - d0).days)
-    va = {r2.t: r2["count"] for r2 in d[d.event_type == "view"].itertuples()}
+    va = {
+        row["t"]: row["count"]
+        for row in d[d.event_type == "view"].to_dict("records")
+    }
     vp = {
-        r2.t: r2["count"]
-        for r2 in d[d.event_type == "purchase"].itertuples()
+        row["t"]: row["count"]
+        for row in d[d.event_type == "purchase"].to_dict("records")
     }
     rowsj = [
         (vp[t], vp[t - 1], va[t - 1])
