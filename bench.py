@@ -110,6 +110,10 @@ HEADLINE = [
     "q_path_analysis",
     "q_apriori",
     "q_adaboost_stumps",
+    # round-6 closing additions: the in-plan nested-fold DP and the
+    # cell-density clustering over the star components operator.
+    "q_dtw",
+    "q_grid_dbscan",
 ]
 
 

@@ -6588,3 +6588,201 @@ def q_granger(spark, sf_dir):
         ).alias("f_stat"),
         F.round(F.lit(1.0) - c("sse_f") / c("sse_r"), 6).alias("r2_gain"),
     )
+
+
+_HURST_WS = [8, 16, 32]
+
+
+@register(
+    "q_hurst",
+    sql=f"""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+               FROM events GROUP BY 1, 2),
+    b AS (SELECT min(day) AS d0,
+                 datediff('day', min(day), max(day)) AS span FROM d),
+    types AS (SELECT DISTINCT event_type FROM d),
+    grid AS (SELECT t.event_type, g.x, coalesce(d.y, 0) AS y
+             FROM types t
+             CROSS JOIN (SELECT unnest(generate_series(0,
+                                (SELECT span FROM b))) AS x) g
+             LEFT JOIN d ON d.event_type = t.event_type
+                        AND d.day = (SELECT d0 FROM b) + INTERVAL (g.x) DAY),
+    ww AS (SELECT unnest([{", ".join(str(w) for w in _HURST_WS)}]) AS w),
+    cells AS (SELECT g.event_type, ww.w, g.x // ww.w AS blk, g.x, g.y
+              FROM grid g CROSS JOIN ww),
+    wn AS (SELECT *,
+                  CAST(count(*) OVER pb AS BIGINT) AS nb,
+                  CAST(sum(y) OVER pb AS BIGINT) AS sy,
+                  CAST(sum(y * y) OVER pb AS BIGINT) AS syy,
+                  CAST(sum(y) OVER (pb ORDER BY x
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cy,
+                  CAST(row_number() OVER (pb ORDER BY x) AS BIGINT) AS j
+           FROM cells
+           WINDOW pb AS (PARTITION BY event_type, w, blk)),
+    dev AS (SELECT event_type, w, blk, nb, sy, syy,
+                   w * cy - j * sy AS dev_w
+            FROM wn WHERE nb = w),
+    blkrs AS (SELECT event_type, w, blk,
+                     CAST(round(1e9 *
+                       ((max(dev_w) - least(min(dev_w), 0)) / CAST(w AS DOUBLE))
+                       / sqrt((syy - CAST(sy AS DOUBLE) * sy / w)
+                              / w)) AS BIGINT) AS rs_n
+              FROM dev
+              GROUP BY event_type, w, blk, sy, syy
+              HAVING syy * w > sy * sy),
+    mrs AS (SELECT event_type, w, count(*) AS n_blocks,
+                   CAST(round(sum(rs_n) / CAST(count(*) AS DOUBLE))
+                        AS BIGINT) AS mean_rs_n
+            FROM blkrs GROUP BY 1, 2),
+    pts AS (SELECT event_type,
+                   list_sort(list(ln(CAST(w AS DOUBLE)))) AS lxs,
+                   list_sort(list_zip(list(ln(CAST(w AS DOUBLE))),
+                                      list(ln(mean_rs_n / 1e9)))) AS pl,
+                   count(*) AS np
+            FROM mrs GROUP BY 1),
+    sl AS (SELECT event_type, np,
+                  list_reduce(list_prepend([0.0, 0.0, 0.0, 0.0],
+                      list_transform(pl, z -> [z[1], z[2], z[1]*z[1],
+                                               z[1]*z[2]])),
+                      (a, e) -> [a[1]+e[1], a[2]+e[2], a[3]+e[3],
+                                 a[4]+e[4]]) AS s
+           FROM pts)
+    SELECT mrs.event_type, CAST(mrs.w AS BIGINT) AS w,
+           CAST(mrs.n_blocks AS BIGINT) AS n_blocks,
+           round(mrs.mean_rs_n / 1e9, 6) AS mean_rs,
+           round((sl.np * sl.s[4] - sl.s[1] * sl.s[2])
+                 / (sl.np * sl.s[3] - sl.s[1] * sl.s[1]), 6) AS hurst
+    FROM mrs JOIN sl USING (event_type)
+    ORDER BY mrs.event_type, mrs.w
+    """,
+)
+def q_hurst(spark, sf_dir):
+    """Hurst exponent by rescaled-range analysis over the daily count
+    series per type — the long-range-dependence diagnostic (H = 0.5
+    random walk, H > 0.5 persistent trends, H < 0.5 mean-reverting):
+    per block of w days, R/S = (range of mean-adjusted cumulative
+    deviations) / population std; H is the log-log slope of mean R/S
+    against w in {{8, 16, 32}}.  Capacity planners read H before
+    trusting any i.i.d. burst model (q_burstiness measures magnitude,
+    Hurst measures MEMORY).
+
+    Exactness: cumulative deviations are carried as exact integers
+    (w*cum_j - j*sum — the cross-multiplied centering), each block's
+    R/S nano-rounds before the per-w mean, zero-variance blocks drop
+    by an integer predicate, and the 3-point regression folds in
+    sorted order (deterministic 4-sum accumulator on both engines).
+    Scale: block windows partition by (type, w, block) — w-bounded;
+    the series is calendar-bounded; the one data-sized stage is the
+    (type, day) aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    b = d.agg(
+        F.min("day").alias("d0"),
+        F.datediff(F.max("day"), F.min("day")).alias("span"),
+    )
+    types = d.select("event_type").distinct()
+    spine = b.select(
+        F.explode(F.sequence(F.lit(0), F.col("span"))).alias("x"), "d0"
+    )
+    grid = (
+        types.crossJoin(F.broadcast(spine))
+        .join(
+            d,
+            (F.expr("date_add(d0, CAST(x AS INT))") == F.col("day"))
+            & (types["event_type"] == d["event_type"]),
+            "left",
+        )
+        .select(
+            types["event_type"].alias("event_type"),
+            "x",
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    ws = spark.createDataFrame([(w,) for w in _HURST_WS], ["w"])
+    cells = grid.crossJoin(F.broadcast(ws)).withColumn(
+        "blk", F.expr("x div w")
+    )
+    pb = W.partitionBy("event_type", "w", "blk")
+    po = pb.orderBy("x")
+    wn = cells.select(
+        "event_type", "w", "blk", "x", "y",
+        F.count(F.lit(1)).over(pb).cast("long").alias("nb"),
+        F.sum("y").over(pb).cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).over(pb).cast("long").alias("syy"),
+        F.sum("y").over(po.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long").alias("cy"),
+        F.row_number().over(po).cast("long").alias("j"),
+    )
+    dev = wn.filter(F.col("nb") == F.col("w")).withColumn(
+        "dev_w", F.col("w") * F.col("cy") - F.col("j") * F.col("sy")
+    )
+    c = F.col
+    blk = (
+        dev.groupBy("event_type", "w", "blk", "sy", "syy")
+        .agg(F.max("dev_w").alias("mx"), F.min("dev_w").alias("mn"))
+        .filter(c("syy") * c("w") > c("sy") * c("sy"))
+        .select(
+            "event_type", "w",
+            F.round(
+                F.lit(1e9)
+                * ((c("mx") - F.least(c("mn"), F.lit(0))) / c("w").cast("double"))
+                / F.sqrt(
+                    (c("syy") - c("sy").cast("double") * c("sy") / c("w"))
+                    / c("w")
+                )
+            ).cast("long").alias("rs_n"),
+        )
+    )
+    mrs = blk.groupBy("event_type", "w").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.round(F.sum("rs_n") / F.count(F.lit(1)).cast("double"))
+        .cast("long").alias("mean_rs_n"),
+    )
+    pts = mrs.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.log(c("w").cast("double")).alias("lx"),
+                    F.log(c("mean_rs_n") / 1e9).alias("ly"),
+                )
+            )
+        ).alias("pl"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    s = F.aggregate(
+        "pl",
+        F.struct(
+            F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy2"),
+            F.lit(0.0).alias("sxx"), F.lit(0.0).alias("sxy"),
+        ),
+        lambda a, e: F.struct(
+            (a["sx"] + e["lx"]).alias("sx"),
+            (a["sy2"] + e["ly"]).alias("sy2"),
+            (a["sxx"] + e["lx"] * e["lx"]).alias("sxx"),
+            (a["sxy"] + e["lx"] * e["ly"]).alias("sxy"),
+        ),
+    )
+    sl = pts.select(
+        "event_type", "np", s.alias("s")
+    ).select(
+        "event_type",
+        (
+            (c("np") * c("s.sxy") - c("s.sx") * c("s.sy2"))
+            / (c("np") * c("s.sxx") - c("s.sx") * c("s.sx"))
+        ).alias("hurst"),
+    )
+    return (
+        mrs.join(sl, "event_type")
+        .select(
+            "event_type",
+            c("w").cast("long").alias("w"),
+            c("n_blocks").cast("long").alias("n_blocks"),
+            F.round(c("mean_rs_n") / 1e9, 6).alias("mean_rs"),
+            F.round("hurst", 6).alias("hurst"),
+        )
+        .orderBy("event_type", "w")
+    )

@@ -2050,3 +2050,65 @@ def test_granger_matches_numpy_ols(spark, sf_dir):
     assert abs(r["sse_restricted"] - sse_r) / max(sse_r, 1) < 1e-6
     assert abs(r["sse_full"] - sse_f) / max(sse_f, 1) < 1e-6
     assert r["f_stat"] >= 0 and 0.0 <= r["r2_gain"] <= 1.0
+
+
+def test_hurst_numpy_replay_and_range(spark, sf_dir):
+    """R/S replay in numpy per (type, w, block) with the identical
+    integer-centered deviations and nano rounding; the slope equals a
+    least-squares fit over the (ln w, ln mean R/S) points; Hurst for
+    any real series lands in (0, 1.2)."""
+    import math
+
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+    from shadems_spark.queries.analytics import _HURST_WS
+
+    rows = load_registry()["q_hurst"][0](spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .toPandas()
+    )
+    d0, d1 = ev.day.min(), ev.day.max()
+    span = (d1 - d0).days
+    by_type: dict = {}
+    for _, r2 in ev.iterrows():
+        by_type.setdefault(r2.event_type, [0] * (span + 1))[
+            (r2.day - d0).days
+        ] = int(r2["count"])
+    per_type: dict = {}
+    for t_, y in by_type.items():
+        pts = []
+        for w in _HURST_WS:
+            rs_ns = []
+            for b0 in range(0, (len(y) // w) * w, w):
+                blk = y[b0 : b0 + w]
+                sy, syy = sum(blk), sum(v * v for v in blk)
+                if syy * w <= sy * sy:
+                    continue
+                cy = 0
+                devs = []
+                for j, v in enumerate(blk, 1):
+                    cy += v
+                    devs.append(w * cy - j * sy)
+                rr = (max(devs) - min(min(devs), 0)) / w
+                ss = math.sqrt((syy - sy * sy / w) / w)
+                rs_ns.append(math.floor(1e9 * rr / ss + 0.5))
+            if not rs_ns:  # short fixture: no full block at this w
+                continue
+            mean_n = math.floor(sum(rs_ns) / len(rs_ns) + 0.5)
+            pts.append((w, math.log(w), math.log(mean_n / 1e9), len(rs_ns)))
+        lx = np.array([a for _, a, _, _ in pts])
+        ly = np.array([b for _, _, b, _ in pts])
+        slope = np.polyfit(lx, ly, 1)[0]
+        per_type[t_] = ({w: (b, nb) for w, _, b, nb in pts}, slope)
+    for r in rows:
+        pts, slope = per_type[r["event_type"]]
+        ly, nb = pts[r["w"]]
+        assert r["n_blocks"] == nb
+        assert abs(r["mean_rs"] - math.exp(ly)) < 1e-5
+        assert abs(r["hurst"] - slope) < 1e-5
+        assert 0.0 < r["hurst"] < 1.2
