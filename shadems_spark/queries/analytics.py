@@ -5823,45 +5823,16 @@ def q_dtw(spark, sf_dir):
             F.col("type_a") < F.col("type_b"),
         )
     )
-    inf = F.lit(_DTW_INF).cast("long")
-    m = F.size("vb")
-    init_row = F.transform(
-        F.sequence(F.lit(0), m),
-        lambda j: F.when(j == 0, F.lit(0).cast("long")).otherwise(inf),
-    )
+    from shadems_spark.operators.series import dtw_fold
 
-    # outer fold steps once per a-element carrying the previous DP
-    # row; the inner fold builds the current row left-to-right (the
-    # cur[len(cur)] reference is the sequential j-1 dependency)
-    r = p.withColumn(
-        "dp",
-        F.aggregate(
-            "va",
-            init_row,
-            lambda prev, ai: F.aggregate(
-                F.sequence(F.lit(1), m),
-                F.array(inf),
-                lambda cur, j: F.concat(
-                    cur,
-                    F.array(
-                        F.abs(ai - F.element_at(F.col("vb"), j))
-                        + F.least(
-                            F.element_at(prev, j),
-                            F.element_at(prev, j + 1),
-                            F.element_at(cur, F.size(cur)),
-                        )
-                    ),
-                ),
-            ),
-        ),
-    )
+    r = p.withColumn("dtw", dtw_fold("va", "vb"))
     return r.select(
         "type_a", "type_b",
         F.size("va").cast("long").alias("n_weeks_a"),
         F.size("vb").cast("long").alias("n_weeks_b"),
-        F.element_at("dp", m + 1).cast("long").alias("dtw"),
+        F.col("dtw").cast("long").alias("dtw"),
         F.round(
-            F.element_at("dp", m + 1)
+            F.col("dtw")
             / (F.size("va") + F.size("vb")).cast("double"),
             4,
         ).alias("dtw_per_step"),

@@ -370,3 +370,32 @@ def test_winnow_guarantee_law(spark, shared, pre, post):
     )
     fps = {r["doc_id"]: set(r["fps"]) for r in df.collect()}
     assert fps[0] & fps[1]
+
+
+_int_series = st.lists(
+    st.integers(min_value=0, max_value=1000), min_size=1, max_size=12
+)
+
+
+@given(a=_int_series, b=_int_series)
+@settings(**SETTINGS)
+def test_dtw_fold_metric_laws(spark, a, b):
+    """DTW laws on arbitrary integer series: dtw(a, a) == 0;
+    symmetry dtw(a, b) == dtw(b, a); lower bound |a_end - b_end|
+    (the final step always pays that cost); equal-length upper bound
+    sum |a_i - b_i| (the diagonal alignment)."""
+    from shadems_spark.operators.series import dtw_fold
+
+    df = spark.createDataFrame(
+        [(a, b)], "va array<long>, vb array<long>"
+    )
+    r = df.select(
+        dtw_fold("va", "vb").alias("ab"),
+        dtw_fold("vb", "va").alias("ba"),
+        dtw_fold("va", "va").alias("aa"),
+    ).first()
+    assert r["aa"] == 0
+    assert r["ab"] == r["ba"]
+    assert r["ab"] >= abs(a[-1] - b[-1])
+    if len(a) == len(b):
+        assert r["ab"] <= sum(abs(x - y) for x, y in zip(a, b))
