@@ -6757,3 +6757,243 @@ def q_hurst(spark, sf_dir):
         )
         .orderBy("event_type", "w")
     )
+
+
+@register(
+    "q_power_analysis",
+    sql="""
+    WITH u AS (SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+                      CAST(max(CASE WHEN event_type = 'purchase'
+                                    AND value > 95
+                               THEN 1 ELSE 0 END) AS INT) AS converted
+               FROM events GROUP BY 1),
+    g AS (SELECT count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+          FROM u),
+    p AS (SELECT n, conv, conv / CAST(n AS DOUBLE) AS p0 FROM g),
+    mde AS (SELECT p.n, p.conv, p.p0, m.rel AS rel_mde,
+                   p.p0 * m.rel AS delta,
+                   -- two-sided alpha=.05, power=.80:
+                   -- n/arm = (z_a/2 + z_b)^2 * 2 p(1-p) / delta^2
+                   CAST(ceil((1.959963984540054 + 0.8416212335729143)
+                             * (1.959963984540054 + 0.8416212335729143)
+                             * 2.0 * p.p0 * (1.0 - p.p0)
+                             / (p.p0 * m.rel * p.p0 * m.rel))
+                        AS BIGINT) AS n_per_arm
+            FROM p CROSS JOIN (SELECT unnest([0.01, 0.02, 0.05, 0.10,
+                                              0.20]) AS rel) m)
+    SELECT round(rel_mde, 2) AS rel_mde,
+           CAST(n AS BIGINT) AS n_users_observed,
+           round(p0, 6) AS base_rate,
+           round(delta, 6) AS abs_mde,
+           n_per_arm,
+           CAST(CASE WHEN n / 2 >= n_per_arm THEN 1 ELSE 0 END AS INT)
+               AS powered_today
+    FROM mde ORDER BY rel_mde
+    """,
+)
+def q_power_analysis(spark, sf_dir):
+    """Experiment power / sample-size table for the q_abtest
+    conversion metric: for each candidate relative MDE, the required
+    n per arm at alpha = .05 two-sided, power = .80 (the standard
+    (z_{a/2} + z_B)^2 * 2p(1-p) / delta^2), and whether the observed
+    population already powers it — the run-it-or-don't gate every
+    experimentation platform evaluates before q_abtest ever reads a
+    z-score.
+
+    Exactness: the base rate comes from exact integer user counts;
+    each row is one fixed float formula with the normal quantiles as
+    literals (no engine stats functions involved); ceil is exact on
+    both engines.  Scale: one per-user conditional aggregate then a
+    constant 5-row table."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") > 95)
+            ).cast("int")
+        ).alias("converted")
+    )
+    g = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    rels = spark.createDataFrame(
+        [(0.01,), (0.02,), (0.05,), (0.10,), (0.20,)], ["rel"]
+    )
+    za, zb = 1.959963984540054, 0.8416212335729143
+    c = F.col
+    p0 = c("conv") / c("n").cast("double")
+    m = g.crossJoin(F.broadcast(rels)).select(
+        "n", "conv", "rel", p0.alias("p0"),
+        (p0 * c("rel")).alias("delta"),
+    )
+    n_req = F.ceil(
+        F.lit((za + zb) * (za + zb))
+        * 2.0 * c("p0") * (1.0 - c("p0"))
+        / (c("delta") * c("delta"))
+    ).cast("long")
+    return m.select(
+        F.round("rel", 2).alias("rel_mde"),
+        c("n").cast("long").alias("n_users_observed"),
+        F.round("p0", 6).alias("base_rate"),
+        F.round("delta", 6).alias("abs_mde"),
+        n_req.alias("n_per_arm"),
+        (c("n") / 2 >= n_req).cast("int").alias("powered_today"),
+    ).orderBy("rel_mde")
+
+
+@register(
+    "q_srm",
+    sql="""
+    WITH u AS (SELECT user_id, CAST(user_id % 2 AS INT) AS variant
+               FROM events GROUP BY 1, 2),
+    g AS (SELECT variant, count(*) AS n FROM u GROUP BY 1),
+    t AS (SELECT sum(n) AS tot FROM g),
+    x AS (SELECT g.variant, g.n, t.tot, t.tot / 2.0 AS e,
+                 CAST(round((g.n - t.tot / 2.0) * (g.n - t.tot / 2.0)
+                            / (t.tot / 2.0) * 1e9) AS BIGINT) AS contrib_n
+          FROM g CROSS JOIN t),
+    s AS (SELECT sum(contrib_n) AS chi2_n FROM x)
+    SELECT x.variant, CAST(x.n AS BIGINT) AS n_users,
+           round(x.e, 1) AS expected,
+           round(s.chi2_n / 1e9, 6) AS chi2_srm,
+           CAST(CASE WHEN s.chi2_n / 1e9 > 10.828 THEN 1 ELSE 0 END
+                AS INT) AS srm_alarm
+    FROM x CROSS JOIN s ORDER BY x.variant
+    """,
+)
+def q_srm(spark, sf_dir):
+    """Sample-ratio-mismatch guard for the q_abtest assignment: a
+    chi-square goodness-of-fit of observed variant counts against the
+    designed 50/50 split, alarmed at the p < 0.001 threshold
+    (chi2 > 10.828, 1 dof) — the FIRST check every experiment
+    analysis runs, because a skewed split invalidates every
+    downstream metric no matter how significant it looks.
+
+    Exactness: variant counts are exact integers, each (o-e)^2/e term
+    nano-rounds before the sum (the q_chisq protocol).  Scale: one
+    per-user distinct aggregate then a 2-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("variant")
+    ).distinct()
+    g = u.groupBy("variant").agg(F.count(F.lit(1)).alias("n"))
+    t = g.agg(F.sum("n").alias("tot"))
+    c = F.col
+    x = g.crossJoin(F.broadcast(t)).select(
+        "variant", "n", "tot",
+        (c("tot") / 2.0).alias("e"),
+        F.round(
+            (c("n") - c("tot") / 2.0) * (c("n") - c("tot") / 2.0)
+            / (c("tot") / 2.0) * F.lit(1e9)
+        ).cast("long").alias("contrib_n"),
+    )
+    s = x.agg(F.sum("contrib_n").alias("chi2_n"))
+    return (
+        x.crossJoin(F.broadcast(s))
+        .select(
+            "variant",
+            c("n").cast("long").alias("n_users"),
+            F.round("e", 1).alias("expected"),
+            F.round(c("chi2_n") / 1e9, 6).alias("chi2_srm"),
+            (c("chi2_n") / 1e9 > 10.828).cast("int").alias("srm_alarm"),
+        )
+        .orderBy("variant")
+    )
+
+
+@register(
+    "q_heavy_change",
+    sql="""
+    WITH w AS (SELECT doc_id % 2 AS half,
+                      unnest(list_filter(string_split(text, ' '),
+                                         x -> len(x) > 0)) AS tok
+               FROM documents),
+    c AS (SELECT tok,
+                 sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+                 sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+          FROM w GROUP BY 1),
+    t AS (SELECT sum(c0) AS t0, sum(c1) AS t1 FROM c),
+    r AS (SELECT c.tok, c.c0, c.c1, t.t0, t.t1,
+                 abs(c.c1 * t.t0 - c.c0 * t.t1) AS change_num
+          FROM c CROSS JOIN t
+          WHERE c.c0 + c.c1 >= 20)
+    SELECT tok, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+           round(c0 / CAST(t0 AS DOUBLE) * 1e6, 4) AS rate0_ppm,
+           round(c1 / CAST(t1 AS DOUBLE) * 1e6, 4) AS rate1_ppm,
+           round(CAST(change_num AS DOUBLE)
+                 / (CAST(t0 AS DOUBLE) * t1) * 1e6, 4) AS abs_change_ppm
+    FROM r
+    ORDER BY change_num * 1000000 / (CAST(t0 AS HUGEINT) * t1) DESC,
+             tok
+    LIMIT 25
+    """,
+)
+def q_heavy_change(spark, sf_dir):
+    """Heavy-CHANGE detection (the drift-mining twin of
+    q_heavy_hitters, Cormode-Muthukrishnan's delta problem): the 25
+    tokens whose relative frequency moved most between the two corpus
+    halves (doc_id parity standing in for time slices) — heavy
+    hitters tell you what dominates, heavy changers tell you what is
+    HAPPENING; with a min-support floor so rare-token noise can't
+    crowd the board.
+
+    Exactness: the change score compares exact integer cross products
+    |c1*t0 - c0*t1| (no per-token division before ranking — the
+    q_tcloseness trick), and the top-25 orders by an integer-scaled
+    key with token tie-break.  Scale: one (half, token) map-side
+    aggregate, vocabulary-sized everything, TakeOrderedAndProject
+    tail; the streaming face keeps two CM sketches and diffs them."""
+    from shadems_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.filter(words("text"), lambda x: F.length(x) > 0))
+        .alias("tok"),
+    )
+    c = (
+        w.groupBy("tok")
+        .agg(
+            F.sum((F.col("half") == 0).cast("int")).alias("c0"),
+            F.sum((F.col("half") == 1).cast("int")).alias("c1"),
+        )
+    )
+    t = c.agg(F.sum("c0").alias("t0"), F.sum("c1").alias("t1"))
+    cc = F.col
+    r = (
+        c.filter(cc("c0") + cc("c1") >= 20)
+        .crossJoin(F.broadcast(t))
+        .withColumn(
+            "change_num",
+            F.abs(
+                cc("c1").cast("decimal(38,0)") * cc("t0")
+                - cc("c0").cast("decimal(38,0)") * cc("t1")
+            ),
+        )
+    )
+    return (
+        r.select(
+            "tok",
+            cc("c0").cast("long").alias("c0"),
+            cc("c1").cast("long").alias("c1"),
+            F.round(cc("c0") / cc("t0").cast("double") * 1e6, 4).alias(
+                "rate0_ppm"
+            ),
+            F.round(cc("c1") / cc("t1").cast("double") * 1e6, 4).alias(
+                "rate1_ppm"
+            ),
+            F.round(
+                cc("change_num").cast("double")
+                / (cc("t0").cast("double") * cc("t1")) * 1e6,
+                4,
+            ).alias("abs_change_ppm"),
+            (
+                cc("change_num") * 1000000
+                / (cc("t0").cast("decimal(38,0)") * cc("t1"))
+            ).cast("long").alias("__rk"),
+        )
+        .orderBy(F.desc("__rk"), "tok")
+        .limit(25)
+        .drop("__rk")
+    )

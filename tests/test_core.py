@@ -2112,3 +2112,80 @@ def test_hurst_numpy_replay_and_range(spark, sf_dir):
         assert abs(r["mean_rs"] - math.exp(ly)) < 1e-5
         assert abs(r["hurst"] - slope) < 1e-5
         assert 0.0 < r["hurst"] < 1.2
+
+
+def test_power_analysis_formula_and_monotonicity(spark, sf_dir):
+    """Power-table laws: n_per_arm strictly decreases as MDE grows;
+    each row matches the closed-form sample-size formula at
+    alpha=.05/power=.80; powered_today consistent with observed n."""
+    import math
+
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_power_analysis"][0](spark, sf_dir).collect()
+    za, zb = 1.959963984540054, 0.8416212335729143
+    prev = None
+    for r in rows:
+        p = r["base_rate"]
+        delta = p * r["rel_mde"]
+        n_req = math.ceil((za + zb) ** 2 * 2 * p * (1 - p) / delta**2)
+        assert abs(r["n_per_arm"] - n_req) <= 1  # 6dp-rounded base rate
+        assert r["powered_today"] == int(
+            r["n_users_observed"] / 2 >= r["n_per_arm"]
+        )
+        if prev is not None:
+            assert r["n_per_arm"] < prev
+        prev = r["n_per_arm"]
+
+
+def test_srm_chi2_and_alarm(spark, sf_dir):
+    """SRM laws: expected = total/2 on both rows, chi2 matches the
+    two-cell GOF recomputation, and the alarm fires iff chi2 crosses
+    the p<.001 critical value."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_srm"][0](spark, sf_dir).collect()
+    tot = sum(r["n_users"] for r in rows)
+    chi = sum((r["n_users"] - tot / 2) ** 2 / (tot / 2) for r in rows)
+    for r in rows:
+        assert abs(r["expected"] - tot / 2) < 0.51
+        assert abs(r["chi2_srm"] - chi) < 1e-4
+        assert r["srm_alarm"] == int(chi > 10.828)
+
+
+def test_heavy_change_brute_ranking(spark, sf_dir):
+    """Heavy-change replay: counts per half from a pandas recount,
+    the returned tokens are the true top-25 by |c1*t0 - c0*t1|
+    normalized (min-support 20 applied), in non-increasing change
+    order."""
+    from collections import Counter
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_heavy_change"][0](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    c0, c1 = Counter(), Counter()
+    for d in docs:
+        tgt = c0 if d["doc_id"] % 2 == 0 else c1
+        for w in d["text"].split(" "):
+            if w:
+                tgt[w] += 1
+    t0, t1 = sum(c0.values()), sum(c1.values())
+    scored = []
+    for tok in set(c0) | set(c1):
+        a, b = c0[tok], c1[tok]
+        if a + b < 20:
+            continue
+        num = abs(b * t0 - a * t1)
+        scored.append((-(num * 1000000 // (t0 * t1)), tok, a, b))
+    scored.sort()
+    want = scored[:25]
+    got = [(r["tok"], r["c0"], r["c1"]) for r in rows]
+    assert got == [(tok, a, b) for _, tok, a, b in want]
+    changes = [r["abs_change_ppm"] for r in rows]
+    # non-increasing up to the integer-scaled rank's granularity
+    for x, y in zip(changes, changes[1:]):
+        assert y <= x + 1.0
