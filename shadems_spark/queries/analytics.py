@@ -20,10 +20,36 @@ from shadems_spark.vis import vis_sql_from, vis_view
 
 _VIS = vis_sql_from("lineitem")
 
-_SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    ".scratch",
-)
+def _scratch_root() -> str:
+    """Per-PROCESS scratch dir (.scratch/p<pid>): two concurrent
+    harness processes (e.g. the default and local[3] oracle gates)
+    must never rmtree/overwrite each other's sink fixtures mid-scan
+    (observed: q_binary_ingest flake under concurrent gates).  Stale
+    siblings from dead pids are best-effort reaped on import."""
+    base = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".scratch",
+    )
+    me = os.path.join(base, f"p{os.getpid()}")
+    try:
+        for d in os.listdir(base):
+            if d.startswith("p") and d[1:].isdigit() and int(d[1:]) != os.getpid():
+                try:
+                    os.kill(int(d[1:]), 0)
+                except ProcessLookupError:
+                    import shutil
+
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                except PermissionError:
+                    pass
+    except FileNotFoundError:
+        pass
+    return me
+
+
+_SCRATCH = _scratch_root()
 
 
 @register(

@@ -190,11 +190,9 @@ def q_sink_roundtrip(spark, sf_dir):
         32,
         32,
     )
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-        "sink_roundtrip",
-    )
+    from shadems_spark.queries.analytics import _SCRATCH
+
+    path = os.path.join(_SCRATCH, "sink_roundtrip")
     out.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
