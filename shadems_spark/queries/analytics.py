@@ -7023,3 +7023,88 @@ def q_heavy_change(spark, sf_dir):
         .limit(25)
         .drop("__rk")
     )
+
+
+@register(
+    "q_time_to_convert",
+    sql="""
+    WITH f AS (SELECT user_id,
+                      min(CASE WHEN event_type = 'view'
+                          THEN epoch_us(ts) END) AS t_view,
+                      min(CASE WHEN event_type = 'purchase'
+                          THEN epoch_us(ts) END) AS t_buy
+               FROM events GROUP BY 1),
+    lat AS (SELECT user_id, t_buy - t_view AS lat_us
+            FROM f WHERE t_view IS NOT NULL AND t_buy IS NOT NULL
+                     AND t_view < t_buy),
+    r AS (SELECT lat_us,
+                 row_number() OVER (ORDER BY lat_us, user_id) AS rn,
+                 count(*) OVER () AS n
+          FROM lat),
+    q AS (SELECT max(n) AS n,
+                 max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN lat_us END) AS p50_us,
+                 max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                     THEN lat_us END) AS p90_us,
+                 sum(lat_us) AS s
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n_converters,
+           round(p50_us / 8.64e10, 4) AS p50_days,
+           round(p90_us / 8.64e10, 4) AS p90_days,
+           round(s / CAST(n AS DOUBLE) / 8.64e10, 4) AS mean_days
+    FROM q
+    """,
+)
+def q_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution (first view -> first purchase per
+    user): EXACT p50/p90 and mean latency in days — the funnel's
+    missing time axis (q_funnel counts who converts; this measures
+    how long the pipeline holds them, sizing attribution windows and
+    retargeting delays).
+
+    Exactness: latencies are integer microseconds from the q_funnel
+    conditional-min frame; the exact quantiles are the order
+    statistics at ceil(q*n) under the (latency, user) total order —
+    selected by the two-phase value-cut global numbering
+    (operators/profile.global_index), never a single-partition window
+    over the converter table (the oracle's global window IS the
+    definition; converters are fixture-bounded there).  Scale: one
+    per-user conditional aggregate, the two-phase numbering, and a
+    1-row reduce."""
+    from shadems_spark.operators.profile import global_index
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_buy"),
+    )
+    lat = f.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_view") < F.col("t_buy"))
+    ).select("user_id", (F.col("t_buy") - F.col("t_view")).alias("lat_us"))
+    r = global_index(lat, ["lat_us", "user_id"], out="rn", with_total="n")
+    c = F.col
+    q = r.agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(
+                c("rn") == F.ceil(0.5 * c("n")).cast("long"), c("lat_us")
+            )
+        ).alias("p50_us"),
+        F.max(
+            F.when(
+                c("rn") == F.ceil(0.9 * c("n")).cast("long"), c("lat_us")
+            )
+        ).alias("p90_us"),
+        F.sum("lat_us").alias("s"),
+    )
+    return q.select(
+        c("n").cast("long").alias("n_converters"),
+        F.round(c("p50_us") / 8.64e10, 4).alias("p50_days"),
+        F.round(c("p90_us") / 8.64e10, 4).alias("p90_days"),
+        F.round(c("s") / c("n").cast("double") / 8.64e10, 4).alias(
+            "mean_days"
+        ),
+    )

@@ -2189,3 +2189,44 @@ def test_heavy_change_brute_ranking(spark, sf_dir):
     # non-increasing up to the integer-scaled rank's granularity
     for x, y in zip(changes, changes[1:]):
         assert y <= x + 1.0
+
+
+def test_time_to_convert_exact_order_statistics(spark, sf_dir):
+    """Quantile replay: collect the literal converter latencies, sort
+    with the (latency, user) tie-break, and check p50/p90 are the
+    order statistics at ceil(q*n) exactly; p50 <= p90; mean matches."""
+    import math
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_time_to_convert"][0](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    f = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view",
+                       F.expr("ts_ns div 1000"))
+            ).alias("tv"),
+            F.min(
+                F.when(F.col("event_type") == "purchase",
+                       F.expr("ts_ns div 1000"))
+            ).alias("tb"),
+        )
+        .toPandas()
+    )
+    f = f.dropna()
+    f = f[f.tv < f.tb]
+    lats = sorted(
+        zip((f.tb - f.tv).astype(int), f.user_id.astype(int))
+    )
+    n = len(lats)
+    assert r["n_converters"] == n
+    p50 = lats[math.ceil(0.5 * n) - 1][0]
+    p90 = lats[math.ceil(0.9 * n) - 1][0]
+    assert abs(r["p50_days"] - round(p50 / 8.64e10, 4)) < 1e-9
+    assert abs(r["p90_days"] - round(p90 / 8.64e10, 4)) < 1e-9
+    assert r["p50_days"] <= r["p90_days"]
+    mean = sum(latv for latv, _ in lats) / n / 8.64e10
+    assert abs(r["mean_days"] - mean) < 1e-3
