@@ -7108,3 +7108,96 @@ def q_time_to_convert(spark, sf_dir):
             "mean_days"
         ),
     )
+
+
+@register(
+    "q_ivm_agg",
+    sql="""
+    -- the DIRECT recompute over (base - deletes + inserts): hash
+    -- equality against the Spark side's maintained result PROVES the
+    -- incremental algebra correct
+    WITH world AS (SELECT * FROM lineitem
+                   WHERE l_orderkey % 10 = 0
+                      OR l_orderkey % 7 != 0)
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_qty,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 / 100.0, 2) AS sum_price
+    FROM world GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_ivm_agg(spark, sf_dir):
+    """Incremental view maintenance of a grouped aggregate under a
+    change batch (the DBSP / Materialize delta-multiplicity algebra):
+    yesterday's aggregate snapshot absorbs today's inserts (+1) and
+    deletes (-1) by ADDING a delta aggregate — sum(mult),
+    sum(mult * x) — through a full-outer merge on the group key, with
+    zero-count groups retired.  The base table is NEVER rescanned;
+    maintenance cost is O(|changes| + |groups|).
+
+    The simulated world: base = lineitem with l_orderkey % 10 != 0;
+    inserts = the % 10 == 0 rows; deletes = base rows with
+    l_orderkey % 7 == 0.  The ORACLE computes the direct recompute
+    over (base - deletes + inserts), so the driver's hash equality is
+    a PROOF that maintained == recomputed — the correctness property
+    IVM systems certify.
+
+    Exactness: counts and centi-int measure sums form an abelian
+    group under addition (the whole point — deletes are additive
+    inverses), so maintenance is engine- and layout-exact.  Scale:
+    the maintained path aggregates ONLY the change batch plus a
+    group-cardinality merge join; at 100 TB that is the difference
+    between touching a day's delta and rescanning the lake."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = ["l_returnflag", "l_linestatus"]
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+
+    def agg(df, mult):
+        return df.groupBy(*key).agg(
+            F.sum(mult).alias("d_n"),
+            F.sum(mult * qty).alias("d_qty"),
+            F.sum(mult * price).alias("d_price"),
+        )
+
+    base = li.filter(F.col("l_orderkey") % 10 != 0)
+    inserts = li.filter(F.col("l_orderkey") % 10 == 0)
+    deletes = base.filter(F.col("l_orderkey") % 7 == 0)
+    # yesterday's snapshot (in production: read from the state store)
+    old = agg(base, F.lit(1))
+    # today's delta: ONE aggregate over the change batch only
+    changes = inserts.withColumn("mult", F.lit(1)).unionByName(
+        deletes.withColumn("mult", F.lit(-1))
+    )
+    delta = agg(changes, F.col("mult"))
+    merged = (
+        old.select(
+            *key,
+            F.col("d_n").alias("o_n"),
+            F.col("d_qty").alias("o_qty"),
+            F.col("d_price").alias("o_price"),
+        )
+        .join(delta, key, "full_outer")
+        .select(
+            *key,
+            (
+                F.coalesce("o_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce("o_qty", F.lit(0)) + F.coalesce("d_qty", F.lit(0))
+            ).alias("q"),
+            (
+                F.coalesce("o_price", F.lit(0))
+                + F.coalesce("d_price", F.lit(0))
+            ).alias("p"),
+        )
+        .filter(F.col("n") > 0)  # retire emptied groups
+    )
+    return merged.select(
+        *key,
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(F.col("q") / 100.0, 2).alias("sum_qty"),
+        F.round(F.col("p") / 100.0, 2).alias("sum_price"),
+    ).orderBy(*key)

@@ -2230,3 +2230,40 @@ def test_time_to_convert_exact_order_statistics(spark, sf_dir):
     assert r["p50_days"] <= r["p90_days"]
     mean = sum(latv for latv, _ in lats) / n / 8.64e10
     assert abs(r["mean_days"] - mean) < 1e-3
+
+
+def test_ivm_maintenance_equals_recompute_and_retires_groups(spark, sf_dir):
+    """IVM laws: the maintained aggregate equals the direct recompute
+    over (base - deletes + inserts) row-for-row (the oracle proves
+    this cross-engine; here cross-checked in-engine), no zero-count
+    group survives, and maintenance still agrees when the snapshot
+    round-trips through a parquet state store (the production path —
+    the base table never rescanned)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in reg["q_ivm_agg"][0](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    world = li.filter(
+        (F.col("l_orderkey") % 10 == 0) | (F.col("l_orderkey") % 7 != 0)
+    )
+    truth = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in world.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+                / 100.0, 2,
+            ).alias("q"),
+        )
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for k, r in got.items():
+        assert r["n_rows"] == truth[k]["n"] and r["n_rows"] > 0
+        assert abs(r["sum_qty"] - truth[k]["q"]) < 1e-9
