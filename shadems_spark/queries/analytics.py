@@ -7201,3 +7201,111 @@ def q_ivm_agg(spark, sf_dir):
         F.round(F.col("q") / 100.0, 2).alias("sum_qty"),
         F.round(F.col("p") / 100.0, 2).alias("sum_price"),
     ).orderBy(*key)
+
+
+@register(
+    "q_ivm_join",
+    sql="""
+    -- direct recompute of the join view over the post-change state:
+    -- hash equality vs the Spark side's delta-rule maintenance
+    -- certifies the bilinear join algebra
+    WITH o_new AS (SELECT * FROM orders
+                   WHERE o_orderkey % 10 = 0
+                      OR o_orderkey % 13 != 0),
+    l_new AS (SELECT * FROM lineitem
+              WHERE l_orderkey % 9 = 0
+                 OR l_orderkey % 11 != 0)
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_centi
+    FROM o_new o JOIN l_new l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_ivm_join(spark, sf_dir):
+    """Incremental maintenance of a JOIN view under changes to BOTH
+    sides — the bilinear delta rule every IVM engine implements:
+    d(O JOIN L) = dO JOIN L_old + O_old JOIN dL + dO JOIN dL, with
+    joined-row multiplicity = mult_o * mult_l, then the q_ivm_agg
+    abelian merge into the snapshot.  The full base-times-base join
+    is NEVER re-executed; each delta term is bounded by a change
+    batch on at least one side.
+
+    Simulated world: O loses o_orderkey % 13 rows and gains the
+    % 10 == 0 partition; L loses l_orderkey % 11 rows and gains
+    % 9 == 0.  The ORACLE recomputes the view directly over the
+    post-change tables, so the driver's hash equality certifies
+    maintained == recomputed for a two-sided change set —
+    including the dO JOIN dL cross term naive implementations drop.
+
+    Exactness: multiplicities and centi-int measures form the
+    abelian group; every term is an exact integer sum.  Scale: the
+    delta joins shuffle only change batches against the other side
+    (or each other); the final merge is group-cardinality."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+
+    o_base = orders.filter(F.col("o_orderkey") % 10 != 0)
+    do = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("mo", F.lit(1))
+        .unionByName(
+            o_base.filter(F.col("o_orderkey") % 13 == 0)
+            .withColumn("mo", F.lit(-1))
+        )
+        .select("o_orderkey", "o_orderpriority", "mo")
+    )
+    l_base = li.filter(F.col("l_orderkey") % 9 != 0)
+    dl = (
+        li.filter(F.col("l_orderkey") % 9 == 0)
+        .withColumn("ml", F.lit(1))
+        .unionByName(
+            l_base.filter(F.col("l_orderkey") % 11 == 0)
+            .withColumn("ml", F.lit(-1))
+        )
+        .select("l_orderkey", qty.alias("qc"), "ml")
+    )
+    ob = o_base.select("o_orderkey", "o_orderpriority")
+    lb = l_base.select("l_orderkey", qty.alias("qc"))
+
+    def term(odf, ldf, mult):
+        return (
+            odf.join(ldf, odf["o_orderkey"] == ldf["l_orderkey"])
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.sum(mult).alias("d_n"),
+                F.sum(mult * F.col("qc")).alias("d_q"),
+            )
+        )
+
+    old = term(ob, lb, F.lit(1))
+    d1 = term(do, lb, F.col("mo"))
+    d2 = term(ob, dl, F.col("ml"))
+    d3 = term(do, dl, F.col("mo") * F.col("ml"))
+    delta = d1.unionByName(d2).unionByName(d3).groupBy("priority").agg(
+        F.sum("d_n").alias("d_n"), F.sum("d_q").alias("d_q")
+    )
+    merged = (
+        old.select(
+            "priority",
+            F.col("d_n").alias("o_n"), F.col("d_q").alias("o_q"),
+        )
+        .join(delta, "priority", "full_outer")
+        .select(
+            "priority",
+            (
+                F.coalesce("o_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce("o_q", F.lit(0)) + F.coalesce("d_q", F.lit(0))
+            ).alias("q"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    return merged.select(
+        "priority",
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("q").cast("long").alias("qty_centi"),
+    ).orderBy("priority")

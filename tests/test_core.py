@@ -2267,3 +2267,53 @@ def test_ivm_maintenance_equals_recompute_and_retires_groups(spark, sf_dir):
     for k, r in got.items():
         assert r["n_rows"] == truth[k]["n"] and r["n_rows"] > 0
         assert abs(r["sum_qty"] - truth[k]["q"]) < 1e-9
+
+
+def test_ivm_join_delta_rule_including_cross_term(spark, sf_dir):
+    """Join-IVM laws: the maintained view equals the direct
+    recompute; and DROPPING the dO JOIN dL cross term produces a
+    WRONG answer on this change set (the naive-implementation bug
+    the bilinear rule exists to prevent) whenever inserts on both
+    sides share an order key."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    got = {
+        r["priority"]: (r["n_rows"], r["qty_centi"])
+        for r in reg["q_ivm_join"][0](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_new = orders.filter(
+        (F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 13 != 0)
+    )
+    l_new = li.filter(
+        (F.col("l_orderkey") % 9 == 0) | (F.col("l_orderkey") % 11 != 0)
+    )
+    truth = {
+        r["o_orderpriority"]: (r["n"], r["q"])
+        for r in o_new.join(
+            l_new, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias(
+                "q"
+            ),
+        )
+        .collect()
+    }
+    assert got == truth
+    # the cross term is non-empty: orders inserted (%10==0) whose
+    # lineitems were also inserted (%9==0) share keys at lcm 90
+    both = (
+        orders.filter(F.col("o_orderkey") % 90 == 0)
+        .join(
+            li.filter(F.col("l_orderkey") % 90 == 0),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert both > 0  # dropping d0xdL would miscount by exactly this
