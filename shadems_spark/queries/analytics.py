@@ -7228,9 +7228,11 @@ def q_ivm_join(spark, sf_dir):
     sides — the bilinear delta rule every IVM engine implements:
     d(O JOIN L) = dO JOIN L_old + O_old JOIN dL + dO JOIN dL, with
     joined-row multiplicity = mult_o * mult_l, then the q_ivm_agg
-    abelian merge into the snapshot.  The full base-times-base join
-    is NEVER re-executed; each delta term is bounded by a change
-    batch on at least one side.
+    abelian merge into the snapshot.  Maintenance never re-executes
+    the base-times-base join — each delta term is bounded by a change
+    batch on at least one side.  (This simulation materializes
+    yesterday's snapshot live as fixture setup; production reads it
+    from the state store, leaving only the three delta terms.)
 
     Simulated world: O loses o_orderkey % 13 rows and gains the
     % 10 == 0 partition; L loses l_orderkey % 11 rows and gains
@@ -7309,3 +7311,46 @@ def q_ivm_join(spark, sf_dir):
         F.col("n").cast("long").alias("n_rows"),
         F.col("q").cast("long").alias("qty_centi"),
     ).orderBy("priority")
+
+
+@register(
+    "q_small_qty_revenue",
+    sql="""
+    WITH pa AS (SELECT l_partkey,
+                       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sq,
+                       count(*) AS n
+                FROM lineitem GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_small,
+           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                 / 100.0 / 7.0, 2) AS avg_weekly_revenue
+    FROM lineitem l JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * pa.n * 5 < pa.sq
+    """,
+)
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems
+    whose quantity is below 20% of their part's average — the
+    correlated-scalar-subquery classic, decorrelated the Spark way
+    into one per-part aggregate joined back to the fact table; the
+    predicate compares integer cross products (q * n * 5 < sum_q), so
+    no per-part division and no float threshold.
+
+    Exactness: centi-int quantities/prices, integer predicate, one
+    final division pair.  Scale: the per-part aggregate is
+    part-cardinality and map-side combined; the join back is
+    key-partitioned fact x part-agg (AQE broadcasts it when small) —
+    the plan Q17 wants at any scale, with no correlated re-scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(qc).alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    j = li.join(pa, "l_partkey").filter(qc * F.col("n") * 5 < F.col("sq"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            / 100.0 / 7.0,
+            2,
+        ).alias("avg_weekly_revenue"),
+    )

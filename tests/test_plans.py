@@ -625,3 +625,22 @@ def test_interval_coverage_windows_partition_per_key(spark):
     assert not _empty_partition_windows(df)
     p = _plan(spark, "q_interval_coverage")
     assert "partial_count" in p or "partial_sum" in p
+
+
+def test_small_qty_revenue_decorrelated_two_scans(spark):
+    """Q17 shape: the correlated scalar subquery must decorrelate to
+    one per-part aggregate joined back — exactly two lineitem scans,
+    no CartesianProduct, partial aggregation map-side."""
+    p = _plan(spark, "q_small_qty_revenue")
+    assert p.count("lineitem.parquet") == 2
+    assert "CartesianProduct" not in p
+    assert "partial_sum" in p or "partial_count" in p
+
+
+def test_ivm_agg_merge_is_group_keyed_outer_join(spark):
+    """IVM merge shape: a full-outer SortMergeJoin/ShuffledHashJoin
+    on the group key between snapshot and delta aggregates — never a
+    re-aggregation of the unioned raw tables."""
+    p = _plan(spark, "q_ivm_agg")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p

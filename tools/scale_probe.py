@@ -309,6 +309,40 @@ PROBE_R6B3 = [
     "q_map_eval",
 ]
 
+#: round-6 closing wave (--r6b4).  Expectations: series/statistics
+#: tails are calendar-bounded (hurst/xcorr/granger/wilcoxon/friedman/
+#: sax/dtw/entropy_rate/forecast_backtest — only the (type, day|week)
+#: or per-user-transition pre-aggregate grows); q_time_to_convert and
+#: q_heavy_change are scan + bounded-key aggregates; the IVM pair's
+#: change batches grow with the tables (~linear by construction);
+#: q_small_qty_revenue is the Q17 part-agg + join-back (~linear);
+#: graph metrics ride the bucketed edge generator (its x10 dedup
+#: caveat applies to the EDGE workload, not the metric tails);
+#: q_power_analysis / q_srm are one per-user aggregate each.
+PROBE_R6B4 = [
+    "q_hurst",
+    "q_xcorr",
+    "q_granger",
+    "q_wilcoxon",
+    "q_friedman",
+    "q_sax",
+    "q_dtw",
+    "q_entropy_rate",
+    "q_forecast_backtest",
+    "q_time_to_convert",
+    "q_heavy_change",
+    "q_ivm_agg",
+    "q_ivm_join",
+    "q_small_qty_revenue",
+    "q_power_analysis",
+    "q_srm",
+    "q_modularity",
+    "q_assortativity",
+    "q_grid_dbscan",
+    "q_motif",
+    "q_ams_join",
+]
+
 #: key shift per copy — far above any real key at these scale factors.
 SHIFT = 100_000_000
 
@@ -414,6 +448,7 @@ def main() -> None:
     r5stats = "--r5stats" in sys.argv
     round6 = "--round6" in sys.argv
     r6b3 = "--r6b3" in sys.argv
+    r6b4 = "--r6b4" in sys.argv
     docs_only = dedup or retrieval
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 10
@@ -423,7 +458,7 @@ def main() -> None:
         "_docs" if docs_only else "_r3" if round3 else "_r4" if round4
         else "_r4x100" if r4x100 else "_r5" if round5
         else "_r5stats" if r5stats else "_r6" if round6
-        else "_r6b3" if r6b3 else ""
+        else "_r6b3" if r6b3 else "_r6b4" if r6b4 else ""
     )
     scaled = os.path.join(repo, ".scratch", f"sfx{n}" + suffix)
 
@@ -439,6 +474,7 @@ def main() -> None:
         else PROBE_R5STATS if r5stats
         else PROBE_R6 if round6
         else PROBE_R6B3 if r6b3
+        else PROBE_R6B4 if r6b4
         else PROBE
     )
     names = [q for q in probe_set if q in registry]
@@ -454,12 +490,12 @@ def main() -> None:
             else ["documents", "embeddings", "events"] if round5
             else ["documents", "embeddings", "events", "orders"] if round6
             else ["documents", "embeddings", "events", "orders", "lineitem"]
-            if r5stats or r6b3
+            if r5stats or r6b3 or r6b4
             else None
         ),
         mutate_docs=docs_only or round3 or r4x100 or round5 or r5stats
-        or r6b3,
-        mutate_embeddings=r4x100 or round5 or r5stats or r6b3,
+        or r6b3 or r6b4,
+        mutate_embeddings=r4x100 or round5 or r5stats or r6b3 or r6b4,
     )
     build_s = round(time.time() - t0, 1)
 
