@@ -842,3 +842,92 @@ def ams_finalize(spark, store_path: str) -> dict:
         "ams_f2": (sums[1] + sums[2]) / 8.0,
         "batch_id": mx,
     }
+
+
+def stream_ivm(
+    change_stream: DataFrame,
+    store_path: str,
+    timeout: int = 180,
+) -> None:
+    """Streaming incremental view maintenance — q_ivm_agg's abelian
+    delta algebra applied per micro-batch: the change stream carries
+    (l_returnflag, l_linestatus, qty_centi, mult) rows with mult =
+    +1 inserts / -1 deletes; each batch aggregates ONLY its rows
+    (sum(mult), sum(mult*qty)) and merges into the resident snapshot
+    by group-keyed addition, retiring zero-count groups.  State is
+    group-cardinality forever; the base data is never rescanned and
+    never stored.
+
+    Snapshots write partitioned by batch_id with dynamic overwrite —
+    replay-idempotent like every store here (a replayed batch
+    rewrites ITS partition; the read side takes the latest
+    batch_id < current)."""
+    snap_path = store_path + "/snapshot"
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        key = ["l_returnflag", "l_linestatus"]
+        delta = batch_df.groupBy(*key).agg(
+            F.sum("mult").alias("d_n"),
+            F.sum(F.col("mult") * F.col("qty_centi")).alias("d_q"),
+        )
+        prev = None
+        try:
+            snaps = spark.read.parquet(snap_path).filter(
+                F.col("batch_id") < batch_id
+            )
+            mx = snaps.agg(F.max("batch_id")).first()[0]
+            if mx is not None:
+                prev = snaps.filter(F.col("batch_id") == mx).select(
+                    *key,
+                    F.col("n").alias("o_n"),
+                    F.col("q").alias("o_q"),
+                )
+        except Exception:  # first batch: no store yet
+            pass
+        if prev is None:
+            merged = delta.select(
+                *key,
+                F.col("d_n").alias("n"),
+                F.col("d_q").alias("q"),
+            )
+        else:
+            merged = (
+                prev.join(delta, key, "full_outer")
+                .select(
+                    *key,
+                    (
+                        F.coalesce("o_n", F.lit(0))
+                        + F.coalesce("d_n", F.lit(0))
+                    ).alias("n"),
+                    (
+                        F.coalesce("o_q", F.lit(0))
+                        + F.coalesce("d_q", F.lit(0))
+                    ).alias("q"),
+                )
+            )
+        (
+            merged.filter(F.col("n") != 0)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(snap_path)
+        )
+
+    q = (
+        change_stream.writeStream.foreachBatch(step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store_path + "/.ckpt")
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
+def ivm_snapshot(spark, store_path: str) -> DataFrame:
+    """Latest maintained view from the snapshot store."""
+    snaps = spark.read.parquet(store_path + "/snapshot")
+    mx = snaps.agg(F.max("batch_id")).first()[0]
+    return snaps.filter(F.col("batch_id") == mx).select(
+        "l_returnflag", "l_linestatus", "n", "q"
+    )

@@ -892,3 +892,77 @@ def test_stream_ams_merges_to_batch_sketch_bitwise(spark, tmp_path, sf_dir):
 
     batch = load_registry()["q_ams_f2"][0](spark, sf_dir).collect()[0]
     assert fin["ams_f2"] == batch["ams_f2"]
+
+
+def test_stream_ivm_maintains_aggregate_across_batches(spark, tmp_path, sf_dir):
+    """Streaming IVM parity: feed three change batches (inserts then
+    a delete wave) through stream_ivm; the final snapshot must equal
+    the direct aggregate over the NET rows (inserts minus deletes),
+    and a group fully deleted mid-stream must be absent from the
+    final snapshot."""
+    import os
+    import time
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.streaming import stateful as STF
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.round(F.col("l_quantity") * 100).cast("long").alias(
+                "qty_centi"
+            ),
+            "l_orderkey",
+        )
+    )
+    pdf = li.toPandas()
+    b0 = pdf[pdf.l_orderkey % 2 == 0].assign(mult=1)
+    b1 = pdf[pdf.l_orderkey % 2 == 1].assign(mult=1)
+    # delete wave: remove every row of one (flag, status) group plus
+    # a slice of another
+    victim = (pdf.l_returnflag.iloc[0], pdf.l_linestatus.iloc[0])
+    d2 = pdf[
+        (pdf.l_returnflag == victim[0]) & (pdf.l_linestatus == victim[1])
+    ].assign(mult=-1)
+    b2 = d2
+    d = str(tmp_path)
+    os.makedirs(d + "/in", exist_ok=True)
+    now = time.time()
+    cols = ["l_returnflag", "l_linestatus", "qty_centi", "mult"]
+    for i, chunk in enumerate([b0, b1, b2]):
+        df = spark.createDataFrame(chunk[cols])
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/b{i}")
+        src = next(
+            f for f in os.listdir(f"{d}/b{i}") if f.endswith(".parquet")
+        )
+        dst = f"{d}/in/batch_{i}.parquet"
+        os.rename(f"{d}/b{i}/{src}", dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema(
+            "l_returnflag string, l_linestatus string, "
+            "qty_centi long, mult long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/in")
+    )
+    store = str(tmp_path / "ivm_store")
+    STF.stream_ivm(stream, store)
+
+    snap = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["n"], r["q"])
+        for r in STF.ivm_snapshot(spark, store).collect()
+    }
+    net = pdf[
+        ~(
+            (pdf.l_returnflag == victim[0])
+            & (pdf.l_linestatus == victim[1])
+        )
+    ]
+    truth = {
+        k: (len(g), int(g.qty_centi.sum()))
+        for k, g in net.groupby(["l_returnflag", "l_linestatus"])
+    }
+    assert snap == truth
+    assert victim not in snap  # retired group
