@@ -7354,3 +7354,64 @@ def q_small_qty_revenue(spark, sf_dir):
             2,
         ).alias("avg_weekly_revenue"),
     )
+
+
+@register(
+    "q_ivm_distinct",
+    sql="""
+    -- direct recompute of the post-change DISTINCT counts
+    WITH world AS (SELECT * FROM lineitem
+                   WHERE l_orderkey % 10 = 0
+                      OR l_orderkey % 7 != 0)
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM world GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_ivm_distinct(spark, sf_dir):
+    """Incremental maintenance of COUNT(DISTINCT) — the NON-abelian
+    aggregate the q_ivm_agg algebra alone cannot handle: distinct
+    counts don't subtract (deleting one of two copies of a value must
+    NOT decrement).  The standard fix is one level of support
+    counting: maintain per-(group, value) multiplicity totals (an
+    abelian view!), then distinct = COUNT of values with support > 0.
+    Same simulated change set as q_ivm_agg; the oracle recomputes the
+    post-change distinct counts directly, so the hash match certifies
+    the two-level construction.
+
+    Exactness: support counts are integer sums.  Scale: maintenance
+    aggregates only the change batch to (group, value) deltas and
+    merges into the support store — the store is value-cardinality
+    (that's the price of exact distinct under deletes; the
+    sketch-path alternative, q_theta_sets, trades it away when
+    deletes don't happen)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 10 != 0)
+    inserts = li.filter(F.col("l_orderkey") % 10 == 0)
+    deletes = base.filter(F.col("l_orderkey") % 7 == 0)
+    key = ["l_returnflag", "l_partkey"]
+    # yesterday's support store (production: read from the store)
+    old = base.groupBy(*key).agg(F.count(F.lit(1)).alias("s"))
+    changes = inserts.withColumn("mult", F.lit(1)).unionByName(
+        deletes.withColumn("mult", F.lit(-1))
+    )
+    delta = changes.groupBy(*key).agg(F.sum("mult").alias("d"))
+    support = (
+        old.join(delta, key, "full_outer")
+        .select(
+            "l_returnflag", "l_partkey",
+            (
+                F.coalesce("s", F.lit(0)) + F.coalesce("d", F.lit(0))
+            ).alias("s"),
+        )
+        .filter(F.col("s") > 0)
+    )
+    return (
+        support.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("s").cast("long").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -2317,3 +2317,45 @@ def test_ivm_join_delta_rule_including_cross_term(spark, sf_dir):
         .count()
     )
     assert both > 0  # dropping d0xdL would miscount by exactly this
+
+
+def test_ivm_distinct_support_semantics(spark, sf_dir):
+    """Distinct-IVM laws: deleting one copy of a multi-copy value
+    must not decrement the distinct count (support semantics); the
+    maintained counts equal the direct post-change recompute; every
+    surviving support is positive."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    got = {
+        r["l_returnflag"]: (r["n_parts"], r["n_rows"])
+        for r in load_registry()["q_ivm_distinct"][0](
+            spark, sf_dir
+        ).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    world = li.filter(
+        (F.col("l_orderkey") % 10 == 0) | (F.col("l_orderkey") % 7 != 0)
+    )
+    truth = {
+        r["l_returnflag"]: (r["d"], r["n"])
+        for r in world.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == truth
+    # support semantics: at least one (flag, part) pair loses SOME
+    # copies to the delete wave yet keeps others -> it must still be
+    # counted (i.e. there exist deleted rows whose (flag, part) pair
+    # survives in the post-change world)
+    deleted = li.filter(
+        (F.col("l_orderkey") % 10 != 0) & (F.col("l_orderkey") % 7 == 0)
+    ).select("l_returnflag", "l_partkey").distinct()
+    surviving = world.select("l_returnflag", "l_partkey").distinct()
+    overlap = deleted.join(
+        surviving, ["l_returnflag", "l_partkey"]
+    ).count()
+    assert overlap > 0
