@@ -931,3 +931,80 @@ def ivm_snapshot(spark, store_path: str) -> DataFrame:
     return snaps.filter(F.col("batch_id") == mx).select(
         "l_returnflag", "l_linestatus", "n", "q"
     )
+
+
+SESS_OUT_SCHEMA = (
+    "user_id long, session_no long, n_events long, "
+    "start_us long, end_us long, closed int"
+)
+SESS_STATE_SCHEMA = (
+    "session_no long, n_events long, start_us long, end_us long"
+)
+_SESS_GAP_US = 30 * 60 * 1_000_000
+
+
+def _sessionize_update(key, pdfs: Iterator, state: GroupState):
+    """Per-user stateful sessionizer: carry ONLY the open session
+    (4 numbers), close it whenever a gap > 30 min appears inside or
+    before the batch, emit closed sessions immediately and the open
+    one as a provisional row (closed = 0).  Event-time order inside a
+    batch comes from sorting the batch — cross-batch late rows older
+    than the open session's end are clamped into it (documented
+    at-least-once semantics; watermarking upstream bounds the skew)."""
+    import pandas as pd
+
+    if state.exists:
+        sess_no, n_ev, start_us, end_us = state.get
+    else:
+        sess_no, n_ev, start_us, end_us = 0, 0, None, None
+    out = []
+    rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+    if len(rows):
+        rows = rows.sort_values(["ts_us", "event_id"])
+        for ts in rows.ts_us.astype("int64"):
+            ts = int(ts)
+            if n_ev == 0:
+                sess_no += 1
+                n_ev, start_us, end_us = 1, ts, ts
+            elif ts - end_us > _SESS_GAP_US:
+                out.append((key[0], sess_no, n_ev, start_us, end_us, 1))
+                sess_no += 1
+                n_ev, start_us, end_us = 1, ts, ts
+            else:
+                n_ev += 1
+                end_us = max(end_us, ts)
+    state.update((sess_no, n_ev, start_us, end_us))
+    if n_ev:
+        out.append((key[0], sess_no, n_ev, start_us, end_us, 0))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "user_id", "session_no", "n_events",
+            "start_us", "end_us", "closed",
+        ],
+    )
+
+
+def stream_sessionize(ev_stream: DataFrame) -> DataFrame:
+    """Streaming sessionization with EXPLICIT session ids — the
+    stateful twin of q_sessionize (the built-in session_window
+    aggregates but never exposes the id, S3): per-user state is the
+    OPEN session only (4 longs — constant per key, never event
+    history), closed sessions emit as soon as the closing gap is
+    seen, and the open session emits provisionally (closed = 0) so
+    downstream consumers can show live counts.
+
+    Batch parity pinned in tests: replaying the events table in
+    micro-batches yields exactly q_sessionize's (user, session_no,
+    n_events) rows once provisional rows are resolved by the final
+    emission per session."""
+    src = ev_stream.select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _sessionize_update,
+        SESS_OUT_SCHEMA,
+        SESS_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

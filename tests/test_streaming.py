@@ -966,3 +966,79 @@ def test_stream_ivm_maintains_aggregate_across_batches(spark, tmp_path, sf_dir):
     }
     assert snap == truth
     assert victim not in snap  # retired group
+
+
+def test_stream_sessionize_matches_batch_ids(spark, tmp_path, sf_dir):
+    """Stateful-sessionizer parity: replay the %11 users' events in 3
+    time-ordered micro-batches; the LAST emission per (user, session)
+    must equal q_sessionize's batch rows exactly (same ids, same
+    counts), sessions split across batches must merge (state carries
+    the open session), and closed flags must be final for all but at
+    most one session per user."""
+    import os
+    import time
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+    from shadems_spark.streaming import stateful as STF
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 11 == 0)
+        .select("user_id", "event_id", "ts_ns")
+    )
+    pdf = ev.toPandas().sort_values("ts_ns")
+    third = len(pdf) // 3
+    d = str(tmp_path)
+    os.makedirs(d + "/in", exist_ok=True)
+    now = time.time()
+    for i in range(3):
+        chunk = pdf.iloc[i * third : (i + 1) * third if i < 2 else len(pdf)]
+        df = spark.createDataFrame(chunk)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/b{i}")
+        src = next(
+            f for f in os.listdir(f"{d}/b{i}") if f.endswith(".parquet")
+        )
+        dst = f"{d}/in/batch_{i}.parquet"
+        os.rename(f"{d}/b{i}/{src}", dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts_ns long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/in")
+    )
+    out = STF.stream_sessionize(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM sess_stream").collect()
+    # final emission per (user, session): the row with the max
+    # n_events (sessions only grow) — provisional rows are superseded
+    final: dict = {}
+    for r in rows:
+        k = (r["user_id"], r["session_no"])
+        # later emissions have >= n_events; on ties the CLOSED row is
+        # the later one (a session can close with no new events)
+        rank = (r["n_events"], r["closed"])
+        if k not in final or rank > (
+            final[k]["n_events"], final[k]["closed"]
+        ):
+            final[k] = r
+    got = {k: v["n_events"] for k, v in final.items()}
+    batch = {
+        (r["user_id"], r["session_no"]): r["n_events"]
+        for r in load_registry()["q_sessionize"][0](spark, sf_dir).collect()
+    }
+    assert got == batch
+    # at most one open (closed = 0 in its final emission) per user
+    from collections import Counter
+
+    open_per_user = Counter(
+        k[0] for k, v in final.items() if v["closed"] == 0
+    )
+    assert all(c == 1 for c in open_per_user.values())
