@@ -110,10 +110,13 @@ HEADLINE = [
     "q_path_analysis",
     "q_apriori",
     "q_adaboost_stumps",
-    # round-6 closing additions: the in-plan nested-fold DP and the
-    # cell-density clustering over the star components operator.
+    # round-6 closing additions: the in-plan nested-fold DP, the
+    # cell-density clustering over the star components operator, the
+    # bilinear join-delta maintenance and the Q17 decorrelation.
     "q_dtw",
     "q_grid_dbscan",
+    "q_ivm_join",
+    "q_small_qty_revenue",
 ]
 
 

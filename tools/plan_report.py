@@ -49,6 +49,8 @@ SHOWCASE = [
     ("q_pr_auc", "descending-score prefix sums ride hashpartitioning(__b...) — the two-phase value-cut scan; the scored rows persist so sibling branches reuse one HOF scoring pass"),
     ("q_dtw", "the O(n*m) DP is a nested HOF fold inside a single projection — |types|^2 rows of constant work after the (type, week) map-side aggregate"),
     ("q_grid_dbscan", "projection scan + (cx, cy) map-side aggregate is the ONLY data-sized work; components/border joins run on the grid-bounded cell table"),
+    ("q_ivm_join", "three delta-term joins each bounded by a change batch; the snapshot merge is a group-keyed full-outer join — maintenance never re-executes base x base"),
+    ("q_small_qty_revenue", "Q17 decorrelated: exactly two lineitem scans (per-part aggregate + fact join-back), integer cross-product predicate, no correlated re-scan"),
 ]
 
 
