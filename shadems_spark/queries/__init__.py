@@ -202,20 +202,42 @@ _NEVER_CHECKED_R5 = [
 ]
 
 
+#: round-6 continuation-session additions (all hash-exact on first
+#: registration; full default-parallelism AND local[3] oracle gates
+#: re-run green at session close).  46 names — more than one driver
+#: round can sample behind the r5 backlog, so the residue is round
+#: 7's never-checked block.
+_NEW_R6_SESSION = [
+    "q_chisq", "q_spearman", "q_ridge", "q_interval_coverage",
+    "q_path_analysis", "q_changepoint", "q_tcloseness",
+    "q_fd_discovery", "q_ams_f2", "q_map_eval", "q_corr_matrix",
+    "q_kn_lm", "q_pr_auc", "q_adaboost_stumps", "q_apriori",
+    "q_moments", "q_kendall", "q_motif", "q_grid_dbscan",
+    "q_entropy_rate", "q_sax", "q_dtw", "q_forecast_backtest",
+    "q_ams_join", "q_modularity", "q_assortativity", "q_wilcoxon",
+    "q_friedman", "q_xcorr", "q_granger", "q_hurst",
+    "q_power_analysis", "q_srm", "q_heavy_change",
+    "q_time_to_convert", "q_ivm_agg", "q_ivm_join", "q_ivm_distinct",
+    "q_small_qty_revenue",
+]
+
+
 def _check_order(names: list[str]) -> list[str]:
     """Driver-check order for round 6: changed-this-round first, then
-    the never-driver-checked r5 backlog, then any brand-new round-6
-    queries, then the proven r05→r01 blocks (already driver-green,
-    rotate to the back)."""
+    the never-driver-checked r5 backlog, then the round-6 session
+    additions (plus any unlisted brand-new queries), then the proven
+    r05→r01 blocks (already driver-green, rotate to the back)."""
     known = (
         set(_R06_TOUCHED) | set(_NEVER_CHECKED_R5) | set(_R05_FRONT)
+        | set(_NEW_R6_SESSION)
         | set(_NEVER_CHECKED_R3) | set(_R04_TOUCHED)
         | set(_R23_DRIVER_GREEN) | set(_R02_RED) | set(_R02_PRIORITY)
         | set(_DEFERRED) | set(_R01_DRIVER_GREEN)
     )
     new = [n for n in names if n not in known]
     blocks = [
-        _R06_TOUCHED, _NEVER_CHECKED_R5, new, _R05_FRONT,
+        _R06_TOUCHED, _NEVER_CHECKED_R5, _NEW_R6_SESSION, new,
+        _R05_FRONT,
         _NEVER_CHECKED_R3, _R04_TOUCHED, _R23_DRIVER_GREEN, _R02_RED,
         _R02_PRIORITY, _DEFERRED, _R01_DRIVER_GREEN,
     ]
