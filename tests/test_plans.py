@@ -644,3 +644,49 @@ def test_ivm_agg_merge_is_group_keyed_outer_join(spark):
     p = _plan(spark, "q_ivm_agg")
     assert "FullOuter" in p
     assert "CartesianProduct" not in p
+
+
+#: every query allowed to plan an empty-partition-spec window, with
+#: the BOUND that justifies it (input bounded by construction, never
+#: row-sized).  Anything new that plans one must either partition or
+#: earn an entry here with its bound.
+_BOUNDED_GLOBAL_WINDOWS = {
+    "q_dsir": "WindowGroupLimit prefilters to <= k rows per partition "
+              "before the global top-k window (TakeOrdered shape)",
+    "q_top_orders": "same WindowGroupLimit top-k shape",
+    "q_isotonic": "PAVA pools over the <= 1e3 distinct 3dp score bins",
+    "q_gains": "decile curve over <= 1e3 score bins",
+    "q_wilcoxon": "paired-day table, calendar-bounded",
+    "q_eq_hist": "256-bin histogram CDF",
+    "q_eq_hist_interp": "256-bin histogram CDF",
+    "q_survival": "KM curve over distinct event DAYS (calendar)",
+    "q_countmin": "1536 fixed sketch cells",
+    "q_theilsen": "pairwise slopes of the calendar-bounded day series",
+    "q_bh_fdr": "k = |event types| hypotheses",
+    "q_shapley_attribution": "2^k coalition masks (k <= 8 contract)",
+    "q_als": "rank-2 factor table join windows, entity-bounded "
+             "codebook sweeps",
+    "q_slice_finder": "grouping-sets slice table (bounded cells)",
+    "q_rrf_fusion": "fusion sees <= 40 candidate rows",
+    "q_alpha_mix": "|source x lang| mixture cells",
+    "q_zipf": "top-100 vocabulary head",
+    "q_bm25": "top-20 candidate ranking",
+    "q_vocab": "cumulative-coverage curve over the capped vocab head",
+    "q_snapshot_diff": "changed-key table bounded by the delta",
+    "q_norms": "canvas-sized normalization table",
+}
+
+
+def test_no_unbounded_global_windows_full_registry(spark):
+    """Full-registry guardrail: the set of queries planning an
+    empty-partition-spec WindowExec must stay within the documented
+    bounded-input allowlist — a new query that moves row-sized data
+    to one partition fails here, not in production."""
+    reg = load_registry()
+    bad = []
+    for q, (fn, _) in reg.items():
+        df = fn(spark, SF)
+        if _empty_partition_windows(df):
+            bad.append(q)
+    extra = set(bad) - set(_BOUNDED_GLOBAL_WINDOWS)
+    assert not extra, f"undocumented single-partition windows: {sorted(extra)}"
