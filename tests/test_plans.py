@@ -690,3 +690,18 @@ def test_no_unbounded_global_windows_full_registry(spark):
             bad.append(q)
     extra = set(bad) - set(_BOUNDED_GLOBAL_WINDOWS)
     assert not extra, f"undocumented single-partition windows: {sorted(extra)}"
+
+
+def test_no_cartesian_product_full_registry(spark):
+    """Full-registry guardrail: no query may plan a CartesianProduct
+    node — every cross join in the repo is a broadcast of a 1-row or
+    codebook-sized frame (BroadcastNestedLoopJoin).  Currently zero
+    queries; any addition fails by name."""
+    reg = load_registry()
+    bad = [
+        q
+        for q, (fn, _) in reg.items()
+        if "CartesianProduct"
+        in fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    ]
+    assert not bad, f"CartesianProduct planned by: {bad}"
