@@ -7415,3 +7415,205 @@ def q_ivm_distinct(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+_CONF_ALPHA = "0.1"
+
+
+def _conformal_sql() -> str:
+    ridge = _RIDGE_SQL  # noqa: F841  (documentation: same solve below)
+    return f"""
+    WITH s AS (SELECT l_orderkey * 10 + l_linenumber AS rk,
+                      l_orderkey % 3 AS split,
+                      CAST(l_quantity AS BIGINT) AS x1,
+                      CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                      CAST(round(l_extendedprice * 10) AS BIGINT) AS y
+               FROM lineitem),
+    g AS (SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+                 sum(y) AS sy, sum(x1*x1) AS s11, sum(x1*x2) AS s12,
+                 sum(x2*x2) AS s22, sum(x1*y) AS s1y, sum(x2*y) AS s2y
+          FROM s WHERE split = 0),
+    a AS (SELECT CAST(n AS DOUBLE) AS a11, CAST(s1 AS DOUBLE) AS a12,
+                 CAST(s2 AS DOUBLE) AS a13,
+                 CAST(s11 AS DOUBLE) + {_RIDGE_LAM} AS a22,
+                 CAST(s12 AS DOUBLE) AS a23,
+                 CAST(s22 AS DOUBLE) + {_RIDGE_LAM} AS a33,
+                 CAST(sy AS DOUBLE) AS b1, CAST(s1y AS DOUBLE) AS b2,
+                 CAST(s2y AS DOUBLE) AS b3, n
+          FROM g),
+    d AS (SELECT *,
+                 a11 * (a22 * a33 - a23 * a23)
+                 - a12 * (a12 * a33 - a23 * a13)
+                 + a13 * (a12 * a23 - a22 * a13) AS det
+          FROM a),
+    b AS (SELECT n AS n_train,
+                 (b1 * (a22 * a33 - a23 * a23)
+                  - a12 * (b2 * a33 - a23 * b3)
+                  + a13 * (b2 * a23 - a22 * b3)) / det AS b0,
+                 (a11 * (b2 * a33 - a23 * b3)
+                  - b1 * (a12 * a33 - a23 * a13)
+                  + a13 * (a12 * b3 - b2 * a13)) / det AS bb1,
+                 (a11 * (a22 * b3 - b2 * a23)
+                  - a12 * (a12 * b3 - b2 * a13)
+                  + b1 * (a12 * a23 - a22 * a13)) / det AS bb2
+          FROM d),
+    res AS (SELECT s.rk, s.split,
+                   CAST(round(abs(s.y - (b.b0 + b.bb1 * s.x1
+                                         + b.bb2 * s.x2)) * 100)
+                        AS BIGINT) AS r_n
+            FROM s CROSS JOIN b WHERE s.split != 0),
+    cal AS (SELECT r_n,
+                   row_number() OVER (ORDER BY r_n, rk) AS pos,
+                   count(*) OVER () AS nc
+            FROM res WHERE split = 1),
+    qh AS (SELECT max(nc) AS n_calib,
+                  max(CASE WHEN pos = CAST(ceil((max_nc + 1) * (1.0 - {_CONF_ALPHA})) AS BIGINT)
+                      THEN r_n END) AS q_n
+           FROM (SELECT *, max(nc) OVER () AS max_nc FROM cal)),
+    tst AS (SELECT count(*) AS n_test,
+                   sum(CASE WHEN res.r_n <= qh.q_n THEN 1 ELSE 0 END)
+                       AS covered
+            FROM res CROSS JOIN qh WHERE split = 2)
+    SELECT CAST(b.n_train AS BIGINT) AS n_train,
+           CAST(qh.n_calib AS BIGINT) AS n_calib,
+           CAST(tst.n_test AS BIGINT) AS n_test,
+           round(qh.q_n / 1000.0, 3) AS q_hat_dollars,
+           round(tst.covered / CAST(tst.n_test AS DOUBLE), 6)
+               AS coverage_test,
+           {1.0 - float(_CONF_ALPHA)} AS target
+    FROM b CROSS JOIN qh CROSS JOIN tst
+    """
+
+
+@register("q_conformal", sql=_conformal_sql())
+def q_conformal(spark, sf_dir):
+    """Split-conformal prediction intervals (Vovk; Lei et al.) around
+    the q_ridge price model: fit on the train split, take q_hat = the
+    ceil((n+1)(1-alpha))-th order statistic of the calibration
+    absolute residuals, and the interval prediction +- q_hat covers a
+    FRESH point with probability >= 1 - alpha, distribution-free —
+    the modern uncertainty wrapper every ML scoring pipeline should
+    ship; the test split's empirical coverage is emitted beside the
+    target so the guarantee is checkable in-band.
+
+    Exactness: the ridge solve is the q_ridge closed form on the
+    train split's integer sufficient statistics; residuals round to
+    milli-dollar ints BEFORE ranking, so the order statistic compares
+    integers (selected via the two-phase global numbering — no
+    single-partition window over the calibration table); coverage is
+    an integer comparison count.  Scale: one stats pass, one scoring
+    pass, the two-phase rank, a 1-row reduce."""
+    from shadems_spark.operators.profile import global_index
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rk"),
+        (F.col("l_orderkey") % 3).alias("split"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 10).cast("long").alias("y"),
+    )
+    c = F.col
+    g = s.filter(c("split") == 0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(c("x1") * c("x1")).alias("s11"),
+        F.sum(c("x1") * c("x2")).alias("s12"),
+        F.sum(c("x2") * c("x2")).alias("s22"),
+        F.sum(c("x1") * c("y")).alias("s1y"),
+        F.sum(c("x2") * c("y")).alias("s2y"),
+    )
+    lam = float(_RIDGE_LAM)
+    a = g.select(
+        "n",
+        c("n").cast("double").alias("a11"),
+        c("s1").cast("double").alias("a12"),
+        c("s2").cast("double").alias("a13"),
+        (c("s11").cast("double") + lam).alias("a22"),
+        c("s12").cast("double").alias("a23"),
+        (c("s22").cast("double") + lam).alias("a33"),
+        c("sy").cast("double").alias("b1"),
+        c("s1y").cast("double").alias("b2"),
+        c("s2y").cast("double").alias("b3"),
+    )
+    det = (
+        c("a11") * (c("a22") * c("a33") - c("a23") * c("a23"))
+        - c("a12") * (c("a12") * c("a33") - c("a23") * c("a13"))
+        + c("a13") * (c("a12") * c("a23") - c("a22") * c("a13"))
+    )
+    d = a.withColumn("det", det)
+    b = d.select(
+        c("n").alias("n_train"),
+        (
+            (
+                c("b1") * (c("a22") * c("a33") - c("a23") * c("a23"))
+                - c("a12") * (c("b2") * c("a33") - c("a23") * c("b3"))
+                + c("a13") * (c("b2") * c("a23") - c("a22") * c("b3"))
+            ) / c("det")
+        ).alias("b0"),
+        (
+            (
+                c("a11") * (c("b2") * c("a33") - c("a23") * c("b3"))
+                - c("b1") * (c("a12") * c("a33") - c("a23") * c("a13"))
+                + c("a13") * (c("a12") * c("b3") - c("b2") * c("a13"))
+            ) / c("det")
+        ).alias("bb1"),
+        (
+            (
+                c("a11") * (c("a22") * c("b3") - c("b2") * c("a23"))
+                - c("a12") * (c("a12") * c("b3") - c("b2") * c("a13"))
+                + c("b1") * (c("a12") * c("a23") - c("a22") * c("a13"))
+            ) / c("det")
+        ).alias("bb2"),
+    )
+    res = (
+        s.filter(c("split") != 0)
+        .crossJoin(F.broadcast(b))
+        .select(
+            "rk", "split", "n_train",
+            F.round(
+                F.abs(
+                    c("y")
+                    - (c("b0") + c("bb1") * c("x1") + c("bb2") * c("x2"))
+                ) * 100
+            ).cast("long").alias("r_n"),
+        )
+    )
+    cal = res.filter(c("split") == 1)
+    ranked = global_index(cal, ["r_n", "rk"], out="pos", with_total="nc")
+    alpha = float(_CONF_ALPHA)
+    qh = ranked.agg(
+        F.max("nc").alias("n_calib"),
+        F.max(
+            F.when(
+                c("pos")
+                == F.ceil((c("nc") + 1) * (1.0 - alpha)).cast("long"),
+                c("r_n"),
+            )
+        ).alias("q_n"),
+    )
+    tst = (
+        res.filter(c("split") == 2)
+        .crossJoin(F.broadcast(qh))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum((c("r_n") <= c("q_n")).cast("int")).alias("covered"),
+            F.max("n_calib").alias("n_calib"),
+            F.max("q_n").alias("q_n"),
+        )
+    )
+    return (
+        b.select("n_train")
+        .crossJoin(F.broadcast(tst))
+        .select(
+            c("n_train").cast("long").alias("n_train"),
+            c("n_calib").cast("long").alias("n_calib"),
+            c("n_test").cast("long").alias("n_test"),
+            F.round(c("q_n") / 1000.0, 3).alias("q_hat_dollars"),
+            F.round(
+                c("covered") / c("n_test").cast("double"), 6
+            ).alias("coverage_test"),
+            F.lit(1.0 - alpha).alias("target"),
+        )
+    )

@@ -2359,3 +2359,47 @@ def test_ivm_distinct_support_semantics(spark, sf_dir):
         surviving, ["l_returnflag", "l_partkey"]
     ).count()
     assert overlap > 0
+
+
+def test_conformal_coverage_guarantee_and_order_statistic(spark, sf_dir):
+    """Conformal laws: q_hat equals the ceil((n+1)(1-alpha))-th order
+    statistic of the calibration |residuals| replayed in numpy with
+    the same ridge fit; test coverage is within the finite-sample
+    band of the 90% target (exchangeable splits)."""
+    import math
+
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_conformal"][0](spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rk"),
+        (F.col("l_orderkey") % 3).alias("split"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 10).cast("long").alias("y"),
+    ).toPandas()
+    tr = li[li.split == 0]
+    X = np.column_stack([np.ones(len(tr)), tr.x1, tr.x2])
+    A = X.T @ X + np.diag([0.0, 1000.0, 1000.0])
+    beta = np.linalg.solve(A, X.T @ tr.y.to_numpy(dtype=float))
+
+    def rn(df):
+        pred = beta[0] + beta[1] * df.x1 + beta[2] * df.x2
+        return np.floor(np.abs(df.y - pred) * 100 + 0.5).astype(np.int64)
+
+    cal = li[li.split == 1].copy()
+    cal["r_n"] = rn(cal)
+    cal = cal.sort_values(["r_n", "rk"]).reset_index(drop=True)
+    k = math.ceil((len(cal) + 1) * 0.9)
+    q_n = int(cal.r_n.iloc[k - 1])
+    assert r["n_calib"] == len(cal)
+    assert abs(r["q_hat_dollars"] - round(q_n / 1000.0, 3)) < 1e-9
+    tst = li[li.split == 2].copy()
+    cov = float((rn(tst) <= q_n).mean())
+    assert abs(r["coverage_test"] - cov) < 1e-6
+    # finite-sample coverage band around the 90% target
+    n = len(tst)
+    assert cov >= 0.9 - 3 * math.sqrt(0.09 / n)
