@@ -7421,7 +7421,7 @@ _CONF_ALPHA = "0.1"
 
 
 def _conformal_sql() -> str:
-    ridge = _RIDGE_SQL  # noqa: F841  (documentation: same solve below)
+    # the train-split solve below is the _RIDGE_SQL Cramer form
     return f"""
     WITH s AS (SELECT l_orderkey * 10 + l_linenumber AS rk,
                       l_orderkey % 3 AS split,
