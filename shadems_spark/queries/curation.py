@@ -3498,3 +3498,100 @@ def q_adaboost_stumps(spark, sf_dir):
         )
         rounds = row if rounds is None else rounds.unionByName(row)
     return rounds.crossJoin(F.broadcast(acc)).orderBy("round")
+
+
+_DPM_CLAMP = 2000  # per-record contribution bound (sum sensitivity)
+
+_DPM_SQL = f"""
+    WITH cell AS (SELECT source, count(*) AS n_docs,
+                         sum(least(n_chars, {_DPM_CLAMP})) AS csum
+                  FROM documents GROUP BY 1),
+    h AS (SELECT *,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split('c|' || source, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                   (a, c) -> (a * 31 + c) % 1000000007) % {_DP_M} AS uc,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split('s|' || source, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                   (a, c) -> (a * 31 + c) % 1000000007) % {_DP_M} AS us
+          FROM cell),
+    z AS (SELECT source, n_docs, csum,
+                 {_DP_CASE.format(u="uc")} AS noise_n,
+                 CAST({_DP_CASE.format(u="us")} AS BIGINT)
+                     * {_DPM_CLAMP} AS noise_s
+          FROM h)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs + noise_n AS BIGINT) AS dp_n,
+           CAST(csum + noise_s AS BIGINT) AS dp_sum,
+           round(CASE WHEN n_docs + noise_n > 0
+                 THEN (csum + noise_s) / CAST(n_docs + noise_n AS DOUBLE)
+                 END, 6) AS dp_mean,
+           round(csum / CAST(n_docs AS DOUBLE), 6) AS true_clamped_mean
+    FROM z ORDER BY source
+"""
+
+
+@register("q_dp_mean", sql=_DPM_SQL)
+def q_dp_mean(spark, sf_dir):
+    """Differentially-private MEAN release (the ratio mechanism):
+    per-source mean document length from separately-noised sum and
+    count — the composition q_dp_count can't give you, because a mean
+    needs BOTH a clamped-sum release (sensitivity = the clamp bound,
+    noise scaled by it) and a count release, each drawing its own
+    two-sided geometric noise.  Clamping to {_DPM_CLAMP} chars bounds
+    any one document's influence; the unclamped mean never leaves the
+    engine (true_clamped_mean rides along only for this harness's
+    utility audit).
+
+    Exactness: the q_dp_count protocol — noise draws are EXACT
+    integer CDF thresholds over hash-uniform u per (salt, source), so
+    the release replays cross-engine bit-for-bit (production swaps a
+    secret-seeded u).  Scale: one map-side-combined source-keyed
+    aggregate; the mechanism is a stateless expression per cell."""
+    from shadems_spark.operators.text import FP_MOD, poly_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.least(F.col("n_chars"), F.lit(_DPM_CLAMP))).alias("csum"),
+    )
+
+    def draw(salt):
+        u = poly_hash(F.concat(F.lit(salt + "|"), F.col("source"))) % F.lit(
+            _DP_M
+        )
+        expr = None
+        for n, cth in _dp_cums()[:-1]:
+            cond = u < F.lit(cth)
+            expr = (
+                F.when(cond, F.lit(n))
+                if expr is None
+                else expr.when(cond, F.lit(n))
+            )
+        return expr.otherwise(F.lit(_DP_K)).cast("long")
+
+    z = cell.select(
+        "source", "n_docs", "csum",
+        draw("c").alias("noise_n"),
+        (draw("s") * _DPM_CLAMP).alias("noise_s"),
+    )
+    c = F.col
+    return z.select(
+        "source",
+        c("n_docs").cast("long").alias("n_docs"),
+        (c("n_docs") + c("noise_n")).cast("long").alias("dp_n"),
+        (c("csum") + c("noise_s")).cast("long").alias("dp_sum"),
+        F.round(
+            F.when(
+                c("n_docs") + c("noise_n") > 0,
+                (c("csum") + c("noise_s"))
+                / (c("n_docs") + c("noise_n")).cast("double"),
+            ),
+            6,
+        ).alias("dp_mean"),
+        F.round(c("csum") / c("n_docs").cast("double"), 6).alias(
+            "true_clamped_mean"
+        ),
+    ).orderBy("source")

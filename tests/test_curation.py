@@ -1014,3 +1014,49 @@ def test_adaboost_weak_learning_and_python_replay(spark, sf_dir):
             )
             for w, (y, fv) in zip(wn, feats)
         ]
+
+
+def test_dp_mean_mechanism_replay_and_utility(spark, sf_dir):
+    """DP-mean laws: the python replay of the hash-CDF geometric
+    draws reproduces dp_n/dp_sum exactly; noise_n in [-10, 10] and
+    noise_s a multiple of the clamp bound; the released mean is
+    within (10*clamp + 10*true_mean)/n of the clamped truth (the
+    worst-case noise bound)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+    from shadems_spark.queries.curation import (
+        _DP_M, _DPM_CLAMP, _dp_cums,
+    )
+
+    rows = load_registry()["q_dp_mean"][0](spark, sf_dir).collect()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "n_chars")
+        .toPandas()
+    )
+
+    def poly(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        return h % _DP_M
+
+    def draw(salt, src):
+        u = poly(f"{salt}|{src}")
+        for n, c in _dp_cums()[:-1]:
+            if u < c:
+                return n
+        return 10
+
+    for r in rows:
+        g = docs[docs.source == r["source"]]
+        n = len(g)
+        csum = int(g.n_chars.clip(upper=_DPM_CLAMP).sum())
+        nn = draw("c", r["source"])
+        ns = draw("s", r["source"]) * _DPM_CLAMP
+        assert r["dp_n"] == n + nn
+        assert r["dp_sum"] == csum + ns
+        assert abs(nn) <= 10 and ns % _DPM_CLAMP == 0
+        if r["dp_mean"] is not None and n > 10:
+            worst = (10 * _DPM_CLAMP + 10 * csum / n) / (n - 10)
+            assert abs(r["dp_mean"] - csum / n) <= worst + 1e-6
