@@ -3614,3 +3614,235 @@ def q_assortativity(spark, sf_dir):
             6,
         ).alias("assortativity"),
     )
+
+
+@register(
+    "q_silhouette",
+    sql="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    u AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+          FROM e),
+    cm AS (SELECT label, pos,
+                  sum(CAST(round(x * 1e9) AS BIGINT)) AS sx,
+                  count(*) AS n
+           FROM u GROUP BY 1, 2),
+    cent AS (SELECT label AS clabel,
+                    list(sx / 1e9 / n ORDER BY pos) AS cv
+             FROM cm GROUP BY 1),
+    d AS (SELECT e.vec_id, e.label, cent.clabel,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(list_zip(e.v, cent.cv),
+                                    z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                     (s, x) -> s + x) AS d2
+          FROM e CROSS JOIN cent),
+    ab AS (SELECT vec_id, label,
+                  min(CASE WHEN clabel = label THEN d2 END) AS a2,
+                  min(CASE WHEN clabel != label THEN d2 END) AS b2
+           FROM d GROUP BY 1, 2),
+    s AS (SELECT label,
+                 CAST(round(1e9 * (sqrt(b2) - sqrt(a2))
+                            / greatest(sqrt(a2), sqrt(b2), 1e-12))
+                      AS BIGINT) AS s_n
+          FROM ab),
+    g AS (SELECT label, count(*) AS n,
+                 CAST(round(sum(s_n) / CAST(count(*) AS DOUBLE))
+                      AS BIGINT) AS mean_n
+          FROM s GROUP BY 1),
+    t AS (SELECT CAST(round(sum(mean_n * CAST(n AS DOUBLE)) / sum(n))
+                      AS BIGINT) AS glob_n
+          FROM g)
+    SELECT g.label, CAST(g.n AS BIGINT) AS n,
+           round(g.mean_n / 1e9, 6) AS mean_silhouette,
+           round(t.glob_n / 1e9, 6) AS global_silhouette
+    FROM g CROSS JOIN t ORDER BY g.label
+    """,
+)
+def q_silhouette(spark, sf_dir):
+    """Simplified silhouette (centroid form — the scalable variant
+    sklearn calls silhouette only approximately): per point, a = the
+    distance to its own label centroid and b = the distance to the
+    nearest OTHER centroid; s = (b-a)/max(a,b) in [-1, 1].  The
+    clustering-quality audit for the label partition beside
+    q_modularity's graph view — the centroid form replaces the
+    O(n^2) pairwise definition with O(n*k), which is why it survives
+    100 TB when full silhouette cannot.
+
+    Exactness: centroid coordinates come from nano-int coordinate
+    sums (order-free) divided once; per-point distances are fixed
+    sequential folds (the xe dot protocol); each s(i) nano-rounds
+    before its label mean, and the global mean re-rounds through nano
+    space.  Scale: one posexplode centroid aggregate (labels x dim
+    keys), then one broadcast-centroids scoring scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", SIM.as_double("embedding").alias("v"))
+    u = e.select(
+        "label", F.posexplode("v").alias("pos0", "x")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "x")
+    cm = u.groupBy("label", "pos").agg(
+        F.sum(F.round(F.col("x") * 1e9).cast("long")).alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = cm.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        (F.col("sx") / 1e9 / F.col("n")).alias("val"),
+                    )
+                )
+            ),
+            lambda st: st["val"],
+        ).alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    d = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "clabel", d2.alias("d2")
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias(
+            "a2"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias(
+            "b2"
+        ),
+    )
+    s = ab.select(
+        "label",
+        F.round(
+            F.lit(1e9)
+            * (F.sqrt("b2") - F.sqrt("a2"))
+            / F.greatest(F.sqrt("a2"), F.sqrt("b2"), F.lit(1e-12))
+        ).cast("long").alias("s_n"),
+    )
+    g = s.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("s_n") / F.count(F.lit(1)).cast("double"))
+        .cast("long").alias("mean_n"),
+    )
+    t = g.agg(
+        F.round(
+            F.sum(F.col("mean_n") * F.col("n").cast("double")) / F.sum("n")
+        ).cast("long").alias("glob_n")
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("mean_n") / 1e9, 6).alias("mean_silhouette"),
+            F.round(F.col("glob_n") / 1e9, 6).alias("global_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "q_knn_eval",
+    sql="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id % 25 = 0),
+    scored AS (
+        SELECT q.q_id, q.q_label, e.label AS c_label,
+               round(list_sum(list_transform(list_zip(q.qv, e.v),
+                                             z -> z[1] * z[2]))
+                     / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+                        * sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6)
+                   AS cos,
+               e.vec_id AS cand_id
+        FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+    top AS (SELECT q_id, q_label, c_label,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, cand_id)
+                        AS INT) AS rank
+            FROM scored QUALIFY rank <= 10),
+    ks AS (SELECT unnest([1, 5, 10]) AS k),
+    votes AS (SELECT t.q_id, t.q_label, ks.k, t.c_label,
+                     count(*) AS nv
+              FROM top t JOIN ks ON t.rank <= ks.k
+              GROUP BY 1, 2, 3, 4),
+    pred AS (SELECT q_id, q_label, k, c_label AS pred_label,
+                    row_number() OVER (PARTITION BY q_id, k
+                                       ORDER BY nv DESC, c_label) AS rk
+             FROM votes QUALIFY rk = 1)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS accuracy
+    FROM pred GROUP BY k ORDER BY k
+    """,
+)
+def q_knn_eval(spark, sf_dir):
+    """k-NN classification accuracy at k in {1, 5, 10} over the
+    brute cosine top-10 — the lazy-learner baseline every embedding-
+    quality report leads with (if k-NN can't recover the labels, no
+    probe will), completing the eval battery's classifier corner
+    (recall/NDCG/MRR/MAP measure ranking; k-NN measures label
+    geometry).  Majority vote with a deterministic smaller-label
+    tie-break.
+
+    Exactness: votes are integer counts from the exact top-10 (6dp
+    cosine, id tie-break — the q_mrr contract); vote argmax ranks
+    integers.  Scale: the same broadcast-queries corpus scan as
+    q_cosine_topk; vote windows partition per (query, k) — <= 10
+    rows each."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    top = SIM.brute_topk(emb, queries, k=10)
+    lbl = emb.select("vec_id", "label")
+    j = (
+        top.join(
+            F.broadcast(
+                lbl.select(F.col("vec_id").alias("q_id"),
+                           F.col("label").alias("q_label"))
+            ),
+            "q_id",
+        )
+        .join(
+            lbl.select(F.col("vec_id").alias("cand_id"),
+                       F.col("label").alias("c_label")),
+            "cand_id",
+        )
+    )
+    ks = spark.createDataFrame([(1,), (5,), (10,)], ["k"])
+    votes = (
+        j.crossJoin(F.broadcast(ks))
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("q_id", "q_label", "k", "c_label")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    pred = votes.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("q_id", "k").orderBy(F.desc("nv"), "c_label")
+        ),
+    ).filter(F.col("rk") == 1)
+    return (
+        pred.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum((F.col("c_label") == F.col("q_label")).cast("int"))
+            .cast("long").alias("n_correct"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_queries", "n_correct",
+            F.round(
+                F.col("n_correct") / F.col("n_queries").cast("double"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("k")
+    )

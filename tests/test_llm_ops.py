@@ -1136,3 +1136,95 @@ def test_grid_dbscan_density_laws_and_replay(spark, sf_dir):
                 for dy in (-1, 0, 1)
             )
             assert (r["cluster"] != -1) == has_core_nb
+
+
+def test_silhouette_numpy_replay_and_range(spark, sf_dir):
+    """Simplified-silhouette replay in numpy (label-mean centroids
+    from the same nano-int coordinate sums, per-point (b-a)/max):
+    every per-label mean matches; all values in [-1, 1]; the global
+    mean is the n-weighted mean of label means."""
+    import math
+
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_silhouette"][0](spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    V = np.array([e["embedding"] for e in emb], dtype=float)
+    L = np.array([e["label"] for e in emb])
+    cents = {}
+    for lb in np.unique(L):
+        X = V[L == lb]
+        sx = np.floor(np.abs(X) * 1e9 + 0.5) * np.sign(X)  # HALF_UP
+        cents[lb] = sx.sum(0) / 1e9 / len(X)
+    per_label: dict = {}
+    for v, lb in zip(V, L):
+        a = math.sqrt(((v - cents[lb]) ** 2).sum())
+        b = min(
+            math.sqrt(((v - cents[o]) ** 2).sum())
+            for o in cents
+            if o != lb
+        )
+        s = (b - a) / max(a, b, 1e-12)
+        per_label.setdefault(lb, []).append(
+            math.floor(abs(s) * 1e9 + 0.5) * (1 if s >= 0 else -1)
+        )
+    for r in rows:
+        ss = per_label[r["label"]]
+        mean_n = math.floor(abs(sum(ss) / len(ss)) + 0.5) * (
+            1 if sum(ss) >= 0 else -1
+        )
+        assert abs(r["mean_silhouette"] - mean_n / 1e9) < 2e-6
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+        assert r["n"] == len(ss)
+    glob = sum(r["mean_silhouette"] * r["n"] for r in rows) / sum(
+        r["n"] for r in rows
+    )
+    assert abs(rows[0]["global_silhouette"] - glob) < 1e-4
+
+
+def test_knn_eval_majority_vote_replay(spark, sf_dir):
+    """k-NN replay: brute top-10 by 6dp cosine with id tie-break,
+    majority vote with smaller-label tie-break; accuracies match at
+    every k and are monotone-sane (within [0, 1]; k=1 equals the
+    nearest-neighbor label rate)."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = {
+        r["k"]: r
+        for r in load_registry()["q_knn_eval"][0](spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    V = {e["vec_id"]: np.array(e["embedding"], dtype=float) for e in emb}
+    L = {e["vec_id"]: e["label"] for e in emb}
+    qids = [i for i in V if i % 25 == 0]
+    correct = {1: 0, 5: 0, 10: 0}
+    from collections import Counter
+
+    for qid in qids:
+        qv = V[qid]
+        scored = sorted(
+            (
+                -round(
+                    float(qv @ cv)
+                    / (np.linalg.norm(qv) * np.linalg.norm(cv)),
+                    6,
+                ),
+                cid,
+            )
+            for cid, cv in V.items()
+            if cid != qid
+        )[:10]
+        for k in (1, 5, 10):
+            votes = Counter(L[cid] for _, cid in scored[:k])
+            pred = sorted(votes.items(), key=lambda t: (-t[1], t[0]))[0][0]
+            correct[k] += int(pred == L[qid])
+    for k in (1, 5, 10):
+        assert rows[k]["n_queries"] == len(qids)
+        assert rows[k]["n_correct"] == correct[k]
+        assert 0.0 <= rows[k]["accuracy"] <= 1.0
