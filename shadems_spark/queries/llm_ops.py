@@ -3846,3 +3846,119 @@ def q_knn_eval(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+_MMD_SIGMA2 = 64.0  # RBF bandwidth ~ embedding dim
+
+
+def _mmd_sql() -> str:
+    def dotd(a, b):
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip({a}, {b}), "
+            f"z -> (z[1] - z[2]) * (z[1] - z[2]))), (s, x) -> s + x)"
+        )
+
+    k = lambda a, b: f"exp(-({dotd(a, b)}) / (2.0 * {_MMD_SIGMA2}))"
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    quad AS (SELECT x1.vec_id // 4 AS qk, x1.v AS x1, x2.v AS x2,
+                    y1.v AS y1, y2.v AS y2
+             FROM e x1
+             JOIN e x2 ON x2.vec_id = x1.vec_id + 2
+             JOIN e y1 ON y1.vec_id = x1.vec_id + 1
+             JOIN e y2 ON y2.vec_id = x1.vec_id + 3
+             WHERE x1.vec_id % 4 = 0),
+    variants AS (
+        SELECT 'null' AS split, qk, x1, x2, y1, y2 FROM quad
+        UNION ALL
+        SELECT 'shifted', qk, x1, x2,
+               list_transform(y1, t -> t + 0.5),
+               list_transform(y2, t -> t + 0.5)
+        FROM quad),
+    h AS (SELECT split, qk,
+                 CAST(round(1e9 * ({k("x1", "x2")} + {k("y1", "y2")}
+                                   - {k("x1", "y2")} - {k("x2", "y1")}))
+                      AS BIGINT) AS h_n
+          FROM variants)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_quads,
+           round(sum(h_n) / 1e9 / count(*), 6) AS mmd2
+    FROM h GROUP BY split ORDER BY split
+    """
+
+
+@register("q_mmd", sql=_mmd_sql())
+def q_mmd(spark, sf_dir):
+    """Linear-time maximum mean discrepancy (Gretton et al.'s MMD_l):
+    the two-sample test IN EMBEDDING SPACE — q_ks_test compares 1-D
+    values, q_kl_drift compares token distributions; MMD asks whether
+    two sets of VECTORS come from the same distribution, which is the
+    question a retrain-or-not gate asks about yesterday's vs today's
+    embeddings.  Streaming estimator: one RBF-kernel h-statistic per
+    disjoint quadruple, so cost is O(n), not the O(n^2) full MMD.
+    Two splits ship together: 'null' (even vs odd vec_id — same
+    distribution, mmd2 ~ 0) and 'shifted' (odd side translated by
+    +0.5/dim — the planted positive control that must separate).
+
+    Exactness: quadruples pair by PURE KEY ARITHMETIC (ids 4k, 4k+1,
+    4k+2, 4k+3 — no ranking, no global window); each h term
+    nano-rounds before the sum (exp is libm, bounded by the
+    protocol).  Scale: three self-equi-joins on derived keys, one
+    map-side-combined reduce."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", SIM.as_double("embedding").alias("v"))
+
+    def side(off, name):
+        return e.filter(F.col("vec_id") % 4 == off).select(
+            ((F.col("vec_id") - off) / 4).cast("long").alias("qk"),
+            F.col("v").alias(name),
+        )
+
+    quad = (
+        side(0, "x1")
+        .join(side(2, "x2"), "qk")
+        .join(side(1, "y1"), "qk")
+        .join(side(3, "y2"), "qk")
+    )
+    shift = lambda col: F.transform(col, lambda t: t + F.lit(0.5))
+    variants = quad.select(
+        F.lit("null").alias("split"), "qk", "x1", "x2", "y1", "y2"
+    ).unionByName(
+        quad.select(
+            F.lit("shifted").alias("split"), "qk", "x1", "x2",
+            shift("y1").alias("y1"), shift("y2").alias("y2"),
+        )
+    )
+
+    def kern(a, b):
+        d2 = F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        return F.exp(-d2 / (2.0 * _MMD_SIGMA2))
+
+    h = variants.select(
+        "split",
+        F.round(
+            F.lit(1e9)
+            * (
+                kern(F.col("x1"), F.col("x2"))
+                + kern(F.col("y1"), F.col("y2"))
+                - kern(F.col("x1"), F.col("y2"))
+                - kern(F.col("x2"), F.col("y1"))
+            )
+        ).cast("long").alias("h_n"),
+    )
+    return (
+        h.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_quads"),
+            F.round(
+                F.sum("h_n") / 1e9 / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mmd2"),
+        )
+        .orderBy("split")
+    )

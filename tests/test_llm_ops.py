@@ -1228,3 +1228,46 @@ def test_knn_eval_majority_vote_replay(spark, sf_dir):
         assert rows[k]["n_queries"] == len(qids)
         assert rows[k]["n_correct"] == correct[k]
         assert 0.0 <= rows[k]["accuracy"] <= 1.0
+
+
+def test_mmd_null_vs_planted_shift(spark, sf_dir):
+    """MMD laws: the parity split (same distribution) scores near 0;
+    the planted +0.5/dim shift scores clearly higher; a numpy replay
+    of the linear-time estimator (same quadruples, same RBF, same
+    nano rounding) reproduces both values."""
+    import math
+
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+    from shadems_spark.queries.llm_ops import _MMD_SIGMA2
+
+    rows = {
+        r["split"]: r
+        for r in load_registry()["q_mmd"][0](spark, sf_dir).collect()
+    }
+    assert rows["shifted"]["mmd2"] > rows["null"]["mmd2"] + 0.01
+    assert abs(rows["null"]["mmd2"]) < 0.05
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    V = {e["vec_id"]: np.array(e["embedding"], dtype=float) for e in emb}
+
+    def kern(a, b):
+        return math.exp(-float(((a - b) ** 2).sum()) / (2 * _MMD_SIGMA2))
+
+    for split, off in [("null", 0.0), ("shifted", 0.5)]:
+        hs = []
+        k = 0
+        while True:
+            ids = [4 * k, 4 * k + 2, 4 * k + 1, 4 * k + 3]
+            if any(i not in V for i in ids):
+                break
+            x1, x2 = V[ids[0]], V[ids[1]]
+            y1, y2 = V[ids[2]] + off, V[ids[3]] + off
+            h = kern(x1, x2) + kern(y1, y2) - kern(x1, y2) - kern(x2, y1)
+            hs.append(math.floor(abs(h) * 1e9 + 0.5) * (1 if h >= 0 else -1))
+            k += 1
+        mmd2 = sum(hs) / 1e9 / len(hs)
+        assert rows[split]["n_quads"] == len(hs)
+        assert abs(rows[split]["mmd2"] - mmd2) < 2e-6
