@@ -219,7 +219,8 @@ _NEW_R6_SESSION = [
     "q_power_analysis", "q_srm", "q_heavy_change",
     "q_time_to_convert", "q_ivm_agg", "q_ivm_join", "q_ivm_distinct",
     "q_small_qty_revenue", "q_conformal", "q_dp_mean",
-    "q_silhouette", "q_knn_eval", "q_mmd",
+    "q_silhouette", "q_knn_eval", "q_mmd", "q_seq_patterns",
+    "q_burst_hmm",
 ]
 
 

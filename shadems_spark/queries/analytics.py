@@ -7617,3 +7617,323 @@ def q_conformal(spark, sf_dir):
             F.lit(1.0 - alpha).alias("target"),
         )
     )
+
+
+@register(
+    "q_seq_patterns",
+    sql="""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      epoch_us(ts) AS ts_us
+               FROM events),
+    g AS (SELECT *,
+                 CASE WHEN ts_us - lag(ts_us) OVER
+                          (PARTITION BY user_id ORDER BY ts_us, event_id)
+                      > 1800000000 OR lag(ts_us) OVER
+                          (PARTITION BY user_id ORDER BY ts_us, event_id)
+                      IS NULL THEN 1 ELSE 0 END AS new_sess
+          FROM e),
+    s AS (SELECT *,
+                 sum(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+          FROM g),
+    fl AS (SELECT user_id, sess, event_type,
+                  min(ts_us * 100 + event_id % 100) AS first_k
+           FROM s GROUP BY 1, 2, 3),
+    pr AS (SELECT a.event_type AS ante, b.event_type AS cons,
+                  count(*) AS n_sessions
+           FROM fl a JOIN fl b
+             ON a.user_id = b.user_id AND a.sess = b.sess
+            AND a.event_type != b.event_type
+            AND a.first_k < b.first_k
+           GROUP BY 1, 2),
+    tot AS (SELECT count(*) AS n_total
+            FROM (SELECT DISTINCT user_id, sess FROM fl)),
+    ac AS (SELECT event_type, count(*) AS n_with
+           FROM fl GROUP BY 1)
+    SELECT pr.ante, pr.cons,
+           CAST(pr.n_sessions AS BIGINT) AS n_sessions,
+           round(pr.n_sessions / CAST(t.n_total AS DOUBLE), 6) AS support,
+           round(pr.n_sessions / CAST(a.n_with AS DOUBLE), 6)
+               AS confidence,
+           round(pr.n_sessions * CAST(t.n_total AS DOUBLE)
+                 / (a.n_with * CAST(c.n_with AS DOUBLE)), 6) AS lift
+    FROM pr
+    JOIN ac a ON a.event_type = pr.ante
+    JOIN ac c ON c.event_type = pr.cons
+    CROSS JOIN tot t
+    ORDER BY pr.n_sessions DESC, pr.ante, pr.cons LIMIT 20
+    """,
+)
+def q_seq_patterns(spark, sf_dir):
+    """Gapped sequential patterns (the 2-step PrefixSpan core): in
+    how many sessions does type A occur strictly BEFORE type B —
+    adjacency not required, once per session — with support,
+    confidence and lift against the per-type session priors.
+    Complements q_path_analysis (contiguous trigrams) and q_markov
+    (one-step transitions) with the order-only signal funnel design
+    actually needs ('do viewers eventually purchase?'), immune to
+    interleaved noise events.
+
+    Exactness: each (session, type) keeps its FIRST occurrence as an
+    integer key (ts*100 + id%100 — strict total order within a
+    session), pattern counts are session counts (DISTINCT by
+    construction — one first-occurrence row per type), and the
+    metrics are single divisions.  Scale: the sessionize window is
+    per-user; the before-join runs on the (session, type) table —
+    |types| rows per session, so fan-out is type-bounded like
+    q_apriori's baskets; priors join broadcast."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    wu = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(wu)
+    s = ev.withColumn(
+        "sess",
+        F.sum(
+            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+        ).over(wu.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    fl = s.groupBy("user_id", "sess", "event_type").agg(
+        F.min(F.col("ts_us") * 100 + F.col("event_id") % 100).alias(
+            "first_k"
+        )
+    )
+    b = fl.select(
+        "user_id", "sess",
+        F.col("event_type").alias("cons"),
+        F.col("first_k").alias("k2"),
+    )
+    pr = (
+        fl.join(b, ["user_id", "sess"])
+        .filter(
+            (F.col("event_type") != F.col("cons"))
+            & (F.col("first_k") < F.col("k2"))
+        )
+        .groupBy(F.col("event_type").alias("ante"), "cons")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    tot = fl.select("user_id", "sess").distinct().agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    ac = fl.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_with"))
+    c = F.col
+    return (
+        pr.join(
+            F.broadcast(
+                ac.select(c("event_type").alias("ante"),
+                          c("n_with").alias("n_a"))
+            ),
+            "ante",
+        )
+        .join(
+            F.broadcast(
+                ac.select(c("event_type").alias("cons"),
+                          c("n_with").alias("n_c"))
+            ),
+            "cons",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ante", "cons",
+            c("n_sessions").cast("long").alias("n_sessions"),
+            F.round(c("n_sessions") / c("n_total").cast("double"), 6)
+            .alias("support"),
+            F.round(c("n_sessions") / c("n_a").cast("double"), 6)
+            .alias("confidence"),
+            F.round(
+                c("n_sessions") * c("n_total").cast("double")
+                / (c("n_a") * c("n_c").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_sessions"), "ante", "cons")
+        .limit(20)
+    )
+
+
+_BURST_SQL = """
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+      FROM events GROUP BY 1, 2),
+    bnd AS (SELECT min(day) AS d0,
+                   datediff('day', min(day), max(day)) AS span FROM d),
+    types AS (SELECT DISTINCT event_type FROM d),
+    ser AS (SELECT t.event_type, g.x + 1 AS t,
+                   CAST(coalesce(d.y, 0) AS DOUBLE) AS y
+            FROM types t
+            CROSS JOIN (SELECT unnest(generate_series(0,
+                               (SELECT span FROM bnd))) AS x) g
+            LEFT JOIN d ON d.event_type = t.event_type
+                       AND d.day = (SELECT d0 FROM bnd) + INTERVAL (g.x) DAY),
+    nn AS (SELECT event_type, count(*) AS n, sum(y) / count(*) AS r0
+           FROM ser GROUP BY 1),
+    em AS (SELECT s.event_type, s.t,
+                  s.y * ln(nn.r0) - nn.r0 AS e0,
+                  s.y * ln(2 * nn.r0) - 2 * nn.r0 AS e1
+           FROM ser s JOIN nn ON nn.event_type = s.event_type),
+    walk(event_type, t, l0, l1, nburst) AS (
+      SELECT event_type, t,
+             (ln(0.9) + e0) - greatest(ln(0.9) + e0, ln(0.1) + e1),
+             (ln(0.1) + e1) - greatest(ln(0.9) + e0, ln(0.1) + e1),
+             CASE WHEN exp((ln(0.1) + e1)
+                           - greatest(ln(0.9) + e0, ln(0.1) + e1))
+                  / (exp((ln(0.9) + e0)
+                         - greatest(ln(0.9) + e0, ln(0.1) + e1))
+                     + exp((ln(0.1) + e1)
+                           - greatest(ln(0.9) + e0, ln(0.1) + e1)))
+                  > 0.5 THEN 1 ELSE 0 END
+      FROM em WHERE t = 1
+      UNION ALL
+      SELECT w.event_type, w.t + 1,
+             u0 - greatest(u0, u1),
+             u1 - greatest(u0, u1),
+             w.nburst + CASE WHEN exp(u1 - greatest(u0, u1))
+                             / (exp(u0 - greatest(u0, u1))
+                                + exp(u1 - greatest(u0, u1)))
+                             > 0.5
+                        THEN 1 ELSE 0 END
+      FROM (SELECT w.event_type, w.t, w.nburst,
+                   greatest(w.l0 + ln(0.9), w.l1 + ln(0.1))
+                   + ln(1.0 + exp(least(w.l0 + ln(0.9), w.l1 + ln(0.1))
+                                  - greatest(w.l0 + ln(0.9),
+                                             w.l1 + ln(0.1))))
+                   + em.e0 AS u0,
+                   greatest(w.l0 + ln(0.1), w.l1 + ln(0.9))
+                   + ln(1.0 + exp(least(w.l0 + ln(0.1), w.l1 + ln(0.9))
+                                  - greatest(w.l0 + ln(0.1),
+                                             w.l1 + ln(0.9))))
+                   + em.e1 AS u1
+            FROM walk w
+            JOIN em ON em.event_type = w.event_type
+                   AND em.t = w.t + 1) w)
+    SELECT w.event_type AS event_type,
+           CAST(nn.n AS BIGINT) AS n_days,
+           round(nn.r0, 6) AS rate0,
+           CAST(w.nburst AS BIGINT) AS n_burst_days,
+           round(exp(w.l1) / (exp(w.l0) + exp(w.l1)), 6) AS p_burst_final
+    FROM walk w JOIN nn ON nn.event_type = w.event_type AND w.t = nn.n
+    ORDER BY 1
+"""
+
+
+@register("q_burst_hmm", sql=_BURST_SQL)
+def q_burst_hmm(spark, sf_dir):
+    """Two-state burst detection (the Kleinberg automaton as an HMM
+    forward filter): state 0 emits Poisson(r0 = the type's mean daily
+    rate), state 1 emits Poisson(2*r0), sticky transitions (0.9 stay
+    / 0.1 switch); the filter runs down the zero-filled daily series
+    in log space with per-step max normalization and counts the days
+    whose filtered burst posterior exceeds 0.5 — the trend/incident
+    detector beside q_cusum's cumulative alarm (CUSUM detects one
+    level shift; the HMM tracks bursts that switch on AND off).
+
+    Exactness: emissions drop the ln(y!) term common to both states;
+    the recurrence is one JVM struct-accumulator fold whose exact
+    IEEE operation sequence the oracle's recursive CTE replays
+    (the q_holt protocol, extended to a 2-state + counter
+    accumulator with log-sum-exp steps).  Scale: one (type, day)
+    map-side aggregate; per-type state is 2 doubles + 1 int over a
+    calendar-bounded list."""
+    from pyspark.sql import Window as W  # noqa: F401 (family convention)
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    b = d.agg(
+        F.min("day").alias("d0"),
+        F.datediff(F.max("day"), F.min("day")).alias("span"),
+    )
+    types = d.select("event_type").distinct()
+    spine = b.select(
+        F.explode(F.sequence(F.lit(0), F.col("span"))).alias("x"), "d0"
+    )
+    grid = (
+        types.crossJoin(F.broadcast(spine))
+        .join(
+            d,
+            (F.expr("date_add(d0, CAST(x AS INT))") == F.col("day"))
+            & (types["event_type"] == d["event_type"]),
+            "left",
+        )
+        .select(
+            types["event_type"].alias("event_type"),
+            "x",
+            F.coalesce("y", F.lit(0)).cast("double").alias("y"),
+        )
+    )
+    ys = F.transform(
+        F.sort_array(F.collect_list(F.struct("x", "y"))), lambda st: st["y"]
+    )
+    agg = grid.groupBy("event_type").agg(
+        ys.alias("ys"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("y") / F.count(F.lit(1))).alias("r0"),
+    )
+    ln = F.log
+    l9, l1_ = float(__import__("math").log(0.9)), float(
+        __import__("math").log(0.1)
+    )
+
+    def lse(a, bb):
+        return F.greatest(a, bb) + ln(
+            F.lit(1.0) + F.exp(F.least(a, bb) - F.greatest(a, bb))
+        )
+
+    def emis(y, r0, burst):
+        r = r0 * 2.0 if burst else r0
+        return y * ln(r) - r
+
+    y1 = F.element_at(F.col("ys"), 1)
+    r0c = F.col("r0")
+    u0_1 = F.lit(l9) + emis(y1, r0c, False)
+    u1_1 = F.lit(l1_) + emis(y1, r0c, True)
+    m1 = F.greatest(u0_1, u1_1)
+    p1 = F.exp(u1_1 - m1) / (F.exp(u0_1 - m1) + F.exp(u1_1 - m1))
+    init = F.struct(
+        (u0_1 - m1).alias("l0"),
+        (u1_1 - m1).alias("l1"),
+        F.when(p1 > 0.5, 1).otherwise(0).cast("long").alias("nburst"),
+    )
+
+    def step(acc, y):
+        u0 = lse(acc["l0"] + l9, acc["l1"] + l1_) + emis(y, r0c, False)
+        u1 = lse(acc["l0"] + l1_, acc["l1"] + l9) + emis(y, r0c, True)
+        m = F.greatest(u0, u1)
+        p = F.exp(u1 - m) / (F.exp(u0 - m) + F.exp(u1 - m))
+        return F.struct(
+            (u0 - m).alias("l0"),
+            (u1 - m).alias("l1"),
+            (acc["nburst"] + F.when(p > 0.5, 1).otherwise(0)).alias(
+                "nburst"
+            ),
+        )
+
+    st = F.aggregate(
+        F.slice(F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))),
+        init,
+        step,
+    )
+    c = F.col
+    return (
+        agg.select(
+            "event_type",
+            c("n").cast("long").alias("n_days"),
+            F.round("r0", 6).alias("rate0"),
+            st.alias("st"),
+        )
+        .select(
+            "event_type", "n_days", "rate0",
+            c("st.nburst").cast("long").alias("n_burst_days"),
+            F.round(
+                F.exp(c("st.l1"))
+                / (F.exp(c("st.l0")) + F.exp(c("st.l1"))),
+                6,
+            ).alias("p_burst_final"),
+        )
+        .orderBy("event_type")
+    )

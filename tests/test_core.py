@@ -2403,3 +2403,112 @@ def test_conformal_coverage_guarantee_and_order_statistic(spark, sf_dir):
     # finite-sample coverage band around the 90% target
     n = len(tst)
     assert cov >= 0.9 - 3 * math.sqrt(0.09 / n)
+
+
+def test_seq_patterns_pandas_replay(spark, sf_dir):
+    """Gapped-pattern replay: sessionize in pandas (30-min gap), per
+    session keep each type's first occurrence, count A-before-B
+    sessions; every returned row matches and metrics are consistent
+    (confidence = n/n_with_ante, support <= confidence)."""
+    from collections import Counter
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_seq_patterns"][0](spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type",
+                F.expr("ts_ns div 1000").alias("ts_us"))
+        .toPandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+    )
+    pair = Counter()
+    n_with = Counter()
+    n_total = 0
+    for _, g in ev.groupby("user_id"):
+        sess, last = 0, None
+        keys = []
+        for ts in g.ts_us:
+            if last is None or ts - last > 1800 * 1_000_000:
+                sess += 1
+            keys.append(sess)
+            last = ts
+        g = g.assign(sess=keys)
+        for _, sg in g.groupby("sess"):
+            n_total += 1
+            first: dict = {}
+            for _, row in sg.iterrows():
+                k = row.ts_us * 100 + row.event_id % 100
+                t = row.event_type
+                if t not in first or k < first[t]:
+                    first[t] = k
+            for t in first:
+                n_with[t] += 1
+            ts_ = sorted(first.items(), key=lambda kv: kv[1])
+            for i, (a, _) in enumerate(ts_):
+                for bb, _ in ts_[i + 1:]:
+                    pair[(a, bb)] += 1
+    for r in rows:
+        assert pair[(r["ante"], r["cons"])] == r["n_sessions"]
+        assert abs(r["support"] - r["n_sessions"] / n_total) < 1e-6
+        assert abs(
+            r["confidence"] - r["n_sessions"] / n_with[r["ante"]]
+        ) < 1e-6
+        assert r["support"] <= r["confidence"] + 1e-9
+
+
+def test_burst_hmm_python_forward_replay(spark, sf_dir):
+    """Forward-filter replay in python (same log-sum-exp sequence,
+    same per-step normalization): final posterior and burst-day count
+    match per type; posterior in (0, 1); a constant series at rate r0
+    must NOT be all-burst (sanity on the sticky prior)."""
+    import math
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_burst_hmm"][0](spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .toPandas()
+    )
+    d0, d1 = ev.day.min(), ev.day.max()
+    span = (d1 - d0).days
+    for r in rows:
+        g = ev[ev.event_type == r["event_type"]]
+        y = [0.0] * (span + 1)
+        for _, row in g.iterrows():
+            y[(row.day - d0).days] = float(row["count"])
+        r0 = sum(y) / len(y)
+        assert abs(r["rate0"] - round(r0, 6)) < 1e-9
+
+        def lse(a, b):
+            m, mn = max(a, b), min(a, b)
+            return m + math.log(1.0 + math.exp(mn - m))
+
+        l9, l1_ = math.log(0.9), math.log(0.1)
+        e = lambda v, burst: v * math.log(2 * r0 if burst else r0) - (
+            2 * r0 if burst else r0
+        )
+        u0, u1 = l9 + e(y[0], False), l1_ + e(y[0], True)
+        m = max(u0, u1)
+        l0, l1v = u0 - m, u1 - m
+        nb = int(
+            math.exp(l1v) / (math.exp(l0) + math.exp(l1v)) > 0.5
+        )
+        for v in y[1:]:
+            u0 = lse(l0 + l9, l1v + l1_) + e(v, False)
+            u1 = lse(l0 + l1_, l1v + l9) + e(v, True)
+            m = max(u0, u1)
+            l0, l1v = u0 - m, u1 - m
+            nb += int(
+                math.exp(l1v) / (math.exp(l0) + math.exp(l1v)) > 0.5
+            )
+        assert r["n_burst_days"] == nb
+        p = math.exp(l1v) / (math.exp(l0) + math.exp(l1v))
+        assert abs(r["p_burst_final"] - p) < 1e-5
+        assert 0.0 < r["p_burst_final"] < 1.0
+        assert r["n_burst_days"] < r["n_days"]
