@@ -220,7 +220,7 @@ _NEW_R6_SESSION = [
     "q_time_to_convert", "q_ivm_agg", "q_ivm_join", "q_ivm_distinct",
     "q_small_qty_revenue", "q_conformal", "q_dp_mean",
     "q_silhouette", "q_knn_eval", "q_mmd", "q_seq_patterns",
-    "q_burst_hmm",
+    "q_burst_hmm", "q_weighted_median", "q_mann_kendall", "q_runs_test",
 ]
 
 

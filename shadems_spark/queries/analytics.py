@@ -7937,3 +7937,269 @@ def q_burst_hmm(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_weighted_median",
+    sql="""
+    WITH s AS (SELECT l_returnflag,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                      CAST(l_quantity AS BIGINT) AS w
+               FROM lineitem),
+    c AS (SELECT l_returnflag, v, w,
+                 sum(w) OVER (PARTITION BY l_returnflag
+                              ORDER BY v, w
+                              ROWS UNBOUNDED PRECEDING) AS cw,
+                 sum(w) OVER (PARTITION BY l_returnflag) AS tw
+          FROM s),
+    m AS (SELECT l_returnflag, min(v) AS med_centi,
+                 max(tw) AS total_weight
+          FROM c WHERE 2 * cw >= tw GROUP BY 1)
+    SELECT l_returnflag,
+           round(med_centi / 100.0, 2) AS weighted_median_price,
+           CAST(total_weight AS BIGINT) AS total_weight
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q_weighted_median(spark, sf_dir):
+    """Weighted median (lower weighted order statistic: the first
+    value whose cumulative weight reaches half the total) of extended
+    price weighted by quantity, per return flag — the robust center
+    for quantity-weighted pricing where a plain median over-counts
+    single-unit lines.
+
+    Exactness: centi-int values, integer weights, and the defining
+    inequality 2*cw >= tw compares integers.  Scale: the cumulative
+    weights partition per flag here; for an UNGROUPED weighted median
+    over unbounded rows the same definition rides the two-phase
+    global_cumsum (the q_pr_auc shape) — the partitioned form is
+    shown because grouped medians are the common case.  One window
+    pass, one filter-aggregate."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wo = W.partitionBy("l_returnflag").orderBy("v", "w")
+    c = s.select(
+        "l_returnflag", "v", "w",
+        F.sum("w").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(W.partitionBy("l_returnflag")).alias("tw"),
+    )
+    m = (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("med_centi"),
+            F.max("tw").alias("total_weight"),
+        )
+    )
+    return m.select(
+        "l_returnflag",
+        F.round(F.col("med_centi") / 100.0, 2).alias(
+            "weighted_median_price"
+        ),
+        F.col("total_weight").cast("long").alias("total_weight"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q_mann_kendall",
+    sql="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+               FROM events GROUP BY 1, 2),
+    p AS (SELECT a.event_type,
+                 sum(CASE WHEN b.y > a.y THEN 1
+                          WHEN b.y < a.y THEN -1 ELSE 0 END) AS s,
+                 count(*) AS n_pairs
+          FROM d a JOIN d b ON a.event_type = b.event_type
+                           AND a.day < b.day
+          GROUP BY 1),
+    tie AS (SELECT event_type, sum(t * (t - 1) * (2 * t + 5)) AS tsum
+            FROM (SELECT event_type, y, count(*) AS t
+                  FROM d GROUP BY 1, 2)
+            GROUP BY 1),
+    nn AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1)
+    SELECT p.event_type,
+           CAST(nn.n AS BIGINT) AS n_days,
+           CAST(p.s AS BIGINT) AS s_statistic,
+           round((p.s - CASE WHEN p.s > 0 THEN 1
+                             WHEN p.s < 0 THEN -1 ELSE 0 END)
+                 / sqrt((nn.n * (nn.n - 1.0) * (2 * nn.n + 5)
+                         - coalesce(tie.tsum, 0)) / 18.0), 6) AS z
+    FROM p JOIN nn USING (event_type)
+           LEFT JOIN tie USING (event_type)
+    ORDER BY p.event_type
+    """,
+)
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotonic-trend test on the daily count series
+    per type: S = sum of pairwise sign(y_j - y_i) for i < j in time,
+    tie-corrected normal approximation with continuity correction —
+    the nonparametric is-it-trending gate beside q_trend_ols's slope
+    (MK needs no linearity and shrugs off outliers) and q_theilsen's
+    robust slope estimate (MK is its significance test — the classic
+    pairing).
+
+    Exactness: S and the tie term t(t-1)(2t+5) are exact integer
+    sums; z is one fixed formula.  Scale: the O(days^2) pair join is
+    calendar-bounded per type; the row-sized work is the (type, day)
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    b = d.select(
+        "event_type", F.col("day").alias("day2"), F.col("y").alias("y2")
+    )
+    p = (
+        d.join(b, "event_type")
+        .filter(F.col("day") < F.col("day2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("y2") > F.col("y"), 1)
+                .when(F.col("y2") < F.col("y"), -1)
+                .otherwise(0)
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    tie = (
+        d.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tsum")
+        )
+    )
+    nn = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    c = F.col
+    cc = F.when(c("s") > 0, 1).when(c("s") < 0, -1).otherwise(0)
+    return (
+        p.join(nn, "event_type")
+        .join(tie, "event_type", "left")
+        .select(
+            "event_type",
+            c("n").cast("long").alias("n_days"),
+            c("s").cast("long").alias("s_statistic"),
+            F.round(
+                (c("s") - cc)
+                / F.sqrt(
+                    (
+                        c("n") * (c("n") - 1.0) * (2 * c("n") + 5)
+                        - F.coalesce(c("tsum"), F.lit(0))
+                    ) / 18.0
+                ),
+                6,
+            ).alias("z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_runs_test",
+    sql="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, day, y,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY y, day) AS BIGINT) AS rk,
+                 CAST(count(*) OVER (PARTITION BY event_type)
+                      AS BIGINT) AS n
+          FROM d),
+    md AS (SELECT event_type,
+                  max(CASE WHEN rk = (n + 1) // 2 THEN y END) AS med
+           FROM r GROUP BY 1),
+    s AS (SELECT d.event_type, d.day,
+                 CASE WHEN d.y > md.med THEN 1 ELSE 0 END AS up
+          FROM d JOIN md USING (event_type)),
+    f AS (SELECT event_type, up,
+                 CASE WHEN lag(up) OVER (PARTITION BY event_type
+                                         ORDER BY day) IS NULL
+                      OR lag(up) OVER (PARTITION BY event_type
+                                       ORDER BY day) != up
+                 THEN 1 ELSE 0 END AS new_run
+          FROM s),
+    g AS (SELECT event_type,
+                 CAST(sum(new_run) AS BIGINT) AS runs,
+                 CAST(sum(up) AS BIGINT) AS n1,
+                 CAST(count(*) - sum(up) AS BIGINT) AS n0
+          FROM f GROUP BY 1)
+    SELECT event_type, runs, n1, n0,
+           round((runs - (2.0 * n1 * n0 / (n1 + n0) + 1))
+                 / sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0)
+                        / ((n1 + n0) * (n1 + n0) * (n1 + n0 - 1.0))),
+                 6) AS z
+    FROM g ORDER BY event_type
+    """,
+)
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the above/below-median daily
+    binarization per type: too FEW runs means clumped regimes (the
+    q_burst_hmm signal seen nonparametrically), too MANY means
+    oscillation; |z| small means the i.i.d. assumption behind naive
+    capacity models is at least not laughed out of the room.
+
+    Exactness: the median is the lower order statistic by integer
+    rank (no averaging), run/one counts are integers, z one fixed
+    formula.  Scale: everything after the (type, day) aggregate is
+    calendar-bounded; the rank and lag windows partition per type."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wr = W.partitionBy("event_type").orderBy("y", "day")
+    r = d.select(
+        "event_type", "day", "y",
+        F.row_number().over(wr).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type"))
+        .cast("long").alias("n"),
+    )
+    md = r.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("y"))
+        ).alias("med")
+    )
+    s = d.join(md, "event_type").select(
+        "event_type", "day",
+        (F.col("y") > F.col("med")).cast("int").alias("up"),
+    )
+    wd = W.partitionBy("event_type").orderBy("day")
+    f = s.select(
+        "event_type", "up",
+        F.when(
+            F.lag("up").over(wd).isNull()
+            | (F.lag("up").over(wd) != F.col("up")),
+            1,
+        ).otherwise(0).alias("new_run"),
+    )
+    g = f.groupBy("event_type").agg(
+        F.sum("new_run").cast("long").alias("runs"),
+        F.sum("up").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("up")).cast("long").alias("n0"),
+    )
+    c = F.col
+    mu = 2.0 * c("n1") * c("n0") / (c("n1") + c("n0")) + 1
+    var = (
+        2.0 * c("n1") * c("n0")
+        * (2.0 * c("n1") * c("n0") - c("n1") - c("n0"))
+        / (
+            (c("n1") + c("n0"))
+            * (c("n1") + c("n0"))
+            * (c("n1") + c("n0") - 1.0)
+        )
+    )
+    return g.select(
+        "event_type", "runs", "n1", "n0",
+        F.round((c("runs") - mu) / F.sqrt(var), 6).alias("z"),
+    ).orderBy("event_type")

@@ -2512,3 +2512,65 @@ def test_burst_hmm_python_forward_replay(spark, sf_dir):
         assert abs(r["p_burst_final"] - p) < 1e-5
         assert 0.0 < r["p_burst_final"] < 1.0
         assert r["n_burst_days"] < r["n_days"]
+
+
+def test_weighted_median_definition(spark, sf_dir):
+    """Weighted-median law: the returned value is the smallest v with
+    cumulative weight >= half the total (replayed in pandas), and at
+    least half the weight sits at or below it."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_weighted_median"][0](spark, sf_dir).collect()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .toPandas()
+    )
+    li["v"] = (li.l_extendedprice * 100).round().astype("int64")
+    for r in rows:
+        g = li[li.l_returnflag == r["l_returnflag"]].sort_values(
+            ["v", "l_quantity"]
+        )
+        tw = int(g.l_quantity.sum())
+        cw = g.l_quantity.cumsum()
+        med = int(g.v[2 * cw >= tw].iloc[0])
+        assert abs(r["weighted_median_price"] - med / 100.0) < 1e-9
+        assert r["total_weight"] == tw
+        below = int(g.l_quantity[g.v <= med].sum())
+        assert 2 * below >= tw
+
+
+def test_mann_kendall_and_runs_against_numpy(spark, sf_dir):
+    """MK laws: S matches the brute pairwise sign sum over time
+    order, z finite; runs-test laws: run count matches a linear scan
+    of the above/below-median sequence and n1 + n0 == n_days."""
+    import numpy as np
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    mk = {r["event_type"]: r
+          for r in reg["q_mann_kendall"][0](spark, sf_dir).collect()}
+    rt = {r["event_type"]: r
+          for r in reg["q_runs_test"][0](spark, sf_dir).collect()}
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .toPandas()
+        .sort_values(["event_type", "day"])
+    )
+    for t, g in d.groupby("event_type"):
+        y = g["count"].to_numpy()
+        diff = np.sign(y[None, :] - y[:, None])
+        s = int(np.triu(diff, 1).sum())
+        assert mk[t]["s_statistic"] == s
+        assert np.isfinite(mk[t]["z"])
+        # runs replay: lower-median binarization, linear run scan
+        med = int(np.sort(y)[(len(y) + 1) // 2 - 1])
+        up = (y > med).astype(int)
+        runs = 1 + int((up[1:] != up[:-1]).sum())
+        assert rt[t]["runs"] == runs
+        assert rt[t]["n1"] + rt[t]["n0"] == mk[t]["n_days"]
