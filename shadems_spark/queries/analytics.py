@@ -8203,3 +8203,171 @@ def q_runs_test(spark, sf_dir):
         "event_type", "runs", "n1", "n0",
         F.round((c("runs") - mu) / F.sqrt(var), 6).alias("z"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_price_index",
+    sql="""
+    WITH li AS (SELECT l_partkey,
+                       CASE WHEN CAST(l_shipdate AS DATE)
+                                 < DATE '1995-01-01'
+                            THEN 0 ELSE 1 END AS period,
+                       CAST(round(l_extendedprice * 100 / l_quantity)
+                            AS BIGINT) AS unit_centi,
+                       CAST(l_quantity AS BIGINT) AS q
+                FROM lineitem WHERE l_quantity > 0),
+    pp AS (SELECT l_partkey, period,
+                  CAST(round(sum(unit_centi * q)
+                             / CAST(sum(q) AS DOUBLE)) AS BIGINT) AS p,
+                  sum(q) AS q
+           FROM li GROUP BY 1, 2),
+    m AS (SELECT a.l_partkey, a.p AS p0, a.q AS q0, b.p AS p1, b.q AS q1
+          FROM pp a JOIN pp b
+            ON a.l_partkey = b.l_partkey AND a.period = 0
+           AND b.period = 1),
+    s AS (SELECT count(*) AS n_parts,
+                 sum(p0 * q0) AS p0q0, sum(p1 * q0) AS p1q0,
+                 sum(p0 * q1) AS p0q1, sum(p1 * q1) AS p1q1
+          FROM m)
+    SELECT CAST(n_parts AS BIGINT) AS n_matched_parts,
+           round(CAST(p1q0 AS DOUBLE) / p0q0, 6) AS laspeyres,
+           round(CAST(p1q1 AS DOUBLE) / p0q1, 6) AS paasche,
+           round(sqrt((CAST(p1q0 AS DOUBLE) / p0q0)
+                      * (CAST(p1q1 AS DOUBLE) / p0q1)), 6) AS fisher
+    FROM s
+    """,
+)
+def q_price_index(spark, sf_dir):
+    """Price-index numbers across two periods (pre/post 1995, the
+    fixture's midpoint): Laspeyres (base-period basket), Paasche
+    (current basket) and their Fisher geometric mean over the MATCHED
+    part set — the economics-grade answer to 'did prices move or did
+    the mix move', which a naive average-price delta conflates.
+
+    Exactness: per-(part, period) unit prices are quantity-weighted
+    centi-int means rounded once; the four index numerators/
+    denominators are exact integer products and sums; each index is
+    one division.  Scale: two part-keyed map-side aggregates and a
+    part-keyed self-join — part-cardinality throughout, never
+    line-level past the first combine."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select(
+            "l_partkey",
+            F.when(
+                F.col("l_shipdate").cast("date") < F.lit("1995-01-01"), 0
+            ).otherwise(1).alias("period"),
+            F.round(
+                F.col("l_extendedprice") * 100 / F.col("l_quantity")
+            ).cast("long").alias("unit_centi"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+    )
+    pp = li.groupBy("l_partkey", "period").agg(
+        F.round(
+            F.sum(F.col("unit_centi") * F.col("q"))
+            / F.sum("q").cast("double")
+        ).cast("long").alias("p"),
+        F.sum("q").alias("q"),
+    )
+    a = pp.filter(F.col("period") == 0).select(
+        "l_partkey", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    b = pp.filter(F.col("period") == 1).select(
+        "l_partkey", F.col("p").alias("p1"), F.col("q").alias("q1")
+    )
+    m = a.join(b, "l_partkey")
+    c = F.col
+    s = m.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(c("p0") * c("q0")).alias("p0q0"),
+        F.sum(c("p1") * c("q0")).alias("p1q0"),
+        F.sum(c("p0") * c("q1")).alias("p0q1"),
+        F.sum(c("p1") * c("q1")).alias("p1q1"),
+    )
+    lasp = c("p1q0").cast("double") / c("p0q0")
+    paas = c("p1q1").cast("double") / c("p0q1")
+    return s.select(
+        c("n_parts").cast("long").alias("n_matched_parts"),
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+@register(
+    "q_abc_analysis",
+    sql="""
+    WITH pr AS (SELECT l_partkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS rev
+                FROM lineitem GROUP BY 1),
+    c AS (SELECT l_partkey, rev,
+                 sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS crev,
+                 sum(rev) OVER () AS trev
+          FROM pr),
+    k AS (SELECT l_partkey, rev,
+                 CASE WHEN (crev - rev) * 100 < trev * 80 THEN 'A'
+                      WHEN (crev - rev) * 100 < trev * 95 THEN 'B'
+                      ELSE 'C' END AS cls
+          FROM c)
+    SELECT cls,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(rev) / 100.0, 2) AS revenue,
+           round(sum(rev) / CAST(max(t.trev) AS DOUBLE), 6)
+               AS revenue_share
+    FROM k CROSS JOIN (SELECT max(trev) AS trev FROM c) t
+    GROUP BY cls ORDER BY cls
+    """,
+)
+def q_abc_analysis(spark, sf_dir):
+    """ABC / Pareto classification of parts by revenue (A = the head
+    carrying the first 80% of cumulative revenue, B to 95%, C the
+    tail) — the inventory-management classic and the 'what fraction
+    of the corpus carries the value' question data-pruning asks of
+    documents.  Class assignment uses the EXCLUSIVE prefix (crev -
+    rev), so the part that crosses a boundary still belongs to the
+    class it completes.
+
+    Exactness: revenues are centi-ints, class boundaries compare
+    integer cross products (crev*100 < trev*80 — no float shares
+    before the final report).  Scale: the part-revenue table GROWS
+    with the catalog, so the descending cumsum rides the two-phase
+    value-cut global_cumsum (order on the negated revenue — the
+    q_pr_auc shape; no single-partition window at any catalog size);
+    the 1-row total joins back broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("rev")
+    )
+    from shadems_spark.operators.profile import global_cumsum
+
+    # total order: revenue DESC (negated for the ascending scan)
+    # then part key ASC — matching the oracle's tie-break exactly
+    pr2 = pr.withColumn("nrev", -F.col("rev"))
+    cs = global_cumsum(pr2, ["nrev", "l_partkey"], {"crev": "rev"})
+    tot = pr.agg(F.sum("rev").alias("trev"))
+    c = cs.crossJoin(F.broadcast(tot)).select(
+        "l_partkey", "rev", "crev", "trev"
+    )
+    cls = F.when(
+        (F.col("crev") - F.col("rev")) * 100 < F.col("trev") * 80, "A"
+    ).when(
+        (F.col("crev") - F.col("rev")) * 100 < F.col("trev") * 95, "B"
+    ).otherwise("C")
+    k = c.select("l_partkey", "rev", "trev", cls.alias("cls"))
+    return (
+        k.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("rev") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.sum("rev") / F.max("trev").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("cls")
+    )
