@@ -117,6 +117,11 @@ HEADLINE = [
     "q_grid_dbscan",
     "q_ivm_join",
     "q_small_qty_revenue",
+    # second wave: HMM fold, Pareto on the two-phase scan, matched-
+    # part index joins.
+    "q_burst_hmm",
+    "q_abc_analysis",
+    "q_price_index",
 ]
 
 
