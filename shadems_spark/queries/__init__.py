@@ -222,6 +222,7 @@ _NEW_R6_SESSION = [
     "q_silhouette", "q_knn_eval", "q_mmd", "q_seq_patterns",
     "q_burst_hmm", "q_weighted_median", "q_mann_kendall", "q_runs_test",
     "q_price_index", "q_abc_analysis", "q_texttiling",
+    "q_funnel_windowed", "q_raster_drift",
 ]
 
 

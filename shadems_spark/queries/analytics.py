@@ -258,7 +258,7 @@ def q_facet_scan(spark, sf_dir):
     JOIN nation   ON s_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
     WHERE r_name IN ('ASIA', 'AMERICA')
-      AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(o_orderdate AS DATE) >= DATE '1998-07-01'
     GROUP BY n_name
     """,
 )
@@ -269,7 +269,7 @@ def q_local_supplier(spark, sf_dir):
     that at runtime from actual sizes."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").cast("date") >= F.lit("1995-01-01").cast("date")
+        F.col("o_orderdate").cast("date") >= F.lit("1998-07-01").cast("date")
     )
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
@@ -8210,7 +8210,7 @@ def q_runs_test(spark, sf_dir):
     sql="""
     WITH li AS (SELECT l_partkey,
                        CASE WHEN CAST(l_shipdate AS DATE)
-                                 < DATE '1995-01-01'
+                                 < DATE '1998-07-01'
                             THEN 0 ELSE 1 END AS period,
                        CAST(round(l_extendedprice * 100 / l_quantity)
                             AS BIGINT) AS unit_centi,
@@ -8238,7 +8238,7 @@ def q_runs_test(spark, sf_dir):
     """,
 )
 def q_price_index(spark, sf_dir):
-    """Price-index numbers across two periods (pre/post 1995, the
+    """Price-index numbers across two periods (pre/post 1998-07, the
     fixture's midpoint): Laspeyres (base-period basket), Paasche
     (current basket) and their Fisher geometric mean over the MATCHED
     part set — the economics-grade answer to 'did prices move or did
@@ -8256,7 +8256,7 @@ def q_price_index(spark, sf_dir):
         .select(
             "l_partkey",
             F.when(
-                F.col("l_shipdate").cast("date") < F.lit("1995-01-01"), 0
+                F.col("l_shipdate").cast("date") < F.lit("1998-07-01"), 0
             ).otherwise(1).alias("period"),
             F.round(
                 F.col("l_extendedprice") * 100 / F.col("l_quantity")
@@ -8370,4 +8370,222 @@ def q_abc_analysis(spark, sf_dir):
             ).alias("revenue_share"),
         )
         .orderBy("cls")
+    )
+
+
+@register(
+    "q_funnel_windowed",
+    sql="""
+    WITH v AS (SELECT user_id,
+                      min(CASE WHEN event_type = 'view'
+                          THEN epoch_us(ts) END) AS t_view
+               FROM events GROUP BY 1),
+    c AS (SELECT e.user_id,
+                 min(CASE WHEN e.event_type = 'click'
+                          AND epoch_us(e.ts) >= v.t_view
+                          AND epoch_us(e.ts)
+                              <= v.t_view + 7 * 86400000000
+                     THEN epoch_us(e.ts) END) AS t_click,
+                 min(CASE WHEN e.event_type = 'purchase'
+                          AND epoch_us(e.ts) >= v.t_view
+                          AND epoch_us(e.ts)
+                              <= v.t_view + 7 * 86400000000
+                     THEN epoch_us(e.ts) END) AS t_buy
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE v.t_view IS NOT NULL
+          GROUP BY 1),
+    s AS (SELECT count(*) AS step_view,
+                 sum(CASE WHEN t_click IS NOT NULL
+                     THEN 1 ELSE 0 END) AS step_click,
+                 sum(CASE WHEN t_click IS NOT NULL
+                          AND t_buy IS NOT NULL AND t_buy >= t_click
+                     THEN 1 ELSE 0 END) AS step_buy
+          FROM c)
+    SELECT CAST(step_view AS BIGINT) AS step_view,
+           CAST(step_click AS BIGINT) AS step_click,
+           CAST(step_buy AS BIGINT) AS step_buy,
+           round(step_click / CAST(step_view AS DOUBLE), 6)
+               AS click_rate_7d,
+           round(step_buy / CAST(greatest(step_click, 1) AS DOUBLE), 6)
+               AS buy_rate_7d
+    FROM s
+    """,
+)
+def q_funnel_windowed(spark, sf_dir):
+    """TIME-WINDOWED funnel (the windowFunnel of the OLAP engines):
+    view -> click -> purchase where every later step must land within
+    7 days of the user's FIRST view and in step order — the product
+    metric q_funnel approximates when it ignores the conversion
+    window (a purchase a year later is not this campaign's win).
+
+    Exactness: step times are integer microseconds; the window
+    predicate and ordering comparisons are integer.  Scale: one
+    user-keyed aggregate finds anchors, one user-keyed join + second
+    conditional aggregate applies the window — both shuffles on
+    user_id, no event-level self-join; at k steps the same two-pass
+    shape holds (anchor pass + one conditional pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view")
+    ).filter(F.col("t_view").isNotNull())
+    win = 7 * 86_400_000_000
+    j = ev.join(v, "user_id")
+    in_win = (us >= F.col("t_view")) & (us <= F.col("t_view") + win)
+    c = j.groupBy("user_id").agg(
+        F.min(
+            F.when((F.col("event_type") == "click") & in_win, us)
+        ).alias("t_click"),
+        F.min(
+            F.when((F.col("event_type") == "purchase") & in_win, us)
+        ).alias("t_buy"),
+    )
+    s = c.agg(
+        F.count(F.lit(1)).alias("step_view"),
+        F.sum(F.col("t_click").isNotNull().cast("int")).alias("step_click"),
+        F.sum(
+            (
+                F.col("t_click").isNotNull()
+                & F.col("t_buy").isNotNull()
+                & (F.col("t_buy") >= F.col("t_click"))
+            ).cast("int")
+        ).alias("step_buy"),
+    )
+    cc = F.col
+    return s.select(
+        cc("step_view").cast("long").alias("step_view"),
+        cc("step_click").cast("long").alias("step_click"),
+        cc("step_buy").cast("long").alias("step_buy"),
+        F.round(
+            cc("step_click") / cc("step_view").cast("double"), 6
+        ).alias("click_rate_7d"),
+        F.round(
+            cc("step_buy")
+            / F.greatest(cc("step_click"), F.lit(1)).cast("double"),
+            6,
+        ).alias("buy_rate_7d"),
+    )
+
+
+@register(
+    "q_raster_drift",
+    sql="""
+    WITH li AS (SELECT CASE WHEN CAST(l_shipdate AS DATE)
+                            < DATE '1998-07-01' THEN 0 ELSE 1 END
+                           AS period,
+                       least(greatest(CAST(floor(
+                           (l_extendedprice - 900.0)
+                           / ((105000.0 - 900.0) / 16)) AS INT), 0), 15)
+                           AS bx,
+                       least(greatest(CAST(floor(
+                           (l_discount - 0.0) / (0.11 / 16)) AS INT),
+                           0), 15) AS by
+                FROM lineitem),
+    c AS (SELECT period, bx, by, count(*) AS n FROM li GROUP BY 1, 2, 3),
+    t AS (SELECT period, sum(n) AS tot FROM c GROUP BY 1),
+    j AS (SELECT coalesce(a.bx, b.bx) AS bx, coalesce(a.by, b.by) AS by,
+                 coalesce(a.n, 0) AS n0, coalesce(b.n, 0) AS n1,
+                 t0.tot AS tot0, t1.tot AS tot1
+          FROM (SELECT * FROM c WHERE period = 0) a
+          FULL OUTER JOIN (SELECT * FROM c WHERE period = 1) b
+            ON a.bx = b.bx AND a.by = b.by
+          CROSS JOIN (SELECT tot FROM t WHERE period = 0) t0
+          CROSS JOIN (SELECT tot FROM t WHERE period = 1) t1),
+    p AS (SELECT bx, by, n0, n1,
+                 (n0 + 0.5) / (tot0 + 128.0) AS p0,
+                 (n1 + 0.5) / (tot1 + 128.0) AS p1
+          FROM j),
+    k AS (SELECT bx, by, n0, n1,
+                 CAST(round((p1 - p0) * ln(p1 / p0) * 1e9) AS BIGINT)
+                     AS psi_n
+          FROM p),
+    s AS (SELECT sum(psi_n) AS psi_total_n FROM k)
+    SELECT k.bx, k.by, CAST(k.n0 AS BIGINT) AS n0,
+           CAST(k.n1 AS BIGINT) AS n1,
+           round(k.psi_n / 1e9, 6) AS psi_cell,
+           round(s.psi_total_n / 1e9, 6) AS psi_total
+    FROM k CROSS JOIN s
+    ORDER BY k.bx, k.by
+    """,
+)
+def q_raster_drift(spark, sf_dir):
+    """2-D distribution drift between the two shipping periods on the
+    (price, discount) canvas: per-cell PSI contributions with
+    Laplace-smoothed cell shares (smoothing keeps cells that exist in
+    only one period finite — those ARE the drift) — the raster
+    family's answer to 'did the 2-D shape move', where q_psi watches
+    one dimension and eyeballing two heatmaps doesn't quantify.
+
+    Exactness: cell counts are integers on the same fixed 16x16
+    binning both engines compute; each cell's (p1-p0)*ln(p1/p0) term
+    nano-rounds before the sum.  Scale: the shuffle is bounded by the
+    canvas (<= 2*16*16 keys) exactly like every raster; the period
+    totals join broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bx = F.least(
+        F.greatest(
+            F.floor(
+                (F.col("l_extendedprice") - 900.0) / ((105000.0 - 900.0) / 16)
+            ).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(15),
+    )
+    by = F.least(
+        F.greatest(
+            F.floor(F.col("l_discount") / (0.11 / 16)).cast("int"), F.lit(0)
+        ),
+        F.lit(15),
+    )
+    s = li.select(
+        F.when(
+            F.col("l_shipdate").cast("date") < F.lit("1998-07-01"), 0
+        ).otherwise(1).alias("period"),
+        bx.alias("bx"), by.alias("by"),
+    )
+    c = s.groupBy("period", "bx", "by").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("period").agg(F.sum("n").alias("tot"))
+    a = c.filter(F.col("period") == 0).select(
+        "bx", "by", F.col("n").alias("n0")
+    )
+    b = c.filter(F.col("period") == 1).select(
+        F.col("bx").alias("bx1"), F.col("by").alias("by1"),
+        F.col("n").alias("n1"),
+    )
+    t0 = t.filter(F.col("period") == 0).select(F.col("tot").alias("tot0"))
+    t1 = t.filter(F.col("period") == 1).select(F.col("tot").alias("tot1"))
+    j = (
+        a.join(
+            b,
+            (F.col("bx") == F.col("bx1")) & (F.col("by") == F.col("by1")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("bx", "bx1").alias("bx"),
+            F.coalesce("by", "by1").alias("by"),
+            F.coalesce("n0", F.lit(0)).alias("n0"),
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+        )
+        .crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+    )
+    cc = F.col
+    p0 = (cc("n0") + 0.5) / (cc("tot0") + 128.0)
+    p1 = (cc("n1") + 0.5) / (cc("tot1") + 128.0)
+    k = j.select(
+        "bx", "by", "n0", "n1",
+        F.round((p1 - p0) * F.log(p1 / p0) * F.lit(1e9))
+        .cast("long").alias("psi_n"),
+    )
+    tot = k.agg(F.sum("psi_n").alias("psi_total_n"))
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "bx", "by",
+            cc("n0").cast("long").alias("n0"),
+            cc("n1").cast("long").alias("n1"),
+            F.round(cc("psi_n") / 1e9, 6).alias("psi_cell"),
+            F.round(cc("psi_total_n") / 1e9, 6).alias("psi_total"),
+        )
+        .orderBy("bx", "by")
     )

