@@ -226,13 +226,53 @@ _NEW_R6_SESSION = [
 ]
 
 
+#: round-7 front of the check queue (VERDICT r6 "Next round" #1): the
+#: 65 queries with no driver CORRECTNESS row in any of r01–r06
+#: (= set(registry) − union of the six JSON records; the judge's own
+#: full-gate run covered all 65 green in r6, but the driver record is
+#: the hard signal).  Ordered: queries whose CODE changes this round
+#: (skyline diet, graph degree caps, ADVICE crash guards) first so the
+#: fixes re-earn rows, then the rest alphabetically.  65 > the ~50
+#: sample, so the residue fronts round 8 and registry growth stays
+#: frozen at ≤15 new names this round.
+_NEVER_CHECKED_R6 = [
+    # touched in r7 (weak-list diets + ADVICE guards) — must re-earn:
+    "q_skyline", "q_modularity", "q_assortativity", "q_motif", "q_dtw",
+    # the remaining 60, alphabetical:
+    "q_abc_analysis", "q_adaboost_stumps", "q_als", "q_ams_f2",
+    "q_ams_join", "q_apriori", "q_bh_fdr", "q_burst_hmm",
+    "q_changepoint", "q_conformal", "q_corr_matrix", "q_dedup_eval",
+    "q_dp_count", "q_dp_mean", "q_embedding_coverage", "q_entropy_rate",
+    "q_fd_discovery", "q_forecast_backtest", "q_friedman",
+    "q_funnel_windowed", "q_granger", "q_grid_dbscan", "q_heavy_change",
+    "q_holt", "q_hurst", "q_ivm_agg", "q_ivm_distinct", "q_ivm_join",
+    "q_kendall", "q_kn_lm", "q_knn_eval", "q_ldiversity",
+    "q_mann_kendall", "q_map_eval", "q_markov_attribution", "q_mmd",
+    "q_moments", "q_path_analysis", "q_power_analysis", "q_pr_auc",
+    "q_price_index", "q_propensity_match", "q_raster_drift",
+    "q_rrf_fusion", "q_runs_test", "q_sax", "q_seq_patterns",
+    "q_shapley_attribution", "q_silhouette", "q_slice_finder",
+    "q_small_qty_revenue", "q_srm", "q_stl_decompose", "q_tcloseness",
+    "q_texttiling", "q_time_to_convert", "q_tokenizer_fertility",
+    "q_weighted_median", "q_wilcoxon", "q_xcorr",
+]
+
+#: already-sampled queries whose implementation changes in round 7
+#: (q_ngram_jaccard prefix-filter routing, q_ewma bounded grain) — they
+#: re-queue right after the never-checked block to re-earn rows.
+_R07_TOUCHED = [
+    "q_ngram_jaccard", "q_ewma",
+]
+
+
 def _check_order(names: list[str]) -> list[str]:
-    """Driver-check order for round 6: changed-this-round first, then
-    the never-driver-checked r5 backlog, then the round-6 session
-    additions (plus any unlisted brand-new queries), then the proven
-    r05→r01 blocks (already driver-green, rotate to the back)."""
+    """Driver-check order for round 7: the 65-query never-sampled
+    backlog first (VERDICT r6 #1), then this round's re-touched and
+    brand-new queries, then the proven r06→r01 blocks (already
+    driver-green, rotate to the back)."""
     known = (
-        set(_R06_TOUCHED) | set(_NEVER_CHECKED_R5) | set(_R05_FRONT)
+        set(_NEVER_CHECKED_R6) | set(_R07_TOUCHED)
+        | set(_R06_TOUCHED) | set(_NEVER_CHECKED_R5) | set(_R05_FRONT)
         | set(_NEW_R6_SESSION)
         | set(_NEVER_CHECKED_R3) | set(_R04_TOUCHED)
         | set(_R23_DRIVER_GREEN) | set(_R02_RED) | set(_R02_PRIORITY)
@@ -240,7 +280,8 @@ def _check_order(names: list[str]) -> list[str]:
     )
     new = [n for n in names if n not in known]
     blocks = [
-        _R06_TOUCHED, _NEVER_CHECKED_R5, _NEW_R6_SESSION, new,
+        _NEVER_CHECKED_R6, _R07_TOUCHED, new,
+        _R06_TOUCHED, _NEVER_CHECKED_R5, _NEW_R6_SESSION,
         _R05_FRONT,
         _NEVER_CHECKED_R3, _R04_TOUCHED, _R23_DRIVER_GREEN, _R02_RED,
         _R02_PRIORITY, _DEFERRED, _R01_DRIVER_GREEN,
