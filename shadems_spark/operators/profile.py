@@ -121,19 +121,27 @@ def _offsets_row(counts: DataFrame, srcs: list[str]) -> DataFrame:
     row = counts.agg(pn.alias("__pn"))
     outs = []
     for s in srcs:
+        # Null map on EMPTY input: with zero buckets ``__pn`` is [],
+        # F.sequence(1, 0) auto-descends and element_at(.., 0) errors
+        # (ADVICE r6).  CaseWhen is lazily evaluated, so the guarded
+        # branch never runs on the empty row — and no data row exists
+        # to look the null map up, so downstream stays empty-correct.
         outs.append(
-            F.map_from_entries(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__pn")),
-                    lambda i: F.struct(
-                        F.element_at("__pn", i)["__b"].alias("k"),
-                        F.aggregate(
-                            F.slice("__pn", F.lit(1), i - 1),
-                            F.lit(0).cast("long"),
-                            lambda a, x: a + x[s],
-                        ).alias("v"),
-                    ),
-                )
+            F.when(
+                F.size("__pn") > 0,
+                F.map_from_entries(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__pn")),
+                        lambda i: F.struct(
+                            F.element_at("__pn", i)["__b"].alias("k"),
+                            F.aggregate(
+                                F.slice("__pn", F.lit(1), i - 1),
+                                F.lit(0).cast("long"),
+                                lambda a, x: a + x[s],
+                            ).alias("v"),
+                        ),
+                    )
+                ),
             ).alias(f"__offmap_{s}")
         )
         outs.append(
@@ -172,11 +180,19 @@ def _resolve_nparts(df: DataFrame, n_parts: int | None) -> int:
 
 def _cuts_row(df: DataFrame, key: Column, n_parts: int, desc: bool) -> DataFrame:
     """Deterministic, LAYOUT-INDEPENDENT bucket cutpoints as a 1-row
-    broadcastable frame (column ``__cuts``): a value-hash-ordered
-    sample of the bucket key (TakeOrderedAndProject — one pass, no
-    full sort), evenly strided into <= n_parts - 1 distinct cuts in
-    sort direction.  Stays IN PLAN (no driver action: builders remain
-    lazy and the sample rides one broadcast stage).
+    broadcastable frame (column ``__cuts``): a hash-uniform sample of
+    the key's DISTINCT values, evenly strided into <= n_parts - 1
+    distinct cuts in sort direction.  Stays IN PLAN (no driver action:
+    builders remain lazy and the sample rides one broadcast stage).
+
+    Sampling shape (ADVICE r6 skew fix): distinct values hash-bucket
+    into ``n_sample`` groups (pmod(xxhash64, n_sample)) and each group
+    keeps its min-(hash, value) representative via a struct-min
+    aggregate.  The representative set is a pure function of the
+    distinct-value SET — duplicate frequencies cannot collapse the
+    sample, so a 99%-one-value key still yields ~min(D, n_sample)
+    spread-out cuts.  Map-side combine bounds the exchange at
+    n_sample rows per input partition; one scan, no sort.
 
     Why not repartitionByRange: RangePartitioner seeds its sampler
     from the runtime RDD id, so two physical instantiations of the
@@ -185,7 +201,7 @@ def _cuts_row(df: DataFrame, key: Column, n_parts: int, desc: bool) -> DataFrame
     totals branch non-identical, defeating ReuseExchange.  The r6
     local[3] full gate caught exactly that: q_mannwhitney's offsets
     were computed under one boundary set and applied under another
-    (nondeterministic rank sums).  Hash-ordered VALUE sampling makes
+    (nondeterministic rank sums).  Hash-derived VALUE sampling makes
     the cuts a pure function of the data, so every plan branch —
     however many times the planner instantiates it — assigns
     identical buckets by construction."""
@@ -193,8 +209,13 @@ def _cuts_row(df: DataFrame, key: Column, n_parts: int, desc: bool) -> DataFrame
     samp = (
         df.select(key.alias("__k"))
         .filter(F.col("__k").isNotNull())
-        .orderBy(F.xxhash64(F.col("__k").cast("string")), F.col("__k"))
-        .limit(n_sample)
+        .withColumn("__h", F.xxhash64(F.col("__k").cast("string")))
+        .groupBy(F.pmod("__h", F.lit(n_sample)).alias("__hb"))
+        .agg(
+            F.min(F.struct(F.col("__h").alias("h"), F.col("__k").alias("k")))[
+                "k"
+            ].alias("__k")
+        )
         .agg(
             F.array_distinct(
                 F.sort_array(F.collect_list("__k"), asc=not desc)
@@ -497,18 +518,22 @@ def _offsets_row_max(maxima: DataFrame, src: str) -> DataFrame:
         F.collect_list(F.struct(F.col("__b"), F.col(src)))
     )
     row = maxima.agg(pn.alias("__pn"))
-    offmap = F.map_from_entries(
-        F.transform(
-            F.sequence(F.lit(1), F.size("__pn")),
-            lambda i: F.struct(
-                F.element_at("__pn", i)["__b"].alias("k"),
-                F.aggregate(
-                    F.slice("__pn", F.lit(1), i - 1),
-                    F.lit(None).cast("long"),
-                    lambda a, x: F.greatest(a, x[src]),
-                ).alias("v"),
-            ),
-        )
+    # Same empty-input guard as _offsets_row (ADVICE r6).
+    offmap = F.when(
+        F.size("__pn") > 0,
+        F.map_from_entries(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__pn")),
+                lambda i: F.struct(
+                    F.element_at("__pn", i)["__b"].alias("k"),
+                    F.aggregate(
+                        F.slice("__pn", F.lit(1), i - 1),
+                        F.lit(None).cast("long"),
+                        lambda a, x: F.greatest(a, x[src]),
+                    ).alias("v"),
+                ),
+            )
+        ),
     )
     return row.select(offmap.alias(f"__offmap_{src}"))
 

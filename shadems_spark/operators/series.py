@@ -35,6 +35,7 @@ def dtw_fold(va: Column | str, vb: Column | str) -> Column:
     vb = F.col(vb) if isinstance(vb, str) else vb
     inf = F.lit(DTW_INF).cast("long")
     m = F.size(vb)
+    n = F.size(va)
     init_row = F.transform(
         F.sequence(F.lit(0), m),
         lambda j: F.when(j == 0, F.lit(0).cast("long")).otherwise(inf),
@@ -58,4 +59,8 @@ def dtw_fold(va: Column | str, vb: Column | str) -> Column:
             ),
         ),
     )
-    return F.element_at(dp, m + 1)
+    # Empty-series guard (ADVICE r6): with |vb| = 0 the inner
+    # F.sequence(1, 0) auto-descends to j = 0 and element_at(vb, 0)
+    # always errors.  DTW against an empty series is undefined —
+    # return NULL (CaseWhen evaluates lazily, so the fold never runs).
+    return F.when((n > 0) & (m > 0), F.element_at(dp, m + 1))

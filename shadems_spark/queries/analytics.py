@@ -5532,7 +5532,12 @@ def q_motif(spark, sf_dir):
         F.sort_array(F.collect_list("day")).alias("days"),
         F.count(F.lit(1)).alias("n"),
     )
-    w = a.select(
+    # Types with fewer than 7 days can host no window: the oracle's
+    # range(1, n-5) is empty for them, but Spark's F.sequence(1, n-6)
+    # would auto-DESCEND (e.g. [1, 0]) and F.slice(..., 0, 7) raises
+    # "SQL array indices start at 1" at runtime (ADVICE r6).  Filter
+    # them out before exploding so both engines drop the same types.
+    w = a.filter(F.col("n") >= 7).select(
         "event_type", "days",
         F.explode(
             F.transform(

@@ -792,7 +792,11 @@ def stream_ams(
             h = F.lit(a)
             for coef in (b, c, d):
                 h = (h * u + F.lit(coef)) % F.lit(p)
-            aggs.append(F.sum(1 - 2 * (h % 2)).alias(f"y{r}"))
+            # coalesce: F.sum over an EMPTY micro-batch is NULL, and
+            # int(None) below would kill the streaming query (ADVICE r6).
+            aggs.append(
+                F.coalesce(F.sum(1 - 2 * (h % 2)), F.lit(0)).alias(f"y{r}")
+            )
         delta = batch_df.agg(*aggs).first()
         prev = {f"y{r}": 0 for r in range(16)}
         prev["n_rows"] = 0
