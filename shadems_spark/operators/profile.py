@@ -538,6 +538,43 @@ def _offsets_row_max(maxima: DataFrame, src: str) -> DataFrame:
     return row.select(offmap.alias(f"__offmap_{src}"))
 
 
+def prefix_max_prune(
+    df: DataFrame,
+    key: str,
+    src: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Broadcast-only dominance PRE-PRUNE for the skyline/staircase
+    family (VERDICT r6 #2): drop every row whose ``src`` (long) is
+    <= the max of ``src`` over all rows in strictly-earlier value-cut
+    buckets of ``key`` — such a row is dominated by a point with a
+    strictly smaller key and at-least-equal measure, so it cannot be
+    on the Pareto front.
+
+    Shuffle shape: bucket ids are broadcast-cut expressions (no data
+    exchange), the per-bucket maxima aggregate map-side-combines to
+    <= n_parts rows per input partition, and the prefix-max map rides
+    ONE broadcast row back onto the scan — the corpus itself is never
+    shuffled.  Survivors are roughly the bucket-level staircase
+    (points above the running max of everything cheaper), so the
+    exact downstream pass sees candidates, not data.
+
+    Lossless by induction: a pruned row y is dominated by the
+    earlier-bucket max point z_1; if z_1 is itself pruned it is
+    dominated by a strictly-earlier z_2 with measure >= z_1's, and so
+    on down to bucket 0 whose points are never pruned — so every
+    pruned row is dominated by a SURVIVOR and the survivor set's
+    skyline equals the true skyline."""
+    parts = _bucketed(df, [key], n_parts, None, False)
+    maxima = parts.groupBy("__b").agg(F.max(src).cast("long").alias("__m"))
+    prior = F.element_at("__offmap___m", F.col("__b"))
+    return (
+        parts.crossJoin(F.broadcast(_offsets_row_max(maxima, "__m")))
+        .filter(prior.isNull() | (F.col(src) > prior))
+        .drop("__b", "__offmap___m")
+    )
+
+
 def global_cummax(
     df: DataFrame,
     order: list,

@@ -59,14 +59,17 @@ def test_cosine_topk_broadcasts_queries(spark):
 
 
 def test_ngram_jaccard_persisted_single_scan(spark):
-    """M2 exact verify metric: the gram table is built ONCE (persisted)
-    and feeds all four consumers — both self-join sides and both size
-    lookups read the cache, and the size joins stay broadcast.  Pin per
-    VERDICT r03 'What's wrong' #2 (bench outlier, code unchanged)."""
+    """M2 exact verify metric, prefix-filter route (VERDICT r6 #3):
+    the df-ordered shingle table is built ONCE (persisted) and feeds
+    all four consumers — both prefix-explode join sides and both
+    full-set verify sides read the cache; candidates are deduped
+    through a (doc_a, doc_b) aggregate before verification; no
+    cartesian anywhere."""
     p = _plan(spark, "q_ngram_jaccard")
     assert p.count("InMemoryTableScan") == 4
     assert "CartesianProduct" not in p
-    assert p.count("BroadcastHashJoin") >= 2  # size lookups broadcast
+    assert p.count("BroadcastHashJoin") >= 2  # verify-side joins broadcast
+    assert "slice(ws" in p  # the prefix filter is actually in the plan
 
 
 def test_topk_is_limit_pushed(spark):
@@ -690,6 +693,27 @@ def test_no_unbounded_global_windows_full_registry(spark):
             bad.append(q)
     extra = set(bad) - set(_BOUNDED_GLOBAL_WINDOWS)
     assert not extra, f"undocumented single-partition windows: {sorted(extra)}"
+
+
+def test_no_trivially_true_join_conjunct_full_registry(spark):
+    """Full-registry guardrail (VERDICT r6 'What's wrong' #1): no
+    query may analyze to a predicate comparing an attribute to ITSELF
+    (`x#5 = x#5`) — the signature of a self-derived join whose two
+    sides resolved to one attribute.  Such a conjunct does nothing,
+    and if the other conjunct is ever dropped the join silently
+    becomes a partial cross product.  Fix at the source: rename the
+    derived side through fresh column names (_daily_grid's __et
+    pattern) so every conjunct binds distinct attributes."""
+    import re
+
+    pat = re.compile(r"\((\w+#\d+) = (\w+#\d+)\)")
+    reg = load_registry()
+    bad = []
+    for q, (fn, _) in reg.items():
+        plan = fn(spark, SF)._jdf.queryExecution().analyzed().toString()
+        if any(a == b for a, b in pat.findall(plan)):
+            bad.append(q)
+    assert not bad, f"self-equal join conjunct in: {bad}"
 
 
 def test_no_cartesian_product_full_registry(spark):
