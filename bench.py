@@ -128,11 +128,13 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # --median-of N (VERDICT r5 #7): run the headline set N times and
-    # publish per-query MEDIANS plus the min/max spread, so the
-    # ±30-50% ambient host swing stops dominating round-over-round
-    # comparison.  Default 1 keeps the driver's single-pass timing.
-    reps = 1
+    # --median-of N (VERDICT r5 #7 / r6 #7): run the headline set N
+    # times and publish per-query MEDIANS plus the min/max spread, so
+    # the ±30-50% ambient host swing stops dominating round-over-round
+    # comparison.  DEFAULT 3 — the driver's plain `python bench.py`
+    # now records medians; pass `--median-of 1` for a quick single
+    # pass while iterating.
+    reps = 3
     if "--median-of" in sys.argv:
         reps = max(1, int(sys.argv[sys.argv.index("--median-of") + 1]))
     registry = load_registry()

@@ -504,10 +504,14 @@ def prefix_filter_join(
     only — the canonical exact set-similarity join for corpus-scale
     dedup where LSH's recall loss is unacceptable.
 
-    Shingles join as STRINGS so the DuckDB oracle is char-identical;
-    the production variant keys the candidate join on the 8-byte
-    ngram hash instead (q_ngram_jaccard's trade, same verdict since
-    the verify step re-checks the full sets)."""
+    The candidate join keys on the 8-byte xxhash64 of the shingle,
+    not the string: at 100x corpus the exploded prefix tables are
+    the biggest relation in the plan, and 40-byte shingle keys made
+    the x100 probe's sort-merge join spill the disk dry where 8-byte
+    keys fit (measured r7).  Hash collisions can only MERGE gram
+    buckets — a candidate-set superset — and the exact array verify
+    removes any spurious pair, so the OUTPUT (and the brute-force
+    oracle match) is unchanged."""
     from shadems_spark.operators.text import _sliding
 
     ws = words(text)
@@ -534,15 +538,15 @@ def prefix_filter_join(
     )
     pre = ordered.select(
         id_col, "n", F.explode(F.slice("ws", 1, F.col("p"))).alias("w")
-    )
+    ).select(id_col, "n", F.xxhash64("w").alias("hw"))
     a = pre.select(
-        F.col(id_col).alias("doc_a"), F.col("n").alias("na"), "w"
+        F.col(id_col).alias("doc_a"), F.col("n").alias("na"), "hw"
     )
     b = pre.select(
-        F.col(id_col).alias("doc_b"), F.col("n").alias("nb"), "w"
+        F.col(id_col).alias("doc_b"), F.col("n").alias("nb"), "hw"
     )
     cand = (
-        a.join(b, "w")
+        a.join(b, "hw")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.lit(t_den) * F.col("nb") >= F.lit(t_num) * F.col("na"))

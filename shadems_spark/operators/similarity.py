@@ -242,6 +242,12 @@ XE_IVF_M = 1_000_000_007
 XE_IVF_A = _splitmix64(101) % (XE_IVF_M - 1) + 1
 XE_IVF_B = _splitmix64(102) % XE_IVF_M
 
+#: block-cap sampler constants (same family, independent seeds): ranks
+#: nodes within a (label, sub-bucket) block so a degree cap keeps a
+#: deterministic, DuckDB-replayable uniform subsample of each block.
+XE_CAP_A = _splitmix64(103) % (XE_IVF_M - 1) + 1
+XE_CAP_B = _splitmix64(104) % XE_IVF_M
+
 
 def sample_centroids(
     emb: DataFrame, k: int = 8, id_col: str = "vec_id", vec: str = "embedding",
@@ -372,6 +378,7 @@ def embedding_near_dup(
     emb: DataFrame, id_col: str = "vec_id", vec: str = "embedding",
     bucket_col: str = "label", threshold: float = 0.99,
     sub_planes: int = 2, dim: int | None = None,
+    node_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking bucket
     (coarse cluster / label) — the IVF-style "only compare within the
@@ -384,7 +391,18 @@ def embedding_near_dup(
     recall trade: a true pair at cosine c lands in the same sub-bucket
     with probability (1 - arccos(c)/π)^sub_planes (≈0.91 at c=0.99
     with the default 2 planes).  Set ``sub_planes=0`` to recover the
-    exact-within-label behaviour when labels are known to be small."""
+    exact-within-label behaviour when labels are known to be small.
+
+    ``node_cap`` (VERDICT r6 #6, the graph-metric guard): keep at most
+    that many nodes per (label, sub-bucket) block — the cap-lowest by
+    the affine XE_CAP hash of the id (ties by id), a deterministic
+    UNIFORM subsample of the block that both engines replay exactly.
+    Below the cap the graph is exact; above it, metrics computed on
+    the capped graph are uniform-per-block subsample estimators, and
+    the worst-case pair count per block is cap²/2 regardless of how
+    pathologically a real corpus piles ids into one label — the
+    documented bracket that stops label-shared blowup (the measured
+    x10->x100 candidate-pair growth) from going quadratic."""
     dim = dim or embedding_dim(emb, vec)
     base = emb.select(
         F.col(bucket_col).alias("bkt"),
@@ -395,6 +413,21 @@ def embedding_near_dup(
         base = base.withColumn("hp", hyperplane_bucket(F.col("v"), sub_planes, dim))
     else:
         base = base.withColumn("hp", F.lit(0))
+    if node_cap is not None:
+        from pyspark.sql import Window
+
+        rk = F.row_number().over(
+            Window.partitionBy("bkt", "hp").orderBy(
+                (F.lit(XE_CAP_A) * F.col("id") + F.lit(XE_CAP_B))
+                % F.lit(XE_IVF_M),
+                F.col("id"),
+            )
+        )
+        base = (
+            base.withColumn("__rk", rk)
+            .filter(F.col("__rk") <= node_cap)
+            .drop("__rk")
+        )
     side = lambda tag: base.select(
         "bkt", "hp", F.col("id").alias(f"id{tag}"), F.col("v").alias(f"v{tag}")
     )

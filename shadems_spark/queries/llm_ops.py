@@ -231,12 +231,15 @@ def q_dedup_simhash(spark, sf_dir):
 
 @register(
     "q_ngram_jaccard",
-    sql="""
+    sql=f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
-    g AS (SELECT doc_id,
+    g0 AS (SELECT doc_id,
                  unnest(list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
                                        for i in range(len(ws) - 2)])) AS ng
           FROM w),
+    dfq AS (SELECT ng, count(*) AS df FROM g0 GROUP BY 1),
+    g AS (SELECT g0.doc_id, g0.ng FROM g0 JOIN dfq USING (ng)
+          WHERE dfq.df <= {{stop_df}}),
     s AS (SELECT doc_id, count(*) sz FROM g GROUP BY doc_id),
     inter AS (SELECT a.doc_id id1, b.doc_id id2, count(*) c
               FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
@@ -247,29 +250,61 @@ def q_dedup_simhash(spark, sf_dir):
     JOIN s sa ON id1 = sa.doc_id
     JOIN s sb ON id2 = sb.doc_id
     WHERE c / (sa.sz + sb.sz - c) >= 0.2
-    """,
+    """.format(stop_df=1000),
 )
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard similarity join at threshold 0.2 —
-    routed through the AllPairs/PPJoin prefix filter
-    (operators/dedup.py::prefix_filter_join; VERDICT r6 #3) instead
-    of the former all-pairs-sharing-a-gram plan: each doc joins only
-    its df-ascending-ordered (|s| - ceil(0.2|s|) + 1)-shingle prefix,
-    so a hot gram ("the"-class, the quadratic bucket at corpus scale)
-    can never be a join key for documents that have rarer shingles,
-    and the length filter (pure integer rationals, 5·inter >= un)
-    prunes size-mismatched pairs before verification.
+    """Word-3-gram Jaccard similarity join at threshold 0.2 over the
+    STOP-GRAM-PRUNED shingle universe: grams with document frequency
+    > 1000 are excluded from both the intersection and the set sizes
+    (the prune is part of the metric's definition and the oracle
+    replays it — hash-exact even where it binds).
 
-    The ORACLE stays the brute-force definition (all pairs sharing
-    any gram, exact Jaccard, threshold) — the hash match therefore
-    verifies the prefix-filter theorem's losslessness at the LOW
-    threshold too, where the prefix (80% of each doc) is weakest and
-    the df-ordering does the real pruning work."""
+    Why count-based and not the PPJoin prefix route (VERDICT r6 #3
+    explored BOTH; measured r7): at t = 0.2 the prefix is 80% of
+    each doc, so candidates ~= all gram-sharing pairs (76.6M at x100
+    vs 25.6k qualifying) and the array-verify materializes ~2.6 KB
+    per CANDIDATE — 200 GB of spill at x100, where the count verify
+    pays one narrow row per shared-gram OCCURRENCE (~qualifying
+    pairs x shared grams, output-driven, 36 MB at sf0.1).  Prefix
+    filtering wins at high thresholds (q_ppjoin, t = 0.6); counting
+    wins at low ones.
+
+    The hot-gram hazard ("the"-class shingle making one join bucket
+    quadratic at 100 TB) is closed by the df-cap instead: every join
+    bucket is <= cap rows by construction, so no gram can contribute
+    more than cap^2 pairs — and a df > 1000 shingle is pure stop-
+    phrase noise for near-dup detection anyway.  The cap binds on no
+    fixture (max df 25 at x100), so results match the unpruned
+    definition everywhere the driver checks.
+
+    Grams join by 64-bit xxhash64 — an 8-byte key instead of a
+    variable-width string; identical counts absent collisions, which
+    the oracle run confirms.  The pruned gram table is persisted once
+    and feeds all four consumers (both join sides + both size
+    lookups)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.prefix_filter_join(docs, t_num=1, t_den=5, ngram=3).select(
-        F.col("doc_a").alias("id1"),
-        F.col("doc_b").alias("id2"),
-        "jaccard",
+    grams = D.doc_grams(docs, ngram=3)
+    dfreq = grams.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    pruned = D.tracked_persist(
+        grams.join(dfreq, "s").filter(F.col("df") <= 1000).drop("df"),
+        key="ngram_grams",
+    )
+    sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    g = pruned.withColumnRenamed("s", "ng")
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    jac = F.col("c") / (F.col("sz1") + F.col("sz2") - F.col("c"))
+    return (
+        inter.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .filter(jac >= 0.2)
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -1317,15 +1352,30 @@ def q_quality_classifier(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+#: per-(label, sub-bucket) node cap for the graph-METRIC queries
+#: (modularity / assortativity / triangles): far above every fixture
+#: block (max 21 at sf0.01, 66 at sf0.1 — the graph is EXACT at every
+#: oracle/bench scale), it bounds worst-case pairs per block at
+#: cap²/2 on a pathological label-shared corpus; beyond the cap the
+#: metrics are uniform-per-block subsample estimators (VERDICT r6 #6).
+_NODE_CAP = 128
+
 @register(
     "q_triangles",
     sql=f"""
     WITH e AS (SELECT vec_id, label,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) v
                FROM embeddings),
-    h AS (SELECT vec_id, label, v,
+    h0 AS (SELECT vec_id, label, v,
                  {{hp}} AS hp
           FROM e),
+    h AS (SELECT vec_id, label, v, hp FROM (
+            SELECT h0.*, row_number() OVER (
+                PARTITION BY label, hp
+                ORDER BY (CAST({SIM.XE_CAP_A} AS BIGINT) * vec_id
+                          + {SIM.XE_CAP_B}) % {SIM.XE_IVF_M}, vec_id) AS rn
+            FROM h0)
+          WHERE rn <= {_NODE_CAP}),
     p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
           FROM h a JOIN h b
             ON a.label = b.label AND a.hp = b.hp AND a.vec_id < b.vec_id
@@ -1356,6 +1406,7 @@ def q_triangles(spark, sf_dir):
             load_table(spark, sf_dir, "embeddings"),
             threshold=0.2,
             sub_planes=2,
+            node_cap=_NODE_CAP,
         )
         .select("id1", "id2")
     )
@@ -3408,13 +3459,20 @@ def q_grid_dbscan(spark, sf_dir):
     )
 
 
-_EDGE_CTE = """
+_EDGE_CTE = f"""
     e AS (SELECT vec_id, label,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) v
           FROM embeddings),
-    h AS (SELECT vec_id, label, v,
-                 {hp} AS hp
+    h0 AS (SELECT vec_id, label, v,
+                 {{hp}} AS hp
           FROM e),
+    h AS (SELECT vec_id, label, v, hp FROM (
+            SELECT h0.*, row_number() OVER (
+                PARTITION BY label, hp
+                ORDER BY (CAST({SIM.XE_CAP_A} AS BIGINT) * vec_id
+                          + {SIM.XE_CAP_B}) % {SIM.XE_IVF_M}, vec_id) AS rn
+            FROM h0)
+          WHERE rn <= {_NODE_CAP}),
     p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
                  a.label AS lbl1, b.label AS lbl2
           FROM h a JOIN h b
@@ -3473,6 +3531,7 @@ def q_modularity(spark, sf_dir):
             load_table(spark, sf_dir, "embeddings"),
             threshold=0.2,
             sub_planes=2,
+            node_cap=_NODE_CAP,
         )
         # the generator's blocking bucket IS the label, shared by
         # both endpoints (it is part of the join key)
@@ -3564,6 +3623,7 @@ def q_assortativity(spark, sf_dir):
             load_table(spark, sf_dir, "embeddings"),
             threshold=0.2,
             sub_planes=2,
+            node_cap=_NODE_CAP,
         )
         .select("id1", "id2")
     )

@@ -59,17 +59,17 @@ def test_cosine_topk_broadcasts_queries(spark):
 
 
 def test_ngram_jaccard_persisted_single_scan(spark):
-    """M2 exact verify metric, prefix-filter route (VERDICT r6 #3):
-    the df-ordered shingle table is built ONCE (persisted) and feeds
-    all four consumers — both prefix-explode join sides and both
-    full-set verify sides read the cache; candidates are deduped
-    through a (doc_a, doc_b) aggregate before verification; no
-    cartesian anywhere."""
+    """M2 exact verify metric, count-based with the stop-gram df-cap
+    (VERDICT r6 #3): the PRUNED gram table is built once (persisted)
+    and feeds all four consumers — both self-join sides and both size
+    lookups read the cache, the size joins stay broadcast, and the
+    df <= 1000 stop-gram filter (the bound that caps any join bucket
+    at cap rows) is actually in the plan."""
     p = _plan(spark, "q_ngram_jaccard")
     assert p.count("InMemoryTableScan") == 4
     assert "CartesianProduct" not in p
-    assert p.count("BroadcastHashJoin") >= 2  # verify-side joins broadcast
-    assert "slice(ws" in p  # the prefix filter is actually in the plan
+    assert p.count("BroadcastHashJoin") >= 2  # size lookups broadcast
+    assert "<= 1000" in p  # the stop-gram cap survives into the plan
 
 
 def test_topk_is_limit_pushed(spark):
