@@ -122,6 +122,13 @@ HEADLINE = [
     "q_burst_hmm",
     "q_abc_analysis",
     "q_price_index",
+    # round-7 additions: the Lorenz decile curve (two-phase
+    # global_ntile family) and the integer-LLR SPRT monitor (calendar
+    # window family) represent the 8-query statistics batch; the
+    # other six are 1-row/k-row closed forms too cheap to move the
+    # wall (q_welch/q_tost share one conditional aggregate).
+    "q_lorenz",
+    "q_sprt",
 ]
 
 

@@ -264,6 +264,15 @@ _R07_TOUCHED = [
     "q_ngram_jaccard", "q_ewma",
 ]
 
+#: round-7 session additions (8 names, well under the <= 15 freeze
+#: from VERDICT r6 #1; all hash-exact on first registration).  They
+#: queue BEHIND the never-checked backlog: r7's ~50-sample drains the
+#: backlog head, r8 covers the residue plus these.
+_NEW_R7_SESSION = [
+    "q_welch", "q_tost", "q_levene", "q_mad",
+    "q_simpson", "q_lorenz", "q_sprt", "q_page_hinkley",
+]
+
 
 def _check_order(names: list[str]) -> list[str]:
     """Driver-check order for round 7: the 65-query never-sampled
@@ -271,7 +280,7 @@ def _check_order(names: list[str]) -> list[str]:
     brand-new queries, then the proven r06→r01 blocks (already
     driver-green, rotate to the back)."""
     known = (
-        set(_NEVER_CHECKED_R6) | set(_R07_TOUCHED)
+        set(_NEVER_CHECKED_R6) | set(_R07_TOUCHED) | set(_NEW_R7_SESSION)
         | set(_R06_TOUCHED) | set(_NEVER_CHECKED_R5) | set(_R05_FRONT)
         | set(_NEW_R6_SESSION)
         | set(_NEVER_CHECKED_R3) | set(_R04_TOUCHED)
@@ -280,7 +289,7 @@ def _check_order(names: list[str]) -> list[str]:
     )
     new = [n for n in names if n not in known]
     blocks = [
-        _NEVER_CHECKED_R6, _R07_TOUCHED, new,
+        _NEVER_CHECKED_R6, _R07_TOUCHED, _NEW_R7_SESSION, new,
         _R06_TOUCHED, _NEVER_CHECKED_R5, _NEW_R6_SESSION,
         _R05_FRONT,
         _NEVER_CHECKED_R3, _R04_TOUCHED, _R23_DRIVER_GREEN, _R02_RED,

@@ -8517,3 +8517,661 @@ def q_raster_drift(spark, sf_dir):
         )
         .orderBy("bx", "by")
     )
+
+
+# ------------------------------------------------------------------ round 7
+# Experimentation/statistics classics the registry lacked: Welch and
+# TOST on the purchase/non-purchase split, mean-based Levene, per-type
+# MAD, a Simpson-reversal audit, the Lorenz concentration curve, and
+# the two sequential monitors (SPRT, Page-Hinkley) over the calendar
+# grid.  All follow the nano/milli-int exactness protocol and every
+# oracle replays the identical fixed float formulas.
+
+
+def _as_p_col(z):
+    """Two-sided normal p-value 1 - erf(|z|/sqrt(2)) via the same
+    Abramowitz-Stegun 7.1.26 polynomial _as_p_sql replays in DuckDB
+    (the q_bh_fdr machinery, shared): identical literals, identical
+    operation order, rounded 9dp on both engines."""
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    poly = None
+    tp = t
+    for a in _AS_A:
+        term = F.lit(a) * tp
+        poly = term if poly is None else poly + term
+        tp = tp * t
+    return F.round(poly * F.exp(-(x * x)), 9)
+
+
+def _welch_stats(ev):
+    """One-pass conditional aggregate of the purchase vs non-purchase
+    value split: milli-int sums (the q_bh_fdr protocol) so the six
+    sufficient statistics are summation-order-free integers."""
+    vm = F.round(F.coalesce("value", F.lit(0)) * 1000).cast("long")
+    is1 = F.col("event_type") == "purchase"
+    return ev.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~is1, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(is1, vm).otherwise(F.lit(0))).cast("long").alias("s1"),
+        F.sum(F.when(~is1, vm).otherwise(F.lit(0))).cast("long").alias("s2"),
+        F.sum(F.when(is1, vm * vm).otherwise(F.lit(0))).cast("long").alias("q1"),
+        F.sum(F.when(~is1, vm * vm).otherwise(F.lit(0))).cast("long").alias("q2"),
+    )
+
+
+_WELCH_CTE = """
+    v AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp,
+                 CAST(round(coalesce(value, 0) * 1000) AS BIGINT) AS vm
+          FROM events),
+    w AS (SELECT
+            CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN grp = 1 THEN vm ELSE 0 END) AS BIGINT) AS s1,
+            CAST(sum(CASE WHEN grp = 0 THEN vm ELSE 0 END) AS BIGINT) AS s2,
+            CAST(sum(CASE WHEN grp = 1 THEN vm * vm ELSE 0 END) AS BIGINT) AS q1,
+            CAST(sum(CASE WHEN grp = 0 THEN vm * vm ELSE 0 END) AS BIGINT) AS q2
+          FROM v),
+    f AS (SELECT n1, n2,
+                 s1 / (n1 * 1000.0) AS m1, s2 / (n2 * 1000.0) AS m2,
+                 ((q1 - s1 * (s1 / CAST(n1 AS DOUBLE))) / (n1 - 1)) / 1e6 AS v1,
+                 ((q2 - s2 * (s2 / CAST(n2 AS DOUBLE))) / (n2 - 1)) / 1e6 AS v2
+          FROM w)
+"""
+
+
+@register(
+    "q_welch",
+    sql=f"""
+    WITH {_WELCH_CTE}
+    SELECT n1, n2,
+           round(m1 - m2, 6) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t,
+           round(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS df,
+           {_as_p_sql("((m1 - m2) / sqrt(v1 / n1 + v2 / n2))")} AS p
+    FROM f
+    """,
+)
+def q_welch(spark, sf_dir):
+    """Welch's unequal-variance t-test of purchase vs non-purchase
+    event values, with the Welch-Satterthwaite degrees of freedom —
+    the default two-sample mean test of any experimentation stack
+    (Student's equal-variance form is the anti-pattern at scale).
+
+    Shape: ONE conditional aggregate over the scan (six integer
+    sufficient statistics), then a 1-row closed form.  Exactness:
+    milli-int value sums; t, df, and the A-S polynomial p are fixed
+    float formulas over those integers, identical on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.col
+    m1 = c("s1") / (c("n1") * 1000.0)
+    m2 = c("s2") / (c("n2") * 1000.0)
+    v1 = ((c("q1") - c("s1") * (c("s1") / c("n1").cast("double"))) / (c("n1") - 1)) / F.lit(1e6)
+    v2 = ((c("q2") - c("s2") * (c("s2") / c("n2").cast("double"))) / (c("n2") - 1)) / F.lit(1e6)
+    se2 = v1 / c("n1") + v2 / c("n2")
+    t = (m1 - m2) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (v1 / c("n1")) * (v1 / c("n1")) / (c("n1") - 1)
+        + (v2 / c("n2")) * (v2 / c("n2")) / (c("n2") - 1)
+    )
+    return _welch_stats(ev).select(
+        "n1", "n2",
+        F.round(m1 - m2, 6).alias("mean_diff"),
+        F.round(t, 6).alias("t"),
+        F.round(df, 4).alias("df"),
+        _as_p_col(t).alias("p"),
+    )
+
+
+@register(
+    "q_tost",
+    sql=f"""
+    WITH {_WELCH_CTE},
+    e AS (SELECT n1, n2, m1, m2, sqrt(v1 / n1 + v2 / n2) AS se FROM f)
+    SELECT n1, n2,
+           round(m1 - m2, 6) AS mean_diff,
+           round(se, 6) AS se,
+           round((m1 - m2 + 0.05) / se, 6) AS t_lower,
+           round((m1 - m2 - 0.05) / se, 6) AS t_upper,
+           {_as_p_sql("((m1 - m2 + 0.05) / se)")} AS p_lower,
+           {_as_p_sql("((m1 - m2 - 0.05) / se)")} AS p_upper,
+           CAST(CASE WHEN (m1 - m2 + 0.05) / se > 1.6448536269514722
+                      AND (m1 - m2 - 0.05) / se < -1.6448536269514722
+                THEN 1 ELSE 0 END AS INT) AS equivalent
+    FROM e
+    """,
+)
+def q_tost(spark, sf_dir):
+    """Equivalence test (TOST, Schuirmann '87) on the same purchase /
+    non-purchase split with margin ±0.05: two one-sided z-tests —
+    H0 "the difference is OUTSIDE the margin" is rejected only when
+    BOTH one-sided statistics clear the 5% normal critical value
+    (1.6448...).  The ship-it test of A/B platforms: "no difference
+    detected" (Welch p > .05) is NOT "equivalent"; TOST is.
+
+    Same six integer sufficient statistics as q_welch (one scan, one
+    closed form); the critical value is a shared literal, so the
+    equivalent flag is integer-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.col
+    m1 = c("s1") / (c("n1") * 1000.0)
+    m2 = c("s2") / (c("n2") * 1000.0)
+    v1 = ((c("q1") - c("s1") * (c("s1") / c("n1").cast("double"))) / (c("n1") - 1)) / F.lit(1e6)
+    v2 = ((c("q2") - c("s2") * (c("s2") / c("n2").cast("double"))) / (c("n2") - 1)) / F.lit(1e6)
+    se = F.sqrt(v1 / c("n1") + v2 / c("n2"))
+    tl = (m1 - m2 + 0.05) / se
+    tu = (m1 - m2 - 0.05) / se
+    zc = F.lit(1.6448536269514722)
+    return _welch_stats(ev).select(
+        "n1", "n2",
+        F.round(m1 - m2, 6).alias("mean_diff"),
+        F.round(se, 6).alias("se"),
+        F.round(tl, 6).alias("t_lower"),
+        F.round(tu, 6).alias("t_upper"),
+        _as_p_col(tl).alias("p_lower"),
+        _as_p_col(tu).alias("p_upper"),
+        ((tl > zc) & (tu < -zc)).cast("int").alias("equivalent"),
+    )
+
+
+@register(
+    "q_levene",
+    sql="""
+    WITH v AS (SELECT event_type,
+                      CAST(round(coalesce(value, 0) * 1000) AS BIGINT) AS vm
+               FROM events),
+    g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(vm) AS BIGINT) AS s
+          FROM v GROUP BY 1),
+    z AS (SELECT v.event_type,
+                 CAST(round(abs(v.vm / 1000.0 - g.s / (g.n * 1000.0))
+                            * 1e9) AS BIGINT) AS zn,
+                 CAST(round(abs(v.vm / 1000.0 - g.s / (g.n * 1000.0))
+                            * abs(v.vm / 1000.0 - g.s / (g.n * 1000.0))
+                            * 1e9) AS BIGINT) AS zzn
+          FROM v JOIN g USING (event_type)),
+    gz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(zn) AS BIGINT) AS sz,
+                  CAST(sum(zzn) AS BIGINT) AS szz
+           FROM z GROUP BY 1),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nt,
+                 CAST(sum(sz) AS BIGINT) AS szt
+          FROM gz),
+    parts AS (SELECT
+        CAST(sum(CAST(round(gz.n * (gz.sz / (gz.n * 1e9) - t.szt / (t.nt * 1e9))
+                            * (gz.sz / (gz.n * 1e9) - t.szt / (t.nt * 1e9))
+                            * 1e9) AS BIGINT)) AS BIGINT) AS num_n,
+        CAST(sum(CAST(round((gz.szz / 1e9
+                             - gz.n * (gz.sz / (gz.n * 1e9))
+                                    * (gz.sz / (gz.n * 1e9))) * 1e9)
+                      AS BIGINT)) AS BIGINT) AS den_n
+      FROM gz CROSS JOIN t)
+    SELECT t.k, t.nt AS n,
+           round((CAST(t.nt - t.k AS DOUBLE) / (t.k - 1))
+                 * (parts.num_n / CAST(parts.den_n AS DOUBLE)), 6) AS w
+    FROM t CROSS JOIN parts
+    """,
+)
+def q_levene(spark, sf_dir):
+    """Levene's test statistic (mean-centered form) for homogeneity
+    of value variance across event types — the guard every pooled-
+    variance analysis should run first (Welch exists precisely
+    because this test usually fails in the wild).
+
+    Two scans: group means from milli-int sums (k-row broadcast
+    back), then absolute deviations nano-rounded PER ROW before the
+    group sums — both cross-row sums are integer, so W is one fixed
+    float formula over integers on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.round(F.coalesce("value", F.lit(0)) * 1000).cast("long")
+    v = ev.select("event_type", vm.alias("vm"))
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vm").cast("long").alias("s"),
+    )
+    zdev = F.abs(F.col("vm") / 1000.0 - F.col("s") / (F.col("n") * 1000.0))
+    z = v.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        F.round(zdev * 1e9).cast("long").alias("zn"),
+        F.round(zdev * zdev * 1e9).cast("long").alias("zzn"),
+    )
+    gz = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("zn").cast("long").alias("sz"),
+        F.sum("zzn").cast("long").alias("szz"),
+    )
+    t = gz.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("sz").cast("long").alias("szt"),
+    )
+    c = F.col
+    zb_i = c("sz") / (c("n") * 1e9)
+    zb = c("szt") / (c("nt") * 1e9)
+    parts = gz.crossJoin(F.broadcast(t)).agg(
+        F.sum(
+            F.round(c("n") * (zb_i - zb) * (zb_i - zb) * 1e9).cast("long")
+        ).cast("long").alias("num_n"),
+        F.sum(
+            F.round((c("szz") / 1e9 - c("n") * zb_i * zb_i) * 1e9).cast("long")
+        ).cast("long").alias("den_n"),
+    )
+    return t.crossJoin(F.broadcast(parts)).select(
+        "k",
+        c("nt").alias("n"),
+        F.round(
+            ((c("nt") - c("k")).cast("double") / (c("k") - 1))
+            * (c("num_n") / c("den_n").cast("double")),
+            6,
+        ).alias("w"),
+    )
+
+
+@register(
+    "q_mad",
+    sql="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+    a AS (SELECT event_type, list_sort(list(y)) AS ys,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM d GROUP BY 1),
+    m AS (SELECT event_type, n, ys,
+                 ys[CAST((n + 1) // 2 AS INT)] AS med
+          FROM a)
+    SELECT event_type, n AS n_days, CAST(med AS BIGINT) AS med,
+           CAST(list_sort(list_transform(ys, y -> abs(y - med)))
+                [CAST((n + 1) // 2 AS INT)] AS BIGINT) AS mad
+    FROM m ORDER BY event_type
+    """,
+)
+def q_mad(spark, sf_dir):
+    """Median absolute deviation of each type's daily event counts —
+    the robust spread estimate behind outlier-day alerting (a spike
+    day moves the std but not the MAD; threshold = med ± k·MAD is
+    the standard robust band).
+
+    Median convention: LOWER median (element (n+1) div 2 of the
+    sorted list) — pure integer selection, no float halving, so both
+    engines agree bit-for-bit.  Scale: the only data-sized stage is
+    the (type, day) map-side aggregate; each per-type array is
+    calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    a = d.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("y")).alias("ys"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    mid = F.floor((F.col("n") + 1) / 2).cast("int")
+    med = F.element_at("ys", mid)
+    m = a.select("event_type", "n", "ys", med.alias("med"))
+    mad = F.element_at(
+        F.sort_array(
+            F.transform("ys", lambda y: F.abs(y - F.col("med")))
+        ),
+        mid,
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("med").cast("long").alias("med"),
+        mad.cast("long").alias("mad"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_simpson",
+    sql="""
+    WITH o AS (SELECT o_orderstatus AS segment,
+                      CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END AS urgent,
+                      CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS big
+               FROM orders),
+    seg AS (SELECT segment,
+                   CAST(sum(urgent) AS BIGINT) AS n_urgent,
+                   CAST(sum(1 - urgent) AS BIGINT) AS n_other,
+                   CAST(sum(CASE WHEN urgent = 1 THEN big ELSE 0 END)
+                        AS BIGINT) AS big_urgent,
+                   CAST(sum(CASE WHEN urgent = 0 THEN big ELSE 0 END)
+                        AS BIGINT) AS big_other
+            FROM o GROUP BY 1
+            UNION ALL
+            SELECT '__pooled',
+                   CAST(sum(urgent) AS BIGINT),
+                   CAST(sum(1 - urgent) AS BIGINT),
+                   CAST(sum(CASE WHEN urgent = 1 THEN big ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN urgent = 0 THEN big ELSE 0 END) AS BIGINT)
+            FROM o),
+    r AS (SELECT segment, n_urgent, n_other,
+                 round(big_urgent / CAST(n_urgent AS DOUBLE), 6) AS rate_urgent,
+                 round(big_other / CAST(n_other AS DOUBLE), 6) AS rate_other,
+                 CASE WHEN big_urgent / CAST(n_urgent AS DOUBLE)
+                           > big_other / CAST(n_other AS DOUBLE) THEN 1
+                      WHEN big_urgent / CAST(n_urgent AS DOUBLE)
+                           < big_other / CAST(n_other AS DOUBLE) THEN -1
+                      ELSE 0 END AS sgn
+          FROM seg),
+    p AS (SELECT sgn AS pooled_sgn FROM r WHERE segment = '__pooled')
+    SELECT r.segment, r.n_urgent, r.n_other, r.rate_urgent, r.rate_other,
+           CAST(CASE WHEN r.segment <> '__pooled'
+                      AND r.sgn * p.pooled_sgn = -1
+                THEN 1 ELSE 0 END AS INT) AS reversed
+    FROM r CROSS JOIN p ORDER BY r.segment
+    """,
+)
+def q_simpson(spark, sf_dir):
+    """Simpson's-paradox audit: the big-order rate (totalprice >
+    150k) of urgent vs non-urgent priorities, pooled AND per order-
+    status segment, with a `reversed` flag wherever a segment's
+    direction contradicts the pooled direction — the aggregation-
+    reversal detector every slice-level metric dashboard needs
+    before anyone trusts the pooled number.
+
+    One scan builds both the per-segment and pooled contingency rows
+    (grouping-sets shape via unionByName of two aggregates of the
+    same narrowed frame); rates are single divisions of exact
+    integer counts and the sign comparison is pure integer."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("segment"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        .cast("int").alias("urgent"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("big"),
+    )
+    aggs = [
+        F.sum("urgent").cast("long").alias("n_urgent"),
+        F.sum(1 - F.col("urgent")).cast("long").alias("n_other"),
+        F.sum(F.when(F.col("urgent") == 1, F.col("big")).otherwise(0))
+        .cast("long").alias("big_urgent"),
+        F.sum(F.when(F.col("urgent") == 0, F.col("big")).otherwise(0))
+        .cast("long").alias("big_other"),
+    ]
+    seg = o.groupBy("segment").agg(*aggs).unionByName(
+        o.agg(*aggs).select(F.lit("__pooled").alias("segment"), *[
+            F.col(c) for c in ("n_urgent", "n_other", "big_urgent", "big_other")
+        ])
+    )
+    ru = F.col("big_urgent") / F.col("n_urgent").cast("double")
+    ro = F.col("big_other") / F.col("n_other").cast("double")
+    r = seg.select(
+        "segment", "n_urgent", "n_other",
+        F.round(ru, 6).alias("rate_urgent"),
+        F.round(ro, 6).alias("rate_other"),
+        F.when(ru > ro, 1).when(ru < ro, -1).otherwise(0).alias("sgn"),
+    )
+    p = r.filter(F.col("segment") == "__pooled").select(
+        F.col("sgn").alias("pooled_sgn")
+    )
+    return (
+        r.crossJoin(F.broadcast(p))
+        .select(
+            "segment", "n_urgent", "n_other", "rate_urgent", "rate_other",
+            (
+                (F.col("segment") != "__pooled")
+                & (F.col("sgn") * F.col("pooled_sgn") == -1)
+            ).cast("int").alias("reversed"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "q_lorenz",
+    sql="""
+    WITH r AS (SELECT o_custkey,
+                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS rev
+               FROM orders GROUP BY 1),
+    t AS (SELECT o_custkey, rev,
+                 ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+          FROM r),
+    g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+                 CAST(sum(rev) AS BIGINT) AS rev_cents
+          FROM t GROUP BY 1),
+    tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS grand FROM g)
+    SELECT CAST(decile AS INT) AS decile, n_cust, rev_cents,
+           round(sum(rev_cents) OVER (ORDER BY decile)
+                 / CAST(grand AS DOUBLE), 6) AS cum_share
+    FROM g CROSS JOIN tot ORDER BY decile
+    """,
+)
+def q_lorenz(spark, sf_dir):
+    """Lorenz concentration curve of customer revenue: customers in
+    ascending-revenue deciles (exact ntile) with each decile's
+    cumulative share of total revenue — the concentration view
+    behind q_gini's single number ("the top decile carries 40% of
+    revenue" is this curve's last two points).
+
+    The decile assignment rides the two-phase value-cut global_ntile
+    (bit-identical to ntile(10) OVER (ORDER BY rev, custkey) at any
+    cardinality, no data-sized single-partition stage); the
+    cumulative window then runs over exactly 10 decile rows.
+    Revenue is exact integer cents."""
+    from shadems_spark.operators.profile import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("rev")
+    )
+    t = global_ntile(r, 10, ["rev", "o_custkey"], "decile")
+    g = t.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("rev").cast("long").alias("rev_cents"),
+    )
+    tot = g.agg(F.sum("rev_cents").cast("long").alias("grand"))
+    w = Window.partitionBy(F.lit(0)).orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_cust", "rev_cents",
+            F.round(
+                F.sum("rev_cents").over(w) / F.col("grand").cast("double"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+#: SPRT literals (H0: the type is p0 = 15% of daily traffic; H1: 25%),
+#: nano-int logs precomputed in Python so BOTH engines fold pure
+#: integers: per-success ln(p1/p0), per-failure ln((1-p1)/(1-p0)),
+#: and the Wald boundaries ln(19), ln(1/19) at alpha = beta = 0.05.
+_SPRT_LA = 510825624
+_SPRT_LB = -125163143
+_SPRT_UP = 2944438979
+_SPRT_DN = -2944438979
+
+
+@register(
+    "q_sprt",
+    sql=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                      CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+    n AS (SELECT day, CAST(sum(y) AS BIGINT) AS n FROM d GROUP BY 1),
+    s AS (SELECT d.event_type, d.day, d.y, n.n,
+                 CAST(d.y * {_SPRT_LA} + (n.n - d.y) * ({_SPRT_LB})
+                      AS BIGINT) AS inc
+          FROM d JOIN n USING (day)),
+    c AS (SELECT event_type, day,
+                 CAST(sum(inc) OVER (PARTITION BY event_type ORDER BY day)
+                      AS BIGINT) AS cum,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day)
+                     AS rn
+          FROM s),
+    f AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(max(CASE WHEN rn = (SELECT max(rn) FROM c c2
+                                          WHERE c2.event_type = c.event_type)
+                               THEN cum END) AS BIGINT) AS cum_final,
+                 min(CASE WHEN cum >= {_SPRT_UP} THEN rn END) AS up_rn,
+                 min(CASE WHEN cum <= {_SPRT_DN} THEN rn END) AS dn_rn
+          FROM c GROUP BY event_type)
+    SELECT event_type, n_days,
+           round(cum_final / 1e9, 6) AS llr,
+           CAST(least(coalesce(up_rn, 1 << 30), coalesce(dn_rn, 1 << 30))
+                AS BIGINT) AS first_cross,
+           CASE WHEN up_rn IS NOT NULL
+                     AND (dn_rn IS NULL OR up_rn < dn_rn) THEN 'h1'
+                WHEN dn_rn IS NOT NULL THEN 'h0'
+                ELSE 'continue' END AS decision
+    FROM f ORDER BY event_type
+    """,
+)
+def q_sprt(spark, sf_dir):
+    """Wald's sequential probability ratio test, one monitor per
+    event type: is this type's share of daily traffic p1 = 25%
+    (H1) or p0 = 15% (H0)?  Each day contributes a pure-INTEGER
+    log-likelihood increment (y·ln(p1/p0) + (n-y)·ln((1-p1)/(1-p0)),
+    nano-int literals precomputed off-engine), the cumulative LLR
+    rides a per-type calendar-bounded window, and the decision is
+    the FIRST Wald-boundary crossing (±ln 19 at α=β=5%) — the
+    always-valid sequential monitor that replaces fixed-horizon
+    peeking.  first_cross = 2^30 encodes "never crossed".
+
+    Exactness: integer increments, integer cumulative sums, integer
+    boundary compares; only the final display divides by 1e9."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    n = d.groupBy("day").agg(F.sum("y").cast("long").alias("n"))
+    s = d.join(F.broadcast(n), "day").select(
+        "event_type", "day",
+        (F.col("y") * _SPRT_LA + (F.col("n") - F.col("y")) * _SPRT_LB)
+        .cast("long").alias("inc"),
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    c = s.select(
+        "event_type",
+        F.sum("inc").over(w).cast("long").alias("cum"),
+        F.row_number().over(w).alias("rn"),
+    )
+    big = F.lit(1 << 30)
+    f = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max_by("cum", "rn").cast("long").alias("cum_final"),
+        F.min(F.when(F.col("cum") >= _SPRT_UP, F.col("rn"))).alias("up_rn"),
+        F.min(F.when(F.col("cum") <= _SPRT_DN, F.col("rn"))).alias("dn_rn"),
+    )
+    return f.select(
+        "event_type", "n_days",
+        F.round(F.col("cum_final") / 1e9, 6).alias("llr"),
+        F.least(
+            F.coalesce("up_rn", big), F.coalesce("dn_rn", big)
+        ).cast("long").alias("first_cross"),
+        F.when(
+            F.col("up_rn").isNotNull()
+            & (F.col("dn_rn").isNull() | (F.col("up_rn") < F.col("dn_rn"))),
+            F.lit("h1"),
+        )
+        .when(F.col("dn_rn").isNotNull(), F.lit("h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_page_hinkley",
+    sql="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+    a AS (SELECT event_type, list(y ORDER BY day) AS ys,
+                 CAST(count(*) AS BIGINT) AS n_days
+          FROM d GROUP BY 1),
+    f AS (SELECT event_type, n_days,
+                 list_reduce(
+                   list_prepend([CAST(0 AS BIGINT), 0, 0, 0, 0],
+                                list_transform(ys, y -> [y])),
+                   (a, x) -> [
+                     a[1] + 1,
+                     a[2] + x[1],
+                     a[3] + CAST(round((x[1] - (a[2] + x[1])
+                                        / CAST(a[1] + 1 AS DOUBLE) - 5.0)
+                                       * 1e9) AS BIGINT),
+                     least(a[4],
+                           a[3] + CAST(round((x[1] - (a[2] + x[1])
+                                              / CAST(a[1] + 1 AS DOUBLE)
+                                              - 5.0) * 1e9) AS BIGINT)),
+                     greatest(a[5],
+                              (a[3] + CAST(round((x[1] - (a[2] + x[1])
+                                                  / CAST(a[1] + 1 AS DOUBLE)
+                                                  - 5.0) * 1e9) AS BIGINT))
+                              - least(a[4],
+                                      a[3] + CAST(round((x[1] - (a[2] + x[1])
+                                                         / CAST(a[1] + 1
+                                                                AS DOUBLE)
+                                                         - 5.0) * 1e9)
+                                                  AS BIGINT)))]
+                 ) AS st
+          FROM a)
+    SELECT event_type, n_days,
+           round(st[3] / 1e9, 6) AS cum_dev,
+           round(st[5] / 1e9, 6) AS ph,
+           CAST(CASE WHEN st[5] > 50000000000 THEN 1 ELSE 0 END AS INT)
+               AS alarm
+    FROM f ORDER BY event_type
+    """,
+)
+def q_page_hinkley(spark, sf_dir):
+    """Page-Hinkley upward-drift monitor per event type over daily
+    counts: PH_t = max prefix of (cumulative deviation from the
+    RUNNING mean, minus tolerance δ=5) minus its running minimum —
+    the classic sequential change detector (Page '54) whose state is
+    five numbers however long the stream runs (the stateful-
+    streaming twin of q_changepoint's offline split).  Alarm at
+    PH > λ=50.
+
+    The recurrence needs the running mean INSIDE the fold, so the
+    batch form is one calendar-bounded in-plan fold per type (the
+    q_holt/q_dtw shape): state [t, Σy, cumdev_n, min_n, ph_n] as a
+    5-long array, each deviation nano-rounded from the identical
+    fixed float expression before entering the integer state —
+    DuckDB replays the fold with the list-of-single-element-lists
+    accumulator trick (acc type == element type)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    a = d.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "y"))),
+            lambda s: s["y"],
+        ).alias("ys"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    zero = F.lit(0).cast("long")
+    init = F.array(zero, zero, zero, zero, zero)
+
+    def step(acc, x):
+        e = lambda i: F.element_at(acc, i)
+        t1 = e(1) + 1
+        s1 = e(2) + x
+        devn = F.round(
+            (x - s1 / t1.cast("double") - F.lit(5.0)) * 1e9
+        ).cast("long")
+        cum = e(3) + devn
+        mn = F.least(e(4), cum)
+        ph = F.greatest(e(5), cum - mn)
+        return F.array(t1, s1, cum, mn, ph)
+
+    f = a.select(
+        "event_type", "n_days", F.aggregate("ys", init, step).alias("st")
+    )
+    return f.select(
+        "event_type", "n_days",
+        F.round(F.element_at("st", 3) / 1e9, 6).alias("cum_dev"),
+        F.round(F.element_at("st", 5) / 1e9, 6).alias("ph"),
+        (F.element_at("st", 5) > F.lit(50_000_000_000))
+        .cast("int").alias("alarm"),
+    ).orderBy("event_type")

@@ -2722,3 +2722,224 @@ def test_raster_drift_psi_laws(spark, sf_dir):
     assert all(
         abs((p - p) * 1.0) == 0.0 for p in p_self
     )  # structural zero
+
+
+# ------------------------------------------------------------------ round 7
+# Numpy/pandas replays of the round-7 statistics battery.
+
+
+def _events_pd(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).toPandas()
+
+
+def test_welch_numpy_replay(spark, sf_dir):
+    """Welch t / Satterthwaite df replayed in numpy over the same
+    milli-int protocol; p in (0, 1]; df between min(n)-1 and n1+n2-2."""
+    import numpy as np
+
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_welch"][0](spark, sf_dir).collect()[0]
+    pd_ev = _events_pd(spark, sf_dir)
+    vm = np.round(pd_ev.value.fillna(0.0).to_numpy() * 1000).astype(np.int64)
+    g1 = vm[(pd_ev.event_type == "purchase").to_numpy()]
+    g2 = vm[(pd_ev.event_type != "purchase").to_numpy()]
+    n1, n2 = len(g1), len(g2)
+    m1, m2 = g1.sum() / (n1 * 1000.0), g2.sum() / (n2 * 1000.0)
+    v1 = (np.square(g1, dtype=np.float64).sum() - g1.sum() * (g1.sum() / n1)) / (n1 - 1) / 1e6
+    v2 = (np.square(g2, dtype=np.float64).sum() - g2.sum() * (g2.sum() / n2)) / (n2 - 1) / 1e6
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / math.sqrt(se2)
+    df = se2 * se2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert abs(r["t"] - t) < 1e-5
+    assert abs(r["df"] - df) < 1e-3
+    assert min(n1, n2) - 1 <= r["df"] <= n1 + n2 - 2
+    assert 0 < r["p"] <= 1
+
+
+def test_tost_consistency(spark, sf_dir):
+    """TOST shares q_welch's sufficient stats: se matches, the two
+    one-sided stats bracket Welch's t by exactly ±0.05/se, and the
+    equivalence flag replays from the printed statistics."""
+    from shadems_spark.queries import load_registry
+
+    reg = load_registry()
+    w = reg["q_welch"][0](spark, sf_dir).collect()[0]
+    r = reg["q_tost"][0](spark, sf_dir).collect()[0]
+    assert abs(r["mean_diff"] - w["mean_diff"]) < 1e-9
+    se = r["se"]
+    assert abs((r["t_lower"] - r["t_upper"]) * se - 0.10) < 1e-4
+    zc = 1.6448536269514722
+    assert r["equivalent"] == int(r["t_lower"] > zc and r["t_upper"] < -zc)
+    assert 0 < r["p_lower"] <= 1 and 0 < r["p_upper"] <= 1
+
+
+def test_levene_numpy_replay(spark, sf_dir):
+    """Levene W replayed in float numpy (no nano-rounding): the
+    protocol rounding only perturbs at ~1e-9, so agreement to 1e-3
+    on W plus exact k and n is the right pin."""
+    import numpy as np
+
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_levene"][0](spark, sf_dir).collect()[0]
+    pd_ev = _events_pd(spark, sf_dir)
+    v = np.round(pd_ev.value.fillna(0.0).to_numpy() * 1000) / 1000.0
+    types = pd_ev.event_type.to_numpy()
+    groups = [v[types == t] for t in np.unique(types)]
+    z = [np.abs(g - g.mean()) for g in groups]
+    nt = sum(len(g) for g in groups)
+    k = len(groups)
+    zbar = sum(zi.sum() for zi in z) / nt
+    num = sum(len(zi) * (zi.mean() - zbar) ** 2 for zi in z)
+    den = sum(((zi - zi.mean()) ** 2).sum() for zi in z)
+    w = ((nt - k) / (k - 1)) * (num / den)
+    assert r["k"] == k and r["n"] == nt
+    assert abs(r["w"] - w) < 1e-3
+    assert r["w"] >= 0
+
+
+def test_mad_numpy_replay(spark, sf_dir):
+    """Lower-median MAD of daily counts replayed exactly per type."""
+    import numpy as np
+
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_mad"][0](spark, sf_dir).collect()
+    assert rows
+    pd_ev = _events_pd(spark, sf_dir)
+    daily = (
+        pd_ev.assign(day=pd_ev.ts.dt.date)
+        .groupby(["event_type", "day"]).size().rename("y").reset_index()
+    )
+    for r in rows:
+        ys = np.sort(daily[daily.event_type == r["event_type"]].y.to_numpy())
+        n = len(ys)
+        med = ys[(n + 1) // 2 - 1]
+        mad = np.sort(np.abs(ys - med))[(n + 1) // 2 - 1]
+        assert r["n_days"] == n
+        assert r["med"] == med and r["mad"] == mad
+
+
+def test_simpson_flags_replay(spark, sf_dir):
+    """Per-segment rates replay from a pandas contingency table and
+    the reversed flag is exactly `segment sign opposes pooled sign`;
+    the pooled row itself is never flagged."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_simpson"][0](spark, sf_dir).collect()
+    pooled = [r for r in rows if r["segment"] == "__pooled"][0]
+    assert pooled["reversed"] == 0
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    o["urgent"] = o.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+    o["big"] = o.o_totalprice > 150000
+
+    def sgn(x):
+        return int(x > 0) - int(x < 0)
+
+    def rates(df):
+        u, nu = df[df.urgent], df[~df.urgent]
+        return u.big.mean(), nu.big.mean()
+
+    pu, po = rates(o)
+    for r in rows:
+        if r["segment"] == "__pooled":
+            continue
+        seg = o[o.o_orderstatus == r["segment"]]
+        ru, ro = rates(seg)
+        assert abs(r["rate_urgent"] - ru) < 1e-5
+        assert abs(r["rate_other"] - ro) < 1e-5
+        assert r["reversed"] == int(sgn(ru - ro) * sgn(pu - po) == -1)
+
+
+def test_lorenz_curve_laws(spark, sf_dir):
+    """Lorenz laws: 10 deciles with balanced counts (ntile property),
+    cum_share strictly increasing, convex (increments nondecreasing
+    because deciles ascend in revenue), and the curve ends at 1."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_lorenz"][0](spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    counts = [r["n_cust"] for r in rows]
+    assert max(counts) - min(counts) <= 1
+    shares = [r["cum_share"] for r in rows]
+    assert all(b > a for a, b in zip(shares, shares[1:]))
+    incs = [b - a for a, b in zip([0.0] + shares, shares)]
+    assert all(b >= a - 1e-9 for a, b in zip(incs, incs[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-6
+    assert sum(r["rev_cents"] for r in rows) > 0
+
+
+def test_sprt_integer_replay(spark, sf_dir):
+    """SPRT: cumulative LLR replays from the integer recurrence; the
+    decision matches the first boundary crossing; first_cross=2^30
+    iff decision == 'continue'."""
+    from shadems_spark.queries.analytics import (
+        _SPRT_DN, _SPRT_LA, _SPRT_LB, _SPRT_UP,
+    )
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_sprt"][0](spark, sf_dir).collect()
+    assert rows
+    pd_ev = _events_pd(spark, sf_dir)
+    daily = (
+        pd_ev.assign(day=pd_ev.ts.dt.date)
+        .groupby(["event_type", "day"]).size().rename("y").reset_index()
+    )
+    nday = daily.groupby("day").y.sum().rename("n").reset_index()
+    daily = daily.merge(nday, on="day").sort_values("day")
+    for r in rows:
+        d = daily[daily.event_type == r["event_type"]]
+        cum, up_rn, dn_rn = 0, None, None
+        for rn, (_, row) in enumerate(d.iterrows(), start=1):
+            cum += int(row.y) * _SPRT_LA + int(row.n - row.y) * _SPRT_LB
+            if up_rn is None and cum >= _SPRT_UP:
+                up_rn = rn
+            if dn_rn is None and cum <= _SPRT_DN:
+                dn_rn = rn
+        assert r["n_days"] == len(d)
+        assert abs(r["llr"] - round(cum / 1e9, 6)) < 1e-9
+        first = min(up_rn or 1 << 30, dn_rn or 1 << 30)
+        assert r["first_cross"] == first
+        want = (
+            "h1" if up_rn is not None and (dn_rn is None or up_rn < dn_rn)
+            else "h0" if dn_rn is not None else "continue"
+        )
+        assert r["decision"] == want
+        assert (r["first_cross"] == 1 << 30) == (r["decision"] == "continue")
+
+
+def test_page_hinkley_fold_replay(spark, sf_dir):
+    """Page-Hinkley state fold replayed in pure-Python integers; PH
+    is a max-prefix-minus-min so it is always >= 0; alarm iff
+    ph > lambda = 50."""
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_page_hinkley"][0](spark, sf_dir).collect()
+    assert rows
+    pd_ev = _events_pd(spark, sf_dir)
+    daily = (
+        pd_ev.assign(day=pd_ev.ts.dt.date)
+        .groupby(["event_type", "day"]).size().rename("y").reset_index()
+        .sort_values("day")
+    )
+    for r in rows:
+        ys = daily[daily.event_type == r["event_type"]].y.tolist()
+        t = s = cum = mn = ph = 0
+        for y in ys:
+            t += 1
+            s += y
+            devn = int(round((y - s / t - 5.0) * 1e9))
+            cum += devn
+            mn = min(mn, cum)
+            ph = max(ph, cum - mn)
+        assert r["n_days"] == len(ys)
+        assert abs(r["cum_dev"] - round(cum / 1e9, 6)) < 1e-9
+        assert abs(r["ph"] - round(ph / 1e9, 6)) < 1e-9
+        assert r["ph"] >= 0
+        assert r["alarm"] == int(ph > 50_000_000_000)
