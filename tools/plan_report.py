@@ -37,7 +37,7 @@ SHOWCASE = [
     ("q_bloom_decontaminate", "two broadcast joins: the m-bit filter and the diagnostic bench-gram set; corpus side never shuffles for the probe"),
     ("q_bootstrap_ci", "x32 replicate expansion BEFORE partial_sum — 32 rows/partition shuffle, no join"),
     # round-6 session additions
-    ("q_skyline", "two-phase exclusive max-scan: value-cut buckets (hashpartitioning(__b)) + one broadcast offsets row — no empty-partition WindowExec over the distinct-price table"),
+    ("q_skyline", "broadcast-only dominance pre-prune (map-side bucket prefix-max) cuts the scan to staircase candidates BEFORE any exchange; the two-phase exclusive max-scan then shuffles survivors only — shuffled rows ~ candidates, not ~ 2x corpus"),
     ("q_rrf_fusion", "both rankers end candidate-bounded (TakeOrderedAndProject / broadcast-query scan) before the full-outer fusion join — the rank window sees <= 40 rows"),
     ("q_markov_attribution", "per-user windows are the only data-sized stages; all 12x5 value-iteration sweeps live in ONE projection over a single collected matrix row (no per-iteration exchanges)"),
     ("q_shapley_attribution", "coalition zeta-sums and Shapley folds as HOF expressions over one mask-aggregate row; journeys/touch-sets are the only keyed shuffles"),
@@ -51,6 +51,10 @@ SHOWCASE = [
     ("q_grid_dbscan", "projection scan + (cx, cy) map-side aggregate is the ONLY data-sized work; components/border joins run on the grid-bounded cell table"),
     ("q_ivm_join", "three delta-term joins each bounded by a change batch; the snapshot merge is a group-keyed full-outer join — maintenance never re-executes base x base"),
     ("q_small_qty_revenue", "Q17 decorrelated: exactly two lineitem scans (per-part aggregate + fact join-back), integer cross-product predicate, no correlated re-scan"),
+    # round-7 additions
+    ("q_welch", "ONE conditional aggregate carries all six sufficient statistics (partial_sum before the single exchange); t/df/p are a 1-row projection — no second scan, no window"),
+    ("q_lorenz", "decile assignment rides the two-phase global_ntile (hashpartitioning value-cut buckets); the only WindowExec runs over exactly 10 decile rows"),
+    ("q_sprt", "per-type calendar windows over day-aggregates (partitionBy event_type) — integer LLR cumsum; daily totals re-enter as a broadcast join, the corpus shuffles once into (day, type) cells"),
 ]
 
 
