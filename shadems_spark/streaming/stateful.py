@@ -1012,3 +1012,187 @@ def stream_sessionize(ev_stream: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------------------ round 7
+# Streaming twins of the two sequential monitors (q_sprt /
+# q_page_hinkley).  Sequential tests are BORN streaming — the batch
+# queries replay history because the driver contract is batch+oracle;
+# these are the forms a live deployment runs.  Both follow the
+# stream_holt discipline: state is a calendar-bounded daily-count map
+# (date cardinality, never event cardinality), refolded per
+# micro-batch so every emission is the exact decision over all data
+# so far, and late rows repair the fold for free.
+
+SPRT_OUT_SCHEMA = (
+    "event_type string, n_days long, llr double, first_cross long,"
+    " decision string"
+)
+#: one state group holds the (day, type) count matrix — SPRT needs
+#: each day's TOTAL across types, so the state cannot shard per type.
+#: Size = active days x active types (calendar x enum bounded).
+SPRT_STATE_SCHEMA = (
+    "days array<long>, types array<string>, counts array<long>"
+)
+
+PH_OUT_SCHEMA = (
+    "event_type string, n_days long, cum_dev double, ph double,"
+    " alarm int"
+)
+PH_STATE_SCHEMA = "days array<long>, counts array<long>"
+
+
+def _round_nano_half_up(x: float) -> int:
+    """HALF_UP nano-int (Spark F.round semantics; Python round() is
+    banker's and would diverge on exact .5 boundaries)."""
+    import math
+
+    s = math.floor(abs(x) * 1e9 + 0.5)
+    return -s if x < 0 else s
+
+
+def sprt_fold(day_type_counts: dict) -> list[tuple]:
+    """The shared SPRT fold: {(day, type): count} -> per-type
+    (type, n_days, llr, first_cross, decision) rows — the identical
+    integer recurrence as q_sprt's window plan (nano-int log-literal
+    increments, first Wald-boundary crossing), shared by the
+    streaming twin and the parity test."""
+    from shadems_spark.queries.analytics import (
+        _SPRT_DN, _SPRT_LA, _SPRT_LB, _SPRT_UP,
+    )
+
+    day_totals: dict = {}
+    per_type: dict = {}
+    for (d, t), c in day_type_counts.items():
+        day_totals[d] = day_totals.get(d, 0) + c
+        per_type.setdefault(t, {})[d] = c
+    out = []
+    for t in sorted(per_type):
+        cum, up_rn, dn_rn = 0, None, None
+        days = sorted(per_type[t])
+        for rn, d in enumerate(days, start=1):
+            y = per_type[t][d]
+            cum += y * _SPRT_LA + (day_totals[d] - y) * _SPRT_LB
+            if up_rn is None and cum >= _SPRT_UP:
+                up_rn = rn
+            if dn_rn is None and cum <= _SPRT_DN:
+                dn_rn = rn
+        decision = (
+            "h1" if up_rn is not None and (dn_rn is None or up_rn < dn_rn)
+            else "h0" if dn_rn is not None else "continue"
+        )
+        out.append((
+            t, len(days), _round6_half_up(cum / 1e9),
+            min(up_rn or 1 << 30, dn_rn or 1 << 30), decision,
+        ))
+    return out
+
+
+def _sprt_update(key, pdfs: Iterator, state: GroupState):
+    import pandas as pd
+
+    if state.exists:
+        days, types, counts = state.get
+        acc = {(int(d), t): int(c) for d, t, c in zip(days, types, counts)}
+    else:
+        acc = {}
+    for pdf in pdfs:
+        for (d, t), c in pdf.groupby(["day_idx", "event_type"]).size().items():
+            k = (int(d), t)
+            acc[k] = acc.get(k, 0) + int(c)
+    state.update((
+        [d for d, _ in acc], [t for _, t in acc], list(acc.values()),
+    ))
+    rows = sprt_fold(acc)
+    yield pd.DataFrame(
+        rows,
+        columns=["event_type", "n_days", "llr", "first_cross", "decision"],
+    )
+
+
+def stream_sprt(ev_stream: DataFrame) -> DataFrame:
+    """Streaming Wald SPRT — the applyInPandasWithState twin of
+    q_sprt: ONE state group carries the (day, type) count matrix
+    (SPRT's per-day increment needs the day's total across types, so
+    the state cannot shard by type; it is calendar x enum bounded
+    regardless of stream length), refolded per micro-batch.  Every
+    emission is the exact all-data-so-far decision table; a late row
+    bumps its (day, type) cell and the next refold repairs every
+    type's LLR path.  Replay-idempotent: counts merge additively and
+    the fold is a pure function of the merged state."""
+    src = ev_stream.select(
+        "event_type",
+        F.expr("ts_ns div 86400000000000").alias("day_idx"),
+        F.lit(0).alias("g"),
+    )
+    return src.groupBy("g").applyInPandasWithState(
+        _sprt_update,
+        SPRT_OUT_SCHEMA,
+        SPRT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def page_hinkley_fold(day_counts: dict) -> tuple[int, int, int]:
+    """The shared Page-Hinkley fold (delta=5, nano-int state):
+    {day: count} -> (n_days, cum_dev_n, ph_n) — the identical
+    integer recurrence as q_page_hinkley's JVM fold (running mean
+    inside the recurrence, HALF_UP nano rounding of each deviation
+    before it enters the integer state)."""
+    t = s = cum = mn = ph = 0
+    for d in sorted(day_counts):
+        y = day_counts[d]
+        t += 1
+        s += y
+        devn = _round_nano_half_up(y - s / t - 5.0)
+        cum += devn
+        mn = min(mn, cum)
+        ph = max(ph, cum - mn)
+    return t, cum, ph
+
+
+def _ph_update(key, pdfs: Iterator, state: GroupState):
+    import pandas as pd
+
+    if state.exists:
+        days, counts = state.get
+        acc = dict(zip((int(d) for d in days), (int(c) for c in counts)))
+    else:
+        acc = {}
+    for pdf in pdfs:
+        for d, c in pdf.groupby("day_idx").size().items():
+            acc[int(d)] = acc.get(int(d), 0) + int(c)
+    state.update((list(acc.keys()), list(acc.values())))
+    n, cum, ph = page_hinkley_fold(acc)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_days": [n],
+            "cum_dev": [_round6_half_up(cum / 1e9)],
+            "ph": [_round6_half_up(ph / 1e9)],
+            "alarm": [int(ph > 50_000_000_000)],
+        }
+    )
+
+
+def stream_page_hinkley(ev_stream: DataFrame) -> DataFrame:
+    """Streaming Page-Hinkley drift monitor per event type — the
+    applyInPandasWithState twin of q_page_hinkley.  State is the
+    type's daily-count map (calendar-bounded); the refold keeps the
+    running mean exact under ANY batching — an incremental-state
+    variant would drift as soon as a late row changed an early
+    day's mean contribution.  Emissions carry (cum_dev, ph, alarm)
+    after every micro-batch; replay-idempotent by the same additive-
+    merge argument as stream_holt."""
+    src = ev_stream.select(
+        "event_type",
+        F.expr("ts_ns div 86400000000000").alias("day_idx"),
+    )
+    return src.groupBy("event_type").applyInPandasWithState(
+        _ph_update,
+        PH_OUT_SCHEMA,
+        PH_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1042,3 +1042,97 @@ def test_stream_sessionize_matches_batch_ids(spark, tmp_path, sf_dir):
         k[0] for k, v in final.items() if v["closed"] == 0
     )
     assert all(c == 1 for c in open_per_user.values())
+
+
+def test_stream_sprt_matches_batch(spark, sf_dir):
+    """Streaming SPRT twin: drain the events source with availableNow;
+    the final emission must equal q_sprt's batch decision table
+    row-for-row (integer LLR recurrence shared via sprt_fold)."""
+    from shadems_spark.queries import load_registry
+
+    ev_stream = SW.stream_from_parquet(spark, sf_dir).select(
+        "event_type", "ts_ns"
+    )
+    q = (
+        ST.stream_sprt(ev_stream)
+        .writeStream.format("memory")
+        .queryName("t_sprt")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_sprt").collect()
+    got = {}
+    for r in rows:  # update mode re-emits per batch; keep the fullest
+        cur = got.get(r["event_type"])
+        if cur is None or r["n_days"] >= cur["n_days"]:
+            got[r["event_type"]] = r
+    batch = {
+        r["event_type"]: r
+        for r in load_registry()["q_sprt"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(batch)
+    for t, b in batch.items():
+        g = got[t]
+        assert g["n_days"] == b["n_days"]
+        assert abs(g["llr"] - b["llr"]) < 1e-9
+        assert g["first_cross"] == b["first_cross"]
+        assert g["decision"] == b["decision"]
+
+
+def test_stream_page_hinkley_matches_batch(spark, sf_dir):
+    """Streaming Page-Hinkley twin: final per-type emission equals
+    q_page_hinkley's batch fold bit-for-bit (shared integer
+    recurrence, HALF_UP nano rounding)."""
+    from shadems_spark.queries import load_registry
+
+    ev_stream = SW.stream_from_parquet(spark, sf_dir).select(
+        "event_type", "ts_ns"
+    )
+    q = (
+        ST.stream_page_hinkley(ev_stream)
+        .writeStream.format("memory")
+        .queryName("t_ph")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_ph").collect()
+    got = {}
+    for r in rows:
+        cur = got.get(r["event_type"])
+        if cur is None or r["n_days"] >= cur["n_days"]:
+            got[r["event_type"]] = r
+    batch = {
+        r["event_type"]: r
+        for r in load_registry()["q_page_hinkley"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(batch)
+    for t, b in batch.items():
+        g = got[t]
+        assert g["n_days"] == b["n_days"]
+        assert abs(g["cum_dev"] - b["cum_dev"]) < 1e-9
+        assert abs(g["ph"] - b["ph"]) < 1e-9
+        assert g["alarm"] == b["alarm"]
+
+
+def test_stream_sprt_batch_granularity_invariance(spark, sf_dir):
+    """The refold-from-state design makes the decision table a pure
+    function of the merged counts: folding the full fixture in ONE
+    batch (the availableNow drain above may use several) must equal
+    the pure-Python fold over the batch-computed matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            F.expr("ts_ns div 86400000000000").alias("d"), "event_type"
+        ).count().collect()
+    )
+    acc = {(r["d"], r["event_type"]): r["count"] for r in d}
+    rows = ST.sprt_fold(acc)
+    assert len(rows) == len({t for _, t in acc})
+    for t, n_days, llr, first_cross, decision in rows:
+        assert n_days == len({d for d, tt in acc if tt == t})
+        assert decision in ("h0", "h1", "continue")
+        assert (first_cross == 1 << 30) == (decision == "continue")
