@@ -284,9 +284,19 @@ def q_ngram_jaccard(spark, sf_dir):
     lookups)."""
     docs = load_table(spark, sf_dir, "documents")
     grams = D.doc_grams(docs, ngram=3)
-    dfreq = grams.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # The STOP-GRAM set (df > 1000) is bounded at total_occurrences /
+    # 1000 rows by construction (pigeonhole) — broadcastable at any
+    # corpus size (8-byte keys: ~8 MB per 10^9 occurrences) — so the
+    # prune is a broadcast ANTI-join applied map-side instead of a
+    # second full shuffle of the gram table against the (distinct-
+    # gram-sized) df relation.  The df aggregate itself still shuffles
+    # once (global counts need it); only its tiny hot tail leaves it.
+    stop = (
+        grams.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 1000).select("s")
+    )
     pruned = D.tracked_persist(
-        grams.join(dfreq, "s").filter(F.col("df") <= 1000).drop("df"),
+        grams.join(F.broadcast(stop), "s", "left_anti"),
         key="ngram_grams",
     )
     sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

@@ -343,6 +343,25 @@ PROBE_R6B4 = [
     "q_ams_join",
 ]
 
+#: round-7 probe (--round7): the statistics batch.  Expectations:
+#: q_welch / q_tost / q_levene / q_simpson are one- or two-pass
+#: conditional aggregates — pure scan-bound ~linear; q_mad / q_sprt /
+#: q_page_hinkley grow ONLY the (type, day) pre-aggregate scan (the
+#: per-type folds stay calendar-bounded); q_lorenz grows the
+#: per-customer revenue aggregate and its two-phase global_ntile
+#: ~linearly (value-cut buckets shard with cardinality — the design
+#: point the r6 two-phase migration bought).
+PROBE_R7 = [
+    "q_welch",
+    "q_tost",
+    "q_levene",
+    "q_mad",
+    "q_simpson",
+    "q_lorenz",
+    "q_sprt",
+    "q_page_hinkley",
+]
+
 #: key shift per copy — far above any real key at these scale factors.
 SHIFT = 100_000_000
 
@@ -449,6 +468,7 @@ def main() -> None:
     round6 = "--round6" in sys.argv
     r6b3 = "--r6b3" in sys.argv
     r6b4 = "--r6b4" in sys.argv
+    round7 = "--round7" in sys.argv
     docs_only = dedup or retrieval
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 10
@@ -458,7 +478,8 @@ def main() -> None:
         "_docs" if docs_only else "_r3" if round3 else "_r4" if round4
         else "_r4x100" if r4x100 else "_r5" if round5
         else "_r5stats" if r5stats else "_r6" if round6
-        else "_r6b3" if r6b3 else "_r6b4" if r6b4 else ""
+        else "_r6b3" if r6b3 else "_r6b4" if r6b4
+        else "_r7" if round7 else ""
     )
     scaled = os.path.join(repo, ".scratch", f"sfx{n}" + suffix)
 
@@ -475,6 +496,7 @@ def main() -> None:
         else PROBE_R6 if round6
         else PROBE_R6B3 if r6b3
         else PROBE_R6B4 if r6b4
+        else PROBE_R7 if round7
         else PROBE
     )
     names = [q for q in probe_set if q in registry]
@@ -489,6 +511,7 @@ def main() -> None:
             else ["documents", "embeddings", "lineitem", "orders"] if r4x100
             else ["documents", "embeddings", "events"] if round5
             else ["documents", "embeddings", "events", "orders"] if round6
+            else ["events", "orders"] if round7
             else ["documents", "embeddings", "events", "orders", "lineitem"]
             if r5stats or r6b3 or r6b4
             else None
