@@ -65,3 +65,41 @@ def test_cuts_row_skew_resistant(spark):
     # the usable cut set below a healthy fraction of that.
     assert len(cuts) >= 5
     assert len(set(cuts)) == len(cuts)
+
+
+def test_prefix_max_prune_lossless_and_empty(spark):
+    """prefix_max_prune (the q_skyline candidate diet): the pruned
+    set must contain EVERY Pareto-staircase point of the full data
+    (losslessness-by-induction claim), only ever shrink the input,
+    and return empty on empty input.  Staircase replayed in Python:
+    per-distinct-key max measure, survivor iff measure > max over
+    all strictly-smaller keys."""
+    from shadems_spark.operators.profile import prefix_max_prune
+
+    # deterministic pseudo-random (key, measure) pairs with heavy
+    # key duplication and measure ties — the hazard cases.
+    rows = [
+        ((i * 2654435761) % 97, (i * 40503) % 251)
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "k long, v long")
+
+    def staircase(pairs):
+        best = {}
+        for k, v in pairs:
+            best[k] = max(best.get(k, -1), v)
+        sky, run = set(), -1
+        for k in sorted(best):
+            if best[k] > run:
+                sky.add((k, best[k]))
+            run = max(run, best[k])
+        return sky
+
+    full_sky = staircase(rows)
+    pruned = [(r["k"], r["v"]) for r in prefix_max_prune(df, "k", "v").collect()]
+    assert len(pruned) <= len(rows)
+    assert staircase(pruned) == full_sky
+    assert full_sky <= set(pruned)  # every skyline point survives the prune
+
+    empty = spark.createDataFrame([], "k long, v long")
+    assert prefix_max_prune(empty, "k", "v").count() == 0
