@@ -8947,9 +8947,10 @@ def q_lorenz(spark, sf_dir):
 
     The decile assignment rides the two-phase value-cut global_ntile
     (bit-identical to ntile(10) OVER (ORDER BY rev, custkey) at any
-    cardinality, no data-sized single-partition stage); the
-    cumulative window then runs over exactly 10 decile rows.
-    Revenue is exact integer cents."""
+    cardinality, no data-sized single-partition stage); the cumsum
+    over the 10 decile rows is a broadcast triangle join, so the plan
+    has NO single-partition window at all.  Revenue is exact integer
+    cents."""
     from shadems_spark.operators.profile import global_ntile
 
     o = load_table(spark, sf_dir, "orders")
@@ -8963,17 +8964,28 @@ def q_lorenz(spark, sf_dir):
         F.sum("rev").cast("long").alias("rev_cents"),
     )
     tot = g.agg(F.sum("rev_cents").cast("long").alias("grand"))
-    w = Window.partitionBy(F.lit(0)).orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, 0
+    # cumulative share over the 10 decile rows as a broadcast triangle
+    # join (b.decile <= a.decile) instead of an empty-partition-spec
+    # window — same values, no single-partition WindowExec, no
+    # allowlist entry, no WARN line in driver tails.
+    cum = (
+        g.alias("a")
+        .join(
+            F.broadcast(g.select(
+                F.col("decile").alias("bd"), F.col("rev_cents").alias("brc")
+            )),
+            F.col("bd") <= F.col("a.decile"),
+        )
+        .groupBy("a.decile", "a.n_cust", "a.rev_cents")
+        .agg(F.sum("brc").cast("long").alias("crc"))
     )
     return (
-        g.crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .select(
             F.col("decile").cast("int").alias("decile"),
             "n_cust", "rev_cents",
-            F.round(
-                F.sum("rev_cents").over(w) / F.col("grand").cast("double"), 6
-            ).alias("cum_share"),
+            F.round(F.col("crc") / F.col("grand").cast("double"), 6)
+            .alias("cum_share"),
         )
         .orderBy("decile")
     )

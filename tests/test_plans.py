@@ -677,7 +677,6 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "q_vocab": "cumulative-coverage curve over the capped vocab head",
     "q_snapshot_diff": "changed-key table bounded by the delta",
     "q_norms": "canvas-sized normalization table",
-    "q_lorenz": "cumulative window over exactly 10 decile rows",
 }
 
 
