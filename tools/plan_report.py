@@ -53,7 +53,7 @@ SHOWCASE = [
     ("q_small_qty_revenue", "Q17 decorrelated: exactly two lineitem scans (per-part aggregate + fact join-back), integer cross-product predicate, no correlated re-scan"),
     # round-7 additions
     ("q_welch", "ONE conditional aggregate carries all six sufficient statistics (partial_sum before the single exchange); t/df/p are a 1-row projection — no second scan, no window"),
-    ("q_lorenz", "decile assignment rides the two-phase global_ntile (hashpartitioning value-cut buckets); the only WindowExec runs over exactly 10 decile rows"),
+    ("q_lorenz", "decile assignment rides the two-phase global_ntile (hashpartitioning value-cut buckets); the 10-row cumsum is a broadcast triangle join — NO WindowExec anywhere in the plan"),
     ("q_sprt", "per-type calendar windows over day-aggregates (partitionBy event_type) — integer LLR cumsum; daily totals re-enter as a broadcast join, the corpus shuffles once into (day, type) cells"),
 ]
 
