@@ -271,6 +271,7 @@ _R07_TOUCHED = [
 _NEW_R7_SESSION = [
     "q_welch", "q_tost", "q_levene", "q_mad",
     "q_simpson", "q_lorenz", "q_sprt", "q_page_hinkley",
+    "q_tukey", "q_mcnemar", "q_herfindahl",
 ]
 
 

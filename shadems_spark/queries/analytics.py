@@ -9187,3 +9187,254 @@ def q_page_hinkley(spark, sf_dir):
         (F.element_at("st", 5) > F.lit(50_000_000_000))
         .cast("int").alias("alarm"),
     ).orderBy("event_type")
+
+
+#: Tukey studentized-range critical value q_{0.05}(k=5, df=inf) — the
+#: standard table literal, shared by both engines so the significance
+#: flag is integer-identical.
+_TUKEY_Q_CRIT = 3.858
+
+
+@register(
+    "q_tukey",
+    sql=f"""
+    WITH v AS (SELECT event_type,
+                      CAST(round(value * 1000) AS BIGINT) AS vm
+               FROM events WHERE value IS NOT NULL),
+    g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(vm) AS BIGINT) AS s,
+                 CAST(sum(vm * vm) AS BIGINT) AS q
+          FROM v GROUP BY 1),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nt,
+                 CAST(sum(CAST(round((g.q / 1e6
+                                      - g.s * (g.s / CAST(g.n AS DOUBLE))
+                                        / 1e6) * 1e9) AS BIGINT))
+                      AS BIGINT) AS ssw_n
+          FROM g),
+    m AS (SELECT k, nt, (ssw_n / 1e9) / (nt - k) AS msw FROM t),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 a.n AS n_a, b.n AS n_b,
+                 a.s / (a.n * 1000.0) - b.s / (b.n * 1000.0) AS diff,
+                 sqrt((m.msw / 2.0)
+                      * (1.0 / a.n + 1.0 / b.n)) AS se
+          FROM g a JOIN g b ON a.event_type < b.event_type
+          CROSS JOIN m)
+    SELECT type_a, type_b, n_a, n_b,
+           round(diff, 6) AS mean_diff,
+           round(abs(diff) / se, 6) AS q_stat,
+           CAST(CASE WHEN abs(diff) / se > {_TUKEY_Q_CRIT}
+                THEN 1 ELSE 0 END AS INT) AS significant
+    FROM p ORDER BY type_a, type_b
+    """,
+)
+def q_tukey(spark, sf_dir):
+    """Tukey-Kramer HSD post-hoc: all C(k,2) pairwise mean
+    comparisons of event value across event types, studentized by the
+    pooled within-group variance — the multiple-comparison follow-up
+    q_anova's omnibus F demands (10 naive t-tests inflate alpha; the
+    studentized range controls the familywise rate).  Unequal-n form
+    (Kramer '56): SE_ij = sqrt(MSW/2 * (1/n_i + 1/n_j)); flag at the
+    standard table literal q_{{.05}}(5, inf) = 3.858.
+
+    ONE scan -> k-row integer group table (the q_anova sufficient
+    statistics); MSW from nano-rounded per-group SSW contributions
+    (integer cross-group sum, the q_levene protocol); the pairwise
+    grid is a broadcast self-join of k rows.  No window, no second
+    scan."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vm = F.round(F.col("value") * 1000).cast("long")
+    g = ev.select("event_type", vm.alias("vm")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vm").cast("long").alias("s"),
+        F.sum(F.col("vm") * F.col("vm")).cast("long").alias("q"),
+    )
+    c = F.col
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum(
+            F.round(
+                (c("q") / 1e6 - c("s") * (c("s") / c("n").cast("double")) / 1e6)
+                * 1e9
+            ).cast("long")
+        ).cast("long").alias("ssw_n"),
+    )
+    m = t.select((c("ssw_n") / 1e9 / (c("nt") - c("k"))).alias("msw"))
+    a = g.select(
+        c("event_type").alias("type_a"), c("n").alias("n_a"),
+        c("s").alias("s_a"),
+    )
+    b = g.select(
+        c("event_type").alias("type_b"), c("n").alias("n_b"),
+        c("s").alias("s_b"),
+    )
+    diff = c("s_a") / (c("n_a") * 1000.0) - c("s_b") / (c("n_b") * 1000.0)
+    se = F.sqrt(
+        (c("msw") / 2.0) * (1.0 / c("n_a") + 1.0 / c("n_b"))
+    )
+    return (
+        a.join(F.broadcast(b), c("type_a") < c("type_b"))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "type_a", "type_b", "n_a", "n_b",
+            F.round(diff, 6).alias("mean_diff"),
+            F.round(F.abs(diff) / se, 6).alias("q_stat"),
+            (F.abs(diff) / se > _TUKEY_Q_CRIT).cast("int")
+            .alias("significant"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "q_mcnemar",
+    sql=f"""
+    WITH u AS (SELECT user_id,
+                      CAST(max(CASE WHEN event_type = 'purchase'
+                                     AND value > 95
+                                     AND CAST(ts AS DATE) < DATE '2024-01-16'
+                               THEN 1 ELSE 0 END) AS INT) AS p1,
+                      CAST(max(CASE WHEN event_type = 'purchase'
+                                     AND value > 95
+                                     AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                               THEN 1 ELSE 0 END) AS INT) AS p2
+               FROM events GROUP BY 1),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c
+          FROM u)
+    SELECT n, b, c,
+           round(CASE WHEN b + c > 0
+                 THEN (abs(b - c) - 1) * (abs(b - c) - 1)
+                      / CAST(b + c AS DOUBLE) ELSE 0 END, 6) AS chi2,
+           CASE WHEN b + c > 0 THEN
+           {{AS_P}}
+           ELSE 1.0 END AS p
+    FROM s
+    """.replace("{AS_P}", _as_p_sql(
+        "(sqrt(CASE WHEN b + c > 0 THEN (abs(b - c) - 1) * (abs(b - c) - 1)"
+        " / CAST(b + c AS DOUBLE) ELSE 0 END))"
+    )),
+)
+def q_mcnemar(spark, sf_dir):
+    """McNemar's test of paired binary change: did each user's
+    HIGH-VALUE purchase behavior (value > 95 — the q_abtest
+    conversion; plain purchase is universal in this fixture and
+    degenerates to b = c = 0) flip between the two calendar halves
+    (Jan 1-15 vs 16-30)?  Only the discordant pairs carry information — b
+    (active -> inactive) vs c (inactive -> active) — and the
+    continuity-corrected chi2 = (|b-c|-1)^2/(b+c) tests their
+    symmetry.  The within-subject companion to q_abtest's
+    between-arm z (paired designs kill between-user variance the
+    way CUPED's covariate does).
+
+    ONE per-user aggregate (the only data-sized shuffle) -> a 1-row
+    integer contingency reduce -> closed form; p is the shared A-S
+    normal polynomial at z = sqrt(chi2) (chi2_1 tail identity),
+    identical literals both engines; b + c = 0 degenerates to
+    chi2 = 0, p = 1 on both."""
+    ev = load_table(spark, sf_dir, "events")
+    pre = F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
+    is_p = (F.col("event_type") == "purchase") & (F.col("value") > 95)
+    u = ev.groupBy("user_id").agg(
+        F.max((is_p & pre).cast("int")).alias("p1"),
+        F.max((is_p & ~pre).cast("int")).alias("p2"),
+    )
+    c = F.col
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(((c("p1") == 1) & (c("p2") == 0)).cast("int"))
+        .cast("long").alias("b"),
+        F.sum(((c("p1") == 0) & (c("p2") == 1)).cast("int"))
+        .cast("long").alias("c"),
+    )
+    d = F.abs(c("b") - c("c"))
+    chi2 = F.when(
+        c("b") + c("c") > 0,
+        (d - 1) * (d - 1) / (c("b") + c("c")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return s.select(
+        "n", "b", "c",
+        F.round(chi2, 6).alias("chi2"),
+        F.when(c("b") + c("c") > 0, _as_p_col(F.sqrt(chi2)))
+        .otherwise(F.lit(1.0)).alias("p"),
+    )
+
+
+@register(
+    "q_herfindahl",
+    sql="""
+    WITH r AS (SELECT c.c_nationkey AS nation, o.o_custkey,
+                      CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS rev
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY 1, 2),
+    t AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_cust,
+                 CAST(sum(rev) AS BIGINT) AS tot
+          FROM r GROUP BY 1),
+    h AS (SELECT r.nation,
+                 CAST(sum(CAST(round((r.rev / CAST(t.tot AS DOUBLE))
+                                     * (r.rev / CAST(t.tot AS DOUBLE))
+                                     * 1e9) AS BIGINT)) AS BIGINT) AS hhi_n,
+                 CAST(max(r.rev) AS BIGINT) AS max_rev
+          FROM r JOIN t USING (nation) GROUP BY 1)
+    SELECT CAST(t.nation AS BIGINT) AS nation, t.n_cust,
+           round(h.hhi_n / 1e9, 6) AS hhi,
+           round(h.max_rev / CAST(t.tot AS DOUBLE), 6) AS top_share,
+           round(1.0 / t.n_cust, 6) AS hhi_floor
+    FROM t JOIN h USING (nation) ORDER BY nation
+    """,
+)
+def q_herfindahl(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of customer revenue within
+    each nation: HHI = sum of squared revenue shares (1/n at perfect
+    equality, 1.0 at monopoly) with the top customer's share and the
+    1/n floor alongside — the market-concentration single number
+    behind q_lorenz's curve and q_gini's coefficient, per segment.
+
+    Revenue is exact integer cents; each customer's squared share is
+    nano-rounded BEFORE the per-nation sum (integer cross-row sums),
+    nation totals ride one broadcast join back.  Scale: per-(nation,
+    customer) aggregate -> per-nation aggregate, both
+    map-side-combined; no window, no self-join."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    r = (
+        o.select("o_custkey",
+                 F.round(F.col("o_totalprice") * 100).cast("long").alias("rc"))
+        .join(F.broadcast(cust), "o_custkey")
+        .groupBy("nation", "o_custkey")
+        .agg(F.sum("rc").cast("long").alias("rev"))
+    )
+    t = r.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("rev").cast("long").alias("tot"),
+    )
+    c = F.col
+    share = c("rev") / c("tot").cast("double")
+    h = (
+        r.join(F.broadcast(t.select("nation", "tot")), "nation")
+        .groupBy("nation")
+        .agg(
+            F.sum(F.round(share * share * 1e9).cast("long"))
+            .cast("long").alias("hhi_n"),
+            F.max("rev").cast("long").alias("max_rev"),
+        )
+    )
+    return (
+        t.join(F.broadcast(h), "nation")
+        .select(
+            c("nation").cast("long").alias("nation"),
+            "n_cust",
+            F.round(c("hhi_n") / 1e9, 6).alias("hhi"),
+            F.round(c("max_rev") / c("tot").cast("double"), 6)
+            .alias("top_share"),
+            F.round(F.lit(1.0) / c("n_cust"), 6).alias("hhi_floor"),
+        )
+        .orderBy("nation")
+    )

@@ -2730,7 +2730,7 @@ def test_raster_drift_psi_laws(spark, sf_dir):
 
 def _events_pd(spark, sf_dir):
     return load_table(spark, sf_dir, "events").select(
-        "event_type", "ts", "value"
+        "user_id", "event_type", "ts", "value"
     ).toPandas()
 
 
@@ -2943,3 +2943,89 @@ def test_page_hinkley_fold_replay(spark, sf_dir):
         assert abs(r["ph"] - round(ph / 1e9, 6)) < 1e-9
         assert r["ph"] >= 0
         assert r["alarm"] == int(ph > 50_000_000_000)
+
+
+def test_tukey_numpy_replay(spark, sf_dir):
+    """Tukey-Kramer pairwise grid replayed in numpy: C(k,2) rows,
+    q stats match to 1e-3, significance flag = q > 3.858, and the
+    mean differences are antisymmetric-consistent with the per-type
+    means."""
+    import itertools
+
+    import numpy as np
+
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_tukey"][0](spark, sf_dir).collect()
+    pd_ev = _events_pd(spark, sf_dir)
+    pd_ev = pd_ev[pd_ev.value.notna()]
+    v = np.round(pd_ev.value.to_numpy() * 1000) / 1000.0
+    types = pd_ev.event_type.to_numpy()
+    uniq = sorted(np.unique(types))
+    groups = {t: v[types == t] for t in uniq}
+    k = len(uniq)
+    n = len(v)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups.values())
+    msw = ssw / (n - k)
+    assert len(rows) == k * (k - 1) // 2
+    byp = {(r["type_a"], r["type_b"]): r for r in rows}
+    for a, b in itertools.combinations(uniq, 2):
+        r = byp[(a, b)]
+        ga, gb = groups[a], groups[b]
+        diff = ga.mean() - gb.mean()
+        se = (msw / 2 * (1 / len(ga) + 1 / len(gb))) ** 0.5
+        assert abs(r["mean_diff"] - diff) < 1e-4
+        assert abs(r["q_stat"] - abs(diff) / se) < 1e-3
+        assert r["significant"] == int(abs(diff) / se > 3.858)
+
+
+def test_mcnemar_replay_and_degenerate(spark, sf_dir):
+    """McNemar replay from a pandas contingency of per-user
+    high-value-purchase flags; the continuity-corrected chi2 and the
+    b + c = 0 degenerate path both behave."""
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_mcnemar"][0](spark, sf_dir).collect()[0]
+    pd_ev = _events_pd(spark, sf_dir)
+    hv = pd_ev[(pd_ev.event_type == "purchase") & (pd_ev.value > 95)]
+    pre = hv[hv.ts.dt.date.astype(str) < "2024-01-16"].user_id.unique()
+    post = hv[hv.ts.dt.date.astype(str) >= "2024-01-16"].user_id.unique()
+    allu = pd_ev.user_id.unique()
+    b = sum(1 for u in allu if u in set(pre) and u not in set(post))
+    c = sum(1 for u in allu if u not in set(pre) and u in set(post))
+    assert (r["b"], r["c"]) == (b, c)
+    assert r["n"] == len(allu)
+    if b + c > 0:
+        assert abs(r["chi2"] - (abs(b - c) - 1) ** 2 / (b + c)) < 1e-6
+        assert 0 < r["p"] <= 1
+    else:
+        assert r["chi2"] == 0.0 and r["p"] == 1.0
+
+
+def test_herfindahl_laws_and_replay(spark, sf_dir):
+    """HHI laws per nation: hhi in [1/n, 1], hhi >= top_share^2,
+    hhi_floor = 1/n_cust exactly, and a pandas replay of the squared
+    shares matches to 1e-5."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_herfindahl"][0](spark, sf_dir).collect()
+    assert rows
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).toPandas()
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).toPandas()
+    o["rc"] = (o.o_totalprice * 100).round().astype("int64")
+    m = o.merge(cu, left_on="o_custkey", right_on="c_custkey")
+    for r in rows:
+        seg = m[m.c_nationkey == r["nation"]]
+        rev = seg.groupby("o_custkey").rc.sum()
+        shares = rev / rev.sum()
+        assert r["n_cust"] == len(rev)
+        assert abs(r["hhi"] - (shares ** 2).sum()) < 1e-5
+        assert abs(r["top_share"] - shares.max()) < 1e-6
+        assert abs(r["hhi_floor"] - 1 / len(rev)) < 1e-6
+        assert r["hhi_floor"] - 1e-9 <= r["hhi"] <= 1.0
+        assert r["hhi"] >= r["top_share"] ** 2 - 1e-9
