@@ -264,7 +264,7 @@ _R07_TOUCHED = [
     "q_ngram_jaccard", "q_ewma",
 ]
 
-#: round-7 session additions (8 names, well under the <= 15 freeze
+#: round-7 session additions (11 names, under the <= 15 freeze
 #: from VERDICT r6 #1; all hash-exact on first registration).  They
 #: queue BEHIND the never-checked backlog: r7's ~50-sample drains the
 #: backlog head, r8 covers the residue plus these.

@@ -360,6 +360,12 @@ PROBE_R7 = [
     "q_lorenz",
     "q_sprt",
     "q_page_hinkley",
+    # second batch: tukey/mcnemar scan xN events (k-row / 1-row
+    # reductions); herfindahl's per-(nation, customer) aggregate grows
+    # with orders, its per-nation stage stays 25-row.
+    "q_tukey",
+    "q_mcnemar",
+    "q_herfindahl",
 ]
 
 #: key shift per copy — far above any real key at these scale factors.
