@@ -261,7 +261,10 @@ _NEVER_CHECKED_R6 = [
 #: (q_ngram_jaccard prefix-filter routing, q_ewma bounded grain) — they
 #: re-queue right after the never-checked block to re-earn rows.
 _R07_TOUCHED = [
-    "q_ngram_jaccard", "q_ewma",
+    # oracle semantics changed in r7 (stop-gram prune, daily grain,
+    # degree cap, hashed candidate keys) — re-confirm under the driver
+    # even though all were judge/local-gate green this round.
+    "q_ngram_jaccard", "q_ewma", "q_triangles", "q_ppjoin",
 ]
 
 #: round-7 session additions (11 names, under the <= 15 freeze
