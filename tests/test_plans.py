@@ -63,13 +63,20 @@ def test_ngram_jaccard_persisted_single_scan(spark):
     (VERDICT r6 #3): the PRUNED gram table is built once (persisted)
     and feeds all four consumers — both self-join sides and both size
     lookups read the cache, the size joins stay broadcast, and the
-    df <= 1000 stop-gram filter (the bound that caps any join bucket
-    at cap rows) is actually in the plan."""
+    stop-gram prune is the broadcast ANTI-join of the pigeonhole-
+    bounded df > 1000 tail (map-side, never a second full shuffle of
+    the gram table against the distinct-gram-sized df relation)."""
     p = _plan(spark, "q_ngram_jaccard")
     assert p.count("InMemoryTableScan") == 4
     assert "CartesianProduct" not in p
     assert p.count("BroadcastHashJoin") >= 2  # size lookups broadcast
-    assert "<= 1000" in p  # the stop-gram cap survives into the plan
+    # the cached pruned-gram plan carries the broadcast anti-join with
+    # the df > 1000 stop-gram tail as its build side
+    from shadems_spark.operators.dedup import _live
+
+    cp = _live["ngram_grams"]._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in cp
+    assert "> 1000" in cp
 
 
 def test_topk_is_limit_pushed(spark):
