@@ -399,3 +399,68 @@ def test_dtw_fold_metric_laws(spark, a, b):
     assert r["ab"] >= abs(a[-1] - b[-1])
     if len(a) == len(b):
         assert r["ab"] <= sum(abs(x - y) for x, y in zip(a, b))
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-5, max_value=5),  # tiny domain: heavy dups
+        min_size=1,
+        max_size=60,
+    ),
+    n_parts=st.sampled_from([1, 2, 3, 8]),
+)
+@settings(**SETTINGS)
+def test_two_phase_scan_family_matches_window(spark, vals, n_parts):
+    """The entire two-phase value-cut scan family (global_index /
+    global_cumsum / global_ntile / global_cummax) equals its
+    single-partition-window definition on ADVERSARIAL inputs: tiny
+    value domains (every value heavily duplicated — the skew case the
+    distinct-value cut sampler exists for) at every bucket count,
+    with a unique tiebreaker column making the order total."""
+    from pyspark.sql import Window
+
+    from shadems_spark.operators.profile import (
+        global_cummax,
+        global_cumsum,
+        global_index,
+        global_ntile,
+    )
+
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v long, i long")
+    order = ["v", "i"]
+    w = Window.partitionBy(F.lit(0)).orderBy("v", "i")
+
+    got_idx = {
+        (r["v"], r["i"]): r["gid"]
+        for r in global_index(df, order, n_parts=n_parts).collect()
+    }
+    got_cs = {
+        (r["v"], r["i"]): r["cs"]
+        for r in global_cumsum(df, order, {"cs": "v"}, n_parts=n_parts).collect()
+    }
+    got_nt = {
+        (r["v"], r["i"]): r["t"]
+        for r in global_ntile(df, 4, order, "t", n_parts=n_parts).collect()
+    }
+    got_cm = {
+        (r["v"], r["i"]): r["m"]
+        for r in global_cummax(df, order, "v", "m", n_parts=n_parts).collect()
+    }
+    want = df.select(
+        "v", "i",
+        F.row_number().over(w).alias("rn"),
+        F.sum("v").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cs"),
+        F.ntile(4).over(w).alias("t"),
+        F.max("v").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("cm"),
+    ).collect()
+    for r in want:
+        k = (r["v"], r["i"])
+        assert got_idx[k] == r["rn"]
+        assert got_cs[k] == r["cs"]
+        assert got_nt[k] == r["t"]
+        assert got_cm[k] == r["cm"]
