@@ -1196,3 +1196,81 @@ def stream_page_hinkley(ev_stream: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUT_SCHEMA = (
+    "event_type string, n_days long, cp_day date, cusum_at_cp double"
+)
+CUSUM_STATE_SCHEMA = "days array<long>, counts array<long>"
+
+
+def cusum_fold(day_counts: dict) -> tuple[int, int, float]:
+    """The shared CUSUM fold: {day_idx: count} -> (n_days,
+    cp_day_idx, cusum_at_cp) — the identical IEEE sequence as
+    q_cusum's window plan (integer prefix sums, the full-series mean
+    entering once as rn * (s/n), argmax |CUSUM| with earliest-day
+    tie-break, HALF_UP 6dp on the emitted magnitude)."""
+    days = sorted(day_counts)
+    n = len(days)
+    s = sum(day_counts[d] for d in days)
+    mean = s / n
+    prefix = 0
+    best_d, best_c, best_abs = None, 0.0, -1.0
+    for rn, d in enumerate(days, start=1):
+        prefix += day_counts[d]
+        cusum = prefix - rn * mean
+        a = abs(cusum)
+        if a > best_abs:
+            best_abs, best_d, best_c = a, d, cusum
+    return n, best_d, _round6_half_up(best_c)
+
+
+def _cusum_update(key, pdfs: Iterator, state: GroupState):
+    import datetime
+
+    import pandas as pd
+
+    if state.exists:
+        days, counts = state.get
+        acc = dict(zip((int(d) for d in days), (int(c) for c in counts)))
+    else:
+        acc = {}
+    for pdf in pdfs:
+        for d, c in pdf.groupby("day_idx").size().items():
+            acc[int(d)] = acc.get(int(d), 0) + int(c)
+    state.update((list(acc.keys()), list(acc.values())))
+    n, cp_idx, cusum = cusum_fold(acc)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_days": [n],
+            "cp_day": [
+                datetime.date(1970, 1, 1) + datetime.timedelta(days=cp_idx)
+            ],
+            "cusum_at_cp": [cusum],
+        }
+    )
+
+
+def stream_cusum(ev_stream: DataFrame) -> DataFrame:
+    """Streaming CUSUM changepoint monitor per event type — the
+    applyInPandasWithState twin of q_cusum, completing the sequential
+    monitor family (stream_sprt / stream_page_hinkley / this).  The
+    retrospective statistic needs the FULL-series mean, which an
+    incremental CUSUM cannot revise — the daily-count-map refold
+    recomputes it exactly per micro-batch, so every emission is the
+    exact offline answer over all data so far and late rows repair
+    both the mean and the argmax for free.  State is calendar-bounded
+    (one long per active day per type); replay-idempotent by
+    additive merge."""
+    src = ev_stream.select(
+        "event_type",
+        F.expr("ts_ns div 86400000000000").alias("day_idx"),
+    )
+    return src.groupBy("event_type").applyInPandasWithState(
+        _cusum_update,
+        CUSUM_OUT_SCHEMA,
+        CUSUM_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

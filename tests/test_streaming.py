@@ -1136,3 +1136,40 @@ def test_stream_sprt_batch_granularity_invariance(spark, sf_dir):
         assert n_days == len({d for d, tt in acc if tt == t})
         assert decision in ("h0", "h1", "continue")
         assert (first_cross == 1 << 30) == (decision == "continue")
+
+
+def test_stream_cusum_matches_batch(spark, sf_dir):
+    """Streaming CUSUM twin: the final per-type emission equals
+    q_cusum's batch row exactly (changepoint day, 6dp magnitude) —
+    the refold recomputes the full-series mean per micro-batch, which
+    an incremental CUSUM cannot."""
+    from shadems_spark.queries import load_registry
+
+    ev_stream = SW.stream_from_parquet(spark, sf_dir).select(
+        "event_type", "ts_ns"
+    )
+    q = (
+        ST.stream_cusum(ev_stream)
+        .writeStream.format("memory")
+        .queryName("t_cusum")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_cusum").collect()
+    got = {}
+    for r in rows:
+        cur = got.get(r["event_type"])
+        if cur is None or r["n_days"] >= cur["n_days"]:
+            got[r["event_type"]] = r
+    batch = {
+        r["event_type"]: r
+        for r in load_registry()["q_cusum"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(batch)
+    for t, b in batch.items():
+        g = got[t]
+        assert g["n_days"] == b["n_days"]
+        assert g["cp_day"] == b["cp_day"]
+        assert abs(g["cusum_at_cp"] - b["cusum_at_cp"]) < 1e-9
