@@ -3729,14 +3729,40 @@ _AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
 def _as_p_sql(z: str) -> str:
     """two-sided p = erfc(|z|/sqrt(2)) via the A-S 7.1.26 polynomial:
     p = (a1 t + a2 t^2 + ... + a5 t^5) * exp(-x^2), t = 1/(1 + p*x),
-    x = |z|/sqrt(2)."""
+    x = |z|/sqrt(2).
+
+    The terms are built EXACTLY like the Spark side (_as_p_col /
+    q_bh_fdr's fold): each power is the running product tp_{i+1} =
+    (tp_i * t) computed FIRST, then multiplied by the coefficient —
+    a_i * ((t*t)*t...), NOT ((a_i*t)*t)*t....  The two associations
+    differ by ~1 ulp on ~half of inputs; keeping them identical is
+    what makes the 9dp rounding bit-identical across engines instead
+    of merely almost-always identical."""
     x = f"(abs({z}) / sqrt(2.0))"
     t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
-    poly = " + ".join(
-        f"({a}) * " + " * ".join([t] * (i + 1))
-        for i, a in enumerate(_AS_A)
-    )
+    tp = t
+    terms = []
+    for a in _AS_A:
+        terms.append(f"({a}) * {tp}")
+        tp = f"({tp} * {t})"
+    poly = " + ".join(terms)
     return f"round(({poly}) * exp(-({x} * {x})), 9)"
+
+
+def _as_p_col(z):
+    """Two-sided normal p-value 1 - erf(|z|/sqrt(2)) via the same
+    Abramowitz-Stegun 7.1.26 polynomial _as_p_sql replays in DuckDB
+    (the q_bh_fdr machinery, shared): identical literals, identical
+    operation order, rounded 9dp on both engines."""
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    poly = None
+    tp = t
+    for a in _AS_A:
+        term = F.lit(a) * tp
+        poly = term if poly is None else poly + term
+        tp = tp * t
+    return F.round(poly * F.exp(-(x * x)), 9)
 
 
 _BH_SQL = f"""
@@ -3830,15 +3856,7 @@ def q_bh_fdr(spark, sf_dir):
         "event_type", "n", "m", z_raw.alias("z_raw")
     )
 
-    x = F.abs(F.col("z_raw")) / F.sqrt(F.lit(2.0))
-    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
-    poly = None
-    tp = t
-    for a in _AS_A:
-        term = F.lit(a) * tp
-        poly = term if poly is None else poly + term
-        tp = tp * t
-    p_col = F.round(poly * F.exp(-(x * x)), 9)
+    p_col = _as_p_col(F.col("z_raw"))
     p = zt.select(
         "event_type", "n", "m", F.col("z_raw").alias("z"), p_col.alias("p")
     )
@@ -8528,22 +8546,6 @@ def q_raster_drift(spark, sf_dir):
 # oracle replays the identical fixed float formulas.
 
 
-def _as_p_col(z):
-    """Two-sided normal p-value 1 - erf(|z|/sqrt(2)) via the same
-    Abramowitz-Stegun 7.1.26 polynomial _as_p_sql replays in DuckDB
-    (the q_bh_fdr machinery, shared): identical literals, identical
-    operation order, rounded 9dp on both engines."""
-    x = F.abs(z) / F.sqrt(F.lit(2.0))
-    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
-    poly = None
-    tp = t
-    for a in _AS_A:
-        term = F.lit(a) * tp
-        poly = term if poly is None else poly + term
-        tp = tp * t
-    return F.round(poly * F.exp(-(x * x)), 9)
-
-
 def _welch_stats(ev):
     """One-pass conditional aggregate of the purchase vs non-purchase
     value split: milli-int sums (the q_bh_fdr protocol) so the six
@@ -8558,6 +8560,20 @@ def _welch_stats(ev):
         F.sum(F.when(is1, vm * vm).otherwise(F.lit(0))).cast("long").alias("q1"),
         F.sum(F.when(~is1, vm * vm).otherwise(F.lit(0))).cast("long").alias("q2"),
     )
+
+
+def _welch_moments():
+    """The (m1, m2, v1, v2) column expressions over _welch_stats'
+    six integer sufficient statistics — ONE definition shared by
+    q_welch and q_tost so the milli-int variance formula cannot
+    drift between them (it must mirror _WELCH_CTE's `f` CTE
+    term-for-term)."""
+    c = F.col
+    m1 = c("s1") / (c("n1") * 1000.0)
+    m2 = c("s2") / (c("n2") * 1000.0)
+    v1 = ((c("q1") - c("s1") * (c("s1") / c("n1").cast("double"))) / (c("n1") - 1)) / F.lit(1e6)
+    v2 = ((c("q2") - c("s2") * (c("s2") / c("n2").cast("double"))) / (c("n2") - 1)) / F.lit(1e6)
+    return m1, m2, v1, v2
 
 
 _WELCH_CTE = """
@@ -8606,10 +8622,7 @@ def q_welch(spark, sf_dir):
     float formulas over those integers, identical on both engines."""
     ev = load_table(spark, sf_dir, "events")
     c = F.col
-    m1 = c("s1") / (c("n1") * 1000.0)
-    m2 = c("s2") / (c("n2") * 1000.0)
-    v1 = ((c("q1") - c("s1") * (c("s1") / c("n1").cast("double"))) / (c("n1") - 1)) / F.lit(1e6)
-    v2 = ((c("q2") - c("s2") * (c("s2") / c("n2").cast("double"))) / (c("n2") - 1)) / F.lit(1e6)
+    m1, m2, v1, v2 = _welch_moments()
     se2 = v1 / c("n1") + v2 / c("n2")
     t = (m1 - m2) / F.sqrt(se2)
     df = (se2 * se2) / (
@@ -8656,10 +8669,7 @@ def q_tost(spark, sf_dir):
     equivalent flag is integer-identical across engines."""
     ev = load_table(spark, sf_dir, "events")
     c = F.col
-    m1 = c("s1") / (c("n1") * 1000.0)
-    m2 = c("s2") / (c("n2") * 1000.0)
-    v1 = ((c("q1") - c("s1") * (c("s1") / c("n1").cast("double"))) / (c("n1") - 1)) / F.lit(1e6)
-    v2 = ((c("q2") - c("s2") * (c("s2") / c("n2").cast("double"))) / (c("n2") - 1)) / F.lit(1e6)
+    m1, m2, v1, v2 = _welch_moments()
     se = F.sqrt(v1 / c("n1") + v2 / c("n2"))
     tl = (m1 - m2 + 0.05) / se
     tu = (m1 - m2 - 0.05) / se

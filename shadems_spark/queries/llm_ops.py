@@ -283,7 +283,11 @@ def q_ngram_jaccard(spark, sf_dir):
     and feeds all four consumers (both join sides + both size
     lookups)."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = D.doc_grams(docs, ngram=3)
+    # The raw gram table persists FIRST so the expensive split +
+    # 3-gram hash scan of documents runs once — both the df aggregate
+    # (stop-tail discovery) and the anti-join probe side read the
+    # cache, not the parquet.
+    grams = D.tracked_persist(D.doc_grams(docs, ngram=3), key="ngram_grams_raw")
     # The STOP-GRAM set (df > 1000) is bounded at total_occurrences /
     # 1000 rows by construction (pigeonhole) — broadcastable at any
     # corpus size (8-byte keys: ~8 MB per 10^9 occurrences) — so the
@@ -1370,12 +1374,16 @@ def q_quality_classifier(spark, sf_dir):
 #: metrics are uniform-per-block subsample estimators (VERDICT r6 #6).
 _NODE_CAP = 128
 
-@register(
-    "q_triangles",
-    sql=f"""
-    WITH e AS (SELECT vec_id, label,
-                      list_transform(embedding, x -> CAST(x AS DOUBLE)) v
-               FROM embeddings),
+#: the shared capped-node CTE trio (e / h0 / h): embeddings decoded to
+#: double vectors, hyperplane-bucketed (the {hp} placeholder), then
+#: degree-capped per (label, hp) block by the XE_CAP affine-hash rank
+#: (deterministic uniform subsample, ties by id).  ONE definition so
+#: q_triangles and the _EDGE_CTE family (q_modularity /
+#: q_assortativity) provably cap the SAME graph.
+_CAPPED_NODES_CTE = f"""
+    e AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+          FROM embeddings),
     h0 AS (SELECT vec_id, label, v,
                  {{hp}} AS hp
           FROM e),
@@ -1385,7 +1393,12 @@ _NODE_CAP = 128
                 ORDER BY (CAST({SIM.XE_CAP_A} AS BIGINT) * vec_id
                           + {SIM.XE_CAP_B}) % {SIM.XE_IVF_M}, vec_id) AS rn
             FROM h0)
-          WHERE rn <= {_NODE_CAP}),
+          WHERE rn <= {_NODE_CAP})"""
+
+@register(
+    "q_triangles",
+    sql=("""
+    WITH """ + _CAPPED_NODES_CTE + """,
     p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
           FROM h a JOIN h b
             ON a.label = b.label AND a.hp = b.hp AND a.vec_id < b.vec_id
@@ -1399,7 +1412,7 @@ _NODE_CAP = 128
            (SELECT count(*) FROM p e1
               JOIN p e2 ON e2.id1 = e1.id1 AND e2.id2 > e1.id2
               JOIN p e3 ON e3.id1 = e1.id2 AND e3.id2 = e2.id2) AS n_triangles
-    """.format(hp=SIM.hyperplane_bucket_sql("v", 2, 64)),
+    """).format(hp=SIM.hyperplane_bucket_sql("v", 2, 64)),
 )
 def q_triangles(spark, sf_dir):
     """Triangle census over the embedding near-dup graph — triadic
@@ -3469,20 +3482,7 @@ def q_grid_dbscan(spark, sf_dir):
     )
 
 
-_EDGE_CTE = f"""
-    e AS (SELECT vec_id, label,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) v
-          FROM embeddings),
-    h0 AS (SELECT vec_id, label, v,
-                 {{hp}} AS hp
-          FROM e),
-    h AS (SELECT vec_id, label, v, hp FROM (
-            SELECT h0.*, row_number() OVER (
-                PARTITION BY label, hp
-                ORDER BY (CAST({SIM.XE_CAP_A} AS BIGINT) * vec_id
-                          + {SIM.XE_CAP_B}) % {SIM.XE_IVF_M}, vec_id) AS rn
-            FROM h0)
-          WHERE rn <= {_NODE_CAP}),
+_EDGE_CTE = _CAPPED_NODES_CTE + f""",
     p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
                  a.label AS lbl1, b.label AS lbl2
           FROM h a JOIN h b
