@@ -464,3 +464,35 @@ def test_two_phase_scan_family_matches_window(spark, vals, n_parts):
         assert got_cs[k] == r["cs"]
         assert got_nt[k] == r["t"]
         assert got_cm[k] == r["cm"]
+
+
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=30), min_size=1, max_size=12
+    ),
+    m=st.sampled_from([2, 4, 10]),
+    partitions=st.sampled_from([1, 3, 8]),
+)
+@settings(**SETTINGS)
+def test_heavy_hitters_fuzz_exact(spark, weights, m, partitions):
+    """Two-phase exact heavy hitters on random frequency shapes at
+    random layouts must equal the textbook GROUP BY ... HAVING
+    n*m > N set — including boundary counts (n*m == N excluded) and
+    the no-hitters case (max weight too small)."""
+    from shadems_spark.operators.profile import heavy_hitters
+
+    vals = [f"k{i}" for i, w in enumerate(weights) for _ in range(w)]
+    n_total = len(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "w string").repartition(
+        partitions
+    )
+    got = sorted(
+        (r["w"], r["n"], r["n_total"])
+        for r in heavy_hitters(df, "w", m=m).collect()
+    )
+    want = sorted(
+        (f"k{i}", w, n_total)
+        for i, w in enumerate(weights)
+        if w * m > n_total
+    )
+    assert got == want
