@@ -267,14 +267,14 @@ _R07_TOUCHED = [
     "q_ngram_jaccard", "q_ewma", "q_triangles", "q_ppjoin",
 ]
 
-#: round-7 session additions (11 names, under the <= 15 freeze
+#: round-7 session additions (13 names, under the <= 15 freeze
 #: from VERDICT r6 #1; all hash-exact on first registration).  They
 #: queue BEHIND the never-checked backlog: r7's ~50-sample drains the
 #: backlog head, r8 covers the residue plus these.
 _NEW_R7_SESSION = [
     "q_welch", "q_tost", "q_levene", "q_mad",
     "q_simpson", "q_lorenz", "q_sprt", "q_page_hinkley",
-    "q_tukey", "q_mcnemar", "q_herfindahl",
+    "q_tukey", "q_mcnemar", "q_herfindahl", "q_kruskal", "q_shewhart",
 ]
 
 

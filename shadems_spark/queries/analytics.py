@@ -9448,3 +9448,208 @@ def q_herfindahl(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "q_kruskal",
+    sql="""
+    WITH v AS (SELECT event_type,
+                      CAST(round(value * 1000) AS BIGINT) AS vm
+               FROM events WHERE value IS NOT NULL),
+    d AS (SELECT vm, CAST(count(*) AS BIGINT) AS n_v FROM v GROUP BY 1),
+    r AS (SELECT vm, n_v,
+                 CAST(coalesce(sum(n_v) OVER (ORDER BY vm
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS cumlt
+          FROM d),
+    gv AS (SELECT v.event_type, v.vm, CAST(count(*) AS BIGINT) AS n_gv
+           FROM v GROUP BY 1, 2),
+    g AS (SELECT gv.event_type,
+                 CAST(sum(gv.n_gv) AS BIGINT) AS n_g,
+                 CAST(sum(gv.n_gv * (2 * r.cumlt + r.n_v + 1)) AS BIGINT)
+                     AS r2_g
+          FROM gv JOIN r USING (vm) GROUP BY 1),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n_g) AS BIGINT) AS n FROM g),
+    ties AS (SELECT CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS tsum
+             FROM d),
+    h AS (SELECT t.k, t.n,
+                 (12.0 / (CAST(t.n AS DOUBLE) * (t.n + 1)))
+                 * (SELECT sum((r2_g / 2.0) * (r2_g / 2.0)
+                               / CAST(n_g AS DOUBLE)) FROM g)
+                 - 3.0 * (t.n + 1) AS h_raw,
+                 1.0 - ties.tsum
+                       / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n) AS c
+          FROM t CROSS JOIN ties)
+    SELECT k, n, round(h_raw, 6) AS h, round(c, 9) AS tie_c,
+           round(h_raw / c, 6) AS h_corrected
+    FROM h
+    """,
+)
+def q_kruskal(spark, sf_dir):
+    """Kruskal-Wallis rank-based k-group omnibus test of event value
+    across event types — the distribution-free companion to q_anova
+    (use this when q_levene rejects variance homogeneity or the
+    values are heavy-tailed), with the standard tie correction.
+
+    The interesting part is the RANKS: average ranks over N pooled
+    values without any data-sized single-partition stage.  Milli-int
+    values collapse to a per-distinct-value count table; the
+    exclusive prefix count (cumlt) gives every value's average rank
+    as (2*cumlt + n_v + 1)/2 — kept DOUBLED so each group's rank sum
+    R2_g = sum n_gv*(2*cumlt + n_v + 1) is a pure INTEGER on both
+    engines; H and the tie correction are fixed float formulas over
+    (R2_g, n_g, N, sum(t^3 - t)).  In Spark the prefix count rides
+    the two-phase global_cumsum over the distinct-value table; the
+    oracle uses a plain window (DuckDB's engine is welcome to its
+    own plan).  The 12/(N(N+1)) constant and the k-row float sum of
+    R_g^2/n_g follow the q_anova convention (K-bounded reduce)."""
+    from shadems_spark.operators.profile import global_cumsum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vm = F.round(F.col("value") * 1000).cast("long")
+    v = ev.select("event_type", vm.alias("vm"))
+    d = v.groupBy("vm").agg(F.count(F.lit(1)).cast("long").alias("n_v"))
+    # exclusive prefix count over ascending distinct values: the
+    # two-phase scan (no single-partition window at any cardinality)
+    r = global_cumsum(d, ["vm"], {"cum": "n_v"}, )
+    r = r.select(
+        "vm", "n_v",
+        (F.col("cum") - F.col("n_v")).cast("long").alias("cumlt"),
+    )
+    gv = v.groupBy("event_type", "vm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gv")
+    )
+    c = F.col
+    g = gv.join(r, "vm").groupBy("event_type").agg(
+        F.sum("n_gv").cast("long").alias("n_g"),
+        F.sum(c("n_gv") * (2 * c("cumlt") + c("n_v") + 1))
+        .cast("long").alias("r2_g"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum((c("r2_g") / 2.0) * (c("r2_g") / 2.0) / c("n_g").cast("double"))
+        .alias("rr"),
+    )
+    ties = d.agg(
+        F.sum(c("n_v") * c("n_v") * c("n_v") - c("n_v"))
+        .cast("long").alias("tsum")
+    )
+    h_raw = (
+        (F.lit(12.0) / (c("n").cast("double") * (c("n") + 1))) * c("rr")
+        - F.lit(3.0) * (c("n") + 1)
+    )
+    tie_c = F.lit(1.0) - c("tsum") / (
+        c("n").cast("double") * c("n") * c("n") - c("n")
+    )
+    return t.crossJoin(F.broadcast(ties)).select(
+        "k", "n",
+        F.round(h_raw, 6).alias("h"),
+        F.round(tie_c, 9).alias("tie_c"),
+        F.round(h_raw / tie_c, 6).alias("h_corrected"),
+    )
+
+
+@register(
+    "q_shewhart",
+    sql="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+    g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS s,
+                 CAST(sum(y * y) AS BIGINT) AS q
+          FROM d GROUP BY 1),
+    l AS (SELECT event_type, n, s, q,
+                 s / CAST(n AS DOUBLE) AS mu,
+                 sqrt((q - s * (s / CAST(n AS DOUBLE))) / (n - 1)) AS sd
+          FROM g),
+    zd AS (SELECT d.event_type, d.day, d.y, l.n, l.mu, l.sd,
+                  CAST(round((abs(d.y - l.mu) / l.sd) * 1e9) AS BIGINT)
+                      AS zn,
+                  CASE WHEN d.y > l.mu + 3.0 * l.sd
+                        OR d.y < l.mu - 3.0 * l.sd THEN 1 ELSE 0 END AS viol
+           FROM d JOIN l USING (event_type)),
+    agg AS (SELECT event_type,
+                   CAST(max(n) AS BIGINT) AS n_days,
+                   round(max(mu), 6) AS center,
+                   round(max(mu + 3.0 * sd), 6) AS ucl,
+                   round(max(mu - 3.0 * sd), 6) AS lcl,
+                   CAST(sum(viol) AS BIGINT) AS n_violations,
+                   coalesce(CAST(max(CASE WHEN viol = 1 THEN day END)
+                                 AS VARCHAR), '') AS last_violation_day,
+                   CAST(max(zn) AS BIGINT) AS max_zn
+            FROM zd GROUP BY 1)
+    SELECT agg.event_type, agg.n_days, agg.center, agg.ucl, agg.lcl,
+           agg.n_violations, agg.last_violation_day,
+           round(agg.max_zn / 1e9, 6) AS max_z,
+           CAST(min(zd.day) AS VARCHAR) AS max_z_day
+    FROM agg JOIN zd ON zd.event_type = agg.event_type
+                    AND zd.zn = agg.max_zn
+    GROUP BY 1, 2, 3, 4, 5, 6, 7, 8 ORDER BY agg.event_type
+    """,
+)
+def q_shewhart(spark, sf_dir):
+    """Shewhart individuals control chart per event type: center line
+    and 3-sigma limits from the daily-count series, with the count
+    and latest day of out-of-control points — the SPC classic that
+    completes the monitoring family (CUSUM catches small persistent
+    shifts, Page-Hinkley drifts, Shewhart single large excursions).
+
+    Exactness: daily counts are integers, the per-type (n, Σy, Σy²)
+    sufficient statistics are integers, μ/σ/limits are fixed float
+    formulas over them, and each violation flag is the SAME
+    float compare on both engines.  Scale: the (type, day) aggregate
+    is the only data-sized stage; the limits join back by type
+    (broadcast, k rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    c = F.col
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(c("y") * c("y")).cast("long").alias("q"),
+    )
+    mu = c("s") / c("n").cast("double")
+    sd = F.sqrt((c("q") - c("s") * (c("s") / c("n").cast("double"))) / (c("n") - 1))
+    l = g.select(
+        "event_type", "n", mu.alias("mu"), sd.alias("sd"),
+    )
+    viol = (c("y") > c("mu") + 3.0 * c("sd")) | (c("y") < c("mu") - 3.0 * c("sd"))
+    # per-(type, day) z-score nano-int: max_z / max_z_day are real
+    # values at ANY fixture (the violation columns are zero on
+    # well-behaved data), so the oracle hash verifies the excursion
+    # machinery, not just the limits
+    zn = F.round((F.abs(c("y") - c("mu")) / c("sd")) * 1e9).cast("long")
+    zd = d.join(F.broadcast(l), "event_type").select(
+        "event_type", "day", "y", "n", "mu", "sd",
+        zn.alias("zn"), viol.cast("int").alias("viol"),
+    )
+    agg = zd.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(F.max("mu"), 6).alias("center"),
+        F.round(F.max(c("mu") + 3.0 * c("sd")), 6).alias("ucl"),
+        F.round(F.max(c("mu") - 3.0 * c("sd")), 6).alias("lcl"),
+        F.sum("viol").cast("long").alias("n_violations"),
+        F.coalesce(
+            F.max(F.when(c("viol") == 1, c("day"))).cast("string"),
+            F.lit(""),
+        ).alias("last_violation_day"),
+        F.max("zn").cast("long").alias("max_zn"),
+    )
+    return (
+        agg.join(
+            zd.select("event_type", c("zn").alias("max_zn"), "day"),
+            ["event_type", "max_zn"],
+        )
+        .groupBy(
+            "event_type", "n_days", "center", "ucl", "lcl",
+            "n_violations", "last_violation_day",
+            F.round(c("max_zn") / 1e9, 6).alias("max_z"),
+        )
+        .agg(F.min("day").cast("string").alias("max_z_day"))
+        .orderBy("event_type")
+    )

