@@ -366,6 +366,11 @@ PROBE_R7 = [
     "q_tukey",
     "q_mcnemar",
     "q_herfindahl",
+    # third batch: kruskal's distinct-value rank table grows with the
+    # milli-int value domain (two-phase prefix count shards it);
+    # shewhart grows only the (type, day) pre-aggregate.
+    "q_kruskal",
+    "q_shewhart",
 ]
 
 #: key shift per copy — far above any real key at these scale factors.
