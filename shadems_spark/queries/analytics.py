@@ -9251,12 +9251,20 @@ def q_tukey(spark, sf_dir):
     (integer cross-group sum, the q_levene protocol); the pairwise
     grid is a broadcast self-join of k rows.  No window, no second
     scan."""
+    from shadems_spark.operators.dedup import tracked_persist
+
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vm = F.round(F.col("value") * 1000).cast("long")
-    g = ev.select("event_type", vm.alias("vm")).groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("vm").cast("long").alias("s"),
-        F.sum(F.col("vm") * F.col("vm")).cast("long").alias("q"),
+    # the k-row group table feeds MSW, both pair-grid sides — persist
+    # so the events scan runs once (per-branch column pruning defeats
+    # ReuseExchange, the r6 lesson)
+    g = tracked_persist(
+        ev.select("event_type", vm.alias("vm")).groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vm").cast("long").alias("s"),
+            F.sum(F.col("vm") * F.col("vm")).cast("long").alias("q"),
+        ),
+        key="tukey_groups",
     )
     c = F.col
     t = g.agg(
@@ -9317,14 +9325,15 @@ def q_tukey(spark, sf_dir):
           FROM u)
     SELECT n, b, c,
            round(CASE WHEN b + c > 0
-                 THEN (abs(b - c) - 1) * (abs(b - c) - 1)
+                 THEN greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0)
                       / CAST(b + c AS DOUBLE) ELSE 0 END, 6) AS chi2,
            CASE WHEN b + c > 0 THEN
            {{AS_P}}
            ELSE 1.0 END AS p
     FROM s
     """.replace("{AS_P}", _as_p_sql(
-        "(sqrt(CASE WHEN b + c > 0 THEN (abs(b - c) - 1) * (abs(b - c) - 1)"
+        "(sqrt(CASE WHEN b + c > 0 THEN greatest(abs(b - c) - 1, 0)"
+        " * greatest(abs(b - c) - 1, 0)"
         " / CAST(b + c AS DOUBLE) ELSE 0 END))"
     )),
 )
@@ -9360,10 +9369,14 @@ def q_mcnemar(spark, sf_dir):
         F.sum(((c("p1") == 0) & (c("p2") == 1)).cast("int"))
         .cast("long").alias("c"),
     )
-    d = F.abs(c("b") - c("c"))
+    # continuity correction clamped at zero (Edwards '48): with
+    # b == c > 0 the uncorrected |b-c|-1 = -1 would square to a
+    # SPURIOUS 1/(b+c) — evidence of asymmetry from perfectly
+    # symmetric discordance.
+    d = F.greatest(F.abs(c("b") - c("c")) - 1, F.lit(0))
     chi2 = F.when(
         c("b") + c("c") > 0,
-        (d - 1) * (d - 1) / (c("b") + c("c")).cast("double"),
+        d * d / (c("b") + c("c")).cast("double"),
     ).otherwise(F.lit(0.0))
     return s.select(
         "n", "b", "c",
@@ -9414,12 +9427,18 @@ def q_herfindahl(spark, sf_dir):
         F.col("c_custkey").alias("o_custkey"),
         F.col("c_nationkey").alias("nation"),
     )
-    r = (
+    from shadems_spark.operators.dedup import tracked_persist
+
+    # the per-(nation, customer) aggregate is the only data-sized
+    # stage and feeds BOTH the nation totals and the squared-share
+    # sum — persist so the orders scan + join + shuffle run once
+    r = tracked_persist(
         o.select("o_custkey",
                  F.round(F.col("o_totalprice") * 100).cast("long").alias("rc"))
         .join(F.broadcast(cust), "o_custkey")
         .groupBy("nation", "o_custkey")
-        .agg(F.sum("rc").cast("long").alias("rev"))
+        .agg(F.sum("rc").cast("long").alias("rev")),
+        key="hhi_rev",
     )
     t = r.groupBy("nation").agg(
         F.count(F.lit(1)).cast("long").alias("n_cust"),
@@ -9456,14 +9475,14 @@ def q_herfindahl(spark, sf_dir):
     WITH v AS (SELECT event_type,
                       CAST(round(value * 1000) AS BIGINT) AS vm
                FROM events WHERE value IS NOT NULL),
-    d AS (SELECT vm, CAST(count(*) AS BIGINT) AS n_v FROM v GROUP BY 1),
+    gv AS (SELECT event_type, vm, CAST(count(*) AS BIGINT) AS n_gv
+           FROM v GROUP BY 1, 2),
+    d AS (SELECT vm, CAST(sum(n_gv) AS BIGINT) AS n_v FROM gv GROUP BY 1),
     r AS (SELECT vm, n_v,
                  CAST(coalesce(sum(n_v) OVER (ORDER BY vm
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                       0) AS BIGINT) AS cumlt
           FROM d),
-    gv AS (SELECT v.event_type, v.vm, CAST(count(*) AS BIGINT) AS n_gv
-           FROM v GROUP BY 1, 2),
     g AS (SELECT gv.event_type,
                  CAST(sum(gv.n_gv) AS BIGINT) AS n_g,
                  CAST(sum(gv.n_gv * (2 * r.cumlt + r.n_v + 1)) AS BIGINT)
@@ -9471,18 +9490,18 @@ def q_herfindahl(spark, sf_dir):
           FROM gv JOIN r USING (vm) GROUP BY 1),
     t AS (SELECT CAST(count(*) AS BIGINT) AS k,
                  CAST(sum(n_g) AS BIGINT) AS n FROM g),
-    ties AS (SELECT CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS tsum
+    ties AS (SELECT sum(CAST(n_v AS HUGEINT) * n_v * n_v - n_v) AS tsum
              FROM d),
     h AS (SELECT t.k, t.n,
                  (12.0 / (CAST(t.n AS DOUBLE) * (t.n + 1)))
                  * (SELECT sum((r2_g / 2.0) * (r2_g / 2.0)
                                / CAST(n_g AS DOUBLE)) FROM g)
                  - 3.0 * (t.n + 1) AS h_raw,
-                 1.0 - ties.tsum
+                 1.0 - CAST(ties.tsum AS DOUBLE)
                        / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n) AS c
           FROM t CROSS JOIN ties)
     SELECT k, n, round(h_raw, 6) AS h, round(c, 9) AS tie_c,
-           round(h_raw / c, 6) AS h_corrected
+           CASE WHEN c > 0 THEN round(h_raw / c, 6) END AS h_corrected
     FROM h
     """,
 )
@@ -9504,21 +9523,28 @@ def q_kruskal(spark, sf_dir):
     oracle uses a plain window (DuckDB's engine is welcome to its
     own plan).  The 12/(N(N+1)) constant and the k-row float sum of
     R_g^2/n_g follow the q_anova convention (K-bounded reduce)."""
+    from shadems_spark.operators.dedup import tracked_persist
     from shadems_spark.operators.profile import global_cumsum
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vm = F.round(F.col("value") * 1000).cast("long")
     v = ev.select("event_type", vm.alias("vm"))
-    d = v.groupBy("vm").agg(F.count(F.lit(1)).cast("long").alias("n_v"))
+    # ONE events scan: the (type, value) counts persist and every
+    # other table (distinct-value counts, prefix ranks, ties, group
+    # sums) derives from the cache
+    gv = tracked_persist(
+        v.groupBy("event_type", "vm").agg(
+            F.count(F.lit(1)).cast("long").alias("n_gv")
+        ),
+        key="kruskal_gv",
+    )
+    d = gv.groupBy("vm").agg(F.sum("n_gv").cast("long").alias("n_v"))
     # exclusive prefix count over ascending distinct values: the
     # two-phase scan (no single-partition window at any cardinality)
     r = global_cumsum(d, ["vm"], {"cum": "n_v"}, )
     r = r.select(
         "vm", "n_v",
         (F.col("cum") - F.col("n_v")).cast("long").alias("cumlt"),
-    )
-    gv = v.groupBy("event_type", "vm").agg(
-        F.count(F.lit(1)).cast("long").alias("n_gv")
     )
     c = F.col
     g = gv.join(r, "vm").groupBy("event_type").agg(
@@ -9532,22 +9558,30 @@ def q_kruskal(spark, sf_dir):
         F.sum((c("r2_g") / 2.0) * (c("r2_g") / 2.0) / c("n_g").cast("double"))
         .alias("rr"),
     )
+    # t^3 - t in DECIMAL(38) on Spark / HUGEINT in the oracle: one
+    # modal value past ~2.1M duplicates would wrap a 64-bit cube
+    # silently on Spark and error on DuckDB — wide integers keep the
+    # sum exact to n_v ~ 4.6e12, then ONE cast to double at the ratio
     ties = d.agg(
-        F.sum(c("n_v") * c("n_v") * c("n_v") - c("n_v"))
-        .cast("long").alias("tsum")
+        F.sum(
+            c("n_v").cast("decimal(38,0)") * c("n_v") * c("n_v") - c("n_v")
+        ).alias("tsum")
     )
     h_raw = (
         (F.lit(12.0) / (c("n").cast("double") * (c("n") + 1))) * c("rr")
         - F.lit(3.0) * (c("n") + 1)
     )
-    tie_c = F.lit(1.0) - c("tsum") / (
+    tie_c = F.lit(1.0) - c("tsum").cast("double") / (
         c("n").cast("double") * c("n") * c("n") - c("n")
     )
     return t.crossJoin(F.broadcast(ties)).select(
         "k", "n",
         F.round(h_raw, 6).alias("h"),
         F.round(tie_c, 9).alias("tie_c"),
-        F.round(h_raw / tie_c, 6).alias("h_corrected"),
+        # all-tied input makes tie_c exactly 0: no rank information
+        # exists, so the corrected statistic is undefined (NULL on
+        # both engines), not inf/NaN-divergent
+        F.when(tie_c > 0, F.round(h_raw / tie_c, 6)).alias("h_corrected"),
     )
 
 
@@ -9564,7 +9598,8 @@ def q_kruskal(spark, sf_dir):
     l AS (SELECT event_type, n, s, q,
                  s / CAST(n AS DOUBLE) AS mu,
                  sqrt((q - s * (s / CAST(n AS DOUBLE))) / (n - 1)) AS sd
-          FROM g),
+          FROM g
+          WHERE n > 1 AND q - s * (s / CAST(n AS DOUBLE)) > 0),
     zd AS (SELECT d.event_type, d.day, d.y, l.n, l.mu, l.sd,
                   CAST(round((abs(d.y - l.mu) / l.sd) * 1e9) AS BIGINT)
                       AS zn,
@@ -9603,10 +9638,18 @@ def q_shewhart(spark, sf_dir):
     float compare on both engines.  Scale: the (type, day) aggregate
     is the only data-sized stage; the limits join back by type
     (broadcast, k rows)."""
+    from shadems_spark.operators.dedup import tracked_persist
+
     ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    # the (type, day) table feeds the limit fit AND the z/violation
+    # join-back — persist so the events scan runs once (calendar-
+    # bounded cache)
+    d = tracked_persist(
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("y")),
+        key="shewhart_daily",
+    )
     c = F.col
     g = d.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -9615,7 +9658,13 @@ def q_shewhart(spark, sf_dir):
     )
     mu = c("s") / c("n").cast("double")
     sd = F.sqrt((c("q") - c("s") * (c("s") / c("n").cast("double"))) / (c("n") - 1))
-    l = g.select(
+    # a chart needs a spread estimate: drop types with a single active
+    # day or constant counts (sd = 0/0 or 0 — the oracle drops the
+    # same rows, and zn below would otherwise NaN/NULL-diverge)
+    l = g.filter(
+        (c("n") > 1)
+        & (c("q") - c("s") * (c("s") / c("n").cast("double")) > 0)
+    ).select(
         "event_type", "n", mu.alias("mu"), sd.alias("sd"),
     )
     viol = (c("y") > c("mu") + 3.0 * c("sd")) | (c("y") < c("mu") - 3.0 * c("sd"))

@@ -279,9 +279,11 @@ def q_ngram_jaccard(spark, sf_dir):
 
     Grams join by 64-bit xxhash64 — an 8-byte key instead of a
     variable-width string; identical counts absent collisions, which
-    the oracle run confirms.  The pruned gram table is persisted once
-    and feeds all four consumers (both join sides + both size
-    lookups)."""
+    the oracle run confirms.  The RAW gram table persists while the
+    stop tail and the pruned table build from it (one split+hash scan
+    of documents), then RELEASES once the pruned cache is forced; the
+    pruned cache feeds all four consumers (both join sides + both
+    size lookups)."""
     docs = load_table(spark, sf_dir, "documents")
     # The raw gram table persists FIRST so the expensive split +
     # 3-gram hash scan of documents runs once — both the df aggregate
@@ -303,6 +305,12 @@ def q_ngram_jaccard(spark, sf_dir):
         grams.join(F.broadcast(stop), "s", "left_anti"),
         key="ngram_grams",
     )
+    # force the pruned cache THROUGH the raw cache, then release the
+    # raw one — after this point the raw table is dead weight (on
+    # fixtures where the cap binds nothing, the two caches would be
+    # byte-identical twins pinning 2x the largest intermediate)
+    pruned.count()
+    D.release_persist("ngram_grams_raw")
     sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     g = pruned.withColumnRenamed("s", "ng")
     a, b = g.alias("a"), g.alias("b")
