@@ -496,3 +496,44 @@ def test_heavy_hitters_fuzz_exact(spark, weights, m, partitions):
         if w * m > n_total
     )
     assert got == want
+
+
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),   # day index
+            st.integers(min_value=1, max_value=200),  # events that day
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    cut=st.integers(min_value=0, max_value=49),
+)
+@settings(**SETTINGS)
+def test_monitor_folds_batching_invariant(counts, cut):
+    """The streaming monitors' replay-idempotence claim, fuzzed: the
+    shared folds (cusum_fold / page_hinkley_fold / sprt_fold) are
+    pure functions of the MERGED daily-count state, so folding the
+    additive merge of any two batch prefixes equals folding the whole
+    — late rows and arbitrary micro-batch boundaries cannot change
+    an emission."""
+    from shadems_spark.streaming.stateful import (
+        cusum_fold,
+        page_hinkley_fold,
+        sprt_fold,
+    )
+
+    cut = min(cut, len(counts))
+    whole: dict = {}
+    for d, n in counts:
+        whole[d] = whole.get(d, 0) + n
+    merged: dict = {}
+    for d, n in counts[:cut]:
+        merged[d] = merged.get(d, 0) + n
+    for d, n in counts[cut:]:  # second micro-batch merges additively
+        merged[d] = merged.get(d, 0) + n
+    assert cusum_fold(merged) == cusum_fold(whole)
+    assert page_hinkley_fold(merged) == page_hinkley_fold(whole)
+    dt_whole = {(d, "t"): n for d, n in whole.items()}
+    dt_merged = {(d, "t"): n for d, n in merged.items()}
+    assert sprt_fold(dt_merged) == sprt_fold(dt_whole)
