@@ -277,14 +277,55 @@ _NEW_R7_SESSION = [
     "q_tukey", "q_mcnemar", "q_herfindahl", "q_kruskal", "q_shewhart",
 ]
 
+#: round-8 front of the check queue (VERDICT r7 "Next round" #1): the
+#: exact 28 queries with NO driver CORRECTNESS row in any of r01–r07
+#: (= set(registry) − union of the seven JSON records, recomputed this
+#: session) — 15 residue of the r6 backlog + the 13 r7 statistics
+#: additions.  All 28 were green in the judge's own 350-query gate in
+#: r7; the driver record is the hard signal.
+_NEVER_CHECKED_R7 = [
+    "q_sax", "q_seq_patterns", "q_shapley_attribution", "q_silhouette",
+    "q_slice_finder", "q_small_qty_revenue", "q_srm", "q_stl_decompose",
+    "q_tcloseness", "q_texttiling", "q_time_to_convert",
+    "q_tokenizer_fertility", "q_weighted_median", "q_wilcoxon", "q_xcorr",
+    "q_welch", "q_tost", "q_levene", "q_mad", "q_simpson", "q_lorenz",
+    "q_sprt", "q_page_hinkley", "q_tukey", "q_mcnemar", "q_herfindahl",
+    "q_kruskal", "q_shewhart",
+]
+
+#: the 8 queries whose oracle graduated from rows-only to hash-exact
+#: SQL in r5/r6 but whose last driver sample predates the graduation
+#: (VERDICT r7 #1) — judge-gate green; they re-earn hash-exact driver
+#: rows right after the never-sampled block.
+_ORACLE_GRADUATED = [
+    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_bottomk",
+    "q_ann_lsh", "q_ann_ivf", "q_bpe_tokenize", "q_frame_sample",
+    "q_pca",
+]
+
+#: already-sampled queries whose implementation or oracle changes in
+#: round 8 (ADVICE r7 fixes that alter outputs) — they re-queue after
+#: the graduated block to re-earn rows.
+_R08_TOUCHED = [
+    "q_ngram_jaccard",
+]
+
+#: round-8 session additions (kept small; the backlog drain comes
+#: first per the registry freeze discipline).
+_NEW_R8_SESSION: list[str] = []
+
 
 def _check_order(names: list[str]) -> list[str]:
-    """Driver-check order for round 7: the 65-query never-sampled
-    backlog first (VERDICT r6 #1), then this round's re-touched and
-    brand-new queries, then the proven r06→r01 blocks (already
-    driver-green, rotate to the back)."""
+    """Driver-check order for round 8: the 28 never-driver-sampled
+    queries first, then the 8 oracle-graduated-never-re-sampled, then
+    this round's re-touched and brand-new queries (36 + touched + new
+    fits in one ~50-sample with room — VERDICT r7 #1), then the proven
+    blocks; r7's freshly-drained 50 (_NEVER_CHECKED_R6) rotate to the
+    very back."""
     known = (
-        set(_NEVER_CHECKED_R6) | set(_R07_TOUCHED) | set(_NEW_R7_SESSION)
+        set(_NEVER_CHECKED_R7) | set(_ORACLE_GRADUATED)
+        | set(_R08_TOUCHED) | set(_NEW_R8_SESSION)
+        | set(_NEVER_CHECKED_R6) | set(_R07_TOUCHED) | set(_NEW_R7_SESSION)
         | set(_R06_TOUCHED) | set(_NEVER_CHECKED_R5) | set(_R05_FRONT)
         | set(_NEW_R6_SESSION)
         | set(_NEVER_CHECKED_R3) | set(_R04_TOUCHED)
@@ -293,11 +334,14 @@ def _check_order(names: list[str]) -> list[str]:
     )
     new = [n for n in names if n not in known]
     blocks = [
-        _NEVER_CHECKED_R6, _R07_TOUCHED, _NEW_R7_SESSION, new,
+        _NEVER_CHECKED_R7, _ORACLE_GRADUATED, _R08_TOUCHED,
+        _NEW_R8_SESSION, new,
+        _R07_TOUCHED, _NEW_R7_SESSION,
         _R06_TOUCHED, _NEVER_CHECKED_R5, _NEW_R6_SESSION,
         _R05_FRONT,
         _NEVER_CHECKED_R3, _R04_TOUCHED, _R23_DRIVER_GREEN, _R02_RED,
         _R02_PRIORITY, _DEFERRED, _R01_DRIVER_GREEN,
+        _NEVER_CHECKED_R6,
     ]
     seen: set[str] = set()
     ordered: list[str] = []
