@@ -164,8 +164,11 @@ def main() -> None:
             assert n >= 0
         runs.append(timings)
     total = round((time.time() - t_all) / reps, 3)
+    # 2dp in the compact driver line (10 ms precision suffices for the
+    # headline medians and buys ~70 bytes of tail-capture margin);
+    # full 3dp values live in the spread side artifact.
     timings = {
-        q: round(statistics.median(r[q] for r in runs), 3) for q in runs[0]
+        q: round(statistics.median(r[q] for r in runs), 2) for q in runs[0]
     }
     spread = (
         {
@@ -208,6 +211,12 @@ def main() -> None:
         host["n_running_procs"] = running
     except OSError:  # pragma: no cover
         pass
+    # The driver captures only a ~2 KB TAIL of stdout and parses the
+    # final JSON line; round 7's spread-enriched single line outgrew
+    # that window and BENCH_r07.json recorded "parsed": null (VERDICT
+    # r7 #2).  Keep the LAST stdout line compact — per-query medians
+    # only — and emit the [min, max] spread as an EARLIER stdout line
+    # plus a committed side artifact (BENCH_SPREAD.json).
     out = {
         "metric": "headline_queries_wall",
         "value": total,
@@ -218,7 +227,16 @@ def main() -> None:
     }
     if spread is not None:
         out["median_of"] = len(runs)
-        out["spread"] = spread
+        side = {"median_of": len(runs), "sf": float(sf), "spread": spread}
+        print(json.dumps(side))
+        try:
+            with open(
+                os.path.join(os.path.dirname(__file__), "BENCH_SPREAD.json"),
+                "w",
+            ) as fh:
+                json.dump(side, fh, indent=1)
+        except OSError:  # pragma: no cover - repo dir is writable
+            pass
     print(json.dumps(out))
 
 
