@@ -168,3 +168,31 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_guards_replicated_dim_size(spark, tmp_path):
+    """salted_join must refuse to replicate a dim whose x n_salt
+    footprint exceeds the documented ceiling (VERDICT r7 #3), pointing
+    at skew_split_join; max_replicated_bytes=None opts out."""
+    import pytest
+
+    fact = _skewed(spark)
+    # a parquet-backed dim so Catalyst has a real size estimate
+    spark.range(5000).selectExpr("id as k", "id * 2 as d").write.parquet(
+        str(tmp_path / "dim.parquet")
+    )
+    dim = spark.read.parquet(str(tmp_path / "dim.parquet"))
+    from shadems_spark.operators.skew import _plan_size_bytes
+
+    est = _plan_size_bytes(dim)
+    assert est is not None and est > 0  # estimate exists for parquet scans
+    with pytest.raises(ValueError, match="skew_split_join"):
+        salted_join(fact, dim, "k", n_salt=8, max_replicated_bytes=est)
+    # under the ceiling -> builds; explicit opt-out -> builds
+    assert salted_join(fact, dim, "k", n_salt=8).count() > 0
+    assert (
+        salted_join(
+            fact, dim, "k", n_salt=8, max_replicated_bytes=None
+        ).count()
+        > 0
+    )
