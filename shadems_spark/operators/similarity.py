@@ -416,9 +416,17 @@ def embedding_near_dup(
     if node_cap is not None:
         from pyspark.sql import Window
 
+        # reduce the id mod M BEFORE the multiply: A * id overflows
+        # int64 once ids reach ~9.2e9 (Spark wraps silently while
+        # DuckDB errors on BIGINT overflow — ADVICE r7).  A*(id mod M)
+        # mod M == A*id mod M, so every non-overflowing hash value is
+        # unchanged; the product now stays < ~1e18 for ANY id.
         rk = F.row_number().over(
             Window.partitionBy("bkt", "hp").orderBy(
-                (F.lit(XE_CAP_A) * F.col("id") + F.lit(XE_CAP_B))
+                (
+                    F.lit(XE_CAP_A) * F.pmod(F.col("id"), F.lit(XE_IVF_M))
+                    + F.lit(XE_CAP_B)
+                )
                 % F.lit(XE_IVF_M),
                 F.col("id"),
             )

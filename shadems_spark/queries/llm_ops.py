@@ -1398,7 +1398,9 @@ _CAPPED_NODES_CTE = f"""
     h AS (SELECT vec_id, label, v, hp FROM (
             SELECT h0.*, row_number() OVER (
                 PARTITION BY label, hp
-                ORDER BY (CAST({SIM.XE_CAP_A} AS BIGINT) * vec_id
+                ORDER BY (CAST({SIM.XE_CAP_A} AS BIGINT)
+                          * (((vec_id % {SIM.XE_IVF_M}) + {SIM.XE_IVF_M})
+                             % {SIM.XE_IVF_M})
                           + {SIM.XE_CAP_B}) % {SIM.XE_IVF_M}, vec_id) AS rn
             FROM h0)
           WHERE rn <= {_NODE_CAP})"""
