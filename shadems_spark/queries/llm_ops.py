@@ -277,45 +277,61 @@ def q_ngram_jaccard(spark, sf_dir):
     fixture (max df 25 at x100), so results match the unpruned
     definition everywhere the driver checks.
 
-    Grams join by 64-bit xxhash64 — an 8-byte key instead of a
-    variable-width string; identical counts absent collisions, which
-    the oracle run confirms.  The RAW gram table persists while the
-    stop tail and the pruned table build from it (one split+hash scan
-    of documents), then RELEASES once the pruned cache is forced; the
-    pruned cache feeds all four consumers (both join sides + both
-    size lookups)."""
+    Gram IDENTITY — df counting and the stop prune — is the string
+    gram itself, exactly what the oracle counts (ADVICE r7: an
+    xxhash64-side df would let a hash collision merge counts and push
+    a legitimate gram over the cap, changing OUTPUT rows while DuckDB
+    disagrees).  Only the candidate join keys on xxhash64(ng) — an
+    8-byte key instead of the variable-width string — where a
+    collision can merge intersection counts only; identical counts
+    absent collisions, which the oracle run confirms."""
     docs = load_table(spark, sf_dir, "documents")
     # The raw gram table persists FIRST so the expensive split +
-    # 3-gram hash scan of documents runs once — both the df aggregate
+    # 3-gram scan of documents runs once — both the df aggregate
     # (stop-tail discovery) and the anti-join probe side read the
-    # cache, not the parquet.
-    grams = D.tracked_persist(D.doc_grams(docs, ngram=3), key="ngram_grams_raw")
+    # cache, not the parquet.  explode_outer + isNotNull (not plain
+    # explode): Catalyst pushes explode's implicit size(arr)>0 filter
+    # into the scan, re-evaluating the whole gram expression per row.
+    grams = D.tracked_persist(
+        docs.select(
+            "doc_id",
+            F.explode_outer(T.word_ngrams(T.words("text"), 3)).alias("ng"),
+        ).filter(F.col("ng").isNotNull()),
+        key="ngram_grams_raw",
+    )
     # The STOP-GRAM set (df > 1000) is bounded at total_occurrences /
     # 1000 rows by construction (pigeonhole) — broadcastable at any
-    # corpus size (8-byte keys: ~8 MB per 10^9 occurrences) — so the
-    # prune is a broadcast ANTI-join applied map-side instead of a
+    # corpus size (~30 MB of short strings per 10^9 occurrences) — so
+    # the prune is a broadcast ANTI-join applied map-side instead of a
     # second full shuffle of the gram table against the (distinct-
     # gram-sized) df relation.  The df aggregate itself still shuffles
     # once (global counts need it); only its tiny hot tail leaves it.
     stop = (
-        grams.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > 1000).select("s")
+        grams.groupBy("ng").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 1000).select("ng")
     )
+    # the pruned cache carries the 8-byte join key, not the string —
+    # nothing downstream shuffles a variable-width payload
     pruned = D.tracked_persist(
-        grams.join(F.broadcast(stop), "s", "left_anti"),
+        grams.join(F.broadcast(stop), "ng", "left_anti")
+        .select("doc_id", F.xxhash64("ng").alias("h")),
         key="ngram_grams",
     )
-    # force the pruned cache THROUGH the raw cache, then release the
-    # raw one — after this point the raw table is dead weight (on
-    # fixtures where the cap binds nothing, the two caches would be
-    # byte-identical twins pinning 2x the largest intermediate)
-    pruned.count()
-    D.release_persist("ngram_grams_raw")
+    # Builders stay LAZY (ADVICE r7): no eager count/release here —
+    # plan-only consumers (plan_report/EXPLAIN) must not trigger a
+    # full split+hash+shuffle job at build time.  Both caches stay
+    # tracked: the raw one keeps the single-scan property (the stop
+    # aggregate's job populates it; the anti-join probe side and any
+    # evicted pruned partition recompute through it, never through a
+    # second parquet split), at the cost of ~2x residency of a narrow
+    # (doc_id, gram) table — MEMORY_AND_DISK spills
+    # rather than evicts at corpus scale, and pipeline callers that
+    # fully materialize can release_persist("ngram_grams_raw")
+    # themselves.
     sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    g = pruned.withColumnRenamed("s", "ng")
-    a, b = g.alias("a"), g.alias("b")
+    a, b = pruned.alias("a"), pruned.alias("b")
     inter = (
-        a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
