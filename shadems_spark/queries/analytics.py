@@ -8567,12 +8567,24 @@ def _welch_moments():
     six integer sufficient statistics — ONE definition shared by
     q_welch and q_tost so the milli-int variance formula cannot
     drift between them (it must mirror _WELCH_CTE's `f` CTE
-    term-for-term)."""
+    term-for-term).
+
+    Degenerate-group guard (ADVICE r7): a group with n < 2 has no
+    sample variance and n = 0 has no mean — emit NULL instead of a
+    div-by-zero NaN/inf (NaN-vs-NULL would diverge between engines;
+    NULL propagates identically through +,-,*,/ and the A-S
+    polynomial on both)."""
     c = F.col
-    m1 = c("s1") / (c("n1") * 1000.0)
-    m2 = c("s2") / (c("n2") * 1000.0)
-    v1 = ((c("q1") - c("s1") * (c("s1") / c("n1").cast("double"))) / (c("n1") - 1)) / F.lit(1e6)
-    v2 = ((c("q2") - c("s2") * (c("s2") / c("n2").cast("double"))) / (c("n2") - 1)) / F.lit(1e6)
+    m1 = F.when(c("n1") > 0, c("s1") / (c("n1") * 1000.0))
+    m2 = F.when(c("n2") > 0, c("s2") / (c("n2") * 1000.0))
+    v1 = F.when(
+        c("n1") > 1,
+        ((c("q1") - c("s1") * (c("s1") / c("n1").cast("double"))) / (c("n1") - 1)) / F.lit(1e6),
+    )
+    v2 = F.when(
+        c("n2") > 1,
+        ((c("q2") - c("s2") * (c("s2") / c("n2").cast("double"))) / (c("n2") - 1)) / F.lit(1e6),
+    )
     return m1, m2, v1, v2
 
 
@@ -8589,9 +8601,14 @@ _WELCH_CTE = """
             CAST(sum(CASE WHEN grp = 0 THEN vm * vm ELSE 0 END) AS BIGINT) AS q2
           FROM v),
     f AS (SELECT n1, n2,
-                 s1 / (n1 * 1000.0) AS m1, s2 / (n2 * 1000.0) AS m2,
-                 ((q1 - s1 * (s1 / CAST(n1 AS DOUBLE))) / (n1 - 1)) / 1e6 AS v1,
-                 ((q2 - s2 * (s2 / CAST(n2 AS DOUBLE))) / (n2 - 1)) / 1e6 AS v2
+                 CASE WHEN n1 > 0 THEN s1 / (n1 * 1000.0) END AS m1,
+                 CASE WHEN n2 > 0 THEN s2 / (n2 * 1000.0) END AS m2,
+                 CASE WHEN n1 > 1 THEN
+                   ((q1 - s1 * (s1 / CAST(n1 AS DOUBLE))) / (n1 - 1)) / 1e6
+                 END AS v1,
+                 CASE WHEN n2 > 1 THEN
+                   ((q2 - s2 * (s2 / CAST(n2 AS DOUBLE))) / (n2 - 1)) / 1e6
+                 END AS v2
           FROM w)
 """
 
@@ -8648,11 +8665,17 @@ def q_welch(spark, sf_dir):
            round(se, 6) AS se,
            round((m1 - m2 + 0.05) / se, 6) AS t_lower,
            round((m1 - m2 - 0.05) / se, 6) AS t_upper,
-           {_as_p_sql("((m1 - m2 + 0.05) / se)")} AS p_lower,
-           {_as_p_sql("((m1 - m2 - 0.05) / se)")} AS p_upper,
-           CAST(CASE WHEN (m1 - m2 + 0.05) / se > 1.6448536269514722
-                      AND (m1 - m2 - 0.05) / se < -1.6448536269514722
-                THEN 1 ELSE 0 END AS INT) AS equivalent
+           CASE WHEN (m1 - m2 + 0.05) / se >= 0
+                THEN {_as_p_sql("((m1 - m2 + 0.05) / se)")} / 2
+                ELSE 1.0 - {_as_p_sql("((m1 - m2 + 0.05) / se)")} / 2
+           END AS p_lower,
+           CASE WHEN (m1 - m2 - 0.05) / se <= 0
+                THEN {_as_p_sql("((m1 - m2 - 0.05) / se)")} / 2
+                ELSE 1.0 - {_as_p_sql("((m1 - m2 - 0.05) / se)")} / 2
+           END AS p_upper,
+           CAST((m1 - m2 + 0.05) / se > 1.6448536269514722
+                AND (m1 - m2 - 0.05) / se < -1.6448536269514722
+                AS INT) AS equivalent
     FROM e
     """,
 )
@@ -8666,7 +8689,16 @@ def q_tost(spark, sf_dir):
 
     Same six integer sufficient statistics as q_welch (one scan, one
     closed form); the critical value is a shared literal, so the
-    equivalent flag is integer-identical across engines."""
+    equivalent flag is integer-identical across engines.
+
+    p_lower / p_upper are ONE-SIDED tail probabilities (ADVICE r7 —
+    the earlier two-sided erfc labeling made equivalent=1 correspond
+    to p < 0.10): upper tail P(Z >= t_lower) for the lower-margin
+    test, lower tail P(Z <= t_upper) for the upper one, so
+    equivalent = 1 iff both p's < 0.05.  Each is the A-S two-sided
+    polynomial halved, reflected through 1 - p/2 when the statistic
+    sits on the non-rejection side — all IEEE-exact ops over the
+    identically-rounded two-sided value, so cross-engine exact."""
     ev = load_table(spark, sf_dir, "events")
     c = F.col
     m1, m2, v1, v2 = _welch_moments()
@@ -8674,14 +8706,20 @@ def q_tost(spark, sf_dir):
     tl = (m1 - m2 + 0.05) / se
     tu = (m1 - m2 - 0.05) / se
     zc = F.lit(1.6448536269514722)
+    p_lo = F.when(tl >= 0, _as_p_col(tl) / 2).otherwise(
+        F.lit(1.0) - _as_p_col(tl) / 2
+    )
+    p_up = F.when(tu <= 0, _as_p_col(tu) / 2).otherwise(
+        F.lit(1.0) - _as_p_col(tu) / 2
+    )
     return _welch_stats(ev).select(
         "n1", "n2",
         F.round(m1 - m2, 6).alias("mean_diff"),
         F.round(se, 6).alias("se"),
         F.round(tl, 6).alias("t_lower"),
         F.round(tu, 6).alias("t_upper"),
-        _as_p_col(tl).alias("p_lower"),
-        _as_p_col(tu).alias("p_upper"),
+        p_lo.alias("p_lower"),
+        p_up.alias("p_upper"),
         ((tl > zc) & (tu < -zc)).cast("int").alias("equivalent"),
     )
 
@@ -8856,15 +8894,19 @@ def q_mad(spark, sf_dir):
                    CAST(sum(CASE WHEN urgent = 1 THEN big ELSE 0 END) AS BIGINT),
                    CAST(sum(CASE WHEN urgent = 0 THEN big ELSE 0 END) AS BIGINT)
             FROM o),
+    r0 AS (SELECT segment, n_urgent, n_other,
+                  CASE WHEN n_urgent > 0
+                       THEN big_urgent / CAST(n_urgent AS DOUBLE) END AS ru,
+                  CASE WHEN n_other > 0
+                       THEN big_other / CAST(n_other AS DOUBLE) END AS ro
+           FROM seg),
     r AS (SELECT segment, n_urgent, n_other,
-                 round(big_urgent / CAST(n_urgent AS DOUBLE), 6) AS rate_urgent,
-                 round(big_other / CAST(n_other AS DOUBLE), 6) AS rate_other,
-                 CASE WHEN big_urgent / CAST(n_urgent AS DOUBLE)
-                           > big_other / CAST(n_other AS DOUBLE) THEN 1
-                      WHEN big_urgent / CAST(n_urgent AS DOUBLE)
-                           < big_other / CAST(n_other AS DOUBLE) THEN -1
+                 round(ru, 6) AS rate_urgent,
+                 round(ro, 6) AS rate_other,
+                 CASE WHEN ru > ro THEN 1
+                      WHEN ru < ro THEN -1
                       ELSE 0 END AS sgn
-          FROM seg),
+          FROM r0),
     p AS (SELECT sgn AS pooled_sgn FROM r WHERE segment = '__pooled')
     SELECT r.segment, r.n_urgent, r.n_other, r.rate_urgent, r.rate_other,
            CAST(CASE WHEN r.segment <> '__pooled'
@@ -8884,7 +8926,13 @@ def q_simpson(spark, sf_dir):
     One scan builds both the per-segment and pooled contingency rows
     (grouping-sets shape via unionByName of two aggregates of the
     same narrowed frame); rates are single divisions of exact
-    integer counts and the sign comparison is pure integer."""
+    integer counts and the sign comparison is pure integer.
+
+    Degenerate-segment guard (ADVICE r7): a segment with zero urgent
+    (or zero non-urgent) orders has no rate — emitted NULL on both
+    engines (never a div-by-zero inf/NULL mismatch), and its sgn
+    falls through the comparison CASE to 0 ("no direction"), so it
+    can never flag a reversal."""
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderstatus").alias("segment"),
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -8904,8 +8952,14 @@ def q_simpson(spark, sf_dir):
             F.col(c) for c in ("n_urgent", "n_other", "big_urgent", "big_other")
         ])
     )
-    ru = F.col("big_urgent") / F.col("n_urgent").cast("double")
-    ro = F.col("big_other") / F.col("n_other").cast("double")
+    ru = F.when(
+        F.col("n_urgent") > 0,
+        F.col("big_urgent") / F.col("n_urgent").cast("double"),
+    )
+    ro = F.when(
+        F.col("n_other") > 0,
+        F.col("big_other") / F.col("n_other").cast("double"),
+    )
     r = seg.select(
         "segment", "n_urgent", "n_other",
         F.round(ru, 6).alias("rate_urgent"),
