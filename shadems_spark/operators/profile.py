@@ -67,12 +67,10 @@ def vocab_coverage(
     map-side combine.  Only the ``top`` survivors are ranked: the
     head extraction is TakeOrderedAndProject (per-partition partial
     top-k, merged), the grand total rides a 1-row broadcast, and the
-    cumulative window's input is bounded at ``top`` rows BY
-    CONSTRUCTION — a 1e8-word vocabulary at 100 TB never lands on a
-    single partition (r6 sweep of unbounded global windows; the
-    previous form ranked the whole vocabulary and filtered after)."""
-    from pyspark.sql import Window
-
+    rank + cumulative count over the ``top``-row head ride the
+    broadcast triangle join (negated count = exact desc order on a
+    long) — window-free end to end (VERDICT r7 #5; the r6 form still
+    planned a bounded single-partition window here)."""
     from shadems_spark.operators.text import words
 
     wc = (
@@ -81,22 +79,18 @@ def vocab_coverage(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     total = wc.agg(F.sum("n").alias("__tot"))
-    head = wc.orderBy(F.col("n").desc(), "w").limit(top)
-    order = Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("w"))
+    head = wc.orderBy(F.col("n").desc(), "w").limit(top).withColumn(
+        "__negn", -F.col("n")
+    )
+    ranked = triangle_rank(head, ["__negn", "w"], out="rk")
+    cum = triangle_cumsum(ranked, ["__negn", "w"], {"__cum": "n"})
     return (
-        head.crossJoin(F.broadcast(total))
-        .withColumn("rk", F.row_number().over(order))
-        .withColumn(
-            "coverage",
-            F.round(
-                F.sum("n").over(
-                    order.rowsBetween(Window.unboundedPreceding, 0)
-                )
-                / F.col("__tot"),
-                6,
-            ),
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "w", "n",
+            F.col("rk").cast("int").alias("rk"),
+            F.round(F.col("__cum") / F.col("__tot"), 6).alias("coverage"),
         )
-        .select("w", "n", "rk", "coverage")
     )
 
 
@@ -619,3 +613,60 @@ def global_cummax(
         )
     )
     return res.drop("__b", "__lm", "__offmap___m")
+
+
+def _lex_lt(order: list[str], b_prefix: str = "__tb_") -> Column:
+    """b <lex a over the order tuple (b columns carry ``b_prefix``)."""
+    lt = F.lit(False)
+    eq = F.lit(True)
+    for c in order:
+        bc, ac = F.col(f"{b_prefix}{c}"), F.col(c)
+        lt = lt | (eq & (bc < ac))
+        eq = eq & (bc == ac)
+    return lt
+
+
+def triangle_cumsum(
+    df: DataFrame, order: list[str], sums: dict[str, str],
+    strict: bool = False,
+) -> DataFrame:
+    """Prefix sums over a BOUNDED table via a broadcast non-equi
+    self-join (the q_lorenz k-row-cumsum pattern): b rows with
+    b <=lex a (``strict`` -> <lex) sum into each a row.  No
+    WindowExec, no single-partition stage, no allowlist entry —
+    O(k^2) join pairs, so ONLY for tables bounded by construction
+    (canvas, calendar, codebook, bin axis, decile table; k <= ~4k).
+
+    ``sums`` maps output name -> source column (integer-valued, the
+    long-fold protocol).  ``order`` must be a total order (distinct
+    tuples — every caller's upstream groupBy guarantees it); rows
+    with an empty prefix get 0 (inclusive always has >= 1 term)."""
+    b = df.select(
+        *[F.col(c).alias(f"__tb_{c}") for c in order],
+        *[F.col(src).alias(f"__tv_{name}") for name, src in sums.items()],
+    )
+    lt = _lex_lt(order)
+    eqs = F.lit(True)
+    for c in order:
+        eqs = eqs & (F.col(f"__tb_{c}") == F.col(c))
+    cond = lt if strict else (lt | eqs)
+    joined = df.join(F.broadcast(b), cond, "left")
+    return joined.groupBy(*[F.col(c) for c in df.columns]).agg(
+        *[
+            F.coalesce(F.sum(f"__tv_{name}"), F.lit(0))
+            .cast("long").alias(name)
+            for name in sums
+        ]
+    )
+
+
+def triangle_rank(df: DataFrame, order: list[str], out: str = "rk") -> DataFrame:
+    """rank() over a BOUNDED table via the same broadcast triangle
+    join: rank = 1 + count of rows strictly before in the order (ties
+    share a rank; pass a tie-broken total order for row_number
+    semantics).  Order columns must be non-null."""
+    b = df.select(*[F.col(c).alias(f"__tb_{c}") for c in order])
+    joined = df.join(F.broadcast(b), _lex_lt(order), "left")
+    return joined.groupBy(*[F.col(c) for c in df.columns]).agg(
+        (F.count(F.col(f"__tb_{order[0]}")) + 1).cast("long").alias(out)
+    )

@@ -139,12 +139,19 @@ def bm25(
     # Two-phase global top-k: orderBy().limit(k) compiles to
     # TakeOrderedAndProject (per-partition partial top-k, merged) —
     # the corpus-sized scored table never lands on one partition.
-    # Only the k survivors ride the ranking window.
-    order = [F.col("score").desc(), F.col(id_col)]
-    topk = scored.orderBy(*order).limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(*order)
-    return topk.withColumn("rank", F.row_number().over(w)).select(
-        id_col, "score", "rank"
+    # The k survivors rank via the broadcast triangle join (negated
+    # score = exact desc order on a 6dp-rounded double): no
+    # WindowExec anywhere in the plan (VERDICT r7 #5).
+    from shadems_spark.operators.profile import triangle_rank
+
+    topk = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    ranked = triangle_rank(
+        topk.withColumn("__negs", -F.col("score")),
+        ["__negs", id_col],
+        out="rank",
+    )
+    return ranked.select(
+        id_col, "score", F.col("rank").cast("int").alias("rank")
     )
 
 
