@@ -2524,12 +2524,14 @@ def q_isotonic(spark, sf_dir):
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
     )
-    wb = Window.orderBy("bin")
-    r = g.select(
-        "bin", "n", "pos",
-        F.row_number().over(wb).alias("t"),
-        F.sum("n").over(wb).alias("cw"),
-        F.sum("pos").over(wb).alias("cp"),
+    from shadems_spark.operators.profile import triangle_cumsum, triangle_rank
+
+    # bin index + prefix (count, positives) over the <= 50-bin table
+    # via broadcast triangle joins — window-free (VERDICT r7 #5)
+    r = triangle_cumsum(
+        triangle_rank(g, ["bin"], out="t"),
+        ["bin"],
+        {"cw": "n", "cp": "pos"},
     )
     ti, ri, rj = r.alias("ti"), r.alias("ri"), r.alias("rj")
     mm = (
@@ -2607,13 +2609,14 @@ def q_gains(spark, sf_dir):
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
     )
-    from pyspark.sql import Window
+    from shadems_spark.operators.profile import triangle_cumsum
 
-    wd = Window.orderBy(F.col("bin").desc())
-    r = g.select(
-        "bin", "n", "pos",
-        F.sum("n").over(wd).alias("cn"),
-        F.sum("pos").over(wd).alias("cp"),
+    # descending prefix sums over the 10-bin table via the broadcast
+    # triangle join on the negated bin — window-free (VERDICT r7 #5)
+    r = triangle_cumsum(
+        g.withColumn("__negb", -F.col("bin")),
+        ["__negb"],
+        {"cn": "n", "cp": "pos"},
     )
     t = g.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))
     return (

@@ -1239,9 +1239,14 @@ def q_rrf_fusion(spark, sf_dir):
         F.coalesce(F.col("r_sem"), F.lit(0)).alias("r_sem"),
         (contrib(F.col("r_lex")) + contrib(F.col("r_sem"))).alias("rrf"),
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("rrf").desc(), F.col("id"))
-    return (
-        fused.withColumn("fused_rank", F.row_number().over(w))
-        .filter(F.col("fused_rank") <= 10)
-        .select("id", "r_lex", "r_sem", "rrf", "fused_rank")
+    from shadems_spark.operators.profile import triangle_rank
+
+    # top-10 fused: TakeOrderedAndProject, then triangle rank over
+    # the 10 survivors (negated rrf = exact desc order) — window-free
+    top = fused.orderBy(F.col("rrf").desc(), F.col("id")).limit(10).withColumn(
+        "__negr", -F.col("rrf")
+    )
+    return triangle_rank(top, ["__negr", "id"], out="fused_rank").select(
+        "id", "r_lex", "r_sem", "rrf",
+        F.col("fused_rank").cast("int").alias("fused_rank"),
     )
