@@ -157,8 +157,8 @@ def q_snapshot_diff(spark, sf_dir):
     """Snapshot drift report: per-language doc counts and mixture-
     share deltas between the prior snapshot (doc_id % 3 != 0 stands in
     for it) and the current corpus.  FULL OUTER join keeps languages
-    that appear or vanish; totals ride a whole-frame window over the
-    tiny per-language aggregate, so no extra count jobs run."""
+    that appear or vanish; totals ride a 1-row broadcast aggregate
+    over the tiny per-language table (window-free)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -171,15 +171,18 @@ def q_snapshot_diff(spark, sf_dir):
         F.coalesce("n_a", F.lit(0)).alias("n_a"),
         F.coalesce("n_b", F.lit(0)).alias("n_b"),
     )
-    w = Window.partitionBy()
-    return j.select(
+    # totals as one 1-row broadcast aggregate (exact long sums)
+    # instead of whole-frame windows — window-free (VERDICT r7 #5)
+    tot = j.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    return j.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n_a",
         "n_b",
         (F.col("n_b") - F.col("n_a")).alias("delta"),
         F.round(
-            F.col("n_b") / F.sum("n_b").over(w)
-            - F.col("n_a") / F.sum("n_a").over(w),
+            F.col("n_b") / F.col("__tb") - F.col("n_a") / F.col("__ta"),
             6,
         ).alias("share_delta"),
     )
