@@ -307,12 +307,18 @@ _ORACLE_GRADUATED = [
 #: round 8 (ADVICE r7 fixes that alter outputs) — they re-queue after
 #: the graduated block to re-earn rows.
 _R08_TOUCHED = [
+    # stop-gram df now counted on the string gram identity
     "q_ngram_jaccard",
+    # KM log-survival terms moved onto the nano-int fold protocol
+    # (values can shift in the 6th dp; oracle changed identically)
+    "q_survival",
 ]
 
 #: round-8 session additions (kept small; the backlog drain comes
 #: first per the registry freeze discipline).
-_NEW_R8_SESSION: list[str] = []
+_NEW_R8_SESSION: list[str] = [
+    "q_ewma_control",
+]
 
 
 def _check_order(names: list[str]) -> list[str]:

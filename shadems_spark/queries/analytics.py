@@ -9788,3 +9788,191 @@ def q_shewhart(spark, sf_dir):
         .agg(F.min("day").cast("string").alias("max_z_day"))
         .orderBy("event_type")
     )
+
+
+#: EWMA chart constants (Roberts '59; Montgomery SPC ch. 9):
+#: smoothing lambda = 0.2, control width L = 2.7, and the derived
+#: literals both engines share so every float product is identical:
+#: (1-lambda)^2 = 0.64 per-step variance decay, and
+#: lambda/(2-lambda) evaluated ONCE in Python so the same double
+#: lands in the Column expression and the generated SQL.
+_EWMA_L = 2.7
+_EWMA_Q = 0.2 / 1.8
+
+#: the fold's repeated sub-expressions (DuckDB text) — z', w' and the
+#: time-varying half-width are each spelled once here and textually
+#: repeated wherever the state update needs them (the q_page_hinkley
+#: convention: list_reduce cannot bind intermediates).
+_EWMAC_Z1 = (
+    "CAST(round((0.2 * x[1] + 0.8 * (acc[2] / 1e9)) * 1e9) AS BIGINT)"
+)
+_EWMAC_W1 = "CAST(round(acc[3] * 0.64) AS BIGINT)"
+_EWMAC_HW = (
+    f"CAST(round(((2.7 * l.sd) * sqrt({_EWMA_Q!r} * (1.0 - "
+    f"{_EWMAC_W1} / 1e9))) * 1e9) AS BIGINT)"
+)
+_EWMAC_VIOL = f"abs({_EWMAC_Z1} - l.mun) > {_EWMAC_HW}"
+
+_EWMAC_SQL = f"""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+    g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS s,
+                 CAST(sum(y * y) AS BIGINT) AS q
+          FROM d GROUP BY 1),
+    l AS (SELECT event_type,
+                 s / CAST(n AS DOUBLE) AS mu,
+                 sqrt((q - s * (s / CAST(n AS DOUBLE))) / (n - 1)) AS sd,
+                 CAST(round((s / CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS mun
+          FROM g
+          WHERE n > 1 AND q - s * (s / CAST(n AS DOUBLE)) > 0),
+    a AS (SELECT event_type, list(y ORDER BY day) AS ys,
+                 list(CAST(day AS VARCHAR) ORDER BY day) AS days,
+                 CAST(count(*) AS BIGINT) AS n_days
+          FROM d GROUP BY 1),
+    f AS (SELECT a.event_type, a.n_days, a.days, l.mu, l.sd,
+                 list_reduce(
+                   list_prepend([CAST(0 AS BIGINT), l.mun,
+                                 CAST(1000000000 AS BIGINT),
+                                 CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                                 CAST(-1000000000000000000 AS BIGINT)],
+                                list_transform(a.ys, y -> [y])),
+                   (acc, x) -> [
+                     acc[1] + 1,
+                     {_EWMAC_Z1},
+                     {_EWMAC_W1},
+                     acc[4] + CASE WHEN {_EWMAC_VIOL} THEN 1 ELSE 0 END,
+                     CASE WHEN {_EWMAC_VIOL} THEN acc[1] + 1 ELSE acc[5] END,
+                     greatest(acc[6],
+                              abs({_EWMAC_Z1} - l.mun) - {_EWMAC_HW})]
+                 ) AS st
+          FROM a JOIN l USING (event_type))
+    SELECT event_type, n_days,
+           round(mu, 6) AS center,
+           round(st[2] / 1e9, 6) AS ewma_final,
+           round(mu + (2.7 * sd) * sqrt({_EWMA_Q!r}), 6) AS ucl_asym,
+           round(mu - (2.7 * sd) * sqrt({_EWMA_Q!r}), 6) AS lcl_asym,
+           CAST(st[4] AS BIGINT) AS n_violations,
+           CASE WHEN st[5] > 0 THEN days[CAST(st[5] AS INT)]
+                ELSE '' END AS last_violation_day,
+           round(st[6] / 1e9, 6) AS max_margin
+    FROM f ORDER BY event_type
+"""
+
+
+@register("q_ewma_control", sql=_EWMAC_SQL)
+def q_ewma_control(spark, sf_dir):
+    """EWMA control chart per event type over the ordered daily-count
+    series (Roberts '59), with the TIME-VARYING limits
+    mu +- L*sigma*sqrt(lambda/(2-lambda) * (1 - (1-lambda)^(2t))) —
+    the small-shift monitor that completes the SPC family
+    (Shewhart: single large excursions; CUSUM/Page-Hinkley:
+    persistent shifts; EWMA: small drifts with a memory knob), and
+    the one classical monitor the battery lacked (VERDICT r7 #6).
+
+    Exactness (the q_sprt/q_page_hinkley integer-fold protocol): the
+    fold state is six BIGINTs — [t, z_nano, (1-lambda)^(2t)_nano,
+    n_violations, last_violation_t, max_margin_nano] — with every
+    float step (the EWMA recursion, the 0.64 variance-decay power,
+    the half-width incl. its sqrt) nano-rounded through IDENTICAL
+    expressions on both engines before entering the state; the
+    (1-lambda)^(2t) power is computed INSIDE the fold by repeated
+    multiplication, so no engine pow() is ever called.  max_margin
+    (max over t of |z_t - mu| - halfwidth_t, usually negative) is the
+    always-valued companion the vacuity rule requires of the
+    violation columns.  Scale: the (type, day) aggregate is the only
+    data-sized stage; each fold is calendar-bounded."""
+    from shadems_spark.operators.dedup import tracked_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tracked_persist(
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("y")),
+        key="ewmac_daily",
+    )
+    c = F.col
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(c("y") * c("y")).cast("long").alias("q"),
+    )
+    mu = c("s") / c("n").cast("double")
+    l = g.filter(
+        (c("n") > 1) & (c("q") - c("s") * (c("s") / c("n").cast("double")) > 0)
+    ).select(
+        "event_type",
+        mu.alias("mu"),
+        F.sqrt(
+            (c("q") - c("s") * (c("s") / c("n").cast("double"))) / (c("n") - 1)
+        ).alias("sd"),
+        F.round(mu * 1e9).cast("long").alias("mun"),
+    )
+    a = d.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "y"))),
+            lambda s: s["y"],
+        ).alias("ys"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "y"))),
+            lambda s: s["day"].cast("string"),
+        ).alias("days"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    j = a.join(F.broadcast(l), "event_type")
+    zero = F.lit(0).cast("long")
+    init = F.array(
+        zero,
+        c("mun"),
+        F.lit(1_000_000_000).cast("long"),
+        zero,
+        zero,
+        F.lit(-1_000_000_000_000_000_000).cast("long"),
+    )
+
+    def step(acc, x):
+        e = lambda i: F.element_at(acc, i)
+        z1 = F.round(
+            (F.lit(0.2) * x + F.lit(0.8) * (e(2) / F.lit(1e9))) * F.lit(1e9)
+        ).cast("long")
+        w1 = F.round(e(3) * F.lit(0.64)).cast("long")
+        hw = F.round(
+            (
+                (F.lit(2.7) * c("sd"))
+                * F.sqrt(
+                    F.lit(_EWMA_Q) * (F.lit(1.0) - w1 / F.lit(1e9))
+                )
+            )
+            * F.lit(1e9)
+        ).cast("long")
+        dev = F.abs(z1 - c("mun"))
+        viol = dev > hw
+        return F.array(
+            e(1) + 1,
+            z1,
+            w1,
+            e(4) + viol.cast("long"),
+            F.when(viol, e(1) + 1).otherwise(e(5)),
+            F.greatest(e(6), dev - hw),
+        )
+
+    f = j.select(
+        "event_type", "n_days", "days", "mu", "sd",
+        F.aggregate("ys", init, step).alias("st"),
+    )
+    # engine sqrt (IEEE correctly-rounded, same on DuckDB), NOT
+    # Python's ** 0.5 (pow-based, not guaranteed identical)
+    asym = (F.lit(2.7) * c("sd")) * F.sqrt(F.lit(_EWMA_Q))
+    e = lambda i: F.element_at("st", i)
+    return f.select(
+        "event_type", "n_days",
+        F.round("mu", 6).alias("center"),
+        F.round(e(2) / 1e9, 6).alias("ewma_final"),
+        F.round(c("mu") + asym, 6).alias("ucl_asym"),
+        F.round(c("mu") - asym, 6).alias("lcl_asym"),
+        e(4).cast("long").alias("n_violations"),
+        F.when(e(5) > 0, F.element_at("days", e(5).cast("int")))
+        .otherwise(F.lit("")).alias("last_violation_day"),
+        F.round(e(6) / 1e9, 6).alias("max_margin"),
+    ).orderBy("event_type")

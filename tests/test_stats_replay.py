@@ -435,3 +435,32 @@ def test_simpson_degenerate_segment_null_rates(spark, tmp_path):
     f_row = out.loc["F"]
     assert pd.isna(f_row["rate_urgent"])
     assert f_row["reversed"] == 0
+
+
+def test_ewma_control_replay(spark, events):
+    """EWMA chart recursion replayed in plain float (no nano
+    quantization): z_t = λy + (1-λ)z, time-varying half-width
+    Lσ·sqrt(λ/(2-λ)·(1-(1-λ)^{2t}))."""
+    lam, L = 0.2, 2.7
+    d = events.assign(day=events["ts"].dt.date).groupby(
+        ["event_type", "day"], as_index=False
+    ).size()
+    out = _run(spark, "q_ewma_control").set_index("event_type")
+    for t, g in d.groupby("event_type"):
+        y = g.sort_values("day")["size"].to_numpy(dtype=float)
+        mu, sd = y.mean(), y.std(ddof=1)
+        z, w, nviol, maxm = mu, 1.0, 0, -np.inf
+        for v in y:
+            z = lam * v + (1 - lam) * z
+            w *= (1 - lam) ** 2
+            hw = L * sd * math.sqrt(lam / (2 - lam) * (1 - w))
+            nviol += abs(z - mu) > hw
+            maxm = max(maxm, abs(z - mu) - hw)
+        row = out.loc[t]
+        assert row["center"] == pytest.approx(mu, abs=2e-6)
+        assert row["ewma_final"] == pytest.approx(z, abs=1e-4)
+        assert row["ucl_asym"] == pytest.approx(
+            mu + L * sd * math.sqrt(lam / (2 - lam)), abs=2e-6
+        )
+        assert row["n_violations"] == nviol
+        assert row["max_margin"] == pytest.approx(maxm, abs=1e-4)
