@@ -317,7 +317,7 @@ _R08_TOUCHED = [
 #: round-8 session additions (kept small; the backlog drain comes
 #: first per the registry freeze discipline).
 _NEW_R8_SESSION: list[str] = [
-    "q_ewma_control",
+    "q_ewma_control", "q_fisher_exact", "q_bayes_ab",
 ]
 
 

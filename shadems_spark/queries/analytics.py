@@ -9976,3 +9976,292 @@ def q_ewma_control(spark, sf_dir):
         .otherwise(F.lit("")).alias("last_violation_day"),
         F.round(e(6) / 1e9, 6).alias("max_margin"),
     ).orderBy("event_type")
+
+
+# ------------------------------------------------------------ round 8
+# The two statistics shelved in round 7 for lgamma/libm cross-engine
+# ulp divergence, now in integer-grid / precomputed-literal designs
+# that keep every cross-engine value either a pure integer or one
+# shared double (VERDICT r7 #7).
+
+from math import comb as _comb
+from math import factorial as _factorial
+
+#: Pascal rows for the Fisher margins, precomputed in Python and
+#: embedded as literals in BOTH engines: the weekend/weekday margin
+#: of January 2024 days 1-30 is CALENDAR-FIXED at 8/22, and the day
+#: count at 30 — so C(8,k), C(22,j), C(30,m) cover every reachable
+#: table.  Max entry C(30,15) = 155,117,520 and max pmf numerator
+#: C(8,4)*C(22,11) = 4.94e7: every enumeration value, sum and
+#: comparison is exact int64 on both engines; the ONLY float is the
+#: final numerator/denominator division of two identical integers.
+_C8 = [_comb(8, k) for k in range(9)]
+_C22 = [_comb(22, k) for k in range(23)]
+_C30 = [_comb(30, k) for k in range(31)]
+
+
+def _sql_arr(xs) -> str:
+    return "[" + ", ".join(f"CAST({x} AS BIGINT)" for x in xs) + "]"
+
+
+_FISHER_SQL = f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+               FROM events GROUP BY 1),
+    f AS (SELECT day, cnt,
+                 CASE WHEN (datediff('day', DATE '2024-01-01', day) % 7)
+                           IN (5, 6) THEN 1 ELSE 0 END AS wk,
+                 CASE WHEN cnt * (SELECT count(*) FROM d)
+                           > (SELECT sum(cnt) FROM d) THEN 1 ELSE 0 END AS hi
+          FROM d),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(wk) AS BIGINT) AS r1,
+                 CAST(sum(hi) AS BIGINT) AS c1,
+                 CAST(sum(wk * hi) AS BIGINT) AS a
+          FROM f),
+    e AS (SELECT n, r1, c1, a,
+                 {_sql_arr(_C8)} AS c8,
+                 {_sql_arr(_C22)} AS c22,
+                 {_sql_arr(_C30)} AS c30
+          FROM s),
+    p AS (SELECT n, r1, c1, a,
+                 c8[CAST(a + 1 AS INT)]
+                   * c22[CAST(c1 - a + 1 AS INT)] AS nobs,
+                 list_transform(
+                   generate_series(greatest(0, c1 - 22), least(8, c1)),
+                   k -> c8[CAST(k + 1 AS INT)]
+                        * c22[CAST(c1 - k + 1 AS INT)]) AS nks,
+                 list_transform(
+                   generate_series(a, least(8, c1)),
+                   k -> c8[CAST(k + 1 AS INT)]
+                        * c22[CAST(c1 - k + 1 AS INT)]) AS gks,
+                 c30[CAST(c1 + 1 AS INT)] AS denom
+          FROM e)
+    SELECT CAST(a AS BIGINT) AS a,
+           CAST(r1 - a AS BIGINT) AS b,
+           CAST(c1 - a AS BIGINT) AS c,
+           CAST(n - r1 - c1 + a AS BIGINT) AS d,
+           CASE WHEN n = 30 AND r1 = 8 THEN
+             round(CAST(list_sum(list_filter(nks, v -> v <= nobs))
+                        AS DOUBLE) / denom, 9)
+           END AS p_two_sided,
+           CASE WHEN n = 30 AND r1 = 8 THEN
+             round(CAST(list_sum(gks) AS DOUBLE) / denom, 9)
+           END AS p_greater
+    FROM p
+"""
+
+
+@register("q_fisher_exact", sql=_FISHER_SQL)
+def q_fisher_exact(spark, sf_dir):
+    """Fisher's exact test of weekend vs high-purchase-volume days
+    (daily purchase count above the 30-day mean), on the 2x2 table
+    over January 2024's 30 days — the small-sample independence test
+    q_chisq's approximation breaks down on, shelved in r7 for its
+    lgamma form and landed here as a PURE-INTEGER enumeration: the
+    weekend margin (8/22) and day count (30) are calendar-fixed, so
+    the three Pascal rows C(8,.), C(22,.), C(30,.) ship as Python-
+    precomputed literals in both engines; every hypergeometric pmf
+    numerator C(8,k)*C(22,c1-k) <= 4.94e7 is an exact int64, the
+    two-sided p is the "sum of tables with pmf <= observed"
+    convention via integer comparisons only, and the single float op
+    is one division of two identical integers.  No lgamma, no exp,
+    no libm anywhere.  The 'hi' split compares cnt*30 > total —
+    integer cross-multiplication, no division.  Guard: p columns are
+    NULL unless (n, r1) == (30, 8) — the bound the literal rows
+    cover (mirrored in the oracle).
+
+    Scale: one (day)-key conditional aggregate is the only data-sized
+    stage; the enumeration runs on a 1-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.col
+    d = ev.groupBy(c("ts").cast("date").alias("day")).agg(
+        F.sum((c("event_type") == "purchase").cast("int"))
+        .cast("long").alias("cnt")
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("total"),
+    )
+    wk = (
+        F.pmod(F.datediff(c("day"), F.lit("2024-01-01").cast("date")), F.lit(7))
+        .isin(5, 6)
+    )
+    f = d.crossJoin(F.broadcast(tot)).select(
+        "n",
+        wk.cast("int").alias("wk"),
+        (c("cnt") * c("n") > c("total")).cast("int").alias("hi"),
+    )
+    s = f.groupBy("n").agg(
+        F.sum("wk").cast("long").alias("r1"),
+        F.sum("hi").cast("long").alias("c1"),
+        F.sum(c("wk") * c("hi")).cast("long").alias("a"),
+    )
+    c8 = F.array(*[F.lit(x).cast("long") for x in _C8])
+    c22 = F.array(*[F.lit(x).cast("long") for x in _C22])
+    c30 = F.array(*[F.lit(x).cast("long") for x in _C30])
+    at = lambda arr, i: F.element_at(arr, i.cast("int"))
+    nobs = at(c8, c("a") + 1) * at(c22, c("c1") - c("a") + 1)
+    nks = F.transform(
+        F.sequence(
+            F.greatest(F.lit(0).cast("long"), c("c1") - 22),
+            F.least(F.lit(8).cast("long"), c("c1")),
+        ),
+        lambda k: at(c8, k + 1) * at(c22, c("c1") - k + 1),
+    )
+    gks = F.transform(
+        F.sequence(c("a"), F.least(F.lit(8).cast("long"), c("c1"))),
+        lambda k: at(c8, k + 1) * at(c22, c("c1") - k + 1),
+    )
+    zero = F.lit(0).cast("long")
+    lsum = lambda arr: F.aggregate(arr, zero, lambda acc, v: acc + v)
+    denom = at(c30, c("c1") + 1)
+    ok = (c("n") == 30) & (c("r1") == 8)
+    return s.select(
+        c("a").alias("a"),
+        (c("r1") - c("a")).alias("b"),
+        (c("c1") - c("a")).alias("c"),
+        (c("n") - c("r1") - c("c1") + c("a")).alias("d"),
+        F.when(
+            ok,
+            F.round(
+                lsum(F.filter(nks, lambda v: v <= nobs)).cast("double")
+                / denom,
+                9,
+            ),
+        ).alias("p_two_sided"),
+        F.when(
+            ok, F.round(lsum(gks).cast("double") / denom, 9)
+        ).alias("p_greater"),
+    )
+
+
+def _beta_frac(x: int, y: int):
+    from fractions import Fraction
+
+    return Fraction(
+        _factorial(x - 1) * _factorial(y - 1), _factorial(x + y - 1)
+    )
+
+
+def _p_b_gt_a(aA: int, bA: int, aB: int, bB: int) -> float:
+    """P(pB > pA) for pA ~ Beta(aA,bA), pB ~ Beta(aB,bB), all-integer
+    parameters — Cook's closed form evaluated in EXACT rational
+    arithmetic (python fractions), floated once at the end."""
+    return float(
+        sum(
+            _beta_frac(aA + i, bA + bB)
+            / ((bB + i) * _beta_frac(1 + i, bB) * _beta_frac(aA, bA))
+            for i in range(aB)
+        )
+    )
+
+
+#: n = 7 users per arm (the sf0.001 fixture has exactly 8 even / 7
+#: odd users — 7 is the largest cohort reachable at every sf), so
+#: the Beta(k+1, 7-k+1) posterior pair has only 8 x 8 reachable
+#: states: the WHOLE answer surface P(pB > pA) is precomputed in
+#: Python as exact rationals and shipped as a 64-row literal lookup
+#: in both engines — zero in-engine transcendentals (VERDICT r7 #7's
+#: precomputed-literal route).
+_BAYES_N = 7
+_BAYES_TABLE = [
+    (ka, kb, _p_b_gt_a(ka + 1, _BAYES_N - ka + 1, kb + 1, _BAYES_N - kb + 1))
+    for ka in range(_BAYES_N + 1)
+    for kb in range(_BAYES_N + 1)
+]
+
+_BAYES_SQL = f"""
+    WITH u AS (SELECT user_id,
+                      CAST(user_id % 2 AS INT) AS arm,
+                      (user_id * 2654435761) % 4294967296 AS h,
+                      CAST(max(CASE WHEN event_type = 'purchase'
+                                     AND value > 95
+                               THEN 1 ELSE 0 END) AS INT) AS conv
+               FROM events GROUP BY 1, 2, 3),
+    pick AS (SELECT arm, conv FROM (
+               SELECT arm, conv,
+                      row_number() OVER (PARTITION BY arm
+                                         ORDER BY h, user_id) AS rk
+               FROM u)
+             WHERE rk <= {_BAYES_N}),
+    k AS (SELECT
+            CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+                AS ka,
+            CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+                AS kb,
+            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+          FROM pick),
+    t (tka, tkb, p) AS (VALUES {", ".join(
+        f"({ka}, {kb}, {p!r})" for ka, kb, p in _BAYES_TABLE)})
+    SELECT k.na AS n_a, k.nb AS n_b, k.ka, k.kb,
+           round((k.ka + 1) / 9.0, 6) AS post_mean_a,
+           round((k.kb + 1) / 9.0, 6) AS post_mean_b,
+           CASE WHEN k.na = {_BAYES_N} AND k.nb = {_BAYES_N}
+                THEN round(t.p, 6) END AS p_b_beats_a
+    FROM k JOIN t ON t.tka = k.ka AND t.tkb = k.kb
+"""
+
+
+@register("q_bayes_ab", sql=_BAYES_SQL)
+def q_bayes_ab(spark, sf_dir):
+    """Bayesian A/B conversion comparison P(pB > pA) under uniform
+    Beta(1,1) priors, on a deterministic 7-user-per-arm cohort (arm =
+    user-id parity, cohort = the 7 smallest (knuth-hash, id) users
+    per arm; conversion = any HIGH-VALUE purchase, value > 95 — the
+    q_abtest/q_mcnemar convention; plain purchase is universal in
+    this fixture and would pin ka = kb = n) — shelved in r7
+    because Cook's closed form needs lgamma, landed here via the
+    precomputed-literal route: with n = 7 fixed, only 64 (ka, kb)
+    posterior states exist, so the whole P surface is computed in
+    Python with EXACT rational arithmetic (fractions; validated
+    against Monte-Carlo in tests/test_stats_replay.py) and shipped
+    as a 64-row literal lookup — both engines join the identical
+    literals, no in-engine transcendental at all.  p is NULL if
+    either arm's cohort is short (n != 7; mirrored guard).
+
+    Scale: one per-user aggregate; the cohort pick is a 2-partition
+    rank over the distinct-user table; the lookup is a broadcast of
+    64 literal rows."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.col
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            ((c("event_type") == "purchase") & (c("value") > 95)).cast("int")
+        ).alias("conv")
+    ).select(
+        "user_id", "conv",
+        (c("user_id") % 2).cast("int").alias("arm"),
+        F.pmod(c("user_id") * F.lit(2654435761), F.lit(4294967296)).alias("h"),
+    )
+    w = Window.partitionBy("arm").orderBy("h", "user_id")
+    pick = u.withColumn("rk", F.row_number().over(w)).filter(
+        c("rk") <= _BAYES_N
+    )
+    k = pick.agg(
+        F.sum(F.when(c("arm") == 0, c("conv")).otherwise(0))
+        .cast("long").alias("ka"),
+        F.sum(F.when(c("arm") == 1, c("conv")).otherwise(0))
+        .cast("long").alias("kb"),
+        F.sum((c("arm") == 0).cast("int")).cast("long").alias("na"),
+        F.sum((c("arm") == 1).cast("int")).cast("long").alias("nb"),
+    )
+    t = ev.sparkSession.createDataFrame(
+        _BAYES_TABLE, "tka long, tkb long, p double"
+    )
+    ok = (c("na") == _BAYES_N) & (c("nb") == _BAYES_N)
+    return (
+        k.join(
+            F.broadcast(t), (c("tka") == c("ka")) & (c("tkb") == c("kb"))
+        )
+        .select(
+            c("na").alias("n_a"),
+            c("nb").alias("n_b"),
+            "ka", "kb",
+            F.round((c("ka") + 1) / 9.0, 6).alias("post_mean_a"),
+            F.round((c("kb") + 1) / 9.0, 6).alias("post_mean_b"),
+            F.when(ok, F.round(c("p"), 6)).alias("p_b_beats_a"),
+        )
+    )

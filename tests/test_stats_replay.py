@@ -464,3 +464,62 @@ def test_ewma_control_replay(spark, events):
         )
         assert row["n_violations"] == nviol
         assert row["max_margin"] == pytest.approx(maxm, abs=1e-4)
+
+
+def test_fisher_exact_replay(spark, events):
+    """Hypergeometric enumeration from scratch (math.comb) on the
+    weekend x high-volume 2x2 derived independently in pandas."""
+    from math import comb
+
+    d = events[events["event_type"] == "purchase"].assign(
+        day=events["ts"].dt.date
+    ).groupby("day").size()
+    # zero-filled over the 30 observed event days
+    all_days = pd.Index(sorted(events["ts"].dt.date.unique()))
+    cnt = d.reindex(all_days).fillna(0).astype(int)
+    wk = np.array([dd.weekday() >= 5 for dd in all_days])
+    hi = (cnt.to_numpy() * len(all_days) > cnt.sum()).astype(bool)
+    a = int((wk & hi).sum())
+    r1, c1, n = int(wk.sum()), int(hi.sum()), len(all_days)
+    r2 = n - r1
+    nobs = comb(r1, a) * comb(r2, c1 - a)
+    ks = range(max(0, c1 - r2), min(r1, c1) + 1)
+    p_two = sum(
+        comb(r1, k) * comb(r2, c1 - k)
+        for k in ks
+        if comb(r1, k) * comb(r2, c1 - k) <= nobs
+    ) / comb(n, c1)
+    p_gr = sum(
+        comb(r1, k) * comb(r2, c1 - k) for k in ks if k >= a
+    ) / comb(n, c1)
+    row = _run(spark, "q_fisher_exact").iloc[0]
+    assert (row["a"], row["b"]) == (a, r1 - a)
+    assert (row["c"], row["d"]) == (c1 - a, n - r1 - c1 + a)
+    assert row["p_two_sided"] == pytest.approx(p_two, abs=1e-8)
+    assert row["p_greater"] == pytest.approx(p_gr, abs=1e-8)
+
+
+def test_bayes_ab_replay(spark, events):
+    """The Fraction-exact Cook table validated by Monte-Carlo at the
+    observed posterior state, plus an independent cohort re-pick."""
+    u = events.groupby("user_id").apply(
+        lambda g: int(
+            ((g["event_type"] == "purchase") & (g["value"] > 95)).any()
+        ),
+        include_groups=False,
+    ).rename("conv").reset_index()
+    u["arm"] = (u["user_id"] % 2).astype(int)
+    u["h"] = (u["user_id"] * 2654435761) % 4294967296
+    picked = (
+        u.sort_values(["arm", "h", "user_id"]).groupby("arm").head(7)
+    )
+    ka = int(picked[picked["arm"] == 0]["conv"].sum())
+    kb = int(picked[picked["arm"] == 1]["conv"].sum())
+    row = _run(spark, "q_bayes_ab").iloc[0]
+    assert (row["ka"], row["kb"]) == (ka, kb)
+    rng = np.random.default_rng(7)
+    mc = (
+        rng.beta(kb + 1, 7 - kb + 1, 400_000)
+        > rng.beta(ka + 1, 7 - ka + 1, 400_000)
+    ).mean()
+    assert row["p_b_beats_a"] == pytest.approx(mc, abs=0.005)
