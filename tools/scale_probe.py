@@ -373,6 +373,28 @@ PROBE_R7 = [
     "q_shewhart",
 ]
 
+#: round-8 probe (--round8): the new monitors/tests plus the queries
+#: whose execution shape changed this round.  Expectations:
+#: q_ewma_control grows only the (type, day) pre-aggregate (the fold
+#: is calendar-bounded); q_fisher_exact / q_bayes_ab grow one
+#: conditional day/user aggregate and run constant-size enumerations
+#: after; q_survival's triangle cumsums run on the lifetimes table
+#: (calendar-bounded); q_ngram_jaccard re-probed after the
+#: string-identity df change; q_vocab / q_bm25 / q_dsir re-probed
+#: after the window-free rank conversions (TakeOrdered + triangle).
+PROBE_R8 = [
+    "q_ewma_control",
+    "q_fisher_exact",
+    "q_bayes_ab",
+    "q_survival",
+    "q_wilcoxon",
+    "q_ngram_jaccard",
+    "q_vocab",
+    "q_bm25",
+    "q_dsir",
+    "q_eq_hist_interp",
+]
+
 #: key shift per copy — far above any real key at these scale factors.
 SHIFT = 100_000_000
 
@@ -480,6 +502,7 @@ def main() -> None:
     r6b3 = "--r6b3" in sys.argv
     r6b4 = "--r6b4" in sys.argv
     round7 = "--round7" in sys.argv
+    round8 = "--round8" in sys.argv
     docs_only = dedup or retrieval
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 10
@@ -490,7 +513,7 @@ def main() -> None:
         else "_r4x100" if r4x100 else "_r5" if round5
         else "_r5stats" if r5stats else "_r6" if round6
         else "_r6b3" if r6b3 else "_r6b4" if r6b4
-        else "_r7" if round7 else ""
+        else "_r7" if round7 else "_r8" if round8 else ""
     )
     scaled = os.path.join(repo, ".scratch", f"sfx{n}" + suffix)
 
@@ -508,6 +531,7 @@ def main() -> None:
         else PROBE_R6B3 if r6b3
         else PROBE_R6B4 if r6b4
         else PROBE_R7 if round7
+        else PROBE_R8 if round8
         else PROBE
     )
     names = [q for q in probe_set if q in registry]
@@ -523,11 +547,13 @@ def main() -> None:
             else ["documents", "embeddings", "events"] if round5
             else ["documents", "embeddings", "events", "orders"] if round6
             else ["events", "orders"] if round7
+            else ["documents", "events", "orders", "lineitem"] if round8
             else ["documents", "embeddings", "events", "orders", "lineitem"]
             if r5stats or r6b3 or r6b4
             else None
         ),
         mutate_docs=docs_only or round3 or r4x100 or round5 or r5stats
+        or round8
         or r6b3 or r6b4,
         mutate_embeddings=r4x100 or round5 or r5stats or r6b3 or r6b4,
     )
