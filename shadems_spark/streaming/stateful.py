@@ -1274,3 +1274,134 @@ def stream_cusum(ev_stream: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+EWMAC_OUT_SCHEMA = (
+    "event_type string, n_days long, center double, ewma_final double,"
+    " ucl_asym double, lcl_asym double, n_violations long,"
+    " last_violation_day string, max_margin double"
+)
+EWMAC_STATE_SCHEMA = "days array<long>, counts array<long>"
+
+
+def _round_half_up(x: float) -> int:
+    import math
+
+    s = math.floor(abs(x) + 0.5)
+    return -s if x < 0 else s
+
+
+def ewma_control_fold(day_counts: dict):
+    """The shared EWMA-chart fold: {day_idx: count} -> the
+    q_ewma_control output row (or None when no spread estimate
+    exists: n < 2 or constant counts — the batch l-filter).  Mirrors
+    the query's integer fold step-for-step: nano-int z and margins,
+    the (1-lambda)^(2t) decay by repeated 0.64 multiplication
+    (HALF_UP at every step), limits from the same float expressions
+    — so parity with the batch plan is bit-for-bit."""
+    import datetime
+    import math
+
+    lam_q = 0.2 / 1.8
+    days = sorted(day_counts)
+    n = len(days)
+    if n < 2:
+        return None
+    s = sum(day_counts[d] for d in days)
+    q = sum(day_counts[d] * day_counts[d] for d in days)
+    var_num = q - s * (s / float(n))
+    if var_num <= 0:
+        return None
+    mu = s / float(n)
+    sd = math.sqrt(var_num / (n - 1))
+    mun = _round_nano_half_up(mu)
+    z, w = mun, 1_000_000_000
+    nviol, last_t, maxm = 0, 0, -1_000_000_000_000_000_000
+    for t, d in enumerate(days, start=1):
+        y = day_counts[d]
+        z = _round_nano_half_up(0.2 * y + 0.8 * (z / 1e9))
+        w = _round_half_up(w * 0.64)
+        hw = _round_half_up(
+            ((2.7 * sd) * math.sqrt(lam_q * (1.0 - w / 1e9))) * 1e9
+        )
+        dev = abs(z - mun)
+        if dev > hw:
+            nviol += 1
+            last_t = t
+        maxm = max(maxm, dev - hw)
+    asym = (2.7 * sd) * math.sqrt(lam_q)
+    last_day = (
+        (
+            datetime.date(1970, 1, 1)
+            + datetime.timedelta(days=days[last_t - 1])
+        ).isoformat()
+        if last_t > 0
+        else ""
+    )
+    return (
+        n,
+        _round6_half_up(mu),
+        _round6_half_up(z / 1e9),
+        _round6_half_up(mu + asym),
+        _round6_half_up(mu - asym),
+        nviol,
+        last_day,
+        _round6_half_up(maxm / 1e9),
+    )
+
+
+def _ewmac_update(key, pdfs: Iterator, state: GroupState):
+    import pandas as pd
+
+    if state.exists:
+        days, counts = state.get
+        acc = dict(zip((int(d) for d in days), (int(c) for c in counts)))
+    else:
+        acc = {}
+    for pdf in pdfs:
+        for d, c in pdf.groupby("day_idx").size().items():
+            acc[int(d)] = acc.get(int(d), 0) + int(c)
+    state.update((list(acc.keys()), list(acc.values())))
+    row = ewma_control_fold(acc)
+    if row is None:  # no spread estimate yet — nothing to chart
+        return
+    n, center, ewma, ucl, lcl, nviol, last_day, maxm = row
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_days": [n],
+            "center": [center],
+            "ewma_final": [ewma],
+            "ucl_asym": [ucl],
+            "lcl_asym": [lcl],
+            "n_violations": [nviol],
+            "last_violation_day": [last_day],
+            "max_margin": [maxm],
+        }
+    )
+
+
+def stream_ewma_control(ev_stream: DataFrame) -> DataFrame:
+    """Streaming EWMA control chart per event type — the
+    applyInPandasWithState twin of q_ewma_control, completing the
+    monitor family's streaming coverage (stream_sprt /
+    stream_page_hinkley / stream_cusum / this).  Like CUSUM, the
+    chart's center and sigma are RETROSPECTIVE (full-series
+    sufficient statistics an incremental estimate cannot revise), so
+    the calendar-bounded daily-count-map state refolds per
+    micro-batch: every emission is the exact offline chart over all
+    data so far, late rows repair center/limits/EWMA for free, and
+    batching granularity cannot change any emission
+    (replay-idempotent by additive merge — the stream_holt
+    discipline)."""
+    src = ev_stream.select(
+        "event_type",
+        F.expr("ts_ns div 86400000000000").alias("day_idx"),
+    )
+    return src.groupBy("event_type").applyInPandasWithState(
+        _ewmac_update,
+        EWMAC_OUT_SCHEMA,
+        EWMAC_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1173,3 +1173,82 @@ def test_stream_cusum_matches_batch(spark, sf_dir):
         assert g["n_days"] == b["n_days"]
         assert g["cp_day"] == b["cp_day"]
         assert abs(g["cusum_at_cp"] - b["cusum_at_cp"]) < 1e-9
+
+
+def test_stream_ewma_control_matches_batch(spark, sf_dir):
+    """Streaming EWMA-chart twin: final per-type emission equals
+    q_ewma_control's batch fold bit-for-bit (shared integer
+    recurrence incl. the in-fold (1-lambda)^(2t) decay, HALF_UP nano
+    rounding, retrospective center/sigma refolded per batch)."""
+    from shadems_spark.queries import load_registry
+
+    ev_stream = SW.stream_from_parquet(spark, sf_dir).select(
+        "event_type", "ts_ns"
+    )
+    q = (
+        ST.stream_ewma_control(ev_stream)
+        .writeStream.format("memory")
+        .queryName("t_ewmac")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_ewmac").collect()
+    got = {}
+    for r in rows:
+        cur = got.get(r["event_type"])
+        if cur is None or r["n_days"] >= cur["n_days"]:
+            got[r["event_type"]] = r
+    batch = {
+        r["event_type"]: r
+        for r in load_registry()["q_ewma_control"][0](spark, sf_dir).collect()
+    }
+    assert set(got) == set(batch)
+    for t, b in batch.items():
+        g = got[t]
+        assert g["n_days"] == b["n_days"]
+        for colname in ("center", "ewma_final", "ucl_asym", "lcl_asym",
+                        "max_margin"):
+            assert abs(g[colname] - b[colname]) < 1e-9, (t, colname)
+        assert g["n_violations"] == b["n_violations"]
+        assert g["last_violation_day"] == b["last_violation_day"]
+
+
+def test_ewma_control_fold_batching_invariance(spark, sf_dir):
+    """The refold-from-state design makes every emission a pure
+    function of the merged counts: the pure-Python fold over the
+    batch-computed daily counts must equal the batch query row —
+    independent of how many micro-batches delivered the rows."""
+    from shadems_spark.queries import load_registry
+    from shadems_spark.streaming.stateful import ewma_control_fold
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            "event_type", F.expr("ts_ns div 86400000000000").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    )
+    per_type: dict = {}
+    for r in d:
+        per_type.setdefault(r["event_type"], {})[int(r["d"])] = int(r["y"])
+    batch = {
+        r["event_type"]: r
+        for r in load_registry()["q_ewma_control"][0](spark, sf_dir).collect()
+    }
+    for t, counts in per_type.items():
+        row = ewma_control_fold(counts)
+        if t not in batch:
+            assert row is None
+            continue
+        b = batch[t]
+        n, center, ewma, ucl, lcl, nviol, last_day, maxm = row
+        assert n == b["n_days"]
+        assert abs(center - b["center"]) < 1e-9
+        assert abs(ewma - b["ewma_final"]) < 1e-9
+        assert abs(ucl - b["ucl_asym"]) < 1e-9
+        assert abs(maxm - b["max_margin"]) < 1e-9
+        assert nviol == b["n_violations"]
+        assert last_day == b["last_violation_day"]
