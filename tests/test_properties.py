@@ -537,3 +537,35 @@ def test_monitor_folds_batching_invariant(counts, cut):
     dt_whole = {(d, "t"): n for d, n in whole.items()}
     dt_merged = {(d, "t"): n for d, n in merged.items()}
     assert sprt_fold(dt_merged) == sprt_fold(dt_whole)
+
+
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),   # day index
+            st.integers(min_value=1, max_value=200),  # events that day
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    cut=st.integers(min_value=0, max_value=49),
+)
+@settings(**SETTINGS)
+def test_ewma_control_fold_batching_invariant(counts, cut):
+    """The r8 monitor joins the fuzzed replay-idempotence family:
+    ewma_control_fold is a pure function of the MERGED daily-count
+    state (center/sigma are retrospective, the EWMA recursion refolds
+    from day one), so arbitrary micro-batch boundaries and late rows
+    cannot change an emission."""
+    from shadems_spark.streaming.stateful import ewma_control_fold
+
+    cut = min(cut, len(counts))
+    whole: dict = {}
+    for d, n in counts:
+        whole[d] = whole.get(d, 0) + n
+    merged: dict = {}
+    for d, n in counts[:cut]:
+        merged[d] = merged.get(d, 0) + n
+    for d, n in counts[cut:]:
+        merged[d] = merged.get(d, 0) + n
+    assert ewma_control_fold(merged) == ewma_control_fold(whole)
