@@ -159,8 +159,6 @@ def q_snapshot_diff(spark, sf_dir):
     for it) and the current corpus.  FULL OUTER join keeps languages
     that appear or vanish; totals ride a 1-row broadcast aggregate
     over the tiny per-language table (window-free)."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     a = docs.filter(F.col("doc_id") % 3 != 0).groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_a")

@@ -67,18 +67,41 @@ def q_eq_hist(spark, sf_dir):
     """,
 )
 def q_norms(spark, sf_dir):
-    """W2: log / cbrt / linear normalizations rescaled to [0,1]."""
+    """W2: log / cbrt / linear normalizations rescaled to [0,1] —
+    all three scales' min/max ride ONE 1-row broadcast aggregate of
+    the binned raster (three chained N.norm calls would each carry
+    their own aggregate branch of the raster lineage); same values
+    as the per-scale helper."""
     out = _binned(spark, sf_dir)
-    out = N.norm(out, "log", out="shade_log")
-    out = N.norm(out, "cbrt", out="shade_cbrt")
-    out = N.norm(out, "linear", out="shade_linear")
-    return out.select(
+    v = F.col("val").cast("double")
+    exprs = {
+        "shade_log": F.log(F.lit(1.0) + v),
+        "shade_cbrt": F.cbrt(v),
+        "shade_linear": v,
+    }
+    mm = out.agg(
+        *[
+            a
+            for name, t in exprs.items()
+            for a in (
+                F.min(t).alias(f"__lo_{name}"),
+                F.max(t).alias(f"__hi_{name}"),
+            )
+        ]
+    )
+    scaled = out.crossJoin(F.broadcast(mm))
+    return scaled.select(
         "by",
         "bx",
         "val",
-        F.round("shade_log", 6).alias("shade_log"),
-        F.round("shade_cbrt", 6).alias("shade_cbrt"),
-        F.round("shade_linear", 6).alias("shade_linear"),
+        *[
+            F.round(
+                (t - F.col(f"__lo_{name}"))
+                / (F.col(f"__hi_{name}") - F.col(f"__lo_{name}")),
+                6,
+            ).alias(name)
+            for name, t in exprs.items()
+        ],
     )
 
 
