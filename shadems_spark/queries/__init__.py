@@ -318,6 +318,7 @@ _R08_TOUCHED = [
 #: first per the registry freeze discipline).
 _NEW_R8_SESSION: list[str] = [
     "q_ewma_control", "q_fisher_exact", "q_bayes_ab",
+    "q_mood_median", "q_cochran_q", "q_theil_entropy",
 ]
 
 

@@ -10265,3 +10265,373 @@ def q_bayes_ab(spark, sf_dir):
             F.when(ok, F.round(c("p"), 6)).alias("p_b_beats_a"),
         )
     )
+
+
+@register(
+    "q_mood_median",
+    sql="""
+    WITH v AS (SELECT event_type,
+                      CAST(round(value * 1000) AS BIGINT) AS vm
+               FROM events WHERE value IS NOT NULL),
+    gv AS (SELECT event_type, vm, CAST(count(*) AS BIGINT) AS n_gv
+           FROM v GROUP BY 1, 2),
+    d AS (SELECT vm, CAST(sum(n_gv) AS BIGINT) AS n_v FROM gv GROUP BY 1),
+    c AS (SELECT vm, CAST(sum(n_v) OVER (ORDER BY vm
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM d),
+    t0 AS (SELECT CAST(sum(n_v) AS BIGINT) AS n FROM d),
+    m AS (SELECT min(vm) AS med FROM c CROSS JOIN t0 WHERE 2 * cum >= n),
+    g AS (SELECT gv.event_type,
+                 CAST(sum(n_gv) AS BIGINT) AS n_j,
+                 CAST(sum(CASE WHEN gv.vm > m.med THEN n_gv ELSE 0 END)
+                      AS BIGINT) AS a_j
+          FROM gv CROSS JOIN m GROUP BY 1),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(n_j) AS BIGINT) AS n,
+                  CAST(sum(a_j) AS BIGINT) AS a_tot
+           FROM g),
+    chi AS (SELECT CAST(sum(CAST(round(
+               ((g.a_j - g.n_j * (tt.a_tot / CAST(tt.n AS DOUBLE)))
+                * (g.a_j - g.n_j * (tt.a_tot / CAST(tt.n AS DOUBLE))))
+               / ((g.n_j * (tt.a_tot / CAST(tt.n AS DOUBLE)))
+                  * (1.0 - tt.a_tot / CAST(tt.n AS DOUBLE)))
+               * 1e9) AS BIGINT)) AS BIGINT) AS chi_n
+            FROM g CROSS JOIN tt)
+    SELECT g.event_type, g.n_j AS n, g.a_j AS n_above,
+           round(g.n_j * (tt.a_tot / CAST(tt.n AS DOUBLE)), 6) AS e_above,
+           round(m.med / 1000.0, 6) AS grand_median,
+           CASE WHEN tt.a_tot > 0 AND tt.a_tot < tt.n
+                THEN round(chi.chi_n / 1e9, 6) END AS chi2,
+           CAST(tt.k - 1 AS BIGINT) AS dof
+    FROM g CROSS JOIN tt CROSS JOIN m CROSS JOIN chi
+    ORDER BY g.event_type
+    """,
+)
+def q_mood_median(spark, sf_dir):
+    """Mood's median test across the k event types: does each type's
+    value distribution sit above/below the POOLED median equally
+    often?  The coarse, outlier-immune k-group location screen
+    beside q_kruskal (Mood trades power for total robustness — only
+    the side of the median matters, not ranks).
+
+    Above-split convention: strictly-above the LOWER pooled median
+    (first value whose cumulative count reaches half — the
+    q_weighted_median inequality, pure integer).  Exactness: the
+    pooled median rides the distinct-value count table + two-phase
+    global_cumsum (no single-partition stage at any cardinality; the
+    q_kruskal shape), the 2xk contingency is exact integers, and
+    each chi-square term (a_j - n_j p)^2 / (n_j p (1-p)) is
+    nano-rounded per group before the integer cross-group sum.
+    Degenerate guard: all values on one side of the median (a_tot =
+    0 or N) has no dispersion to test — chi2 NULL on both engines.
+    Scale: one (type, value)-key aggregate is the only data-sized
+    stage."""
+    from shadems_spark.operators.dedup import tracked_persist
+    from shadems_spark.operators.profile import global_cumsum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = F.col
+    vm = F.round(c("value") * 1000).cast("long")
+    gv = tracked_persist(
+        ev.select("event_type", vm.alias("vm"))
+        .groupBy("event_type", "vm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gv")),
+        key="mood_gv",
+    )
+    d = gv.groupBy("vm").agg(F.sum("n_gv").cast("long").alias("n_v"))
+    cum = global_cumsum(d, ["vm"], {"cum": "n_v"})
+    t0 = d.agg(F.sum("n_v").cast("long").alias("n"))
+    m = (
+        cum.crossJoin(F.broadcast(t0))
+        .filter(2 * c("cum") >= c("n"))
+        .agg(F.min("vm").alias("med"))
+    )
+    # the k-row contingency table feeds three consumers (totals, the
+    # chi2 reduce, the output rows) and carries the whole two-phase
+    # median pipeline as lineage — persist so that pipeline runs
+    # once, not once per branch (the r6/r7 reuse lesson)
+    g = tracked_persist(
+        gv.crossJoin(F.broadcast(m))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_gv").cast("long").alias("n_j"),
+            F.sum(F.when(c("vm") > c("med"), c("n_gv")).otherwise(0))
+            .cast("long").alias("a_j"),
+        ),
+        key="mood_groups",
+    )
+    tt = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_j").cast("long").alias("n"),
+        F.sum("a_j").cast("long").alias("a_tot"),
+    )
+    p = c("a_tot") / c("n").cast("double")
+    term = (
+        (c("a_j") - c("n_j") * p) * (c("a_j") - c("n_j") * p)
+    ) / ((c("n_j") * p) * (F.lit(1.0) - p))
+    chi = (
+        g.crossJoin(F.broadcast(tt))
+        .agg(
+            F.sum(F.round(term * 1e9).cast("long"))
+            .cast("long").alias("chi_n")
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "event_type",
+            c("n_j").alias("n"),
+            c("a_j").alias("n_above"),
+            F.round(c("n_j") * p, 6).alias("e_above"),
+            F.round(c("med") / 1000.0, 6).alias("grand_median"),
+            F.when(
+                (c("a_tot") > 0) & (c("a_tot") < c("n")),
+                F.round(c("chi_n") / 1e9, 6),
+            ).alias("chi2"),
+            (c("k") - 1).cast("long").alias("dof"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_cochran_q",
+    sql="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    f AS (SELECT event_type, CAST(ts AS DATE) AS day
+          FROM events WHERE value > 95 GROUP BY 1, 2),
+    x AS (SELECT t.event_type, d.day,
+                 CASE WHEN f.event_type IS NOT NULL THEN 1 ELSE 0 END AS x
+          FROM types t CROSS JOIN days d
+          LEFT JOIN f ON f.event_type = t.event_type AND f.day = d.day),
+    r AS (SELECT day, CAST(sum(x) AS BIGINT) AS ri FROM x GROUP BY 1),
+    cj AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS c_j
+           FROM x GROUP BY 1),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(c_j) AS BIGINT) AS tot,
+                 CAST(sum(c_j * c_j) AS BIGINT) AS sc2
+          FROM cj),
+    rr AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(sum(ri * ri) AS BIGINT) AS sr2
+           FROM r)
+    SELECT cj.event_type, cj.c_j AS n_active_days,
+           rr.n_days, CAST(t.k - 1 AS BIGINT) AS dof,
+           CASE WHEN t.k * t.tot - rr.sr2 > 0
+                THEN round((t.k - 1)
+                           * CAST(t.k * t.sc2 - t.tot * t.tot AS DOUBLE)
+                           / (t.k * t.tot - rr.sr2), 6)
+           END AS q
+    FROM cj CROSS JOIN t CROSS JOIN rr ORDER BY cj.event_type
+    """,
+)
+def q_cochran_q(spark, sf_dir):
+    """Cochran's Q test over the zero-filled day x type grid: did the
+    k event types have the SAME daily probability of producing a
+    high-value event (value > 95, the q_abtest conversion)?  The
+    k-treatment repeated-measures test for BINARY outcomes — the
+    missing sibling between q_mcnemar (k = 2 paired binary) and
+    q_friedman (k-treatment ordinal): blocks are days, treatments
+    are types, response is the 0/1 indicator.
+
+    Q = (k-1) * (k*sum C_j^2 - T^2) / (k*T - sum R_i^2) — EVERY term
+    is an exact integer (column totals C_j, row totals R_i, grand
+    total T), so the statistic is one division of identical integers
+    on both engines; no nano ladder needed.  dof = k-1 (no p: the
+    chi-square tail at dof > 1 needs the incomplete gamma — the
+    q_friedman convention of emitting the statistic + dof).
+    Degenerate guard: denominator sum R_i (k - R_i) = 0 (every day
+    all-or-none) -> Q NULL on both engines.  Alias hygiene: the
+    types spine renames through a fresh __et before joining the
+    flags frame derived from the same parent (_daily_grid's rule).
+    Scale: one (type, day) conditional aggregate; the grid is
+    types x calendar."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.col
+    days = ev.select(c("ts").cast("date").alias("day")).distinct()
+    types = ev.select(c("event_type").alias("__et")).distinct()
+    f = (
+        ev.filter(c("value") > 95)
+        .groupBy("event_type", c("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    x = (
+        types.crossJoin(F.broadcast(days))
+        .join(
+            f,
+            (c("__et") == f["event_type"]) & (days["day"] == f["day"]),
+            "left",
+        )
+        .select(
+            c("__et").alias("event_type"),
+            days["day"].alias("day"),
+            f["__hits"].isNotNull().cast("int").alias("x"),
+        )
+    )
+    from shadems_spark.operators.dedup import tracked_persist
+
+    x = tracked_persist(x, key="cochran_grid")
+    r = x.groupBy("day").agg(F.sum("x").cast("long").alias("ri"))
+    cj = x.groupBy("event_type").agg(F.sum("x").cast("long").alias("c_j"))
+    t = cj.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("c_j").cast("long").alias("tot"),
+        F.sum(c("c_j") * c("c_j")).cast("long").alias("sc2"),
+    )
+    rr = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(c("ri") * c("ri")).cast("long").alias("sr2"),
+    )
+    return (
+        cj.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(rr))
+        .select(
+            "event_type",
+            c("c_j").alias("n_active_days"),
+            "n_days",
+            (c("k") - 1).cast("long").alias("dof"),
+            F.when(
+                c("k") * c("tot") - c("sr2") > 0,
+                F.round(
+                    (c("k") - 1)
+                    * (c("k") * c("sc2") - c("tot") * c("tot"))
+                    .cast("double")
+                    / (c("k") * c("tot") - c("sr2")),
+                    6,
+                ),
+            ).alias("q"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_theil_entropy",
+    sql="""
+    WITH r AS (SELECT c.c_nationkey AS nation, o.o_custkey,
+                      CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS rev
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY 1, 2),
+    g AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(sum(rev) AS BIGINT) AS s_g
+          FROM r GROUP BY 1),
+    t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                 CAST(sum(s_g) AS BIGINT) AS s FROM g),
+    w AS (SELECT r.nation,
+                 CAST(sum(CAST(round(
+                   (r.rev / (g.s_g / CAST(g.n_g AS DOUBLE)))
+                   * ln(r.rev / (g.s_g / CAST(g.n_g AS DOUBLE)))
+                   * 1e9) AS BIGINT)) AS BIGINT) AS tn
+          FROM r JOIN g USING (nation) GROUP BY 1),
+    p AS (SELECT g.nation, g.n_g, g.s_g, w.tn,
+                 g.s_g / CAST(t.s AS DOUBLE) AS share,
+                 CAST(round((g.s_g / CAST(t.s AS DOUBLE))
+                            * ((w.tn / 1e9) / g.n_g) * 1e9) AS BIGINT)
+                     AS wn,
+                 CAST(round((g.s_g / CAST(t.s AS DOUBLE))
+                            * ln((g.s_g / CAST(g.n_g AS DOUBLE))
+                                 / (t.s / CAST(t.n AS DOUBLE))) * 1e9)
+                      AS BIGINT) AS bn
+          FROM g JOIN w USING (nation) CROSS JOIN t),
+    tot AS (SELECT CAST(sum(wn) AS BIGINT) AS wsum,
+                   CAST(sum(bn) AS BIGINT) AS bsum FROM p)
+    SELECT CAST(p.nation AS BIGINT) AS nation, p.n_g AS n_cust,
+           round(p.share, 6) AS share,
+           round((p.tn / 1e9) / p.n_g, 6) AS theil_g,
+           round(p.bn / 1e9, 6) AS between_term,
+           round(tot.wsum / 1e9, 6) AS t_within,
+           round(tot.bsum / 1e9, 6) AS t_between,
+           round((tot.wsum + tot.bsum) / 1e9, 6) AS t_total
+    FROM p CROSS JOIN tot ORDER BY p.nation
+    """,
+)
+def q_theil_entropy(spark, sf_dir):
+    """Theil T inequality index of customer revenue with the exact
+    within/between-nation decomposition (Theil '67): T_g = (1/n_g)
+    sum (x/mu_g) ln(x/mu_g) per nation, T = sum share_g * T_g + sum
+    share_g * ln(mu_g/mu) — the DECOMPOSABLE inequality measure
+    q_gini lacks (Gini does not split into within + between; Theil
+    does, which is why segment-attribution dashboards use it), and
+    the entropy-form companion to q_herfindahl's concentration.
+
+    Exactness: revenue is exact integer cents; each per-customer
+    entropy term (x/mu_g) ln(x/mu_g) is nano-rounded BEFORE the
+    per-nation integer sum (the q_survival ln protocol — ln/exp at
+    nano rounding is the repo-wide accepted libm boundary; lgamma
+    was the r7 blocker, not ln), and the k-row within/between
+    products are nano-rounded per nation before the integer totals.
+    Scale: the per-(nation, customer) aggregate is the only
+    data-sized stage (q_herfindahl's shape); nation stats broadcast
+    back."""
+    from shadems_spark.operators.dedup import tracked_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    c = F.col
+    r = tracked_persist(
+        o.select(
+            "o_custkey",
+            F.round(c("o_totalprice") * 100).cast("long").alias("rc"),
+        )
+        .join(F.broadcast(cust), "o_custkey")
+        .groupBy("nation", "o_custkey")
+        .agg(F.sum("rc").cast("long").alias("rev")),
+        key="theil_rev",
+    )
+    g = r.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("rev").cast("long").alias("s_g"),
+    )
+    t = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+    )
+    ratio = c("rev") / (c("s_g") / c("n_g").cast("double"))
+    w = (
+        r.join(F.broadcast(g), "nation")
+        .groupBy("nation")
+        .agg(
+            F.sum(F.round(ratio * F.log(ratio) * 1e9).cast("long"))
+            .cast("long").alias("tn")
+        )
+    )
+    share = c("s_g") / c("s").cast("double")
+    mu_ratio = (c("s_g") / c("n_g").cast("double")) / (
+        c("s") / c("n").cast("double")
+    )
+    p = (
+        g.join(F.broadcast(w), "nation")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "nation", "n_g", "s_g", "tn",
+            share.alias("share"),
+            F.round(share * ((c("tn") / 1e9) / c("n_g")) * 1e9)
+            .cast("long").alias("wn"),
+            F.round(share * F.log(mu_ratio) * 1e9)
+            .cast("long").alias("bn"),
+        )
+    )
+    tot = p.agg(
+        F.sum("wn").cast("long").alias("wsum"),
+        F.sum("bn").cast("long").alias("bsum"),
+    )
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            c("nation").cast("long").alias("nation"),
+            c("n_g").alias("n_cust"),
+            F.round("share", 6).alias("share"),
+            F.round((c("tn") / 1e9) / c("n_g"), 6).alias("theil_g"),
+            F.round(c("bn") / 1e9, 6).alias("between_term"),
+            F.round(c("wsum") / 1e9, 6).alias("t_within"),
+            F.round(c("bsum") / 1e9, 6).alias("t_between"),
+            F.round((c("wsum") + c("bsum")) / 1e9, 6).alias("t_total"),
+        )
+        .orderBy("nation")
+    )

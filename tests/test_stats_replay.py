@@ -523,3 +523,97 @@ def test_bayes_ab_replay(spark, events):
         > rng.beta(ka + 1, 7 - ka + 1, 400_000)
     ).mean()
     assert row["p_b_beats_a"] == pytest.approx(mc, abs=0.005)
+
+
+def test_mood_median_replay(spark, events):
+    """Mood's median test recomputed from scratch: lower pooled
+    median, strictly-above counts, chi2 = sum (a - np)^2/(np(1-p))."""
+    ev = events[events["value"].notna()]
+    v = _milli(ev["value"].to_numpy())
+    types = ev["event_type"].to_numpy()
+    sv = np.sort(v)
+    med = sv[(len(sv) + 1) // 2 - 1]  # lower median
+    uniq = np.unique(types)
+    n_j = {t: int((types == t).sum()) for t in uniq}
+    a_j = {t: int(((types == t) & (v > med)).sum()) for t in uniq}
+    n, a_tot = len(v), sum(a_j.values())
+    p = a_tot / n
+    chi2 = sum(
+        (a_j[t] - n_j[t] * p) ** 2 / (n_j[t] * p * (1 - p)) for t in uniq
+    )
+    out = _run(spark, "q_mood_median").set_index("event_type")
+    for t in uniq:
+        row = out.loc[t]
+        assert (row["n"], row["n_above"]) == (n_j[t], a_j[t])
+        assert row["e_above"] == pytest.approx(n_j[t] * p, abs=2e-6)
+        assert row["grand_median"] == pytest.approx(med, abs=1e-6)
+        assert row["chi2"] == pytest.approx(chi2, abs=2e-5)
+        assert row["dof"] == len(uniq) - 1
+
+
+def test_cochran_q_replay(spark, events):
+    """Cochran's Q recomputed from the zero-filled day x type binary
+    grid (any high-value event that day)."""
+    d = events.assign(day=events["ts"].dt.date)
+    days = sorted(d["day"].unique())
+    types = sorted(d["event_type"].unique())
+    hit = {
+        (t, dd)
+        for t, dd in d[
+            (d["event_type"].notna()) & (d["value"] > 95)
+        ][["event_type", "day"]].itertuples(index=False)
+    }
+    X = np.array(
+        [[1 if (t, dd) in hit else 0 for t in types] for dd in days]
+    )
+    cj = X.sum(axis=0)
+    ri = X.sum(axis=1)
+    k, T = len(types), int(cj.sum())
+    denom = k * T - int((ri**2).sum())
+    q_stat = (k - 1) * (k * int((cj**2).sum()) - T**2) / denom
+    out = _run(spark, "q_cochran_q").set_index("event_type")
+    for j, t in enumerate(types):
+        row = out.loc[t]
+        assert row["n_active_days"] == cj[j]
+        assert row["n_days"] == len(days)
+        assert row["dof"] == k - 1
+        assert row["q"] == pytest.approx(q_stat, abs=2e-6)
+
+
+def test_theil_entropy_replay(spark):
+    """Theil T and its within/between decomposition recomputed in
+    plain float from the raw orders/customer tables; also pins the
+    exact decomposition identity T_total = T(all customers)."""
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    o = o.assign(rc=np.floor(o["o_totalprice"] * 100 + 0.5))
+    r = (
+        o.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .groupby(["c_nationkey", "o_custkey"], as_index=False)["rc"].sum()
+    )
+    out = _run(spark, "q_theil_entropy").set_index("nation")
+    s_all = r["rc"].sum()
+    n_all = len(r)
+    mu_all = s_all / n_all
+    t_within = t_between = 0.0
+    for nat, g in r.groupby("c_nationkey"):
+        x = g["rc"].to_numpy(dtype=float)
+        mu = x.mean()
+        tg = float(np.mean((x / mu) * np.log(x / mu)))
+        share = x.sum() / s_all
+        t_within += share * tg
+        t_between += share * math.log(mu / mu_all)
+        row = out.loc[nat]
+        assert row["n_cust"] == len(x)
+        assert row["share"] == pytest.approx(share, abs=2e-6)
+        assert row["theil_g"] == pytest.approx(tg, abs=1e-5)
+        assert row["between_term"] == pytest.approx(
+            share * math.log(mu / mu_all), abs=1e-5
+        )
+    first = out.iloc[0]
+    assert first["t_within"] == pytest.approx(t_within, abs=1e-4)
+    assert first["t_between"] == pytest.approx(t_between, abs=1e-4)
+    # the decomposition identity: within + between == total Theil
+    xa = r["rc"].to_numpy(dtype=float)
+    t_direct = float(np.mean((xa / mu_all) * np.log(xa / mu_all)))
+    assert first["t_total"] == pytest.approx(t_direct, abs=1e-4)

@@ -393,6 +393,13 @@ PROBE_R8 = [
     "q_bm25",
     "q_dsir",
     "q_eq_hist_interp",
+    # second batch: mood's two-phase pooled median shards with the
+    # distinct-value domain; cochran is a (type, day) conditional
+    # aggregate + a calendar-bounded grid; theil is the herfindahl
+    # per-(nation, customer) shape with nano-int entropy terms.
+    "q_mood_median",
+    "q_cochran_q",
+    "q_theil_entropy",
 ]
 
 #: key shift per copy — far above any real key at these scale factors.
