@@ -319,6 +319,7 @@ _R08_TOUCHED = [
 _NEW_R8_SESSION: list[str] = [
     "q_ewma_control", "q_fisher_exact", "q_bayes_ab",
     "q_mood_median", "q_cochran_q", "q_theil_entropy",
+    "q_benjamini_yekutieli",
 ]
 
 

@@ -304,10 +304,30 @@ def q_ngram_jaccard(spark, sf_dir):
     # corpus size (~30 MB of short strings per 10^9 occurrences) — so
     # the prune is a broadcast ANTI-join applied map-side instead of a
     # second full shuffle of the gram table against the (distinct-
-    # gram-sized) df relation.  The df aggregate itself still shuffles
-    # once (global counts need it); only its tiny hot tail leaves it.
+    # gram-sized) df relation.
+    #
+    # Stop-gram DISCOVERY is two-phase so the one full-universe df
+    # shuffle carries 8-byte hashes, not variable-width strings,
+    # WITHOUT giving up the string-identity contract (ADVICE r7):
+    # hash-df >= string-df pointwise (a collision can only merge
+    # counts upward), so every gram with string df > 1000 has a hot
+    # hash and reaches phase 2, where its TRUE string df is recounted
+    # exactly over just the hot-hash occurrences (map-side broadcast
+    # semi-join on the raw cache; the phase-2 aggregate's partial
+    # combine sees only total/1000-bounded distinct grams).  Grams
+    # outside the hot set have df <= hash-df <= 1000 — correctly
+    # kept.  Measured at sf0.1: 3.6 -> 2.6 s warm vs the single
+    # string-keyed aggregate; identical 256 output rows.
+    hot_h = (
+        grams.groupBy(F.xxhash64("ng").alias("hh"))
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 1000).select("hh")
+    )
     stop = (
-        grams.groupBy("ng").agg(F.count(F.lit(1)).alias("df"))
+        grams.join(
+            F.broadcast(hot_h), F.xxhash64("ng") == F.col("hh"), "left_semi"
+        )
+        .groupBy("ng").agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > 1000).select("ng")
     )
     # the pruned cache carries the 8-byte join key, not the string —

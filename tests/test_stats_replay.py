@@ -342,6 +342,41 @@ def test_bh_fdr_replay(spark, events):
         assert row["discovery"] == int(i + 1 <= k_star)
 
 
+def test_benjamini_yekutieli_replay(spark, events):
+    """BY 2001 step-up under arbitrary dependence: the BH line shrunk
+    by the harmonic factor c(m); discoveries are a subset of BH's."""
+    v = _milli(events["value"].fillna(0.0).to_numpy())
+    types = events["event_type"].to_numpy()
+    uniq = np.unique(types)
+    m = len(uniq)
+    ps = {}
+    for t in uniq:
+        a, b = v[types == t], v[types != t]
+        z = (a.mean() - b.mean()) / math.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        )
+        ps[t] = _two_sided_p(z)
+    c_m = sum(1.0 / i for i in range(1, m + 1))
+    ordered = sorted(uniq, key=lambda t: (ps[t], t))
+    k_star = max(
+        (i + 1 for i, t in enumerate(ordered)
+         if ps[t] <= (i + 1) * 0.1 / (m * c_m)),
+        default=0,
+    )
+    out = _run(spark, "q_benjamini_yekutieli").set_index("event_type")
+    bh = _run(spark, "q_bh_fdr").set_index("event_type")
+    for i, t in enumerate(ordered):
+        row = out.loc[t]
+        assert row["rk"] == i + 1
+        assert row["p"] == pytest.approx(ps[t], abs=1e-5)
+        assert row["by_thresh"] == pytest.approx(
+            (i + 1) * 0.1 / (m * c_m), abs=1e-6
+        )
+        assert row["discovery"] == int(i + 1 <= k_star)
+        # BY is strictly more conservative than BH
+        assert row["discovery"] <= bh.loc[t]["discovery"]
+
+
 def test_mad_replay(spark, events):
     d = events.assign(day=events["ts"].dt.date).groupby(
         ["event_type", "day"], as_index=False
