@@ -307,11 +307,15 @@ _ORACLE_GRADUATED = [
 #: round 8 (ADVICE r7 fixes that alter outputs) — they re-queue after
 #: the graduated block to re-earn rows.
 _R08_TOUCHED = [
-    # stop-gram df now counted on the string gram identity
+    # stop-gram df now counted on the string gram identity (and then
+    # discovered two-phase: hash-df prefilter -> exact string recount)
     "q_ngram_jaccard",
     # KM log-survival terms moved onto the nano-int fold protocol
     # (values can shift in the 6th dp; oracle changed identically)
     "q_survival",
+    # degenerate-group family guard added to the shared FDR front
+    # half (no output change on the driver fixture, but re-earn)
+    "q_bh_fdr",
 ]
 
 #: round-8 session additions (kept small; the backlog drain comes

@@ -3786,12 +3786,16 @@ def _as_p_col(z):
 _RANKED_P_CTES = f"""v AS (SELECT event_type,
                       CAST(round(coalesce(value, 0) * 1000) AS BIGINT) AS vm
                FROM events),
-    g AS (SELECT event_type, count(*) AS n, sum(vm) AS s,
-                 sum(vm * vm) AS q
-          FROM v GROUP BY 1),
-    tot AS (SELECT sum(n) AS n_all, sum(s) AS s_all, sum(q) AS q_all,
-                   count(*) AS m
-            FROM g),
+    g0 AS (SELECT event_type, count(*) AS n, sum(vm) AS s,
+                  sum(vm * vm) AS q
+           FROM v GROUP BY 1),
+    tot0 AS (SELECT sum(n) AS n_all, sum(s) AS s_all, sum(q) AS q_all
+             FROM g0),
+    g AS (SELECT g0.* FROM g0 CROSS JOIN tot0
+          WHERE g0.n > 1 AND tot0.n_all - g0.n > 1),
+    tot AS (SELECT tot0.n_all, tot0.s_all, tot0.q_all, fam.m
+            FROM tot0 CROSS JOIN
+                 (SELECT count(*) AS m FROM g) AS fam),
     z AS (SELECT g.event_type, g.n, tot.m,
                  round((g.s / CAST(g.n AS DOUBLE)
                         - (tot.s_all - g.s) / CAST(tot.n_all - g.n AS DOUBLE))
@@ -3852,7 +3856,9 @@ def q_bh_fdr(spark, sf_dir):
 def _ranked_hypotheses(spark, sf_dir):
     """The shared FDR front half: per-type Welch-z contrast tests from
     integer sufficient statistics, A-S p-values, p-ranked via the
-    broadcast triangle join (window-free, VERDICT r7 #5).  Returns
+    broadcast triangle join (window-free, VERDICT r7 #5).  Types with
+    n < 2 (or complement < 2) carry no variance estimate and are
+    excluded from the family — m counts TESTED hypotheses.  Returns
     (event_type, n, m, z, p, rk) — m = hypothesis count on every row."""
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(
@@ -3860,14 +3866,31 @@ def _ranked_hypotheses(spark, sf_dir):
         F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1000)
         .cast("long").alias("vm"),
     )
-    g = v.groupBy("event_type").agg(
+    g0 = v.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("vm").alias("s"),
         F.sum(F.col("vm") * F.col("vm")).alias("q"),
     )
-    tot = g.agg(
+    # the per-type aggregate feeds full-corpus totals AND the guarded
+    # family — persist so the data-sized aggregate runs once
+    from shadems_spark.operators.dedup import tracked_persist
+
+    g0 = tracked_persist(g0, key="fdr_type_stats")
+    tot0 = g0.agg(
         F.sum("n").alias("n_all"), F.sum("s").alias("s_all"),
-        F.sum("q").alias("q_all"), F.count(F.lit(1)).alias("m"),
+        F.sum("q").alias("q_all"),
+    )
+    # degenerate-group guard (the ADVICE r7 Welch class): a 1-row type
+    # (or one whose complement has < 2 rows) admits no variance
+    # estimate — it is EXCLUDED from the hypothesis family (m shrinks)
+    # while its rows still count toward every other type's complement,
+    # so non-degenerate corpora are byte-identical to the unguarded
+    # form.
+    g = g0.crossJoin(F.broadcast(tot0)).filter(
+        (F.col("n") > 1) & (F.col("n_all") - F.col("n") > 1)
+    ).select("event_type", "n", "s", "q")
+    tot = tot0.crossJoin(
+        F.broadcast(g.agg(F.count(F.lit(1)).alias("m")))
     )
     n, s, q = F.col("n"), F.col("s"), F.col("q")
     n2 = F.col("n_all") - n

@@ -432,6 +432,28 @@ def test_welch_tost_single_row_group_nulls(spark, tmp_path):
         assert pd.isna(t[colname]), colname
 
 
+def test_fdr_single_row_type_excluded(spark, tmp_path):
+    """A 1-row event type carries no variance estimate: it is EXCLUDED
+    from the FDR hypothesis family (m shrinks, no NaN z poisons the
+    p-ranking) while its rows still count toward the other types'
+    complements — on both q_bh_fdr and q_benjamini_yekutieli."""
+    rows = [
+        dict(ts="2024-01-05", user_id=1, event_type="purchase", value=10.0),
+        dict(ts="2024-01-06", user_id=2, event_type="purchase", value=12.0),
+        dict(ts="2024-01-07", user_id=3, event_type="view", value=5.0),
+        dict(ts="2024-01-08", user_id=4, event_type="view", value=6.0),
+        dict(ts="2024-01-09", user_id=5, event_type="click", value=7.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    for qname in ("q_bh_fdr", "q_benjamini_yekutieli"):
+        out = _run(spark, qname, sf)
+        assert sorted(out["event_type"]) == ["purchase", "view"], qname
+        assert not out[["z", "p"]].isna().any().any(), qname
+        # the complement still sees the excluded click row: purchase
+        # (n=2) is contrasted against view+click (n=3), not view alone
+        assert out["n"].sum() == 4, qname
+
+
 def test_kruskal_all_tied_corrected_null(spark, tmp_path):
     """All values identical: tie_c = 0, no rank information — the
     corrected statistic is undefined (NULL), not inf/NaN."""
