@@ -400,6 +400,9 @@ PROBE_R8 = [
     "q_mood_median",
     "q_cochran_q",
     "q_theil_entropy",
+    # third batch: BY shares q_bh_fdr's one data-sized per-type
+    # aggregate; the harmonic sum runs on m = |types| rows.
+    "q_benjamini_yekutieli",
 ]
 
 #: key shift per copy — far above any real key at these scale factors.
