@@ -160,10 +160,9 @@ def main() -> None:
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()  # full execution; result sizes small by design
-            # 2dp: sub-10ms precision is host noise, and the final
-            # JSON line must stay well under the driver's ~2 KB tail
-            # capture (73 queries x 3dp measured 1.85 KB — too close)
-            timings[name] = round(time.time() - t0, 2)
+            # raw here; rounding happens per consumer below (2dp in the
+            # compact driver line, 3dp in the spread side artifact)
+            timings[name] = time.time() - t0
             assert n >= 0
         runs.append(timings)
     total = round((time.time() - t_all) / reps, 3)

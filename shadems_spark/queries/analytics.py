@@ -3984,7 +3984,15 @@ def q_benjamini_yekutieli(spark, sf_dir):
     Scale shape: identical to q_bh_fdr — corpus-sized data only flows
     through the one map-side-combined per-type aggregate; the
     harmonic aggregate and step-up run on m = type-cardinality rows."""
-    r = _ranked_hypotheses(spark, sf_dir)
+    from shadems_spark.operators.dedup import tracked_persist
+
+    # r feeds BOTH the harmonic aggregate and the step-up rows —
+    # persist the m-row ranked table so the Welch/rank pipeline
+    # compiles and runs once, not twice (plan-snapshot evidence: 80
+    # shuffles unpersisted vs q_bh_fdr's 40)
+    r = tracked_persist(
+        _ranked_hypotheses(spark, sf_dir), key="fdr_ranked"
+    )
     h = r.agg(
         F.sum(F.round(F.lit(1e9) / F.col("rk")).cast("long")).alias("c_nano")
     )

@@ -229,6 +229,14 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+#: stop-gram document-frequency cap for q_ngram_jaccard.  ONE constant
+#: by design: the two-phase prune's soundness (hash-df >= string-df,
+#: so phase 1 can never miss a hot string) requires phase-1 cap <=
+#: phase-2 cap, and the oracle must replay the phase-2 value exactly —
+#: three call sites that silently diverging literals would break.
+NGRAM_STOP_DF = 1000
+
+
 @register(
     "q_ngram_jaccard",
     sql=f"""
@@ -250,7 +258,7 @@ def q_dedup_simhash(spark, sf_dir):
     JOIN s sa ON id1 = sa.doc_id
     JOIN s sb ON id2 = sb.doc_id
     WHERE c / (sa.sz + sb.sz - c) >= 0.2
-    """.format(stop_df=1000),
+    """.format(stop_df=NGRAM_STOP_DF),
 )
 def q_ngram_jaccard(spark, sf_dir):
     """Word-3-gram Jaccard similarity join at threshold 0.2 over the
@@ -321,14 +329,14 @@ def q_ngram_jaccard(spark, sf_dir):
     hot_h = (
         grams.groupBy(F.xxhash64("ng").alias("hh"))
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > 1000).select("hh")
+        .filter(F.col("df") > NGRAM_STOP_DF).select("hh")
     )
     stop = (
         grams.join(
             F.broadcast(hot_h), F.xxhash64("ng") == F.col("hh"), "left_semi"
         )
         .groupBy("ng").agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > 1000).select("ng")
+        .filter(F.col("df") > NGRAM_STOP_DF).select("ng")
     )
     # the pruned cache carries the 8-byte join key, not the string —
     # nothing downstream shuffles a variable-width payload

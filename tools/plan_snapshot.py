@@ -36,6 +36,25 @@ SNAPSHOT = os.path.join(
     "PLAN_SNAPSHOT.json",
 )
 
+#: queries whose plan TEXT is legitimately nondeterministic — excluded
+#: from the snapshot (measured drifting across back-to-back fresh
+#: sessions with identical code).  Keep this list justified and short:
+#: an entry needs a mechanism, not just an observed flake.
+VOLATILE = {
+    # builder executes convergence sweeps before returning, so the
+    # returned plan embeds AQE-FINAL subtrees whose exchange topology
+    # varies with runtime adaptivity (measured 768 vs 810 shuffles).
+    "q_dedup_clusters": "AQE-final text of an executed iterative build",
+    # q_benjamini_yekutieli persists the shared _ranked_hypotheses
+    # table; Spark's cache manager may substitute that InMemoryRelation
+    # into any MATCHING subtree — q_bh_fdr's front half and BY's own
+    # second consumer — depending on async-unpersist timing and cache
+    # registration order (measured 40 vs 38 shuffles on q_bh_fdr
+    # across identical fresh sessions) — runtime-equivalent either way.
+    "q_bh_fdr": "cache-substitution race with BY's ranked-table persist",
+    "q_benjamini_yekutieli": "own-persist substitution is cache-state-dependent",
+}
+
 #: plan-text markers counted into the signature.  "Exchange " prefixes
 #: every shuffle flavor (hashpartitioning / rangepartitioning /
 #: SinglePartition) but NOT BroadcastExchange; ReusedExchange counts
@@ -66,6 +85,8 @@ def build(spark) -> dict[str, dict[str, int]]:
 
     out = {}
     for q, (fn, _) in sorted(load_registry().items()):
+        if q in VOLATILE:
+            continue
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         out[q] = signature(plan)
     return out
