@@ -103,3 +103,106 @@ def test_prefix_max_prune_lossless_and_empty(spark):
 
     empty = spark.createDataFrame([], "k long, v long")
     assert prefix_max_prune(empty, "k", "v").count() == 0
+
+
+def test_ngram_stop_gram_prune_binds(spark, tmp_path):
+    """The stop-gram df cap binds on NO driver fixture (max df 25 at
+    x100), so this synthetic corpus forces it: 1,100 docs all share
+    one 3-gram (df 1,100 > NGRAM_STOP_DF), and doc pairs (2k, 2k+1)
+    are otherwise identical.  With the hot gram pruned, exactly the
+    550 twin pairs qualify at jaccard 1.0 over their 2 surviving
+    grams; if the prune failed to bind, every cross pair would share
+    the hot gram at jaccard 1/5 = 0.2 >= threshold and the result
+    would balloon to ~604k rows.  Also A/Bs the TWO-PHASE discovery
+    (hash-df prefilter -> string recount) against the direct
+    single-phase string-df aggregate — row-for-row identical, the
+    losslessness claim (hash-df >= string-df) under a binding cap."""
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from shadems_spark.operators import text as T
+    from shadems_spark.queries.llm_ops import NGRAM_STOP_DF
+
+    n = NGRAM_STOP_DF + 100
+    texts = [f"common alpha beta w{i // 2}x w{i // 2}y" for i in range(n)]
+    pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": texts,
+            "lang": "en",
+            "source": "synthetic",
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(f"{tmp_path}/documents.parquet", index=False)
+
+    got = (
+        entry.queries()["q_ngram_jaccard"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["id1", "id2"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == n // 2  # twins only — the hot gram is gone
+    assert (got["jaccard"] == 1.0).all()
+    assert (got["id2"] - got["id1"] == 1).all() and (got["id1"] % 2 == 0).all()
+
+    # single-phase reference: direct string-df aggregate, same prune
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    grams = docs.select(
+        "doc_id", F.explode(T.word_ngrams(T.words("text"), 3)).alias("ng")
+    )
+    stop = (
+        grams.groupBy("ng").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_STOP_DF).select("ng")
+    )
+    pruned = grams.join(F.broadcast(stop), "ng", "left_anti").select(
+        "doc_id", F.xxhash64("ng").alias("h")
+    )
+    sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = pruned.alias("a"), pruned.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c") / (
+        F.col("sz1") + F.col("sz2") - F.col("c")
+    )
+    ref = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))),
+            "id1",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))),
+            "id2",
+        )
+        .filter(jac >= 0.2)
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+        .toPandas()
+        .sort_values(["id1", "id2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
+
+    # and the DuckDB oracle replays the BINDING prune identically —
+    # the sf0.01 gate never exercises the cap, this corpus does
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = (
+        con.execute(entry.oracle_sql()["q_ngram_jaccard"])
+        .df()
+        .sort_values(["id1", "id2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, oracle, check_dtype=False, check_exact=False, atol=1e-9
+    )
