@@ -206,3 +206,57 @@ def test_ngram_stop_gram_prune_binds(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got, oracle, check_dtype=False, check_exact=False, atol=1e-9
     )
+
+
+def test_node_cap_binds_at_pathological_ids(spark, tmp_path):
+    """The graph-metric node cap (128 per (label, hp) block) binds on
+    NO driver fixture; this synthetic table forces it AND uses vec_ids
+    ~1e10 — the exact scale where the pre-fix rank hash overflowed
+    int64 (Spark wrapped silently, DuckDB errored; ADVICE r7: pmod
+    BEFORE the multiply).  600 one-label vectors fan out over <= 4
+    hyperplane sub-buckets, so pigeonhole forces a binding block; edge
+    membership depends on WHICH ids survive (angles spread past the
+    cos >= 0.2 cutoff), so Spark and the DuckDB oracle only agree on
+    n_edges/n_nodes/n_triangles if their capped SELECTIONS are
+    identical."""
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from shadems_spark.operators import similarity as SIM
+
+    n, dim = 600, 8
+    rows = []
+    for i in range(n):
+        theta = 2.0 * i / n
+        v = [math.cos(theta), math.sin(theta)] + [0.05] * (dim - 2)
+        rows.append((10_000_000_000 + 17 * i, v, 0))
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).astype(
+        {"vec_id": "int64", "label": "int32"}
+    ).to_parquet(f"{tmp_path}/embeddings.parquet", index=False)
+
+    emb = spark.read.parquet(f"{tmp_path}/embeddings.parquet")
+    occupancy = (
+        emb.select(
+            SIM.hyperplane_bucket(
+                F.col("embedding").cast("array<double>"), 2, dim
+            ).alias("hp")
+        )
+        .groupBy("hp").count().agg(F.max("count")).first()[0]
+    )
+    assert occupancy > 128, "fixture must make the cap bind"
+
+    got = entry.queries()["q_triangles"](spark, str(tmp_path)).first()
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    oracle = con.execute(entry.oracle_sql()["q_triangles"]).df().iloc[0]
+    assert got["n_edges"] == oracle["n_edges"] > 0
+    assert got["n_nodes"] == oracle["n_nodes"]
+    assert got["n_triangles"] == oracle["n_triangles"]
