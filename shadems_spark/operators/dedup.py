@@ -240,7 +240,13 @@ def tracked_persist(df: DataFrame, key: str = "grams") -> DataFrame:
 
     prior = _live.pop(key, None)
     if prior is not None:
-        prior.unpersist()
+        # BLOCKING: an async unpersist races the re-persist when the
+        # new frame's plan equals the old one (same builder rebuilt) —
+        # the CacheManager sees "already cached", no-ops, then the
+        # async removal lands and the new frame is silently UNcached.
+        # Plan text (InMemoryRelation presence) then varies run-to-run
+        # — the plan-snapshot flake mechanism.
+        prior.unpersist(blocking=True)
     _live[key] = df.persist(StorageLevel.MEMORY_AND_DISK)
     return df
 
@@ -252,7 +258,7 @@ def release_persist(key: str | None = None) -> None:
     for k in [key] if key is not None else list(_live):
         df = _live.pop(k, None)
         if df is not None:
-            df.unpersist()
+            df.unpersist(blocking=True)
 
 
 def minhash_dedup(

@@ -24,6 +24,15 @@ import plan_snapshot  # noqa: E402
 
 
 def test_plan_signatures_frozen(spark):
+    # start from the tool's baseline: a fresh session has ZERO cached
+    # frames, and cache state shifts plan text (InMemoryRelation
+    # substitution into matching subtrees).  Clear whatever earlier
+    # test modules left behind so the build pass accumulates exactly
+    # the caches the tool's pass does, in the same order.
+    from shadems_spark.operators.dedup import release_persist
+
+    release_persist()
+    spark.catalog.clearCache()
     with open(plan_snapshot.SNAPSHOT) as fh:
         frozen = json.load(fh)
     current = plan_snapshot.build(spark)

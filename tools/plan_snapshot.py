@@ -45,14 +45,11 @@ VOLATILE = {
     # returned plan embeds AQE-FINAL subtrees whose exchange topology
     # varies with runtime adaptivity (measured 768 vs 810 shuffles).
     "q_dedup_clusters": "AQE-final text of an executed iterative build",
-    # q_benjamini_yekutieli persists the shared _ranked_hypotheses
-    # table; Spark's cache manager may substitute that InMemoryRelation
-    # into any MATCHING subtree — q_bh_fdr's front half and BY's own
-    # second consumer — depending on async-unpersist timing and cache
-    # registration order (measured 40 vs 38 shuffles on q_bh_fdr
-    # across identical fresh sessions) — runtime-equivalent either way.
-    "q_bh_fdr": "cache-substitution race with BY's ranked-table persist",
-    "q_benjamini_yekutieli": "own-persist substitution is cache-state-dependent",
+    # (the FDR pair was here briefly: tracked_persist's ASYNC unpersist
+    # raced re-persists of identical plans, making InMemoryRelation
+    # substitution — and so plan text — timing-dependent.  Fixed at the
+    # root with unpersist(blocking=True); cache state per build step is
+    # now deterministic and the pair freezes cleanly.)
 }
 
 #: plan-text markers counted into the signature.  "Exchange " prefixes
