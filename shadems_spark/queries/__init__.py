@@ -327,15 +327,41 @@ _NEW_R8_SESSION: list[str] = [
 ]
 
 
+#: round-9 driver priority (VERDICT r8 #1): the 15 queries whose plans
+#: changed in r8 (window-free triangle-join conversions + q_theilsen's
+#: try_divide) without a driver re-sample, then q_dedup_bottomk
+#: (oracle-graduated r6, never driver-re-sampled), then high-traffic
+#: core so the flagship family's record refreshes too.
+_R09_PRIORITY = [
+    "q_eq_hist", "q_norms", "q_vocab", "q_zipf", "q_dsir",
+    "q_rrf_fusion", "q_alpha_mix", "q_snapshot_diff", "q_isotonic",
+    "q_gains", "q_als", "q_top_orders", "q_countmin", "q_bm25",
+    "q_theilsen",
+    "q_dedup_bottomk",
+    "q_raster_count", "q_join_fact", "q_minmax",
+]
+
+#: queries whose plans this round's wall-reclaim work touches
+#: (VERDICT r8 #2/#3): they re-earn driver rows right after the
+#: priority block (q_rrf_fusion / q_als already front via priority).
+_R09_TOUCHED = [
+    "q_lr_train", "q_adaboost_stumps", "q_dedup_minhash",
+    "q_grid_dbscan",
+]
+
+
 def _check_order(names: list[str]) -> list[str]:
-    """Driver-check order for round 8: the 28 never-driver-sampled
-    queries first, then the 8 oracle-graduated-never-re-sampled, then
-    this round's re-touched and brand-new queries (36 + touched + new
-    fits in one ~50-sample with room — VERDICT r7 #1), then the proven
-    blocks; r7's freshly-drained 50 (_NEVER_CHECKED_R6) rotate to the
-    very back."""
+    """Driver-check order for round 9 (VERDICT r8 #1): the 15 r8
+    plan-touched-but-never-re-sampled conversions first, then
+    q_dedup_bottomk and high-traffic core, then this round's
+    wall-reclaim-touched queries — ~23 names, leaving the rest of the
+    driver's ~50-sample to the stalest proven rows (_R01_DRIVER_GREEN,
+    whose driver evidence dates to r1).  r8's freshly-drained blocks
+    (_NEVER_CHECKED_R7, _ORACLE_GRADUATED, _NEW_R8_SESSION) rotate to
+    the very back."""
     known = (
-        set(_NEVER_CHECKED_R7) | set(_ORACLE_GRADUATED)
+        set(_R09_PRIORITY) | set(_R09_TOUCHED)
+        | set(_NEVER_CHECKED_R7) | set(_ORACLE_GRADUATED)
         | set(_R08_TOUCHED) | set(_NEW_R8_SESSION)
         | set(_NEVER_CHECKED_R6) | set(_R07_TOUCHED) | set(_NEW_R7_SESSION)
         | set(_R06_TOUCHED) | set(_NEVER_CHECKED_R5) | set(_R05_FRONT)
@@ -346,14 +372,14 @@ def _check_order(names: list[str]) -> list[str]:
     )
     new = [n for n in names if n not in known]
     blocks = [
-        _NEVER_CHECKED_R7, _ORACLE_GRADUATED, _R08_TOUCHED,
-        _NEW_R8_SESSION, new,
-        _R07_TOUCHED, _NEW_R7_SESSION,
-        _R06_TOUCHED, _NEVER_CHECKED_R5, _NEW_R6_SESSION,
-        _R05_FRONT,
-        _NEVER_CHECKED_R3, _R04_TOUCHED, _R23_DRIVER_GREEN, _R02_RED,
-        _R02_PRIORITY, _DEFERRED, _R01_DRIVER_GREEN,
-        _NEVER_CHECKED_R6,
+        _R09_PRIORITY, _R09_TOUCHED,
+        _R01_DRIVER_GREEN, new,
+        _DEFERRED, _R02_PRIORITY, _R02_RED, _R23_DRIVER_GREEN,
+        _R04_TOUCHED, _NEVER_CHECKED_R3,
+        _R05_FRONT, _NEW_R6_SESSION, _NEVER_CHECKED_R5, _R06_TOUCHED,
+        _NEW_R7_SESSION, _R07_TOUCHED, _NEVER_CHECKED_R6,
+        _R08_TOUCHED, _NEW_R8_SESSION,
+        _ORACLE_GRADUATED, _NEVER_CHECKED_R7,
     ]
     seen: set[str] = set()
     ordered: list[str] = []
