@@ -71,7 +71,11 @@ def get_spark(app_name: str = "shadems-spark", master: str | None = None) -> Spa
         # Shuffle partitions ~= cores locally.  On a cluster this is
         # overridden upward (2-3x total cores); AQE coalesces down.
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (headless gates); SPARK_GRAFT_UI=true turns
+        # on the REST /api/v1 jobs endpoint for per-job wall attribution
+        # (tools/qbench.py, bench.py --jobs — VERDICT r8 #3).
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # bucketed saveAsTable target (co-located joins, tests) — keep
         # the metastore/warehouse out of the repo tree.
