@@ -327,57 +327,54 @@ def train_quality_lr(
 
     from shadems_spark.operators.text import word_buckets
 
-    base = docs.select(
+    # Persist the TOKENIZED table — one row per doc carrying its
+    # bucket array — and run every iteration as a single d+1-column
+    # aggregate folding over the cached arrays in-row.  This replaces
+    # the r8 shape's explode -> (did, b) hash-aggregate -> repartition
+    # -> per-iteration window (a 2M-row shuffle at sf0.1 whose cost
+    # dominated the operator — VERDICT r8 #3): the text hashes ONCE
+    # at persist time, the margin is one exact-long fold over the
+    # array (sum over word occurrences of w[bucket] = sum_b c_b*w_b,
+    # the same integer the exploded window sum produced), and the
+    # per-bucket counts are filters over cached longs.  No shuffle
+    # anywhere; the d+1-row gradient is the only thing collected.
+    t = docs.select(
         F.col(id_col).alias("did"),
         is_target.cast("int").alias("y"),
-        F.size(F.filter(words(text), lambda w: F.length(w) > 0)).alias("nw"),
-        F.explode(word_buckets(text, d)).alias("b"),
-    )
-    c = (
-        base.groupBy("did", "y", "nw", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .unionByName(
-            docs.select(
-                F.col(id_col).alias("did"),
-                is_target.cast("int").alias("y"),
-                F.size(
-                    F.filter(words(text), lambda w: F.length(w) > 0)
-                ).alias("nw"),
-                F.lit(d).cast("long").alias("b"),
-                F.lit(1).cast("long").alias("c"),
-            )
-        )
-        .repartition("did")
-        .persist()
-    )
-    n_docs = c.filter(F.col("b") == d).count()  # also materializes c
+        word_buckets(text, d).alias("bk"),
+    ).persist()
+    n_docs = t.count()  # also materializes the persist
     nano = F.lit(1_000_000_000.0)
-    is_bias = F.col("b") == d
+    nw = F.size("bk")
     w = [0] * (d + 1)
     for _ in range(iters):
         warr = F.array(*[F.lit(int(w[b])) for b in range(d)])
-        dw = Window.partitionBy("did")
-        zs = F.sum(
-            F.when(is_bias, F.lit(0).cast("long")).otherwise(
-                F.col("c") * F.element_at(warr, (F.col("b") + 1).cast("int"))
-            )
-        ).over(dw)
-        z = zs / (nano * (F.lit(1) + F.col("nw"))) + F.lit(int(w[d])) / nano
-        r = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9) - F.col("y")
-        contrib = F.round(
-            F.when(is_bias, r * nano).otherwise(
-                r * nano * F.col("c") / (F.lit(1.0) + F.col("nw"))
-            )
-        ).cast("long")
-        grads = (
-            c.select("b", contrib.alias("g"))
-            .groupBy("b")
-            .agg(F.sum("g").alias("s"))
-            .collect()
+        zs = F.aggregate(
+            "bk",
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.element_at(warr, (b + 1).cast("int")),
         )
-        for row in grads:
-            w[row["b"]] -= math.floor(row["s"] / n_docs)
-    c.unpersist()
+        z = zs / (nano * (F.lit(1) + nw)) + F.lit(int(w[d])) / nano
+        r = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9) - F.col("y")
+        # identical per-doc rounding order as the exploded form:
+        # ((r * nano) * c_b) / (1 + nw), rounded to a nano int BEFORE
+        # summing; a zero count contributes round(0) = 0, exactly the
+        # absent row of the old (did, b) table.
+        sums = [
+            F.sum(
+                F.round(
+                    r * nano
+                    * F.size(F.filter("bk", lambda x: x == b)).cast("long")
+                    / (F.lit(1.0) + nw)
+                ).cast("long")
+            ).alias(f"g{b}")
+            for b in range(d)
+        ]
+        sums.append(F.sum(F.round(r * nano).cast("long")).alias(f"g{d}"))
+        row = t.agg(*sums).collect()[0]
+        for b in range(d + 1):
+            w[b] -= math.floor(row[f"g{b}"] / n_docs)
+    t.unpersist()
     return w
 
 

@@ -72,12 +72,14 @@ def doc_grams(
     ``family``: "xx" = xxhash64 64-bit grams (native, default);
     "xe" = cross-engine poly grams (text.ngram_hashes_xe) so a DuckDB
     oracle can replay gram identity."""
-    from shadems_spark.operators.text import ngram_hashes_xe
+    from shadems_spark.operators.text import xe_gram_hashes_arrow
 
-    mk = ngram_hashes_xe if family == "xe" else ngram_hashes
-    return df.select(
-        id_col, F.explode(mk(words(text), ngram)).alias("s")
+    gram_arr = (
+        xe_gram_hashes_arrow(text, ngram)
+        if family == "xe"
+        else ngram_hashes(words(text), ngram)
     )
+    return df.select(id_col, F.explode(gram_arr).alias("s"))
 
 
 def minhash_signatures(
@@ -437,12 +439,16 @@ def bottomk_sketch(
     that downstream Jaccard becomes an ESTIMATE with error
     O(1/sqrt(k)) instead of exact (Broder's minwise framework /
     Cohen's bottom-k summaries — public results)."""
-    from shadems_spark.operators.text import ngram_hashes_xe
+    from shadems_spark.operators.text import xe_gram_hashes_arrow
 
-    mk = ngram_hashes_xe if family == "xe" else ngram_hashes
+    gram_arr = (
+        xe_gram_hashes_arrow(text, ngram)
+        if family == "xe"
+        else ngram_hashes(words(text), ngram)
+    )
     return df.select(
         id_col,
-        F.slice(F.array_sort(mk(words(text), ngram)), 1, k).alias("sk"),
+        F.slice(F.array_sort(gram_arr), 1, k).alias("sk"),
     )
 
 
