@@ -74,6 +74,22 @@ PROBE = [
     "q_seq_pack",
 ]
 
+#: raster/shading-family probe (--raster, VERDICT r8 #4): lineitem-only
+#: xN.  The canvas-bounded claim — shuffle and OUTPUT bounded by the
+#: pixel grid regardless of input rows — should show ~flat-to-linear
+#: wall (the scan grows; the aggregate state does not) and IDENTICAL
+#: output rows at xN for the raster aggregates and eq_hist (quantile
+#: bins over the same value distribution).  q_bin2d is the per-sample
+#: projection (output = rows/50 by construction), so its OUTPUT grows
+#: xN — reported for honesty; its shuffle is still zero (map-only).
+PROBE_RASTER = [
+    "q_raster_count",
+    "q_raster_count_cat",
+    "q_bin2d",
+    "q_minmax",
+    "q_eq_hist",
+]
+
 #: dedup-family probe (--dedup): documents-only workloads whose scale
 #: claim is "bounded candidate generation, never all-pairs".
 PROBE_DEDUP = [
@@ -513,6 +529,7 @@ def main() -> None:
     r6b4 = "--r6b4" in sys.argv
     round7 = "--round7" in sys.argv
     round8 = "--round8" in sys.argv
+    raster = "--raster" in sys.argv
     docs_only = dedup or retrieval
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 10
@@ -523,7 +540,8 @@ def main() -> None:
         else "_r4x100" if r4x100 else "_r5" if round5
         else "_r5stats" if r5stats else "_r6" if round6
         else "_r6b3" if r6b3 else "_r6b4" if r6b4
-        else "_r7" if round7 else "_r8" if round8 else ""
+        else "_r7" if round7 else "_r8" if round8
+        else "_raster" if raster else ""
     )
     scaled = os.path.join(repo, ".scratch", f"sfx{n}" + suffix)
 
@@ -542,6 +560,7 @@ def main() -> None:
         else PROBE_R6B4 if r6b4
         else PROBE_R7 if round7
         else PROBE_R8 if round8
+        else PROBE_RASTER if raster
         else PROBE
     )
     names = [q for q in probe_set if q in registry]
@@ -558,6 +577,7 @@ def main() -> None:
             else ["documents", "embeddings", "events", "orders"] if round6
             else ["events", "orders"] if round7
             else ["documents", "events", "orders", "lineitem"] if round8
+            else ["lineitem"] if raster
             else ["documents", "embeddings", "events", "orders", "lineitem"]
             if r5stats or r6b3 or r6b4
             else None
