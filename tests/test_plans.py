@@ -625,14 +625,18 @@ def test_pr_auc_two_phase_no_single_partition_window(spark):
 
 
 def test_adaboost_rounds_are_wide_aggregates(spark):
-    """Each boosting round is ONE wide conditional aggregate over the
-    persisted feature table with the chosen stump broadcast back —
-    no row explosion (no Generate over the doc table), no sort-merge
-    join anywhere."""
+    """Each boosting round runs eagerly as ONE wide conditional
+    aggregate over the persisted feature table (a bounded 28-integer
+    bounds-row collect — round 9 replaced the lazily-nested 1-row
+    choice frames whose subtrees compounded across rounds); the
+    RETURNED plan is the literal round rows cross-joined with the
+    single accuracy aggregate.  Still: no row explosion, no
+    sort-merge join; exactly one 1-row broadcast (the accuracy
+    frame)."""
     p = _plan(spark, "q_adaboost_stumps")
     assert "SortMergeJoin" not in p
-    assert "InMemoryTableScan" in p  # the persisted feature table
-    assert p.count("BroadcastNestedLoopJoin") >= 3  # 1-row choice rows
+    assert "InMemoryTableScan" in p  # acc aggregates the persisted table
+    assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row acc row
 
 
 def test_interval_coverage_windows_partition_per_key(spark):

@@ -421,6 +421,28 @@ PROBE_R8 = [
     "q_benjamini_yekutieli",
 ]
 
+#: round-9 probe (--round9): the wall-reclaim rewrites (VERDICT r8
+#: #2/#3) — re-measure their scale shapes after the plan changes.
+#: documents word-mutated + events xN (user histories grow).
+#: Expectations: lr_train — the persisted table is now one row per
+#: doc (array payload), iterations aggregate-only: ~linear in docs;
+#: adaboost — T one-job aggregates over the persisted features:
+#: ~linear; als — pair matrix grows with events, type codebook fixed:
+#: ~linear; grid_dbscan — cell/edge tables grid-bounded, the
+#: union-find fast path stays under its 64Ki cap here (the
+#: distributed sweeps are the beyond-cap path); dedup_minhash — the
+#: Arrow gram stage is per-row: ~linear with the usual banding
+#: caveats; rrf_fusion — two corpus scans + a <= 40-row fusion:
+#: ~linear in the scans, flat tail.
+PROBE_R9 = [
+    "q_lr_train",
+    "q_adaboost_stumps",
+    "q_als",
+    "q_grid_dbscan",
+    "q_dedup_minhash",
+    "q_rrf_fusion",
+]
+
 #: key shift per copy — far above any real key at these scale factors.
 SHIFT = 100_000_000
 
@@ -530,6 +552,7 @@ def main() -> None:
     round7 = "--round7" in sys.argv
     round8 = "--round8" in sys.argv
     raster = "--raster" in sys.argv
+    round9 = "--round9" in sys.argv
     docs_only = dedup or retrieval
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 10
@@ -541,7 +564,7 @@ def main() -> None:
         else "_r5stats" if r5stats else "_r6" if round6
         else "_r6b3" if r6b3 else "_r6b4" if r6b4
         else "_r7" if round7 else "_r8" if round8
-        else "_raster" if raster else ""
+        else "_raster" if raster else "_r9" if round9 else ""
     )
     scaled = os.path.join(repo, ".scratch", f"sfx{n}" + suffix)
 
@@ -561,6 +584,7 @@ def main() -> None:
         else PROBE_R7 if round7
         else PROBE_R8 if round8
         else PROBE_RASTER if raster
+        else PROBE_R9 if round9
         else PROBE
     )
     names = [q for q in probe_set if q in registry]
@@ -578,12 +602,13 @@ def main() -> None:
             else ["events", "orders"] if round7
             else ["documents", "events", "orders", "lineitem"] if round8
             else ["lineitem"] if raster
+            else ["documents", "events", "embeddings"] if round9
             else ["documents", "embeddings", "events", "orders", "lineitem"]
             if r5stats or r6b3 or r6b4
             else None
         ),
         mutate_docs=docs_only or round3 or r4x100 or round5 or r5stats
-        or round8
+        or round8 or round9
         or r6b3 or r6b4,
         mutate_embeddings=r4x100 or round5 or r5stats or r6b3 or r6b4,
     )
