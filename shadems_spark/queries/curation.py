@@ -2844,12 +2844,22 @@ def q_als(spark, sf_dir):
     )
 
     def solve(src, key, out_k):
+        # sufficient statistics as DECIMAL(38,0): exact integer sums
+        # (order-free like the long fold) but overflow-safe to 1e38 —
+        # the x10 events probe overflowed the long bracket (factors
+        # scale with the rating counts, so sum(Y^2) hit ~5e20; round
+        # 9).  DuckDB's BIGINT sums are 128-bit already, so both
+        # engines stay exact and the double conversions below are
+        # value-identical where longs sufficed.
+        def d(c):
+            return c.cast("decimal(19,0)")
+
         g = src.groupBy(F.col(key).alias(out_k)).agg(
-            F.sum(F.col("Y1") * F.col("Y1")).alias("a11"),
-            F.sum(F.col("Y1") * F.col("Y2")).alias("a12"),
-            F.sum(F.col("Y2") * F.col("Y2")).alias("a22"),
-            F.sum(F.col("r") * F.col("Y1")).alias("b1"),
-            F.sum(F.col("r") * F.col("Y2")).alias("b2"),
+            F.sum(d(F.col("Y1")) * d(F.col("Y1"))).alias("a11"),
+            F.sum(d(F.col("Y1")) * d(F.col("Y2"))).alias("a12"),
+            F.sum(d(F.col("Y2")) * d(F.col("Y2"))).alias("a22"),
+            F.sum(d(F.col("r")) * d(F.col("Y1"))).alias("b1"),
+            F.sum(d(F.col("r")) * d(F.col("Y2"))).alias("b2"),
         )
         A11 = F.col("a11") / F.lit(1e12) + F.lit(0.1)
         A12 = F.col("a12") / F.lit(1e12)
@@ -2894,9 +2904,13 @@ def q_als(spark, sf_dir):
     x2 = solve(attach(yn1, "t"), "u", "u")
     yn2 = collect_y(solve(attach(x2, "u"), "t", "t"))
 
-    pred = (F.col("X1") * F.col("YY1") + F.col("X2") * F.col("YY2")) / F.lit(
-        1e12
-    )
+    # same decimal treatment for the per-row reconstruction dot
+    # product (long*long overflows once factors reach ~3e9 micro)
+    pred = (
+        F.col("X1").cast("decimal(19,0)") * F.col("YY1").cast("decimal(19,0)")
+        + F.col("X2").cast("decimal(19,0)")
+        * F.col("YY2").cast("decimal(19,0)")
+    ) / F.lit(1e12)
     err = (
         p.join(x2, "u")
         .join(
@@ -2917,7 +2931,9 @@ def q_als(spark, sf_dir):
         )
     )
     stats = err.groupBy("t").agg(
-        F.count(F.lit(1)).alias("n_users"), F.sum("e2").alias("se")
+        F.count(F.lit(1)).alias("n_users"),
+        # decimal sum: se outgrows long at ~1e9 users of 1e10-scale e2
+        F.sum(F.col("e2").cast("decimal(38,0)")).alias("se"),
     )
     return (
         stats.join(yn2, "t")
