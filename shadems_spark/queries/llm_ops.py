@@ -303,7 +303,7 @@ def q_ngram_jaccard(spark, sf_dir):
     grams = D.tracked_persist(
         docs.select(
             "doc_id",
-            F.explode_outer(T.word_ngrams(T.words("text"), 3)).alias("ng"),
+            F.explode_outer(T.word_ngrams_arrow("text", 3)).alias("ng"),
         ).filter(F.col("ng").isNotNull()),
         key="ngram_grams_raw",
     )
