@@ -2898,10 +2898,15 @@ def q_als(spark, sf_dir):
             rows, schema="t string, X1 long, X2 long"
         )
 
+    from shadems_spark.operators.dedup import tracked_persist
+
     py0 = p.join(F.broadcast(y0), "t")
     x1 = solve(py0, "u", "u")
     yn1 = collect_y(solve(attach(x1, "u"), "t", "t"))
-    x2 = solve(attach(yn1, "t"), "u", "u")
+    # x2 feeds BOTH the yn2 half-sweep (materialized at its collect)
+    # and the final error pass — persist so the user-side solve runs
+    # once instead of twice.
+    x2 = tracked_persist(solve(attach(yn1, "t"), "u", "u"), key="als_x2")
     yn2 = collect_y(solve(attach(x2, "u"), "t", "t"))
 
     # same decimal treatment for the per-row reconstruction dot
