@@ -112,6 +112,9 @@ def xe_gram_hashes_arrow(text: Column | str, n: int = 3) -> Column:
         memo: dict[str, int] = {}
         out = []
         for t in texts:
+            if t is None:  # JVM twin: null text -> null gram array
+                out.append(None)
+                continue
             hs = []
             for w in t.split(" "):
                 if not w:
@@ -151,6 +154,9 @@ def word_ngrams_arrow(text: Column | str, n: int = 3) -> Column:
     def _grams(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
+            if t is None:  # JVM twin: null text -> null gram array
+                out.append(None)
+                continue
             ws = t.split(" ")
             gs = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
             out.append(list(dict.fromkeys(gs)))

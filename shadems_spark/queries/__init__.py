@@ -398,8 +398,11 @@ def load_registry() -> dict[str, tuple[QueryFn, str | None]]:
         try:
             importlib.import_module(mod)
         except ModuleNotFoundError as e:
-            # families are added incrementally; only swallow *our own*
-            # not-yet-written modules, never a real import error.
-            if not str(e).startswith("No module named 'shadems_spark.queries"):
+            # families are added incrementally; only swallow a listed
+            # family module that does not exist YET — never an import
+            # error from INSIDE one (e.g. a typo'd submodule in the
+            # analytics package would otherwise silently drop all 122
+            # of its queries from the registry).
+            if e.name != mod:
                 raise
     return {n: REGISTRY[n] for n in _check_order(list(REGISTRY))}

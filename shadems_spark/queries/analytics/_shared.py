@@ -25,10 +25,17 @@ def _scratch_root() -> str:
     harness processes (e.g. the default and local[3] oracle gates)
     must never rmtree/overwrite each other's sink fixtures mid-scan
     (observed: q_binary_ingest flake under concurrent gates).  Stale
-    siblings from dead pids are best-effort reaped on import."""
+    siblings from dead pids are best-effort reaped on import.
+
+    Anchored on the shadems_spark PACKAGE parent (the repo/install
+    root), not a fixed dirname() count — the round-9 analytics split
+    moved this file one level deeper and a copied 3x dirname silently
+    relocated the scratch root INSIDE the source package."""
+    import shadems_spark
+
     base = os.path.join(
         os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            os.path.dirname(os.path.abspath(shadems_spark.__file__))
         ),
         ".scratch",
     )

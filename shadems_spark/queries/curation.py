@@ -2836,8 +2836,16 @@ def q_als(spark, sf_dir):
     # type-index seed over the codebook-sized type domain: rank = 1 +
     # position in the sorted distinct list (exactly what the previous
     # triangle_rank over the distinct table computed, without welding
-    # its join into every downstream sweep's plan).
-    types = sorted(r["t"] for r in p.select("t").distinct().collect())
+    # its join into every downstream sweep's plan).  Null types are
+    # excluded BEFORE the driver sort (None is unorderable in Python):
+    # a null key never matched the equi-join in either the old or new
+    # form, and null b-rows never counted into triangle ranks, so
+    # non-null ranks are identical with or without the filter.
+    types = sorted(
+        r["t"]
+        for r in p.select("t").filter(F.col("t").isNotNull())
+        .distinct().collect()
+    )
     y0 = spark.createDataFrame(
         [(t, 1_000_000, 100_000 * (i + 1)) for i, t in enumerate(types)],
         schema="t string, Y1 long, Y2 long",
@@ -2892,7 +2900,9 @@ def q_als(spark, sf_dir):
         the values are layout-independent); sorted for a
         deterministic literal."""
         rows = sorted(
-            (r["t"], r["X1"], r["X2"]) for r in fact.collect()
+            (r["t"], r["X1"], r["X2"])
+            for r in fact.collect()
+            if r["t"] is not None  # null keys never match the joins
         )
         return spark.createDataFrame(
             rows, schema="t string, X1 long, X2 long"

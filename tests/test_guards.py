@@ -260,3 +260,43 @@ def test_node_cap_binds_at_pathological_ids(spark, tmp_path):
     assert got["n_edges"] == oracle["n_edges"] > 0
     assert got["n_nodes"] == oracle["n_nodes"]
     assert got["n_triangles"] == oracle["n_triangles"]
+
+
+def test_arrow_gram_udfs_match_jvm_twins(spark, sf_dir):
+    """The round-9 Arrow gram builders exist ONLY as faster twins of
+    the JVM HOF expressions — their correctness claim is exact value
+    equality, so pin it (the docstrings' one-off exceptAll checks are
+    not regression protection).  Covers the fixture corpus PLUS the
+    edge rows the corpus lacks: null text, empty string, double
+    spaces (empty tokens), fewer words than n."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.text import (
+        ngram_hashes_xe,
+        word_ngrams,
+        word_ngrams_arrow,
+        words,
+        xe_gram_hashes_arrow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (90001, None),
+            (90002, ""),
+            (90003, "one"),
+            (90004, "one two"),
+            (90005, "a  b   c d"),  # empty tokens between double spaces
+            (90006, "x y z x y z x y z"),  # repeated grams (dedup path)
+        ],
+        schema="doc_id long, text string",
+    )
+    df = docs.unionByName(edge)
+
+    for jvm_col, arrow_col in [
+        (ngram_hashes_xe(words("text"), 3), xe_gram_hashes_arrow("text", 3)),
+        (word_ngrams(words("text"), 3), word_ngrams_arrow("text", 3)),
+    ]:
+        a = df.select("doc_id", F.explode_outer(jvm_col).alias("g"))
+        b = df.select("doc_id", F.explode_outer(arrow_col).alias("g"))
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0

@@ -347,50 +347,50 @@ def test_dsir_broadcasts_lambda_table(spark):
     assert "SortMergeJoin" not in p
 
 
-def test_lr_train_window_reuses_persisted_partitioning(spark):
-    """Each LR iteration's margin is a window over the persisted
-    (doc, bucket) table repartitioned by doc: the window must be fed
-    by the InMemoryTableScan with NO Exchange in between (iterations
-    shuffle only the d+1-row gradient)."""
+def test_lr_train_iteration_is_one_cached_aggregate(spark):
+    """Round-9 LR shape: the persisted table is ONE ROW PER DOC with
+    its bucket array, and each gradient iteration is a single wide
+    aggregate folding the cached arrays in-row — no explode, no
+    window, no per-doc shuffle; the only exchange above the cache is
+    the single-partition gather of the d+1 partial sums.  (Replaces
+    the pin of the pre-round-9 explode+window shape, which the
+    production operator no longer builds.)"""
     from pyspark.sql import functions as F
 
     from shadems_spark.catalog import load_table
-    from shadems_spark.operators.text import word_buckets, words
+    from shadems_spark.operators.text import word_buckets
 
     d = 16
     docs = load_table(spark, SF, "documents")
-    c = (
-        docs.select(
-            F.col("doc_id").alias("did"),
-            F.size(F.filter(words("text"), lambda w: F.length(w) > 0)).alias("nw"),
-            F.explode(word_buckets("text", d)).alias("b"),
-        )
-        .groupBy("did", "nw", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .repartition("did")
-        .persist()
+    t = docs.select(
+        F.col("doc_id").alias("did"),
+        F.lit(1).alias("y"),
+        word_buckets("text", d).alias("bk"),
+    ).persist()
+    t.count()
+    warr = F.array(*[F.lit(0).cast("long") for _ in range(d)])
+    zs = F.aggregate(
+        "bk", F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(warr, (b + 1).cast("int")),
     )
-    c.count()
-    from pyspark.sql import Window
-
-    zs = F.sum("c").over(Window.partitionBy("did"))
+    sums = [
+        F.sum(
+            (zs + F.size(F.filter("bk", lambda x: x == b))).cast("long")
+        ).alias(f"g{b}")
+        for b in range(d)
+    ]
     plan = (
-        c.select("b", (F.col("c") + zs).alias("g"))
-        .groupBy("b")
-        .agg(F.sum("g"))
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+        t.agg(*sums)._jdf.queryExecution().executedPlan().toString()
     )
-    c.unpersist()
-    # exactly ONE exchange above the cache: the final d-row gradient
-    # aggregate; the window itself rides the cached partitioning (the
-    # InMemoryRelation's own build plan below the scan is not live
-    # per-iteration cost, so slice it off before counting).
+    t.unpersist()
+    # slice off the InMemoryRelation build plan (not live per-iteration
+    # cost) before counting live operators.
     live = plan[: plan.index("InMemoryRelation")]
-    assert live.count("Exchange hashpartitioning") == 1
-    i_win, i_scan = live.index("Window"), live.index("InMemoryTableScan")
-    assert "Exchange" not in live[i_win:i_scan]
+    assert "InMemoryTableScan" in live
+    assert live.count("Exchange hashpartitioning") == 0
+    assert "Window" not in live and "Generate" not in live
+    # one single-partition gather of the d+1 partial sums
+    assert live.count("Exchange SinglePartition") == 1
 
 
 def test_admission_2phase_broadcasts_sizes(spark):
