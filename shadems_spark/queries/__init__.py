@@ -347,6 +347,9 @@ _R09_PRIORITY = [
 _R09_TOUCHED = [
     "q_lr_train", "q_adaboost_stumps", "q_dedup_minhash",
     "q_grid_dbscan",
+    # second batch: Arrow string-gram build (same contract) and the
+    # star-components small-graph fast path
+    "q_ngram_jaccard", "q_components_star",
 ]
 
 
