@@ -219,7 +219,9 @@ def connected_components_star(
     # AQE stage-job scheduling (VERDICT r8 #3).  Above the cap the
     # distributed star loop below is the 100 TB path, unchanged; the
     # label semantics (component = min reachable node id) are
-    # identical by construction, pinned equal in tests/test_graph.py.
+    # identical by construction, pinned equal in tests/test_graph.py::
+    # test_star_components_distributed_path_matches_fast_path (which
+    # forces small_cap=0 so the distributed loop keeps CI coverage).
     if prev[0] <= small_cap:
         parent: dict[int, int] = {}
 

@@ -353,17 +353,63 @@ _R09_TOUCHED = [
 ]
 
 
+#: round-10 plan-touched queries (VERDICT r9 #2: "zero names sampled
+#: in r09 except any r10-touched plans") — names whose PLAN or ORACLE
+#: changes this round re-earn driver rows first.  Empty unless a
+#: round-10 change actually alters a query's output-bearing plan.
+_R10_TOUCHED: list[str] = []
+
+#: round-10 front (VERDICT r9 #2): pure staleness.  The exact names
+#: whose most-recent driver CORRECTNESS row dates to r01/r02
+#: (recomputed this session from CORRECTNESS_r01–r09: 22 r1 + 32 r2 =
+#: 54 names, alphabetical within round) — the driver's ~50-sample
+#: lands entirely inside this block.
+_R10_FRONT = [
+    "q_antijoin", "q_arrays_zip", "q_asof_join", "q_cat_discover",
+    "q_counts", "q_cube", "q_discretize", "q_distinct", "q_explode",
+    "q_grouping_sets", "q_join_chanfreq", "q_join_dim", "q_join_names",
+    "q_range_join", "q_raster_count_cat", "q_raster_max", "q_raster_mean",
+    "q_raster_min", "q_raster_std", "q_raster_sum", "q_rollup",
+    "q_union_groups", "q_array_funcs", "q_conj_union", "q_cosine_topk",
+    "q_date_funcs", "q_decontaminate", "q_dedup_embedding",
+    "q_dedup_exact", "q_except", "q_fingerprint", "q_incremental_dedup",
+    "q_intersect", "q_json_funcs", "q_lang", "q_lang_id", "q_map_funcs",
+    "q_merge_upsert", "q_name_template", "q_pandas_udf", "q_quality_score",
+    "q_salted_join", "q_session", "q_sink_roundtrip", "q_skew_split",
+    "q_sliding", "q_sort", "q_stateful_totals", "q_string_funcs",
+    "q_text_stats", "q_token_count", "q_topk", "q_tumbling",
+    "q_two_phase_agg",
+]
+
+#: second staleness tier: last driver row in r03 (48 names) — the
+#: overflow tier if the driver ever samples past the r1/r2 block.
+_R10_TIER3 = [
+    "q_asof_cogroup", "q_binary_ingest", "q_bitmap_distinct",
+    "q_bucketed_join", "q_collation", "q_corr", "q_cosine_topk_blas",
+    "q_curation", "q_dedup_clusters", "q_domain_mix", "q_dq_audit",
+    "q_entropy", "q_facet_scan", "q_feature_hash", "q_funnel",
+    "q_gap_fill", "q_gopher_rules", "q_grouped_agg_pandas",
+    "q_hll_distinct", "q_hof_funcs", "q_incremental_embedding",
+    "q_label_centroids", "q_lag", "q_latency_bands", "q_multimodal",
+    "q_null_funcs", "q_outliers", "q_pii_scrub", "q_pipe_syntax",
+    "q_pivot", "q_pysource", "q_range_frame", "q_rank", "q_recursive_cte",
+    "q_repetition", "q_retention", "q_scd2", "q_seq_pack", "q_sessionize",
+    "q_ship_priority", "q_stream_dedup", "q_stream_join",
+    "q_union_by_name", "q_unpivot", "q_variant", "q_watermark",
+    "q_weighted_sample", "q_window_battery",
+]
+
+
 def _check_order(names: list[str]) -> list[str]:
-    """Driver-check order for round 9 (VERDICT r8 #1): the 15 r8
-    plan-touched-but-never-re-sampled conversions first, then
-    q_dedup_bottomk and high-traffic core, then this round's
-    wall-reclaim-touched queries — ~23 names, leaving the rest of the
-    driver's ~50-sample to the stalest proven rows (_R01_DRIVER_GREEN,
-    whose driver evidence dates to r1).  r8's freshly-drained blocks
-    (_NEVER_CHECKED_R7, _ORACLE_GRADUATED, _NEW_R8_SESSION) rotate to
-    the very back."""
+    """Driver-check order for round 10 (VERDICT r9 #2): any r10
+    plan-touched names first, then PURE STALENESS — the 54 names whose
+    last driver row dates to r01/r02 (_R10_FRONT, the whole ~50-sample),
+    then the r03 tier.  r9's freshly-drained blocks (_R09_PRIORITY /
+    _R09_TOUCHED) rotate to the very back; the legacy blocks keep the
+    mid-order roughly staleness-sorted."""
     known = (
-        set(_R09_PRIORITY) | set(_R09_TOUCHED)
+        set(_R10_TOUCHED) | set(_R10_FRONT) | set(_R10_TIER3)
+        | set(_R09_PRIORITY) | set(_R09_TOUCHED)
         | set(_NEVER_CHECKED_R7) | set(_ORACLE_GRADUATED)
         | set(_R08_TOUCHED) | set(_NEW_R8_SESSION)
         | set(_NEVER_CHECKED_R6) | set(_R07_TOUCHED) | set(_NEW_R7_SESSION)
@@ -375,14 +421,15 @@ def _check_order(names: list[str]) -> list[str]:
     )
     new = [n for n in names if n not in known]
     blocks = [
-        _R09_PRIORITY, _R09_TOUCHED,
-        _R01_DRIVER_GREEN, new,
-        _DEFERRED, _R02_PRIORITY, _R02_RED, _R23_DRIVER_GREEN,
+        _R10_TOUCHED, _R10_FRONT, _R10_TIER3, new,
         _R04_TOUCHED, _NEVER_CHECKED_R3,
         _R05_FRONT, _NEW_R6_SESSION, _NEVER_CHECKED_R5, _R06_TOUCHED,
         _NEW_R7_SESSION, _R07_TOUCHED, _NEVER_CHECKED_R6,
         _R08_TOUCHED, _NEW_R8_SESSION,
         _ORACLE_GRADUATED, _NEVER_CHECKED_R7,
+        _DEFERRED, _R02_PRIORITY, _R02_RED, _R23_DRIVER_GREEN,
+        _R01_DRIVER_GREEN,
+        _R09_PRIORITY, _R09_TOUCHED,
     ]
     seen: set[str] = set()
     ordered: list[str] = []

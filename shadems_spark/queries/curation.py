@@ -2818,7 +2818,14 @@ def q_als(spark, sf_dir):
     over the cached pair matrix instead of nesting every previous
     sweep's subtree into the next (the fully-lazy r8 form re-analyzed
     and re-executed the compounding tree: 32+ jobs, ~3.6 s at sf0.1 —
-    VERDICT r8 #3)."""
+    VERDICT r8 #3).
+
+    BUILD-TIME EXECUTION (ADVICE r9): those codebook collects run
+    Spark jobs INSIDE this builder — the returned DataFrame embeds the
+    type-factor literals captured at build time.  Plan-only tooling
+    therefore triggers real (bounded) computation, and re-executing a
+    cached returned frame after the events table changes returns
+    stale factors; rebuild via this function when the input moves."""
     ev = load_table(spark, sf_dir, "events")
     # persist the pair matrix HASH-PARTITIONED BY USER: both user-side
     # solves, the error pass's user join, and the first solve's
@@ -3450,7 +3457,16 @@ def q_adaboost_stumps(spark, sf_dir):
     aggregate with |features|x|thresholds| conditional-sum columns
     (no row explosion), the chosen stump broadcasts back as a 1-row
     frame, and the feature table is computed once and persisted —
-    T rounds cost T cheap passes over 4 narrow columns."""
+    T rounds cost T cheap passes over 4 narrow columns.
+
+    BUILD-TIME EXECUTION (ADVICE r9): each round's 1-row argmin
+    collect runs a Spark job INSIDE this builder (the sanctioned
+    bounded-collect pattern) — the returned DataFrame embeds the
+    chosen stumps as integer literals captured at build time.
+    Plan-only tooling therefore triggers real computation, and
+    re-executing a cached returned frame after the documents table
+    changes returns a stale model; rebuild via this function when the
+    input moves."""
     from shadems_spark.operators.dedup import tracked_persist
     from shadems_spark.operators.text import words
 

@@ -104,6 +104,35 @@ def test_star_components_match_union_find(spark):
         assert got == want, (edges, got, want)
 
 
+def test_star_components_distributed_path_matches_fast_path(spark):
+    """ADVICE r9: the default small_cap (64 Ki edges) captures every
+    fixture-scale graph, so the distributed star loop — the actual
+    100 TB path, including the lazy-localCheckpoint convergence probe
+    — needs its own pin.  small_cap=0 forces the distributed loop on
+    multi-component graphs (bridged cliques, chain + isolated pair,
+    pseudo-random) and must agree exactly with both the driver-side
+    union-find fast path and brute ground truth."""
+    from shadems_spark.operators.graph import connected_components_star
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11)],
+        [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9), (3, 7), (40, 41)],
+        [(i, (i * 7) % 23 + 30) for i in range(20)] + [(99, 98)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        distributed = {
+            r["node"]: r["component"]
+            for r in connected_components_star(df, small_cap=0).collect()
+        }
+        fast = {
+            r["node"]: r["component"]
+            for r in connected_components_star(df).collect()
+        }
+        want = _brute_components(edges)
+        assert distributed == fast == want, (edges, distributed, fast, want)
+
+
 def test_star_components_match_label_propagation(spark, sf_dir):
     """On the minhash dup-pair graph, the star algorithm must agree
     with the existing min-label propagation (q_dedup_clusters)."""
