@@ -347,7 +347,20 @@ def connected_components(
             # propagations never accumulate an analysis-time blowup.
             if (it + 1) % 5 == 0:
                 labels = labels.localCheckpoint(eager=True)
-        return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+        # truncate the converged lineage before returning (VERDICT r9
+        # #6): the builder is already eager (the convergence counts
+        # executed every round), so this checkpoint writes straight
+        # from the final round's cache — and the returned plan becomes
+        # a deterministic RDD scan instead of O(iterations) of nested
+        # AQE-FINAL join/agg subtrees whose runtime-adaptive exchange
+        # topology varied run-to-run (768 vs 810 shuffles in the plan
+        # text — the one PLAN_SNAPSHOT exclusion).  Downstream
+        # consumers also stop re-analyzing the whole propagation tree.
+        out = labels.localCheckpoint(eager=True)
+        labels.unpersist()
+        return out.select(
+            F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
+        )
     finally:
         edges.unpersist()
 

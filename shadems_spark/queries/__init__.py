@@ -357,7 +357,11 @@ _R09_TOUCHED = [
 #: in r09 except any r10-touched plans") — names whose PLAN or ORACLE
 #: changes this round re-earn driver rows first.  Empty unless a
 #: round-10 change actually alters a query's output-bearing plan.
-_R10_TOUCHED: list[str] = []
+_R10_TOUCHED: list[str] = [
+    # returned plan is now a checkpoint RDD scan (lineage truncated on
+    # return — VERDICT r9 #6, the PLAN_SNAPSHOT exclusion closed)
+    "q_dedup_clusters",
+]
 
 #: round-10 front (VERDICT r9 #2): pure staleness.  The exact names
 #: whose most-recent driver CORRECTNESS row dates to r01/r02

@@ -40,11 +40,15 @@ SNAPSHOT = os.path.join(
 #: from the snapshot (measured drifting across back-to-back fresh
 #: sessions with identical code).  Keep this list justified and short:
 #: an entry needs a mechanism, not just an observed flake.
-VOLATILE = {
-    # builder executes convergence sweeps before returning, so the
-    # returned plan embeds AQE-FINAL subtrees whose exchange topology
-    # varies with runtime adaptivity (measured 768 vs 810 shuffles).
-    "q_dedup_clusters": "AQE-final text of an executed iterative build",
+VOLATILE: dict[str, str] = {
+    # (q_dedup_clusters was here r3–r9: its builder executed
+    # convergence sweeps and returned the nested AQE-FINAL lineage,
+    # whose runtime-adaptive exchange topology varied 768-vs-810
+    # shuffles run-to-run.  Fixed at the root in r10: the converged
+    # labels are localCheckpointed on return — already materialized in
+    # cache, so the checkpoint is a block copy — and the returned plan
+    # is a deterministic RDD scan.  Exclusion list now EMPTY: 357/357
+    # frozen.)
     # (the FDR pair was here briefly: tracked_persist's ASYNC unpersist
     # raced re-persists of identical plans, making InMemoryRelation
     # substitution — and so plan text — timing-dependent.  Fixed at the

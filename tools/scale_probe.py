@@ -443,6 +443,24 @@ PROBE_R9 = [
     "q_rrf_fusion",
 ]
 
+#: round-10 join-family probe (--joins; VERDICT r9 #4): the one §2
+#: family whose shuffle grows with data — fact x fact joins.  Builds
+#: xN lineitem + orders ONLY (keys shifted consistently per copy so
+#: l_orderkey = o_orderkey holds copy-by-copy; o_custkey is NOT
+#: shifted, so each customer gains N times the orders — the honest
+#: per-key skew stress for the customer-side joins).  Beyond wall and
+#: rows, this mode records the AQE-FINAL join strategy (broadcast vs
+#: sort-merge vs shuffled-hash counts) and total spill at BOTH scales:
+#: the 100 TB claim is "AQE picks broadcast only while a side fits,
+#: degrades to SMJ without spill when it doesn't".
+PROBE_JOINS = [
+    "q_join_fact",
+    "q_bucketed_join",
+    "q_salted_join",
+    "q_skew_split",
+    "q_ship_priority",
+]
+
 #: key shift per copy — far above any real key at these scale factors.
 SHIFT = 100_000_000
 
@@ -512,16 +530,60 @@ def build_scaled(
         out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
+def _join_evidence(df) -> dict:
+    """Walk the AQE-FINAL executed plan: join-strategy node counts +
+    total spill (VERDICT r9 #4).  Requires the frame to have been
+    executed via collect() on its OWN QueryExecution (count() builds a
+    separate one whose metrics this walk would not see)."""
+    acc = {"bhj": 0, "smj": 0, "shj": 0, "spill_bytes": 0}
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "spillSize":
+                # un-updated SQLMetrics sit at -1; never subtract
+                acc["spill_bytes"] += max(kv._2().value(), 0)
+        if name.startswith("BroadcastHashJoin"):
+            acc["bhj"] += 1
+        elif name.startswith("SortMergeJoin"):
+            acc["smj"] += 1
+        elif name.startswith("ShuffledHashJoin"):
+            acc["shj"] += 1
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        elif name.endswith("QueryStageExec"):
+            walk(node.plan())
+        else:
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    acc["spill_mb"] = round(acc.pop("spill_bytes") / 1e6, 3)
+    return acc
+
+
 def run_probe(
-    spark, registry, sf_dir: str, names: list[str], warm: str = "q_scan"
+    spark, registry, sf_dir: str, names: list[str], warm: str = "q_scan",
+    join_detail: bool = False,
 ) -> dict[str, dict]:
     registry[warm][0](spark, sf_dir).count()  # warm footers
     out: dict[str, dict] = {}
     for name in names:
         fn, _sql = registry[name]
         t0 = time.time()
-        rows = fn(spark, sf_dir).count()
-        out[name] = {"sec": round(time.time() - t0, 3), "rows": rows}
+        df = fn(spark, sf_dir)
+        if join_detail:
+            # collect (results are k-row aggregates by design) so the
+            # frame's own QueryExecution carries the final metrics
+            rows = len(df.collect())
+            sec = round(time.time() - t0, 3)
+            out[name] = {"sec": sec, "rows": rows, **_join_evidence(df)}
+        else:
+            rows = df.count()
+            out[name] = {"sec": round(time.time() - t0, 3), "rows": rows}
     return out
 
 
@@ -553,6 +615,7 @@ def main() -> None:
     round8 = "--round8" in sys.argv
     raster = "--raster" in sys.argv
     round9 = "--round9" in sys.argv
+    joins = "--joins" in sys.argv
     docs_only = dedup or retrieval
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 10
@@ -564,7 +627,8 @@ def main() -> None:
         else "_r5stats" if r5stats else "_r6" if round6
         else "_r6b3" if r6b3 else "_r6b4" if r6b4
         else "_r7" if round7 else "_r8" if round8
-        else "_raster" if raster else "_r9" if round9 else ""
+        else "_raster" if raster else "_r9" if round9
+        else "_joins" if joins else ""
     )
     scaled = os.path.join(repo, ".scratch", f"sfx{n}" + suffix)
 
@@ -585,6 +649,7 @@ def main() -> None:
         else PROBE_R8 if round8
         else PROBE_RASTER if raster
         else PROBE_R9 if round9
+        else PROBE_JOINS if joins
         else PROBE
     )
     names = [q for q in probe_set if q in registry]
@@ -602,6 +667,7 @@ def main() -> None:
             else ["events", "orders"] if round7
             else ["documents", "events", "orders", "lineitem"] if round8
             else ["lineitem"] if raster
+            else ["lineitem", "orders"] if joins
             else ["documents", "events", "embeddings"] if round9
             else ["documents", "embeddings", "events", "orders", "lineitem"]
             if r5stats or r6b3 or r6b4
@@ -614,8 +680,10 @@ def main() -> None:
     )
     build_s = round(time.time() - t0, 1)
 
-    base_r = run_probe(spark, registry, base, names, warm)
-    scaled_r = run_probe(spark, registry, scaled, names, warm)
+    base_r = run_probe(spark, registry, base, names, warm, join_detail=joins)
+    scaled_r = run_probe(
+        spark, registry, scaled, names, warm, join_detail=joins
+    )
     if r4x100:
         # semdedup under its k-rule: base k=8, scaled k=8*N (n/k fixed)
         base_r["q_semdedup_krule"] = probe_semdedup(spark, base, 8)
@@ -632,9 +700,22 @@ def main() -> None:
             "base_rows": b["rows"],
             "xN_rows": s["rows"],
         }
+        if joins:
+            report[q]["base_join"] = {
+                k: b[k] for k in ("bhj", "smj", "shj", "spill_mb")
+            }
+            report[q]["xN_join"] = {
+                k: s[k] for k in ("bhj", "smj", "shj", "spill_mb")
+            }
         print(
             f"{q:24s} {b['sec']:7.2f}s -> {s['sec']:7.2f}s  "
-            f"x{report[q]['ratio']:<6} rows {b['rows']} -> {s['rows']}",
+            f"x{report[q]['ratio']:<6} rows {b['rows']} -> {s['rows']}"
+            + (
+                f"  join {b['bhj']}b/{b['smj']}m/{b['shj']}h "
+                f"spill {b['spill_mb']} -> {s['bhj']}b/{s['smj']}m/"
+                f"{s['shj']}h spill {s['spill_mb']}"
+                if joins else ""
+            ),
             file=sys.stderr,
         )
     print(
@@ -646,6 +727,7 @@ def main() -> None:
                     else "scale_probe_r4x100" if r4x100
                     else "scale_probe_r5" if round5
                     else "scale_probe_r5stats" if r5stats
+                    else "scale_probe_joins" if joins
                     else "scale_probe"
                 ),
                 "n": n,
