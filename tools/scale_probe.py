@@ -574,16 +574,24 @@ def run_probe(
     for name in names:
         fn, _sql = registry[name]
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        if join_detail:
-            # collect (results are k-row aggregates by design) so the
-            # frame's own QueryExecution carries the final metrics
-            rows = len(df.collect())
-            sec = round(time.time() - t0, 3)
-            out[name] = {"sec": sec, "rows": rows, **_join_evidence(df)}
-        else:
-            rows = df.count()
-            out[name] = {"sec": round(time.time() - t0, 3), "rows": rows}
+        try:
+            df = fn(spark, sf_dir)
+            if join_detail:
+                # collect (results are k-row aggregates by design) so
+                # the frame's own QueryExecution carries final metrics
+                rows = len(df.collect())
+                sec = round(time.time() - t0, 3)
+                out[name] = {"sec": sec, "rows": rows, **_join_evidence(df)}
+            else:
+                rows = df.count()
+                out[name] = {"sec": round(time.time() - t0, 3), "rows": rows}
+        except ValueError as e:
+            # a deliberate operator refusal (e.g. salted_join's
+            # replicated-dim budget at xN) IS the scale result —
+            # record it instead of killing the probe (r10: the x100
+            # joins probe is exactly where such guards fire).
+            out[name] = {"sec": None, "rows": None, "err": str(e)[:200]}
+            print(f"{name}: REFUSED — {e}", file=sys.stderr)
     return out
 
 
@@ -656,28 +664,36 @@ def main() -> None:
     warm = "q_dedup_exact" if (docs_only or round3) else "q_scan"
 
     t0 = time.time()
-    build_scaled(
-        spark, base, scaled, n,
-        only=(
-            ["documents"] if docs_only
-            else ["documents", "events"] if round3
-            else ["documents", "embeddings", "lineitem", "orders"] if r4x100
-            else ["documents", "embeddings", "events"] if round5
-            else ["documents", "embeddings", "events", "orders"] if round6
-            else ["events", "orders"] if round7
-            else ["documents", "events", "orders", "lineitem"] if round8
-            else ["lineitem"] if raster
-            else ["lineitem", "orders"] if joins
-            else ["documents", "events", "embeddings"] if round9
-            else ["documents", "embeddings", "events", "orders", "lineitem"]
-            if r5stats or r6b3 or r6b4
-            else None
-        ),
-        mutate_docs=docs_only or round3 or r4x100 or round5 or r5stats
-        or round8 or round9
-        or r6b3 or r6b4,
-        mutate_embeddings=r4x100 or round5 or r5stats or r6b3 or r6b4,
-    )
+    reuse = "--reuse" in sys.argv and os.path.isdir(scaled)
+    if reuse:
+        print(f"reusing existing {scaled}", file=sys.stderr)
+    else:
+        build_scaled(
+            spark, base, scaled, n,
+            only=(
+                ["documents"] if docs_only
+                else ["documents", "events"] if round3
+                else ["documents", "embeddings", "lineitem", "orders"]
+                if r4x100
+                else ["documents", "embeddings", "events"] if round5
+                else ["documents", "embeddings", "events", "orders"]
+                if round6
+                else ["events", "orders"] if round7
+                else ["documents", "events", "orders", "lineitem"] if round8
+                else ["lineitem"] if raster
+                else ["lineitem", "orders"] if joins
+                else ["documents", "events", "embeddings"] if round9
+                else [
+                    "documents", "embeddings", "events", "orders", "lineitem"
+                ]
+                if r5stats or r6b3 or r6b4
+                else None
+            ),
+            mutate_docs=docs_only or round3 or r4x100 or round5 or r5stats
+            or round8 or round9
+            or r6b3 or r6b4,
+            mutate_embeddings=r4x100 or round5 or r5stats or r6b3 or r6b4,
+        )
     build_s = round(time.time() - t0, 1)
 
     base_r = run_probe(spark, registry, base, names, warm, join_detail=joins)
@@ -696,17 +712,25 @@ def main() -> None:
         report[q] = {
             "base_sec": b["sec"],
             "xN_sec": s["sec"],
-            "ratio": round(s["sec"] / b["sec"], 2) if b["sec"] else None,
+            "ratio": (
+                round(s["sec"] / b["sec"], 2) if b["sec"] and s["sec"] else None
+            ),
             "base_rows": b["rows"],
             "xN_rows": s["rows"],
         }
-        if joins:
-            report[q]["base_join"] = {
-                k: b[k] for k in ("bhj", "smj", "shj", "spill_mb")
-            }
-            report[q]["xN_join"] = {
-                k: s[k] for k in ("bhj", "smj", "shj", "spill_mb")
-            }
+        for side, r in (("base", b), ("xN", s)):
+            if r.get("err"):
+                report[q][f"{side}_err"] = r["err"]
+            elif joins:
+                report[q][f"{side}_join"] = {
+                    k: r[k] for k in ("bhj", "smj", "shj", "spill_mb")
+                }
+        if b.get("err") or s.get("err"):
+            print(
+                f"{q:24s} REFUSED: {s.get('err') or b.get('err')}",
+                file=sys.stderr,
+            )
+            continue
         print(
             f"{q:24s} {b['sec']:7.2f}s -> {s['sec']:7.2f}s  "
             f"x{report[q]['ratio']:<6} rows {b['rows']} -> {s['rows']}"
@@ -737,7 +761,8 @@ def main() -> None:
             }
         )
     )
-    shutil.rmtree(scaled, ignore_errors=True)
+    if "--keep" not in sys.argv:
+        shutil.rmtree(scaled, ignore_errors=True)
 
 
 if __name__ == "__main__":
