@@ -7,17 +7,24 @@ Prints ONE JSON line:
 Self-adjudication (VERDICT r9 #1): the committed r8/r9 records were
 load-contaminated and the single end-of-run loadavg sample could not
 show it, so the artifact now adjudicates itself:
-  * load1 is sampled BEFORE and AFTER every query execution (per rep);
-    the per-query maximum is recorded in the spread side artifact.
+  * AMBIENT CPU is measured across every query execution (per rep):
+    total busy jiffies from /proc/stat MINUS our own process tree's
+    jiffies (this python + the JVM child), divided by the query wall —
+    i.e. "how many foreign cores ran while this query ran".  load1
+    cannot do this job: the bench's own 32 threads push load1 to ~2-4,
+    so a load threshold flags quiet runs (measured: a fully quiet
+    86.9 s sweep read load1 2.3 at exit purely from self-load).
+    load1 is still sampled per query for context in the side artifact.
   * a query is FLAGGED when its [min, max] spread exceeds 3x with a
-    >0.3 s absolute delta, or when load1 > 2.0 was observed around any
-    of its reps.
+    >0.3 s absolute delta, or when ambient CPU exceeded ~1 foreign
+    core during any of its reps.
   * flagged queries get ONE extra rep after the main sweep (medians
     recompute over all reps) — the cheap honest re-run the judge had
     to do by hand in r8/r9.
   * the final driver line carries `"contaminated": true` when, after
-    the re-run, >10% of queries remain flagged — a marker the judge /
-    driver can trust without forensics.
+    the re-run, >10% of queries remain suspect (published median still
+    >2x the quiet minimum, or every rep ambient-hot) — a marker the
+    judge / driver can trust without forensics.
 
 Isolation (VERDICT r9 #2): tracked persists + localCheckpoint blocks
 from one query no longer squat in the block manager during the next —
@@ -155,13 +162,16 @@ HEADLINE = [
 #: contamination thresholds (VERDICT r9 #1).  A query is suspect when
 #: its spread ratio exceeds SPREAD_RATIO with an absolute delta above
 #: SPREAD_FLOOR seconds (the floor keeps trivial 50-vs-200 ms queries
-#: out), or when load1 above LOAD_CEIL was sampled around any rep.
+#: out), or when more than AMBIENT_CORES foreign cores were measured
+#: busy during a rep (self-load excluded — see module docstring).
 SPREAD_RATIO = 3.0
 SPREAD_FLOOR = 0.3
-LOAD_CEIL = 2.0
+AMBIENT_CORES = 1.0
 #: the run is CONTAMINATED when more than this fraction of queries
 #: remain flagged after the one-shot re-run.
 CONTAM_FRAC = 0.10
+
+_HZ = os.sysconf("SC_CLK_TCK") or 100
 
 
 def _load1() -> float | None:
@@ -169,6 +179,38 @@ def _load1() -> float | None:
         return os.getloadavg()[0]
     except OSError:  # pragma: no cover - getloadavg always works on linux
         return None
+
+
+def _cpu_jiffies() -> tuple[int, int]:
+    """(total busy jiffies across all cpus, our process TREE's
+    jiffies).  The tree walk matters: the Spark JVM is a child of this
+    python, and its utime/stime already aggregate all 32 executor
+    threads."""
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()
+    # busy = everything except idle (f[4]) and iowait (f[5])
+    busy = sum(int(x) for x in f[1:]) - int(f[4]) - int(f[5])
+    me = os.getpid()
+    kids: dict[int, list[int]] = {}
+    stats: dict[int, int] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                rest = fh.read().rsplit(") ", 1)[1].split(" ")
+        except (OSError, IndexError):
+            continue
+        # after the comm field: state ppid ... utime(11) stime(12)
+        ppid = int(rest[1])
+        stats[int(pid)] = int(rest[11]) + int(rest[12])
+        kids.setdefault(ppid, []).append(int(pid))
+    ours, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        ours += stats.get(p, 0)
+        stack.extend(kids.get(p, ()))
+    return busy, ours
 
 
 def _isolate(spark) -> None:
@@ -196,8 +238,10 @@ def _isolate(spark) -> None:
 
 
 def _timed(spark, sc, fn, sf_dir, group, name):
-    """One measured execution: returns (wall_sec, job_count, max_load1)."""
+    """One measured execution: returns
+    (wall_sec, job_count, max_load1, ambient_foreign_cores)."""
     lo = _load1()
+    busy0, ours0 = _cpu_jiffies()
     sc.setJobGroup(group, name)
     t0 = time.time()
     df = fn(spark, sf_dir)
@@ -205,15 +249,19 @@ def _timed(spark, sc, fn, sf_dir, group, name):
     wall = time.time() - t0
     sc.setJobGroup("", "")
     assert n >= 0
+    busy1, ours1 = _cpu_jiffies()
     hi = _load1()
     samples = [v for v in (lo, hi) if v is not None]
     load = max(samples) if samples else None
+    # foreign cores busy while the query ran (never negative: jiffy
+    # sampling races can land a hair under zero)
+    ambient = max(0.0, ((busy1 - busy0) - (ours1 - ours0)) / _HZ / wall)
     try:
         jobs = len(sc.statusTracker().getJobIdsForGroup(group))
     except Exception:  # pragma: no cover - tracker always local
         jobs = None
     _isolate(spark)
-    return wall, jobs, load
+    return wall, jobs, load, ambient
 
 
 def main() -> None:
@@ -239,13 +287,15 @@ def main() -> None:
     per_q: dict[str, list[float]] = {n: [] for n in names}
     jobs_per_q: dict[str, list[int]] = {n: [] for n in names}
     loads_per_q: dict[str, list[float]] = {n: [] for n in names}
+    amb_per_q: dict[str, list[float]] = {n: [] for n in names}
     t_all = time.time()
     for rep in range(reps):
         for name in names:
-            wall, jobs, load = _timed(
+            wall, jobs, load, amb = _timed(
                 spark, sc, registry[name][0], sf_dir, f"{name}#r{rep}", name
             )
             per_q[name].append(wall)
+            amb_per_q[name].append(amb)
             if jobs is not None:
                 jobs_per_q[name].append(jobs)
             if load is not None:
@@ -253,12 +303,12 @@ def main() -> None:
     total = round((time.time() - t_all) / reps, 3)
 
     def suspects(final: bool = False) -> list[str]:
-        """final=False: ANY spike (max/min) or hot load triggers the
-        re-run.  final=True: only queries whose PUBLISHED MEDIAN is
-        still elevated (median > 2x min with >SPREAD_FLOOR delta — a
-        lone spike among the reps cannot hold a median up) or whose
-        every rep ran under load1 > LOAD_CEIL remain flagged; these
-        decide the `contaminated` marker."""
+        """final=False: ANY spike (max/min) or measured foreign-CPU
+        interference triggers the re-run.  final=True: only queries
+        whose PUBLISHED MEDIAN is still elevated (median > 2x min with
+        >SPREAD_FLOOR delta — a lone spike among the reps cannot hold
+        a median up) or whose EVERY rep ran against >AMBIENT_CORES of
+        foreign CPU remain flagged; these decide `contaminated`."""
         out = []
         for n in names:
             walls = per_q[n]
@@ -266,9 +316,7 @@ def main() -> None:
             if final:
                 med = statistics.median(walls)
                 wide = med > 2.0 * lo and med - lo > SPREAD_FLOOR
-                hot = bool(loads_per_q[n]) and all(
-                    v > LOAD_CEIL for v in loads_per_q[n]
-                )
+                hot = all(v > AMBIENT_CORES for v in amb_per_q[n])
             else:
                 hi = max(walls)
                 wide = (
@@ -276,7 +324,7 @@ def main() -> None:
                     and hi > SPREAD_RATIO * lo
                     and hi - lo > SPREAD_FLOOR
                 )
-                hot = any(v > LOAD_CEIL for v in loads_per_q[n])
+                hot = any(v > AMBIENT_CORES for v in amb_per_q[n])
             if wide or hot:
                 out.append(n)
         return out
@@ -286,10 +334,11 @@ def main() -> None:
     # leverage from 1-of-3 samples to 1-of-4.
     flagged = suspects() if reps > 1 else []
     for name in flagged:
-        wall, jobs, load = _timed(
+        wall, jobs, load, amb = _timed(
             spark, sc, registry[name][0], sf_dir, f"{name}#rerun", name
         )
         per_q[name].append(wall)
+        amb_per_q[name].append(amb)
         if jobs is not None:
             jobs_per_q[name].append(jobs)
         if load is not None:
@@ -356,6 +405,9 @@ def main() -> None:
             "jobs": jobs_per_q,
             "load1_max": {
                 n: round(max(v), 2) for n, v in loads_per_q.items() if v
+            },
+            "ambient_cores_max": {
+                n: round(max(v), 2) for n, v in amb_per_q.items() if v
             },
             "flagged": flagged,
             "flagged_after_rerun": still,
