@@ -202,8 +202,16 @@ def _cpu_jiffies() -> tuple[int, int]:
         except (OSError, IndexError):
             continue
         # after the comm field: state ppid ... utime(11) stime(12)
+        # cutime(13) cstime(14).  cutime/cstime matter: a pyspark UDF
+        # worker that exits mid-rep moves its jiffies into its reaper's
+        # cutime — without them (ours1-ours0) drops while busy keeps
+        # the work, inflating "ambient" on a quiet box.  Live children
+        # are counted once via their own utime/stime (a child enters
+        # cutime only AFTER it is reaped), so there is no double count.
         ppid = int(rest[1])
-        stats[int(pid)] = int(rest[11]) + int(rest[12])
+        stats[int(pid)] = (
+            int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        )
         kids.setdefault(ppid, []).append(int(pid))
     ours, stack = 0, [me]
     while stack:
@@ -300,6 +308,12 @@ def main() -> None:
                 jobs_per_q[name].append(jobs)
             if load is not None:
                 loads_per_q[name].append(load)
+    # NOTE r10 comparability: `value` is the sweep wall divided by
+    # reps and now INCLUDES the per-query isolation work (blocking
+    # unpersists + two /proc scans, ~tens of ms per query) that
+    # records before r10 did not pay — compare rounds on the
+    # per-query medians (measured inside _timed, isolation excluded),
+    # not on `value`.  r10's quiet value still reads BELOW r9's.
     total = round((time.time() - t_all) / reps, 3)
 
     def suspects(final: bool = False) -> list[str]:
@@ -318,11 +332,17 @@ def main() -> None:
                 wide = med > 2.0 * lo and med - lo > SPREAD_FLOOR
                 hot = all(v > AMBIENT_CORES for v in amb_per_q[n])
             else:
+                # the re-run trigger must be a SUPERSET of the final
+                # criterion: anything that could decide `contaminated`
+                # must first have received its exonerating extra rep
+                # (walls [1.0, 2.5, 2.6] trip median>2x but not
+                # max>3x — without this clause such a query would be
+                # condemned unmeasured).
                 hi = max(walls)
-                wide = (
-                    len(walls) > 1
-                    and hi > SPREAD_RATIO * lo
-                    and hi - lo > SPREAD_FLOOR
+                med = statistics.median(walls)
+                wide = len(walls) > 1 and (
+                    (hi > SPREAD_RATIO * lo and hi - lo > SPREAD_FLOOR)
+                    or (med > 2.0 * lo and med - lo > SPREAD_FLOOR)
                 )
                 hot = any(v > AMBIENT_CORES for v in amb_per_q[n])
             if wide or hot:
@@ -343,7 +363,18 @@ def main() -> None:
             jobs_per_q[name].append(jobs)
         if load is not None:
             loads_per_q[name].append(load)
-    still = suspects(final=True) if reps > 1 else []
+    if reps > 1:
+        still = suspects(final=True)
+    else:
+        # --median-of 1: no spread and no re-run budget, but the
+        # ambient evidence still exists — a single-rep record taken
+        # against >1 foreign core per query must not publish
+        # contaminated=false (the r8/r9 failure mode verbatim).
+        still = [
+            n
+            for n in names
+            if amb_per_q[n] and all(v > AMBIENT_CORES for v in amb_per_q[n])
+        ]
     contaminated = len(still) > CONTAM_FRAC * len(names)
 
     # 2dp in the compact driver line (10 ms precision suffices for the

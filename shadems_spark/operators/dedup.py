@@ -345,8 +345,15 @@ def connected_components(
             # persist caches data but the logical plan still nests one
             # level per round; truncate lineage periodically so long
             # propagations never accumulate an analysis-time blowup.
+            # Unpersist the PERSISTED frame after checkpointing —
+            # Dataset.unpersist on the checkpoint frame itself is a
+            # CacheManager no-op (different logical plan), so the old
+            # `labels = labels.localCheckpoint(...)` reassignment
+            # leaked one new_labels cache per %5 truncation.
             if (it + 1) % 5 == 0:
-                labels = labels.localCheckpoint(eager=True)
+                cp = labels.localCheckpoint(eager=True)
+                labels.unpersist()
+                labels = cp
         # truncate the converged lineage before returning (VERDICT r9
         # #6): the builder is already eager (the convergence counts
         # executed every round), so this checkpoint writes straight
@@ -356,8 +363,13 @@ def connected_components(
         # topology varied run-to-run (768 vs 810 shuffles in the plan
         # text — the one PLAN_SNAPSHOT exclusion).  Downstream
         # consumers also stop re-analyzing the whole propagation tree.
+        # SNAPSHOT SEMANTICS: the returned frame is a MATERIALIZED
+        # checkpoint — like the ALS/AdaBoost builders it reflects the
+        # input at build time, and its blocks are not recomputable if
+        # externally unpersisted (getPersistentRDDs sweeps); rebuild
+        # via this function when the input moves or blocks are freed.
         out = labels.localCheckpoint(eager=True)
-        labels.unpersist()
+        labels.unpersist()  # no-op if labels is already a checkpoint
         return out.select(
             F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
         )

@@ -589,7 +589,12 @@ def run_probe(
             # a deliberate operator refusal (e.g. salted_join's
             # replicated-dim budget at xN) IS the scale result —
             # record it instead of killing the probe (r10: the x100
-            # joins probe is exactly where such guards fire).
+            # joins probe is exactly where such guards fire).  ONLY
+            # the joins mode tolerates this: everywhere else a
+            # ValueError is a regression the probe must fail loudly
+            # on, not archive as an expected refusal.
+            if not join_detail:
+                raise
             out[name] = {"sec": None, "rows": None, "err": str(e)[:200]}
             print(f"{name}: REFUSED — {e}", file=sys.stderr)
     return out
@@ -664,7 +669,19 @@ def main() -> None:
     warm = "q_dedup_exact" if (docs_only or round3) else "q_scan"
 
     t0 = time.time()
-    reuse = "--reuse" in sys.argv and os.path.isdir(scaled)
+    # --reuse: accept a previously-built scaled dir ONLY if every
+    # table landed (build_scaled writes table-by-table, so a crashed
+    # build leaves a partial dir whose mixed scales would silently
+    # corrupt the evidence).  The dir name encodes n + mode, so a
+    # different-N leftover never matches this path.
+    reuse = (
+        "--reuse" in sys.argv
+        and os.path.isdir(scaled)
+        and all(
+            os.path.exists(os.path.join(scaled, f"{t}.parquet/_SUCCESS"))
+            for t in TABLES
+        )
+    )
     if reuse:
         print(f"reusing existing {scaled}", file=sys.stderr)
     else:
@@ -761,7 +778,9 @@ def main() -> None:
             }
         )
     )
-    if "--keep" not in sys.argv:
+    # --reuse implies keep: deleting a fixture the caller explicitly
+    # asked to reuse would defeat the next --reuse run.
+    if "--keep" not in sys.argv and "--reuse" not in sys.argv:
         shutil.rmtree(scaled, ignore_errors=True)
 
 
