@@ -228,6 +228,28 @@ def test_connected_components_labels(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_chain_checkpoints(spark):
+    """An 18-edge path has diameter 18, so min-label propagation runs
+    >15 iterations and exercises the %5 lineage-truncation branch
+    (checkpoint swap + persisted-frame release) several times — the
+    r10 review found that branch leaked one cache per truncation and
+    it previously had zero CI coverage.  Labels must still be the min
+    reachable id, and the CacheManager must be EMPTY afterwards (the
+    builder releases every persist it takes; checkpoint blocks are
+    ContextCleaner-owned and excluded from this assertion)."""
+    spark.catalog.clearCache()
+    edges = [(i, i + 1) for i in range(1, 19)] + [(100, 101)]
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.connected_components(pairs).collect()
+    }
+    want = {i: 1 for i in range(1, 20)}
+    want.update({100: 100, 101: 100})
+    assert out == want
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="gamma beta alpha")]
