@@ -313,13 +313,13 @@ def main() -> None:
                 jobs_per_q[name].append(jobs)
             if load is not None:
                 loads_per_q[name].append(load)
-    # NOTE r10 comparability: `value` is the sweep wall divided by
-    # reps and now INCLUDES the per-query isolation work (blocking
-    # unpersists + two /proc scans, ~tens of ms per query) that
-    # records before r10 did not pay — compare rounds on the
-    # per-query medians (measured inside _timed, isolation excluded),
-    # not on `value`.  r10's quiet value still reads BELOW r9's.
-    total = round((time.time() - t_all) / reps, 3)
+    # raw sweep wall (includes isolation work + any interference the
+    # clean-median logic filters out of the per-query record) — kept
+    # in the side artifact as `sweep_sec`; the published `value` is
+    # the SUM OF PUBLISHED MEDIANS, so the headline number and the
+    # per-query record can never contradict each other (observed
+    # while building: a 108 s sweep whose clean medians summed 76 s).
+    sweep = round((time.time() - t_all) / reps, 3)
 
     def clean_walls(n: str) -> list[float]:
         """Walls of reps measured with <= AMBIENT_CORES of foreign
@@ -432,7 +432,7 @@ def main() -> None:
     # committed side artifact (BENCH_SPREAD.json).
     out = {
         "metric": "headline_queries_wall",
-        "value": total,
+        "value": round(sum(timings.values()), 2),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
@@ -444,6 +444,7 @@ def main() -> None:
         side = {
             "median_of": reps,
             "sf": float(sf),
+            "sweep_sec": sweep,
             "spread": {
                 n: [round(min(per_q[n]), 3), round(max(per_q[n]), 3)]
                 for n in names
