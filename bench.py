@@ -179,6 +179,53 @@ CONTAM_FRAC = 0.10
 _HZ = os.sysconf("SC_CLK_TCK") or 100
 
 
+def _clean_walls(walls: list[float], ambients: list[float]) -> list[float]:
+    """Walls of reps measured with <= AMBIENT_CORES of foreign CPU —
+    the samples a quiet machine would have produced."""
+    return [w for w, a in zip(walls, ambients) if a <= AMBIENT_CORES]
+
+
+def _published(walls: list[float], ambients: list[float]) -> float:
+    """The per-query number the driver line publishes: median of the
+    CLEAN reps when any exist, else of everything (a query with zero
+    clean reps stays suspect — see _is_suspect(final=True))."""
+    cw = _clean_walls(walls, ambients)
+    return statistics.median(cw if cw else walls)
+
+
+def _is_suspect(
+    walls: list[float], ambients: list[float], final: bool = False
+) -> bool:
+    """final=False: ANY spike (max/min or median/min) or measured
+    foreign-CPU interference triggers the re-run.  final=True: only a
+    query with NO clean rep at all, or whose PUBLISHED (clean-rep)
+    median is still elevated (median > 2x min with >SPREAD_FLOOR
+    delta — a lone spike cannot hold a median up) stays flagged;
+    these decide `contaminated`.
+
+    The re-run trigger is a SUPERSET of the final criterion: anything
+    that could decide `contaminated` must first have received its
+    exonerating extra rep (walls [1.0, 2.5, 2.6] trip median>2x but
+    not max>3x — without the median clause in the initial pass such a
+    query would be condemned unmeasured).  Pure function: pinned in
+    tests/test_bench_adjudication.py against the scenarios observed
+    live in round 10."""
+    lo = min(walls)
+    if final:
+        med = _published(walls, ambients)
+        wide = med > 2.0 * lo and med - lo > SPREAD_FLOOR
+        hot = not _clean_walls(walls, ambients)
+    else:
+        hi = max(walls)
+        med = statistics.median(walls)
+        wide = len(walls) > 1 and (
+            (hi > SPREAD_RATIO * lo and hi - lo > SPREAD_FLOOR)
+            or (med > 2.0 * lo and med - lo > SPREAD_FLOOR)
+        )
+        hot = any(v > AMBIENT_CORES for v in ambients)
+    return wide or hot
+
+
 def _load1() -> float | None:
     try:
         return os.getloadavg()[0]
@@ -322,50 +369,17 @@ def main() -> None:
     sweep = round((time.time() - t_all) / reps, 3)
 
     def clean_walls(n: str) -> list[float]:
-        """Walls of reps measured with <= AMBIENT_CORES of foreign
-        CPU — the samples a quiet machine would have produced."""
-        return [
-            w
-            for w, a in zip(per_q[n], amb_per_q[n])
-            if a <= AMBIENT_CORES
-        ]
+        return _clean_walls(per_q[n], amb_per_q[n])
 
     def published(n: str) -> float:
-        cw = clean_walls(n)
-        return statistics.median(cw if cw else per_q[n])
+        return _published(per_q[n], amb_per_q[n])
 
     def suspects(final: bool = False) -> list[str]:
-        """final=False: ANY spike (max/min) or measured foreign-CPU
-        interference triggers the re-run.  final=True: only queries
-        with NO clean rep at all, or whose PUBLISHED (clean-rep)
-        median is still elevated (median > 2x min with >SPREAD_FLOOR
-        delta — a lone spike cannot hold a median up) remain flagged;
-        these decide `contaminated`."""
-        out = []
-        for n in names:
-            walls = per_q[n]
-            lo = min(walls)
-            if final:
-                med = published(n)
-                wide = med > 2.0 * lo and med - lo > SPREAD_FLOOR
-                hot = not clean_walls(n)
-            else:
-                # the re-run trigger must be a SUPERSET of the final
-                # criterion: anything that could decide `contaminated`
-                # must first have received its exonerating extra rep
-                # (walls [1.0, 2.5, 2.6] trip median>2x but not
-                # max>3x — without this clause such a query would be
-                # condemned unmeasured).
-                hi = max(walls)
-                med = statistics.median(walls)
-                wide = len(walls) > 1 and (
-                    (hi > SPREAD_RATIO * lo and hi - lo > SPREAD_FLOOR)
-                    or (med > 2.0 * lo and med - lo > SPREAD_FLOOR)
-                )
-                hot = any(v > AMBIENT_CORES for v in amb_per_q[n])
-            if wide or hot:
-                out.append(n)
-        return out
+        return [
+            n
+            for n in names
+            if _is_suspect(per_q[n], amb_per_q[n], final=final)
+        ]
 
     # one-shot quiet re-run of flagged queries (VERDICT r9 #1): an
     # extra rep folds into the median, shrinking a one-off spike's
