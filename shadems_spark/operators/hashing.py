@@ -1,0 +1,39 @@
+"""Overflow-safe deterministic hashing helpers.
+
+The engine's deterministic sampling / splitting / bucketing relies on
+the Knuth multiplicative hash ``(id * 2654435761) % 2**32`` — chosen
+over ``rand()`` / ``xxhash64`` where the DuckDB oracle must replay the
+identical arithmetic.  As a LONG expression that product overflows
+(ANSI: ARITHMETIC_OVERFLOW) once ids reach ~3.47e9 — found live by the
+round-10 x100 events/documents probe (key-shifted ids ~9.9e9), and
+exactly the range of real snowflake-style 64-bit ids in a 100 TB
+corpus.
+
+``knuth32`` computes the product in decimal(38,0) — exact integer
+arithmetic to 1e38, so any 64-bit id is safe — then reduces mod 2**32
+and returns a LONG.  For in-range inputs the value is bit-identical to
+the long form (and to the BIGINT arithmetic the sf0.01 oracles run);
+out-of-range inputs now get the mathematically correct hash instead of
+an error.  Same trade as q_als's decimal sufficient statistics
+(BASELINE.md round 9): exactness and order-freedom first, the decimal
+cost is one map-side projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Knuth's 32-bit multiplicative constant (golden-ratio prime).
+KNUTH32 = 2654435761
+#: 2**32 — the reduction modulus.
+MOD32 = 1 << 32
+
+
+def knuth32(col: Column | str, add: int = 0) -> Column:
+    """``(col * 2654435761 + add) % 2**32`` as a LONG, computed via
+    decimal(38,0) so 64-bit ids cannot overflow.  ``add`` (bounded
+    caller constant) supports the two-index variants."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = (c.cast("decimal(38,0)") * F.lit(KNUTH32) + F.lit(add)) % F.lit(MOD32)
+    return h.cast("long")

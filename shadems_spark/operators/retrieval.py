@@ -23,11 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from shadems_spark.operators.hashing import knuth32
 from shadems_spark.operators.text import words
-
-#: Knuth's 32-bit multiplicative-hash constant (2^32 / phi) — public.
-_KNUTH32 = 2654435761
-_MOD32 = 1 << 32
 
 
 def doc_terms(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
@@ -245,7 +242,10 @@ def stratified_split(
     multiplicative hash of the id mod 100.  Pure per-row arithmetic —
     identical under task retry, re-run, and engine (the oracle mirrors
     the same integer expression); no sampling state, no shuffle."""
-    bucket = (F.col(id_col) * F.lit(_KNUTH32)) % F.lit(_MOD32) % 100
+    # decimal-exact product (operators/hashing.py): the long form
+    # overflows for ids >= ~3.47e9 (snowflake-scale); values identical
+    # in-range, so the integer-mirroring oracles still hash-match
+    bucket = knuth32(id_col) % 100
     return df.withColumn(
         "split",
         F.when(bucket < train_pct, F.lit("train"))

@@ -596,7 +596,9 @@ def pq_train(
             f"choose m from the divisors of d"
         )
     sub = d // m
-    h = (F.col(id_col) * F.lit(2654435761)) % F.lit(1 << 32)
+    from shadems_spark.operators.hashing import knuth32
+
+    h = knuth32(id_col)  # decimal-exact: 64-bit-id safe, same values
     rows = (
         with_unit(emb, vec, "v")
         .select("v", h.alias("h"))

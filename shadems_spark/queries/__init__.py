@@ -361,6 +361,14 @@ _R10_TOUCHED: list[str] = [
     # returned plan is now a checkpoint RDD scan (lineage truncated on
     # return — VERDICT r9 #6, the PLAN_SNAPSHOT exclusion closed)
     "q_dedup_clusters",
+    # Knuth-hash expressions moved onto decimal(38,0) products
+    # (operators/hashing.py — the r10 x100 events/documents probe hit
+    # ARITHMETIC_OVERFLOW on ~9.9e9 shifted ids; values identical
+    # in-range, so these re-earn hash-exact rows on the new plans)
+    "q_weighted_sample", "q_group_sample", "q_token_budget",
+    "q_weighted_reservoir", "q_group_folds", "q_memorization_risk",
+    "q_bayes_ab", "q_split_stratified", "q_pipeline_e2e",
+    "q_split_leakage", "q_oov_rate", "q_pq_topk",
 ]
 
 #: round-10 front (VERDICT r9 #2): pure staleness.  The exact names

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from shadems_spark.catalog import load_table
 from shadems_spark.operators import raster as R
+from shadems_spark.operators.hashing import knuth32
 from shadems_spark.queries import register
 from shadems_spark.queries.core import PRICE_RANGE, TIME_RANGE
 from shadems_spark.sources import read_csv, write_partitioned
@@ -1310,7 +1311,9 @@ def q_bayes_ab(spark, sf_dir):
     ).select(
         "user_id", "conv",
         (c("user_id") % 2).cast("int").alias("arm"),
-        F.pmod(c("user_id") * F.lit(2654435761), F.lit(4294967296)).alias("h"),
+        # decimal-exact Knuth hash (operators/hashing.py — 64-bit-id
+        # safe; pmod == % here: both operands non-negative)
+        knuth32("user_id").alias("h"),
     )
     w = Window.partitionBy("arm").orderBy("h", "user_id")
     pick = u.withColumn("rk", F.row_number().over(w)).filter(

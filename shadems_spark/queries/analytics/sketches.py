@@ -55,11 +55,14 @@ def q_weighted_sample(spark, sf_dir):
     sampling a curation pipeline uses), decided by a multiplicative
     key hash — identical on every run/engine/retry, unlike rand();
     map-side only, no shuffle before the audit agg."""
+    from shadems_spark.operators.hashing import knuth32
+
     docs = load_table(spark, sf_dir, "documents")
     rate = F.least(F.lit(1.0), F.sqrt(F.col("n_chars")) / F.lit(40.0))
-    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1 << 32)) / F.lit(
-        float(1 << 32)
-    )
+    # decimal-exact Knuth hash (operators/hashing.py): the long form
+    # overflowed on the r10 x100 probe's ~9.9e9 shifted doc_ids —
+    # values identical in-range, 64-bit-id safe at corpus scale
+    u = knuth32("doc_id") / F.lit(float(1 << 32))
     return (
         docs.filter(u < rate)
         .groupBy("lang")

@@ -13,6 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from shadems_spark.catalog import load_table
+from shadems_spark.operators.hashing import knuth32
 from shadems_spark.operators.curation import (
     decontaminate,
     gopher_rules,
@@ -252,7 +253,7 @@ def q_group_sample(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(
-        (F.col("event_id") * F.lit(2654435761)) % F.lit(1 << 32), "event_id"
+        knuth32("event_id"), "event_id"
     )
     return (
         ev.withColumn("rk", F.row_number().over(w))
@@ -450,7 +451,7 @@ def q_token_budget(spark, sf_dir):
         "doc_id",
         "lang",
         F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("tokens"),
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1 << 32)).alias("h"),
+        knuth32("doc_id").alias("h"),
     )
     w = Window.partitionBy("lang").orderBy("h", "doc_id").rowsBetween(
         Window.unboundedPreceding, 0
@@ -709,9 +710,7 @@ def q_weighted_reservoir(spark, sf_dir):
     runs, retries, AND engines; ln is libm -> key rounded 10dp, rank
     window on the rounded key (house convention)."""
     docs = load_table(spark, sf_dir, "documents")
-    uni = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1 << 32) + 1) / F.lit(
-        float((1 << 32) + 1)
-    )
+    uni = (knuth32("doc_id") + 1) / F.lit(float((1 << 32) + 1))
     k = docs.select(
         "doc_id", "lang", "n_chars",
         F.round(F.log(uni) / F.col("n_chars"), 10).alias("es_key"),
@@ -1918,8 +1917,7 @@ def q_group_folds(spark, sf_dir):
         s.join(g, "k")
         .select(
             "doc_id", "rep",
-            ((F.col("rep") * 2654435761) % 4294967296 % 5)
-            .cast("int").alias("fold"),
+            (knuth32("rep") % 5).cast("int").alias("fold"),
         )
         .orderBy("doc_id")
     )
@@ -2028,9 +2026,7 @@ def q_memorization_risk(spark, sf_dir):
     from shadems_spark.operators.text import winnow
 
     docs = load_table(spark, sf_dir, "documents")
-    split = F.when(
-        (F.col("doc_id") * 2654435761) % 4294967296 % 100 < 80, "train"
-    ).otherwise("heldout")
+    split = F.when(knuth32("doc_id") % 100 < 80, "train").otherwise("heldout")
     f = (
         winnow(docs.select("doc_id", "text"), "text", k=3, w=4)
         .select("doc_id", F.explode_outer("fps").alias("fp"))
