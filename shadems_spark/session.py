@@ -25,6 +25,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Recursive CTEs: the default 1M-row production cap is a
+    # toy-scale safety valve — any data-sized recursion (the r10 x100
+    # probe: 167k anchor docs x ~11 ancestor levels = 1.8M rows)
+    # trips RECURSION_ROW_LIMIT_EXCEEDED while being perfectly
+    # bounded.  Disable the ROW cap; the LEVEL limit (default 100)
+    # stays and is the correct runaway-loop guard.
+    "spark.sql.cteRecursionRowLimit": "-1",
     # Deterministic timestamp semantics across engines (oracle parity).
     "spark.sql.session.timeZone": "UTC",
     # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
