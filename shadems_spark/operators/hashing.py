@@ -30,10 +30,17 @@ KNUTH32 = 2654435761
 MOD32 = 1 << 32
 
 
-def knuth32(col: Column | str, add: int = 0) -> Column:
-    """``(col * 2654435761 + add) % 2**32`` as a LONG, computed via
-    decimal(38,0) so 64-bit ids cannot overflow.  ``add`` (bounded
-    caller constant) supports the two-index variants."""
+def knuth32(col: Column | str) -> Column:
+    """``pmod(col * 2654435761, 2**32)`` as a LONG, computed via
+    decimal(38,0) so 64-bit ids cannot overflow.  pmod, not ``%``:
+    Spark's ``%`` follows the dividend's sign, so a negative id would
+    yield a NEGATIVE hash that silently lands below every
+    ``bucket < pct`` split threshold — pmod keeps the result in
+    [0, 2**32) for the full signed-64-bit domain.  For non-negative
+    ids the two reductions agree, so in-range values stay
+    bit-identical to the historical long form (pinned in
+    tests/test_hashing.py against Python's arbitrary-precision
+    arithmetic across the overflow bracket)."""
     c = F.col(col) if isinstance(col, str) else col
-    h = (c.cast("decimal(38,0)") * F.lit(KNUTH32) + F.lit(add)) % F.lit(MOD32)
+    h = F.pmod(c.cast("decimal(38,0)") * F.lit(KNUTH32), F.lit(MOD32))
     return h.cast("long")

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from shadems_spark.operators.hashing import knuth32
+
 
 def as_double(arr: Column | str) -> Column:
     c = F.col(arr) if isinstance(arr, str) else arr
@@ -596,8 +598,6 @@ def pq_train(
             f"choose m from the divisors of d"
         )
     sub = d // m
-    from shadems_spark.operators.hashing import knuth32
-
     h = knuth32(id_col)  # decimal-exact: 64-bit-id safe, same values
     rows = (
         with_unit(emb, vec, "v")

@@ -368,7 +368,7 @@ _R10_TOUCHED: list[str] = [
     "q_weighted_sample", "q_group_sample", "q_token_budget",
     "q_weighted_reservoir", "q_group_folds", "q_memorization_risk",
     "q_bayes_ab", "q_split_stratified", "q_pipeline_e2e",
-    "q_split_leakage", "q_oov_rate", "q_pq_topk",
+    "q_split_leakage", "q_oov_rate", "q_pq_topk", "q_ivfpq",
 ]
 
 #: round-10 front (VERDICT r9 #2): pure staleness.  The exact names

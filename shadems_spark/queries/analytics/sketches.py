@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from shadems_spark.catalog import load_table
 from shadems_spark.operators import raster as R
+from shadems_spark.operators.hashing import knuth32
 from shadems_spark.queries import register
 from shadems_spark.queries.core import PRICE_RANGE, TIME_RANGE
 from shadems_spark.sources import read_csv, write_partitioned
@@ -55,8 +56,6 @@ def q_weighted_sample(spark, sf_dir):
     sampling a curation pipeline uses), decided by a multiplicative
     key hash — identical on every run/engine/retry, unlike rand();
     map-side only, no shuffle before the audit agg."""
-    from shadems_spark.operators.hashing import knuth32
-
     docs = load_table(spark, sf_dir, "documents")
     rate = F.least(F.lit(1.0), F.sqrt(F.col("n_chars")) / F.lit(40.0))
     # decimal-exact Knuth hash (operators/hashing.py): the long form

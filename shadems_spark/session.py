@@ -29,9 +29,15 @@ RUNTIME_CONFS: dict[str, str] = {
     # toy-scale safety valve — any data-sized recursion (the r10 x100
     # probe: 167k anchor docs x ~11 ancestor levels = 1.8M rows)
     # trips RECURSION_ROW_LIMIT_EXCEEDED while being perfectly
-    # bounded.  Disable the ROW cap; the LEVEL limit (default 100)
-    # stays and is the correct runaway-loop guard.
-    "spark.sql.cteRecursionRowLimit": "-1",
+    # bounded.  Raise the ROW cap 2000x instead of disabling it: the
+    # LEVEL limit (100) only bounds DEPTH, so a fan-out-b recursive
+    # join would still explode ~b^level rows breadth-wise — a finite
+    # valve fails that cleanly where -1 would run to executor OOM.
+    # 2e9 covers any plausible data-sized bounded walk at this
+    # engine's scale (1e8 entities x ~20 levels); clusters running
+    # larger legitimate closures should use the iterative operators
+    # (operators/graph.py) or override per-session.
+    "spark.sql.cteRecursionRowLimit": "2000000000",
     # Deterministic timestamp semantics across engines (oracle parity).
     "spark.sql.session.timeZone": "UTC",
     # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
