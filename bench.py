@@ -240,8 +240,13 @@ def _cpu_jiffies() -> tuple[int, int]:
     threads."""
     with open("/proc/stat") as fh:
         f = fh.readline().split()
-    # busy = everything except idle (f[4]) and iowait (f[5])
+    # busy = everything except idle (f[4]) and iowait (f[5]); guest
+    # and guest_nice (f[9], f[10]) are ALREADY folded into user/nice
+    # by the kernel, so counting them again would double-bill VM time
+    # and falsely flag quiet reps on a VM host (ADVICE r10)
     busy = sum(int(x) for x in f[1:]) - int(f[4]) - int(f[5])
+    if len(f) > 10:
+        busy -= int(f[9]) + int(f[10])
     me = os.getpid()
     kids: dict[int, list[int]] = {}
     stats: dict[int, int] = {}

@@ -44,3 +44,15 @@ def knuth32(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     h = F.pmod(c.cast("decimal(38,0)") * F.lit(KNUTH32), F.lit(MOD32))
     return h.cast("long")
+
+
+def knuth_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`knuth32`, defined over the FULL signed
+    64-bit domain (ADVICE r10): HUGEINT product — exact, like the
+    decimal(38,0) Spark form — then a positive modulo (pmod).  For
+    the non-negative in-range ids of the sf fixtures the value is
+    bit-identical to the historical raw ``(id * 2654435761) %
+    4294967296`` BIGINT form, so swapping an oracle onto this helper
+    never changes its sf0.01 result."""
+    p = f"(CAST({expr} AS HUGEINT) * {KNUTH32})"
+    return f"CAST(((({p}) % {MOD32}) + {MOD32}) % {MOD32} AS BIGINT)"

@@ -251,6 +251,29 @@ XE_CAP_A = _splitmix64(103) % (XE_IVF_M - 1) + 1
 XE_CAP_B = _splitmix64(104) % XE_IVF_M
 
 
+def xe_affine(col: Column | str) -> Column:
+    """Overflow-safe affine id hash h(id) = (A·(id mod M) + B) mod M —
+    the id is reduced mod M BEFORE the multiply (the XE_CAP pattern,
+    pmod so negative ids stay in range), bounding the product at
+    A·(M−1)+B ≈ 3.1e17, far inside LONG for ANY signed-64-bit id.
+    The raw ``A*id + B`` form overflows once ids reach ~3.0e10 — the
+    same snowflake-id bracket class knuth32 closed in r10.  For ids
+    in [0, M) (every fixture, hence every oracle-checked domain) the
+    value is bit-identical to the raw form."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.lit(XE_IVF_A) * F.pmod(c, F.lit(XE_IVF_M)) + F.lit(XE_IVF_B)
+    ) % F.lit(XE_IVF_M)
+
+
+def xe_affine_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`xe_affine` — same mod-first reduction
+    (double-% for the positive residue), same in-range values as the
+    historical raw form."""
+    m = XE_IVF_M
+    return f"({XE_IVF_A} * ((({expr}) % {m} + {m}) % {m}) + {XE_IVF_B}) % {m}"
+
+
 def sample_centroids(
     emb: DataFrame, k: int = 8, id_col: str = "vec_id", vec: str = "embedding",
     sampler: str = "xx",
@@ -264,11 +287,7 @@ def sample_centroids(
     the affine id hash (ties by id) instead of xxhash64 so the sample
     is DuckDB-replayable."""
     if sampler == "xe":
-        order = [
-            (F.lit(XE_IVF_A) * F.col(id_col) + F.lit(XE_IVF_B))
-            % F.lit(XE_IVF_M),
-            F.col(id_col),
-        ]
+        order = [xe_affine(id_col), F.col(id_col)]
     else:
         order = [F.xxhash64(F.col(id_col))]
     rows = (
@@ -601,8 +620,11 @@ def pq_train(
     h = knuth32(id_col)  # decimal-exact: 64-bit-id safe, same values
     rows = (
         with_unit(emb, vec, "v")
-        .select("v", h.alias("h"))
-        .orderBy("h")
+        .select("v", F.col(id_col).alias("__id"), h.alias("h"))
+        # id tiebreak: a hash collision would otherwise make the
+        # codebook order nondeterministic AND un-replayable by the
+        # DuckDB oracle (same convention as the xe IVF sampler)
+        .orderBy("h", "__id")
         .limit(k)
         .collect()
     )
@@ -645,12 +667,27 @@ def pq_encode(
         x = np.vstack(vecs.map(np.asarray, na_action=None).to_numpy()).astype(
             np.float64
         )
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+        # sequential-fold normalization — ((0 + x0²) + x1²) + … per
+        # row, NOT np.linalg.norm (pairwise summation): the add order
+        # must match the Column-side norm() fold and the DuckDB
+        # oracle's list_reduce so normalized components are
+        # bit-identical across engines (the q_pq_topk/q_ivfpq
+        # hash-exact graduation).  Zero-guard mirrors with_unit.
+        ss = np.zeros(x.shape[0], dtype=np.float64)
+        for i in range(x.shape[1]):
+            ss = ss + x[:, i] * x[:, i]
+        nrm = np.sqrt(ss)
+        x = x / np.where(nrm == 0.0, 1.0, nrm)[:, None]
         codes = np.empty((x.shape[0], m), dtype=np.int32)
         for mi in range(m):
             s = x[:, mi * sub : (mi + 1) * sub]
-            # (batch, k) squared distances; stable argmin = lowest j wins
-            d2 = ((s[:, None, :] - cents[mi][None, :, :]) ** 2).sum(axis=2)
+            # (batch, k) squared distances, accumulated one subspace
+            # dim at a time (same sequential order as the oracle's
+            # explicit term sum); stable argmin = lowest j wins
+            d2 = np.zeros((x.shape[0], cents[mi].shape[0]), dtype=np.float64)
+            for i in range(sub):
+                diff = s[:, i][:, None] - cents[mi][None, :, i]
+                d2 = d2 + diff * diff
             codes[:, mi] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
@@ -802,8 +839,10 @@ def ivfpq_topk(
     passes (assign + encode) share one scan each and the code table is
     persisted across queries.  Composes the existing deterministic
     pieces: sample_centroids/ivf_assign (coarse) + pq_train/pq_encode
-    (fine) — no new sampling or RNG anywhere."""
-    cents = sample_centroids(emb, k=n_cells, id_col=id_col, vec=vec)
+    (fine) — no new sampling or RNG anywhere.  The coarse sample rides
+    the cross-engine affine id hash (sampler="xe", the q_ann_ivf
+    bridge) so the DuckDB oracle replays centroid selection exactly."""
+    cents = sample_centroids(emb, k=n_cells, id_col=id_col, vec=vec, sampler="xe")
     cb = pq_train(emb, vec=vec, id_col=id_col, m=m, k=pq_k)
     sub = len(cb[0][0])
 
@@ -828,13 +867,17 @@ def ivfpq_topk(
         return emb.sparkSession.createDataFrame(
             [], "q_id long, cand_id long, cell int, adc_score double"
         )
-    import numpy as np
+    import math
 
-    cent_m = [np.asarray(c, dtype=np.float64) for c in cents]
-
-    def _probe(qv: "np.ndarray") -> list[int]:
-        # probe cells by centroid cosine (centroids unit-normalized)
-        sims = [float(qv @ (c / np.linalg.norm(c))) for c in cent_m]
+    def _probe(qv) -> list[int]:
+        # probe cells by centroid cosine (centroids unit-normalized);
+        # sequential Python arithmetic — NOT a BLAS dot — so the fold
+        # order matches the DuckDB oracle's list_reduce replay exactly
+        # (ties -> lowest cell, mirroring the SQL ORDER BY)
+        sims = []
+        for c in cents:
+            n = math.sqrt(sum(x * x for x in c)) or 1.0
+            sims.append(sum(q * (x / n) for q, x in zip(qv, c)))
         return sorted(range(len(sims)), key=lambda i: (-sims[i], i))[:n_probe]
 
     use_join = lut_strategy == "join" or (
@@ -846,8 +889,8 @@ def ivfpq_topk(
             [
                 (
                     qr["q_id"],
-                    _adc_luts(np.asarray(qr["qv"], dtype=np.float64), cb),
-                    _probe(np.asarray(qr["qv"], dtype=np.float64)),
+                    _adc_luts(qr["qv"], cb),
+                    _probe(qr["qv"]),
                 )
                 for qr in qrows
             ],
@@ -880,7 +923,7 @@ def ivfpq_topk(
     codes = tracked_persist(code_table, key="ivfpq_codes")
     outs = []
     for qr in qrows:
-        qv = np.asarray(qr["qv"], dtype=np.float64)
+        qv = qr["qv"]
         probe = _probe(qv)
         luts = _adc_luts(qv, cb)
         score = F.lit(0.0)

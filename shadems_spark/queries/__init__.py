@@ -412,15 +412,63 @@ _R10_TIER3 = [
 ]
 
 
+#: round-11 plan/oracle-touched queries (VERDICT r10 #2): the two
+#: rows-only ANN members graduated to hash-exact this round — the
+#: codebook sample gained an id tiebreak, pq_encode's normalization /
+#: distance accumulation moved to sequential folds (bit-identical to
+#: the new DuckDB replay), and ivfpq's coarse sampler moved from
+#: xxhash64 to the cross-engine affine xe family.  Both re-earn
+#: driver rows FIRST, now as full hash-exact entries.  q_ann_ivf /
+#: q_embedding_coverage follow: their xe sampler moved to the
+#: mod-first overflow-safe form (similarity.xe_affine — bit-identical
+#: in-range, LONG-safe for 64-bit ids; plan gains one pmod), so their
+#: plans changed and they re-earn rows on the new form.
+_R11_TOUCHED = ["q_pq_topk", "q_ivfpq", "q_ann_ivf", "q_embedding_coverage"]
+
+#: round-11 front (VERDICT r10 #1): the 18 r01/r02-proven names the
+#: r10 50-sample did not reach (_R10_FRONT[36:], order preserved).
+_R11_FRONT = [
+    "q_map_funcs", "q_merge_upsert", "q_name_template", "q_pandas_udf",
+    "q_quality_score", "q_salted_join", "q_session", "q_sink_roundtrip",
+    "q_skew_split", "q_sliding", "q_sort", "q_stateful_totals",
+    "q_string_funcs", "q_text_stats", "q_token_count", "q_topk",
+    "q_tumbling", "q_two_phase_agg",
+]
+
+#: round-11 staleness tier: _R10_TIER3 minus the two names that
+#: already re-earned fresh rows in r10 (q_dedup_clusters,
+#: q_weighted_sample — both in _R10_TOUCHED), so every sampled slot
+#: drains genuine r03-era staleness.  The 50-sample covers
+#: 2 touched + 18 front + the first 30 here; the ~16-name remainder
+#: is r12's front.
+_R11_TIER3 = [
+    "q_asof_cogroup", "q_binary_ingest", "q_bitmap_distinct",
+    "q_bucketed_join", "q_collation", "q_corr", "q_cosine_topk_blas",
+    "q_curation", "q_domain_mix", "q_dq_audit",
+    "q_entropy", "q_facet_scan", "q_feature_hash", "q_funnel",
+    "q_gap_fill", "q_gopher_rules", "q_grouped_agg_pandas",
+    "q_hll_distinct", "q_hof_funcs", "q_incremental_embedding",
+    "q_label_centroids", "q_lag", "q_latency_bands", "q_multimodal",
+    "q_null_funcs", "q_outliers", "q_pii_scrub", "q_pipe_syntax",
+    "q_pivot", "q_pysource", "q_range_frame", "q_rank", "q_recursive_cte",
+    "q_repetition", "q_retention", "q_scd2", "q_seq_pack", "q_sessionize",
+    "q_ship_priority", "q_stream_dedup", "q_stream_join",
+    "q_union_by_name", "q_unpivot", "q_variant", "q_watermark",
+    "q_window_battery",
+]
+
+
 def _check_order(names: list[str]) -> list[str]:
-    """Driver-check order for round 10 (VERDICT r9 #2): any r10
-    plan-touched names first, then PURE STALENESS — the 54 names whose
-    last driver row dates to r01/r02 (_R10_FRONT, the whole ~50-sample),
-    then the r03 tier.  r9's freshly-drained blocks (_R09_PRIORITY /
-    _R09_TOUCHED) rotate to the very back; the legacy blocks keep the
+    """Driver-check order for round 11 (VERDICT r10 #1): the two
+    oracle-graduated names first, then the 18-name r01/r02 staleness
+    remainder, then the r03 tier — after this round's 50-sample no
+    registered query's newest driver row predates r04.  r10's
+    freshly-drained blocks (_R10_TOUCHED / _R10_FRONT) rotate to the
+    very back; the legacy blocks keep the
     mid-order roughly staleness-sorted."""
     known = (
-        set(_R10_TOUCHED) | set(_R10_FRONT) | set(_R10_TIER3)
+        set(_R11_TOUCHED) | set(_R11_FRONT) | set(_R11_TIER3)
+        | set(_R10_TOUCHED) | set(_R10_FRONT) | set(_R10_TIER3)
         | set(_R09_PRIORITY) | set(_R09_TOUCHED)
         | set(_NEVER_CHECKED_R7) | set(_ORACLE_GRADUATED)
         | set(_R08_TOUCHED) | set(_NEW_R8_SESSION)
@@ -433,7 +481,7 @@ def _check_order(names: list[str]) -> list[str]:
     )
     new = [n for n in names if n not in known]
     blocks = [
-        _R10_TOUCHED, _R10_FRONT, _R10_TIER3, new,
+        _R11_TOUCHED, _R11_FRONT, _R11_TIER3, new,
         _R04_TOUCHED, _NEVER_CHECKED_R3,
         _R05_FRONT, _NEW_R6_SESSION, _NEVER_CHECKED_R5, _R06_TOUCHED,
         _NEW_R7_SESSION, _R07_TOUCHED, _NEVER_CHECKED_R6,
@@ -442,6 +490,7 @@ def _check_order(names: list[str]) -> list[str]:
         _DEFERRED, _R02_PRIORITY, _R02_RED, _R23_DRIVER_GREEN,
         _R01_DRIVER_GREEN,
         _R09_PRIORITY, _R09_TOUCHED,
+        _R10_TOUCHED, _R10_FRONT, _R10_TIER3,
     ]
     seen: set[str] = set()
     ordered: list[str] = []

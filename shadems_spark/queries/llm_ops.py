@@ -600,7 +600,6 @@ def _ivf_xe_sql(k: int = 5, n_cells: int = 8, n_probe: int = 2) -> str:
     cell probing and the final per-query rank — every float op
     mirrors the Spark fold element-for-element, so even the UNROUNDED
     argmax comparisons see bit-identical IEEE sums."""
-    A, B, M = SIM.XE_IVF_A, SIM.XE_IVF_B, SIM.XE_IVF_M
 
     def dotf(a: str, b: str) -> str:
         return (
@@ -615,7 +614,7 @@ def _ivf_xe_sql(k: int = 5, n_cells: int = 8, n_probe: int = 2) -> str:
             f"list_transform({a}, t -> t * t)), (s, x) -> s + x))"
         )
 
-    hk = f"({A} * vec_id + {B}) % {M}"
+    hk = SIM.xe_affine_sql("vec_id")  # mod-first: 64-bit-id safe
     return f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
                FROM embeddings),
@@ -659,8 +658,9 @@ def q_ann_ivf(spark, sf_dir):
     collection.  The coarse sample rides the cross-engine affine id
     hash (similarity.XE_IVF_*), so the DuckDB oracle replays centroid
     choice, assignment, probing and ranking exactly — graduated from
-    rows-only to hash-exact in r6 (VERDICT r5 #6); xxhash64 sampling
-    stays the default for non-oracled callers (q_ivfpq)."""
+    rows-only to hash-exact in r6 (VERDICT r5 #6); q_ivfpq crossed
+    the same bridge in r11, so every oracled ANN caller now rides the
+    xe sampler (xxhash64 remains the default for ad-hoc use)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
     return SIM.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2, sampler="xe")
@@ -2951,7 +2951,6 @@ def _coverage_xe_sql(n_cells: int = 8) -> str:
     centroids (same affine-hash rows Spark collects), the same
     sequential-fold unit normalization and exact argmax assignment as
     _ivf_xe_sql, then per-cell train/val occupancy."""
-    A, B, M = SIM.XE_IVF_A, SIM.XE_IVF_B, SIM.XE_IVF_M
 
     def dotf(a: str, b: str) -> str:
         return (
@@ -2966,7 +2965,7 @@ def _coverage_xe_sql(n_cells: int = 8) -> str:
             f"list_transform({a}, t -> t * t)), (s, x) -> s + x))"
         )
 
-    hk = f"({A} * vec_id + {B}) % {M}"
+    hk = SIM.xe_affine_sql("vec_id")  # mod-first: 64-bit-id safe
     return f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
                FROM embeddings),

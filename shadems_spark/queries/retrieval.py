@@ -531,14 +531,174 @@ def q_pca(spark, sf_dir):
     return pca_project(emb, mean, comp)
 
 
-@register("q_pq_topk", sql=None)  # codebook fit + ADC: no SQL form
+def _xe_dotf(a: str, b: str) -> str:
+    """Sequential-fold dot product — same add order as the Spark
+    ``F.aggregate`` fold and driver-side Python ``sum``."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), z -> z[1] * z[2])), "
+        f"(s, x) -> s + x)"
+    )
+
+
+def _xe_normf(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, t -> t * t)), (s, x) -> s + x))"
+    )
+
+
+def _pq_cte_block(d: int, m: int, k_cent: int, query_mod: int) -> str:
+    """Shared PQ CTEs (unit-normalize -> knuth-sampled codebook ->
+    per-subspace argmin codes -> unit queries): the fit+encode half of
+    both the q_pq_topk and q_ivfpq oracles.  Every float op mirrors
+    the engine fold-for-fold — with_unit's guarded norm, pq_train's
+    (knuth32, id)-ordered sample, pq_encode's sequential
+    squared-distance accumulation with lowest-j tie wins."""
+    from shadems_spark.operators.hashing import knuth_sql
+
+    sub = d // m
+    hk = knuth_sql("vec_id")
+    d2 = " + ".join(
+        f"((un.u[{sub} * t.mi + {i + 1}] - cb.u[{sub} * t.mi + {i + 1}]) * "
+        f"(un.u[{sub} * t.mi + {i + 1}] - cb.u[{sub} * t.mi + {i + 1}]))"
+        for i in range(sub)
+    )
+    return f"""
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    un AS MATERIALIZED (
+        SELECT vec_id, list_transform(v, x -> x / nz) AS u
+        FROM (SELECT vec_id, v,
+                     CASE WHEN {_xe_normf("v")} = 0 THEN 1.0
+                          ELSE {_xe_normf("v")} END AS nz
+              FROM e)),
+    cb AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS INT) AS j, u
+        FROM (SELECT vec_id, u, {hk} AS hk FROM un ORDER BY hk, vec_id
+              LIMIT {k_cent})),
+    codes AS MATERIALIZED (
+        SELECT vec_id, mi, code FROM (
+            SELECT un.vec_id, CAST(t.mi AS INT) AS mi, cb.j AS code,
+                   row_number() OVER (PARTITION BY un.vec_id, t.mi
+                                      ORDER BY {d2}, cb.j) AS rn
+            FROM un, unnest(range({m})) t(mi), cb
+        ) WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, u AS qu FROM un
+          WHERE vec_id % {query_mod} = 0)"""
+
+
+def _pq_lut_term(d: int, m: int) -> str:
+    """ADC term for subspace ``cd.mi``: <query subvector, codebook
+    centroid subvector> — explicit per-dim sum, matching _adc_luts'
+    sequential Python ``sum``."""
+    sub = d // m
+    return " + ".join(
+        f"(q.qu[{sub} * cd.mi + {i + 1}] * cb.u[{sub} * cd.mi + {i + 1}])"
+        for i in range(sub)
+    )
+
+
+def _pq_xe_sql(
+    d: int = 64, m: int = 32, k_cent: int = 16, k: int = 3,
+    query_mod: int = 100,
+) -> str:
+    """DuckDB replay of the ENTIRE PQ path — codebook fit (the
+    (knuth32, id)-lowest sample of unit vectors), per-subspace
+    argmin encode, per-query ADC lookup-table scoring (sequential
+    fold over the m picked terms, exactly F.lit(0.0) + t0 + ... +
+    t{m-1}) and the final top-k by (score desc, cand_id).  The r6
+    LSH/IVF sampler-replay bridge applied to the last non-oracled ANN
+    family (VERDICT r10 #2)."""
+    return f"""
+    WITH {_pq_cte_block(d, m, k_cent, query_mod)},
+    terms AS (
+        SELECT q.q_id, cd.vec_id AS cand_id, cd.mi,
+               ({_pq_lut_term(d, m)}) AS t
+        FROM codes cd JOIN cb ON cb.j = cd.code, q
+        WHERE cd.vec_id != q.q_id),
+    sc AS (
+        SELECT q_id, cand_id,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(t ORDER BY mi)), (s, x) -> s + x), 6) AS adc_score
+        FROM terms GROUP BY q_id, cand_id)
+    SELECT q_id, cand_id, adc_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc_score DESC, cand_id) AS rk
+        FROM sc) WHERE rk <= {k}
+    """
+
+
+def _ivfpq_xe_sql(
+    d: int = 64, m: int = 32, k_cent: int = 16, k: int = 3,
+    n_cells: int = 8, n_probe: int = 2, query_mod: int = 100,
+) -> str:
+    """DuckDB replay of the composed IVFADC index: the PQ block
+    (_pq_cte_block) plus the affine-xe coarse sample, unit-centroid
+    argmax assignment (ties -> lowest cell, ivf_assign's struct-sort
+    order), per-query top-n_probe cells (ties -> lowest cell,
+    _probe's (-sim, i) sort key) and ADC scoring restricted to the
+    probed slice."""
+    from shadems_spark.operators.similarity import xe_affine_sql
+
+    xk = xe_affine_sql("vec_id")
+    return f"""
+    WITH {_pq_cte_block(d, m, k_cent, query_mod)},
+    cu AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY xk, vec_id) - 1 AS INT)
+                   AS cell,
+               list_transform(v, x -> x / nz) AS cv
+        FROM (SELECT vec_id, v, {xk} AS xk,
+                     CASE WHEN {_xe_normf("v")} = 0 THEN 1.0
+                          ELSE {_xe_normf("v")} END AS nz
+              FROM e ORDER BY xk, vec_id LIMIT {n_cells})),
+    asg AS MATERIALIZED (
+        SELECT vec_id AS cand_id, cell FROM (
+            SELECT e.vec_id, cu.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_xe_dotf("e.v", "cu.cv")} DESC,
+                                               cu.cell) AS rn
+            FROM e, cu) WHERE rn = 1),
+    pr AS (
+        SELECT q_id, cell FROM (
+            SELECT q.q_id, cu.cell,
+                   row_number() OVER (PARTITION BY q.q_id
+                                      ORDER BY {_xe_dotf("q.qu", "cu.cv")} DESC,
+                                               cu.cell) AS rn
+            FROM q, cu) WHERE rn <= {n_probe}),
+    terms AS (
+        SELECT q.q_id, cd.vec_id AS cand_id, a.cell, cd.mi,
+               ({_pq_lut_term(d, m)}) AS t
+        FROM codes cd JOIN cb ON cb.j = cd.code
+             JOIN asg a ON a.cand_id = cd.vec_id
+             JOIN q ON cd.vec_id != q.q_id
+             JOIN pr ON pr.q_id = q.q_id AND pr.cell = a.cell),
+    sc AS (
+        SELECT q_id, cand_id, cell,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(t ORDER BY mi)), (s, x) -> s + x), 6) AS adc_score
+        FROM terms GROUP BY q_id, cand_id, cell)
+    SELECT q_id, cand_id, cell, adc_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc_score DESC, cand_id) AS rk
+        FROM sc) WHERE rk <= {k}
+    """
+
+
+@register("q_pq_topk", sql=_pq_xe_sql())
 def q_pq_topk(spark, sf_dir):
     """Product-quantization ANN: deterministic codebooks (m=32 two-dim
     subspaces x k=16 centroids), vectors encoded to 32 int codes (16x
     storage/shuffle compression vs 64 float64s), queries scored by
     asymmetric distance through literal lookup tables over the
     persisted code table.  Recall@5 0.68 vs exact cosine at sf0.01
-    (BASELINE.md), floor pinned in tests/test_retrieval.py."""
+    (BASELINE.md), floor pinned in tests/test_retrieval.py.
+
+    Hash-exact since r11 (VERDICT r10 #2, the r6 LSH/IVF sampler
+    bridge): the codebook is the (knuth32, id)-lowest sample, encode
+    accumulates norms/distances in the same sequential fold order as
+    the oracle's list_reduce, and _pq_xe_sql replays fit + encode +
+    ADC end-to-end in DuckDB."""
     from shadems_spark.operators.similarity import pq_topk, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -546,13 +706,19 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(emb, cb, k=3)
 
 
-@register("q_ivfpq", sql=None)  # composed index fit: no SQL form
+@register("q_ivfpq", sql=_ivfpq_xe_sql())
 def q_ivfpq(spark, sf_dir):
     """IVF+PQ (IVFADC) composed index: coarse cells route the scan,
     PQ codes compress the payload, asymmetric-distance LUTs score only
     the probed slice — the standard billion-vector ANN layout, built
     from the repo's deterministic IVF and PQ pieces.  Recall vs exact
-    cosine pinned in tests/test_retrieval.py."""
+    cosine pinned in tests/test_retrieval.py.
+
+    Hash-exact since r11 (VERDICT r10 #2): the coarse sampler moved
+    from xxhash64 to the affine xe family (the q_ann_ivf bridge), the
+    probe ranking runs sequential Python folds instead of BLAS dots,
+    and _ivfpq_xe_sql replays coarse fit + assignment + probing + PQ
+    fit/encode + ADC end-to-end in DuckDB."""
     from shadems_spark.operators.similarity import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -47,6 +47,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from shadems_spark.catalog import TABLES, load_table  # noqa: E402
+from shadems_spark.operators import OperatorRefusal  # noqa: E402
 from shadems_spark.queries import load_registry  # noqa: E402
 from shadems_spark.session import get_spark  # noqa: E402
 
@@ -461,6 +462,43 @@ PROBE_JOINS = [
     "q_ship_priority",
 ]
 
+#: round-11 ANN/retrieval probe (--annx; VERDICT r10 #3): the one
+#: family still on x10-only evidence.  Embeddings-only xN, ROTATED
+#: copies (the r5 protocol — cyclic shift keeps norms/distribution,
+#: decorrelates copies).  Expectations: q_cosine_topk / q_ann_recall
+#: scan |Q|x|C| pairs with |Q| fixed at 3, so wall grows ~linearly;
+#: lsh/ivf candidate sets grow ~linearly (buckets/cells grow with the
+#: collection, query count fixed) — ann_candidates() records the
+#: actual pair counts so scan-bounded vs output-driven growth is
+#: separable in the artifact; q_quantize_topk's query set is defined
+#: as vec_id%100==0, so its WORKLOAD grows ~N² by definition — above
+#: ANN_PAIR_BUDGET the probe records that analytically instead of
+#: burning hours proving arithmetic scales quadratically.
+PROBE_ANN = [
+    "q_cosine_topk",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_quantize_topk",
+    "q_pq_topk",
+    "q_ivfpq",
+    "q_ann_recall",
+]
+
+#: scored-pair ceiling for the annx probe's workload-bound members
+#: (the vec_id%100==0-query family, whose |Q| grows with N).  Scored
+#: pairs per member: quantize/pq = |Q|·(|C|-1) raw scans; ivfpq =
+#: |Q|·|C|·(n_probe/n_cells) — the cell routing's 4x cut is visible
+#: in which members survive which N.
+ANN_PAIR_BUDGET = 100_000_000
+
+#: scored-pair estimators for the workload-bound annx members, given
+#: (n_queries, n_rows).
+ANN_WORKLOAD_PAIRS = {
+    "q_quantize_topk": lambda nq, nc: nq * (nc - 1),
+    "q_pq_topk": lambda nq, nc: nq * (nc - 1),
+    "q_ivfpq": lambda nq, nc: nq * nc // 4,
+}
+
 #: key shift per copy — far above any real key at these scale factors.
 SHIFT = 100_000_000
 
@@ -530,6 +568,78 @@ def build_scaled(
         out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
+def ann_candidates(spark, sf_dir: str) -> dict:
+    """Candidate-pair counts for the ANN family (VERDICT r10 #3): how
+    many (query, candidate) pairs each index actually scores — the
+    number that separates scan-bounded growth (lsh/ivf: candidates
+    grow ~linearly because buckets/cells grow with the collection
+    while |Q| stays 3) from workload-driven growth (brute/quantize:
+    |Q|x|C| by definition).  Mirrors each query's exact construction:
+    lsh_topk's 6x4 hyperplane tables, ivf_topk's xe sample + top-2
+    probe."""
+    from shadems_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_rows = emb.count()
+    dim = SIM.embedding_dim(emb)
+    out = {"rows": n_rows}
+    base = emb.select(
+        F.col("vec_id").alias("cand_id"), SIM.as_double("embedding").alias("v")
+    )
+    qb = (
+        emb.filter(F.col("vec_id").isin(0, 1, 2))
+        .select(F.col("vec_id").alias("q_id"), SIM.as_double("embedding").alias("qv"))
+    )
+    out["cosine_pairs"] = 3 * (n_rows - 1)
+    nq = emb.filter(F.col("vec_id") % 100 == 0).count()
+    out["quantize_queries"] = nq
+    out["quantize_pairs"] = nq * (n_rows - 1)
+    parts = []
+    for t in range(6):
+        cb = base.select(
+            "cand_id",
+            SIM.hyperplane_bucket(F.col("v"), 4, dim, seed=t * 4).alias("b"),
+        )
+        qq = qb.select(
+            "q_id",
+            SIM.hyperplane_bucket(F.col("qv"), 4, dim, seed=t * 4).alias("b"),
+        )
+        parts.append(
+            cb.join(F.broadcast(qq), "b")
+            .filter(F.col("cand_id") != F.col("q_id"))
+            .select("q_id", "cand_id")
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    out["lsh_pairs_scored"] = allp.count()
+    out["lsh_pairs_distinct"] = allp.distinct().count()
+    cents = SIM.sample_centroids(emb, k=8, sampler="xe")
+    assigned = SIM.ivf_assign(base, cents, vec="v").select("cand_id", "cell")
+    probe_cols = [
+        F.struct(
+            SIM.cosine(F.col("qv"), F.array(*[F.lit(float(x)) for x in c])).alias(
+                "cos"
+            ),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    probes = (
+        qb.withColumn(
+            "__p",
+            F.explode(F.slice(F.reverse(F.array_sort(F.array(*probe_cols))), 1, 2)),
+        )
+        .select("q_id", F.col("__p.cell").alias("cell"))
+    )
+    out["ivf_pairs"] = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("cand_id") != F.col("q_id"))
+        .count()
+    )
+    return out
+
+
 def _join_evidence(df) -> dict:
     """Walk the AQE-FINAL executed plan: join-strategy node counts +
     total spill (VERDICT r9 #4).  Requires the frame to have been
@@ -551,6 +661,15 @@ def _join_evidence(df) -> dict:
             acc["smj"] += 1
         elif name.startswith("ShuffledHashJoin"):
             acc["shj"] += 1
+        # joins/spill inside scalar or dynamic-pruning subqueries
+        # would otherwise be invisible to the walk (ADVICE r10);
+        # ReusedSubqueryExec wraps an already-walked subquery — skip
+        # it or its metrics double-count
+        sq = node.subqueries()
+        for i in range(sq.size()):
+            s = sq.apply(i)
+            if not s.getClass().getSimpleName().startswith("ReusedSubquery"):
+                walk(s)
         if name == "AdaptiveSparkPlanExec":
             walk(node.executedPlan())
         elif name.endswith("QueryStageExec"):
@@ -585,14 +704,14 @@ def run_probe(
             else:
                 rows = df.count()
                 out[name] = {"sec": round(time.time() - t0, 3), "rows": rows}
-        except ValueError as e:
+        except OperatorRefusal as e:
             # a deliberate operator refusal (e.g. salted_join's
             # replicated-dim budget at xN) IS the scale result —
             # record it instead of killing the probe (r10: the x100
             # joins probe is exactly where such guards fire).  ONLY
-            # the joins mode tolerates this: everywhere else a
-            # ValueError is a regression the probe must fail loudly
-            # on, not archive as an expected refusal.
+            # the typed refusal in joins mode is tolerated: any other
+            # ValueError (bad arg, shape mismatch) is a regression
+            # the probe must fail loudly on (ADVICE r10).
             if not join_detail:
                 raise
             out[name] = {"sec": None, "rows": None, "err": str(e)[:200]}
@@ -629,6 +748,7 @@ def main() -> None:
     raster = "--raster" in sys.argv
     round9 = "--round9" in sys.argv
     joins = "--joins" in sys.argv
+    annx = "--annx" in sys.argv
     docs_only = dedup or retrieval
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 10
@@ -641,7 +761,7 @@ def main() -> None:
         else "_r6b3" if r6b3 else "_r6b4" if r6b4
         else "_r7" if round7 else "_r8" if round8
         else "_raster" if raster else "_r9" if round9
-        else "_joins" if joins else ""
+        else "_joins" if joins else "_annx" if annx else ""
     )
     scaled = os.path.join(repo, ".scratch", f"sfx{n}" + suffix)
 
@@ -663,6 +783,7 @@ def main() -> None:
         else PROBE_RASTER if raster
         else PROBE_R9 if round9
         else PROBE_JOINS if joins
+        else PROBE_ANN if annx
         else PROBE
     )
     names = [q for q in probe_set if q in registry]
@@ -700,6 +821,7 @@ def main() -> None:
                 else ["lineitem"] if raster
                 else ["lineitem", "orders"] if joins
                 else ["documents", "events", "embeddings"] if round9
+                else ["embeddings"] if annx
                 else [
                     "documents", "embeddings", "events", "orders", "lineitem"
                 ]
@@ -709,14 +831,44 @@ def main() -> None:
             mutate_docs=docs_only or round3 or r4x100 or round5 or r5stats
             or round8 or round9
             or r6b3 or r6b4,
-            mutate_embeddings=r4x100 or round5 or r5stats or r6b3 or r6b4,
+            mutate_embeddings=r4x100 or round5 or r5stats or r6b3 or r6b4
+            or annx,
         )
     build_s = round(time.time() - t0, 1)
 
+    scaled_names = names
+    skipped: dict[str, str] = {}
+    cand_evidence = None
+    if annx:
+        cand_evidence = {
+            "base": ann_candidates(spark, base),
+            "xN": ann_candidates(spark, scaled),
+        }
+        nq = cand_evidence["xN"]["quantize_queries"]
+        nc = cand_evidence["xN"]["rows"]
+        for q, est in ANN_WORKLOAD_PAIRS.items():
+            pairs = est(nq, nc)
+            if pairs > ANN_PAIR_BUDGET and q in scaled_names:
+                scaled_names = [x for x in scaled_names if x != q]
+                skipped[q] = (
+                    "workload-bound: query set is vec_id%100==0 by "
+                    f"contract, so ~{pairs:.2e} scored pairs at x{n} "
+                    f"(|Q|={nq} x |C|={nc}) — the workload grows ~N^2 by "
+                    "DEFINITION (query count scales with the collection, "
+                    "not an engine bottleneck); see the smaller-N "
+                    "measurement"
+                )
+                print(
+                    f"{q}: SKIPPED at x{n} — {pairs:.2e} scored pairs "
+                    "(workload-bound)", file=sys.stderr,
+                )
+
     base_r = run_probe(spark, registry, base, names, warm, join_detail=joins)
     scaled_r = run_probe(
-        spark, registry, scaled, names, warm, join_detail=joins
+        spark, registry, scaled, scaled_names, warm, join_detail=joins
     )
+    for q, why in skipped.items():
+        scaled_r[q] = {"sec": None, "rows": None, "err": why}
     if r4x100:
         # semdedup under its k-rule: base k=8, scaled k=8*N (n/k fixed)
         base_r["q_semdedup_krule"] = probe_semdedup(spark, base, 8)
@@ -769,12 +921,14 @@ def main() -> None:
                     else "scale_probe_r5" if round5
                     else "scale_probe_r5stats" if r5stats
                     else "scale_probe_joins" if joins
+                    else "scale_probe_annx" if annx
                     else "scale_probe"
                 ),
                 "n": n,
                 "base": base,
                 "build_sec": build_s,
                 "queries": report,
+                **({"candidates": cand_evidence} if cand_evidence else {}),
             }
         )
     )
