@@ -251,27 +251,52 @@ XE_CAP_A = _splitmix64(103) % (XE_IVF_M - 1) + 1
 XE_CAP_B = _splitmix64(104) % XE_IVF_M
 
 
-def xe_affine(col: Column | str) -> Column:
-    """Overflow-safe affine id hash h(id) = (A·(id mod M) + B) mod M —
-    the id is reduced mod M BEFORE the multiply (the XE_CAP pattern,
-    pmod so negative ids stay in range), bounding the product at
-    A·(M−1)+B ≈ 3.1e17, far inside LONG for ANY signed-64-bit id.
-    The raw ``A*id + B`` form overflows once ids reach ~3.0e10 — the
-    same snowflake-id bracket class knuth32 closed in r10.  For ids
-    in [0, M) (every fixture, hence every oracle-checked domain) the
-    value is bit-identical to the raw form."""
+def xe_affine(col: Column | str, a: int = XE_IVF_A, b: int = XE_IVF_B) -> Column:
+    """Overflow-safe affine id hash h(id) = (a·(id mod M) + b) mod M —
+    the id is reduced mod M BEFORE the multiply (pmod so negative ids
+    stay in range), bounding the product at a·(M−1)+b ≈ 3.1e17, far
+    inside LONG for ANY signed-64-bit id.  The raw ``a*id + b`` form
+    overflows once ids reach ~3.0e10 — the same snowflake-id bracket
+    class knuth32 closed in r10.  For ids in [0, M) (every fixture,
+    hence every oracle-checked domain) the value is bit-identical to
+    the raw form.  Defaults are the IVF sampler constants; pass
+    (XE_CAP_A, XE_CAP_B) for the block-cap family — ONE tested
+    implementation for every xe-affine site."""
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.lit(XE_IVF_A) * F.pmod(c, F.lit(XE_IVF_M)) + F.lit(XE_IVF_B)
-    ) % F.lit(XE_IVF_M)
+    return (F.lit(a) * F.pmod(c, F.lit(XE_IVF_M)) + F.lit(b)) % F.lit(XE_IVF_M)
 
 
-def xe_affine_sql(expr: str) -> str:
+def xe_affine_sql(expr: str, a: int = XE_IVF_A, b: int = XE_IVF_B) -> str:
     """DuckDB mirror of :func:`xe_affine` — same mod-first reduction
     (double-% for the positive residue), same in-range values as the
-    historical raw form."""
+    historical raw form.  The BIGINT cast guards the product when
+    ``expr`` is a narrower integer type."""
     m = XE_IVF_M
-    return f"({XE_IVF_A} * ((({expr}) % {m} + {m}) % {m}) + {XE_IVF_B}) % {m}"
+    return (
+        f"(CAST({a} AS BIGINT) * ((({expr}) % {m} + {m}) % {m}) + {b}) % {m}"
+    )
+
+
+def xe_dot_sql(a: str, b: str) -> str:
+    """DuckDB sequential-fold dot product — the SAME add order as the
+    Spark ``F.aggregate`` fold and driver-side Python ``sum``, so both
+    engines see bit-identical IEEE sums.  One definition for every
+    hash-exact oracle that replays a dot product (IVF, IVFPQ, PQ,
+    coverage)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), z -> z[1] * z[2])), "
+        f"(s, x) -> s + x)"
+    )
+
+
+def xe_norm_sql(a: str) -> str:
+    """DuckDB sequential-fold L2 norm — mirrors :func:`norm`'s
+    ``s + x*x`` fold element-for-element."""
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, t -> t * t)), (s, x) -> s + x))"
+    )
 
 
 def sample_centroids(
@@ -437,18 +462,13 @@ def embedding_near_dup(
     if node_cap is not None:
         from pyspark.sql import Window
 
-        # reduce the id mod M BEFORE the multiply: A * id overflows
-        # int64 once ids reach ~9.2e9 (Spark wraps silently while
-        # DuckDB errors on BIGINT overflow — ADVICE r7).  A*(id mod M)
-        # mod M == A*id mod M, so every non-overflowing hash value is
-        # unchanged; the product now stays < ~1e18 for ANY id.
+        # xe_affine with the cap constants: mod-first reduction keeps
+        # the product < ~1e18 for ANY id (Spark wraps silently while
+        # DuckDB errors on BIGINT overflow — ADVICE r7), every
+        # non-overflowing hash value unchanged.
         rk = F.row_number().over(
             Window.partitionBy("bkt", "hp").orderBy(
-                (
-                    F.lit(XE_CAP_A) * F.pmod(F.col("id"), F.lit(XE_IVF_M))
-                    + F.lit(XE_CAP_B)
-                )
-                % F.lit(XE_IVF_M),
+                xe_affine("id", XE_CAP_A, XE_CAP_B),
                 F.col("id"),
             )
         )

@@ -459,10 +459,12 @@ _R11_TIER3 = [
 
 
 def _check_order(names: list[str]) -> list[str]:
-    """Driver-check order for round 11 (VERDICT r10 #1): the two
-    oracle-graduated names first, then the 18-name r01/r02 staleness
-    remainder, then the r03 tier — after this round's 50-sample no
-    registered query's newest driver row predates r04.  r10's
+    """Driver-check order for round 11 (VERDICT r10 #1): the
+    oracle-graduated/plan-touched names first, then the 18-name
+    r01/r02 staleness remainder, then the r03 tier.  The 50-sample
+    reaches ~the first 30 of _R11_TIER3's 46 names — the ~16-name
+    remainder (q_range_frame .. q_window_battery) stays r03-stale
+    and MUST be r12's front.  r10's
     freshly-drained blocks (_R10_TOUCHED / _R10_FRONT) rotate to the
     very back; the legacy blocks keep the
     mid-order roughly staleness-sorted."""

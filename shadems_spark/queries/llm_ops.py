@@ -601,18 +601,7 @@ def _ivf_xe_sql(k: int = 5, n_cells: int = 8, n_probe: int = 2) -> str:
     mirrors the Spark fold element-for-element, so even the UNROUNDED
     argmax comparisons see bit-identical IEEE sums."""
 
-    def dotf(a: str, b: str) -> str:
-        return (
-            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform(list_zip({a}, {b}), z -> z[1] * z[2])), "
-            f"(s, x) -> s + x)"
-        )
-
-    def normf(a: str) -> str:
-        return (
-            f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform({a}, t -> t * t)), (s, x) -> s + x))"
-        )
+    dotf, normf = SIM.xe_dot_sql, SIM.xe_norm_sql
 
     hk = SIM.xe_affine_sql("vec_id")  # mod-first: 64-bit-id safe
     return f"""
@@ -1442,10 +1431,8 @@ _CAPPED_NODES_CTE = f"""
     h AS (SELECT vec_id, label, v, hp FROM (
             SELECT h0.*, row_number() OVER (
                 PARTITION BY label, hp
-                ORDER BY (CAST({SIM.XE_CAP_A} AS BIGINT)
-                          * (((vec_id % {SIM.XE_IVF_M}) + {SIM.XE_IVF_M})
-                             % {SIM.XE_IVF_M})
-                          + {SIM.XE_CAP_B}) % {SIM.XE_IVF_M}, vec_id) AS rn
+                ORDER BY {SIM.xe_affine_sql("vec_id", SIM.XE_CAP_A,
+                                          SIM.XE_CAP_B)}, vec_id) AS rn
             FROM h0)
           WHERE rn <= {_NODE_CAP})"""
 
@@ -2952,18 +2939,7 @@ def _coverage_xe_sql(n_cells: int = 8) -> str:
     sequential-fold unit normalization and exact argmax assignment as
     _ivf_xe_sql, then per-cell train/val occupancy."""
 
-    def dotf(a: str, b: str) -> str:
-        return (
-            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform(list_zip({a}, {b}), z -> z[1] * z[2])), "
-            f"(s, x) -> s + x)"
-        )
-
-    def normf(a: str) -> str:
-        return (
-            f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform({a}, t -> t * t)), (s, x) -> s + x))"
-        )
+    dotf, normf = SIM.xe_dot_sql, SIM.xe_norm_sql
 
     hk = SIM.xe_affine_sql("vec_id")  # mod-first: 64-bit-id safe
     return f"""

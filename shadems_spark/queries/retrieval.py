@@ -531,21 +531,12 @@ def q_pca(spark, sf_dir):
     return pca_project(emb, mean, comp)
 
 
-def _xe_dotf(a: str, b: str) -> str:
-    """Sequential-fold dot product — same add order as the Spark
-    ``F.aggregate`` fold and driver-side Python ``sum``."""
-    return (
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(list_zip({a}, {b}), z -> z[1] * z[2])), "
-        f"(s, x) -> s + x)"
-    )
-
-
-def _xe_normf(a: str) -> str:
-    return (
-        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform({a}, t -> t * t)), (s, x) -> s + x))"
-    )
+# shared bit-exactness-critical fold helpers (ONE definition,
+# operators/similarity.py — the same strings every xe oracle replays)
+from shadems_spark.operators.similarity import (  # noqa: E402
+    xe_dot_sql as _xe_dotf,
+    xe_norm_sql as _xe_normf,
+)
 
 
 def _pq_cte_block(d: int, m: int, k_cent: int, query_mod: int) -> str:
@@ -647,11 +638,9 @@ def _ivfpq_xe_sql(
     cu AS MATERIALIZED (
         SELECT CAST(row_number() OVER (ORDER BY xk, vec_id) - 1 AS INT)
                    AS cell,
-               list_transform(v, x -> x / nz) AS cv
-        FROM (SELECT vec_id, v, {xk} AS xk,
-                     CASE WHEN {_xe_normf("v")} = 0 THEN 1.0
-                          ELSE {_xe_normf("v")} END AS nz
-              FROM e ORDER BY xk, vec_id LIMIT {n_cells})),
+               u AS cv
+        FROM (SELECT vec_id, u, {xk} AS xk
+              FROM un ORDER BY xk, vec_id LIMIT {n_cells})),
     asg AS MATERIALIZED (
         SELECT vec_id AS cand_id, cell FROM (
             SELECT e.vec_id, cu.cell,

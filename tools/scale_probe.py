@@ -491,12 +491,24 @@ PROBE_ANN = [
 #: in which members survive which N.
 ANN_PAIR_BUDGET = 100_000_000
 
+def _ivfpq_pairs(nq: int, nc: int) -> int:
+    """Derive ivfpq's scored-pair estimate from ivfpq_topk's OWN
+    n_probe/n_cells defaults, so the budget decision cannot silently
+    drift from the operator's routing ratio."""
+    import inspect
+
+    from shadems_spark.operators.similarity import ivfpq_topk
+
+    p = inspect.signature(ivfpq_topk).parameters
+    return nq * nc * p["n_probe"].default // p["n_cells"].default
+
+
 #: scored-pair estimators for the workload-bound annx members, given
 #: (n_queries, n_rows).
 ANN_WORKLOAD_PAIRS = {
     "q_quantize_topk": lambda nq, nc: nq * (nc - 1),
     "q_pq_topk": lambda nq, nc: nq * (nc - 1),
-    "q_ivfpq": lambda nq, nc: nq * nc // 4,
+    "q_ivfpq": _ivfpq_pairs,
 }
 
 #: key shift per copy — far above any real key at these scale factors.
