@@ -378,6 +378,26 @@ def test_pq_refine_improves_or_holds_distortion(spark):
     assert distortion(cb1) <= distortion(cb0) + 1e-9
 
 
+def test_pq_encode_layout_independent(spark):
+    """Codes must not depend on row layout: the r11 sequential-fold
+    rewrite of pq_encode's normalization/distance accumulation is
+    per-row arithmetic, so any repartitioning (different Arrow batch
+    boundaries AND batch membership) must yield identical codes — the
+    property that makes the encode safe on a 1000-executor layout and
+    keeps the hash-exact oracle valid regardless of partitioning."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.similarity import pq_encode, pq_train
+
+    emb = load_table(spark, SF, "embeddings")
+    cb = pq_train(emb)
+    a = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb).collect()}
+    b = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb.repartition(7), cb).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_pq_lut_join_matches_literal(spark):
     """The broadcast-LUT join strategy must return exactly the
     literal-LUT results (same fold order -> bit-identical scores),
