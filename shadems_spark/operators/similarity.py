@@ -916,12 +916,20 @@ def ivfpq_topk(
             ],
             "q_id long, luts array<array<double>>, probe array<int>",
         )
+        # explode the probe list to (q_id, cell) rows and equi-join on
+        # cell: a BroadcastHashJoin that routes each code row straight
+        # to the queries probing its cell, instead of a
+        # BroadcastNestedLoopJoin evaluating array_contains over every
+        # (code row x query) pair — |C|·|Q| predicate evals (4e8 at
+        # the x100 probe) collapse to hash lookups; the scored-row
+        # count is identical, so results are too (parity pinned in
+        # test_pq_lut_join_matches_literal).
+        probes = luts.select(
+            "q_id", "luts", F.explode("probe").alias("cell")
+        )
         scored = (
-            code_table.join(
-                F.broadcast(luts),
-                F.array_contains(F.col("probe"), F.col("cell"))
-                & (F.col("cand_id") != F.col("q_id")),
-            )
+            code_table.join(F.broadcast(probes), "cell")
+            .filter(F.col("cand_id") != F.col("q_id"))
             .select(
                 "q_id",
                 "cand_id",
