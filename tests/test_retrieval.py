@@ -416,6 +416,22 @@ def test_pq_lut_join_matches_literal(spark):
     assert jn2 == lit2 and len(lit2) > 0
 
 
+def test_ivfpq_join_strategy_has_no_nested_loop_join(spark):
+    """The many-query IVFPQ path must route codes to queries via the
+    exploded (q_id, cell) equi-join — a BroadcastHashJoin — never the
+    array_contains nested-loop form whose predicate-eval count is
+    |codes| x |queries| (r11: 4e8 at the x100 probe, 93.8 -> 79.6 s
+    after the rewrite)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    df = ivfpq_topk(emb, k=3, lut_strategy="join")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_pq_join_plan_flat_in_query_count(spark):
     """The join strategy's plan must not grow with |queries| — one
     broadcast join + one window regardless (the literal form's plan is
