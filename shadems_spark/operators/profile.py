@@ -13,6 +13,8 @@ state HLL-sized.
 
 from __future__ import annotations
 
+from itertools import count
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
@@ -146,6 +148,83 @@ def _offsets_row(counts: DataFrame, srcs: list[str]) -> DataFrame:
     return row.select(*outs)
 
 
+_SHARE_SEQ = count()
+
+#: persist the _bucketed input only when its estimated size crosses
+#: this threshold (bytes).  Runtime-overridable via the SQL conf
+#: ``spark.shadems.share.threshold`` — set "0" to always share (the
+#: unit tests pin result-equivalence of the shared path that way).
+_SHARE_THRESHOLD = 256 * 1024 * 1024
+
+
+def _est_bytes(df: DataFrame) -> int:
+    """Catalyst's size-in-bytes estimate of the frame's analyzed plan
+    (driver-only; no job).  Unknown -> 0 (inline: the local-safe
+    choice — at production scale parquet-derived estimates exist)."""
+    try:
+        return int(df._jdf.queryExecution().analyzed().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - stats visitor always works
+        return 0
+
+
+def _share(df: DataFrame, tag: str, bounded: bool = True) -> DataFrame:
+    """Persist (MEMORY_AND_DISK, tracked) a frame this operator is
+    about to reference from MULTIPLE physical plan branches — when the
+    saved recomputation plausibly outweighs the materialization
+    barrier.
+
+    Why (r11 optimization, guide §2.4/§5): every two-phase operator
+    here fans its input into 2-3 sibling subtrees (value-cut sample +
+    windowed data + per-bucket totals; both sides of a triangle
+    self-join).  Catalyst's per-branch column pruning makes those
+    subtrees textually DIFFERENT, so ReuseExchange never dedupes them
+    and the input's whole lineage — typically a scan + aggregate of a
+    data-sized table — executes once PER BRANCH (measured r11: q_rfm's
+    static plan held 14 parquet scans of orders, q_skyline 17, with
+    zero ReusedExchange nodes).
+
+    Measured policy (r11, interleaved A/B at sf0.1 local[32]):
+
+    * ``bounded=True`` (triangle self-joins — inputs <= ~4k rows by
+      operator contract, but with arbitrarily deep lineage): persist
+      ALWAYS.  The cache write is a few KB; the win is one whole saved
+      execution of the lineage (at 100 TB, one full pass).  Local
+      bench: q_bm25 1.03 -> 0.87 s, q_shapley/q_rrf neutral.
+    * ``bounded=False`` (_bucketed — the input is the DATA-SIZED table
+      being ranked): persist only past a SIZE THRESHOLD.  Measured at
+      sf0.1, an unconditional persist made every ntile/cumsum consumer
+      SLOWER (q_rfm 2.95 -> 5.6 s, q_lorenz 1.68 -> 3.03 s, q_abc
+      1.44 -> 2.02 s interleaved medians): the blocking cache
+      materialization serializes AQE stages that previously ran as
+      concurrent (redundant) branches — redundant compute is free on
+      an under-utilized local box, barriers are not.  Past the
+      threshold that trade inverts: each avoided branch is a full
+      scan+shuffle pass over the input, and 2 extra passes of a
+      >256 MB table dwarf one cache write.  Cost-based, like
+      autoBroadcastJoinThreshold — NOT a local[32]-only tuning.
+
+    Keys are unique per call (no two operator calls evict each other);
+    the bench/oracle harnesses release them at query boundaries via
+    release_persist().  Streaming frames pass through unpersisted
+    (persist is illegal on them)."""
+    if df.isStreaming:
+        return df
+    if not bounded:
+        try:
+            thr = int(
+                df.sparkSession.conf.get(
+                    "spark.shadems.share.threshold", str(_SHARE_THRESHOLD)
+                )
+            )
+        except Exception:  # pragma: no cover - conf always readable
+            thr = _SHARE_THRESHOLD
+        if _est_bytes(df) < thr:
+            return df
+    from shadems_spark.operators.dedup import tracked_persist
+
+    return tracked_persist(df, key=f"profile_{tag}_{next(_SHARE_SEQ)}")
+
+
 def _order_cols(order) -> list:
     """Accept plain names or Column sort-order expressions (e.g.
     ``F.col("x").desc()``) — both repartitionByRange and Window.orderBy
@@ -259,6 +338,10 @@ def _bucketed(
                 "expression (e.g. a .desc() sort order)"
             )
         bucket_key = F.col(order[0])
+    # One materialization for the THREE sibling branches every
+    # two-phase caller builds over df (cuts sample, windowed data,
+    # per-bucket totals) — size-thresholded, see _share.
+    df = _share(df, "bucketed", bounded=False)
     cuts = _cuts_row(df, bucket_key, _resolve_nparts(df, n_parts), bucket_desc)
     passed = (
         F.filter("__cuts", lambda c: bucket_key <= c)
@@ -641,6 +724,7 @@ def triangle_cumsum(
     long-fold protocol).  ``order`` must be a total order (distinct
     tuples — every caller's upstream groupBy guarantees it); rows
     with an empty prefix get 0 (inclusive always has >= 1 term)."""
+    df = _share(df, "tri")  # referenced by BOTH join sides — see _share
     b = df.select(
         *[F.col(c).alias(f"__tb_{c}") for c in order],
         *[F.col(src).alias(f"__tv_{name}") for name, src in sums.items()],
@@ -665,6 +749,7 @@ def triangle_rank(df: DataFrame, order: list[str], out: str = "rk") -> DataFrame
     join: rank = 1 + count of rows strictly before in the order (ties
     share a rank; pass a tie-broken total order for row_number
     semantics).  Order columns must be non-null."""
+    df = _share(df, "tri")  # referenced by BOTH join sides — see _share
     b = df.select(*[F.col(c).alias(f"__tb_{c}") for c in order])
     joined = df.join(F.broadcast(b), _lex_lt(order), "left")
     return joined.groupBy(*[F.col(c) for c in df.columns]).agg(

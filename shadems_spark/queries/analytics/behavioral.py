@@ -365,11 +365,15 @@ def q_rfm(spark, sf_dir):
         F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"),
     )
     a = cust.agg(F.max("last_order").alias("anchor"))
-    # one shared hash exchange under all three quintile rankings: the
-    # orders aggregate runs ONCE (ReuseExchange dedupes the identical
-    # subtree) and each ranking's range-sampling pass reads shuffle
-    # files, never the scan.  Scores are computed on slim independent
-    # (custkey, metric) branches and joined back on the customer key.
+    # NOTE (r11 measurement): the "ReuseExchange dedupes the identical
+    # subtree" claim below does NOT hold in the static plan — per-
+    # branch column pruning makes each quintile's sample/window/totals
+    # subtree textually different (plans/r11/q_rfm_before.txt: 14
+    # parquet scans, zero ReusedExchange).  An explicit persist of
+    # this aggregate was A/B-measured SLOWER at sf0.1 (2.95 -> 5.0 s
+    # interleaved: the cache-fill barrier serializes branches that ran
+    # concurrently); past ~256 MB the trade inverts and the two-phase
+    # operators persist their input themselves (profile._share).
     base = cust.repartition("o_custkey")
 
     def quintile(metric: str, out: str):
