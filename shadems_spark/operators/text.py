@@ -88,6 +88,115 @@ def poly_word_hashes(ws: Column) -> Column:
     )
 
 
+def _xe_grams_loop(texts: "pd.Series", n: int) -> "pd.Series":
+    """Reference per-row implementation of the xe gram identity (kept
+    for A/B interleaving and as the executable spec the vectorized
+    path is pinned against)."""
+    memo: dict[str, int] = {}
+    out = []
+    for t in texts:
+        if t is None:  # JVM twin: null text -> null gram array
+            out.append(None)
+            continue
+        hs = []
+        for w in t.split(" "):
+            if not w:
+                continue
+            h = memo.get(w)
+            if h is None:
+                a = 0
+                for ch in w:
+                    a = (a * 31 + ord(ch)) % FP_MOD
+                memo[w] = a
+                h = a
+            hs.append(h)
+        gs = []
+        for i in range(len(hs) - n + 1):
+            acc = hs[i]
+            for j in range(1, n):
+                acc = (acc * XE_MULT + hs[i + j]) % FP_MOD
+            gs.append(acc)
+        out.append(list(dict.fromkeys(gs)))
+    return pd.Series(out, dtype=object)
+
+
+def _xe_grams_numpy(texts: "pd.Series", n: int) -> "pd.Series":
+    """NumPy-vectorized twin of :func:`_xe_grams_loop` — identical
+    integers, no per-char Python loop.
+
+    The batch's words are factorized once; each UNIQUE word's 31-poly
+    char hash is computed over a flat UTF-32 codepoint array (Python's
+    ``ord`` == the codepoint, so `encode("utf-32-le")` reproduces the
+    loop's char iteration exactly) with per-position powers of 31 mod
+    FP_MOD and one ``np.add.reduceat``; the gram fold is n shifted
+    gathers; first-occurrence dedup is one ``np.unique(return_index)``
+    over (doc, gram) keys.  All intermediates stay below 2^63:
+    codepoint (<2^21) * pow31 (<FP_MOD≈2^30) < 2^51, and per-word term
+    sums add < FP_MOD each."""
+    import numpy as np
+
+    out: list = [None] * len(texts)
+    notnull_pos: list[int] = []
+    doc_words: list[list[str]] = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        notnull_pos.append(i)
+        doc_words.append([w for w in t.split(" ") if w])
+    if not notnull_pos:
+        return pd.Series(out, dtype=object)
+
+    flat: list[str] = []
+    for ws_ in doc_words:
+        flat.extend(ws_)
+    doc_lens = np.fromiter(
+        (len(ws_) for ws_ in doc_words), dtype=np.int64, count=len(doc_words)
+    )
+
+    if flat:
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        lens = np.fromiter(
+            (len(w) for w in uniques), dtype=np.int64, count=len(uniques)
+        )
+        cps = np.frombuffer(
+            "".join(uniques).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        pow31 = np.ones(int(lens.max()), dtype=np.int64)
+        for k in range(1, len(pow31)):
+            pow31[k] = pow31[k - 1] * 31 % FP_MOD
+        # char at global pos p in word k gets exponent (word end - 1 - p)
+        exp = np.repeat(offs[1:], lens) - 1 - np.arange(len(cps))
+        terms = cps * pow31[exp] % FP_MOD
+        whash = np.add.reduceat(terms, offs[:-1]) % FP_MOD
+        wh = whash[codes]
+    else:
+        wh = np.empty(0, dtype=np.int64)
+
+    doc_offs = np.concatenate(([0], np.cumsum(doc_lens)))
+    ng = np.maximum(doc_lens - (n - 1), 0)
+    g_offs = np.concatenate(([0], np.cumsum(ng)))
+    gram_doc = np.repeat(np.arange(len(doc_lens)), ng)
+    starts = doc_offs[:-1][gram_doc] + (np.arange(int(ng.sum())) - g_offs[gram_doc])
+    if len(starts):
+        acc = wh[starts].copy()
+        for j in range(1, n):
+            acc = (acc * XE_MULT + wh[starts + j]) % FP_MOD
+        # first-occurrence dedup per doc: FP_MOD < 2^31 so the packed
+        # key is exact; np.unique(return_index) keeps first hits, and
+        # re-sorting the kept indices restores within-doc gram order
+        keep = np.sort(np.unique(gram_doc * (1 << 31) + acc, return_index=True)[1])
+        kept_doc, kept_acc = gram_doc[keep], acc[keep]
+        counts = np.bincount(kept_doc, minlength=len(doc_lens))
+    else:
+        kept_acc = np.empty(0, dtype=np.int64)
+        counts = np.zeros(len(doc_lens), dtype=np.int64)
+    k_offs = np.concatenate(([0], np.cumsum(counts)))
+    for d, i in enumerate(notnull_pos):
+        out[i] = kept_acc[k_offs[d]:k_offs[d + 1]].tolist()
+    return pd.Series(out, dtype=object)
+
+
 def xe_gram_hashes_arrow(text: Column | str, n: int = 3) -> Column:
     """Arrow-batched twin of ``ngram_hashes_xe(words(text), n)`` —
     the SAME cross-engine gram identity (whitespace split, empty-word
@@ -98,43 +207,25 @@ def xe_gram_hashes_arrow(text: Column | str, n: int = 3) -> Column:
     Why a UDF here, against the usual rule: Spark HOFs are
     CodegenFallback — the per-char lambda interprets at ~3 us/char,
     and the char fold dominated q_dedup_minhash's wall (gram build
-    2.4 s of a ~3.4 s query at sf0.1).  The vectorized Python loop
-    with a per-batch word-hash memo measures 4x faster (0.6 s) and is
-    value-identical (exceptAll both ways = 0 at sf0.1; the oracle
-    replays the same integers).  Python iterates strings per
-    codepoint, matching DuckDB's string_split('') — the protocol's
-    reference behavior."""
-    import pandas as pd
+    2.4 s of a ~3.4 s query at sf0.1).  The batch body is the
+    NumPy-vectorized :func:`_xe_grams_numpy` (guide §4.2: hand whole
+    batches to native code); set ``SHADEMS_XE_GRAM_IMPL=loop`` on the
+    driver to dispatch the original per-row loop instead (A/B and
+    differential testing — both are pinned value-identical in
+    tests/test_guards.py and tests/test_text_vector.py)."""
+    import os
+
     from pyspark.sql.functions import pandas_udf
+
+    body = (
+        _xe_grams_loop
+        if os.environ.get("SHADEMS_XE_GRAM_IMPL") == "loop"
+        else _xe_grams_numpy
+    )
 
     @pandas_udf("array<long>")
     def _grams(texts: pd.Series) -> pd.Series:
-        memo: dict[str, int] = {}
-        out = []
-        for t in texts:
-            if t is None:  # JVM twin: null text -> null gram array
-                out.append(None)
-                continue
-            hs = []
-            for w in t.split(" "):
-                if not w:
-                    continue
-                h = memo.get(w)
-                if h is None:
-                    a = 0
-                    for ch in w:
-                        a = (a * 31 + ord(ch)) % FP_MOD
-                    memo[w] = a
-                    h = a
-                hs.append(h)
-            gs = []
-            for i in range(len(hs) - n + 1):
-                acc = hs[i]
-                for j in range(1, n):
-                    acc = (acc * XE_MULT + hs[i + j]) % FP_MOD
-                gs.append(acc)
-            out.append(list(dict.fromkeys(gs)))
-        return pd.Series(out)
+        return body(texts, n)
 
     c = F.col(text) if isinstance(text, str) else text
     return _grams(c)

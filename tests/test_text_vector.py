@@ -1,0 +1,81 @@
+"""Differential pins for the NumPy-vectorized xe gram builder
+(operators/text._xe_grams_numpy) against the per-row reference loop
+(_xe_grams_loop).  Pure pandas — no Spark session — so the pin runs in
+milliseconds and covers adversarial shapes the fixture corpus lacks.
+The Spark-level equality of the UDF against the JVM HOF twin is pinned
+separately in tests/test_guards.py::test_arrow_gram_udfs_match_jvm_twins.
+"""
+
+import random
+import string
+
+import pandas as pd
+
+from shadems_spark.operators.text import _xe_grams_loop, _xe_grams_numpy
+
+
+def _check(texts, n=3):
+    s = pd.Series(texts, dtype=object)
+    a = _xe_grams_loop(s, n)
+    b = _xe_grams_numpy(s, n)
+    assert list(a) == list(b), f"n={n}: {list(a)} != {list(b)}"
+
+
+def test_edge_shapes():
+    _check(
+        [
+            None,
+            "",
+            " ",
+            "   ",
+            "one",
+            "one two",
+            "one two three",
+            "a  b   c d",  # empty tokens between multiple spaces
+            "x y z x y z x y z",  # repeated grams (first-occurrence dedup)
+            " leading and trailing ",
+        ]
+    )
+
+
+def test_all_null_batch():
+    _check([None, None, None])
+
+
+def test_empty_batch():
+    _check([])
+
+
+def test_unicode_codepoints():
+    # ord() vs UTF-32 identity: multi-byte UTF-8, astral-plane chars
+    _check(["café naïve 你好 \U0001f600 é你", "你好 你好 你好 你"]);
+
+
+def test_various_n():
+    texts = ["the quick brown fox jumps over the lazy dog", "a b", "a", ""]
+    for n in (1, 2, 3, 4, 5):
+        _check(texts, n)
+
+
+def test_random_corpus():
+    rng = random.Random(1234)
+    vocab = [
+        "".join(rng.choices(string.ascii_lowercase, k=rng.randint(1, 12)))
+        for _ in range(200)
+    ]
+    texts = []
+    for i in range(300):
+        if i % 37 == 0:
+            texts.append(None)
+            continue
+        k = rng.randint(0, 40)
+        # occasional double spaces to exercise empty-token filtering
+        sep = "  " if i % 11 == 0 else " "
+        texts.append(sep.join(rng.choices(vocab, k=k)))
+    for n in (2, 3, 4):
+        _check(texts, n)
+
+
+def test_long_words_power_table():
+    # word lengths past any small pow table, incl. a 5000-char word
+    _check(["x" * 5000 + " " + "y" * 1 + " " + "z" * 300, "ab" * 1000])
