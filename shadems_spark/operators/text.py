@@ -120,81 +120,185 @@ def _xe_grams_loop(texts: "pd.Series", n: int) -> "pd.Series":
     return pd.Series(out, dtype=object)
 
 
-def _xe_grams_numpy(texts: "pd.Series", n: int) -> "pd.Series":
-    """NumPy-vectorized twin of :func:`_xe_grams_loop` — identical
-    integers, no per-char Python loop.
-
-    The batch's words are factorized once; each UNIQUE word's 31-poly
-    char hash is computed over a flat UTF-32 codepoint array (Python's
-    ``ord`` == the codepoint, so `encode("utf-32-le")` reproduces the
-    loop's char iteration exactly) with per-position powers of 31 mod
-    FP_MOD and one ``np.add.reduceat``; the gram fold is n shifted
-    gathers; first-occurrence dedup is one ``np.unique(return_index)``
-    over (doc, gram) keys.  All intermediates stay below 2^63:
-    codepoint (<2^21) * pow31 (<FP_MOD≈2^30) < 2^51, and per-word term
-    sums add < FP_MOD each."""
+def _flatten_docs(texts: "pd.Series", keep_empty: bool):
+    """Split a batch of texts into (notnull positions, flat word list,
+    per-doc word counts) — the shared front half of every vectorized
+    gram builder.  ``keep_empty`` mirrors the two JVM split semantics:
+    words() keeps empty tokens, the xe family filters them."""
     import numpy as np
 
-    out: list = [None] * len(texts)
     notnull_pos: list[int] = []
     doc_words: list[list[str]] = []
     for i, t in enumerate(texts):
         if t is None:
             continue
         notnull_pos.append(i)
-        doc_words.append([w for w in t.split(" ") if w])
-    if not notnull_pos:
-        return pd.Series(out, dtype=object)
-
+        ws_ = t.split(" ")
+        doc_words.append(ws_ if keep_empty else [w for w in ws_ if w])
     flat: list[str] = []
     for ws_ in doc_words:
         flat.extend(ws_)
     doc_lens = np.fromiter(
         (len(ws_) for ws_ in doc_words), dtype=np.int64, count=len(doc_words)
     )
+    return notnull_pos, flat, doc_lens
 
-    if flat:
-        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
-        lens = np.fromiter(
-            (len(w) for w in uniques), dtype=np.int64, count=len(uniques)
-        )
-        cps = np.frombuffer(
-            "".join(uniques).encode("utf-32-le"), dtype=np.uint32
-        ).astype(np.int64)
-        offs = np.concatenate(([0], np.cumsum(lens)))
-        pow31 = np.ones(int(lens.max()), dtype=np.int64)
-        for k in range(1, len(pow31)):
-            pow31[k] = pow31[k - 1] * 31 % FP_MOD
-        # char at global pos p in word k gets exponent (word end - 1 - p)
-        exp = np.repeat(offs[1:], lens) - 1 - np.arange(len(cps))
-        terms = cps * pow31[exp] % FP_MOD
-        whash = np.add.reduceat(terms, offs[:-1]) % FP_MOD
-        wh = whash[codes]
-    else:
-        wh = np.empty(0, dtype=np.int64)
 
-    doc_offs = np.concatenate(([0], np.cumsum(doc_lens)))
-    ng = np.maximum(doc_lens - (n - 1), 0)
-    g_offs = np.concatenate(([0], np.cumsum(ng)))
-    gram_doc = np.repeat(np.arange(len(doc_lens)), ng)
-    starts = doc_offs[:-1][gram_doc] + (np.arange(int(ng.sum())) - g_offs[gram_doc])
+def _poly_hash_flat(strs) -> tuple:
+    """Vectorized 31-poly char hash mod FP_MOD of a sequence of
+    strings: (hash array, codepoint-length array, pow31 table).
+
+    Computed over a flat UTF-32 codepoint array — Python's ``ord`` ==
+    the codepoint, and Spark's split('')/ascii() are codepoint-based
+    too (verified including astral-plane chars), so the integers are
+    identical to both the Python char loop and the JVM HOF fold.  All
+    intermediates stay below 2^63: codepoint (<2^21) * pow31
+    (<FP_MOD≈2^30) < 2^51, and per-string term sums add < FP_MOD
+    each.  The pow31 table is sized max(len)+2 so callers can also
+    look up 31^(len+1) for concat composition."""
+    import numpy as np
+
+    lens = np.fromiter((len(w) for w in strs), dtype=np.int64, count=len(strs))
+    maxlen = int(lens.max()) if len(lens) else 0
+    pow31 = np.ones(maxlen + 2, dtype=np.int64)
+    for k in range(1, len(pow31)):
+        pow31[k] = pow31[k - 1] * 31 % FP_MOD
+    if not len(lens):
+        return np.empty(0, dtype=np.int64), lens, pow31
+    cps = np.frombuffer(
+        "".join(strs).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    # char at global pos p in string k gets exponent (string end - 1 - p)
+    exp = np.repeat(offs[1:], lens) - 1 - np.arange(len(cps))
+    terms = cps * pow31[exp] % FP_MOD
+    if maxlen == 0:
+        return np.zeros(len(lens), dtype=np.int64), lens, pow31
+    # sentinel 0 term keeps every reduceat index valid (a zero-length
+    # string's offset can equal len(terms)); its +0 never changes a
+    # sum, and zero-length segments are masked to 0 below anyway
+    terms = np.concatenate((terms, [0]))
+    hashes = np.add.reduceat(terms, offs[:-1]) % FP_MOD
+    hashes[lens == 0] = 0
+    return hashes, lens, pow31
+
+
+def _hash_words(flat: list):
+    """Factorize a flat word list and hash the uniques once:
+    (per-occurrence hash, per-occurrence codepoint length, pow31)."""
+    import numpy as np
+
+    if not flat:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, np.ones(2, dtype=np.int64)
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    whash, wlens, pow31 = _poly_hash_flat(list(uniques))
+    return whash[codes], wlens[codes], pow31
+
+
+def _window_starts(counts, width: int):
+    """Flat start indices of every length-``width`` sliding window over
+    variable-length segments: (windows per segment, flat starts, the
+    segment index of each window)."""
+    import numpy as np
+
+    nw = np.maximum(counts - (width - 1), 0)
+    w_offs = np.concatenate(([0], np.cumsum(nw)))
+    wdoc = np.repeat(np.arange(len(counts)), nw)
+    elem_offs = np.concatenate(([0], np.cumsum(counts)))
+    starts = elem_offs[:-1][wdoc] + (np.arange(int(nw.sum())) - w_offs[wdoc])
+    return nw, starts, wdoc
+
+
+def _dedup_first(doc_idx, vals, n_docs: int):
+    """First-occurrence dedup of ``vals`` (< 2^31, e.g. mod FP_MOD)
+    within each doc: np.unique(return_index) on packed (doc, val)
+    keys keeps first hits; re-sorting the kept indices restores
+    within-doc order.  Returns (kept values, per-doc kept counts)."""
+    import numpy as np
+
+    keep = np.sort(np.unique(doc_idx * (1 << 31) + vals, return_index=True)[1])
+    kept_doc = doc_idx[keep]
+    counts = np.bincount(kept_doc, minlength=n_docs)
+    return vals[keep], counts
+
+
+def _emit(texts, notnull_pos, kept, counts) -> "pd.Series":
+    """Scatter per-doc slices of ``kept`` back to Series positions."""
+    import numpy as np
+
+    out: list = [None] * len(texts)
+    k_offs = np.concatenate(([0], np.cumsum(counts)))
+    for d, i in enumerate(notnull_pos):
+        out[i] = kept[k_offs[d]:k_offs[d + 1]].tolist()
+    return pd.Series(out, dtype=object)
+
+
+def _xe_grams_numpy(texts: "pd.Series", n: int) -> "pd.Series":
+    """NumPy-vectorized twin of :func:`_xe_grams_loop` — identical
+    integers, no per-char Python loop.  The batch's words are
+    factorized and hashed once (:func:`_poly_hash_flat` over a flat
+    UTF-32 codepoint array); the gram fold is n shifted gathers;
+    first-occurrence dedup is one np.unique over (doc, gram) keys."""
+    notnull_pos, flat, doc_lens = _flatten_docs(texts, keep_empty=False)
+    if not notnull_pos:
+        return pd.Series([None] * len(texts), dtype=object)
+    wh, _, _ = _hash_words(flat)
+    ng, starts, gram_doc = _window_starts(doc_lens, n)
     if len(starts):
         acc = wh[starts].copy()
         for j in range(1, n):
             acc = (acc * XE_MULT + wh[starts + j]) % FP_MOD
-        # first-occurrence dedup per doc: FP_MOD < 2^31 so the packed
-        # key is exact; np.unique(return_index) keeps first hits, and
-        # re-sorting the kept indices restores within-doc gram order
-        keep = np.sort(np.unique(gram_doc * (1 << 31) + acc, return_index=True)[1])
-        kept_doc, kept_acc = gram_doc[keep], acc[keep]
-        counts = np.bincount(kept_doc, minlength=len(doc_lens))
+        kept, counts = _dedup_first(gram_doc, acc, len(doc_lens))
     else:
-        kept_acc = np.empty(0, dtype=np.int64)
+        import numpy as np
+
+        kept = np.empty(0, dtype=np.int64)
         counts = np.zeros(len(doc_lens), dtype=np.int64)
-    k_offs = np.concatenate(([0], np.cumsum(counts)))
-    for d, i in enumerate(notnull_pos):
-        out[i] = kept_acc[k_offs[d]:k_offs[d + 1]].tolist()
-    return pd.Series(out, dtype=object)
+    return _emit(texts, notnull_pos, kept, counts)
+
+
+def _winnow_numpy(texts: "pd.Series", k: int, w: int) -> "pd.Series":
+    """NumPy-vectorized twin of the winnow() column pipeline:
+    gram_hashes_poly(words(text), k) -> sliding w-window least ->
+    array_distinct.  Identical integers at every step:
+
+    - words() KEEPS empty tokens (unlike the xe family), so the flat
+      split keeps them too; an empty word hashes to 0 with length 0,
+      exactly the JVM fold.
+    - the k-gram STRING hash is composed from per-word hashes without
+      building gram strings: appending " "+word to a prefix with hash
+      H is H' = ((H*31 + 32) % M * 31^len(word) + hash(word)) % M —
+      the space is codepoint 32 and poly concat is linear.  Each
+      product stays < FP_MOD^2 < 2^60.
+    - the window min is w-1 shifted np.minimum passes; array_distinct
+      keeps first occurrences (same np.unique trick as the grams)."""
+    import numpy as np
+
+    notnull_pos, flat, doc_lens = _flatten_docs(texts, keep_empty=True)
+    if not notnull_pos:
+        return pd.Series([None] * len(texts), dtype=object)
+    wh, wlen, pow31 = _hash_words(flat)
+    ng, gstarts, _ = _window_starts(doc_lens, k)
+    if len(gstarts):
+        acc = wh[gstarts].copy()
+        for j in range(1, k):
+            acc = (
+                (acc * 31 + 32) % FP_MOD * pow31[wlen[gstarts + j]]
+                + wh[gstarts + j]
+            ) % FP_MOD
+    else:
+        acc = np.empty(0, dtype=np.int64)
+    nw, mstarts, mdoc = _window_starts(ng, w)
+    if len(mstarts):
+        mins = acc[mstarts].copy()
+        for j in range(1, w):
+            np.minimum(mins, acc[mstarts + j], out=mins)
+        kept, counts = _dedup_first(mdoc, mins, len(doc_lens))
+    else:
+        kept = np.empty(0, dtype=np.int64)
+        counts = np.zeros(len(doc_lens), dtype=np.int64)
+    return _emit(texts, notnull_pos, kept, counts)
 
 
 def xe_gram_hashes_arrow(text: Column | str, n: int = 3) -> Column:
@@ -575,8 +679,26 @@ def winnow(
     sf0.1 (the fused Column replicates the subtree per slice).
 
     ``keep`` lists passthrough columns (default: everything except
-    ``text``)."""
+    ``text``).
+
+    The fingerprint column is computed by the NumPy-vectorized Arrow
+    twin :func:`_winnow_numpy` by default (guide §4.2 — the JVM HOF
+    char fold is CodegenFallback, interpreting per char); set
+    ``SHADEMS_POLY_IMPL=jvm`` on the driver to dispatch the original
+    Column pipeline (A/B + differential spec — pinned value-identical
+    in tests/test_text_vector.py and tests/test_guards.py)."""
+    import os
+
     keep = keep if keep is not None else [c for c in df.columns if c != text]
-    step = df.select(*keep, gram_hashes_poly(words(text), k).alias("__hs"))
-    mins = _sliding(F.col("__hs"), w, lambda a, b: F.least(a, b))
-    return step.select(*keep, F.array_distinct(mins).alias(out))
+    if os.environ.get("SHADEMS_POLY_IMPL") == "jvm":
+        step = df.select(*keep, gram_hashes_poly(words(text), k).alias("__hs"))
+        mins = _sliding(F.col("__hs"), w, lambda a, b: F.least(a, b))
+        return step.select(*keep, F.array_distinct(mins).alias(out))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _fps(texts: pd.Series) -> pd.Series:
+        return _winnow_numpy(texts, k, w)
+
+    return df.select(*keep, _fps(F.col(text)).alias(out))

@@ -300,3 +300,33 @@ def test_arrow_gram_udfs_match_jvm_twins(spark, sf_dir):
         b = df.select("doc_id", F.explode_outer(arrow_col).alias("g"))
         assert a.exceptAll(b).count() == 0
         assert b.exceptAll(a).count() == 0
+
+
+def test_winnow_arrow_matches_jvm(spark, sf_dir, monkeypatch):
+    """winnow()'s vectorized Arrow fingerprint column must equal the
+    original JVM Column pipeline exactly — same grams, same poly char
+    hash, same window mins, same first-occurrence dedup — over the
+    fixture corpus plus edge rows (empty tokens kept by words(), docs
+    shorter than w+k-1, null text)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.text import winnow
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (91001, None),
+            (91002, ""),
+            (91003, "one two"),
+            (91004, "a  b   c d e f g"),
+            (91005, "x y z x y z x y z x y z"),
+        ],
+        schema="doc_id long, text string",
+    )
+    df = docs.unionByName(edge)
+
+    monkeypatch.setenv("SHADEMS_POLY_IMPL", "jvm")
+    a = winnow(df).select("doc_id", F.explode_outer("fps").alias("fp"))
+    monkeypatch.delenv("SHADEMS_POLY_IMPL")
+    b = winnow(df).select("doc_id", F.explode_outer("fps").alias("fp"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

@@ -79,3 +79,89 @@ def test_random_corpus():
 def test_long_words_power_table():
     # word lengths past any small pow table, incl. a 5000-char word
     _check(["x" * 5000 + " " + "y" * 1 + " " + "z" * 300, "ab" * 1000])
+
+
+# ---- winnow vectorization pins ----
+
+from shadems_spark.operators.text import FP_MOD, _poly_hash_flat, _winnow_numpy
+
+
+def _naive_winnow(t, k, w):
+    """Executable spec of the JVM winnow pipeline: words with empties
+    KEPT, k-gram join with single spaces, 31-poly char hash mod FP_MOD
+    of the gram STRING, sliding w-window min, first-occurrence dedup."""
+    if t is None:
+        return None
+    ws = t.split(" ")
+    grams = [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+    hs = []
+    for g in grams:
+        a = 0
+        for ch in g:
+            a = (a * 31 + ord(ch)) % FP_MOD
+        hs.append(a)
+    mins = [min(hs[i:i + w]) for i in range(len(hs) - w + 1)]
+    return list(dict.fromkeys(mins))
+
+
+def _check_winnow(texts, k=3, w=4):
+    s = pd.Series(texts, dtype=object)
+    got = list(_winnow_numpy(s, k, w))
+    want = [_naive_winnow(t, k, w) for t in texts]
+    assert got == want, f"k={k},w={w}: {got} != {want}"
+
+
+def test_winnow_edges():
+    _check_winnow(
+        [
+            None,
+            "",
+            " ",
+            "a  b   c d",  # empty tokens KEPT by words()
+            "one two three four five six seven",
+            "x y z x y z x y z x y z",  # repeated fingerprints
+            " lead and trail ",
+            "short",
+        ]
+    )
+
+
+def test_winnow_params():
+    texts = ["the quick brown fox jumps over the lazy dog today again", "a b c", ""]
+    for k in (1, 2, 3):
+        for w in (1, 2, 4, 6):
+            _check_winnow(texts, k, w)
+
+
+def test_winnow_random():
+    rng = random.Random(77)
+    vocab = ["w%d" % i for i in range(50)] + ["é你", "x"]
+    texts = []
+    for i in range(200):
+        if i % 23 == 0:
+            texts.append(None)
+            continue
+        sep = "  " if i % 9 == 0 else " "
+        texts.append(sep.join(rng.choices(vocab, k=rng.randint(0, 25))))
+    _check_winnow(texts)
+
+
+def test_poly_hash_flat_empty_strings():
+    import numpy as np
+
+    def ph(s):
+        a = 0
+        for ch in s:
+            a = (a * 31 + ord(ch)) % FP_MOD
+        return a
+
+    for strs in (
+        ["", "ab", "", "", "zzz", ""],
+        ["", "", ""],
+        [],
+        ["lone"],
+        ["tail", ""],
+    ):
+        h, lens, _ = _poly_hash_flat(strs)
+        assert list(h) == [ph(s) for s in strs], strs
+        assert list(lens) == [len(s) for s in strs]
