@@ -33,17 +33,48 @@ def word_buckets(text: Column | str, d: int) -> Column:
 
     NB: HOF lambdas here are one-parameter only — PySpark treats a
     two-parameter lambda (even with a default) as the (element, index)
-    form and would silently bind the index."""
-    ws = F.filter(words(text), lambda w: F.length(w) > 0)
-    word_hash = lambda w: (
-        F.aggregate(
-            F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("long")),
-            F.lit(0).cast("long"),
-            lambda a, c: (a * F.lit(31) + c) % F.lit(FP_MOD),
+    form and would silently bind the index.
+
+    Computed by the vectorized Arrow batch hasher by default (guide
+    §4.2 — the JVM HOF fold is CodegenFallback, interpreting per
+    char); ``SHADEMS_POLY_IMPL=jvm`` dispatches the original Column
+    form (A/B + differential spec; equality pinned in
+    tests/test_text_vector.py and tests/test_guards.py)."""
+    import os
+
+    if os.environ.get("SHADEMS_POLY_IMPL") == "jvm":
+        ws = F.filter(words(text), lambda w: F.length(w) > 0)
+        word_hash = lambda w: (
+            F.aggregate(
+                F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, c: (a * F.lit(31) + c) % F.lit(FP_MOD),
+            )
+            % F.lit(d)
         )
-        % F.lit(d)
-    )
-    return F.transform(ws, word_hash)
+        return F.transform(ws, word_hash)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _buckets(texts: pd.Series) -> pd.Series:
+        return _word_buckets_numpy(texts, d)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _buckets(c)
+
+
+def _word_buckets_numpy(texts: "pd.Series", d: int) -> "pd.Series":
+    """Vectorized twin of the word_buckets JVM pipeline: split, drop
+    empty tokens, 31-poly char hash mod FP_MOD per word, mod ``d`` —
+    order preserved, no dedup, null text -> null array."""
+    import numpy as np
+
+    notnull_pos, flat, doc_lens = _flatten_docs(texts, keep_empty=False)
+    if not notnull_pos:
+        return pd.Series([None] * len(texts), dtype=object)
+    wh, _, _ = _hash_words(flat)
+    return _emit(texts, notnull_pos, wh % d, doc_lens)
 
 
 def _sliding(ws: Column, n: int, combine) -> Column:
@@ -628,6 +659,40 @@ def poly_hash(s: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda a, ch: (a * F.lit(31) + ch) % F.lit(FP_MOD),
     )
+
+
+def poly_hash_fast(s: Column | str) -> Column:
+    """Drop-in twin of :func:`poly_hash` for DATA-SIZED string columns
+    (exploded grams, token occurrences): same integers, computed by
+    the vectorized batch hasher (:func:`_poly_hash_flat`) in one Arrow
+    pandas UDF instead of the CodegenFallback per-char HOF fold
+    (guide §4.2).  Set ``SHADEMS_POLY_IMPL=jvm`` on the driver to
+    dispatch the JVM Column form (A/B + differential spec; equality
+    pinned in tests/test_text_vector.py and tests/test_guards.py).
+    Null in -> null out on both paths; keep :func:`poly_hash` for
+    codebook-sized or expression-composed sites where a Python
+    boundary costs more than it saves."""
+    import os
+
+    if os.environ.get("SHADEMS_POLY_IMPL") == "jvm":
+        return poly_hash(s)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _ph(strs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mask = strs.notna().to_numpy()
+        vals = strs.to_numpy(dtype=object)
+        h, _, _ = _poly_hash_flat([v for v, m in zip(vals, mask) if m])
+        out = np.empty(len(vals), dtype=object)
+        out[mask] = h
+        out[~mask] = None
+        return pd.Series(out, dtype=object)
+
+    c = F.col(s) if isinstance(s, str) else s
+    return _ph(c)
 
 
 def winnow_fingerprints(ws: Column, k: int = 3, w: int = 4) -> Column:

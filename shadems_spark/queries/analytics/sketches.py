@@ -324,7 +324,11 @@ def q_countmin(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     occ = docs.select(F.explode(words("text")).alias("t"))
     # two-step: char-fold each occurrence ONCE, derive the d buckets
-    # from the hash COLUMN (the q_bloom_decontaminate duplication note)
+    # from the hash COLUMN (the q_bloom_decontaminate duplication
+    # note).  Measured r11: the Arrow poly_hash_fast twin is SLOWER
+    # here (1.15 -> 1.25 s interleaved) — tokens are short, so the
+    # Python boundary transfer of the exploded string column costs
+    # more than the per-char fold it saves; the JVM fold stays.
     oh = occ.select(poly_hash("t").alias("h"))
     cells = (
         oh.select(

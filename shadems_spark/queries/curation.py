@@ -1216,7 +1216,7 @@ def q_bloom_decontaminate(spark, sf_dir):
     safe for the verdict, since the probe bits DERIVE from that hash,
     so equal-hash grams share a verdict by construction."""
     from shadems_spark.operators.profile import bloom_bits_from_hash
-    from shadems_spark.operators.text import _sliding, poly_hash, words
+    from shadems_spark.operators.text import _sliding, poly_hash_fast, words
 
     docs = load_table(spark, sf_dir, "documents")
     g3 = F.array_distinct(
@@ -1230,7 +1230,7 @@ def q_bloom_decontaminate(spark, sf_dir):
     # two-step: char-fold each gram ONCE, derive the 3 probe positions
     # from the hash COLUMN (the fused bloom_bits re-folds per probe —
     # the duplication mode q_winnow documents)
-    gh = g.select("doc_id", "ng", poly_hash("ng").alias("h"))
+    gh = g.select("doc_id", "ng", poly_hash_fast("ng").alias("h"))
     bb = gh.select(
         "doc_id", "ng",
         F.explode(bloom_bits_from_hash(F.col("h"), 4096, 3)).alias("bit"),

@@ -1061,28 +1061,24 @@ def q_feature_hash(spark, sf_dir):
     lambdas: per-word fold inside a per-doc transform).  The
     model-free text-vectorizer used when a training pipeline needs
     embeddings before any model exists; identical polynomial on both
-    engines makes it exactly oracle-checkable.""".format(dim=_FH_DIM)
-    from shadems_spark.operators.text import FP_MOD, words
+    engines makes it exactly oracle-checkable.
+
+    The bucket array is operators/text.word_buckets (the shared
+    vectorized featurizer), materialized behind its own projection so
+    the 16 per-bucket counters read ONE computed array instead of 16
+    copies of the hash expression.""".format(dim=_FH_DIM)
+    from shadems_spark.operators.text import word_buckets
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0)
-    ws = F.filter(words("text"), lambda w: F.length(w) > 0)
-    word_hash = lambda w: (
-        F.aggregate(
-            F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("long")),
-            F.lit(0).cast("long"),
-            lambda a, c: (a * F.lit(31) + c) % F.lit(FP_MOD),
-        )
-        % F.lit(_FH_DIM)
-    )
-    buckets = F.transform(ws, word_hash)
+    step = docs.select("doc_id", word_buckets("text", _FH_DIM).alias("__bk"))
 
     def count_bucket(b):
         # NB: a two-parameter lambda (even `lambda x, b=b: ...`) is
         # treated by PySpark HOFs as the (element, index) form — the
         # index would silently overwrite the default. One param only.
-        return F.size(F.filter(buckets, lambda x: x == F.lit(b)))
+        return F.size(F.filter(F.col("__bk"), lambda x: x == F.lit(b)))
 
-    return docs.select(
+    return step.select(
         "doc_id",
         *[count_bucket(b).cast("long").alias(f"f{b}") for b in range(_FH_DIM)],
     )

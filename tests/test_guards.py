@@ -330,3 +330,42 @@ def test_winnow_arrow_matches_jvm(spark, sf_dir, monkeypatch):
     b = winnow(df).select("doc_id", F.explode_outer("fps").alias("fp"))
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_poly_hash_fast_matches_jvm(spark, sf_dir):
+    """poly_hash_fast (vectorized Arrow twin) must equal the JVM
+    poly_hash Column fold exactly over corpus grams and edge strings
+    (null, empty, unicode, spaces)."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.text import poly_hash, poly_hash_fast, words
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(F.explode_outer(words("text")).alias("t"))
+    edge = spark.createDataFrame(
+        [(None,), ("",), (" ",), ("é你 😀",), ("a b",)], "t string"
+    )
+    df = toks.unionByName(edge)
+    got = df.select("t", poly_hash_fast("t").alias("h"))
+    want = df.select("t", poly_hash("t").alias("h"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_word_buckets_arrow_matches_jvm(spark, sf_dir, monkeypatch):
+    """word_buckets' vectorized fast path must equal the JVM HOF form
+    exactly over the corpus plus edge rows."""
+    from shadems_spark.catalog import load_table
+    from shadems_spark.operators.text import word_buckets
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(92001, None), (92002, ""), (92003, "a  b   c")],
+        schema="doc_id long, text string",
+    )
+    df = docs.unionByName(edge)
+    monkeypatch.setenv("SHADEMS_POLY_IMPL", "jvm")
+    a = df.select("doc_id", F.explode_outer(word_buckets("text", 16)).alias("b"))
+    monkeypatch.delenv("SHADEMS_POLY_IMPL")
+    b = df.select("doc_id", F.explode_outer(word_buckets("text", 16)).alias("b"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

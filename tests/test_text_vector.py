@@ -165,3 +165,38 @@ def test_poly_hash_flat_empty_strings():
         h, lens, _ = _poly_hash_flat(strs)
         assert list(h) == [ph(s) for s in strs], strs
         assert list(lens) == [len(s) for s in strs]
+
+
+# ---- word_buckets vectorization pin ----
+
+from shadems_spark.operators.text import _word_buckets_numpy
+
+
+def _naive_buckets(t, d):
+    if t is None:
+        return None
+    out = []
+    for w in t.split(" "):
+        if not w:
+            continue
+        a = 0
+        for ch in w:
+            a = (a * 31 + ord(ch)) % FP_MOD
+        out.append(a % d)
+    return out
+
+
+def test_word_buckets_numpy():
+    texts = [
+        None, "", " ", "one", "a  b   c d", "x y z x y z",
+        "café 你好 😀ab", " lead trail ",
+    ]
+    rng = random.Random(5)
+    vocab = ["w%d" % i for i in range(60)]
+    for i in range(150):
+        texts.append(" ".join(rng.choices(vocab, k=rng.randint(0, 20))))
+    for d in (2, 16, 97):
+        s = pd.Series(texts, dtype=object)
+        got = list(_word_buckets_numpy(s, d))
+        want = [_naive_buckets(t, d) for t in texts]
+        assert got == want, f"d={d}"
