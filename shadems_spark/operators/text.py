@@ -332,64 +332,180 @@ def _winnow_numpy(texts: "pd.Series", k: int, w: int) -> "pd.Series":
     return _emit(texts, notnull_pos, kept, counts)
 
 
+def _xe_grams_pa(arr, n: int):
+    """Arrow-native twin of :func:`_xe_grams_loop`: pyarrow
+    split_pattern + dictionary_encode do the split/factorize in C;
+    only the batch's UNIQUE words are materialized as Python strings
+    (for the exact UTF-32 codepoint hash); the gram fold, empty-word
+    filter and first-occurrence dedup are NumPy; output is a
+    ListArray<int64> built with zero per-row Python."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    splits = pc.split_pattern(arr, " ")
+    null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(splits)
+    doc_lens = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
+    doc_lens = np.where(null_mask, 0, doc_lens).astype(np.int64)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = enc.dictionary.to_pylist()
+    uhash, ulens, _ = _poly_hash_flat(uniques)
+    # xe family: drop empty tokens BEFORE the windows
+    occ_doc = np.repeat(np.arange(len(doc_lens)), doc_lens)
+    nonempty = ulens[codes] > 0 if len(codes) else np.empty(0, dtype=bool)
+    wh = uhash[codes[nonempty]] if len(codes) else np.empty(0, dtype=np.int64)
+    doc_lens_f = np.bincount(occ_doc[nonempty], minlength=len(doc_lens))
+    ng, starts, gram_doc = _window_starts(doc_lens_f, n)
+    if len(starts):
+        acc = wh[starts].copy()
+        for j in range(1, n):
+            acc = (acc * XE_MULT + wh[starts + j]) % FP_MOD
+        kept, counts = _dedup_first(gram_doc, acc, len(doc_lens))
+    else:
+        kept = np.empty(0, dtype=np.int64)
+        counts = np.zeros(len(doc_lens), dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    return pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(kept, type=pa.int64()),
+        mask=pa.array(null_mask),
+    )
+
+
 def xe_gram_hashes_arrow(text: Column | str, n: int = 3) -> Column:
     """Arrow-batched twin of ``ngram_hashes_xe(words(text), n)`` —
     the SAME cross-engine gram identity (whitespace split, empty-word
     filter, 31-poly char hash mod FP_MOD per word, (acc*131 + h) mod
-    FP_MOD gram fold, first-occurrence dedup), computed in a pandas
-    UDF instead of nested JVM higher-order functions.
+    FP_MOD gram fold, first-occurrence dedup), computed outside the
+    JVM instead of nested higher-order functions.
 
     Why a UDF here, against the usual rule: Spark HOFs are
     CodegenFallback — the per-char lambda interprets at ~3 us/char,
     and the char fold dominated q_dedup_minhash's wall (gram build
-    2.4 s of a ~3.4 s query at sf0.1).  The batch body is the
-    NumPy-vectorized :func:`_xe_grams_numpy` (guide §4.2: hand whole
-    batches to native code); set ``SHADEMS_XE_GRAM_IMPL=loop`` on the
-    driver to dispatch the original per-row loop instead (A/B and
-    differential testing — both are pinned value-identical in
-    tests/test_guards.py and tests/test_text_vector.py)."""
+    2.4 s of a ~3.4 s query at sf0.1).  The default body is the
+    Arrow-native :func:`_xe_grams_pa` (guide §4.2: whole batches
+    through pyarrow.compute + NumPy); ``SHADEMS_XE_GRAM_IMPL=numpy``
+    dispatches the pandas/NumPy body, ``=loop`` the original per-row
+    loop (A/B and differential testing — all three are pinned
+    value-identical in tests/test_guards.py and
+    tests/test_text_vector.py)."""
     import os
 
-    from pyspark.sql.functions import pandas_udf
-
-    body = (
-        _xe_grams_loop
-        if os.environ.get("SHADEMS_XE_GRAM_IMPL") == "loop"
-        else _xe_grams_numpy
-    )
-
-    @pandas_udf("array<long>")
-    def _grams(texts: pd.Series) -> pd.Series:
-        return body(texts, n)
-
     c = F.col(text) if isinstance(text, str) else text
-    return _grams(c)
+    impl = os.environ.get("SHADEMS_XE_GRAM_IMPL")
+    if impl in ("loop", "numpy"):
+        from pyspark.sql.functions import pandas_udf
+
+        body = _xe_grams_loop if impl == "loop" else _xe_grams_numpy
+
+        @pandas_udf("array<long>")
+        def _grams(texts: pd.Series) -> pd.Series:
+            return body(texts, n)
+
+        return _grams(c)
+
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("array<long>")
+    def _grams_pa(arr):
+        return _xe_grams_pa(arr, n)
+
+    return _grams_pa(c)
+
+
+def _word_ngrams_loop(texts: "pd.Series", n: int) -> "pd.Series":
+    """Reference per-row implementation of the string gram identity
+    (kept for A/B interleaving and as the executable spec)."""
+    out = []
+    for t in texts:
+        if t is None:  # JVM twin: null text -> null gram array
+            out.append(None)
+            continue
+        ws = t.split(" ")
+        gs = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+        out.append(list(dict.fromkeys(gs)))
+    return pd.Series(out, dtype=object)
+
+
+def _word_ngrams_pa(arr, n: int):
+    """Arrow-native twin of :func:`_word_ngrams_loop`: pyarrow
+    split_pattern (verified identical to str.split(" ") including
+    empty-token and empty-string edges), dictionary-encoded words,
+    NumPy window/dedup machinery, and ONE binary_join_element_wise to
+    build only the KEPT gram strings — no per-row Python anywhere;
+    the batch goes ChunkedArray -> ListArray with no Python objects
+    materialized."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    splits = pc.split_pattern(arr, " ")
+    null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(splits)
+    doc_lens = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
+    doc_lens = np.where(null_mask, 0, doc_lens).astype(np.int64)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ng, starts, gram_doc = _window_starts(doc_lens, n)
+    if len(starts):
+        # pack the word-code tuple into one gram id, re-factorizing
+        # after each step so values stay far below 2^63
+        gid = codes[starts]
+        for j in range(1, n):
+            gid = pd.factorize(gid * len(enc.dictionary) + codes[starts + j])[0]
+        # first-occurrence dedup per doc (array_distinct semantics);
+        # gid < #windows < 2^31 after factorize, so packing is exact
+        keep = np.sort(np.unique(gram_doc * (1 << 31) + gid, return_index=True)[1])
+        counts = np.bincount(gram_doc[keep], minlength=len(doc_lens))
+        parts = [flat.take(pa.array(starts[keep] + j)) for j in range(n)]
+        kept_str = (
+            pc.binary_join_element_wise(*parts, " ") if n > 1 else parts[0]
+        )
+    else:
+        counts = np.zeros(len(doc_lens), dtype=np.int64)
+        kept_str = pa.array([], type=pa.string())
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    return pa.ListArray.from_arrays(
+        pa.array(offsets), kept_str,
+        mask=pa.array(null_mask),
+    )
 
 
 def word_ngrams_arrow(text: Column | str, n: int = 3) -> Column:
     """Arrow-batched twin of ``word_ngrams(words(text), n)`` — the
     same STRING gram identity (space split with empties kept,
-    space-joined n-gram, first-occurrence dedup), in a pandas UDF for
-    the same CodegenFallback reason as :func:`xe_gram_hashes_arrow`
-    (measured 0.85 s -> 0.50 s warm on the sf0.1 gram scan,
-    exceptAll-identical both ways)."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<string>")
-    def _grams(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if t is None:  # JVM twin: null text -> null gram array
-                out.append(None)
-                continue
-            ws = t.split(" ")
-            gs = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
-            out.append(list(dict.fromkeys(gs)))
-        return pd.Series(out)
+    space-joined n-gram, first-occurrence dedup), computed outside
+    the JVM for the same CodegenFallback reason as
+    :func:`xe_gram_hashes_arrow`.  The default body is the
+    Arrow-native :func:`_word_ngrams_pa` (guide §4.2 — whole batches
+    through pyarrow.compute, zero per-row Python);
+    ``SHADEMS_XE_GRAM_IMPL=loop`` dispatches the original per-row
+    pandas UDF (A/B + differential spec — pinned value-identical in
+    tests/test_guards.py and tests/test_text_vector.py)."""
+    import os
 
     c = F.col(text) if isinstance(text, str) else text
-    return _grams(c)
+    if os.environ.get("SHADEMS_XE_GRAM_IMPL") == "loop":
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def _grams(texts: pd.Series) -> pd.Series:
+            return _word_ngrams_loop(texts, n)
+
+        return _grams(c)
+
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("array<string>")
+    def _grams_pa(arr):
+        return _word_ngrams_pa(arr, n)
+
+    return _grams_pa(c)
 
 
 def ngram_hashes_xe(ws: Column, n: int = 3, distinct: bool = True) -> Column:

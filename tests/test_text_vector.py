@@ -200,3 +200,113 @@ def test_word_buckets_numpy():
         got = list(_word_buckets_numpy(s, d))
         want = [_naive_buckets(t, d) for t in texts]
         assert got == want, f"d={d}"
+
+
+# ---- word_ngrams arrow-native pin ----
+
+from shadems_spark.operators.text import _word_ngrams_loop, _word_ngrams_pa
+
+
+def _check_ng(texts, n=3):
+    import pyarrow as pa
+
+    want = list(_word_ngrams_loop(pd.Series(texts, dtype=object), n))
+    got = _word_ngrams_pa(pa.array(texts, type=pa.string()), n).to_pylist()
+    assert got == want, f"n={n}: {got} != {want}"
+
+
+def test_word_ngrams_pa_edges():
+    _check_ng(
+        [
+            None, "", " ", "   ",
+            "one", "one two", "one two three",
+            "a  b   c d",
+            "x y z x y z x y z",
+            " lead and trail ",
+            "café 你好 😀 end",
+        ]
+    )
+
+
+def test_word_ngrams_pa_all_null_and_empty():
+    _check_ng([None, None])
+    _check_ng([])
+    _check_ng(["", None, ""])
+
+
+def test_word_ngrams_pa_various_n():
+    texts = ["the quick brown fox jumps over it", "a b", "a", "", None]
+    for n in (1, 2, 3, 4):
+        _check_ng(texts, n)
+
+
+def test_word_ngrams_pa_random():
+    rng = random.Random(99)
+    vocab = ["w%d" % i for i in range(80)] + ["é你"]
+    texts = []
+    for i in range(250):
+        if i % 31 == 0:
+            texts.append(None)
+            continue
+        sep = "  " if i % 13 == 0 else " "
+        texts.append(sep.join(rng.choices(vocab, k=rng.randint(0, 30))))
+    for n in (2, 3):
+        _check_ng(texts, n)
+
+
+def test_word_ngrams_pa_chunked():
+    import pyarrow as pa
+
+    texts = ["a b c d", None, "x y z w v"]
+    want = list(_word_ngrams_loop(pd.Series(texts, dtype=object), 3))
+    chunked = pa.chunked_array([texts[:2], texts[2:]], type=pa.string())
+    got = _word_ngrams_pa(chunked, 3).to_pylist()
+    assert got == want
+
+
+# ---- xe grams arrow-native pin ----
+
+from shadems_spark.operators.text import _xe_grams_pa
+
+
+def _check_xe_pa(texts, n=3):
+    import pyarrow as pa
+
+    want = list(_xe_grams_loop(pd.Series(texts, dtype=object), n))
+    got = _xe_grams_pa(pa.array(texts, type=pa.string()), n).to_pylist()
+    assert got == want, f"n={n}: {got} != {want}"
+
+
+def test_xe_grams_pa_edges():
+    _check_xe_pa(
+        [
+            None, "", " ", "   ",
+            "one", "one two", "one two three",
+            "a  b   c d",
+            "x y z x y z x y z",
+            " lead and trail ",
+            "café 你好 😀 end",
+        ]
+    )
+    _check_xe_pa([None, None])
+    _check_xe_pa([])
+
+
+def test_xe_grams_pa_various_n():
+    texts = ["the quick brown fox jumps over it", "a b", "a", "", None]
+    for n in (1, 2, 3, 4):
+        _check_xe_pa(texts, n)
+
+
+def test_xe_grams_pa_random():
+    rng = random.Random(123)
+    vocab = ["w%d" % i for i in range(80)] + ["é你"]
+    texts = []
+    for i in range(250):
+        if i % 29 == 0:
+            texts.append(None)
+            continue
+        sep = "  " if i % 17 == 0 else " "
+        texts.append(sep.join(rng.choices(vocab, k=rng.randint(0, 30))))
+    for n in (2, 3):
+        _check_xe_pa(texts, n)
