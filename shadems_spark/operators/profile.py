@@ -96,6 +96,34 @@ def vocab_coverage(
     )
 
 
+#: Memo of df-independent Column fragments keyed by their scalar
+#: parameters (PERFORMANCE, r11): a Column is an immutable unresolved
+#: expression tree, so the same object can be embedded in any number
+#: of plans — Catalyst re-resolves it per plan.  The two-phase
+#: operators' HOF fragments cost hundreds of py4j round-trips each to
+#: CONSTRUCT (~0.3 ms/round-trip of pure driver latency, paid on
+#: every bench rep because builders re-run per rep); memoizing the
+#: construction removes that without touching what any plan computes.
+_EXPR_CACHE: dict = {}
+
+
+def _memo(key, build):
+    import os
+
+    from pyspark import SparkContext
+
+    if os.environ.get("SHADEMS_NO_EXPR_MEMO"):  # A/B gate
+        return build()
+    # a Column wraps a Java object: never serve one built under a
+    # previous JVM gateway (session restart within one process)
+    sc = SparkContext._active_spark_context
+    key = (id(sc._gateway) if sc is not None else None,) + key
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        col = _EXPR_CACHE[key] = build()
+    return col
+
+
 def _offsets_row(counts: DataFrame, srcs: list[str]) -> DataFrame:
     """Fold the <= n_parts-row per-bucket totals table (keyed ``__b``)
     into ONE row carrying, per source column, (a) a ``__offmap_<src>``
@@ -111,41 +139,52 @@ def _offsets_row(counts: DataFrame, srcs: list[str]) -> DataFrame:
     a few thousand — and leaves ZERO empty-partition-spec WindowExec
     nodes in the plan (the `No Partition Defined` warning class the
     bench tail must stay free of, VERDICT r5 #1 done-criterion)."""
-    pn = F.sort_array(
-        F.collect_list(F.struct(F.col("__b"), *[F.col(s) for s in srcs]))
+    srcs_t = tuple(srcs)
+    pn = _memo(
+        ("offs_pn", srcs_t),
+        lambda: F.sort_array(
+            F.collect_list(
+                F.struct(F.col("__b"), *[F.col(s) for s in srcs])
+            )
+        ).alias("__pn"),
     )
-    row = counts.agg(pn.alias("__pn"))
-    outs = []
-    for s in srcs:
-        # Null map on EMPTY input: with zero buckets ``__pn`` is [],
-        # F.sequence(1, 0) auto-descends and element_at(.., 0) errors
-        # (ADVICE r6).  CaseWhen is lazily evaluated, so the guarded
-        # branch never runs on the empty row — and no data row exists
-        # to look the null map up, so downstream stays empty-correct.
-        outs.append(
-            F.when(
-                F.size("__pn") > 0,
-                F.map_from_entries(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("__pn")),
-                        lambda i: F.struct(
-                            F.element_at("__pn", i)["__b"].alias("k"),
-                            F.aggregate(
-                                F.slice("__pn", F.lit(1), i - 1),
-                                F.lit(0).cast("long"),
-                                lambda a, x: a + x[s],
-                            ).alias("v"),
-                        ),
-                    )
-                ),
-            ).alias(f"__offmap_{s}")
-        )
-        outs.append(
-            F.aggregate(
-                "__pn", F.lit(0).cast("long"), lambda a, x: a + x[s]
-            ).alias(f"__tot_{s}")
-        )
-    return row.select(*outs)
+    row = counts.agg(pn)
+
+    def _build_outs():
+        outs = []
+        for s in srcs:
+            # Null map on EMPTY input: with zero buckets ``__pn`` is
+            # [], F.sequence(1, 0) auto-descends and element_at(.., 0)
+            # errors (ADVICE r6).  CaseWhen is lazily evaluated, so
+            # the guarded branch never runs on the empty row — and no
+            # data row exists to look the null map up, so downstream
+            # stays empty-correct.
+            outs.append(
+                F.when(
+                    F.size("__pn") > 0,
+                    F.map_from_entries(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("__pn")),
+                            lambda i: F.struct(
+                                F.element_at("__pn", i)["__b"].alias("k"),
+                                F.aggregate(
+                                    F.slice("__pn", F.lit(1), i - 1),
+                                    F.lit(0).cast("long"),
+                                    lambda a, x: a + x[s],
+                                ).alias("v"),
+                            ),
+                        )
+                    ),
+                ).alias(f"__offmap_{s}")
+            )
+            outs.append(
+                F.aggregate(
+                    "__pn", F.lit(0).cast("long"), lambda a, x: a + x[s]
+                ).alias(f"__tot_{s}")
+            )
+        return outs
+
+    return row.select(*_memo(("offs_outs", srcs_t), _build_outs))
 
 
 _SHARE_SEQ = count()
@@ -282,37 +321,59 @@ def _cuts_row(df: DataFrame, key: Column, n_parts: int, desc: bool) -> DataFrame
     samp = (
         df.select(key.alias("__k"))
         .filter(F.col("__k").isNotNull())
-        .withColumn("__h", F.xxhash64(F.col("__k").cast("string")))
-        .groupBy(F.pmod("__h", F.lit(n_sample)).alias("__hb"))
-        .agg(
-            F.min(F.struct(F.col("__h").alias("h"), F.col("__k").alias("k")))[
-                "k"
-            ].alias("__k")
-        )
-        .agg(
-            F.array_distinct(
-                F.sort_array(F.collect_list("__k"), asc=not desc)
-            ).alias("__vals")
-        )
-    )
-    k = F.size("__vals")
-    pos = F.transform(
-        F.sequence(F.lit(1), F.lit(n_parts - 1)),
-        lambda i: F.round(i * k / n_parts).cast("int"),
-    )
-    cuts = F.array_distinct(
-        F.filter(
-            F.transform(
-                pos,
-                lambda j: F.when(
-                    (j > 0) & (j < k), F.element_at("__vals", j + 1)
-                ),
+        .withColumn(
+            "__h",
+            _memo(
+                ("cuts_xh",),
+                lambda: F.xxhash64(F.col("__k").cast("string")),
             ),
-            lambda c: c.isNotNull(),
+        )
+        .groupBy(
+            _memo(
+                ("cuts_hb", n_sample),
+                lambda: F.pmod("__h", F.lit(n_sample)).alias("__hb"),
+            )
+        )
+        .agg(
+            _memo(
+                ("cuts_minrep",),
+                lambda: F.min(
+                    F.struct(F.col("__h").alias("h"), F.col("__k").alias("k"))
+                )["k"].alias("__k"),
+            )
+        )
+        .agg(
+            _memo(
+                ("cuts_vals", desc),
+                lambda: F.array_distinct(
+                    F.sort_array(F.collect_list("__k"), asc=not desc)
+                ).alias("__vals"),
+            )
         )
     )
-    return samp.select(cuts.alias("__cuts")) if n_parts > 1 else samp.select(
-        F.slice("__vals", 1, 0).alias("__cuts")
+
+    def _build_cuts():
+        k = F.size("__vals")
+        pos = F.transform(
+            F.sequence(F.lit(1), F.lit(n_parts - 1)),
+            lambda i: F.round(i * k / n_parts).cast("int"),
+        )
+        return F.array_distinct(
+            F.filter(
+                F.transform(
+                    pos,
+                    lambda j: F.when(
+                        (j > 0) & (j < k), F.element_at("__vals", j + 1)
+                    ),
+                ),
+                lambda c: c.isNotNull(),
+            )
+        ).alias("__cuts")
+
+    if n_parts > 1:
+        return samp.select(_memo(("cuts_cuts", n_parts), _build_cuts))
+    return samp.select(
+        _memo(("cuts_empty",), lambda: F.slice("__vals", 1, 0).alias("__cuts"))
     )
 
 
@@ -331,26 +392,37 @@ def _bucketed(
     physical partition id), so every plan branch agrees.  Null keys
     land in bucket 0 (matching ascending nulls-first; descending
     callers pass non-null keys by contract)."""
+    key_name = None
     if bucket_key is None:
         if not isinstance(order[0], str):
             raise ValueError(
                 "pass bucket_key= explicitly when order[0] is a Column "
                 "expression (e.g. a .desc() sort order)"
             )
+        key_name = order[0]
         bucket_key = F.col(order[0])
     # One materialization for the THREE sibling branches every
     # two-phase caller builds over df (cuts sample, windowed data,
     # per-bucket totals) — size-thresholded, see _share.
     df = _share(df, "bucketed", bounded=False)
     cuts = _cuts_row(df, bucket_key, _resolve_nparts(df, n_parts), bucket_desc)
-    passed = (
-        F.filter("__cuts", lambda c: bucket_key <= c)
-        if bucket_desc
-        else F.filter("__cuts", lambda c: bucket_key >= c)
+
+    def _build_b():
+        passed = (
+            F.filter("__cuts", lambda c: bucket_key <= c)
+            if bucket_desc
+            else F.filter("__cuts", lambda c: bucket_key >= c)
+        )
+        return F.coalesce(F.size(passed), F.lit(0))
+
+    b = (
+        _memo(("bucketed_b", key_name, bucket_desc), _build_b)
+        if key_name is not None
+        else _build_b()  # Column-expression keys are not memo-keyable
     )
     return (
         df.crossJoin(F.broadcast(cuts))
-        .withColumn("__b", F.coalesce(F.size(passed), F.lit(0)))
+        .withColumn("__b", b)
         .drop("__cuts")
     )
 
@@ -591,28 +663,34 @@ def _offsets_row_max(maxima: DataFrame, src: str) -> DataFrame:
     over prior buckets (null for the first bucket / all-prior-null —
     the scan identity, since max has no integer zero).  Same shape
     and the same zero-empty-partition-window property."""
-    pn = F.sort_array(
-        F.collect_list(F.struct(F.col("__b"), F.col(src)))
+    pn = _memo(
+        ("offsmax_pn", src),
+        lambda: F.sort_array(
+            F.collect_list(F.struct(F.col("__b"), F.col(src)))
+        ).alias("__pn"),
     )
-    row = maxima.agg(pn.alias("__pn"))
+    row = maxima.agg(pn)
+
     # Same empty-input guard as _offsets_row (ADVICE r6).
-    offmap = F.when(
-        F.size("__pn") > 0,
-        F.map_from_entries(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__pn")),
-                lambda i: F.struct(
-                    F.element_at("__pn", i)["__b"].alias("k"),
-                    F.aggregate(
-                        F.slice("__pn", F.lit(1), i - 1),
-                        F.lit(None).cast("long"),
-                        lambda a, x: F.greatest(a, x[src]),
-                    ).alias("v"),
-                ),
-            )
-        ),
-    )
-    return row.select(offmap.alias(f"__offmap_{src}"))
+    def _build_offmap():
+        return F.when(
+            F.size("__pn") > 0,
+            F.map_from_entries(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__pn")),
+                    lambda i: F.struct(
+                        F.element_at("__pn", i)["__b"].alias("k"),
+                        F.aggregate(
+                            F.slice("__pn", F.lit(1), i - 1),
+                            F.lit(None).cast("long"),
+                            lambda a, x: F.greatest(a, x[src]),
+                        ).alias("v"),
+                    ),
+                )
+            ),
+        ).alias(f"__offmap_{src}")
+
+    return row.select(_memo(("offsmax_map", src), _build_offmap))
 
 
 def prefix_max_prune(
