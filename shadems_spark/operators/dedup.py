@@ -117,23 +117,34 @@ def minhash_signatures_from_grams(
     xxhash64(s, j) for the affine (a_j*s + b_j) mod FP_MOD literals
     (:func:`xe_minhash_affine`) — pure arithmetic, replayable in the
     DuckDB oracle."""
-    if family == "xe":
-        from shadems_spark.operators.text import FP_MOD
+    from shadems_spark.operators.exprcache import memo
 
-        ab = xe_minhash_affine(n_hashes)
-        mins = [
-            F.min((F.lit(a) * F.col("s") + F.lit(b)) % F.lit(FP_MOD)).alias(f"h{j}")
-            for j, (a, b) in enumerate(ab)
-        ]
-    else:
-        mins = [
+    def _build_mins():
+        if family == "xe":
+            from shadems_spark.operators.text import FP_MOD
+
+            ab = xe_minhash_affine(n_hashes)
+            return [
+                F.min(
+                    (F.lit(a) * F.col("s") + F.lit(b)) % F.lit(FP_MOD)
+                ).alias(f"h{j}")
+                for j, (a, b) in enumerate(ab)
+            ]
+        return [
             F.min(F.xxhash64(F.col("s"), F.lit(j))).alias(f"h{j}")
             for j in range(n_hashes)
         ]
+
+    mins = memo(("mh_mins", n_hashes, family), _build_mins)
     agg = grams.groupBy(id_col).agg(*mins)
     return agg.select(
         id_col,
-        F.array(*[F.col(f"h{j}") for j in range(n_hashes)]).alias("sig"),
+        memo(
+            ("mh_sig", n_hashes),
+            lambda: F.array(
+                *[F.col(f"h{j}") for j in range(n_hashes)]
+            ).alias("sig"),
+        ),
     )
 
 
@@ -146,31 +157,39 @@ def lsh_candidate_pairs(
     bucket — skew-bounded by band width, never all-pairs.  The "xe"
     family folds each band with seeded (acc*131 + s) mod FP_MOD
     arithmetic (:func:`xe_band_seeds`) for oracle replay."""
-    if family == "xe":
-        from shadems_spark.operators.text import FP_MOD, XE_MULT
+    from shadems_spark.operators.exprcache import memo
 
-        seeds = xe_band_seeds(bands)
+    def _build_banded():
+        if family == "xe":
+            from shadems_spark.operators.text import FP_MOD, XE_MULT
 
-        def band_hash(b: int):
-            acc = F.lit(seeds[b]).cast("long")
-            for r in range(rows):
-                acc = (
-                    acc * F.lit(XE_MULT)
-                    + F.element_at("sig", b * rows + r + 1)
-                ) % F.lit(FP_MOD)
-            return acc
+            seeds = xe_band_seeds(bands)
 
-        buckets = [band_hash(b) for b in range(bands)]
-    else:
-        buckets = [
-            F.xxhash64(
-                *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
-            )
-            for b in range(bands)
-        ]
+            def band_hash(b: int):
+                acc = F.lit(seeds[b]).cast("long")
+                for r in range(rows):
+                    acc = (
+                        acc * F.lit(XE_MULT)
+                        + F.element_at("sig", b * rows + r + 1)
+                    ) % F.lit(FP_MOD)
+                return acc
+
+            buckets = [band_hash(b) for b in range(bands)]
+        else:
+            buckets = [
+                F.xxhash64(
+                    *[
+                        F.element_at("sig", b * rows + r + 1)
+                        for r in range(rows)
+                    ]
+                )
+                for b in range(bands)
+            ]
+        return F.posexplode(F.array(*buckets)).alias("band", "bucket")
+
     banded = sigs.select(
         id_col,
-        F.posexplode(F.array(*buckets)).alias("band", "bucket"),
+        memo(("lsh_banded", bands, rows, family), _build_banded),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -390,38 +409,60 @@ def simhash_signatures(
     Carter-Wegman pairwise-independent bits, pure BIGINT arithmetic on
     both engines, so a DuckDB oracle replays the signature exactly
     (xxhash64 bit extraction stays the non-oracled default)."""
-    if family == "xe":
-        from shadems_spark.operators.text import FP_MOD, poly_word_hashes
+    from shadems_spark.operators.exprcache import memo
 
-        ws = F.filter(words(text), lambda w: F.length(w) > 0)
-        toks = df.select(
-            id_col, F.explode(poly_word_hashes(ws)).alias("h")
-        )
-        ab = xe_minhash_affine(bits, salt=424242)
-        bit_is_one = [
-            ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(FP_MOD)) % 2 == 1
-            for a, b in ab
+    text_key = text if isinstance(text, str) else None
+
+    def _build_sums():
+        if family == "xe":
+            from shadems_spark.operators.text import FP_MOD
+
+            bit_is_one = [
+                ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(FP_MOD)) % 2 == 1
+                for a, b in xe_minhash_affine(bits, salt=424242)
+            ]
+        else:
+            bit_is_one = [
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1
+                for i in range(bits)
+            ]
+        return [
+            F.sum(F.when(cond, 1).otherwise(-1)).alias(f"b{i}")
+            for i, cond in enumerate(bit_is_one)
         ]
+
+    if family == "xe":
+        from shadems_spark.operators.text import poly_word_hashes
+
+        def _build_toks():
+            ws = F.filter(words(text), lambda w: F.length(w) > 0)
+            return F.explode(poly_word_hashes(ws)).alias("h")
+
+        toks = df.select(
+            id_col,
+            memo(("sh_toks_xe", text_key, bits), _build_toks)
+            if text_key is not None
+            else _build_toks(),
+        )
     else:
         toks = df.select(id_col, F.explode(words(text)).alias("w")).withColumn(
             "h", F.xxhash64("w")
         ).select(id_col, "h")
-        bit_is_one = [
-            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1
-            for i in range(bits)
-        ]
     bit_sums = toks.groupBy(id_col).agg(
-        *[
-            F.sum(F.when(cond, 1).otherwise(-1)).alias(f"b{i}")
-            for i, cond in enumerate(bit_is_one)
-        ]
+        *memo(("sh_sums", bits, family), _build_sums)
     )
-    sig = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)  # bit 63 wraps to the sign bit, as intended
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return bit_sums.select(id_col, sig.alias("simhash"))
+
+    def _build_sig():
+        sig = None
+        for i in range(bits):
+            bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = F.shiftleft(bit, i)  # bit 63 wraps to the sign bit
+            sig = term if sig is None else sig.bitwiseOR(term)
+        return sig.alias("simhash")
+
+    return bit_sums.select(id_col, memo(("sh_sig", bits), _build_sig))
 
 
 def simhash_candidates(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:

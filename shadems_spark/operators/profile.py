@@ -96,32 +96,11 @@ def vocab_coverage(
     )
 
 
-#: Memo of df-independent Column fragments keyed by their scalar
-#: parameters (PERFORMANCE, r11): a Column is an immutable unresolved
-#: expression tree, so the same object can be embedded in any number
-#: of plans — Catalyst re-resolves it per plan.  The two-phase
-#: operators' HOF fragments cost hundreds of py4j round-trips each to
-#: CONSTRUCT (~0.3 ms/round-trip of pure driver latency, paid on
-#: every bench rep because builders re-run per rep); memoizing the
-#: construction removes that without touching what any plan computes.
-_EXPR_CACHE: dict = {}
-
-
-def _memo(key, build):
-    import os
-
-    from pyspark import SparkContext
-
-    if os.environ.get("SHADEMS_NO_EXPR_MEMO"):  # A/B gate
-        return build()
-    # a Column wraps a Java object: never serve one built under a
-    # previous JVM gateway (session restart within one process)
-    sc = SparkContext._active_spark_context
-    key = (id(sc._gateway) if sc is not None else None,) + key
-    col = _EXPR_CACHE.get(key)
-    if col is None:
-        col = _EXPR_CACHE[key] = build()
-    return col
+# Memo of df-independent Column fragments (see operators/exprcache
+# for the rationale and rules): the two-phase operators' HOF
+# fragments cost hundreds of py4j round-trips each to construct, paid
+# on every bench rep because builders re-run per rep.
+from shadems_spark.operators.exprcache import memo as _memo
 
 
 def _offsets_row(counts: DataFrame, srcs: list[str]) -> DataFrame:

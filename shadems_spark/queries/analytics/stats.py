@@ -1071,48 +1071,64 @@ def q_corr_matrix(spark, sf_dir):
     and unit diagonal are structural.  Scale: one scan, one 1-row
     reduce, 16 output rows — adding a variable grows the aggregate
     width, not the pass count."""
+    from shadems_spark.operators.exprcache import memo
+
     li = load_table(spark, sf_dir, "lineitem")
+    # the scaled projection, the k+k(k+1)/2-wide aggregate list and
+    # the k^2 coefficient cells are all pure functions of _CM_VARS —
+    # memoized so re-builds skip ~1.3 s of py4j construction latency
     s = li.select(
-        *[
-            F.round(F.col(v) * sc).cast("long").alias(f"v{i}")
-            for i, (v, sc) in enumerate(zip(_CM_VARS, _CM_SCALE))
-        ]
+        *memo(
+            ("cm_proj", tuple(_CM_VARS), tuple(_CM_SCALE)),
+            lambda: [
+                F.round(F.col(v) * sc).cast("long").alias(f"v{i}")
+                for i, (v, sc) in enumerate(zip(_CM_VARS, _CM_SCALE))
+            ],
+        )
     )
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for i in range(len(_CM_VARS)):
-        aggs.append(F.sum(F.col(f"v{i}")).alias(f"s{i}"))
-        for j in range(i, len(_CM_VARS)):
-            aggs.append(
-                F.sum(F.col(f"v{i}") * F.col(f"v{j}")).alias(f"s{i}_{j}")
-            )
-    g = s.agg(*aggs)
-    c = F.col
-    cells = []
-    for i, vi in enumerate(_CM_VARS):
-        for j, vj in enumerate(_CM_VARS):
-            a, b = min(i, j), max(i, j)
-            num = c("n") * c(f"s{a}_{b}").cast("double") - c(
-                f"s{a}"
-            ).cast("double") * c(f"s{b}")
-            den = F.sqrt(
-                (
-                    c("n") * c(f"s{a}_{a}").cast("double")
-                    - c(f"s{a}").cast("double") * c(f"s{a}")
+
+    def _build_aggs():
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for i in range(len(_CM_VARS)):
+            aggs.append(F.sum(F.col(f"v{i}")).alias(f"s{i}"))
+            for j in range(i, len(_CM_VARS)):
+                aggs.append(
+                    F.sum(F.col(f"v{i}") * F.col(f"v{j}")).alias(f"s{i}_{j}")
                 )
-                * (
-                    c("n") * c(f"s{b}_{b}").cast("double")
-                    - c(f"s{b}").cast("double") * c(f"s{b}")
+        return aggs
+
+    g = s.agg(*memo(("cm_aggs", tuple(_CM_VARS)), _build_aggs))
+
+    def _build_cells():
+        c = F.col
+        cells = []
+        for i, vi in enumerate(_CM_VARS):
+            for j, vj in enumerate(_CM_VARS):
+                a, b = min(i, j), max(i, j)
+                num = c("n") * c(f"s{a}_{b}").cast("double") - c(
+                    f"s{a}"
+                ).cast("double") * c(f"s{b}")
+                den = F.sqrt(
+                    (
+                        c("n") * c(f"s{a}_{a}").cast("double")
+                        - c(f"s{a}").cast("double") * c(f"s{a}")
+                    )
+                    * (
+                        c("n") * c(f"s{b}_{b}").cast("double")
+                        - c(f"s{b}").cast("double") * c(f"s{b}")
+                    )
                 )
-            )
-            cells.append(
-                F.struct(
-                    F.lit(vi).alias("var_x"),
-                    F.lit(vj).alias("var_y"),
-                    F.round(num / den, 6).alias("corr"),
+                cells.append(
+                    F.struct(
+                        F.lit(vi).alias("var_x"),
+                        F.lit(vj).alias("var_y"),
+                        F.round(num / den, 6).alias("corr"),
+                    )
                 )
-            )
+        return F.explode(F.array(*cells)).alias("c")
+
     return (
-        g.select(F.explode(F.array(*cells)).alias("c"))
+        g.select(memo(("cm_cells", tuple(_CM_VARS)), _build_cells))
         .select("c.var_x", "c.var_y", "c.corr")
         .orderBy("var_x", "var_y")
     )
