@@ -120,17 +120,31 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int =
     expression tree stays small (n_planes literal arrays).  ``seed``
     offsets the plane family so multiple independent hash tables
     (OR-amplification) draw disjoint planes."""
-    bucket = None
-    for j in range(n_planes):
-        comps = [
-            (_splitmix64((seed + j) * 1024 + i) % 2001) / 1000.0 - 1.0 for i in range(dim)
-        ]
-        plane = F.array(*[F.lit(c) for c in comps])
-        d = dot(vec, plane)
-        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        bucket = term if bucket is None else bucket.bitwiseOR(term)
-    return bucket
+    from shadems_spark.operators.exprcache import memo
+
+    def _build_bucket():
+        bucket = None
+        for j in range(n_planes):
+            comps = [
+                (_splitmix64((seed + j) * 1024 + i) % 2001) / 1000.0 - 1.0
+                for i in range(dim)
+            ]
+            plane = F.array(*[F.lit(c) for c in comps])
+            d = dot(vec, plane)
+            bit = (
+                F.when(d > 0, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            term = F.shiftleft(bit, j)
+            bucket = term if bucket is None else bucket.bitwiseOR(term)
+        return bucket
+
+    # memo-keyable only when the caller identifies the vec expression
+    # (the operators here all pass simple named columns)
+    name = vec._jc.toString() if hasattr(vec, "_jc") else str(vec)
+    if name.isidentifier():
+        return memo(("hp_bucket", name, n_planes, dim, seed), _build_bucket)
+    return _build_bucket()
 
 
 def embedding_dim(emb: DataFrame, vec: str = "embedding") -> int:
@@ -223,17 +237,30 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]], vec: str = "c_vec")
       argmax dot (the row's own norm is a constant divisor);
     - the argmax is one array_sort over k (score, cell) structs, each
       dot evaluated exactly once."""
-    scores = F.array(
-        *[
-            F.struct(
-                (-dot(F.col(vec), F.array(*[F.lit(x) for x in _unit(c)]))).alias("neg"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    best = F.element_at(F.array_sort(scores), 1)
-    return emb.withColumn("cell", best["cell"])
+    from shadems_spark.operators.exprcache import memo
+
+    def _build_best():
+        scores = F.array(
+            *[
+                F.struct(
+                    (
+                        -dot(
+                            F.col(vec),
+                            F.array(*[F.lit(x) for x in _unit(c)]),
+                        )
+                    ).alias("neg"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.element_at(F.array_sort(scores), 1)["cell"]
+
+    # keyed on the centroid VALUES: the sampling/refinement jobs that
+    # produced them still run on every build — only the expression
+    # construction is cached (identical plan, nothing skipped)
+    ckey = tuple(tuple(c) for c in centroids)
+    return emb.withColumn("cell", memo(("ivf_best", ckey, vec), _build_best))
 
 
 #: cross-engine id-sampler constants (SplitMix64-derived literals over
@@ -383,19 +410,40 @@ def ivf_topk(
         cents,
     )
     # per query: rank all cells by centroid cosine, keep n_probe
+    from shadems_spark.operators.exprcache import memo
+
     q = queries.select(F.col(id_col).alias("q_id"), as_double(vec).alias("q_vec"))
-    probe_cols = []
-    for i, cent in enumerate(cents):
-        cvec = F.array(*[F.lit(float(x)) for x in cent])
-        probe_cols.append(F.struct(cosine(F.col("q_vec"), cvec).alias("cos"), F.lit(i).alias("cell")))
+
+    def _build_probe():
+        probe_cols = []
+        for i, cent in enumerate(cents):
+            cvec = F.array(*[F.lit(float(x)) for x in cent])
+            probe_cols.append(
+                F.struct(
+                    cosine(F.col("q_vec"), cvec).alias("cos"),
+                    F.lit(i).alias("cell"),
+                )
+            )
+        return F.explode(
+            F.slice(F.reverse(F.array_sort(F.array(*probe_cols))), 1, n_probe)
+        )
+
+    ckey = tuple(tuple(c) for c in cents)
     probes = q.withColumn(
-        "__p",
-        F.explode(F.slice(F.reverse(F.array_sort(F.array(*probe_cols))), 1, n_probe)),
+        "__p", memo(("ivf_probe", ckey, n_probe), _build_probe)
     ).select("q_id", "q_vec", F.col("__p.cell").alias("cell"))
     scored = (
         c.join(F.broadcast(probes), "cell")
         .filter(F.col("cand_id") != F.col("q_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "cos",
+            memo(
+                ("qc_cos",),
+                lambda: F.round(
+                    cosine(F.col("q_vec"), F.col("c_vec")), 6
+                ),
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
