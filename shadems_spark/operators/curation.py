@@ -346,32 +346,41 @@ def train_quality_lr(
     n_docs = t.count()  # also materializes the persist
     nano = F.lit(1_000_000_000.0)
     nw = F.size("bk")
+    from shadems_spark.operators.exprcache import memo
+
     w = [0] * (d + 1)
     for _ in range(iters):
-        warr = F.array(*[F.lit(int(w[b])) for b in range(d)])
-        zs = F.aggregate(
-            "bk",
-            F.lit(0).cast("long"),
-            lambda acc, b: acc + F.element_at(warr, (b + 1).cast("int")),
-        )
-        z = zs / (nano * (F.lit(1) + nw)) + F.lit(int(w[d])) / nano
-        r = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9) - F.col("y")
-        # identical per-doc rounding order as the exploded form:
-        # ((r * nano) * c_b) / (1 + nw), rounded to a nano int BEFORE
-        # summing; a zero count contributes round(0) = 0, exactly the
-        # absent row of the old (did, b) table.
-        sums = [
-            F.sum(
-                F.round(
-                    r * nano
-                    * F.size(F.filter("bk", lambda x: x == b)).cast("long")
-                    / (F.lit(1.0) + nw)
-                ).cast("long")
-            ).alias(f"g{b}")
-            for b in range(d)
-        ]
-        sums.append(F.sum(F.round(r * nano).cast("long")).alias(f"g{d}"))
-        row = t.agg(*sums).collect()[0]
+
+        def _build_sums():
+            warr = F.array(*[F.lit(int(w[b])) for b in range(d)])
+            zs = F.aggregate(
+                "bk",
+                F.lit(0).cast("long"),
+                lambda acc, b: acc + F.element_at(warr, (b + 1).cast("int")),
+            )
+            z = zs / (nano * (F.lit(1) + nw)) + F.lit(int(w[d])) / nano
+            r = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9) - F.col("y")
+            # identical per-doc rounding order as the exploded form:
+            # ((r * nano) * c_b) / (1 + nw), rounded to a nano int
+            # BEFORE summing; a zero count contributes round(0) = 0,
+            # exactly the absent row of the old (did, b) table.
+            sums = [
+                F.sum(
+                    F.round(
+                        r * nano
+                        * F.size(F.filter("bk", lambda x: x == b)).cast("long")
+                        / (F.lit(1.0) + nw)
+                    ).cast("long")
+                ).alias(f"g{b}")
+                for b in range(d)
+            ]
+            sums.append(F.sum(F.round(r * nano).cast("long")).alias(f"g{d}"))
+            return sums
+
+        # keyed on the weight VALUES: the gradient jobs still run on
+        # every build (and every iteration) — only the expression
+        # construction for a recurring weight vector is cached
+        row = t.agg(*memo(("lr_sums", d, tuple(w)), _build_sums)).collect()[0]
         for b in range(d + 1):
             w[b] -= math.floor(row[f"g{b}"] / n_docs)
     t.unpersist()

@@ -2854,6 +2854,8 @@ def q_als(spark, sf_dir):
         schema="t string, Y1 long, Y2 long",
     )
 
+    from shadems_spark.operators.exprcache import memo
+
     def solve(src, key, out_k):
         # sufficient statistics as DECIMAL(38,0): exact integer sums
         # (order-free like the long fold) but overflow-safe to 1e38 —
@@ -2865,26 +2867,34 @@ def q_als(spark, sf_dir):
         def d(c):
             return c.cast("decimal(19,0)")
 
+        def _build_stats():
+            return [
+                F.sum(d(F.col("Y1")) * d(F.col("Y1"))).alias("a11"),
+                F.sum(d(F.col("Y1")) * d(F.col("Y2"))).alias("a12"),
+                F.sum(d(F.col("Y2")) * d(F.col("Y2"))).alias("a22"),
+                F.sum(d(F.col("r")) * d(F.col("Y1"))).alias("b1"),
+                F.sum(d(F.col("r")) * d(F.col("Y2"))).alias("b2"),
+            ]
+
         g = src.groupBy(F.col(key).alias(out_k)).agg(
-            F.sum(d(F.col("Y1")) * d(F.col("Y1"))).alias("a11"),
-            F.sum(d(F.col("Y1")) * d(F.col("Y2"))).alias("a12"),
-            F.sum(d(F.col("Y2")) * d(F.col("Y2"))).alias("a22"),
-            F.sum(d(F.col("r")) * d(F.col("Y1"))).alias("b1"),
-            F.sum(d(F.col("r")) * d(F.col("Y2"))).alias("b2"),
+            *memo(("als_stats",), _build_stats)
         )
-        A11 = F.col("a11") / F.lit(1e12) + F.lit(0.1)
-        A12 = F.col("a12") / F.lit(1e12)
-        A22 = F.col("a22") / F.lit(1e12) + F.lit(0.1)
-        B1 = F.col("b1") / F.lit(1e6)
-        B2 = F.col("b2") / F.lit(1e6)
-        det = A11 * A22 - A12 * A12
-        x1 = (A22 * B1 - A12 * B2) / det
-        x2 = (A11 * B2 - A12 * B1) / det
-        return g.select(
-            out_k,
-            F.round(x1 * F.lit(1e6)).cast("long").alias("X1"),
-            F.round(x2 * F.lit(1e6)).cast("long").alias("X2"),
-        )
+
+        def _build_xs():
+            A11 = F.col("a11") / F.lit(1e12) + F.lit(0.1)
+            A12 = F.col("a12") / F.lit(1e12)
+            A22 = F.col("a22") / F.lit(1e12) + F.lit(0.1)
+            B1 = F.col("b1") / F.lit(1e6)
+            B2 = F.col("b2") / F.lit(1e6)
+            det = A11 * A22 - A12 * A12
+            x1 = (A22 * B1 - A12 * B2) / det
+            x2 = (A11 * B2 - A12 * B1) / det
+            return [
+                F.round(x1 * F.lit(1e6)).cast("long").alias("X1"),
+                F.round(x2 * F.lit(1e6)).cast("long").alias("X2"),
+            ]
+
+        return g.select(out_k, *memo(("als_xs",), _build_xs))
 
     def attach(fact, key):
         cols = (
@@ -3499,15 +3509,21 @@ def q_adaboost_stumps(spark, sf_dir):
     # reference the round's weight through the "wn" name) — build the
     # py4j Column objects ONCE; per-round construction cost ~0.3 s of
     # pure gateway traffic otherwise.
-    aggs = [F.sum("wn").alias("tot")]
-    for fi in range(_ADA_FEATS):
-        for t in _ADA_THRESH:
-            pred = F.when(F.element_at("fv", fi + 1) >= t, 1).otherwise(-1)
-            aggs.append(
-                F.sum(
-                    F.when(pred != F.col("y"), F.col("wn")).otherwise(0)
-                ).alias(f"we_{fi}_{t}")
-            )
+    from shadems_spark.operators.exprcache import memo
+
+    def _build_aggs():
+        aggs = [F.sum("wn").alias("tot")]
+        for fi in range(_ADA_FEATS):
+            for t in _ADA_THRESH:
+                pred = F.when(F.element_at("fv", fi + 1) >= t, 1).otherwise(-1)
+                aggs.append(
+                    F.sum(
+                        F.when(pred != F.col("y"), F.col("wn")).otherwise(0)
+                    ).alias(f"we_{fi}_{t}")
+                )
+        return aggs
+
+    aggs = memo(("ada_aggs", _ADA_FEATS, tuple(_ADA_THRESH)), _build_aggs)
     choices: list[dict] = []
     for _r in range(_ADA_T):
         row = f.select("y", "fv", wn.alias("wn")).agg(*aggs).collect()[0]
