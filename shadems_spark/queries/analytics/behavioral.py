@@ -758,10 +758,15 @@ def q_markov_attribution(spark, sf_dir):
         F.explode(F.array_remove("states", "START")).alias("channel"),
         "m", "states",
     )
+    from shadems_spark.operators.exprcache import memo
+
     sc = row.select(
         "channel",
-        solve(None).alias("base_n"),
-        solve(F.col("channel")).alias("removed_n"),
+        memo(("ma_base", _MA_SWEEPS), lambda: solve(None).alias("base_n")),
+        memo(
+            ("ma_removed", _MA_SWEEPS),
+            lambda: solve(F.col("channel")).alias("removed_n"),
+        ),
     ).withColumn(
         "re_nano",
         F.greatest(F.col("base_n") - F.col("removed_n"), zero),
@@ -921,6 +926,8 @@ def q_shapley_attribution(spark, sf_dir):
         F.sort_array(F.collect_list(F.struct("mask", "n", "nc"))).alias("ms")
     ).crossJoin(F.broadcast(chs))
 
+    from shadems_spark.operators.exprcache import memo
+
     zero = F.lit(0).cast("long")
 
     def fact(c):
@@ -929,54 +936,63 @@ def q_shapley_attribution(spark, sf_dir):
             e_ = e_.when(c == n, F.lit(f).cast("long"))
         return e_
 
-    k = F.size("chs")
-    subsets = F.expr("sequence(0, shiftleft(1, size(chs)) - 1)")
-    v_map = F.map_from_entries(
-        F.transform(
-            subsets,
-            lambda s: F.struct(
-                s.alias("k"),
-                F.aggregate(
-                    F.filter(
-                        F.col("ms"),
-                        lambda m: m["mask"].bitwiseAND(s) == m["mask"],
-                    ),
-                    F.struct(zero.alias("n"), zero.alias("nc")),
-                    lambda a, m: F.struct(
-                        (a["n"] + m["n"]).alias("n"),
-                        (a["nc"] + m["nc"]).alias("nc"),
-                    ),
-                    lambda a: F.when(
-                        a["n"] > 0,
-                        F.round(F.lit(1e9) * a["nc"] / a["n"]).cast("long"),
-                    ).otherwise(zero),
-                ).alias("v"),
+    def _build_vmap():
+        subsets = F.expr("sequence(0, shiftleft(1, size(chs)) - 1)")
+        return F.map_from_entries(
+            F.transform(
+                subsets,
+                lambda s: F.struct(
+                    s.alias("k"),
+                    F.aggregate(
+                        F.filter(
+                            F.col("ms"),
+                            lambda m: m["mask"].bitwiseAND(s) == m["mask"],
+                        ),
+                        F.struct(zero.alias("n"), zero.alias("nc")),
+                        lambda a, m: F.struct(
+                            (a["n"] + m["n"]).alias("n"),
+                            (a["nc"] + m["nc"]).alias("nc"),
+                        ),
+                        lambda a: F.when(
+                            a["n"] > 0,
+                            F.round(
+                                F.lit(1e9) * a["nc"] / a["n"]
+                            ).cast("long"),
+                        ).otherwise(zero),
+                    ).alias("v"),
+                ),
+            )
+        ).alias("vm")
+
+    row = one.select(
+        F.explode("chs").alias("ch"), "ms", "chs",
+        memo(("shap_vmap",), _build_vmap),
+    )
+
+    def _build_score():
+        k = F.size("chs")
+        bit = F.expr("shiftleft(1, ch.b)")
+        num = F.aggregate(
+            F.filter(
+                F.expr("sequence(0, shiftleft(1, size(chs)) - 1)"),
+                lambda s: s.bitwiseAND(bit) == 0,
+            ),
+            zero,
+            lambda a, s: a
+            + fact(F.bit_count(s))
+            * fact(k - 1 - F.bit_count(s))
+            * (
+                F.element_at(F.col("vm"), s.bitwiseOR(bit))
+                - F.element_at(F.col("vm"), s)
             ),
         )
-    )
-    row = one.select(
-        F.explode("chs").alias("ch"), "ms", "chs", v_map.alias("vm")
-    )
-    bit = F.expr("shiftleft(1, ch.b)")
-    num = F.aggregate(
-        F.filter(
-            F.expr("sequence(0, shiftleft(1, size(chs)) - 1)"),
-            lambda s: s.bitwiseAND(bit) == 0,
-        ),
-        zero,
-        lambda a, s: a
-        + fact(F.bit_count(s))
-        * fact(k - 1 - F.bit_count(s))
-        * (
-            F.element_at(F.col("vm"), s.bitwiseOR(bit))
-            - F.element_at(F.col("vm"), s)
-        ),
-    )
-    sc = row.select(
-        F.col("ch")["event_type"].alias("channel"),
-        num.cast("long").alias("num_nano"),
-        F.round(num / fact(k) / F.lit(1e9), 6).alias("shapley"),
-    )
+        return [
+            F.col("ch")["event_type"].alias("channel"),
+            num.cast("long").alias("num_nano"),
+            F.round(num / fact(k) / F.lit(1e9), 6).alias("shapley"),
+        ]
+
+    sc = row.select(*memo(("shap_score",), _build_score))
     tot = sc.agg(F.sum("num_nano").alias("t"))
     return (
         sc.crossJoin(F.broadcast(tot))

@@ -3446,18 +3446,24 @@ def q_grid_dbscan(spark, sf_dir):
     from shadems_spark.operators.graph import connected_components_star
     from shadems_spark.operators.similarity import dot
 
+    from shadems_spark.operators.exprcache import memo
+
     emb = load_table(spark, sf_dir, "embeddings")
-    p0, p1 = _gd_planes()
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    h = float(_GD_H)
-    pr = emb.select(
-        F.floor(
-            F.round(dot(v, F.array(*[F.lit(c) for c in p0])), 6) / h
-        ).cast("long").alias("cx"),
-        F.floor(
-            F.round(dot(v, F.array(*[F.lit(c) for c in p1])), 6) / h
-        ).cast("long").alias("cy"),
-    )
+
+    def _build_proj():
+        p0, p1 = _gd_planes()
+        v = F.transform("embedding", lambda x: x.cast("double"))
+        h = float(_GD_H)
+        return [
+            F.floor(
+                F.round(dot(v, F.array(*[F.lit(c) for c in p0])), 6) / h
+            ).cast("long").alias("cx"),
+            F.floor(
+                F.round(dot(v, F.array(*[F.lit(c) for c in p1])), 6) / h
+            ).cast("long").alias("cy"),
+        ]
+
+    pr = emb.select(*memo(("gd_proj",), _build_proj))
     cell = pr.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n")).withColumn(
         "cid", (F.col("cx") + _GD_OFF) * _GD_MUL + (F.col("cy") + _GD_OFF)
     )

@@ -41,7 +41,13 @@ def vis_view(lineitem: DataFrame) -> DataFrame:
     Pure Column expressions — stays inside whole-stage codegen; the
     parquet scan still prunes to only the referenced lineitem columns.
     """
-    return lineitem.select(
+    from shadems_spark.operators.exprcache import memo
+
+    return lineitem.select(*memo(("vis_view_cols",), _vis_cols))
+
+
+def _vis_cols() -> list:
+    return [
         F.col("l_orderkey").alias("row_key"),
         F.col("l_linenumber").alias("line_no"),
         F.datediff(F.col("l_shipdate").cast("date"), F.lit(EPOCH).cast("date"))
@@ -66,7 +72,7 @@ def vis_view(lineitem: DataFrame) -> DataFrame:
             / F.lit(90)
         ).alias("scan_no"),
         (F.col("l_orderkey") % F.lit(4)).alias("spw_id"),
-    )
+    ]
 
 
 #: DuckDB-side mirrors of the same derived columns (formula-identical;
