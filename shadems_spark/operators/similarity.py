@@ -42,10 +42,18 @@ def brute_topk(
         F.col(id_col).alias("q_id"), as_double(vec).alias("q_vec")
     )
     c = emb.select(F.col(id_col).alias("cand_id"), as_double(vec).alias("c_vec"))
+    from shadems_spark.operators.exprcache import memo
+
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("q_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "cos",
+            memo(
+                ("qc_cos",),
+                lambda: F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6),
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -1167,30 +1175,40 @@ def exemplar_assign(
             e.join(F.broadcast(cents), F.lit(True)).withColumn("c_cos", c_cos)
         )
 
-    def theta_arr(vcol: Column, nvcol: Column) -> Column:
+    from shadems_spark.operators.exprcache import memo
+
+    ckey = tuple(tuple(c) for c in coarse)
+
+    def theta_arr(vcol: Column, nvcol: Column, kname: str) -> Column:
         """array<struct<th double, cell int>>: clamped angle to every
-        coarse center (centers unit-normalized driver-side)."""
-        return F.array(*[
-            F.struct(
-                F.acos(
-                    F.greatest(
-                        F.lit(-1.0),
-                        F.least(
-                            F.lit(1.0),
-                            dot(vcol, F.array(*[F.lit(x) for x in cv]))
-                            / nvcol,
-                        ),
-                    )
-                ).alias("th"),
-                F.lit(ci).alias("cell"),
-            )
-            for ci, cv in enumerate(coarse)
-        ])
+        coarse center (centers unit-normalized driver-side).  Memoized
+        on the coarse-center VALUES + the column names (the collect
+        that produced the centers still runs every build)."""
+
+        def _build():
+            return F.array(*[
+                F.struct(
+                    F.acos(
+                        F.greatest(
+                            F.lit(-1.0),
+                            F.least(
+                                F.lit(1.0),
+                                dot(vcol, F.array(*[F.lit(x) for x in cv]))
+                                / nvcol,
+                            ),
+                        )
+                    ).alias("th"),
+                    F.lit(ci).alias("cell"),
+                )
+                for ci, cv in enumerate(coarse)
+            ])
+
+        return memo(("sd_theta", ckey, kname), _build)
 
     eassign = cents.withColumn(
         "__best",
         F.element_at(F.array_sort(F.transform(
-            theta_arr(F.col("cv"), F.col("cnv")),
+            theta_arr(F.col("cv"), F.col("cnv"), "cv"),
             lambda t: F.struct(t["th"].alias("th"), t["cell"].alias("cell")),
         )), 1),
     ).select(
@@ -1202,7 +1220,7 @@ def exemplar_assign(
             F.collect_list(F.struct("cell", "r"))
         ).alias("__rmap")
     )
-    ta = theta_arr(F.col("v"), F.col("nv"))
+    ta = theta_arr(F.col("v"), F.col("nv"), "v")
     rm = F.col("__rmap")
     # cos is decreasing only on [0, pi]: cap the summed angle there,
     # else a sum past pi would RAISE the bound and wrongly prune.
