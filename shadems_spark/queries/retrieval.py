@@ -162,16 +162,25 @@ def q_quantize_topk(spark, sf_dir):
     # every (query, candidate) pair — 3x the HOF fold work; the win
     # grows with the query fan-out since each saved fold is reused
     # n_queries / n_candidates times).
+    from shadems_spark.operators.exprcache import memo
+
     q = emb.select(
-        "vec_id", R.quantize_vec(as_double("embedding")).alias("qv")
+        "vec_id",
+        memo(
+            ("qt_qv",),
+            lambda: R.quantize_vec(as_double("embedding")).alias("qv"),
+        ),
     ).withColumn(
         "nrm",
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col("qv"), lambda x: (x * x).cast("double")),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            )
+        memo(
+            ("qt_nrm",),
+            lambda: F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("qv"), lambda x: (x * x).cast("double")),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+            ),
         ),
     )
     queries = q.filter(F.col("vec_id") % 100 == 0).select(
@@ -179,12 +188,17 @@ def q_quantize_topk(spark, sf_dir):
         F.col("qv").alias("q_vec"),
         F.col("nrm").alias("q_nrm"),
     )
-    dotq = F.aggregate(
-        F.zip_with(
-            F.col("q_vec"), F.col("c_vec"), lambda x, y: (x * y).cast("double")
+    dotq = memo(
+        ("qt_dotq",),
+        lambda: F.aggregate(
+            F.zip_with(
+                F.col("q_vec"),
+                F.col("c_vec"),
+                lambda x, y: (x * y).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
         ),
-        F.lit(0.0),
-        lambda s, x: s + x,
     )
     scored = (
         q.select(
