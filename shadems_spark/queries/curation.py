@@ -1495,18 +1495,25 @@ def q_backoff_lm(spark, sf_dir):
     vocabulary-sized aggregates joined back on their own narrow keys;
     the grand total is a broadcast; the held-out stream shuffles once
     per key family, all map-side combined."""
+    from shadems_spark.operators.exprcache import memo
     from shadems_spark.operators.text import _sliding, words
 
     docs = load_table(spark, sf_dir, "documents")
     ws = words("text")
     train = docs.filter(F.col("doc_id") % 5 != 0)
     concat2 = lambda a, x: F.concat(a, F.lit(" "), x)
+    grams3 = memo(
+        ("lm_tg",), lambda: F.explode(_sliding(ws, 3, concat2)).alias("tg")
+    )
+    grams2 = memo(
+        ("lm_bg",), lambda: F.explode(_sliding(ws, 2, concat2)).alias("bg")
+    )
     t3c = (
-        train.select(F.explode(_sliding(ws, 3, concat2)).alias("tg"))
+        train.select(grams3)
         .groupBy("tg").agg(F.count(F.lit(1)).alias("nt"))
     )
     b2c = (
-        train.select(F.explode(_sliding(ws, 2, concat2)).alias("bg"))
+        train.select(grams2)
         .groupBy("bg").agg(F.count(F.lit(1)).alias("nb"))
     )
     u1c = (
@@ -1516,7 +1523,7 @@ def q_backoff_lm(spark, sf_dir):
     tot = u1c.agg(F.sum("n").alias("tot"))
     te = (
         docs.filter(F.col("doc_id") % 5 == 0)
-        .select("doc_id", F.explode(_sliding(ws, 3, concat2)).alias("tg"))
+        .select("doc_id", grams3)
         .select(
             "doc_id",
             F.split("tg", " ")[0].alias("w1"),
