@@ -438,18 +438,29 @@ def test_kl_drift_broadcasts_totals(spark):
     assert "CartesianProduct" not in p
 
 
-def test_winnow_selection_is_projection(spark):
-    """Fingerprint selection must be pure projection — no UDF, no
-    extra shuffle before the persisted explode — and the fingerprint
-    expression must be evaluated ONCE: neither collapsed into every
-    window slice (the projection boundary holds: one char-fold per
-    plan branch) nor duplicated into a pushed-down scan filter (the
-    explode_outer rule; both regressions measured 5-7x at sf0.1)."""
+def test_winnow_selection_is_projection(spark, monkeypatch):
+    """Fingerprint selection must stay a single evaluation with no
+    extra shuffle before the persisted explode.  Since r11 the default
+    fingerprint column is ONE vectorized Arrow batch op
+    (operators/text._winnow_numpy — measured 2.25 -> 1.21 s at sf0.1,
+    value-identity pinned in test_guards/test_text_vector); the pin is
+    now: exactly one ArrowEvalPython per cached-build branch, never the
+    row-at-a-time BatchEvalPython, and no pushed fused-expr filter.
+    The env-dispatched JVM path keeps the original pure-projection
+    contract (one char-fold per branch, no Python node)."""
     p = _plan(spark, "q_winnow")
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BatchEvalPython" not in p
+    assert p.count("ArrowEvalPython") <= 2  # one per cached-build branch
     assert "InMemoryTableScan" in p  # the persisted fp explode
     assert "DataFilters: [(size" not in p  # no pushed fused-expr filter
-    assert p.count("ascii") <= 2  # one char-fold per cached-build branch
+
+    monkeypatch.setenv("SHADEMS_POLY_IMPL", "jvm")
+    try:
+        pj = _plan(spark, "q_winnow")
+    finally:
+        monkeypatch.delenv("SHADEMS_POLY_IMPL")
+    assert "BatchEvalPython" not in pj and "ArrowEvalPython" not in pj
+    assert pj.count("ascii") <= 2  # one char-fold per cached-build branch
 
 
 def test_bootstrap_single_scan_partial_agg(spark):
