@@ -417,7 +417,15 @@ def main() -> None:
     timings = {n: round(published(n), 2) for n in names}
     # host-load attribution: end-of-run loadavg snapshot for context;
     # the per-query samples in the side artifact are the real evidence.
-    host: dict[str, object] = {"cpus": os.cpu_count()}
+    # `cpus` is the EFFECTIVE parallelism of this run (VERDICT r11 #1:
+    # os.cpu_count() printed 32 in the driver's 8-core sweep, feeding
+    # the false `suspect_cpus_ignored` alarm); the master string makes
+    # the core count the bench actually honored auditable, and the
+    # box's physical count moves to the side artifact.
+    host: dict[str, object] = {
+        "cpus": sc.defaultParallelism,
+        "master": sc.master,
+    }
     try:
         load1, load5, load15 = os.getloadavg()
         host.update(
@@ -464,6 +472,9 @@ def main() -> None:
             "median_of": reps,
             "sf": float(sf),
             "sweep_sec": sweep,
+            "os_cpus": os.cpu_count(),
+            "effective_parallelism": sc.defaultParallelism,
+            "master": sc.master,
             "spread": {
                 n: [round(min(per_q[n]), 3), round(max(per_q[n]), 3)]
                 for n in names
