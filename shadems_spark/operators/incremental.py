@@ -159,7 +159,7 @@ def incremental_embedding_near_dup(
 
     def side(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
         base = df.select(F.col(id_col).alias(out_id), as_double(vec).alias(out_vec))
-        return base.withColumn("hp", hyperplane_bucket(F.col(out_vec), sub_planes, dim))
+        return base.withColumn("hp", hyperplane_bucket(out_vec, sub_planes, dim))
 
     n = side(new, "new_id", "nv")
     c = side(corpus, "corpus_id", "cv")

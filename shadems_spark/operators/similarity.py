@@ -121,16 +121,26 @@ def _splitmix64(x: int) -> int:
     return x ^ (x >> 31)
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int = 0) -> Column:
+def hyperplane_bucket(
+    vec: Column | str, n_planes: int = 8, dim: int = 64, seed: int = 0
+) -> Column:
     """Random-hyperplane LSH bucket id: sign bits of dot(v, plane_j).
     Planes are fixed literals (seeded SplitMix64 -> [-1, 1]) — every
     executor sees identical planes with no broadcast state and the
     expression tree stays small (n_planes literal arrays).  ``seed``
     offsets the plane family so multiple independent hash tables
-    (OR-amplification) draw disjoint planes."""
+    (OR-amplification) draw disjoint planes.
+
+    Pass ``vec`` as a plain column NAME to enable the expression memo
+    (the simhash text_key pattern): a str is an unambiguous cache key,
+    whereas stringifying an arbitrary Column costs a py4j round-trip
+    per call and could alias two different DataFrames' columns that
+    print identically (ADVICE r11).  Column input stays supported but
+    is built uncached."""
     from shadems_spark.operators.exprcache import memo
 
     def _build_bucket():
+        v = F.col(vec) if isinstance(vec, str) else vec
         bucket = None
         for j in range(n_planes):
             comps = [
@@ -138,7 +148,7 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int =
                 for i in range(dim)
             ]
             plane = F.array(*[F.lit(c) for c in comps])
-            d = dot(vec, plane)
+            d = dot(v, plane)
             bit = (
                 F.when(d > 0, F.lit(1).cast("long"))
                 .otherwise(F.lit(0).cast("long"))
@@ -147,11 +157,8 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int =
             bucket = term if bucket is None else bucket.bitwiseOR(term)
         return bucket
 
-    # memo-keyable only when the caller identifies the vec expression
-    # (the operators here all pass simple named columns)
-    name = vec._jc.toString() if hasattr(vec, "_jc") else str(vec)
-    if name.isidentifier():
-        return memo(("hp_bucket", name, n_planes, dim, seed), _build_bucket)
+    if isinstance(vec, str):
+        return memo(("hp_bucket", vec, n_planes, dim, seed), _build_bucket)
     return _build_bucket()
 
 
@@ -197,7 +204,7 @@ def lsh_topk(
                     F.struct(
                         F.lit(t).alias("t"),
                         hyperplane_bucket(
-                            F.col(out_vec), n_planes, dim, seed=t * n_planes
+                            out_vec, n_planes, dim, seed=t * n_planes
                         ).alias("b"),
                     )
                     for t in range(n_tables)
@@ -512,7 +519,7 @@ def embedding_near_dup(
         as_double(vec).alias("v"),
     )
     if sub_planes > 0:
-        base = base.withColumn("hp", hyperplane_bucket(F.col("v"), sub_planes, dim))
+        base = base.withColumn("hp", hyperplane_bucket("v", sub_planes, dim))
     else:
         base = base.withColumn("hp", F.lit(0))
     if node_cap is not None:

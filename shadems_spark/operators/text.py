@@ -368,7 +368,12 @@ def _xe_grams_pa(arr, n: int):
     else:
         kept = np.empty(0, dtype=np.int64)
         counts = np.zeros(len(doc_lens), dtype=np.int64)
-    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    # a ListArray's int32 offsets would silently WRAP past 2^31 kept
+    # grams per batch (unreachable at default Arrow batch sizes, but
+    # unchecked would corrupt rather than fail — ADVICE r11)
+    assert offsets[-1] < 2**31, "gram count exceeds int32 ListArray offsets"
+    offsets = offsets.astype(np.int32)
     return pa.ListArray.from_arrays(
         pa.array(offsets), pa.array(kept, type=pa.int64()),
         mask=pa.array(null_mask),
@@ -469,7 +474,12 @@ def _word_ngrams_pa(arr, n: int):
     else:
         counts = np.zeros(len(doc_lens), dtype=np.int64)
         kept_str = pa.array([], type=pa.string())
-    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    # a ListArray's int32 offsets would silently WRAP past 2^31 kept
+    # grams per batch (unreachable at default Arrow batch sizes, but
+    # unchecked would corrupt rather than fail — ADVICE r11)
+    assert offsets[-1] < 2**31, "gram count exceeds int32 ListArray offsets"
+    offsets = offsets.astype(np.int32)
     return pa.ListArray.from_arrays(
         pa.array(offsets), kept_str,
         mask=pa.array(null_mask),
