@@ -47,9 +47,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     both ``ts_ns`` (long, full precision) and ``ts`` (TIMESTAMP_NTZ,
     µs — integer-truncated exactly like DuckDB truncates the same
     column, keeping oracle parity).
+
+    The returned scan DataFrame is memoized per (path, dir mtime) via
+    the expression cache (r12; guide §7.3): ``spark.read.parquet``
+    costs ~100 ms of driver-side schema inference + file listing per
+    call — even for a 25-row dim — and every query build re-reads its
+    tables, so one bench rep paid it ~80 times.  The cached value is
+    an UNEXECUTED scan plan, not data: every action still reads the
+    parquet files (same semantics as holding the df in a variable,
+    the normal Spark pattern).  The mtime key drops the cache when a
+    writer rewrites the directory; the gateway scoping in ``memo``
+    drops it across session restarts; ``SHADEMS_NO_EXPR_MEMO=1``
+    disables it for A/B.
     """
     tune(spark)
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    from shadems_spark.operators.exprcache import memo
+
+    try:
+        stamp = os.path.getmtime(path)
+    except OSError:
+        # missing path: let the reader raise its own (uncached) error
+        return _read_table(spark, path, name)
+    return memo(
+        ("load_table", path, stamp), lambda: _read_table(spark, path, name)
+    )
+
+
+def _read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

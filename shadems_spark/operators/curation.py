@@ -422,15 +422,23 @@ def naive_bayes_lang(
 
     Returns (doc_id, actual, pred, score_nano, correct) for test docs.
     """
+    from shadems_spark.operators.exprcache import memo
+
+    mk = ("nb", id_col, text, label, holdout_mod)
     nano = F.lit(1_000_000_000.0)
     toks = docs.select(
-        F.col(id_col).alias("did"),
-        F.col(label).alias("lbl"),
-        F.explode(
-            F.filter(words(text), lambda w: F.length(w) > 0)
-        ).alias("u"),
+        *memo(
+            mk + ("toks",),
+            lambda: [
+                F.col(id_col).alias("did"),
+                F.col(label).alias("lbl"),
+                F.explode(
+                    F.filter(words(text), lambda w: F.length(w) > 0)
+                ).alias("u"),
+            ],
+        )
     )
-    is_test = F.col("did") % holdout_mod == 0
+    is_test = memo(mk + ("is_test",), lambda: F.col("did") % holdout_mod == 0)
 
     # model: per-(class, word) Laplace log-likelihoods, nano ints
     wc = toks.filter(~is_test).groupBy("lbl", "u").agg(
@@ -444,17 +452,27 @@ def naive_bayes_lang(
         .select(
             "lbl",
             "u",
-            F.round(
-                F.log((F.col("n") + 1) / (F.col("tok") + F.col("V")).cast("double"))
-                * nano
-            ).cast("long").alias("ll_nano"),
+            memo(
+                mk + ("ll",),
+                lambda: F.round(
+                    F.log(
+                        (F.col("n") + 1)
+                        / (F.col("tok") + F.col("V")).cast("double")
+                    )
+                    * nano
+                ).cast("long").alias("ll_nano"),
+            ),
         )
     )
     un = tk.crossJoin(F.broadcast(v)).select(
         "lbl",
-        F.round(
-            F.log(F.lit(1.0) / (F.col("tok") + F.col("V")).cast("double")) * nano
-        ).cast("long").alias("un_nano"),
+        memo(
+            mk + ("un",),
+            lambda: F.round(
+                F.log(F.lit(1.0) / (F.col("tok") + F.col("V")).cast("double"))
+                * nano
+            ).cast("long").alias("un_nano"),
+        ),
     )
     nd = (
         docs.filter(F.col(id_col) % holdout_mod != 0)
@@ -464,9 +482,12 @@ def naive_bayes_lang(
     ntot = nd.agg(F.sum("ndc").alias("ntd"))
     pri = nd.crossJoin(F.broadcast(ntot)).select(
         "lbl",
-        F.round(
-            F.log(F.col("ndc") / F.col("ntd").cast("double")) * nano
-        ).cast("long").alias("prior_nano"),
+        memo(
+            mk + ("pri",),
+            lambda: F.round(
+                F.log(F.col("ndc") / F.col("ntd").cast("double")) * nano
+            ).cast("long").alias("prior_nano"),
+        ),
     )
 
     # apply: candidate-class expansion + likelihood join + integer argmax
@@ -486,15 +507,21 @@ def naive_bayes_lang(
         )
         .groupBy("doc_id", "actual", "cand", "prior_nano")
         .agg(
-            F.sum(
-                F.col("c") * F.coalesce(F.col("ll_nano"), F.col("un_nano"))
-            ).alias("s")
+            memo(
+                mk + ("score_sum",),
+                lambda: F.sum(
+                    F.col("c") * F.coalesce(F.col("ll_nano"), F.col("un_nano"))
+                ).alias("s"),
+            )
         )
         .select(
             "doc_id",
             "actual",
             "cand",
-            (F.col("prior_nano") + F.col("s")).alias("score_nano"),
+            memo(
+                mk + ("score",),
+                lambda: (F.col("prior_nano") + F.col("s")).alias("score_nano"),
+            ),
         )
     )
     rk = Window.partitionBy("doc_id").orderBy(
@@ -508,6 +535,10 @@ def naive_bayes_lang(
             "actual",
             F.col("cand").alias("pred"),
             "score_nano",
-            (F.col("cand") == F.col("actual")).cast("int").alias("correct"),
+            memo(
+                mk + ("correct",),
+                lambda: (F.col("cand") == F.col("actual"))
+                .cast("int").alias("correct"),
+            ),
         )
     )

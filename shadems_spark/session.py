@@ -60,13 +60,24 @@ def tune(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime confs to an existing session.
 
     Called by every catalog load so driver-created sessions get the
-    same semantics (UTC, AQE, nanos handling) as our own.
+    same semantics (UTC, AQE, nanos handling) as our own.  Applied
+    ONCE per session object: each conf.set is a py4j round-trip, and
+    load_table runs on every query build (r12: 7 sets x ~0.6 ms x
+    ~80 builds/rep was pure driver latency).  The values are
+    constants, so re-assertion only ever mattered for a session that
+    externally unset them mid-run — not a supported pattern.
     """
+    if getattr(spark, "_shadems_tuned", False):
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf locked by a driver
             pass
+    try:
+        spark._shadems_tuned = True
+    except Exception:  # pragma: no cover - attr always settable
+        pass
     return spark
 
 
@@ -93,6 +104,13 @@ def get_spark(app_name: str = "shadems-spark", master: str | None = None) -> Spa
         # bucketed saveAsTable target (co-located joins, tests) — keep
         # the metastore/warehouse out of the repo tree.
         .config("spark.sql.warehouse.dir", "/tmp/shadems-warehouse")
+        # Debug-only call-site capture (Spark 4's PySparkCurrentOrigin)
+        # makes EVERY DataFrame/Column API call walk the Python stack
+        # and ship the call site to the JVM — measured 13 py4j
+        # round-trips per F.col (2.8 ms) vs 1 with it off (r12; guide
+        # §7.3 driver overhead).  Static conf, so set at build; the
+        # cost is error messages without Python call-site context.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)
