@@ -1146,17 +1146,22 @@ def q_apriori(spark, sf_dir):
     ic = baskets.select(F.explode("items").alias("item")).groupBy(
         "item"
     ).agg(F.count(F.lit(1)).alias("n_item"))
-    pairs = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("items"), i + 2,
-                    F.greatest(F.size("items") - i - 1, F.lit(0)),
+    from shadems_spark.operators.exprcache import memo
+
+    pairs = memo(
+        ("apriori_pairs",),
+        lambda: F.flatten(
+            F.transform(
+                F.col("items"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("items"), i + 2,
+                        F.greatest(F.size("items") - i - 1, F.lit(0)),
+                    ),
+                    lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
                 ),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
+            )
+        ),
     )
     p = (
         baskets.select(F.explode(pairs).alias("pr"))
@@ -1186,22 +1191,27 @@ def q_apriori(spark, sf_dir):
     )
     return (
         r.select(
-            F.col("item_a").cast("long").alias("item_a"),
-            F.col("item_b").cast("long").alias("item_b"),
-            F.col("n_pair").cast("long").alias("n_pair"),
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
-            F.round(
-                F.col("n_pair") / F.col("n_orders").cast("double"), 6
-            ).alias("support"),
-            F.round(
-                F.col("n_pair") / F.col("n_a").cast("double"), 6
-            ).alias("confidence"),
-            F.round(
-                F.col("n_pair") * F.col("n_orders").cast("double")
-                / (F.col("n_a") * F.col("n_b").cast("double")),
-                6,
-            ).alias("lift"),
+            *memo(
+                ("apriori_out",),
+                lambda: [
+                    F.col("item_a").cast("long").alias("item_a"),
+                    F.col("item_b").cast("long").alias("item_b"),
+                    F.col("n_pair").cast("long").alias("n_pair"),
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.round(
+                        F.col("n_pair") / F.col("n_orders").cast("double"), 6
+                    ).alias("support"),
+                    F.round(
+                        F.col("n_pair") / F.col("n_a").cast("double"), 6
+                    ).alias("confidence"),
+                    F.round(
+                        F.col("n_pair") * F.col("n_orders").cast("double")
+                        / (F.col("n_a") * F.col("n_b").cast("double")),
+                        6,
+                    ).alias("lift"),
+                ],
+            )
         )
         .orderBy(F.desc("lift"), "item_a", "item_b")
         .limit(25)

@@ -363,11 +363,15 @@ def q_psi(spark, sf_dir):
     10-key.  (The same edges are also available as KLL cutpoints via
     the q_ccnet_buckets_approx pattern when exactness isn't
     oracle-mandated.)"""
+    from shadems_spark.operators.exprcache import memo
     from shadems_spark.operators.profile import global_index
 
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
-        & F.col("value").isNotNull()
+        memo(
+            ("psi_filter",),
+            lambda: F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull(),
+        )
     )
     ref = ev.filter(F.col("event_type") == "click")
     rk = global_index(
@@ -377,39 +381,64 @@ def q_psi(spark, sf_dir):
     cut = (
         spark.range(1, 10)
         .crossJoin(F.broadcast(rk.agg(F.max("n").alias("n"))))
-        .select(F.ceil(F.col("n") * F.col("id") / 10.0).alias("r"))
+        .select(
+            memo(
+                ("psi_cut",),
+                lambda: F.ceil(F.col("n") * F.col("id") / 10.0).alias("r"),
+            )
+        )
     )
     e = (
         rk.join(F.broadcast(cut), rk["rn"] == cut["r"])
-        .agg(F.sort_array(F.collect_list("value")).alias("edges"))
+        .agg(
+            memo(
+                ("psi_edges",),
+                lambda: F.sort_array(F.collect_list("value")).alias("edges"),
+            )
+        )
     )
     s = ev.crossJoin(F.broadcast(e)).select(
-        (F.col("event_type") == "click").cast("long").alias("is_ref"),
-        (
-            1 + F.size(F.filter("edges", lambda x: x < F.col("value")))
-        ).alias("bin"),
+        *memo(
+            ("psi_bin",),
+            lambda: [
+                (F.col("event_type") == "click").cast("long").alias("is_ref"),
+                (
+                    1 + F.size(F.filter("edges", lambda x: x < F.col("value")))
+                ).alias("bin"),
+            ],
+        )
     )
     c = (
         spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
         .join(s, "bin", "left")
         .groupBy("bin")
         .agg(
-            F.coalesce(F.sum("is_ref"), F.lit(0)).alias("ref_n"),
-            F.coalesce(F.sum(1 - F.col("is_ref")), F.lit(0)).alias("cmp_n"),
+            *memo(
+                ("psi_counts",),
+                lambda: [
+                    F.coalesce(F.sum("is_ref"), F.lit(0)).alias("ref_n"),
+                    F.coalesce(
+                        F.sum(1 - F.col("is_ref")), F.lit(0)
+                    ).alias("cmp_n"),
+                ],
+            )
         )
     )
     t = c.agg(F.sum("ref_n").alias("nr"), F.sum("cmp_n").alias("nc"))
-    p = (F.col("ref_n") + 1) / (F.col("nr") + 10).cast("double")
-    q = (F.col("cmp_n") + 1) / (F.col("nc") + 10).cast("double")
-    return (
-        c.crossJoin(F.broadcast(t))
-        .select(
-            "bin",
+
+    def _psi_out():
+        p = (F.col("ref_n") + 1) / (F.col("nr") + 10).cast("double")
+        q = (F.col("cmp_n") + 1) / (F.col("nc") + 10).cast("double")
+        return [
             F.col("ref_n").cast("long").alias("ref_n"),
             F.col("cmp_n").cast("long").alias("cmp_n"),
             F.round((p - q) * F.log(p / q) * 1000000000.0)
             .cast("long").alias("psi_nano"),
-        )
+        ]
+
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select("bin", *memo(("psi_out",), _psi_out))
         .orderBy("bin")
     )
 

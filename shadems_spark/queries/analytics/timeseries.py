@@ -693,45 +693,69 @@ def q_stl_decompose(spark, sf_dir):
     corpus cardinality) with the 7-row-per-type seasonal table
     broadcast back — same footprint as q_acf/q_burstiness at any
     corpus size."""
+    from shadems_spark.operators.exprcache import memo
+
     ev = load_table(spark, sf_dir, "events")
     grid = _daily_grid(ev, keep_d0=True)
-    w7 = Window.partitionBy("event_type").orderBy("x").rowsBetween(-3, 3)
-    trend = F.when(
-        F.count(F.lit(1)).over(w7) == 7, F.sum("y").over(w7) / F.lit(7.0)
-    )
+
+    def _t2_cols():
+        w7 = Window.partitionBy("event_type").orderBy("x").rowsBetween(-3, 3)
+        trend = F.when(
+            F.count(F.lit(1)).over(w7) == 7, F.sum("y").over(w7) / F.lit(7.0)
+        )
+        return [
+            (F.col("x") % 7).alias("dow"),
+            trend.alias("trend"),
+            F.round((F.col("y") - trend) * F.lit(1e9))
+            .cast("long").alias("detr_n"),
+        ]
+
     t2 = grid.select(
-        "event_type", "x", "d0", "y",
-        (F.col("x") % 7).alias("dow"),
-        trend.alias("trend"),
-        F.round((F.col("y") - trend) * F.lit(1e9)).cast("long").alias("detr_n"),
+        "event_type", "x", "d0", "y", *memo(("stl_t2",), _t2_cols)
     )
     sr = (
         t2.filter(F.col("detr_n").isNotNull())
         .groupBy("event_type", "dow")
         .agg(
-            F.round(
-                F.sum("detr_n") / F.count(F.lit(1)).cast("double")
-            ).cast("long").alias("s_rn")
+            memo(
+                ("stl_srn",),
+                lambda: F.round(
+                    F.sum("detr_n") / F.count(F.lit(1)).cast("double")
+                ).cast("long").alias("s_rn"),
+            )
         )
     )
     adj = sr.groupBy("event_type").agg(
-        F.round(F.sum("s_rn") / F.count(F.lit(1)).cast("double"))
-        .cast("long").alias("a_n")
+        memo(
+            ("stl_adj",),
+            lambda: F.round(F.sum("s_rn") / F.count(F.lit(1)).cast("double"))
+            .cast("long").alias("a_n"),
+        )
     )
     sea = sr.join(adj, "event_type").select(
-        "event_type", "dow", (F.col("s_rn") - F.col("a_n")).alias("seasonal_n")
+        "event_type", "dow",
+        memo(
+            ("stl_sea",),
+            lambda: (F.col("s_rn") - F.col("a_n")).alias("seasonal_n"),
+        ),
     )
     return (
         t2.join(F.broadcast(sea), ["event_type", "dow"])
         .select(
             "event_type",
-            F.expr("date_add(d0, CAST(x AS INT))").alias("day"),
-            F.col("y").cast("long").alias("y"),
-            F.round("trend", 6).alias("trend"),
-            F.round(F.col("seasonal_n") / F.lit(1e9), 6).alias("seasonal"),
-            F.round(
-                (F.col("detr_n") - F.col("seasonal_n")) / F.lit(1e9), 6
-            ).alias("resid"),
+            *memo(
+                ("stl_out",),
+                lambda: [
+                    F.expr("date_add(d0, CAST(x AS INT))").alias("day"),
+                    F.col("y").cast("long").alias("y"),
+                    F.round("trend", 6).alias("trend"),
+                    F.round(F.col("seasonal_n") / F.lit(1e9), 6)
+                    .alias("seasonal"),
+                    F.round(
+                        (F.col("detr_n") - F.col("seasonal_n")) / F.lit(1e9), 6
+                    ).alias("resid"),
+                ],
+            ),
         )
         .orderBy("event_type", "day")
     )

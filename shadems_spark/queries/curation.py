@@ -637,6 +637,7 @@ def q_bigram_lm(spark, sf_dir):
     their own keys (one shuffle each, map-side combined); the corpus
     total rides a broadcast 1-row aggregate.  ln is libm -> avg
     rounded 4dp, the q_unigram_lm convention."""
+    from shadems_spark.operators.exprcache import memo
     from shadems_spark.operators.text import _sliding, words
 
     docs = load_table(spark, sf_dir, "documents")
@@ -646,39 +647,51 @@ def q_bigram_lm(spark, sf_dir):
     tot = uc.agg(F.sum("n").alias("tot"))
     # the bigram stream feeds two consumers, but ReuseExchange dedups
     # the shared shuffle — persisting it measured slightly SLOWER
-    # (A/B at sf0.1); see q_tfidf for the rule of thumb.
+    # (A/B at sf0.1); see q_tfidf for the rule of thumb.  The gram
+    # expression shares q_backoff_lm's memo key (identical build).
     b = docs.select(
         "doc_id",
-        F.explode(
-            _sliding(ws, 2, lambda a, x: F.concat(a, F.lit(" "), x))
-        ).alias("bg"),
+        memo(
+            ("lm_bg",),
+            lambda: F.explode(
+                _sliding(ws, 2, lambda a, x: F.concat(a, F.lit(" "), x))
+            ).alias("bg"),
+        ),
     )
     bc = b.groupBy("bg").agg(F.count(F.lit(1)).alias("nb"))
     ctx = (
-        bc.withColumn("w1", F.split("bg", " ")[0])
+        bc.withColumn("w1", memo(("lm_w1",), lambda: F.split("bg", " ")[0]))
         .groupBy("w1")
         .agg(F.sum("nb").alias("nc"))
     )
     sc = (
         b.join(bc, "bg")
-        .withColumn("w1", F.split("bg", " ")[0])
-        .withColumn("w2", F.split("bg", " ")[1])
+        .withColumn("w1", memo(("lm_w1",), lambda: F.split("bg", " ")[0]))
+        .withColumn("w2", memo(("lm_w2",), lambda: F.split("bg", " ")[1]))
         .join(ctx, "w1")
         .join(uc.withColumnRenamed("tok", "w2"), "w2")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
-            (
-                -F.log(
-                    F.lit(0.75) * (F.col("nb") / F.col("nc"))
-                    + F.lit(0.25) * (F.col("n") / F.col("tot"))
-                )
-            ).alias("nll"),
+            memo(
+                ("bigram_nll",),
+                lambda: (
+                    -F.log(
+                        F.lit(0.75) * (F.col("nb") / F.col("nc"))
+                        + F.lit(0.25) * (F.col("n") / F.col("tot"))
+                    )
+                ).alias("nll"),
+            ),
         )
     )
     return sc.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg("nll"), 4).alias("avg_nll"),
+        *memo(
+            ("bigram_out",),
+            lambda: [
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.round(F.avg("nll"), 4).alias("avg_nll"),
+            ],
+        )
     )
 
 
@@ -1526,9 +1539,14 @@ def q_backoff_lm(spark, sf_dir):
         .select("doc_id", grams3)
         .select(
             "doc_id",
-            F.split("tg", " ")[0].alias("w1"),
-            F.split("tg", " ")[1].alias("w2"),
-            F.split("tg", " ")[2].alias("w3"),
+            *memo(
+                ("lm_tg_split",),
+                lambda: [
+                    F.split("tg", " ")[0].alias("w1"),
+                    F.split("tg", " ")[1].alias("w2"),
+                    F.split("tg", " ")[2].alias("w3"),
+                ],
+            ),
         )
     )
     j = (
@@ -1558,35 +1576,46 @@ def q_backoff_lm(spark, sf_dir):
         )
         .crossJoin(F.broadcast(tot))
     )
-    s = F.when(
-        F.col("nt").isNotNull(), F.col("nt") / F.col("nb12").cast("double")
-    ).when(
-        F.col("nb23").isNotNull(),
-        F.lit(0.4) * (F.col("nb23") / F.col("n_w2").cast("double")),
-    ).when(
-        F.col("n_w3").isNotNull(),
-        F.lit(0.16) * (F.col("n_w3") / F.col("tot").cast("double")),
-    ).otherwise(F.lit(0.064) / F.col("tot"))
-    lvl = F.when(F.col("nt").isNotNull(), 0).when(
-        F.col("nb23").isNotNull(), 1
-    ).when(F.col("n_w3").isNotNull(), 2).otherwise(3)
-    sc = j.select(
-        "doc_id",
-        lvl.alias("lvl"),
-        F.round(-F.log(s) * F.lit(1_000_000_000.0)).cast("long").alias("nll_nano"),
-    )
+    def _score_cols():
+        s = F.when(
+            F.col("nt").isNotNull(), F.col("nt") / F.col("nb12").cast("double")
+        ).when(
+            F.col("nb23").isNotNull(),
+            F.lit(0.4) * (F.col("nb23") / F.col("n_w2").cast("double")),
+        ).when(
+            F.col("n_w3").isNotNull(),
+            F.lit(0.16) * (F.col("n_w3") / F.col("tot").cast("double")),
+        ).otherwise(F.lit(0.064) / F.col("tot"))
+        lvl = F.when(F.col("nt").isNotNull(), 0).when(
+            F.col("nb23").isNotNull(), 1
+        ).when(F.col("n_w3").isNotNull(), 2).otherwise(3)
+        return [
+            lvl.alias("lvl"),
+            F.round(-F.log(s) * F.lit(1_000_000_000.0))
+            .cast("long").alias("nll_nano"),
+        ]
+
+    sc = j.select("doc_id", *memo(("lm_score",), _score_cols))
     return (
         sc.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.sum((F.col("lvl") == 1).cast("long")).alias("bo_bigram"),
-            F.sum((F.col("lvl") >= 2).cast("long")).alias("bo_unigram"),
-            F.sum("nll_nano").alias("nll_nano"),
-            F.round(
-                F.sum("nll_nano")
-                / (F.count(F.lit(1)).cast("double") * F.lit(1_000_000_000.0)),
-                6,
-            ).alias("avg_nll"),
+            *memo(
+                ("lm_doc_agg",),
+                lambda: [
+                    F.count(F.lit(1)).alias("n_trigrams"),
+                    F.sum((F.col("lvl") == 1).cast("long")).alias("bo_bigram"),
+                    F.sum((F.col("lvl") >= 2).cast("long")).alias("bo_unigram"),
+                    F.sum("nll_nano").alias("nll_nano"),
+                    F.round(
+                        F.sum("nll_nano")
+                        / (
+                            F.count(F.lit(1)).cast("double")
+                            * F.lit(1_000_000_000.0)
+                        ),
+                        6,
+                    ).alias("avg_nll"),
+                ],
+            )
         )
         .orderBy("doc_id")
     )
@@ -3055,19 +3084,26 @@ def q_slice_finder(spark, sf_dir):
     combined aggregate (surviving rows = slice-domain cardinality);
     the rank window sees only those slices — domain-bounded, never
     corpus-bounded."""
+    from shadems_spark.operators.exprcache import memo
+
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    mean_wl = F.round(
-        F.aggregate(
-            ws, F.lit(0.0), lambda a, w: a + F.length(w).cast("double")
+
+    def _base_cols():
+        ws = F.split(F.col("text"), " ")
+        mean_wl = F.round(
+            F.aggregate(
+                ws, F.lit(0.0), lambda a, w: a + F.length(w).cast("double")
+            )
+            / F.size(ws),
+            4,
         )
-        / F.size(ws),
-        4,
-    )
+        return [
+            (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+            F.round(mean_wl * 1000).cast("long").alias("wl_m"),
+        ]
+
     base = docs.select(
-        "source", "lang",
-        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-        F.round(mean_wl * 1000).cast("long").alias("wl_m"),
+        "source", "lang", *memo(("slice_base",), _base_cols)
     )
     base.createOrReplaceTempView("slice_base")
     # persist the slice-domain table so the totals pass reuses it
@@ -3078,25 +3114,30 @@ def q_slice_finder(spark, sf_dir):
         F.sum("n").alias("gn"), F.sum("s").alias("gs"),
         F.sum("q").alias("gq"),
     )
-    n, s = F.col("n"), F.col("s")
-    gn, gs, gq = F.col("gn"), F.col("gs"), F.col("gq")
-    z = F.round(
-        (s / n.cast("double") - gs / gn.cast("double"))
-        / F.sqrt(
-            ((gq - gs * (gs / gn.cast("double"))) / (gn - 1)) / n
-        ),
-        6,
-    )
-    zt = (
-        g.crossJoin(F.broadcast(tot))
-        .filter(n >= 20)
-        .select(
-            "src", "lng", "bucket", n.cast("long").alias("n"),
+    n = F.col("n")
+
+    def _z_cols():
+        s, gn = F.col("s"), F.col("gn")
+        gs, gq = F.col("gs"), F.col("gq")
+        z = F.round(
+            (s / n.cast("double") - gs / gn.cast("double"))
+            / F.sqrt(
+                ((gq - gs * (gs / gn.cast("double"))) / (gn - 1)) / n
+            ),
+            6,
+        )
+        return [
+            n.cast("long").alias("n"),
             F.round(s / (n * F.lit(1000)).cast("double"), 6).alias(
                 "mean_wl"
             ),
             z.alias("z"),
-        )
+        ]
+
+    zt = (
+        g.crossJoin(F.broadcast(tot))
+        .filter(n >= 20)
+        .select("src", "lng", "bucket", *memo(("slice_z",), _z_cols))
     )
     from shadems_spark.operators.profile import triangle_rank
 

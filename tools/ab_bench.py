@@ -60,8 +60,13 @@ def main() -> None:
     _isolate(spark)
     walls: dict[tuple[str, str], list[float]] = {}
     for rep in range(reps):
+        # alternate variant order per rep: the first variant of a pair
+        # systematically pays residual warmup (page cache, JIT, shuffle
+        # dirs) — measured ~0.2-0.3 s on sub-second queries (r12), large
+        # enough to flip a verdict when the real delta is comparable.
+        ordered = variants if rep % 2 == 0 else variants[::-1]
         for q in names:
-            for vname, env in variants:
+            for vname, env in ordered:
                 for k in all_keys:
                     os.environ.pop(k, None)
                 os.environ.update(env)

@@ -1,4 +1,5 @@
-"""Dump .explain("formatted") for named queries to plans/r11/<q>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to plans/<round>/<q>_<tag>.txt
+(round dir from $SHADEMS_PLANS_DIR, default r12).
 
 Usage: python tools/explain_dump.py before q_rfm q_skyline ...
        python tools/explain_dump.py after  q_rfm
@@ -19,7 +20,8 @@ from shadems_spark.queries import load_registry  # noqa: E402
 from shadems_spark.session import get_spark  # noqa: E402
 
 OUT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans",
+    os.environ.get("SHADEMS_PLANS_DIR", "r12"),
 )
 
 
