@@ -332,13 +332,11 @@ def _winnow_numpy(texts: "pd.Series", k: int, w: int) -> "pd.Series":
     return _emit(texts, notnull_pos, kept, counts)
 
 
-def _xe_grams_pa(arr, n: int):
-    """Arrow-native twin of :func:`_xe_grams_loop`: pyarrow
-    split_pattern + dictionary_encode do the split/factorize in C;
-    only the batch's UNIQUE words are materialized as Python strings
-    (for the exact UTF-32 codepoint hash); the gram fold, empty-word
-    filter and first-occurrence dedup are NumPy; output is a
-    ListArray<int64> built with zero per-row Python."""
+def _xe_grams_flat(arr, n: int):
+    """Core of :func:`_xe_grams_pa`: the batch's kept gram hashes as
+    one flat int64 array plus the per-doc counts and the null mask —
+    shared by the ListArray builder and the fused (doc, gram)-row
+    generator (r12, VERDICT r11 #5)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -368,6 +366,20 @@ def _xe_grams_pa(arr, n: int):
     else:
         kept = np.empty(0, dtype=np.int64)
         counts = np.zeros(len(doc_lens), dtype=np.int64)
+    return kept, counts, null_mask
+
+
+def _xe_grams_pa(arr, n: int):
+    """Arrow-native twin of :func:`_xe_grams_loop`: pyarrow
+    split_pattern + dictionary_encode do the split/factorize in C;
+    only the batch's UNIQUE words are materialized as Python strings
+    (for the exact UTF-32 codepoint hash); the gram fold, empty-word
+    filter and first-occurrence dedup are NumPy; output is a
+    ListArray<int64> built with zero per-row Python."""
+    import numpy as np
+    import pyarrow as pa
+
+    kept, counts, null_mask = _xe_grams_flat(arr, n)
     offsets = np.concatenate(([0], np.cumsum(counts)))
     # a ListArray's int32 offsets would silently WRAP past 2^31 kept
     # grams per batch (unreachable at default Arrow batch sizes, but
@@ -435,14 +447,11 @@ def _word_ngrams_loop(texts: "pd.Series", n: int) -> "pd.Series":
     return pd.Series(out, dtype=object)
 
 
-def _word_ngrams_pa(arr, n: int):
-    """Arrow-native twin of :func:`_word_ngrams_loop`: pyarrow
-    split_pattern (verified identical to str.split(" ") including
-    empty-token and empty-string edges), dictionary-encoded words,
-    NumPy window/dedup machinery, and ONE binary_join_element_wise to
-    build only the KEPT gram strings — no per-row Python anywhere;
-    the batch goes ChunkedArray -> ListArray with no Python objects
-    materialized."""
+def _word_ngrams_flat(arr, n: int):
+    """Core of :func:`_word_ngrams_pa`: the batch's kept gram STRINGS
+    as one flat Arrow string array plus per-doc counts and the null
+    mask — shared by the ListArray builder and the fused
+    (doc, gram)-row generator (r12, VERDICT r11 #5)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -474,6 +483,21 @@ def _word_ngrams_pa(arr, n: int):
     else:
         counts = np.zeros(len(doc_lens), dtype=np.int64)
         kept_str = pa.array([], type=pa.string())
+    return kept_str, counts, null_mask
+
+
+def _word_ngrams_pa(arr, n: int):
+    """Arrow-native twin of :func:`_word_ngrams_loop`: pyarrow
+    split_pattern (verified identical to str.split(" ") including
+    empty-token and empty-string edges), dictionary-encoded words,
+    NumPy window/dedup machinery, and ONE binary_join_element_wise to
+    build only the KEPT gram strings — no per-row Python anywhere;
+    the batch goes ChunkedArray -> ListArray with no Python objects
+    materialized."""
+    import numpy as np
+    import pyarrow as pa
+
+    kept_str, counts, null_mask = _word_ngrams_flat(arr, n)
     offsets = np.concatenate(([0], np.cumsum(counts)))
     # a ListArray's int32 offsets would silently WRAP past 2^31 kept
     # grams per batch (unreachable at default Arrow batch sizes, but
@@ -483,6 +507,46 @@ def _word_ngrams_pa(arr, n: int):
     return pa.ListArray.from_arrays(
         pa.array(offsets), kept_str,
         mask=pa.array(null_mask),
+    )
+
+
+def doc_grams_fused(df, id_col: str, text: str, n: int, family: str):
+    """Fused gram explode (r12; guide §4.2, VERDICT r11 #5): ONE
+    MapInArrow emits the (id, gram) rows directly from the batch body
+    — no intermediate ListArray and no downstream Generate node.
+    Row-for-row identical to
+    ``df.select(id, F.explode(<gram builder>(text, n)))``: null/empty
+    docs emit no rows (plain-explode semantics; callers that need
+    explode_outer keep the array form).
+
+    ``family``: "xe" -> int64 gram hashes column ``s`` (the
+    :func:`_xe_grams_flat` identity); "word" -> string grams column
+    ``ng`` (:func:`_word_ngrams_flat`).  Only the two named columns
+    cross the Python boundary (guide §4.1 column-diet rule)."""
+    import numpy as np
+
+    id_type = dict(df.dtypes)[id_col]
+    out_name, out_type = ("s", "long") if family == "xe" else ("ng", "string")
+    core = _xe_grams_flat if family == "xe" else _word_ngrams_flat
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            vals, counts, _ = core(batch.column(1), n)
+            idx = pa.array(
+                np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+            )
+            if not isinstance(vals, pa.Array):
+                vals = pa.array(vals, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(idx), vals], [id_col, out_name]
+            )
+
+    return df.select(id_col, text).mapInArrow(
+        gen, f"{id_col} {id_type}, {out_name} {out_type}"
     )
 
 

@@ -300,13 +300,23 @@ def q_ngram_jaccard(spark, sf_dir):
     # cache, not the parquet.  explode_outer + isNotNull (not plain
     # explode): Catalyst pushes explode's implicit size(arr)>0 filter
     # into the scan, re-evaluating the whole gram expression per row.
-    grams = D.tracked_persist(
-        docs.select(
+    import os
+
+    if (
+        os.environ.get("SHADEMS_XE_GRAM_IMPL") not in ("loop", "numpy")
+        and os.environ.get("SHADEMS_GRAM_FUSE") != "0"
+    ):
+        # fused gram rows (r12, VERDICT r11 #5): MapInArrow emits
+        # (doc_id, ng) directly — no Generate node and no per-row gram
+        # ARRAY ever materializes; row-identical to the explode_outer
+        # + isNotNull form below (null/empty docs emit nothing).
+        raw = T.doc_grams_fused(docs, "doc_id", "text", 3, "word")
+    else:
+        raw = docs.select(
             "doc_id",
             F.explode_outer(T.word_ngrams_arrow("text", 3)).alias("ng"),
-        ).filter(F.col("ng").isNotNull()),
-        key="ngram_grams_raw",
-    )
+        ).filter(F.col("ng").isNotNull())
+    grams = D.tracked_persist(raw, key="ngram_grams_raw")
     # The STOP-GRAM set (df > 1000) is bounded at total_occurrences /
     # 1000 rows by construction (pigeonhole) — broadcastable at any
     # corpus size (~30 MB of short strings per 10^9 occurrences) — so

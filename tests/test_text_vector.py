@@ -310,3 +310,74 @@ def test_xe_grams_pa_random():
         texts.append(sep.join(rng.choices(vocab, k=rng.randint(0, 30))))
     for n in (2, 3):
         _check_xe_pa(texts, n)
+
+
+# ---- fused (doc, gram)-row generator pin (r12, VERDICT r11 #5) ----
+
+from shadems_spark.operators.text import _word_ngrams_flat, _xe_grams_flat
+
+
+def _flat_vs_list(texts, n=3):
+    """The fused generator's core must reproduce the ListArray form
+    exactly: repeating doc i count[i] times over the flat values IS
+    the explode of the per-doc arrays (nulls/empties -> zero rows)."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = pa.array(texts, type=pa.string())
+    for core, lst in (
+        (_xe_grams_flat, _xe_grams_pa),
+        (_word_ngrams_flat, _word_ngrams_pa),
+    ):
+        vals, counts, null_mask = core(arr, n)
+        if not isinstance(vals, pa.Array):
+            vals = pa.array(vals, type=pa.int64())
+        docs = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        got = list(zip(docs.tolist(), vals.to_pylist()))
+        want = []
+        for i, cell in enumerate(lst(arr, n).to_pylist()):
+            for v in cell or []:
+                want.append((i, v))
+        assert got == want, (core.__name__, n)
+        assert list(null_mask) == [t is None for t in texts]
+
+
+def test_gram_flat_cores_match_list_builders():
+    _flat_vs_list(
+        [None, "", " ", "one", "one two", "one two three",
+         "a  b   c d", "x y z x y z", " lead and trail ", "café 你好 😀 e f"]
+    )
+    _flat_vs_list(["a b c d e"], n=1)
+    _flat_vs_list(["a b c d e", None], n=4)
+    _flat_vs_list([None, None])
+    _flat_vs_list([])
+
+
+def test_doc_grams_fused_matches_explode(spark):
+    """Spark-level pin: doc_grams_fused row-multiset == the array
+    builder + explode for both families, including empty/null docs."""
+    from pyspark.sql import functions as F
+
+    from shadems_spark.operators.text import (
+        doc_grams_fused,
+        word_ngrams_arrow,
+        xe_gram_hashes_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a"), (4, "a b"), (5, "a b c"),
+         (6, "x  y z w"), (7, "a b c d a b c")],
+        "doc_id long, text string",
+    )
+    xe_ref = df.select(
+        "doc_id", F.explode(xe_gram_hashes_arrow("text", 3)).alias("s")
+    )
+    xe_fused = doc_grams_fused(df, "doc_id", "text", 3, "xe")
+    assert xe_fused.exceptAll(xe_ref).count() == 0
+    assert xe_ref.exceptAll(xe_fused).count() == 0
+    w_ref = df.select(
+        "doc_id", F.explode_outer(word_ngrams_arrow("text", 3)).alias("ng")
+    ).filter(F.col("ng").isNotNull())
+    w_fused = doc_grams_fused(df, "doc_id", "text", 3, "word")
+    assert w_fused.exceptAll(w_ref).count() == 0
+    assert w_ref.exceptAll(w_fused).count() == 0

@@ -484,6 +484,35 @@ PROBE_ANN = [
     "q_ann_recall",
 ]
 
+#: round-12 heavy-family probe (--r12heavy; VERDICT r11 #1): the
+#: top-10 most expensive headline bench paths.  At sf0.1 the published
+#: walls are dominated by driver build + fixed AQE stage scheduling, so
+#: the 8-core and 32-core bench sweeps coincide and the bench exerts no
+#: optimization pressure on executor-side work; this probe re-times the
+#: heavy families at x10 input (all five big tables, word-mutated docs,
+#: rotated embeddings — the r5stats recipe) where executor work
+#: dominates, and is meant to be run at BOTH core counts
+#: (SPARK_GRAFT_CPUS=32 / =8 with --reuse) so core sensitivity is
+#: measured where the executors actually feel it.  q_quantize_topk's
+#: query set grows with the collection (|Q|x|C| ~ N^2 by contract —
+#: the annx budget note); it stays in the set for the x10 record with
+#: that caveat.
+PROBE_R12HEAVY = [
+    "q_ngram_jaccard",
+    "q_skyline",
+    "q_als",
+    "q_dedup_minhash",
+    "q_semdedup",
+    "q_quantize_topk",
+    "q_lr_train",
+    "q_bloom_decontaminate",
+    "q_rfm",
+    "q_dsir",
+    "q_apriori",
+    "q_bigram_lm",
+]
+
+
 #: scored-pair ceiling for the annx probe's workload-bound members
 #: (the vec_id%100==0-query family, whose |Q| grows with N).  Scored
 #: pairs per member: quantize/pq = |Q|·(|C|-1) raw scans; ivfpq =
@@ -761,6 +790,7 @@ def main() -> None:
     round9 = "--round9" in sys.argv
     joins = "--joins" in sys.argv
     annx = "--annx" in sys.argv
+    r12heavy = "--r12heavy" in sys.argv
     docs_only = dedup or retrieval
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 10
@@ -773,7 +803,8 @@ def main() -> None:
         else "_r6b3" if r6b3 else "_r6b4" if r6b4
         else "_r7" if round7 else "_r8" if round8
         else "_raster" if raster else "_r9" if round9
-        else "_joins" if joins else "_annx" if annx else ""
+        else "_joins" if joins else "_annx" if annx
+        else "_r12heavy" if r12heavy else ""
     )
     scaled = os.path.join(repo, ".scratch", f"sfx{n}" + suffix)
 
@@ -796,6 +827,7 @@ def main() -> None:
         else PROBE_R9 if round9
         else PROBE_JOINS if joins
         else PROBE_ANN if annx
+        else PROBE_R12HEAVY if r12heavy
         else PROBE
     )
     names = [q for q in probe_set if q in registry]
@@ -837,14 +869,14 @@ def main() -> None:
                 else [
                     "documents", "embeddings", "events", "orders", "lineitem"
                 ]
-                if r5stats or r6b3 or r6b4
+                if r5stats or r6b3 or r6b4 or r12heavy
                 else None
             ),
             mutate_docs=docs_only or round3 or r4x100 or round5 or r5stats
             or round8 or round9
-            or r6b3 or r6b4,
+            or r6b3 or r6b4 or r12heavy,
             mutate_embeddings=r4x100 or round5 or r5stats or r6b3 or r6b4
-            or annx,
+            or annx or r12heavy,
         )
     build_s = round(time.time() - t0, 1)
 
@@ -927,7 +959,8 @@ def main() -> None:
         json.dumps(
             {
                 "metric": (
-                    "scale_probe_dedup" if dedup
+                    "scale_probe_r12heavy" if r12heavy
+                    else "scale_probe_dedup" if dedup
                     else "scale_probe_retrieval" if retrieval
                     else "scale_probe_r4x100" if r4x100
                     else "scale_probe_r5" if round5
@@ -939,6 +972,8 @@ def main() -> None:
                 "n": n,
                 "base": base,
                 "build_sec": build_s,
+                "effective_parallelism": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
                 "queries": report,
                 **({"candidates": cand_evidence} if cand_evidence else {}),
             }
